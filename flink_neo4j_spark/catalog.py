@@ -1,0 +1,60 @@
+"""Table catalog over the driver's parquet test data.
+
+Loads the TPC-H-ish tables (``TESTDATA.md``) with the verified recipe from
+SURVEY.md §2.3: session timezone UTC, and ``events.ts`` (parquet
+TIMESTAMP(NANOS), unreadable by vanilla Spark) decoded via
+``nanosAsLong=true`` + lossless integer-division conversion to a microsecond
+timestamp. All loads are plain ``spark.read.parquet`` so Catalyst gets
+predicate pushdown, column pruning and partition-size planning for free —
+``.explain`` on any engine query shows ``PushedFilters`` reaching the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.session import apply_runtime_confs
+
+#: Every driver-provided table (one parquet file each under the sf dir).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing engine-specific quirks.
+
+    ``events.ts`` arrives as int64 nanoseconds (because of the
+    ``nanosAsLong`` conf); we convert with ``timestamp_micros(ts div 1000)``
+    — integer div, never ``/1000`` which routes through double and loses
+    precision on ~1.7e18 ns values (SURVEY.md §2.3).
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` works directly."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

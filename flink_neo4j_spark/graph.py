@@ -1,0 +1,214 @@
+"""Property-graph model: labeled vertices + typed edges as DataFrames.
+
+The reference queries a Neo4j property graph through opaque Cypher strings
+(`Neo4jInputFormat.java:57-76`); its test fixture is 3 ``:User`` nodes and 2
+``:KNOWS`` edges (`Neo4jFormatTest.java:14-19`). This module owns those
+semantics natively: the graph is two DataFrames,
+
+- ``vertices(id: long, label: string, <props...>)``
+- ``edges(id: long, src: long, dst: long, rel_type: string, <props...>)``
+
+(the GraphFrames convention — SURVEY.md §1.1). Pattern matching is expressed
+as scans/filters/joins so Catalyst plans them: a node scan is a filtered
+projection with the label predicate pushed to the parquet scan; an edge
+pattern is two equi-joins that AQE turns into broadcast joins whenever a side
+is small. Nothing here collects to the driver; everything scales with
+partitioning of the underlying V/E tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VERTEX_REQUIRED = ("id", "label")
+EDGE_REQUIRED = ("id", "src", "dst", "rel_type")
+
+
+class PropertyGraph:
+    """A labeled property graph over two DataFrames.
+
+    Replaces the reference's positional ``TupleTypeInfo`` declaration
+    (`Neo4jInputTest.java:38-44`) with explicit, validated schemas: column
+    names are authoritative, so there is no positional matching and no
+    one-row type inference (the reference's known bug-shape,
+    `Neo4jOutputFormat.java:182-202`).
+    """
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        self._validate(vertices, VERTEX_REQUIRED, "vertices")
+        self._validate(edges, EDGE_REQUIRED, "edges")
+        self.vertices = vertices
+        self.edges = edges
+
+    @staticmethod
+    def _validate(df: DataFrame, required: tuple[str, ...], which: str) -> None:
+        missing = [c for c in required if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"PropertyGraph {which} missing required columns {missing}; "
+                f"have {df.columns}"
+            )
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        vertex_rows: list[tuple],
+        vertex_schema: str,
+        edge_rows: list[tuple],
+        edge_schema: str,
+    ) -> "PropertyGraph":
+        """Fixture ingest — the analogue of the reference's Cypher CREATE
+        fixture (`Neo4jFormatTest.java:14-19`, capability B9)."""
+        return cls(
+            spark.createDataFrame(vertex_rows, vertex_schema),
+            spark.createDataFrame(edge_rows, edge_schema),
+        )
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "PropertyGraph":
+        return cls(
+            spark.read.parquet(f"{path}/vertices"),
+            spark.read.parquet(f"{path}/edges"),
+        )
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        # Partition by label/rel_type: label-filtered scans then prune whole
+        # directories — the 100 TB analogue of Neo4j's label index.
+        self.vertices.write.mode(mode).partitionBy("label").parquet(f"{path}/vertices")
+        self.edges.write.mode(mode).partitionBy("rel_type").parquet(f"{path}/edges")
+
+    # -- query surface (capabilities B1-B8) -------------------------------
+
+    def nodes(self, label: str | None = None, *props: str) -> DataFrame:
+        """Node scan by label + property projection (B1, B3).
+
+        Cypher analogue: ``MATCH (n:User) RETURN id(n), n.name, ...``
+        (`README.md:20`, `Neo4jInputTest.java:26`). ``label=None`` is the
+        unlabeled match ``MATCH (p)`` (B8, `Neo4jOutputTest.java:85`).
+        """
+        df = self.vertices
+        if label is not None:
+            df = df.filter(F.col("label") == label)
+        if props:
+            df = df.select("id", *props)
+        return df
+
+    def relationships(
+        self,
+        rel_type: str | None = None,
+        src_label: str | None = None,
+        dst_label: str | None = None,
+        *props: str,
+    ) -> DataFrame:
+        """Edge pattern scan with endpoint labels (B2, B3).
+
+        Cypher analogue: ``MATCH (a:User)-[e]->(b:User) RETURN id(e), id(a),
+        id(b), e.since`` (`Neo4jInputTest.java:46`). Implemented as the edge
+        scan semi-joined to labeled endpoints; when a label restricts V to a
+        small set, AQE broadcasts it.
+        """
+        e = self.edges
+        if rel_type is not None:
+            e = e.filter(F.col("rel_type") == rel_type)
+        out = e
+        if src_label is not None:
+            src_ids = self.vertices.filter(F.col("label") == src_label).select("id")
+            out = out.join(F.broadcast(src_ids).withColumnRenamed("id", "src"), "src")
+        if dst_label is not None:
+            dst_ids = self.vertices.filter(F.col("label") == dst_label).select("id")
+            out = out.join(F.broadcast(dst_ids).withColumnRenamed("id", "dst"), "dst")
+        cols = ["id", "src", "dst"] + (list(props) if props else [])
+        return out.select(*cols) if props else out
+
+    def expand(
+        self,
+        src_label: str | None = None,
+        rel_type: str | None = None,
+        dst_label: str | None = None,
+        src_prefix: str = "a_",
+        dst_prefix: str = "b_",
+    ) -> DataFrame:
+        """Full one-hop pattern ``(a)-[e]->(b)`` with both endpoint property
+        sets, prefixed to avoid collisions. Two equi hash joins; Catalyst
+        reorders/broadcasts as stats allow."""
+        a = self.nodes(src_label).select(
+            *[F.col(c).alias(f"{src_prefix}{c}") for c in self.vertices.columns]
+        )
+        b = self.nodes(dst_label).select(
+            *[F.col(c).alias(f"{dst_prefix}{c}") for c in self.vertices.columns]
+        )
+        e = self.edges if rel_type is None else self.edges.filter(
+            F.col("rel_type") == rel_type
+        )
+        return (
+            e.join(a, e.src == F.col(f"{src_prefix}id"))
+            .join(b, e.dst == F.col(f"{dst_prefix}id"))
+        )
+
+    # -- mutation surface (capabilities B6, B7) ---------------------------
+
+    def create_nodes(self, batch: DataFrame, label: str) -> "PropertyGraph":
+        """Row-parameterized batch INSERT — ``UNWIND {inserts} AS i CREATE
+        (a:User {...})`` (B6, `README.md:45`, `Neo4jOutputTest.java:24-26`).
+
+        New ids are allocated above the current max without collect-gaps:
+        ``monotonically_increasing_id()`` gives cluster-unique offsets, the
+        max-id base is a scalar agg (one tiny job, no row data to driver).
+        """
+        base = self.vertices.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
+        new = (
+            batch.withColumn("label", F.lit(label))
+            .withColumn("_off", F.monotonically_increasing_id())
+            .crossJoin(F.broadcast(base))
+            .withColumn("id", F.col("m") + 1 + F.col("_off"))
+            .drop("m", "_off")
+        )
+        merged = self.vertices.unionByName(new, allowMissingColumns=True)
+        return PropertyGraph(merged, self.edges)
+
+    def update_nodes(self, updates: DataFrame, key: str) -> "PropertyGraph":
+        """Row-parameterized batch UPDATE — ``UNWIND {updates} AS u MATCH (p)
+        WHERE p.name = u.name SET p.weight = ..., p.height = ...`` (B7/B8,
+        `Neo4jOutputTest.java:83-87`).
+
+        Join-update: LEFT JOIN on the key, ``coalesce(new, old)`` per updated
+        column — the Delta-MERGE shape, expressed with a broadcast of the
+        (small) update batch so the base table never shuffles.
+        """
+        upd_cols = [c for c in updates.columns if c != key]
+        renamed = updates.select(
+            F.col(key).alias(f"_u_{key}"),
+            *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+        )
+        joined = self.vertices.join(
+            F.broadcast(renamed), self.vertices[key] == F.col(f"_u_{key}"), "left"
+        )
+        out_cols: list[Column] = []
+        for c in self.vertices.columns:
+            if c in upd_cols:
+                out_cols.append(F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c))
+            else:
+                out_cols.append(F.col(c))
+        # columns created only by the update (e.g. `weight`,
+        # Neo4jOutputTest.java:87 — B5 null/missing-property semantics)
+        for c in upd_cols:
+            if c not in self.vertices.columns:
+                out_cols.append(F.col(f"_u_{c}").alias(c))
+        return PropertyGraph(joined.select(*out_cols), self.edges)
+
+    def degrees(self, direction: str = "out") -> DataFrame:
+        """Per-vertex degree — partial-aggregated count, no row explosion."""
+        key = {"out": "src", "in": "dst"}.get(direction)
+        if key is None:
+            both = self.edges.select(F.col("src").alias("vid")).unionAll(
+                self.edges.select(F.col("dst").alias("vid"))
+            )
+            return both.groupBy("vid").agg(F.count("*").alias("degree"))
+        return (
+            self.edges.groupBy(F.col(key).alias("vid"))
+            .agg(F.count("*").alias("degree"))
+        )

@@ -1,0 +1,219 @@
+"""Relational query surface — the capabilities the reference exercises
+through Cypher (SURVEY.md §2.B, B1-B11) plus the scale extensions (X1-X5),
+as declarative DataFrame programs Q1-Q12.
+
+Each query is a function ``(spark, sf_dir) -> DataFrame`` whose result
+hash-matches the DuckDB oracle SQL in ``ORACLE`` (same column names — every
+computed column aliased identically on both sides; floating-point aggregates
+rounded to 2dp so partition-order summation differences can't flip a hash).
+
+Plan-shape notes (verified with ``.explain("formatted")`` at sf0.1):
+- label/key predicates reach the parquet scan as ``PushedFilters``;
+- projections prune the scan's ``ReadSchema`` to referenced columns;
+- nation/customer-side joins broadcast (small dims), orders/lineitem joins
+  hash-shuffle on the key with AQE skew handling;
+- aggregations are partial (map-side combine) before the exchange;
+- top-k is ``TakeOrderedAndProject`` — no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# --------------------------------------------------------------------------
+# B1/B3 — node scan by label + property projection
+# Cypher: MATCH (n:User) RETURN id(n), n.name, n.born   (README.md:20)
+def q1_node_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_nationkey").orderBy("c_custkey")
+
+
+# B2/B3 — edge pattern scan: edge table joined to endpoint ids
+# Cypher: MATCH (a:User)-[e]->(b:User) RETURN id(e), id(a), id(b), e.since
+#         (Neo4jInputTest.java:46)
+def q2_edge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    # customer is the dimension side: broadcast it so the fact scan of
+    # orders never shuffles (at 100 TB the orders side stays partition-local).
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_nationkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# B4 — equality + disjunction predicate
+# Cypher: WHERE n.name = 'Frank' OR n.name = 'Dave'  (Neo4jOutputTest.java:52-53)
+def q3_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_nationkey") == 0) | (F.col("c_nationkey") == 1))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# B5 — null/missing-property semantics (absent property -> NullValue,
+# Neo4jInputFormat.java:117-118)
+def q4_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    ).orderBy("c_custkey")
+
+
+# B7/B8 — join-update projection: UNWIND {updates} MATCH (p) WHERE p.name=u.name
+# SET p.weight = u.weight ...  (Neo4jOutputTest.java:83-87)
+def q5_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("nation_name"))
+        .orderBy("c_custkey")
+    )
+
+
+# B6 — UNWIND+CREATE as literal-batch append (README.md:45)
+def q6_batch_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    batch = spark.createDataFrame(
+        [(900001, "Frank"), (900002, "Dave")], "c_custkey long, c_name string"
+    )
+    return c.unionAll(batch).orderBy("c_custkey")
+
+
+# B10/B11 — grouped count; invariant under repartition/batch-size choice
+def q7_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey").agg(F.count("*").alias("cnt")).orderBy("c_nationkey")
+    )
+
+
+# X1 — multi-key hash aggregation with arithmetic (TPC-H Q1 shape)
+def q8_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# X2 — date predicate (pushdown + partition pruning at scale)
+def q9_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return l.filter(
+        (d >= F.lit("1995-01-01").cast("date")) & (d < F.lit("1996-01-01").cast("date"))
+    ).agg(F.count("*").alias("cnt"))
+
+
+# X3 — global top-k: TakeOrderedAndProject, not a full sort
+def q10_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# X4 — event-time daily bucketing (batch form of a tumbling window)
+def q11_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("user_id", "day")
+    )
+
+
+# X5 — exact distinct count (LLM-pipeline dedup primitive)
+def q12_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(F.count_distinct("text").alias("distinct_docs"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_node_scan": q1_node_scan,
+    "q2_edge_join": q2_edge_join,
+    "q3_disjunction": q3_disjunction,
+    "q4_null_semantics": q4_null_semantics,
+    "q5_join_update": q5_join_update,
+    "q6_batch_insert": q6_batch_insert,
+    "q7_grouped_count": q7_grouped_count,
+    "q8_multi_agg": q8_multi_agg,
+    "q9_date_filter": q9_date_filter,
+    "q10_topk": q10_topk,
+    "q11_time_bucket": q11_time_bucket,
+    "q12_distinct_docs": q12_distinct_docs,
+}
+
+ORACLE: dict[str, str] = {
+    "q1_node_scan": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer ORDER BY c_custkey""",
+    "q2_edge_join": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey""",
+    "q3_disjunction": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey = 0 OR c_nationkey = 1
+        ORDER BY c_custkey""",
+    "q4_null_semantics": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer ORDER BY c_custkey""",
+    "q5_join_update": """
+        SELECT c.c_custkey, n.n_name AS nation_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_custkey""",
+    "q6_batch_insert": """
+        SELECT * FROM (
+          SELECT c_custkey, c_name FROM customer
+          UNION ALL SELECT 900001, 'Frank'
+          UNION ALL SELECT 900002, 'Dave'
+        ) AS t ORDER BY c_custkey""",
+    "q7_grouped_count": """
+        SELECT c_nationkey, COUNT(*) AS cnt
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q8_multi_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+    "q9_date_filter": """
+        SELECT COUNT(*) AS cnt FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1996-01-01'""",
+    "q10_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q11_time_bucket": """
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day""",
+    "q12_distinct_docs": """
+        SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents""",
+}

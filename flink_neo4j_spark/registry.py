@@ -1,0 +1,30 @@
+"""Central registry of conformance queries and their DuckDB oracles.
+
+Aggregates ``QUERIES``/``ORACLE`` from every operator module. A query with no
+oracle entry is checked rows-only by the driver (reserved for genuinely
+non-SQL-expressible operators, e.g. LSH bucketing or streaming state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from flink_neo4j_spark.operators import dedup, relational, similarity, text
+
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (relational, dedup, similarity, text):
+        merged.update(mod.QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    from flink_neo4j_spark.operators import dedup, relational, similarity, text
+
+    merged: dict[str, str] = {}
+    for mod in (relational, dedup, similarity, text):
+        merged.update(mod.ORACLE)
+    return merged

@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every config here is chosen so the same
+plan shape survives a 1000-executor cluster: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), broadcast threshold explicit, Arrow enabled
+for the pandas-UDF paths, and session timezone pinned to UTC so timestamp
+semantics are deterministic across engines (the DuckDB oracle pins UTC too).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to *any* session handed to the engine
+#: (including the driver's own session in ``__spark_entry__``). Static confs
+#: like executor memory must be set at build time instead.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark refuses
+    # to read (PARQUET_TYPE_ILLEGAL). Read it as long; catalog.load_table
+    # converts ns -> microsecond timestamps losslessly with integer div.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones. Critical at 100 TB where static partition counts are always wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / mapInPandas (the only Python paths).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine confs to an externally-created session (best effort)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # immutable in this deployment; proceed with its value
+    return spark
+
+
+def get_spark(
+    app_name: str = "flink-neo4j-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle width: on a cluster this should be ~2-3x total cores; AQE
+        # coalesces the excess so erring high is safe.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return apply_runtime_confs(builder.getOrCreate())
