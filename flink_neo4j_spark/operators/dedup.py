@@ -1,4 +1,315 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators for LLM-data pipelines over the ``documents`` and
+``embeddings`` tables: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Every operator is pure DataFrame/SQL-expression code (JVM-side, whole-stage
+codegen — zero Python UDFs), with a DuckDB oracle computing the *same*
+deterministic algorithm so results hash-match cross-engine. The engine-neutral
+hash primitive is ``md5(seed || '|' || shingle)``: a lexicographic min over
+md5 hex strings is a valid min-hash (md5 behaves as a uniform permutation of
+the shingle space) and is bit-identical in any engine.
+
+Scale notes (100 TB posture):
+- shingling/minhashing is a narrow map + partial agg — no shuffle until the
+  per-doc ``groupBy(doc_id)``, which AQE sizes;
+- LSH candidate generation joins on the band key only (never all-pairs);
+  the band join is a standard shuffle-hash join on a high-cardinality key;
+- exact-Jaccard verification happens only within candidate buckets, so the
+  quadratic step is bounded by bucket size (salt oversized buckets upstream
+  if a degenerate shingle dominates — see ``NEAR_DUP_MAX_BUCKET``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: MinHash seeds — one independent hash function per seed.
+MINHASH_SEEDS = (0, 1, 2, 3)
+#: Near-dup verification threshold on word-3-shingle Jaccard (data-tuned so
+#: the synthetic corpus yields non-trivial matches; production would use 0.8+).
+JACCARD_THRESHOLD = 0.2
+#: Cosine threshold for embedding near-dup (synthetic corpus max ~0.47).
+COSINE_THRESHOLD = 0.4
+#: Buckets larger than this indicate a degenerate band key; they are dropped
+#: (logged in production) rather than allowed to go quadratic.
+NEAR_DUP_MAX_BUCKET = 1000
+
+# -- shared Spark-side expression builders ---------------------------------
+
+#: normalized token array from `text` (corpus is already lower/space-joined,
+#: but normalization keeps the operator general).
+TOKENS_EXPR = (
+    "split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')), ' +')"
+)
+
+#: word 3-shingles as distinct strings; empty array for docs with <3 tokens
+#: (guarded because Spark's sequence(1, n) DESCENDS when n < 1).
+SHINGLES_EXPR = f"""
+    CASE WHEN size({TOKENS_EXPR}) >= 3 THEN
+      array_distinct(transform(
+        sequence(1, size({TOKENS_EXPR}) - 2),
+        i -> concat_ws(' ', element_at({TOKENS_EXPR}, i),
+                            element_at({TOKENS_EXPR}, i + 1),
+                            element_at({TOKENS_EXPR}, i + 2))))
+    ELSE array() END
+"""
+
+# DuckDB twins (1-based inclusive slices; generate_series(1,0) is empty).
+DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' ')"
+DUCK_SHINGLES = (
+    f"list_distinct([array_to_string(tok[i:i+2], ' ') "
+    f"for i in generate_series(1, greatest(len(tok) - 2, 0))])"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr("doc_id", f"{SHINGLES_EXPR} AS sh").filter(F.expr("size(sh) > 0"))
+
+
+_DUCK_SHINGLED = f"""
+    WITH tokd AS (SELECT doc_id, {DUCK_TOKENS} AS tok FROM documents),
+    shingled AS (
+      SELECT doc_id, {DUCK_SHINGLES} AS sh FROM tokd
+    ), s AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0)
+"""
+
+
+# --------------------------------------------------------------------------
+# D1 — exact dedup: canonical doc per distinct text + copy count.
+# Hash-groupBy on md5(text): one shuffle keyed by the fingerprint; at 100 TB
+# group on the 128-bit hash, never the full text (shuffle bytes ~= 16B/row).
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+# D2 — MinHash signatures: k independent min-hashes per doc.
+# Narrow map (explode) + partial-aggregated min per seed — single shuffle.
+def d2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("sg"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sg")))).alias(f"h{seed}")
+        for seed in MINHASH_SEEDS
+    ]
+    return s.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+# D3 — MinHash-LSH near-dup pairs: band on h0 (1-band LSH), verify exact
+# Jaccard within buckets. The join is on the band key, NOT all-pairs.
+def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.expr("array_min(transform(sh, x -> md5(concat('0|', x))))").alias("h0"),
+    )
+    # degenerate-bucket guard: a band key shared by >MAX docs would go
+    # quadratic; drop it (these are boilerplate shingles, not near-dups).
+    sizes = banded.groupBy("h0").agg(F.count("*").alias("_bn"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "h0"
+    ).drop("_bn")
+    a = banded.select(
+        F.col("h0"), F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = banded.select(
+        F.col("h0"), F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# D4 — SimHash: 16-bit signature from per-token 16-bit md5 prefixes.
+# One explode + one groupBy with 16 conditional-sum aggregates (partial agg).
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.selectExpr("doc_id", f"explode({TOKENS_EXPR}) AS tok").withColumn(
+        "h", F.expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)")
+    )
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) % 2) = 1"), 1).otherwise(-1)
+            )
+            >= 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"b{b}")
+        for b in range(16)
+    ]
+    sig = toks.groupBy("doc_id").agg(*bit_aggs)
+    total = sum((F.col(f"b{b}") for b in range(16)), F.lit(0))
+    return sig.select("doc_id", total.alias("simhash")).orderBy("doc_id")
+
+
+# D5 — n-gram Jaccard near-dup over *character* 5-grams, blocked by min-hash.
+# Same LSH shape as D3 but character-shingled (robust to word-order edits).
+CHAR_GRAMS_EXPR = """
+    CASE WHEN length(norm) >= 5 THEN
+      array_distinct(transform(sequence(1, length(norm) - 4),
+                               i -> substring(norm, i, 5)))
+    ELSE array() END
+"""
+
+
+def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.selectExpr(
+            "doc_id",
+            "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')) AS norm",
+        )
+        .selectExpr("doc_id", f"{CHAR_GRAMS_EXPR} AS gr")
+        .filter(F.expr("size(gr) > 0"))
+        .withColumn("h0", F.expr("array_min(transform(gr, x -> md5(concat('g|', x))))"))
+    )
+    a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gr").alias("a_gr"))
+    b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gr").alias("b_gr"))
+    pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_gr", "b_gr"))
+    union = F.size("a_gr") + F.size("b_gr") - inter
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# D6 — embedding-cosine near-dup, blocked on `label` (the coarse partition a
+# real pipeline gets from a clustering/IVF step). Dot/norms via zip_with +
+# aggregate — sequential fold, deterministic, same order as the oracle.
+def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
+    )
+    a = e.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    b = e.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    dot = F.expr(
+        "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    na = F.expr("sqrt(aggregate(a_emb, 0D, (acc, v) -> acc + v * v))")
+    nb = F.expr("sqrt(aggregate(b_emb, 0D, (acc, v) -> acc + v * v))")
+    return (
+        pairs.select("a_id", "b_id", F.round(dot / (na * nb), 4).alias("cos"))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_minhash_signature": d2_minhash_signature,
+    "d3_minhash_near_dup": d3_minhash_near_dup,
+    "d4_simhash": d4_simhash,
+    "d5_ngram_jaccard": d5_ngram_jaccard,
+    "d6_embedding_near_dup": d6_embedding_near_dup,
+}
+
+
+def _duck_minhash_aggs() -> str:
+    return ", ".join(
+        f"list_min([md5('{s}|' || x) for x in sh]) AS h{s}" for s in MINHASH_SEEDS
+    )
+
+
+_DUCK_SIMHASH_BITS = ", ".join(
+    f"CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+    f"THEN {1 << b} ELSE 0 END AS b{b}"
+    for b in range(16)
+)
+_DUCK_SIMHASH_SUM = " + ".join(f"b{b}" for b in range(16))
+
+ORACLE: dict[str, str] = {
+    "d1_exact_dedup": """
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "d2_minhash_signature": f"""
+        {_DUCK_SHINGLED}
+        SELECT doc_id, {_duck_minhash_aggs()}
+        FROM s ORDER BY doc_id""",
+    "d3_minhash_near_dup": f"""
+        {_DUCK_SHINGLED},
+        banded AS (SELECT doc_id, sh, list_min([md5('0|' || x) for x in sh]) AS h0 FROM s),
+        kept AS (SELECT * FROM banded WHERE h0 IN (
+            SELECT h0 FROM banded GROUP BY h0 HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET}))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+        FROM kept a JOIN kept b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+              >= {JACCARD_THRESHOLD}
+        ORDER BY a_id, b_id""",
+    "d4_simhash": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(tok), 1, 4) AS INT) AS h
+          FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents)
+        ), bits AS (
+          SELECT doc_id, {_DUCK_SIMHASH_BITS} FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {_DUCK_SIMHASH_SUM} AS simhash FROM bits ORDER BY doc_id""",
+    "d5_ngram_jaccard": f"""
+        WITH normd AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS norm
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct([substring(norm, i, 5)
+                                for i in generate_series(1, greatest(length(norm) - 4, 0))]) AS gr
+          FROM normd
+        ), g AS (
+          SELECT doc_id, gr, list_min([md5('g|' || x) for x in gr]) AS h0
+          FROM grams WHERE len(gr) > 0
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 /
+                     (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4) AS jac
+        FROM g a JOIN g b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 /
+                    (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4)
+              >= {JACCARD_THRESHOLD}
+        ORDER BY a_id, b_id""",
+    "d6_embedding_near_dup": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                                             p -> p[1] * p[2])) /
+                     (sqrt(list_sum([x * x for x in a.emb])) *
+                      sqrt(list_sum([x * x for x in b.emb]))), 4) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                                            p -> p[1] * p[2])) /
+                    (sqrt(list_sum([x * x for x in a.emb])) *
+                     sqrt(list_sum([x * x for x in b.emb]))), 4) >= {COSINE_THRESHOLD}
+        ORDER BY a_id, b_id""",
+}

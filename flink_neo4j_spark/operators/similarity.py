@@ -1,4 +1,184 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` table (``array<float>`` column).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Three operators:
+
+- ``s1_cosine_topk`` — brute-force cosine top-k against a query vector:
+  the correctness baseline. JVM-side ``zip_with``/``aggregate`` fold (no
+  Python), one broadcast of the 1-row query side, ``TakeOrderedAndProject``
+  for the top-k (no global sort).
+- ``s2_lsh_topk`` — sign-LSH (random-hyperplane) bucketed ANN: the 100 TB
+  scale path. Hyperplanes are deterministic (md5-derived ±1 weights,
+  precomputed here and embedded as literals in BOTH engines' queries, so
+  even the approximate path is oracle-checkable). Candidates = vectors in
+  the query's bucket only; exact cosine re-rank within the bucket.
+- ``s3_cosine_topk_pandas`` — same semantics as s1 via a vectorized
+  Arrow-batched pandas UDF (numpy dot) — the pattern for when the metric
+  can't be expressed with built-ins. Must hash-match s1's oracle.
+
+At 100 TB: s1 is a full scan per query (only for offline eval); s2's bucket
+join touches 1/2^P of the data per query; both avoid driver collects.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from flink_neo4j_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+N_PLANES = 4
+DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: plane p, dim d -> sign from the first
+    hex nibble of md5(f"{p}|{d}"). Reproducible in any engine/language."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+PLANES = _planes()
+
+
+def _cosine(a: str, b: str):
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.expr(f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))")
+    nb = F.expr(f"sqrt(aggregate({b}, 0D, (acc, v) -> acc + v * v))")
+    return dot / (na * nb)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
+    )
+
+
+def _sig_expr(col: str) -> F.Column:
+    """LSH signature 0..2^P-1: bit p set iff dot(emb, plane_p) >= 0."""
+    total = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        arr = f"array({', '.join(f'{w}D' for w in plane)})"
+        dot = F.expr(
+            f"aggregate(zip_with({col}, {arr}, (x, w) -> x * w), 0D, (acc, v) -> acc + v)"
+        )
+        total = total + F.when(dot >= 0, F.lit(1 << p)).otherwise(0)
+    return total
+
+
+# S1 — brute-force cosine top-k (baseline; exact).
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine("emb", "q_emb"), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# S2 — LSH-bucketed ANN: candidates share the query's sign-signature bucket.
+def s2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).withColumn("sig", _sig_expr("emb"))
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("sig").alias("q_sig"), F.col("emb").alias("q_emb"))
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("sig") == F.col("q_sig"))
+        .select("vec_id", F.round(_cosine("emb", "q_emb"), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# S3 — brute-force top-k via vectorized pandas UDF (Arrow path). Semantics
+# identical to S1; the UDF computes the cosine with numpy over Arrow batches.
+def s3_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    q_vec = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()["emb"]
+    )  # 1 tiny row to the driver: the query vector itself, not the data
+    q = np.asarray(q_vec, dtype="float64")
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def cos_to_query(embs: pd.Series) -> pd.Series:
+        m = np.asarray(embs.tolist(), dtype="float64")  # (batch, dim)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.round(cos_to_query(F.col("emb")), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "s1_cosine_topk": s1_cosine_topk,
+    "s2_lsh_topk": s2_lsh_topk,
+    "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
+}
+
+
+def _duck_planes_sql() -> str:
+    """DuckDB literal for the planes: list of DOUBLE lists."""
+    rows = ", ".join(
+        "[" + ", ".join(str(w) for w in plane) + "]" for plane in PLANES
+    )
+    return f"[{rows}]"
+
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip(e.emb, q.q_emb), p -> p[1] * p[2])) / "
+    "(sqrt(list_sum([x * x for x in e.emb])) * sqrt(list_sum([x * x for x in q.q_emb])))"
+)
+
+_DUCK_SIG = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(list_zip(emb, {_duck_planes_sql()}[{p + 1}]), "
+    f"p -> p[1] * p[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
+
+ORACLE: dict[str, str] = {
+    "s1_cosine_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, ROUND({_DUCK_COS}, 6) AS cos
+        FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}""",
+    "s2_lsh_topk": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        e AS (SELECT vec_id, emb, {_DUCK_SIG} AS sig FROM e0),
+        q AS (SELECT sig AS q_sig, emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, ROUND({_DUCK_COS}, 6) AS cos
+        FROM e, q WHERE e.vec_id != {QUERY_VEC_ID} AND e.sig = q.q_sig
+        ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}""",
+    "s3_cosine_topk_pandas": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, ROUND({_DUCK_COS}, 6) AS cos
+        FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}""",
+}

@@ -1,4 +1,184 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over the ``documents`` table: token counting,
+language ID (stopword-voting heuristic), quality scoring, and document
+fingerprinting. All JVM-side expressions (regex + array built-ins) so the
+hot path stays inside whole-stage codegen; each has a DuckDB oracle running
+the identical algorithm.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Scale: every operator is a narrow map over documents — no shuffle at all
+except the final ORDER BY (which exists only for hash-determinism in the
+conformance harness; pipelines would drop it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Tiny stopword lists per language for the voting heuristic. Order matters:
+#: ties resolve to the first language listed (en).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+}
+
+#: BPE-ish token regex: runs of letters, runs of digits, or single
+#: non-alphanumeric non-space symbols (same semantics in Java & RE2 regex).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+TOKENS = "split(trim(regexp_replace(lower(text), ' +', ' ')), ' ')"
+DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')"
+
+
+def _arr(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _duck_arr(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# T1 — token counting: whitespace tokens + BPE-ish regex tokens.
+def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        f"size({TOKENS}) AS ws_tokens",
+        f"size(regexp_extract_all(lower(text), '{BPE_RE}', 0)) AS bpe_tokens",
+    ).orderBy("doc_id")
+
+
+# T2 — language ID by stopword voting: hits per language, argmax with
+# declaration-order tiebreak. (Corpus `lang` labels are synthetic; the
+# operator contract is the deterministic heuristic itself.)
+def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hits = d.selectExpr(
+        "doc_id",
+        f"{TOKENS} AS toks",
+        *[
+            f"size(array_intersect({TOKENS}, {_arr(w)})) AS {lang}_hits"
+            for lang, w in STOPWORDS.items()
+        ],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return hits.select(
+        "doc_id", *[f"{lang}_hits" for lang in langs], pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+# T3 — quality scoring: length/word-shape/stopword-ratio features + a
+# composite score. Pure arithmetic; rounded for cross-engine hashing.
+def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    en = _arr(STOPWORDS["en"])
+    return d.selectExpr(
+        "doc_id",
+        "n_chars",
+        f"size({TOKENS}) AS n_words",
+        f"ROUND(n_chars * 1.0D / size({TOKENS}), 4) AS avg_word_len",
+        f"ROUND(size(filter({TOKENS}, t -> array_contains({en}, t))) * 1.0D "
+        f"/ size({TOKENS}), 4) AS stop_ratio",
+        f"ROUND(size(filter({TOKENS}, t -> t rlike '^[0-9]+$')) * 1.0D "
+        f"/ size({TOKENS}), 4) AS digit_ratio",
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "avg_word_len",
+        "stop_ratio",
+        "digit_ratio",
+        # heuristic composite: favor mid-length words, some stopwords, few digits
+        "ROUND(LEAST(n_words / 100.0D, 1.0D) * (1.0D - digit_ratio) * "
+        "(0.5D + LEAST(stop_ratio * 5.0D, 0.5D)), 4) AS quality",
+    ).orderBy("doc_id")
+
+
+# T4 — document fingerprinting: md5 of normalized text (exact fp) + the
+# minimum char-5-gram hash (a 1-hash winnowing sketch, stable under small
+# appends — the rolling-hash analogue expressed set-wise).
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        "trim(regexp_replace(lower(text), ' +', ' ')) AS norm",
+    ).selectExpr(
+        "doc_id",
+        "md5(norm) AS fp",
+        """CASE WHEN length(norm) >= 5 THEN
+             array_min(transform(sequence(1, length(norm) - 4),
+                                 i -> md5(substring(norm, i, 5))))
+           ELSE md5(norm) END AS winnow""",
+    ).orderBy("doc_id")
+
+
+QUERIES: dict[str, QueryFn] = {
+    "t1_token_count": t1_token_count,
+    "t2_lang_id": t2_lang_id,
+    "t3_quality_score": t3_quality_score,
+    "t4_fingerprint": t4_fingerprint,
+}
+
+_DUCK_LANG_HITS = ", ".join(
+    f"len(list_intersect({DUCK_TOKENS}, {_duck_arr(w)})) AS {lang}_hits"
+    for lang, w in STOPWORDS.items()
+)
+_DUCK_BEST = "greatest(" + ", ".join(f"{lang}_hits" for lang in STOPWORDS) + ")"
+_DUCK_PRED = (
+    "CASE WHEN " + _DUCK_BEST + " = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN {lang}_hits = {_DUCK_BEST} THEN '{lang}'" for lang in STOPWORDS
+    )
+    + " END"
+)
+
+ORACLE: dict[str, str] = {
+    "t1_token_count": f"""
+        SELECT doc_id,
+               len({DUCK_TOKENS}) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe_tokens
+        FROM documents ORDER BY doc_id""",
+    "t2_lang_id": f"""
+        WITH hits AS (SELECT doc_id, {_DUCK_LANG_HITS} FROM documents)
+        SELECT doc_id, {", ".join(f"{lang}_hits" for lang in STOPWORDS)},
+               {_DUCK_PRED} AS pred_lang
+        FROM hits ORDER BY doc_id""",
+    "t3_quality_score": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 len({DUCK_TOKENS}) AS n_words,
+                 ROUND(n_chars * 1.0 / len({DUCK_TOKENS}), 4) AS avg_word_len,
+                 ROUND(len(list_filter({DUCK_TOKENS},
+                       t -> list_contains({_duck_arr(STOPWORDS["en"])}, t))) * 1.0
+                       / len({DUCK_TOKENS}), 4) AS stop_ratio,
+                 ROUND(len(list_filter({DUCK_TOKENS},
+                       t -> regexp_matches(t, '^[0-9]+$'))) * 1.0
+                       / len({DUCK_TOKENS}), 4) AS digit_ratio
+          FROM documents
+        )
+        SELECT doc_id, n_words, avg_word_len, stop_ratio, digit_ratio,
+               ROUND(LEAST(n_words / 100.0, 1.0) * (1.0 - digit_ratio) *
+                     (0.5 + LEAST(stop_ratio * 5.0, 0.5)), 4) AS quality
+        FROM f ORDER BY doc_id""",
+    "t4_fingerprint": """
+        WITH n AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+          FROM documents
+        )
+        SELECT doc_id, md5(norm) AS fp,
+               CASE WHEN length(norm) >= 5 THEN
+                 list_min([md5(substring(norm, i, 5))
+                           for i in generate_series(1, length(norm) - 4)])
+               ELSE md5(norm) END AS winnow
+        FROM n ORDER BY doc_id""",
+}
