@@ -200,6 +200,75 @@ class PropertyGraph:
                 out_cols.append(F.col(f"_u_{c}").alias(c))
         return PropertyGraph(joined.select(*out_cols), self.edges)
 
+    # -- connector round-trip (SURVEY §7 step 5) --------------------------
+
+    def to_cypher(self, transport_factory, batch_size: int = 1000) -> None:
+        """Write the graph through the Cypher sink, one UNWIND..CREATE batch
+        stream per label/rel_type (Cypher cannot parameterize labels, so the
+        per-label split mirrors how the reference's user authors one template
+        per write — `README.md:40-49`). Distinct labels are few; collecting
+        them is a metadata-sized driver op, never row data."""
+        from flink_neo4j_spark.sources.cypher import write_cypher
+
+        labels = [r[0] for r in self.vertices.select("label").distinct().collect()]
+        vprops = [c for c in self.vertices.columns if c != "label"]
+        for label in labels:
+            write_cypher(
+                self.vertices.filter(F.col("label") == label).select(*vprops),
+                transport_factory,
+                label=label,
+                batch_size=batch_size,
+            )
+        rel_types = [r[0] for r in self.edges.select("rel_type").distinct().collect()]
+        eprops = [c for c in self.edges.columns if c != "rel_type"]
+        for rel in rel_types:
+            write_cypher(
+                self.edges.filter(F.col("rel_type") == rel).select(*eprops),
+                transport_factory,
+                query=(
+                    f"UNWIND $rows AS r MATCH (a), (b) "
+                    f"WHERE id(a) = r.src AND id(b) = r.dst "
+                    f"CREATE (a)-[e:{rel} {{id: r.id}}]->(b)"
+                ),
+                batch_size=batch_size,
+            )
+
+    @classmethod
+    def from_cypher(
+        cls,
+        spark: SparkSession,
+        transport_factory,
+        vertex_query: str,
+        vertex_schema: str,
+        edge_query: str,
+        edge_schema: str,
+        num_partitions: int = 1,
+        vertex_partition_template: str | None = None,
+        edge_partition_template: str | None = None,
+        default_label: str = "Node",
+        default_rel_type: str = "REL",
+    ) -> "PropertyGraph":
+        """Read a graph back through two Cypher scans — exactly the
+        reference's read pattern (`Neo4jInputTest.java:26,46`: one vertex
+        query, one edge query), with optional partitioned reads. Queries that
+        don't project label/rel_type (the reference's never do) get the
+        defaults attached as constants."""
+        from flink_neo4j_spark.sources.cypher import read_cypher
+
+        v = read_cypher(
+            spark, transport_factory, vertex_query, vertex_schema,
+            num_partitions, vertex_partition_template,
+        )
+        if "label" not in v.columns:
+            v = v.withColumn("label", F.lit(default_label))
+        e = read_cypher(
+            spark, transport_factory, edge_query, edge_schema,
+            num_partitions, edge_partition_template,
+        )
+        if "rel_type" not in e.columns:
+            e = e.withColumn("rel_type", F.lit(default_rel_type))
+        return cls(v, e)
+
     def degrees(self, direction: str = "out") -> DataFrame:
         """Per-vertex degree — partial-aggregated count, no row explosion."""
         key = {"out": "src", "in": "dst"}.get(direction)
