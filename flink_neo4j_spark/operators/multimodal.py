@@ -1,0 +1,151 @@
+"""Multimodal column conventions: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed by Arrow-batched ``mapInPandas``
+UDFs.
+
+The container has no image/audio codecs, so the actual decode step is
+STUBBED two ways (SURVEY.md north-star X7):
+
+- :func:`decode_image` raises ``NotImplementedError`` unless PIL is
+  importable — the real-codec slot, import-gated;
+- :func:`fake_decode_meta` is a deterministic stand-in (dimensions derived
+  from the bytes themselves) so the Spark-side plumbing — binary schema,
+  Arrow batch shape, partition-parallel UDF execution — is REAL and
+  oracle-checkable end-to-end.
+
+The payloads here are utf-8 encodings of ``documents.text`` (the only bytes
+in the test data), but nothing below inspects them as text: every operator
+sees an opaque ``bytes`` value, exactly as it would see a JPEG. At 100 TB
+the pattern holds: binary columns stay in parquet, ``mapInPandas`` streams
+Arrow batches through Python workers partition-parallel, and metadata-only
+queries never touch the payload column (column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Documents -> multimodal rows: opaque binary payload + typed metadata
+    struct. The metadata travels beside the blob so metadata-only queries
+    prune the payload column entirely."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - codec not installed
+    """Real-codec slot. Import-gated: raises NotImplementedError in
+    environments without PIL (like this container)."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires pillow; this environment has no codecs — "
+            "use fake_decode_meta for plumbing tests"
+        ) from exc
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for a decoder: (width, height, digest) derived
+    purely from the bytes. Same formula is expressible in SQL, making the
+    full binary->mapInPandas->metadata pipeline oracle-checkable."""
+    width = len(payload) % 640
+    height = payload[0] if payload else 0
+    return width, height, hashlib.sha256(payload).hexdigest()
+
+
+def extract_meta(multimodal: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary column: one Arrow
+    batch in, one metadata frame out, partition-parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "sha": [d[2] for d in decoded],
+                }
+            )
+
+    return multimodal.mapInPandas(
+        run, schema="doc_id long, width int, height int, sha string"
+    )
+
+
+def frame_sample(multimodal: DataFrame, stride: int = 100) -> DataFrame:
+    """'Video frame sampling' over opaque bytes: take every ``stride``-th
+    byte as a frame marker and report per-doc frame count + first-frame
+    value. Demonstrates batched byte-slicing through Arrow without any
+    codec; the formula is SQL-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [p[::stride] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": [len(fr) for fr in frames],
+                    "first_frame": [fr[0] if len(fr) else None for fr in frames],
+                }
+            )
+
+    return multimodal.mapInPandas(
+        run, schema="doc_id long, n_frames int, first_frame int"
+    )
+
+
+# -- conformance queries ---------------------------------------------------
+
+
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_meta(attach_payload(docs)).orderBy("doc_id")
+
+
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs), stride=100).orderBy("doc_id")
+
+
+QUERIES: dict[str, QueryFn] = {
+    "m1_multimodal_meta": m1_multimodal_meta,
+    "m2_frame_sample": m2_frame_sample,
+}
+
+ORACLE: dict[str, str] = {
+    # corpus text is ascii, so octet length == char length and byte values
+    # == ascii codes; the oracle states the same byte-level formulas in SQL.
+    "m1_multimodal_meta": """
+        SELECT doc_id,
+               CAST(length(text) % 640 AS INT) AS width,
+               CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
+               sha256(text) AS sha
+        FROM documents ORDER BY doc_id""",
+    "m2_frame_sample": """
+        SELECT doc_id,
+               CAST(ceil(length(text) / 100.0) AS INT) AS n_frames,
+               CAST(ascii(substring(text, 1, 1)) AS INT) AS first_frame
+        FROM documents ORDER BY doc_id""",
+}

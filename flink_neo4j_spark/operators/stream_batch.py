@@ -1,0 +1,68 @@
+"""Conformance wrappers for the streaming extension: each runs a REAL
+Structured Streaming query (AvailableNow trigger) or the batch twin of a
+stateful operator, with DuckDB oracles proving batch/stream parity."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_neo4j_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SESSION_GAP_MINUTES = 30
+
+
+def w1_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window rollup executed through Structured Streaming
+    (memory sink, complete mode); must equal the batch GROUP BY."""
+    from flink_neo4j_spark.streaming.windows import run_daily_available_now
+
+    return run_daily_available_now(spark, sf_dir)
+
+
+def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions (batch form of the
+    stateful streaming sessionizer)."""
+    from flink_neo4j_spark.streaming.windows import sessionize_batch
+
+    return sessionize_batch(load_table(spark, sf_dir, "events"), SESSION_GAP_MINUTES)
+
+
+QUERIES: dict[str, QueryFn] = {
+    "w1_stream_daily": w1_stream_daily,
+    "w2_sessionize": w2_sessionize,
+}
+
+ORACLE: dict[str, str] = {
+    "w1_stream_daily": """
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day""",
+    "w2_sessionize": f"""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                      > {SESSION_GAP_MINUTES} * 60 * 1000000
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+          FROM e
+        ), sessions AS (
+          SELECT user_id, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""",
+}

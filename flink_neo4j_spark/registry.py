@@ -12,19 +12,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from flink_neo4j_spark.operators import dedup, relational, similarity, text
+def _modules():
+    from flink_neo4j_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        stream_batch,
+        text,
+    )
 
+    return (relational, dedup, similarity, text, multimodal, stream_batch)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, dedup, similarity, text):
+    for mod in _modules():
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from flink_neo4j_spark.operators import dedup, relational, similarity, text
-
     merged: dict[str, str] = {}
-    for mod in (relational, dedup, similarity, text):
+    for mod in _modules():
         merged.update(mod.ORACLE)
     return merged

@@ -1,0 +1,114 @@
+"""Event-time windowing over the events stream.
+
+Batch-parity design: every streaming aggregation here has a batch twin whose
+results it must reproduce when run with ``Trigger.AvailableNow`` over the
+same files (tested in ``tests/test_streaming.py``; the daily rollup is also a
+conformance query with a DuckDB oracle). At scale the same topology runs
+against a Kafka/file-drop source with watermark-bounded state instead of a
+static directory — the code below only changes its ``readStream`` line.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_neo4j_spark.session import apply_runtime_confs
+
+#: Raw parquet schema of events (ts is int64 nanoseconds; see catalog).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (explicit schema — streaming
+    sources never infer), ns -> microsecond timestamp conversion as in the
+    batch catalog."""
+    apply_runtime_confs(spark)
+    # the file source requires a directory or glob (not a bare file path);
+    # the glob also scopes basePath to sf_dir so only events files match
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events.parque[t]"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Per-user daily tumbling window: count + sum(value). The watermark
+    bounds state for append-mode sinks; complete-mode parity runs ignore it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id", F.col("win.start").cast("date").alias("day"), "cnt", "total"
+        )
+    )
+
+
+def run_daily_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the daily rollup as a real streaming query (AvailableNow trigger,
+    memory sink, complete mode) and return the final result as a batch
+    DataFrame. This is the engine's batch/stream parity bridge — the result
+    must hash-match the batch oracle (conformance query w1)."""
+    sink = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_daily(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # materialize before the memory table goes away with the query
+    out = spark.table(sink)
+    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming else out
+    return out.orderBy("user_id", "day")
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via window functions: a new session starts when
+    the gap to the previous event of the same user exceeds ``gap_minutes``.
+    Returns per-session rollups. One shuffle on user_id (the window
+    partition key); at 100 TB this is the standard sort-within-partition
+    sessionizer — no Python, no state store."""
+    w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    return (
+        events.selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            f"CASE WHEN unix_micros(ts) - unix_micros(lag(ts) OVER {w}) "
+            f"> {gap_minutes} * 60 * 1000000 OR lag(ts) OVER {w} IS NULL "
+            f"THEN 1 ELSE 0 END AS is_new",
+        )
+        .selectExpr(
+            "user_id", "ts", "event_id", "value",
+            f"SUM(is_new) OVER {w} AS session_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

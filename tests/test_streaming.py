@@ -1,0 +1,72 @@
+"""Streaming extension tests: batch/stream parity for the daily rollup,
+append-mode watermark semantics, and sessionization sanity."""
+
+from __future__ import annotations
+
+import uuid
+
+from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.streaming.windows import (
+    read_events_stream,
+    run_daily_available_now,
+    sessionize_batch,
+    tumbling_daily,
+)
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def test_stream_daily_matches_batch(spark):
+    streamed = run_daily_available_now(spark, SF_DIR)
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_append_mode_watermark_emits_closed_windows_only(spark):
+    """Append mode emits only windows the watermark has passed; on a finite
+    replay the final window(s) stay open -> result is a subset of batch."""
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_daily(read_events_stream(spark, SF_DIR), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    appended = {tuple(r) for r in spark.table(sink).collect()}
+    batch = {
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert appended <= batch
+    assert len(appended) < len(batch)  # open tail windows withheld
+
+
+def test_sessionize_batch_properties(spark):
+    events = load_table(spark, SF_DIR, "events")
+    sessions = sessionize_batch(events, 30)
+    total_events = sessions.agg(F.sum("n_events")).first()[0]
+    assert total_events == events.count()  # partition of the event set
+    per_user_events = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    per_user_sessions = {
+        r["user_id"]: r["n"]
+        for r in sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for uid, n_sessions in per_user_sessions.items():
+        assert 1 <= n_sessions <= per_user_events[uid]
