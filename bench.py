@@ -29,6 +29,7 @@ def main() -> None:
     # warm-up: trivial job primes executors/codegen so q1 isn't charged for it
     spark.range(100000).selectExpr("sum(id)").collect()
 
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -37,6 +38,8 @@ def main() -> None:
         # a driver collect — the standard Spark benchmarking sink.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if verbose:
+            print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

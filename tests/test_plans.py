@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the optimizations the engine relies on at
+scale must be visible in the physical plan (SURVEY.md §4; project brief's
+"push down and prune" / "broadcast small dims" / top-k requirements)."""
+
+from __future__ import annotations
+
+from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.operators.relational import (
+    q10_topk,
+    q2_edge_join,
+    q3_disjunction,
+    q5_join_update,
+    q9_date_filter,
+)
+from flink_neo4j_spark.plans import (
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+)
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q3_disjunction(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_nationkey" in pushed  # Or(EqualTo(...)) pushed to parquet
+
+
+def test_projection_prunes_read_schema(spark):
+    df = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    cols = read_schema_columns(df)
+    assert cols == {"c_custkey", "c_name"}  # not the full 5-column table
+
+
+def test_dimension_joins_broadcast(spark):
+    assert has_broadcast_join(q2_edge_join(spark, SF_DIR))
+    assert has_broadcast_join(q5_join_update(spark, SF_DIR))
+
+
+def test_topk_is_take_ordered(spark):
+    assert has_take_ordered(q10_topk(spark, SF_DIR))  # no global sort
+
+
+def test_date_filter_pushdown(spark):
+    pushed = " ".join(pushed_filters(q9_date_filter(spark, SF_DIR)))
+    assert "l_shipdate" in pushed
+
+
+def test_label_partition_pruning(spark, tmp_path):
+    """PropertyGraph parquet layout partitions by label; a label filter must
+    prune partitions (PartitionFilters, not a post-scan filter)."""
+    from flink_neo4j_spark.graph import PropertyGraph
+
+    g = PropertyGraph.from_rows(
+        spark,
+        [(0, "User", "Alice"), (1, "Admin", "Root")],
+        "id long, label string, name string",
+        [(0, 0, 1, "KNOWS")],
+        "id long, src long, dst long, rel_type string",
+    )
+    path = str(tmp_path / "g")
+    g.write_parquet(path)
+    g2 = PropertyGraph.read_parquet(spark, path)
+    from flink_neo4j_spark.plans import formatted_plan
+
+    plan = formatted_plan(g2.nodes("User"))
+    assert "PartitionFilters" in plan and "label" in plan
