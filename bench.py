@@ -26,8 +26,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
-    # warm-up: trivial job primes executors/codegen so q1 isn't charged for it
+    # Warm-up primes JIT/codegen for the engine's hot paths — plain agg,
+    # higher-order lambdas, hash functions, explode, and a shuffle join —
+    # so the first real query isn't charged ~5s of JVM compilation.
     spark.range(100000).selectExpr("sum(id)").collect()
+    w = spark.range(5000).selectExpr(
+        "id", "transform(sequence(1, 20), i -> md5(concat(string(id), string(i)))) AS a"
+    )
+    w.selectExpr("id", "explode_outer(a) AS x").groupBy("id").count().join(
+        spark.range(5000), "id"
+    ).write.format("noop").mode("overwrite").save()
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}

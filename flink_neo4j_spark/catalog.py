@@ -50,6 +50,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to ``defaultParallelism`` when the scan
+    yields fewer partitions than cores.
+
+    CPU-bound per-row operators (shingling, minhashing, tokenizing, embedding
+    math) are throughput-limited by scan parallelism, and parquet cannot split
+    below a row group — the local testdata is one row group per file, so every
+    scan is a single task on local[32]. The shuffle moved is the raw input
+    rows (bounded, one pass) and buys cores x speedup on the compute stage.
+    At 100 TB the scan already produces thousands of partitions, so this is a
+    conditional no-op there — the check keeps the operator scale-honest.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

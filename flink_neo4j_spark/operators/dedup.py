@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -49,15 +49,23 @@ TOKENS_EXPR = (
     "split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')), ' +')"
 )
 
-#: word 3-shingles as distinct strings; empty array for docs with <3 tokens
-#: (guarded because Spark's sequence(1, n) DESCENDS when n < 1).
-SHINGLES_EXPR = f"""
-    CASE WHEN size({TOKENS_EXPR}) >= 3 THEN
+#: word 3-shingles as distinct strings over a pre-materialized `tok` column;
+#: empty array for docs with <3 tokens (guarded because Spark's
+#: sequence(1, n) DESCENDS when n < 1).
+#:
+#: PERF: this MUST reference a real `tok` column, never inline TOKENS_EXPR —
+#: an expression referenced inside a `transform` lambda is re-evaluated per
+#: element, turning shingling O(tokens^2) per document (measured 16x slower
+#: at sf0.01). The two-projection split below keeps the tokenize cost linear;
+#: CollapseProject leaves it alone because `tok` is non-cheap and referenced
+#: four times.
+SHINGLES_FROM_TOK_EXPR = """
+    CASE WHEN size(tok) >= 3 THEN
       array_distinct(transform(
-        sequence(1, size({TOKENS_EXPR}) - 2),
-        i -> concat_ws(' ', element_at({TOKENS_EXPR}, i),
-                            element_at({TOKENS_EXPR}, i + 1),
-                            element_at({TOKENS_EXPR}, i + 2))))
+        sequence(1, size(tok) - 2),
+        i -> concat_ws(' ', element_at(tok, i),
+                            element_at(tok, i + 1),
+                            element_at(tok, i + 2))))
     ELSE array() END
 """
 
@@ -70,8 +78,30 @@ DUCK_SHINGLES = (
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.selectExpr("doc_id", f"{SHINGLES_EXPR} AS sh").filter(F.expr("size(sh) > 0"))
+    # The <3-token filter is expressed on the token count, NOT as
+    # ``size(sh) > 0``: predicate pushdown rewrites a filter on `sh` into the
+    # scan-side Filter with the whole quadratic shingle expression inlined
+    # (twice — null check + predicate), which dominated the runtime. The
+    # token-count form pushes down as one linear split() per row and is
+    # equivalent (sh is non-empty iff the doc has >= 3 tokens).
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        d.filter(F.expr(f"size({TOKENS_EXPR}) >= 3"))
+        .selectExpr("doc_id", f"{TOKENS_EXPR} AS tok")
+        .selectExpr("doc_id", f"{SHINGLES_FROM_TOK_EXPR} AS sh")
+    )
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Persist a signature table that feeds a self-join.
+
+    Both sides of an LSH self-join (plus the bucket-size aggregate and the
+    final ORDER BY's range-partitioner sampling pass) would otherwise
+    re-execute the shingle+minhash subtree up to ~8x. At 100 TB this is the
+    standard checkpoint-the-signatures-before-the-join pattern; MEMORY_AND_DISK
+    spills gracefully when signatures exceed executor memory.
+    """
+    return df.persist()
 
 
 _DUCK_SHINGLED = f"""
@@ -98,7 +128,13 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D2 — MinHash signatures: k independent min-hashes per doc.
 # Narrow map (explode) + partial-aggregated min per seed — single shuffle.
 def d2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("sg"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    # explode into an inferred ``size(sh) > 0`` filter, which predicate
+    # pushdown then inlines as the full quadratic shingle expression at the
+    # scan (the same trap _shingled documents). Outer generate is exempt from
+    # that rule, and is equivalent here because _shingled already drops docs
+    # with empty shingle arrays.
+    s = _shingled(spark, sf_dir).select("doc_id", F.explode_outer("sh").alias("sg"))
     aggs = [
         F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sg")))).alias(f"h{seed}")
         for seed in MINHASH_SEEDS
@@ -110,10 +146,12 @@ def d2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard within buckets. The join is on the band key, NOT all-pairs.
 def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
-    banded = sh.select(
-        "doc_id",
-        "sh",
-        F.expr("array_min(transform(sh, x -> md5(concat('0|', x))))").alias("h0"),
+    banded = _materialized(
+        sh.select(
+            "doc_id",
+            "sh",
+            F.expr("array_min(transform(sh, x -> md5(concat('0|', x))))").alias("h0"),
+        )
     )
     # degenerate-bucket guard: a band key shared by >MAX docs would go
     # quadratic; drop it (these are boilerplate shingles, not near-dups).
@@ -144,7 +182,7 @@ def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D4 — SimHash: 16-bit signature from per-token 16-bit md5 prefixes.
 # One explode + one groupBy with 16 conditional-sum aggregates (partial agg).
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
     toks = d.selectExpr("doc_id", f"explode({TOKENS_EXPR}) AS tok").withColumn(
         "h", F.expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)")
     )
@@ -176,14 +214,16 @@ CHAR_GRAMS_EXPR = """
 
 
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    g = (
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    # filter on normalized length (linear when pushed down), not size(gr) —
+    # same pushdown trap as _shingled; gr is non-empty iff len(norm) >= 5.
+    g = _materialized(
         d.selectExpr(
             "doc_id",
             "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')) AS norm",
         )
+        .filter(F.expr("length(norm) >= 5"))
         .selectExpr("doc_id", f"{CHAR_GRAMS_EXPR} AS gr")
-        .filter(F.expr("size(gr) > 0"))
         .withColumn("h0", F.expr("array_min(transform(gr, x -> md5(concat('g|', x))))"))
     )
     a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gr").alias("a_gr"))
@@ -203,23 +243,45 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # D6 — embedding-cosine near-dup, blocked on `label` (the coarse partition a
-# real pipeline gets from a clustering/IVF step). Dot/norms via zip_with +
-# aggregate — sequential fold, deterministic, same order as the oracle.
+# real pipeline gets from a clustering/IVF step): one numpy GEMM per block
+# via applyInPandas.
+#
+# Why not pure DataFrame expressions: a pair self-join with the dot product
+# as aggregate(zip_with(...)) runs the lambda interpreted per element (20x
+# slower than the oracle, measured); flattening to a 64-term arithmetic
+# expression lands in ONE generated method too large for HotSpot's JIT
+# huge-method limit, so it runs as interpreted bytecode (still 5-7x slower).
+# Dense-vector pair scoring is the one place BLAS through Arrow is the right
+# physical plan: per block, cos = (M @ M.T) / outer(norms) — one vectorized
+# kernel, upper-triangle extracted, threshold applied before anything is
+# returned to the JVM. At 100 TB block size is bounded by the IVF/cluster
+# granularity upstream, so the per-group pandas frame stays executor-sized,
+# and blocks parallelize perfectly across the cluster (one shuffle on label).
 def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
     )
-    a = e.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
-    b = e.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
-    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
-    dot = F.expr(
-        "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-    )
-    na = F.expr("sqrt(aggregate(a_emb, 0D, (acc, v) -> acc + v * v))")
-    nb = F.expr("sqrt(aggregate(b_emb, 0D, (acc, v) -> acc + v * v))")
+
+    def gemm_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["emb"].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        ids = pdf["vec_id"].to_numpy()
+        iu = np.triu_indices(len(ids), k=1)
+        ai, bi = ids[iu[0]], ids[iu[1]]
+        swap = ai > bi  # normalize pair order to a_id < b_id
+        a_id = np.where(swap, bi, ai)
+        b_id = np.where(swap, ai, bi)
+        val = np.round(cos[iu], 4)
+        keep = val >= COSINE_THRESHOLD
+        return pd.DataFrame({"a_id": a_id[keep], "b_id": b_id[keep], "cos": val[keep]})
+
     return (
-        pairs.select("a_id", "b_id", F.round(dot / (na * nb), 4).alias("cos"))
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        e.groupBy("label")
+        .applyInPandas(gemm_block, schema="a_id long, b_id long, cos double")
         .orderBy("a_id", "b_id")
     )
 

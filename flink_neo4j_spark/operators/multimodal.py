@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -120,12 +120,12 @@ def frame_sample(multimodal: DataFrame, stride: int = 100) -> DataFrame:
 
 
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
     return extract_meta(attach_payload(docs)).orderBy("doc_id")
 
 
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
     return frame_sample(attach_payload(docs), stride=100).orderBy("doc_id")
 
 

@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -108,7 +108,9 @@ def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minimum char-5-gram hash (a 1-hash winnowing sketch, stable under small
 # appends — the rolling-hash analogue expressed set-wise).
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # winnowing computes one md5 per 5-gram position — CPU-bound enough to
+    # warrant rebalancing the single-row-group local scan across cores.
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
     return d.selectExpr(
         "doc_id",
         "trim(regexp_replace(lower(text), ' +', ' ')) AS norm",
