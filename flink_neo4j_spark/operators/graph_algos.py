@@ -1,0 +1,272 @@
+"""Graph pattern matching and iterative graph algorithms over
+:class:`~flink_neo4j_spark.graph.PropertyGraph`.
+
+The reference's users run graph queries through Cypher (node scans, edge
+patterns — `README.md:20`, `Neo4jInputTest.java:26,46`); this module owns the
+next capability tier natively: multi-hop patterns, degree analytics, and the
+two canonical iterative algorithms (connected components, PageRank) expressed
+as DataFrame join/agg loops — no GraphX, no RDDs, no driver-side iteration
+over rows.
+
+The conformance graph is built from the TPC-H-ish tables so every query has a
+deterministic DuckDB oracle:
+
+- vertices: Customer (1e6 + c_custkey), Supplier (2e6 + s_suppkey),
+  Nation (3e6 + n_nationkey), Region (4e6 + r_regionkey), each with a
+  ``name`` property;
+- edges: (Customer)-[:IN_NATION]->(Nation), (Supplier)-[:IN_NATION]->(Nation),
+  (Nation)-[:IN_REGION]->(Region).
+
+Scale notes (100 TB posture):
+
+- pattern hops are equi-joins on vertex ids — Catalyst broadcasts the small
+  side (Nation/Region are dimension-sized) and AQE handles skew;
+- iterative algorithms truncate lineage each round with ``localCheckpoint``
+  (reliable ``checkpoint`` on a cluster) so the plan does not grow with the
+  iteration count, and the per-round state is one (vid, value) row per
+  vertex — the minimal shuffle payload;
+- iteration counts are fixed by graph diameter (CC) or convergence budget
+  (PageRank), never by driver-side inspection of row data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.graph import PropertyGraph
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: id-space offsets keeping the four vertex classes disjoint
+CUSTOMER_BASE = 1_000_000
+SUPPLIER_BASE = 2_000_000
+NATION_BASE = 3_000_000
+REGION_BASE = 4_000_000
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Property graph over customer/supplier/nation/region.
+
+    The edge list is derived from foreign keys — the same modeling step a
+    reference user performs when loading relational data into Neo4j.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    v = (
+        c.selectExpr(
+            f"c_custkey + {CUSTOMER_BASE} AS id",
+            "'Customer' AS label",
+            "c_name AS name",
+        )
+        .unionByName(
+            s.selectExpr(
+                f"s_suppkey + {SUPPLIER_BASE} AS id",
+                "'Supplier' AS label",
+                "s_name AS name",
+            )
+        )
+        .unionByName(
+            n.selectExpr(
+                f"n_nationkey + {NATION_BASE} AS id",
+                "'Nation' AS label",
+                "n_name AS name",
+            )
+        )
+        .unionByName(
+            r.selectExpr(
+                f"r_regionkey + {REGION_BASE} AS id",
+                "'Region' AS label",
+                "r_name AS name",
+            )
+        )
+    )
+    e = (
+        c.selectExpr(
+            f"c_custkey + {CUSTOMER_BASE} AS id",
+            f"c_custkey + {CUSTOMER_BASE} AS src",
+            f"c_nationkey + {NATION_BASE} AS dst",
+            "'IN_NATION' AS rel_type",
+        )
+        .unionByName(
+            s.selectExpr(
+                f"s_suppkey + {SUPPLIER_BASE} AS id",
+                f"s_suppkey + {SUPPLIER_BASE} AS src",
+                f"s_nationkey + {NATION_BASE} AS dst",
+                "'IN_NATION' AS rel_type",
+            )
+        )
+        .unionByName(
+            n.selectExpr(
+                f"n_nationkey + {NATION_BASE} AS id",
+                f"n_nationkey + {NATION_BASE} AS src",
+                f"n_regionkey + {REGION_BASE} AS dst",
+                "'IN_REGION' AS rel_type",
+            )
+        )
+    )
+    return PropertyGraph(v, e)
+
+
+# G1 — two-hop pattern match:
+#   MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+#   RETURN id(c), n.name, r.name
+# Two equi-joins; Nation and Region are dimension-sized, so both hops
+# broadcast — zero shuffles of the customer side.
+def g1_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    hop1 = g.expand("Customer", "IN_NATION", "Nation").select(
+        F.col("a_id").alias("c_id"), F.col("b_id").alias("n_id"),
+        F.col("b_name").alias("nation_name"),
+    )
+    hop2 = g.expand("Nation", "IN_REGION", "Region").select(
+        F.col("a_id").alias("n_id"), F.col("b_name").alias("region_name")
+    )
+    return hop1.join(hop2, "n_id").select(
+        "c_id", "nation_name", "region_name"
+    ).orderBy("c_id")
+
+
+# G2 — labeled in-degree: degree analytics joined back to vertex properties.
+def g2_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    nations = g.nodes("Nation").select(
+        F.col("id").alias("vid"), F.col("name").alias("nation_name")
+    )
+    return (
+        g.degrees("in")
+        .join(nations, "vid")
+        .select("vid", "nation_name", "degree")
+        .orderBy("vid")
+    )
+
+
+#: CC iteration count: graph diameter is 4 (customer -> nation -> region ->
+#: nation -> customer), so the min label reaches every vertex in 4 rounds;
+#: one extra round of margin.
+CC_ITERATIONS = 5
+
+
+# G3 — connected components by iterative min-label propagation (HashMin).
+# Alternating join/agg rounds over (vid, comp) state; the declared oracle is
+# closed-form because the fixture topology is known (components == regions),
+# while the implementation is the general algorithm.
+def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    undirected = g.edges.select("src", "dst").unionAll(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    undirected = undirected.persist()  # reused every round
+    comp = g.vertices.select(F.col("id").alias("vid"), F.col("id").alias("comp"))
+    for _ in range(CC_ITERATIONS):
+        msgs = (
+            undirected.join(comp.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"), "comp")
+        )
+        comp = (
+            comp.unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.min("comp").alias("comp"))
+            # truncate lineage so the plan stays O(1) per round; on a real
+            # cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
+            .localCheckpoint()
+        )
+    return comp.orderBy("vid")
+
+
+#: PageRank: damping and a fixed iteration budget (diameter-bounded graphs
+#: converge geometrically; 12 rounds ≈ 1e-2 residual at d=0.85).
+PR_DAMPING = 0.85
+PR_ITERATIONS = 12
+
+
+# G4 — PageRank as DataFrame join/agg rounds. No DuckDB oracle by design:
+# float accumulation across partitions makes exact cross-engine hashing
+# brittle (driver records the rows-only check; SURVEY §2.3 ROUND discipline
+# covers aggregates, not 12-round fp recurrences).
+def g4_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    n_vertices = g.vertices.count()
+    out_deg = g.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    links = (
+        g.edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("vid", "src"), "src")
+        .persist()  # reused every round
+    )
+    ranks = g.vertices.select(
+        F.col("id").alias("vid"), F.lit(1.0 / n_vertices).alias("rank")
+    )
+    base = (1.0 - PR_DAMPING) / n_vertices
+    for _ in range(PR_ITERATIONS):
+        contribs = (
+            links.join(ranks.withColumnRenamed("vid", "src"), "src")
+            .select(
+                F.col("dst").alias("vid"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+        )
+        ranks = (
+            g.vertices.select(F.col("id").alias("vid"))
+            .join(contribs.groupBy("vid").agg(F.sum("contrib").alias("s")), "vid", "left")
+            .select(
+                "vid",
+                (F.lit(base) + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()  # lineage truncation, as in CC
+        )
+    return ranks.select("vid", F.round("rank", 6).alias("rank")).orderBy("vid")
+
+
+QUERIES: dict[str, QueryFn] = {
+    "g1_two_hop": g1_two_hop,
+    "g2_degree": g2_degree,
+    "g3_connected_components": g3_connected_components,
+    "g4_pagerank": g4_pagerank,
+}
+
+ORACLE: dict[str, str] = {
+    "g1_two_hop": f"""
+        SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
+               n_name AS nation_name,
+               r_name AS region_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY c_id""",
+    "g2_degree": f"""
+        WITH d AS (
+          SELECT c_nationkey AS nk, COUNT(*) AS cnt FROM customer GROUP BY 1
+          UNION ALL
+          SELECT s_nationkey, COUNT(*) FROM supplier GROUP BY 1
+        )
+        SELECT n_nationkey + {NATION_BASE} AS vid,
+               n_name AS nation_name,
+               SUM(cnt) AS degree
+        FROM d JOIN nation ON nk = n_nationkey
+        GROUP BY 1, 2
+        ORDER BY vid""",
+    # closed-form CC oracle: every vertex's component is the minimum vertex
+    # id sharing its region (the fixture graph is a forest of region stars).
+    "g3_connected_components": f"""
+        WITH v AS (
+          SELECT c_custkey + {CUSTOMER_BASE} AS vid, n_regionkey AS rk
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT s_suppkey + {SUPPLIER_BASE}, n_regionkey
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          UNION ALL
+          SELECT n_nationkey + {NATION_BASE}, n_regionkey FROM nation
+          UNION ALL
+          SELECT r_regionkey + {REGION_BASE}, r_regionkey FROM region
+        )
+        SELECT vid, MIN(vid) OVER (PARTITION BY rk) AS comp
+        FROM v ORDER BY vid""",
+}

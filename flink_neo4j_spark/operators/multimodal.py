@@ -94,6 +94,30 @@ def extract_meta(multimodal: DataFrame) -> DataFrame:
     )
 
 
+def resize(multimodal: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' stub over opaque bytes: byte-subsample the payload by
+    ``factor`` and refresh the metadata (new byte_len + digest of the resized
+    payload). A real deployment swaps the kernel for PIL/ffmpeg inside the
+    same mapInPandas shape — schema, Arrow batching, and partition
+    parallelism are unchanged by the codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p[::factor]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "byte_len": [len(p) for p in resized],
+                    "sha": [hashlib.sha256(p).hexdigest() for p in resized],
+                }
+            )
+
+    return multimodal.mapInPandas(
+        run, schema="doc_id long, payload binary, byte_len int, sha string"
+    )
+
+
 def frame_sample(multimodal: DataFrame, stride: int = 100) -> DataFrame:
     """'Video frame sampling' over opaque bytes: take every ``stride``-th
     byte as a frame marker and report per-doc frame count + first-frame
@@ -129,9 +153,17 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_payload(docs), stride=100).orderBy("doc_id")
 
 
+def m3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    return resize(attach_payload(docs), factor=4).select(
+        "doc_id", "byte_len", "sha"
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_frame_sample": m2_frame_sample,
+    "m3_resize": m3_resize,
 }
 
 ORACLE: dict[str, str] = {
@@ -148,4 +180,17 @@ ORACLE: dict[str, str] = {
                CAST(ceil(length(text) / 100.0) AS INT) AS n_frames,
                CAST(ascii(substring(text, 1, 1)) AS INT) AS first_frame
         FROM documents ORDER BY doc_id""",
+    # byte-subsample by 4 == char-subsample for ascii; same digest formula.
+    "m3_resize": """
+        WITH r AS (
+          SELECT doc_id,
+                 array_to_string(
+                   [substring(text, i, 1) for i in generate_series(1, length(text), 4)],
+                   '') AS resized
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(resized) AS INT) AS byte_len,
+               sha256(resized) AS sha
+        FROM r ORDER BY doc_id""",
 }

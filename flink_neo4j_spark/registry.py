@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from flink_neo4j_spark.operators import (
         dedup,
+        graph_algos,
         multimodal,
         relational,
         similarity,
@@ -22,7 +23,7 @@ def _modules():
         text,
     )
 
-    return (relational, dedup, similarity, text, multimodal, stream_batch)
+    return (relational, dedup, similarity, text, multimodal, stream_batch, graph_algos)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

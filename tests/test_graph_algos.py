@@ -1,0 +1,62 @@
+"""Unit tests for iterative graph algorithms on hand-built graphs (the
+conformance suite covers the TPC-H fixture; these pin algorithm semantics
+on topologies chosen to break naive implementations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.graph import PropertyGraph
+
+
+def _graph(spark, edges, n):
+    return PropertyGraph(
+        spark.createDataFrame(
+            [(i, "N", f"v{i}") for i in range(n)], "id long, label string, name string"
+        ),
+        spark.createDataFrame(
+            [(i, s, d, "E") for i, (s, d) in enumerate(edges)],
+            "id long, src long, dst long, rel_type string",
+        ),
+    )
+
+
+def _cc(g, iterations=6):
+    undirected = g.edges.select("src", "dst").unionAll(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = g.vertices.select(F.col("id").alias("vid"), F.col("id").alias("comp"))
+    for _ in range(iterations):
+        msgs = undirected.join(comp.withColumnRenamed("vid", "src"), "src").select(
+            F.col("dst").alias("vid"), "comp"
+        )
+        comp = (
+            comp.unionByName(msgs).groupBy("vid").agg(F.min("comp").alias("comp"))
+        )
+    return {r["vid"]: r["comp"] for r in comp.collect()}
+
+
+def test_cc_two_components_and_isolate(spark):
+    # chain 0-1-2-3 (diameter 3), pair 4-5, isolated 6
+    comp = _cc(_graph(spark, [(0, 1), (1, 2), (2, 3), (4, 5)], 7))
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_cc_min_id_not_at_edge_endpoint(spark):
+    # min id 0 sits in the middle of a path: 3-1-0-2-4
+    comp = _cc(_graph(spark, [(3, 1), (1, 0), (0, 2), (2, 4)], 5))
+    assert set(comp.values()) == {0}
+
+
+def test_pagerank_mass_and_ordering(spark, tmp_path, monkeypatch):
+    from flink_neo4j_spark.operators import graph_algos
+
+    # star: 1,2,3 -> 0 and 0 -> 1. The hub 0 outranks the pure leaves 2,3
+    # (base-rank only), and 1 outranks 2/3 too (it receives all of 0's rank).
+    # Total rank stays ~1 (no dangling loss: 0 points back at 1).
+    g = _graph(spark, [(1, 0), (2, 0), (3, 0), (0, 1)], 4)
+    monkeypatch.setattr(graph_algos, "tpch_graph", lambda *_: g)
+    ranks = {r["vid"]: r["rank"] for r in graph_algos.g4_pagerank(spark, "unused").collect()}
+    assert ranks[2] == ranks[3]
+    assert ranks[0] > ranks[2] and ranks[1] > ranks[2]
+    assert abs(sum(ranks.values()) - 1.0) < 0.05  # dangling-free graph keeps mass
