@@ -135,10 +135,59 @@ def s3_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF coarse quantizer: cells anchored at pivot vectors (vec_id 1..N_CELLS —
+#: the FAISS-style "train on a sample" step made deterministic), probing the
+#: N_PROBE nearest cells at query time.
+N_CELLS = 4
+N_PROBE = 2
+
+
+# S4 — IVF-bucketed ANN: the other canonical scale path next to LSH (s2).
+# Index build: one broadcast cross join against N_CELLS pivot vectors +
+# arg-max cell per vector (partial agg; one pass over the data, no shuffle of
+# embeddings besides the final groupBy). Query: rank cells against the query
+# vector, probe the top N_PROBE, exact cosine re-rank inside those cells
+# only — touching ~N_PROBE/N_CELLS of the data. Ties in cell assignment
+# break deterministically on (cos, cell) descending in BOTH engines.
+def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    pivots = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("emb").alias("p_emb"))
+
+    scored = e.crossJoin(F.broadcast(pivots)).withColumn(
+        "pcos", _cosine("emb", "p_emb")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct("pcos", "cell")).alias("m"),
+            F.first("emb").alias("emb"),
+        )
+        .select("vec_id", F.col("m.cell").alias("cell"), "emb")
+    )
+    probe_cells = (
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.col("pcos").desc(), F.col("cell").desc())
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("q_emb"))
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine("emb", "q_emb"), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_topk": s2_lsh_topk,
     "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
+    "s4_ivf_topk": s4_ivf_topk,
 }
 
 
@@ -150,10 +199,14 @@ def _duck_planes_sql() -> str:
     return f"[{rows}]"
 
 
-_DUCK_COS = (
-    "list_sum(list_transform(list_zip(e.emb, q.q_emb), p -> p[1] * p[2])) / "
-    "(sqrt(list_sum([x * x for x in e.emb])) * sqrt(list_sum([x * x for x in q.q_emb])))"
-)
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) / "
+        f"(sqrt(list_sum([x * x for x in {a}])) * sqrt(list_sum([x * x for x in {b}])))"
+    )
+
+
+_DUCK_COS = _duck_cos("e.emb", "q.q_emb")
 
 _DUCK_SIG = " + ".join(
     f"(CASE WHEN list_sum(list_transform(list_zip(emb, {_duck_planes_sql()}[{p + 1}]), "
@@ -181,4 +234,24 @@ ORACLE: dict[str, str] = {
         SELECT e.vec_id, ROUND({_DUCK_COS}, 6) AS cos
         FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
         ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}""",
+    "s4_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        p AS (SELECT vec_id AS cell, emb AS p_emb FROM e
+              WHERE vec_id BETWEEN 1 AND {N_CELLS}),
+        scored AS (
+          SELECT e.vec_id, e.emb, p.cell, {_duck_cos("e.emb", "p.p_emb")} AS pcos
+          FROM e CROSS JOIN p),
+        assigned AS (
+          SELECT vec_id, emb, cell FROM (
+            SELECT vec_id, emb, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY pcos DESC, cell DESC) AS rn
+            FROM scored) WHERE rn = 1),
+        probe AS (SELECT cell FROM scored WHERE vec_id = {QUERY_VEC_ID}
+                  ORDER BY pcos DESC, cell DESC LIMIT {N_PROBE}),
+        q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT a.vec_id, ROUND({_duck_cos("a.emb", "q.q_emb")}, 6) AS cos
+        FROM assigned a JOIN probe USING (cell), q
+        WHERE a.vec_id != {QUERY_VEC_ID}
+        ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}""",
 }
