@@ -152,6 +152,73 @@ def q12_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(F.count_distinct("text").alias("distinct_docs"))
 
 
+# X1+X2+X3 composed — TPC-H Q3 shape: selective dimension filter, two-level
+# fact join, grouped revenue, top-k. The canonical Catalyst showcase: the
+# mktsegment and date predicates push to the scans, customer broadcasts into
+# orders, the orders->lineitem join shuffles on the order key (AQE-skew-safe),
+# aggregation is partial before the exchange, and the final top-k is
+# TakeOrderedAndProject — the plan a 1000-executor cluster wants.
+def q13_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-06-01").cast("date")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-06-01").cast("date")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# TPC-H Q5 shape: six-table join (region->nation->customer->orders->lineitem
+# with the supplier co-nationality condition), grouped by nation. Exercises
+# join reordering, multi-broadcast of the dimension chain, and a compound
+# equi-join condition on the supplier edge.
+def q14_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -165,6 +232,8 @@ QUERIES: dict[str, QueryFn] = {
     "q10_topk": q10_topk,
     "q11_time_bucket": q11_time_bucket,
     "q12_distinct_docs": q12_distinct_docs,
+    "q13_order_revenue_topk": q13_order_revenue_topk,
+    "q14_local_supplier_revenue": q14_local_supplier_revenue,
 }
 
 ORACLE: dict[str, str] = {
@@ -216,4 +285,30 @@ ORACLE: dict[str, str] = {
         ORDER BY user_id, day""",
     "q12_distinct_docs": """
         SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents""",
+    "q13_order_revenue_topk": """
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS o_date,
+               o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q14_local_supplier_revenue": """
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+        JOIN customer ON c_nationkey = s_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        WHERE r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""",
 }

@@ -33,17 +33,22 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def read_schema_columns(df: DataFrame, table_hint: str | None = None) -> set[str]:
     """Columns actually read from parquet (union over scans, or scans whose
-    location mentions ``table_hint``)."""
+    location mentions ``table_hint``). Parses per scan block, so the
+    Location/ReadSchema lines may be separated by filter/pushdown lines."""
     plan = formatted_plan(df)
     cols: set[str] = set()
-    for scan in re.finditer(
-        r"Location: [^\n]*?([^\n]*)\n[^\n]*?ReadSchema: struct<([^>]*)>",
-        plan,
-    ):
-        location, schema = scan.group(1), scan.group(2)
-        if table_hint and table_hint not in location:
+    # formatted explain renders one "(n) Scan parquet" block per source;
+    # blocks end at the next "(n) ..." node header or end of text.
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        if not re.match(r"\(\d+\) Scan parquet", block):
             continue
-        for field in schema.split(","):
+        loc = re.search(r"Location: ([^\n]*)", block)
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if not schema:
+            continue
+        if table_hint and (loc is None or table_hint not in loc.group(1)):
+            continue
+        for field in schema.group(1).split(","):
             if ":" in field:
                 cols.add(field.split(":")[0].strip())
     return cols

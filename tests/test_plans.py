@@ -49,6 +49,28 @@ def test_date_filter_pushdown(spark):
     assert "l_shipdate" in pushed
 
 
+def test_q13_plan_shape(spark):
+    """TPC-H Q3 shape: pushed predicates, broadcast dimension, top-k without
+    a global sort."""
+    from flink_neo4j_spark.operators.relational import q13_order_revenue_topk
+
+    df = q13_order_revenue_topk(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+
+
+def test_q14_prunes_unused_columns(spark):
+    """Six-table join must not drag unreferenced fact columns through the
+    shuffle: lineitem's ReadSchema stays at the 4 referenced columns."""
+    from flink_neo4j_spark.operators.relational import q14_local_supplier_revenue
+
+    df = q14_local_supplier_revenue(spark, SF_DIR)
+    cols = read_schema_columns(df, table_hint="lineitem")
+    assert cols == {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}
+
+
 def test_label_partition_pruning(spark, tmp_path):
     """PropertyGraph parquet layout partitions by label; a label filter must
     prune partitions (PartitionFilters, not a post-scan filter)."""
