@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
+from flink_neo4j_spark.functions import (
+    char_grams_expr,
+    minhash_expr,
+    shingles_from_tokens_expr,
+    tokens_expr,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -45,29 +51,13 @@ NEAR_DUP_MAX_BUCKET = 1000
 
 #: normalized token array from `text` (corpus is already lower/space-joined,
 #: but normalization keeps the operator general).
-TOKENS_EXPR = (
-    "split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')), ' +')"
-)
+TOKENS_EXPR = tokens_expr("text")
 
-#: word 3-shingles as distinct strings over a pre-materialized `tok` column;
-#: empty array for docs with <3 tokens (guarded because Spark's
-#: sequence(1, n) DESCENDS when n < 1).
-#:
-#: PERF: this MUST reference a real `tok` column, never inline TOKENS_EXPR —
-#: an expression referenced inside a `transform` lambda is re-evaluated per
-#: element, turning shingling O(tokens^2) per document (measured 16x slower
-#: at sf0.01). The two-projection split below keeps the tokenize cost linear;
-#: CollapseProject leaves it alone because `tok` is non-cheap and referenced
-#: four times.
-SHINGLES_FROM_TOK_EXPR = """
-    CASE WHEN size(tok) >= 3 THEN
-      array_distinct(transform(
-        sequence(1, size(tok) - 2),
-        i -> concat_ws(' ', element_at(tok, i),
-                            element_at(tok, i + 1),
-                            element_at(tok, i + 2))))
-    ELSE array() END
-"""
+#: word 3-shingles over a pre-materialized `tok` column. See
+#: flink_neo4j_spark.functions.expressions for the lambda re-evaluation /
+#: pushdown-inlining rules this split-projection structure encodes
+#: (measured 16x at sf0.01).
+SHINGLES_FROM_TOK_EXPR = shingles_from_tokens_expr("tok", k=3)
 
 # DuckDB twins (1-based inclusive slices; generate_series(1,0) is empty).
 DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' ')"
@@ -150,7 +140,7 @@ def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select(
             "doc_id",
             "sh",
-            F.expr("array_min(transform(sh, x -> md5(concat('0|', x))))").alias("h0"),
+            F.expr(minhash_expr("sh", "0")).alias("h0"),
         )
     )
     # degenerate-bucket guard: a band key shared by >MAX docs would go
@@ -205,12 +195,7 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # D5 — n-gram Jaccard near-dup over *character* 5-grams, blocked by min-hash.
 # Same LSH shape as D3 but character-shingled (robust to word-order edits).
-CHAR_GRAMS_EXPR = """
-    CASE WHEN length(norm) >= 5 THEN
-      array_distinct(transform(sequence(1, length(norm) - 4),
-                               i -> substring(norm, i, 5)))
-    ELSE array() END
-"""
+CHAR_GRAMS_EXPR = char_grams_expr("norm", n=5)
 
 
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +209,7 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.expr("length(norm) >= 5"))
         .selectExpr("doc_id", f"{CHAR_GRAMS_EXPR} AS gr")
-        .withColumn("h0", F.expr("array_min(transform(gr, x -> md5(concat('g|', x))))"))
+        .withColumn("h0", F.expr(minhash_expr("gr", "g")))
     )
     a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gr").alias("a_gr"))
     b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gr").alias("b_gr"))

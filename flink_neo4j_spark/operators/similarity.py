@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.functions import cosine_col as _cosine
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -52,13 +53,6 @@ def _planes() -> list[list[float]]:
 
 
 PLANES = _planes()
-
-
-def _cosine(a: str, b: str):
-    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    na = F.expr(f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))")
-    nb = F.expr(f"sqrt(aggregate({b}, 0D, (acc, v) -> acc + v * v))")
-    return dot / (na * nb)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
