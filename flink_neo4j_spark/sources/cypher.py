@@ -247,6 +247,7 @@ def read_cypher(
     schema: T.StructType | str,
     num_partitions: int = 1,
     partition_template: str | None = None,
+    params: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Partition-planned Cypher read.
 
@@ -282,7 +283,16 @@ def read_cypher(
             for q in pdf["split_query"]:
                 transport = transport_factory()  # A1 open
                 try:
-                    raw = transport.run(q)  # streamed by the transport
+                    # streamed by the transport; params are the pushed-down
+                    # predicate values (parameterized, never spliced — the
+                    # injection-safe replacement for Base:60's escaping).
+                    # Only passed when present so pre-pushdown transports
+                    # (run(statement, rows)) keep working.
+                    raw = (
+                        transport.run(q, params=params)
+                        if params
+                        else transport.run(q)
+                    )
                 finally:
                     transport.close()  # A8 close
                 decoded = {
@@ -292,6 +302,115 @@ def read_cypher(
                 yield pd.DataFrame(decoded, columns=[n for n, _ in fields])
 
     return splits.mapInPandas(fetch, schema=schema)
+
+
+# -- pushdown rendering (SURVEY §4, optional item 2) -----------------------
+# The DSv2 SupportsPushDownFilters / SupportsPushDownRequiredColumns shape,
+# rendered into generated Cypher: the reference achieves "pushdown" only by
+# whatever the user hand-writes into the query (README.md:20); here the
+# engine generates it from a declarative (label, columns, predicates) spec.
+
+#: comparison operators renderable into a Cypher WHERE clause
+_PUSHABLE_OPS = ("=", "<>", "<", "<=", ">", ">=", "IN")
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def render_pattern_scan(
+    label: str,
+    columns: list[str],
+    predicates: list[tuple[str, str, Any]] | None = None,
+    var: str = "n",
+) -> tuple[str, dict[str, Any]]:
+    """Generate ``MATCH (n:Label) WHERE ... RETURN ...`` with parameterized
+    predicate values.
+
+    Returns ``(query, params)``. ``id`` projects/filters as the Cypher
+    ``id(n)`` function (B3 internal-id projection); every other column as a
+    property. Values never splice into the text — they travel as ``$p{i}``
+    parameters (injection-safe by construction, replacing the reference's
+    quote-escaping at `Neo4jFormatBase.java:60`).
+    """
+    for name in [label, var, *columns]:
+        if not _IDENT_RE.match(name):
+            raise ValueError(f"invalid Cypher identifier: {name!r}")
+
+    def ref(col: str) -> str:
+        return f"id({var})" if col == "id" else f"{var}.{col}"
+
+    where, query_params = [], {}
+    for i, (col, op, value) in enumerate(predicates or []):
+        if op not in _PUSHABLE_OPS:
+            raise ValueError(
+                f"predicate operator {op!r} not pushable (supported: {_PUSHABLE_OPS})"
+            )
+        if not _IDENT_RE.match(col):
+            raise ValueError(f"invalid Cypher identifier: {col!r}")
+        query_params[f"p{i}"] = value
+        where.append(f"{ref(col)} {op} $p{i}")
+    returns = ", ".join(f"{ref(c)} AS {c}" for c in columns)
+    query = f"MATCH ({var}:{label})"
+    if where:
+        query += " WHERE " + " AND ".join(where)
+    return f"{query} RETURN {returns}", query_params
+
+
+def read_pattern(
+    spark: SparkSession,
+    transport_factory: Callable[[], Transport],
+    label: str,
+    schema: T.StructType | str,
+    columns: list[str] | None = None,
+    predicates: list[tuple[str, str, Any]] | None = None,
+    num_partitions: int = 1,
+    partition_template: str | None = None,
+) -> DataFrame:
+    """Declarative pattern scan with column pruning + filter pushdown.
+
+    ``columns`` prunes the generated RETURN clause (and the result schema);
+    ``predicates`` — ``(column, op, value)`` triples — render into the WHERE
+    clause AND are re-applied as Spark-side filters. The residual filter
+    mirrors DSv2's non-exact pushdown contract: the server-side clause is an
+    optimization (moves the selection to the store, shrinks the wire
+    payload); correctness never depends on the transport honoring it.
+    """
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    cols = columns or [f.name for f in schema.fields]
+    by_name = {f.name: f for f in schema.fields}
+    pred_cols = [c for c, _, _ in predicates or []]
+    missing = [c for c in {*cols, *pred_cols} if c not in by_name]
+    if missing:
+        raise ValueError(f"columns {sorted(missing)} not in schema {list(by_name)}")
+    # predicate columns are fetched even when not projected (the residual
+    # filter needs them), then dropped after filtering — same as Spark
+    # keeping filter attributes alive until the Filter node.
+    fetch_cols = cols + [c for c in pred_cols if c not in cols]
+    pruned = T.StructType([by_name[c] for c in fetch_cols])
+    query, query_params = render_pattern_scan(label, fetch_cols, predicates)
+    df = read_cypher(
+        spark,
+        transport_factory,
+        query,
+        pruned,
+        num_partitions,
+        partition_template,
+        params=query_params,
+    )
+    for col, op, value in predicates or []:
+        c = F.col(col)
+        df = df.filter(
+            {
+                "=": c == value,
+                "<>": c != value,
+                "<": c < value,
+                "<=": c <= value,
+                ">": c > value,
+                ">=": c >= value,
+                "IN": c.isin(value if isinstance(value, (list, tuple)) else [value]),
+            }[op]
+        )
+    return df.select(*cols)
 
 
 class CypherSourceBuilder:

@@ -31,9 +31,15 @@ from typing import Any, Protocol
 class Transport(Protocol):
     """One logical Cypher session; executors create one per partition."""
 
-    def run(self, statement: str, rows: list[dict[str, Any]] | None = None) -> list[dict[str, Any]]:
+    def run(
+        self,
+        statement: str,
+        rows: list[dict[str, Any]] | None = None,
+        params: dict[str, Any] | None = None,
+    ) -> list[dict[str, Any]]:
         """Execute ``statement``; ``rows`` is the UNWIND parameter batch for
-        writes. Returns result rows (empty for writes)."""
+        writes, ``params`` are scalar query parameters (pushed-down predicate
+        values). Returns result rows (empty for writes)."""
         ...
 
     def close(self) -> None: ...
@@ -64,9 +70,9 @@ class BoltTransport:
         )
         self._database = database
 
-    def run(self, statement, rows=None):  # pragma: no cover - needs server
+    def run(self, statement, rows=None, params=None):  # pragma: no cover - needs server
         with self._driver.session(database=self._database) as session:
-            result = session.run(statement, rows=rows or [])
+            result = session.run(statement, rows=rows or [], **(params or {}))
             return [dict(record) for record in result]
 
     def close(self) -> None:  # pragma: no cover - needs server
@@ -83,7 +89,11 @@ class FileTransport:
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
 
-    def run(self, statement, rows=None):
+    def run(self, statement, rows=None, params=None):
+        # NOTE: the spool fake does not interpret `statement`/`params` on
+        # reads (it returns every spooled row) — exactly why read_pattern
+        # keeps residual Spark-side filters: pushdown is an optimization,
+        # never load-bearing for correctness.
         if rows is not None:
             tmp = os.path.join(self.spool_dir, f".tmp-{uuid.uuid4().hex}")
             final = os.path.join(self.spool_dir, f"batch-{uuid.uuid4().hex}.json")

@@ -251,3 +251,51 @@ def test_sink_builder_end_to_end(spark, tmp_path):
     batches = FileTransport(spool).batches()
     assert sum(len(b["rows"]) for b in batches) == 2
     assert batches[0]["statement"].startswith("UNWIND $inserts")
+
+
+# -- pushdown rendering + residual filters (SURVEY §4 optional item 2) -----
+
+
+def test_render_pattern_scan_projection_and_predicates():
+    from flink_neo4j_spark.sources.cypher import render_pattern_scan
+
+    q, params = render_pattern_scan(
+        "User", ["id", "name", "born"],
+        predicates=[("name", "=", "Alice"), ("born", ">=", 1980), ("id", "<", 10)],
+    )
+    assert q == (
+        "MATCH (n:User) WHERE n.name = $p0 AND n.born >= $p1 AND id(n) < $p2 "
+        "RETURN id(n) AS id, n.name AS name, n.born AS born"
+    )
+    assert params == {"p0": "Alice", "p1": 1980, "p2": 10}
+
+
+def test_render_pattern_scan_rejects_injection_and_bad_ops():
+    from flink_neo4j_spark.sources.cypher import render_pattern_scan
+
+    with pytest.raises(ValueError, match="identifier"):
+        render_pattern_scan("User) DETACH DELETE (m", ["name"])
+    with pytest.raises(ValueError, match="identifier"):
+        render_pattern_scan("User", ["name; DROP"])
+    with pytest.raises(ValueError, match="not pushable"):
+        render_pattern_scan("User", ["name"], predicates=[("name", "CONTAINS", "x")])
+
+
+def test_read_pattern_residual_filter_corrects_dumb_transport(spark, tmp_path):
+    """FileTransport ignores pushed predicates on reads; the Spark-side
+    residual filters must still produce the selected subset (the DSv2
+    non-exact pushdown contract)."""
+    from flink_neo4j_spark.sources.cypher import read_pattern
+
+    spool = str(tmp_path / "push")
+    factory = make_factory(spool)
+    df = spark.createDataFrame(USERS, USER_SCHEMA)
+    write_cypher(df, factory, label="User", batch_size=-1)
+    out = read_pattern(
+        spark, factory, "User", USER_SCHEMA,
+        columns=["name", "born"],
+        predicates=[("born", "=", 1984), ("trust", "=", True)],
+    )
+    # trust is filtered on but not projected -> predicate column must be
+    # fetchable; expect only Alice (born 1984, trusted)
+    assert [tuple(r) for r in out.select("name", "born").collect()] == [("Alice", 1984)]
