@@ -19,11 +19,21 @@ def _modules():
         multimodal,
         relational,
         similarity,
+        skew,
         stream_batch,
         text,
     )
 
-    return (relational, dedup, similarity, text, multimodal, stream_batch, graph_algos)
+    return (
+        relational,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        stream_batch,
+        graph_algos,
+        skew,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
