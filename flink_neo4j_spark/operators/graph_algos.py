@@ -151,6 +151,10 @@ def g2_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: nation -> customer), so the min label reaches every vertex in 4 rounds;
 #: one extra round of margin.
 CC_ITERATIONS = 5
+#: lineage-truncation cadence for iterative loops: every round is wasteful
+#: (one materialization job per round), unbounded is a plan blowup; 3 keeps
+#: the optimizer input shallow while amortizing the checkpoint cost.
+CHECKPOINT_EVERY = 3
 
 
 # G3 — connected components by iterative min-label propagation (HashMin).
@@ -164,19 +168,17 @@ def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     undirected = undirected.persist()  # reused every round
     comp = g.vertices.select(F.col("id").alias("vid"), F.col("id").alias("comp"))
-    for _ in range(CC_ITERATIONS):
+    for i in range(CC_ITERATIONS):
         msgs = (
             undirected.join(comp.withColumnRenamed("vid", "src"), "src")
             .select(F.col("dst").alias("vid"), "comp")
         )
-        comp = (
-            comp.unionByName(msgs)
-            .groupBy("vid")
-            .agg(F.min("comp").alias("comp"))
-            # truncate lineage so the plan stays O(1) per round; on a real
-            # cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
-            .localCheckpoint()
-        )
+        comp = comp.unionByName(msgs).groupBy("vid").agg(F.min("comp").alias("comp"))
+        # truncate lineage every CHECKPOINT_EVERY rounds so the plan stays
+        # bounded without paying one materialization job per round; on a
+        # real cluster use setCheckpointDir + reliable .checkpoint()
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == CC_ITERATIONS - 1:
+            comp = comp.localCheckpoint()
     return comp.orderBy("vid")
 
 
@@ -205,7 +207,7 @@ def g4_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vid"), F.lit(1.0 / n_vertices).alias("rank")
     )
     base = (1.0 - PR_DAMPING) / n_vertices
-    for _ in range(PR_ITERATIONS):
+    for i in range(PR_ITERATIONS):
         contribs = (
             links.join(ranks.withColumnRenamed("vid", "src"), "src")
             .select(
@@ -220,8 +222,9 @@ def g4_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vid",
                 (F.lit(base) + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint()  # lineage truncation, as in CC
         )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == PR_ITERATIONS - 1:
+            ranks = ranks.localCheckpoint()  # lineage truncation, as in CC
     return ranks.select("vid", F.round("rank", 6).alias("rank")).orderBy("vid")
 
 

@@ -219,6 +219,47 @@ def q14_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window functions: per-partition rank + lag — one shuffle on the partition
+# key, then a per-partition sort; no global sort anywhere.
+def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        )
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# Set operations: EXCEPT (customers without orders) and INTERSECT (negative-
+# balance customers that do have orders), tagged and unioned.
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    custs = c.select(F.col("c_custkey").alias("key"))
+    orderers = o.select(F.col("o_custkey").alias("key"))
+    no_orders = custs.subtract(orderers).select(
+        F.lit("no_orders").alias("tag"), "key"
+    )
+    neg_with_orders = (
+        c.filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("key"))
+        .intersect(orderers)
+        .select(F.lit("neg_bal_with_orders").alias("tag"), "key")
+    )
+    return no_orders.unionByName(neg_with_orders).orderBy("tag", "key")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -234,6 +275,8 @@ QUERIES: dict[str, QueryFn] = {
     "q12_distinct_docs": q12_distinct_docs,
     "q13_order_revenue_topk": q13_order_revenue_topk,
     "q14_local_supplier_revenue": q14_local_supplier_revenue,
+    "q16_window_rank": q16_window_rank,
+    "q17_set_ops": q17_set_ops,
 }
 
 ORACLE: dict[str, str] = {
@@ -311,4 +354,27 @@ ORACLE: dict[str, str] = {
           AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""",
+    "q16_window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_price FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                 ROUND(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey), 2)
+                   AS prev_price
+          FROM orders) t
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn""",
+    "q17_set_ops": """
+        SELECT * FROM (
+          SELECT 'no_orders' AS tag, key FROM (
+            SELECT c_custkey AS key FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders)
+          UNION ALL
+          SELECT 'neg_bal_with_orders' AS tag, key FROM (
+            SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+            INTERSECT
+            SELECT o_custkey FROM orders)
+        ) ORDER BY tag, key""",
 }
