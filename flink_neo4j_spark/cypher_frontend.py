@@ -1,0 +1,490 @@
+"""Mini-Cypher front end: the reference's query surface, executed natively.
+
+The reference never parses Cypher — it ships opaque strings to Neo4j
+(`Neo4jFormatBase.java:48,60`). For a user to switch engines without
+rewriting queries, this module parses and executes the exact Cypher shapes
+the reference exercises (README + tests, SURVEY.md §2.B):
+
+- ``MATCH (n:Label) RETURN id(n), n.prop, ...``             (B1/B3, README.md:20)
+- ``MATCH (a:L)-[e]->(b:L) RETURN id(e), id(a), id(b), e.p`` (B2, InTest:46)
+- ``... WHERE n.p = x OR n.p = y`` (equality/comparison, AND/OR — B4)
+- ``UNWIND $rows AS i CREATE (n:Label {k: i.k, ...})``       (B6, README.md:45)
+- ``UNWIND $rows AS u MATCH (p) WHERE p.k = u.k SET p.a = u.a, ...`` (B7/B8)
+- multi-pattern ``CREATE (v:L {..literals..}), (v1)-[:T {..}]->(v2)``
+  — the test-fixture construction shape (B9, FmtTest:14-19)
+
+Reads translate to the PropertyGraph scan/expand surface (Catalyst plans
+them: label filters push down, endpoint joins broadcast). Writes translate
+to ``create_nodes`` / ``update_nodes`` / ``from_rows`` semantics and return
+a NEW PropertyGraph (graphs are immutable values here).
+
+This is intentionally a SUBSET: no variable-length paths, aggregations,
+OPTIONAL MATCH, or multi-hop chains — those are served by the native
+DataFrame surface. Unsupported syntax raises ``CypherSyntaxError`` with the
+offending token, never a silent wrong answer.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_neo4j_spark.graph import PropertyGraph
+
+__all__ = ["CypherSyntaxError", "cypher_read", "cypher_write", "cypher_create_graph"]
+
+
+class CypherSyntaxError(ValueError):
+    pass
+
+
+# -- tokenizer -------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<arrow>-\[|\]->)
+  | (?P<op><>|<=|>=|=|<|>)
+  | (?P<punct>[(){}:,.\$])
+  | (?P<string>'(?:[^'\\]|\\.)*')
+  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"MATCH", "RETURN", "WHERE", "UNWIND", "AS", "CREATE", "SET", "AND", "OR",
+             "TRUE", "FALSE", "NULL", "ID"}
+
+
+@dataclass
+class _Tok:
+    kind: str  # 'kw', 'word', 'op', 'punct', 'arrow', 'string', 'number'
+    text: str
+
+
+def _tokenize(query: str) -> list[_Tok]:
+    out: list[_Tok] = []
+    pos = 0
+    while pos < len(query):
+        m = _TOKEN_RE.match(query, pos)
+        if not m:
+            raise CypherSyntaxError(f"cannot tokenize at: {query[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "word" and text.upper() in _KEYWORDS:
+            out.append(_Tok("kw", text.upper()))
+        else:
+            out.append(_Tok(kind, text))
+    return out
+
+
+# -- AST -------------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None
+    props: dict[str, Any] = field(default_factory=dict)  # literal or (param_var, key)
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    rel_type: str | None
+    src: NodePat
+    dst: NodePat
+    props: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PropRef:
+    var: str
+    prop: str | None  # None => id(var)
+
+
+@dataclass
+class Cond:
+    left: PropRef
+    op: str
+    right: Any  # literal or PropRef
+
+
+@dataclass
+class ReturnItem:
+    expr: PropRef
+    alias: str | None
+
+
+# -- parser ----------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, tokens: list[_Tok]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k: int = 0) -> _Tok | None:
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        tok = self.peek()
+        if tok is None:
+            raise CypherSyntaxError("unexpected end of query")
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str, text: str | None = None) -> _Tok:
+        tok = self.next()
+        if tok.kind != kind or (text is not None and tok.text != text):
+            raise CypherSyntaxError(f"expected {text or kind}, got {tok.text!r}")
+        return tok
+
+    def at(self, kind: str, text: str | None = None) -> bool:
+        tok = self.peek()
+        return tok is not None and tok.kind == kind and (text is None or tok.text == text)
+
+    # values ----------------------------------------------------------------
+
+    def parse_value(self, unwind_var: str | None):
+        tok = self.next()
+        if tok.kind == "string":
+            return tok.text[1:-1].replace("\\'", "'")
+        if tok.kind == "number":
+            return float(tok.text) if "." in tok.text else int(tok.text)
+        if tok.kind == "kw" and tok.text in ("TRUE", "FALSE"):
+            return tok.text == "TRUE"
+        if tok.kind == "kw" and tok.text == "NULL":
+            return None
+        if tok.kind == "word" and unwind_var and tok.text == unwind_var:
+            self.expect("punct", ".")
+            key = self.expect("word").text
+            return ("__param__", key)
+        raise CypherSyntaxError(f"unsupported value: {tok.text!r}")
+
+    def parse_props(self, unwind_var: str | None) -> dict[str, Any]:
+        props: dict[str, Any] = {}
+        if not self.at("punct", "{"):
+            return props
+        self.next()
+        while True:
+            key = self.expect("word").text
+            self.expect("punct", ":")
+            props[key] = self.parse_value(unwind_var)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            self.expect("punct", "}")
+            return props
+
+    # patterns --------------------------------------------------------------
+
+    def parse_node(self, unwind_var: str | None = None) -> NodePat:
+        self.expect("punct", "(")
+        var = label = None
+        if self.at("word"):
+            var = self.next().text
+        if self.at("punct", ":"):
+            self.next()
+            label = self.expect("word").text
+        props = self.parse_props(unwind_var)
+        self.expect("punct", ")")
+        return NodePat(var, label, props)
+
+    def parse_pattern(self, unwind_var: str | None = None) -> NodePat | EdgePat:
+        src = self.parse_node(unwind_var)
+        if not self.at("arrow", "-["):
+            return src
+        self.next()
+        evar = rtype = None
+        if self.at("word"):
+            evar = self.next().text
+        if self.at("punct", ":"):
+            self.next()
+            rtype = self.expect("word").text
+        props = self.parse_props(unwind_var)
+        self.expect("arrow", "]->")
+        dst = self.parse_node(unwind_var)
+        return EdgePat(evar, rtype, src, dst, props)
+
+    # expressions -----------------------------------------------------------
+
+    def parse_prop_ref(self) -> PropRef:
+        if self.at("kw", "ID"):
+            self.next()
+            self.expect("punct", "(")
+            var = self.expect("word").text
+            self.expect("punct", ")")
+            return PropRef(var, None)
+        var = self.expect("word").text
+        self.expect("punct", ".")
+        return PropRef(var, self.expect("word").text)
+
+    def parse_operand(self, unwind_var: str | None):
+        tok = self.peek()
+        if tok is None:
+            raise CypherSyntaxError("unexpected end of query")
+        is_ref = (tok.kind == "kw" and tok.text == "ID") or (
+            tok.kind == "word"
+            and tok.text != unwind_var
+            and self.peek(1) is not None
+            and self.peek(1).kind == "punct"
+            and self.peek(1).text == "."
+        )
+        if is_ref:
+            return self.parse_prop_ref()
+        return self.parse_value(unwind_var)
+
+    def parse_where(self, unwind_var: str | None = None) -> list[list[Cond]]:
+        """Disjunction of conjunctions (OR of ANDs — enough for B4)."""
+        disj: list[list[Cond]] = [[]]
+        while True:
+            left = self.parse_prop_ref()
+            op = self.expect("op").text
+            right = self.parse_operand(unwind_var)
+            disj[-1].append(Cond(left, op, right))
+            if self.at("kw", "AND"):
+                self.next()
+                continue
+            if self.at("kw", "OR"):
+                self.next()
+                disj.append([])
+                continue
+            return disj
+
+    def parse_return(self) -> list[ReturnItem]:
+        items: list[ReturnItem] = []
+        while True:
+            expr = self.parse_prop_ref()
+            alias = None
+            if self.at("kw", "AS"):
+                self.next()
+                alias = self.expect("word").text
+            items.append(ReturnItem(expr, alias))
+            if self.at("punct", ","):
+                self.next()
+                continue
+            if self.peek() is not None:
+                raise CypherSyntaxError(f"unexpected token {self.peek().text!r}")
+            return items
+
+
+# -- translation: reads ----------------------------------------------------
+
+
+def _default_name(ref: PropRef) -> str:
+    return f"id_{ref.var}" if ref.prop is None else f"{ref.var}_{ref.prop}"
+
+
+def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
+    ops = {
+        "=": lambda c, v: c == v,
+        "<>": lambda c, v: c != v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    out: Column | None = None
+    for conj in disj:
+        cc: Column | None = None
+        for cond in conj:
+            right = colmap(cond.right) if isinstance(cond.right, PropRef) else cond.right
+            one = ops[cond.op](colmap(cond.left), right)
+            cc = one if cc is None else (cc & one)
+        out = cc if out is None else (out | cc)
+    assert out is not None
+    return out
+
+
+def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
+    """Execute a read-only ``MATCH ... [WHERE ...] RETURN ...`` query.
+
+    Column names follow aliases when given, else ``id_<var>`` /
+    ``<var>_<prop>`` (Cypher's positional results have no canonical names;
+    DataFrames need them).
+    """
+    p = _Parser(_tokenize(query))
+    p.expect("kw", "MATCH")
+    pat = p.parse_pattern()
+    disj = None
+    if p.at("kw", "WHERE"):
+        p.next()
+        disj = p.parse_where()
+    p.expect("kw", "RETURN")
+    items = p.parse_return()
+
+    if isinstance(pat, NodePat):
+        if pat.props:
+            raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
+        var = pat.var
+        df = graph.nodes(pat.label)
+
+        def colmap(ref: PropRef) -> Column:
+            if ref.var != var:
+                raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+            return F.col("id" if ref.prop is None else ref.prop)
+
+    else:
+        if pat.props or pat.src.props or pat.dst.props:
+            raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
+        df = graph.expand(pat.src.label, pat.rel_type, pat.dst.label)
+        names = {pat.src.var: "a_", pat.dst.var: "b_"}
+
+        def colmap(ref: PropRef) -> Column:
+            if ref.var == pat.var:  # the edge variable
+                return F.col("id" if ref.prop is None else ref.prop)
+            prefix = names.get(ref.var)
+            if prefix is None:
+                raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+            return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
+
+    if disj is not None:
+        df = df.filter(_where_to_column(disj, colmap))
+    return df.select(
+        *[colmap(i.expr).alias(i.alias or _default_name(i.expr)) for i in items]
+    )
+
+
+# -- translation: writes ---------------------------------------------------
+
+
+def _resolve(value: Any, row: dict[str, Any]) -> Any:
+    if isinstance(value, tuple) and len(value) == 2 and value[0] == "__param__":
+        return row.get(value[1])
+    return value
+
+
+def cypher_write(
+    graph: PropertyGraph, query: str, params: dict[str, list[dict[str, Any]]]
+) -> PropertyGraph:
+    """Execute ``UNWIND $param AS v CREATE ...`` or ``UNWIND $param AS v
+    MATCH ... WHERE ... SET ...`` against the graph; returns the new graph.
+
+    The parameter batch semantics mirror the sink (`Neo4jOutputFormat`):
+    ``params[name]`` is the list of row dicts the reference would send as
+    one UNWIND batch.
+    """
+    p = _Parser(_tokenize(query))
+    p.expect("kw", "UNWIND")
+    if p.at("punct", "$"):  # $rows — modern; {rows} legacy
+        p.next()
+        pname = p.expect("word").text
+    else:
+        p.expect("punct", "{")
+        pname = p.expect("word").text
+        p.expect("punct", "}")
+    p.expect("kw", "AS")
+    uvar = p.expect("word").text
+    if pname not in params:
+        raise CypherSyntaxError(f"missing parameter {pname!r}")
+    rows = params[pname]
+
+    if p.at("kw", "CREATE"):
+        p.next()
+        node = p.parse_node(unwind_var=uvar)
+        if node.label is None:
+            raise CypherSyntaxError("CREATE requires a label")
+        spark = graph.vertices.sparkSession
+        data = [
+            {k: _resolve(v, row) for k, v in node.props.items()} for row in rows
+        ]
+        batch = spark.createDataFrame(data) if data else None
+        if batch is None:
+            return graph
+        return graph.create_nodes(batch, node.label)
+
+    p.expect("kw", "MATCH")
+    target = p.parse_node(unwind_var=uvar)
+    p.expect("kw", "WHERE")
+    disj = p.parse_where(unwind_var=uvar)
+    p.expect("kw", "SET")
+
+    # key condition: p.key = u.key (exactly one, equality, across all ORs)
+    if len(disj) != 1 or len(disj[0]) != 1:
+        raise CypherSyntaxError("UNWIND..MATCH..SET supports a single key equality")
+    cond = disj[0][0]
+    if (
+        cond.op != "="
+        or cond.left.var != target.var
+        or not isinstance(cond.right, tuple)
+    ):
+        raise CypherSyntaxError("WHERE must be <node>.<key> = <unwind>.<key>")
+    key = cond.left.prop
+
+    updates: dict[str, Any] = {}
+    while True:
+        ref = p.parse_prop_ref()
+        if ref.var != target.var:
+            raise CypherSyntaxError(f"SET target must be {target.var!r}")
+        p.expect("op", "=")
+        updates[ref.prop] = p.parse_value(unwind_var=uvar)
+        if p.at("punct", ","):
+            p.next()
+            continue
+        break
+
+    spark = graph.vertices.sparkSession
+    data = [
+        {key: _resolve(("__param__", cond.right[1]), row),
+         **{c: _resolve(v, row) for c, v in updates.items()}}
+        for row in rows
+    ]
+    if not data:
+        return graph
+    if target.label is not None:
+        raise CypherSyntaxError("labeled MATCH in update not supported (B8 is unlabeled)")
+    return graph.update_nodes(spark.createDataFrame(data), key)
+
+
+def cypher_create_graph(spark, query: str) -> PropertyGraph:
+    """Execute a fixture-construction ``CREATE (v:L {..}), ..,
+    (v1)-[:T {..}]->(v2)`` statement into a fresh PropertyGraph
+    (B9 — `Neo4jFormatTest.java:14-19`)."""
+    p = _Parser(_tokenize(query))
+    p.expect("kw", "CREATE")
+    nodes: list[NodePat] = []
+    edges: list[EdgePat] = []
+    while True:
+        pat = p.parse_pattern()
+        (nodes if isinstance(pat, NodePat) else edges).append(pat)
+        if p.at("punct", ","):
+            p.next()
+            continue
+        if p.peek() is not None:
+            raise CypherSyntaxError(f"unexpected token {p.peek().text!r}")
+        break
+
+    ids = {n.var: i for i, n in enumerate(nodes)}
+    vcols = sorted({k for n in nodes for k in n.props})
+    vrows = [
+        {"id": ids[n.var], "label": n.label or "Node",
+         **{c: n.props.get(c) for c in vcols}}
+        for n in nodes
+    ]
+    ecols = sorted({k for e in edges for k in e.props})
+    erows = []
+    for i, e in enumerate(edges):
+        if e.src.var not in ids or e.dst.var not in ids:
+            raise CypherSyntaxError(
+                f"edge references unknown node variable {e.src.var!r}/{e.dst.var!r}"
+            )
+        erows.append(
+            {"id": i, "src": ids[e.src.var], "dst": ids[e.dst.var],
+             "rel_type": e.rel_type or "REL", **{c: e.props.get(c) for c in ecols}}
+        )
+    v = spark.createDataFrame(vrows)
+    e = (
+        spark.createDataFrame(erows)
+        if erows
+        else spark.createDataFrame([], "id long, src long, dst long, rel_type string")
+    )
+    return PropertyGraph(v, e)

@@ -228,11 +228,26 @@ def g4_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("vid", F.round("rank", 6).alias("rank")).orderBy("vid")
 
 
+# G5 — the mini-Cypher front end under the conformance gate: the edge-pattern
+# query shape from Neo4jInputTest.java:46, parsed and executed natively.
+def g5_cypher_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "RETURN id(c) AS c_id, n.name AS nation_name",
+    )
+    return df.orderBy("c_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
     "g3_connected_components": g3_connected_components,
     "g4_pagerank": g4_pagerank,
+    "g5_cypher_frontend": g5_cypher_frontend,
 }
 
 ORACLE: dict[str, str] = {
@@ -272,4 +287,8 @@ ORACLE: dict[str, str] = {
         )
         SELECT vid, MIN(vid) OVER (PARTITION BY rk) AS comp
         FROM v ORDER BY vid""",
+    "g5_cypher_frontend": f"""
+        SELECT c_custkey + {CUSTOMER_BASE} AS c_id, n_name AS nation_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_id""",
 }

@@ -1,0 +1,134 @@
+"""Mini-Cypher front end parity: the REFERENCE'S OWN Cypher strings
+(fixture, read queries, write statements — cited file:line) executed
+natively, asserting the same values its tests assert against Neo4j."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_neo4j_spark.cypher_frontend import (
+    CypherSyntaxError,
+    cypher_create_graph,
+    cypher_read,
+    cypher_write,
+)
+
+#: the reference's exact test fixture — Neo4jFormatTest.java:14-19
+FIXTURE = (
+    "CREATE"
+    "(alice:User { name : 'Alice', born : 1984, height : 1.72, trust : true  }),"
+    "(bob:User   { name : 'Bob',   born : 1983, height : 1.81, trust : true  }),"
+    "(eve:User   { name : 'Eve',   born : 1984, height : 1.62, trust : false }),"
+    "(alice)-[:KNOWS {since : 2001}]->(bob),"
+    "(bob)-[:KNOWS   {since : 2002}]->(alice)"
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_graph(spark):
+    return cypher_create_graph(spark, FIXTURE)
+
+
+def test_fixture_construction(fixture_graph):
+    # Neo4jFormatTest: 3 :User nodes, 2 :KNOWS edges
+    assert fixture_graph.nodes("User").count() == 3
+    assert fixture_graph.relationships("KNOWS").count() == 2
+
+
+def test_vertex_query(fixture_graph):
+    # Neo4jInputTest.java:26 + value asserts at :81-88
+    df = cypher_read(
+        fixture_graph, "MATCH (n:User) RETURN id(n), n.name, n.born, n.height, n.trust"
+    )
+    rows = {r["n_name"]: r for r in df.collect()}
+    assert set(rows) == {"Alice", "Bob", "Eve"}
+    alice = rows["Alice"]
+    assert (alice["n_born"], alice["n_height"], alice["n_trust"]) == (1984, 1.72, True)
+    eve = rows["Eve"]
+    assert (eve["n_born"], eve["n_height"], eve["n_trust"]) == (1984, 1.62, False)
+
+
+def test_edge_query(fixture_graph):
+    # Neo4jInputTest.java:46 + asserts at :102-113: 2 edges, since 2001/2002,
+    # endpoints reversed between them
+    df = cypher_read(
+        fixture_graph, "MATCH (a:User)-[e]->(b:User) RETURN id(e), id(a), id(b), e.since"
+    )
+    rows = sorted(df.collect(), key=lambda r: r["e_since"])
+    assert len(rows) == 2
+    assert rows[0]["e_since"] == 2001 and rows[1]["e_since"] == 2002
+    assert rows[0]["id_a"] == rows[1]["id_b"]
+    assert rows[0]["id_b"] == rows[1]["id_a"]
+
+
+def test_readme_projection(fixture_graph):
+    # README.md:20
+    df = cypher_read(fixture_graph, "MATCH (n:User) RETURN id(n), n.name, n.born")
+    assert df.columns == ["id_n", "n_name", "n_born"]
+    assert df.count() == 3
+
+
+def test_create_then_filter(spark, fixture_graph):
+    # write: README.md:45 / Neo4jOutputTest.java:24-26 (legacy {param} style);
+    # verify: the reference's own verification query Neo4jOutputTest.java:51-53
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND {inserts} AS i "
+        "CREATE (a:User {name:i.name, born:i.born, height:i.height, trust:i.trust})",
+        params={
+            "inserts": [
+                {"name": "Frank", "born": 1982, "height": 1.84, "trust": True},
+                {"name": "Dave", "born": 1977, "height": 1.82, "trust": False},
+            ]
+        },
+    )
+    df = cypher_read(
+        g2,
+        "MATCH (n:User) WHERE n.name = 'Frank' OR n.name = 'Dave' "
+        "RETURN n.name AS name, n.born AS born, n.height AS height, n.trust AS trust",
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"Frank", "Dave"}
+    assert (rows["Frank"]["born"], rows["Frank"]["height"], rows["Frank"]["trust"]) == (
+        1982, 1.84, True,
+    )
+    assert g2.nodes("User").count() == 5
+
+
+def test_update_unlabeled_match(spark, fixture_graph):
+    # Neo4jOutputTest.java:83-87: unlabeled MATCH (B8), SET creates a NEW
+    # property `weight` (B5 null semantics for unmatched rows)
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND {updates} AS u MATCH (p) WHERE p.name = u.name "
+        "SET p.weight = u.weight, p.height = u.height, p.trust = u.trust",
+        params={
+            "updates": [
+                {"name": "Alice", "weight": 42, "height": 1.74, "trust": False},
+                {"name": "Bob", "weight": 79, "height": 1.82, "trust": True},
+            ]
+        },
+    )
+    rows = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert rows["Alice"]["weight"] == 42 and rows["Alice"]["height"] == 1.74
+    assert rows["Alice"]["trust"] is False
+    assert rows["Bob"]["weight"] == 79
+    # Eve untouched; the new property reads null (B5)
+    assert rows["Eve"]["weight"] is None and rows["Eve"]["height"] == 1.62
+
+
+def test_where_comparison_and_conjunction(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.born = 1984 AND n.trust = true RETURN n.name",
+    )
+    assert [r["n_name"] for r in df.collect()] == ["Alice"]
+
+
+def test_unsupported_syntax_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN count(n)")
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (a)-[e*1..3]->(b) RETURN id(a)")
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(fixture_graph, "UNWIND $x AS i CREATE (n:User {a: i.a})", params={})
