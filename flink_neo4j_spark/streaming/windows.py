@@ -84,6 +84,59 @@ def run_daily_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "day")
 
 
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming sessionizer via ``applyInPandasWithState``.
+
+    Per-user state = the open session (id, bounds, running count/sum); a new
+    event past the gap CLOSES the open session (emitted) and opens the next.
+    Tail sessions stay in state — on a finite replay the emitted set is
+    exactly ``sessionize_batch`` minus each user's final session, which the
+    parity test asserts. At scale the state store bounds memory per key and
+    a real deployment adds a timeout to flush idle sessions.
+
+    Arrow moves each user's micro-batch slice as one pandas frame; rows are
+    re-sorted inside the group because file-source micro-batches guarantee
+    no intra-group order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_id long, n_events long, session_value double"
+    )
+    state_schema = "session_id long, last_us long, n long, val double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            session_id, last_us, n, val = state.get
+        else:
+            session_id, last_us, n, val = 1, None, 0, 0.0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = ts.value // 1000  # pandas ns -> parquet us, exact
+                if last_us is not None and us - last_us > gap_us:
+                    closed.append((user_id, session_id, n, round(val, 2)))
+                    session_id += 1
+                    n, val = 0, 0.0
+                n += 1
+                val += float(value)
+                last_us = us
+        state.update((session_id, last_us, n, val))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_id", "n_events", "session_value"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization via window functions: a new session starts when
     the gap to the previous event of the same user exceeds ``gap_minutes``.

@@ -70,3 +70,37 @@ def test_sessionize_batch_properties(spark):
     }
     for uid, n_sessions in per_user_sessions.items():
         assert 1 <= n_sessions <= per_user_events[uid]
+
+
+def test_stateful_stream_sessionize_matches_batch_closed_sessions(spark):
+    """applyInPandasWithState sessionizer: on a finite replay the emitted
+    (closed) sessions are exactly the batch sessions minus each user's open
+    tail session."""
+    import uuid as _uuid
+
+    from flink_neo4j_spark.streaming.windows import sessionize_stream
+
+    sink = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(read_events_stream(spark, SF_DIR), 30)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    streamed = {tuple(r) for r in spark.table(sink).collect()}
+
+    batch = sessionize_batch(load_table(spark, SF_DIR, "events"), 30)
+    last = {
+        r["user_id"]: r["m"]
+        for r in batch.groupBy("user_id").agg(F.max("session_id").alias("m")).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_id"], r["n_events"], r["session_value"])
+        for r in batch.collect()
+        if r["session_id"] != last[r["user_id"]]
+    }
+    assert streamed == expected
