@@ -36,6 +36,11 @@ def main() -> None:
     w.selectExpr("id", "explode_outer(a) AS x").groupBy("id").count().join(
         spark.range(5000), "id"
     ).write.format("noop").mode("overwrite").save()
+    # range-partitioned sort + hash groupBy on a hash key: primes the
+    # orderBy sampling and md5-groupBy paths the dedup queries hit first
+    spark.range(20000).selectExpr("md5(string(id)) AS h").groupBy("h").count().orderBy(
+        "h"
+    ).write.format("noop").mode("overwrite").save()
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}

@@ -271,6 +271,51 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D7 — end-to-end dedup: LSH near-dup PAIRS (d3) -> connected-component
+# CLUSTERS -> canonical keep-list. This is the full pipeline a training-data
+# dedup actually runs: transitive closure matters because near-dup is not
+# transitive pair-wise (A~B, B~C does not imply the A-C pair was emitted),
+# yet A, B, C must dedup to ONE canonical doc.
+#
+# Components via iterative min-label propagation over the pair graph with a
+# driver-side convergence check (a scalar count per round — metadata, not
+# row data; clusters are shallow so this converges in ~2-4 rounds). The
+# oracle computes the same fixpoint with a recursive CTE.
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d3_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    und = _materialized(
+        pairs.unionAll(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.select(F.col("doc_id").alias("vid"), F.col("doc_id").alias("comp"))
+    while True:
+        msgs = und.join(
+            comp.withColumnRenamed("vid", "a_id"), "a_id"
+        ).select(F.col("b_id").alias("vid"), "comp")
+        new_comp = (
+            comp.unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "vid")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select(
+        F.col("vid").alias("doc_id"),
+        "comp",
+        (F.col("vid") == F.col("comp")).alias("is_kept"),
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_signature": d2_minhash_signature,
@@ -278,6 +323,7 @@ QUERIES: dict[str, QueryFn] = {
     "d4_simhash": d4_simhash,
     "d5_ngram_jaccard": d5_ngram_jaccard,
     "d6_embedding_near_dup": d6_embedding_near_dup,
+    "d7_dedup_clusters": d7_dedup_clusters,
 }
 
 
@@ -346,6 +392,32 @@ ORACLE: dict[str, str] = {
                     (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4)
               >= {JACCARD_THRESHOLD}
         ORDER BY a_id, b_id""",
+    # transitive closure of the near-dup pair graph via recursive CTE, then
+    # min reachable id (∪ self) per doc = the cluster canonical.
+    "d7_dedup_clusters": f"""
+        {_DUCK_SHINGLED.replace("WITH ", "WITH RECURSIVE ", 1)},
+        banded AS (SELECT doc_id, sh, list_min([md5('0|' || x) for x in sh]) AS h0 FROM s),
+        kept AS (SELECT * FROM banded WHERE h0 IN (
+            SELECT h0 FROM banded GROUP BY h0 HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET})),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM kept a JOIN kept b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+                >= {JACCARD_THRESHOLD}),
+        und AS (SELECT a_id AS a, b_id AS b FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS comp
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT doc_id, comp, doc_id = comp AS is_kept
+        FROM comp ORDER BY doc_id""",
     "d6_embedding_near_dup": f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -260,6 +260,36 @@ def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return no_orders.unionByName(neg_with_orders).orderBy("tag", "key")
 
 
+# Percentile analytics: Spark's exact `percentile` (not percentile_approx)
+# interpolates identically to DuckDB's quantile_cont, so the result is
+# oracle-checkable. At 100 TB switch to percentile_approx with a bounded
+# error — exact percentile sorts per group.
+def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("p50_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ROLLUP: hierarchical subtotals (returnflag -> linestatus -> grand total) in
+# one pass — Expand + single hash aggregation, no multi-scan union.
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -277,6 +307,8 @@ QUERIES: dict[str, QueryFn] = {
     "q14_local_supplier_revenue": q14_local_supplier_revenue,
     "q16_window_rank": q16_window_rank,
     "q17_set_ops": q17_set_ops,
+    "q18_percentiles": q18_percentiles,
+    "q19_rollup": q19_rollup,
 }
 
 ORACLE: dict[str, str] = {
@@ -377,4 +409,14 @@ ORACLE: dict[str, str] = {
             INTERSECT
             SELECT o_custkey FROM orders)
         ) ORDER BY tag, key""",
+    "q18_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q19_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 }
