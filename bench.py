@@ -53,6 +53,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         if verbose:
             print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        # drop caches persisted inside operators (LSH signature tables etc.)
+        # so one query's cache residency can't distort the next (outside the
+        # timed region — standard bench hygiene)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -129,7 +129,9 @@ def d2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("sg")))).alias(f"h{seed}")
         for seed in MINHASH_SEEDS
     ]
-    return s.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    # persist before the ORDER BY: range partitioning samples its child,
+    # which would otherwise execute the whole explode+agg twice
+    return _materialized(s.groupBy("doc_id").agg(*aggs)).orderBy("doc_id")
 
 
 # D3 — MinHash-LSH near-dup pairs: band on h0 (1-band LSH), verify exact
@@ -190,7 +192,10 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sig = toks.groupBy("doc_id").agg(*bit_aggs)
     total = sum((F.col(f"b{b}") for b in range(16)), F.lit(0))
-    return sig.select("doc_id", total.alias("simhash")).orderBy("doc_id")
+    # persist pre-sort for the same range-sampling reason as d2
+    return _materialized(sig.select("doc_id", total.alias("simhash"))).orderBy(
+        "doc_id"
+    )
 
 
 # D5 — n-gram Jaccard near-dup over *character* 5-grams, blocked by min-hash.
