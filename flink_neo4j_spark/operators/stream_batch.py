@@ -31,9 +31,18 @@ def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(load_table(spark, sf_dir, "events"), SESSION_GAP_MINUTES)
 
 
+def w3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h/12h sliding-window rollup through Structured Streaming; each
+    event contributes to exactly two overlapping windows."""
+    from flink_neo4j_spark.streaming.windows import run_sliding_available_now
+
+    return run_sliding_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
     "w2_sessionize": w2_sessionize,
+    "w3_stream_sliding": w3_stream_sliding,
 }
 
 ORACLE: dict[str, str] = {
@@ -65,4 +74,26 @@ ORACLE: dict[str, str] = {
                ROUND(SUM(value), 2) AS session_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id""",
+    # each event belongs to the two epoch-aligned 12h-grid window starts
+    # whose 24h span covers it: floor_12h(ts) and floor_12h(ts) - 12h —
+    # exactly Spark's window(ts, '1 day', '12 hours') assignment.
+    "w3_stream_sliding": """
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        ), b AS (
+          SELECT user_id, value,
+                 (CAST(epoch(ts) AS BIGINT) // 43200) * 43200 AS bucket
+          FROM e
+        ), w AS (
+          SELECT user_id, value,
+                 unnest([bucket, bucket - 43200]) AS win_epoch
+          FROM b
+        )
+        SELECT user_id,
+               strftime(to_timestamp(win_epoch), '%Y-%m-%d %H:%M:%S') AS win_start,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 2) AS total
+        FROM w
+        GROUP BY user_id, win_epoch
+        ORDER BY user_id, win_start""",
 }

@@ -84,6 +84,51 @@ def run_daily_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "day")
 
 
+def sliding_12h(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """24 h windows sliding every 12 h: each event lands in exactly two
+    overlapping windows (Spark's ``window(ts, size, slide)`` plans one
+    Expand + hash agg — no self-join). Batch twin: the DuckDB oracle
+    enumerates the same two bucket starts per event."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 day", "12 hours").alias("win"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("win_start"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup as a real streaming query (complete mode,
+    AvailableNow) — the w3 conformance query."""
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_12h(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = spark.table(sink)
+    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming else out
+    # compare at second granularity (DuckDB timestamps are tz-naive UTC)
+    return out.select(
+        "user_id",
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "cnt",
+        "total",
+    ).orderBy("user_id", "win_start")
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful streaming sessionizer via ``applyInPandasWithState``.
 
