@@ -290,6 +290,82 @@ def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semi join (EXISTS) — TPC-H Q4 shape: order priority distribution of orders
+# having at least one returned line. LeftSemi never duplicates or widens the
+# probe side, so the orders scan streams through one hash join; the lineitem
+# side is reduced to the join key early (column pruning to l_orderkey +
+# pushed l_returnflag filter).
+def q20_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Anti join + scalar subquery — TPC-H Q22 shape: customers whose balance
+# exceeds the average positive balance and who never ordered. The scalar
+# aggregate is crossJoin(broadcast(1-row agg)) — no collect to the driver —
+# and the NOT EXISTS is a LeftAnti against the (pruned) orders key column.
+def q21_anti_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# Group-wise threshold (correlated aggregate subquery) — TPC-H Q17 shape:
+# revenue from lines ordering less than 20% of their part's average quantity.
+# The per-part average re-aggregates lineitem on the SAME key the join uses,
+# so both shuffles land on l_partkey and AQE can reuse the exchange; no
+# row-by-row correlated execution anywhere.
+def q22_groupwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        l.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# Conditional aggregation — TPC-H Q12 shape: pivot-style counts of high- vs
+# low-priority orders per line status, one pass, no separate filtered scans.
+def q23_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -309,6 +385,10 @@ QUERIES: dict[str, QueryFn] = {
     "q17_set_ops": q17_set_ops,
     "q18_percentiles": q18_percentiles,
     "q19_rollup": q19_rollup,
+    "q20_exists_semi": q20_exists_semi,
+    "q21_anti_scalar": q21_anti_scalar,
+    "q22_groupwise_threshold": q22_groupwise_threshold,
+    "q23_conditional_agg": q23_conditional_agg,
 }
 
 ORACLE: dict[str, str] = {
@@ -419,4 +499,35 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q20_exists_semi": """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q21_anti_scalar": """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q22_groupwise_threshold": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+              FROM lineitem GROUP BY l_partkey) p
+          ON l.l_partkey = p.l_partkey
+        WHERE l.l_quantity < p.qty_threshold""",
+    "q23_conditional_agg": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
 }

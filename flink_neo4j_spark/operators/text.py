@@ -124,11 +124,29 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# T5 — corpus term frequencies: explode tokens, count, global top-k. The
+# aggregation is map-side partial (each task pre-counts its tokens) so the
+# shuffle carries one row per distinct term per task, not one per token —
+# the only formulation that survives a 100 TB corpus. Final top-k is
+# TakeOrderedAndProject, never a full sort.
+def t5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.selectExpr(f"explode_outer({TOKENS}) AS term")
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t2_lang_id": t2_lang_id,
     "t3_quality_score": t3_quality_score,
     "t4_fingerprint": t4_fingerprint,
+    "t5_top_terms": t5_top_terms,
 }
 
 _DUCK_LANG_HITS = ", ".join(
@@ -183,4 +201,9 @@ ORACLE: dict[str, str] = {
                            for i in generate_series(1, length(norm) - 4)])
                ELSE md5(norm) END AS winnow
         FROM n ORDER BY doc_id""",
+    "t5_top_terms": f"""
+        SELECT term, COUNT(*) AS cnt
+        FROM (SELECT unnest({DUCK_TOKENS}) AS term FROM documents)
+        WHERE length(term) >= 3
+        GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
 }

@@ -21,6 +21,7 @@ def _modules():
         similarity,
         skew,
         stream_batch,
+        temporal,
         text,
     )
 
@@ -33,6 +34,7 @@ def _modules():
         stream_batch,
         graph_algos,
         skew,
+        temporal,
     )
 
 

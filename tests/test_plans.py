@@ -13,6 +13,7 @@ from flink_neo4j_spark.operators.relational import (
     q9_date_filter,
 )
 from flink_neo4j_spark.plans import (
+    formatted_plan as formatted_plan_of,
     has_broadcast_join,
     has_take_ordered,
     pushed_filters,
@@ -69,6 +70,46 @@ def test_q14_prunes_unused_columns(spark):
     df = q14_local_supplier_revenue(spark, SF_DIR)
     cols = read_schema_columns(df, table_hint="lineitem")
     assert cols == {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    """EXISTS/NOT EXISTS shapes must plan as LeftSemi/LeftAnti hash joins —
+    never materialize the subquery side into the probe rows."""
+    from flink_neo4j_spark.operators.relational import q20_exists_semi, q21_anti_scalar
+
+    semi_plan = formatted_plan_of(q20_exists_semi(spark, SF_DIR))
+    assert "LeftSemi" in semi_plan
+    anti_plan = formatted_plan_of(q21_anti_scalar(spark, SF_DIR))
+    assert "LeftAnti" in anti_plan
+    # orders contributes only its join key on the anti side
+    cols = read_schema_columns(q21_anti_scalar(spark, SF_DIR), table_hint="orders")
+    assert cols == {"o_custkey"}
+
+
+def test_asof_join_is_windowed_not_joined(spark):
+    """The as-of operator must compile to a single-shuffle window scan; a
+    Join node would mean the quadratic candidate-pair formulation."""
+    from flink_neo4j_spark.operators.temporal import a1_asof_join
+
+    plan = formatted_plan_of(a1_asof_join(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """Bucketing must turn the range predicate into an equi-join; the naive
+    plan (BroadcastNestedLoopJoin / CartesianProduct) is forbidden."""
+    from flink_neo4j_spark.operators.temporal import a2_interval_join
+
+    plan = formatted_plan_of(a2_interval_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_terms_is_partial_agg_topk(spark):
+    from flink_neo4j_spark.operators.text import t5_top_terms
+
+    assert has_take_ordered(t5_top_terms(spark, SF_DIR))
 
 
 def test_label_partition_pruning(spark, tmp_path):
