@@ -321,6 +321,38 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# D8 — blocked edit-distance near-dup: candidate pairs share a 16-char
+# normalized prefix (an equi-join on the block key — never an all-pairs
+# scan), then exact Levenshtein on 200-char prefixes within each block.
+# Levenshtein is O(len^2) per pair, so the prefix cap bounds per-pair cost
+# and the blocking bounds pair count; at 100 TB the block key moves to a
+# cheaper signature (simhash band or minhash bucket, d3/d4) with this same
+# verify step. Spark's levenshtein() and DuckDB's agree exactly (classic
+# unit-cost edit distance), so the operator is hash-checkable.
+def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.selectExpr(
+        "doc_id",
+        "substring(lower(text), 1, 200) AS t",
+        "substring(lower(text), 1, 16) AS blk",
+    )
+    return (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 40)
+        .orderBy("a_id", "b_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_signature": d2_minhash_signature,
@@ -329,6 +361,7 @@ QUERIES: dict[str, QueryFn] = {
     "d5_ngram_jaccard": d5_ngram_jaccard,
     "d6_embedding_near_dup": d6_embedding_near_dup,
     "d7_dedup_clusters": d7_dedup_clusters,
+    "d8_edit_distance": d8_edit_distance,
 }
 
 
@@ -346,6 +379,17 @@ _DUCK_SIMHASH_BITS = ", ".join(
 _DUCK_SIMHASH_SUM = " + ".join(f"b{b}" for b in range(16))
 
 ORACLE: dict[str, str] = {
+    "d8_edit_distance": """
+        WITH d AS (
+          SELECT doc_id,
+                 substring(lower(text), 1, 200) AS t,
+                 substring(lower(text), 1, 16) AS blk
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               levenshtein(a.t, b.t) AS dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.t, b.t) <= 40
+        ORDER BY a_id, b_id""",
     "d1_exact_dedup": """
         SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY keep_id""",

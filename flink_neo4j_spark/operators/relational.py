@@ -366,6 +366,45 @@ def q23_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic train/test split — the reproducible sampling primitive a
+# training-data pipeline needs: bucket by a content hash (md5 of the key),
+# not by rand(), so the split is stable across engines, runs, partitionings,
+# and retries (Spark task retry re-evaluates rand() and silently reassigns
+# rows). First hex byte < 0x1a ~= 10.2% test fraction. Pure narrow map — no
+# shuffle until the final tiny aggregate.
+def q24_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "1a", "test"
+        )
+        .otherwise("train")
+        .alias("split")
+    )
+    return (
+        c.select(split, "c_acctbal")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("split")
+    )
+
+
+# PIVOT — long-to-wide reshaping with explicit pivot values (explicit so the
+# plan needs no extra distinct-collect pass over the data, and so the output
+# schema is static — both required at scale).
+def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -389,6 +428,8 @@ QUERIES: dict[str, QueryFn] = {
     "q21_anti_scalar": q21_anti_scalar,
     "q22_groupwise_threshold": q22_groupwise_threshold,
     "q23_conditional_agg": q23_conditional_agg,
+    "q24_sample_split": q24_sample_split,
+    "q25_pivot": q25_pivot,
 }
 
 ORACLE: dict[str, str] = {
@@ -530,4 +571,14 @@ ORACLE: dict[str, str] = {
         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
           AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q24_sample_split": """
+        SELECT CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'test' ELSE 'train' END AS split,
+               COUNT(*) AS n, ROUND(AVG(c_acctbal), 2) AS avg_bal
+        FROM customer GROUP BY 1 ORDER BY split""",
+    "q25_pivot": """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 }

@@ -177,11 +177,35 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S5 — per-label centroids: the distributed mean of a vector column, the
+# building block for IVF index training / k-means steps / class prototypes.
+# posexplode fans each row into (label, pos, x) triples, but the per-(label,
+# pos) average partial-aggregates map-side, so the shuffle carries only
+# n_labels x DIM rows per task regardless of input size; the array is
+# re-assembled from the sorted (pos, avg) structs. No driver collect, no UDF.
+def s5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    exploded = e.select("label", F.posexplode("emb").alias("pos", "x"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), s -> round(s.c, 4))"
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_topk": s2_lsh_topk,
     "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
     "s4_ivf_topk": s4_ivf_topk,
+    "s5_label_centroids": s5_label_centroids,
 }
 
 
@@ -248,4 +272,16 @@ ORACLE: dict[str, str] = {
         FROM assigned a JOIN probe USING (cell), q
         WHERE a.vec_id != {QUERY_VEC_ID}
         ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}""",
+    "s5_label_centroids": f"""
+        WITH u AS (
+          SELECT label, g.pos AS pos, emb[g.pos] AS x, vec_id
+          FROM (SELECT label, vec_id, embedding::DOUBLE[] AS emb
+                FROM embeddings),
+               generate_series(1, {DIM}) AS g(pos)),
+        m AS (
+          SELECT label, pos, AVG(x) AS c, COUNT(*) AS n
+          FROM u GROUP BY label, pos)
+        SELECT label, MIN(n) AS n_vectors,
+               list(ROUND(c, 4) ORDER BY pos) AS centroid
+        FROM m GROUP BY label ORDER BY label""",
 }
