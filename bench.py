@@ -36,6 +36,10 @@ def main() -> None:
     w.selectExpr("id", "explode_outer(a) AS x").groupBy("id").count().join(
         spark.range(5000), "id"
     ).write.format("noop").mode("overwrite").save()
+    # local-literal DataFrame + union: primes the Python->JVM createDataFrame
+    # path (first use otherwise charges ~1.5s to whichever query hits it)
+    lit = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    spark.range(10).selectExpr("id AS a", "string(id) AS b").unionAll(lit).collect()
     # range-partitioned sort + hash groupBy on a hash key: primes the
     # orderBy sampling and md5-groupBy paths the dedup queries hit first
     spark.range(20000).selectExpr("md5(string(id)) AS h").groupBy("h").count().orderBy(

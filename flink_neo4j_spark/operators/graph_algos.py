@@ -242,15 +242,79 @@ def g5_cypher_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("c_id")
 
 
+#: BFS depth budget = fixture graph diameter (customer -> nation -> region
+#: -> nation -> customer).
+BFS_MAX_HOPS = 4
+#: BFS source: region 0 ('AFRICA' in TPC-H ordering).
+BFS_SOURCE = REGION_BASE + 0
+
+
+# G6 — single-source BFS (minimum hop count to every reachable vertex) as
+# join/agg rounds over the undirected edge set: each round expands the
+# current distance table by one hop and re-minimizes. State is one (vid,
+# hops) row per reached vertex; the edge table is persisted and re-probed
+# per round; lineage truncates on the CC cadence. The oracle is a DuckDB
+# RECURSIVE CTE — a genuinely different evaluation strategy (tuple-at-a-time
+# semi-naive recursion) that must produce identical hop counts.
+def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    undirected = (
+        g.edges.select("src", "dst")
+        .unionAll(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    dist = (
+        g.vertices.filter(F.col("id") == BFS_SOURCE)
+        .select(F.col("id").alias("vid"), F.lit(0).alias("hops"))
+    )
+    for i in range(BFS_MAX_HOPS):
+        reached = (
+            undirected.join(dist.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(reached).groupBy("vid").agg(F.min("hops").alias("hops"))
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == BFS_MAX_HOPS - 1:
+            dist = dist.localCheckpoint()
+    return dist.orderBy("vid")
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
     "g3_connected_components": g3_connected_components,
     "g4_pagerank": g4_pagerank,
     "g5_cypher_frontend": g5_cypher_frontend,
+    "g6_bfs_hops": g6_bfs_hops,
 }
 
 ORACLE: dict[str, str] = {
+    # semi-naive recursion over the same undirected edge set; UNION (not
+    # UNION ALL) dedups (vid, hops) states so the recursion stays linear.
+    "g6_bfs_hops": f"""
+        WITH RECURSIVE und AS (
+          SELECT c_custkey + {CUSTOMER_BASE} AS src, c_nationkey + {NATION_BASE} AS dst
+          FROM customer
+          UNION ALL SELECT c_nationkey + {NATION_BASE}, c_custkey + {CUSTOMER_BASE}
+          FROM customer
+          UNION ALL SELECT s_suppkey + {SUPPLIER_BASE}, s_nationkey + {NATION_BASE}
+          FROM supplier
+          UNION ALL SELECT s_nationkey + {NATION_BASE}, s_suppkey + {SUPPLIER_BASE}
+          FROM supplier
+          UNION ALL SELECT n_nationkey + {NATION_BASE}, n_regionkey + {REGION_BASE}
+          FROM nation
+          UNION ALL SELECT n_regionkey + {REGION_BASE}, n_nationkey + {NATION_BASE}
+          FROM nation
+        ),
+        r AS (
+          SELECT {BFS_SOURCE} AS vid, 0 AS hops
+          UNION
+          SELECT u.dst, r.hops + 1
+          FROM r JOIN und u ON u.src = r.vid
+          WHERE r.hops < {BFS_MAX_HOPS}
+        )
+        SELECT vid, MIN(hops) AS hops FROM r GROUP BY vid ORDER BY vid""",
     "g1_two_hop": f"""
         SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
                n_name AS nation_name,

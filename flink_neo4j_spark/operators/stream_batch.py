@@ -39,10 +39,18 @@ def w3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sliding_available_now(spark, sf_dir)
 
 
+def w4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup over keyed state; must equal batch COUNT(DISTINCT)."""
+    from flink_neo4j_spark.streaming.windows import run_dedup_available_now
+
+    return run_dedup_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
     "w2_sessionize": w2_sessionize,
     "w3_stream_sliding": w3_stream_sliding,
+    "w4_stream_dedup": w4_stream_dedup,
 }
 
 ORACLE: dict[str, str] = {
@@ -96,4 +104,7 @@ ORACLE: dict[str, str] = {
         FROM w
         GROUP BY user_id, win_epoch
         ORDER BY user_id, win_start""",
+    "w4_stream_dedup": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY event_type ORDER BY event_type""",
 }

@@ -129,6 +129,37 @@ def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "win_start")
 
 
+def run_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over (user_id, event_type)
+    keyed state, then per-type unique-user counts (complete mode,
+    AvailableNow). Batch twin: COUNT(DISTINCT user_id) per type.
+
+    At scale the unbounded dedup state store is swapped for
+    ``dropDuplicatesWithinWatermark`` so state expires with the watermark;
+    the topology is otherwise identical. The aggregate on top makes the
+    result deterministic (which physical duplicate survives is not)."""
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("uniq_users"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    out = spark.table(sink)
+    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming else out
+    return out.orderBy("event_type")
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful streaming sessionizer via ``applyInPandasWithState``.
 
