@@ -12,6 +12,11 @@ the reference exercises (README + tests, SURVEY.md §2.B):
 - ``UNWIND $rows AS u MATCH (p) WHERE p.k = u.k SET p.a = u.a, ...`` (B7/B8)
 - multi-pattern ``CREATE (v:L {..literals..}), (v1)-[:T {..}]->(v2)``
   — the test-fixture construction shape (B9, FmtTest:14-19)
+- read-side extensions beyond the reference's surface: ``RETURN DISTINCT``,
+  aggregations (``count(*)``, ``count/sum/avg/min/max(n.prop)`` with
+  implicit grouping on the non-aggregated items, Cypher-style), and
+  ``ORDER BY <alias> [ASC|DESC], ... LIMIT n`` — translated to
+  groupBy/agg, distinct, and TakeOrderedAndProject respectively
 
 Reads translate to the PropertyGraph scan/expand surface (Catalyst plans
 them: label filters push down, endpoint joins broadcast). Writes translate
@@ -49,7 +54,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<arrow>-\[|\]->)
   | (?P<op><>|<=|>=|=|<|>)
-  | (?P<punct>[(){}:,.\$])
+  | (?P<punct>[(){}:,.\$*])
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -119,9 +124,20 @@ class Cond:
 
 
 @dataclass
+class AggCall:
+    fn: str  # COUNT / SUM / AVG / MIN / MAX
+    arg: PropRef | None  # None => count(*) or count(var)
+
+
+@dataclass
 class ReturnItem:
-    expr: PropRef
+    expr: PropRef | AggCall
     alias: str | None
+
+
+#: aggregate function names recognized contextually (NOT keywords, so a
+#: property may still be named `count`)
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 
 
 # -- parser ----------------------------------------------------------------
@@ -260,10 +276,49 @@ class _Parser:
                 continue
             return disj
 
-    def parse_return(self) -> list[ReturnItem]:
+    def _at_word_ci(self, upper_text: str) -> bool:
+        tok = self.peek()
+        return tok is not None and tok.kind == "word" and tok.text.upper() == upper_text
+
+    def parse_return_expr(self) -> PropRef | AggCall:
+        tok = self.peek()
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text.upper() in _AGG_FNS
+            and self.peek(1) is not None
+            and self.peek(1).kind == "punct"
+            and self.peek(1).text == "("
+        ):
+            fn = self.next().text.upper()
+            self.expect("punct", "(")
+            arg: PropRef | None
+            if self.at("punct", "*"):
+                self.next()
+                arg = None
+            elif (
+                self.at("word")
+                and self.peek(1) is not None
+                and self.peek(1).text == ")"
+            ):
+                self.next()  # count(n) — bare variable counts matched rows
+                arg = None
+            else:
+                arg = self.parse_prop_ref()
+            if arg is None and fn != "COUNT":
+                raise CypherSyntaxError(f"{fn} requires a property argument")
+            self.expect("punct", ")")
+            return AggCall(fn, arg)
+        return self.parse_prop_ref()
+
+    def parse_return(self) -> tuple[bool, list[ReturnItem]]:
+        distinct = False
+        if self._at_word_ci("DISTINCT"):
+            self.next()
+            distinct = True
         items: list[ReturnItem] = []
         while True:
-            expr = self.parse_prop_ref()
+            expr = self.parse_return_expr()
             alias = None
             if self.at("kw", "AS"):
                 self.next()
@@ -272,16 +327,60 @@ class _Parser:
             if self.at("punct", ","):
                 self.next()
                 continue
-            if self.peek() is not None:
-                raise CypherSyntaxError(f"unexpected token {self.peek().text!r}")
-            return items
+            return distinct, items
+
+    def parse_tail(self) -> tuple[list[tuple[str, bool]], int | None]:
+        """``ORDER BY <name> [ASC|DESC], ... LIMIT n`` — names refer to
+        RETURN aliases (or default output names)."""
+        order: list[tuple[str, bool]] = []
+        if self._at_word_ci("ORDER"):
+            self.next()
+            if not self._at_word_ci("BY"):
+                raise CypherSyntaxError("expected BY after ORDER")
+            self.next()
+            while True:
+                name = self.expect("word").text
+                asc = True
+                if self._at_word_ci("ASC"):
+                    self.next()
+                elif self._at_word_ci("DESC"):
+                    self.next()
+                    asc = False
+                order.append((name, asc))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        limit = None
+        if self._at_word_ci("LIMIT"):
+            self.next()
+            tok = self.expect("number")
+            if "." in tok.text:
+                raise CypherSyntaxError("LIMIT must be an integer")
+            limit = int(tok.text)
+        if self.peek() is not None:
+            raise CypherSyntaxError(f"unexpected token {self.peek().text!r}")
+        return order, limit
 
 
 # -- translation: reads ----------------------------------------------------
 
 
-def _default_name(ref: PropRef) -> str:
+def _default_name(ref: PropRef | AggCall) -> str:
+    if isinstance(ref, AggCall):
+        if ref.arg is None:
+            return "count"
+        return f"{ref.fn.lower()}_{ref.arg.var}_{ref.arg.prop or 'id'}"
     return f"id_{ref.var}" if ref.prop is None else f"{ref.var}_{ref.prop}"
+
+
+_AGG_FN_MAP = {"COUNT": F.count, "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}
+
+
+def _agg_column(call: AggCall, colmap) -> Column:
+    if call.arg is None:
+        return F.count(F.lit(1))
+    return _AGG_FN_MAP[call.fn](colmap(call.arg))
 
 
 def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
@@ -320,7 +419,8 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
         p.next()
         disj = p.parse_where()
     p.expect("kw", "RETURN")
-    items = p.parse_return()
+    distinct, items = p.parse_return()
+    order, limit = p.parse_tail()
 
     if isinstance(pat, NodePat):
         if pat.props:
@@ -349,9 +449,36 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
 
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap))
-    return df.select(
-        *[colmap(i.expr).alias(i.alias or _default_name(i.expr)) for i in items]
-    )
+
+    def out_name(item: ReturnItem) -> str:
+        return item.alias or _default_name(item.expr)
+
+    aggs = [i for i in items if isinstance(i.expr, AggCall)]
+    if aggs:
+        # Cypher's implicit grouping: non-aggregated return items are keys
+        keys = [i for i in items if not isinstance(i.expr, AggCall)]
+        grouped = df.groupBy(
+            *[colmap(i.expr).alias(out_name(i)) for i in keys]
+        ).agg(*[_agg_column(i.expr, colmap).alias(out_name(i)) for i in aggs])
+        # restore the RETURN clause's column order
+        df = grouped.select(*[out_name(i) for i in items])
+    else:
+        df = df.select(*[colmap(i.expr).alias(out_name(i)) for i in items])
+    if distinct:
+        df = df.distinct()
+    if order:
+        names = {out_name(i) for i in items}
+        for name, _ in order:
+            if name not in names:
+                raise CypherSyntaxError(
+                    f"ORDER BY {name!r} must reference a RETURN column"
+                )
+        df = df.orderBy(
+            *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in order]
+        )
+    if limit is not None:
+        df = df.limit(limit)
+    return df
 
 
 # -- translation: writes ---------------------------------------------------

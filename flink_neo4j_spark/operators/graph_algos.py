@@ -280,6 +280,21 @@ def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.orderBy("vid")
 
 
+# G7 — the front end's read-side extensions under the conformance gate:
+# implicit grouping + count aggregate + ORDER BY/LIMIT, parsed from Cypher
+# and planned by Catalyst (hash agg + TakeOrderedAndProject).
+def g7_cypher_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "RETURN n.name AS nation_name, count(*) AS n_customers "
+        "ORDER BY n_customers DESC, nation_name LIMIT 5",
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
@@ -287,6 +302,7 @@ QUERIES: dict[str, QueryFn] = {
     "g4_pagerank": g4_pagerank,
     "g5_cypher_frontend": g5_cypher_frontend,
     "g6_bfs_hops": g6_bfs_hops,
+    "g7_cypher_agg": g7_cypher_agg,
 }
 
 ORACLE: dict[str, str] = {
@@ -315,6 +331,11 @@ ORACLE: dict[str, str] = {
           WHERE r.hops < {BFS_MAX_HOPS}
         )
         SELECT vid, MIN(hops) AS hops FROM r GROUP BY vid ORDER BY vid""",
+    "g7_cypher_agg": """
+        SELECT n_name AS nation_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_customers DESC, nation_name LIMIT 5""",
     "g1_two_hop": f"""
         SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
                n_name AS nation_name,

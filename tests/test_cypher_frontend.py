@@ -127,8 +127,56 @@ def test_where_comparison_and_conjunction(fixture_graph):
 
 def test_unsupported_syntax_raises(fixture_graph):
     with pytest.raises(CypherSyntaxError):
-        cypher_read(fixture_graph, "MATCH (n:User) RETURN count(n)")
+        cypher_read(fixture_graph, "OPTIONAL MATCH (n:User) RETURN n.name")
     with pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (a)-[e*1..3]->(b) RETURN id(a)")
     with pytest.raises(CypherSyntaxError):
         cypher_write(fixture_graph, "UNWIND $x AS i CREATE (n:User {a: i.a})", params={})
+
+
+# -- read-side extensions: DISTINCT / aggregation / ORDER BY / LIMIT --------
+
+
+def test_return_distinct(fixture_graph):
+    df = cypher_read(fixture_graph, "MATCH (n:User) RETURN DISTINCT n.born")
+    assert sorted(r["n_born"] for r in df.collect()) == [1983, 1984]
+
+
+def test_implicit_grouping_count(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born AS born, count(*) AS n ORDER BY born",
+    )
+    assert [(r["born"], r["n"]) for r in df.collect()] == [(1983, 1), (1984, 2)]
+
+
+def test_global_aggregates(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN count(n) AS n, min(n.height) AS lo, "
+        "max(n.height) AS hi, avg(n.born) AS mean",
+    )
+    row = df.collect()[0]
+    assert (row["n"], row["lo"], row["hi"]) == (3, 1.62, 1.81)
+    assert abs(row["mean"] - (1984 + 1983 + 1984) / 3) < 1e-9
+
+
+def test_order_by_desc_limit(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, n.height AS h "
+        "ORDER BY h DESC LIMIT 2",
+    )
+    assert [r["name"] for r in df.collect()] == ["Bob", "Alice"]
+
+
+def test_order_by_requires_return_column(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN n.name ORDER BY bogus"
+        ).collect()
+
+
+def test_non_count_agg_requires_property(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN sum(*)")
