@@ -405,6 +405,88 @@ def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q19 shape: disjunction of conjunctive predicates spanning BOTH join
+# sides (part attributes AND lineitem attributes in each OR arm). The
+# optimizer test: the part-only and lineitem-only parts of the predicate
+# must still push to their scans (Catalyst factors common conjuncts out of
+# the OR), and the join stays a broadcast hash join on partkey.
+def q26_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 10)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity") >= 30)
+    )
+    return j.filter(arm1 | arm2).agg(
+        F.count("*").alias("cnt"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# TPC-H Q7 shape: bi-directional nation pairing (NATION_1->NATION_2 OR
+# NATION_2->NATION_1) across a customer-orders x supplier-lineitem join, grouped
+# by the ordered nation pair and ship year. The disjunctive pair predicate
+# evaluates after both nation dimensions broadcast.
+def q27_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# Sketch analytics — approx_count_distinct (HyperLogLog++) and
+# percentile_approx (GK quantile sketch): the 100 TB forms of q12/q18, where
+# exact distinct/percentile would shuffle or sort the full column. Sketch
+# internals differ across engines by design, so there is no DuckDB oracle
+# (driver records the rows-only check); tests/test_sketches.py bounds both
+# against their exact counterparts instead.
+def q28_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    l = load_table(spark, sf_dir, "lineitem")
+    approx_docs = d.agg(
+        F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct_docs")
+    )
+    approx_p = l.agg(
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx")
+    )
+    return approx_docs.crossJoin(approx_p)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -430,6 +512,9 @@ QUERIES: dict[str, QueryFn] = {
     "q23_conditional_agg": q23_conditional_agg,
     "q24_sample_split": q24_sample_split,
     "q25_pivot": q25_pivot,
+    "q26_disjunctive_join": q26_disjunctive_join,
+    "q27_nation_volume": q27_nation_volume,
+    "q28_sketch_stats": q28_sketch_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -581,4 +666,29 @@ ORACLE: dict[str, str] = {
                ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
                ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q26_disjunctive_join": """
+        SELECT COUNT(*) AS cnt,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 10)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 30)""",
+    "q27_nation_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""",
 }
