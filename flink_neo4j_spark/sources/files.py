@@ -1,0 +1,98 @@
+"""Schema-explicit file-format I/O beyond parquet: JSONL and CSV.
+
+The reference's read path decodes a JSON row stream into typed fields against
+a schema the USER declares up front (`Neo4jInputFormat.java:114-134`, declared
+as TupleTypeInfo at the call site — `Neo4jInputTest.java:38-44`); JSONL ingest
+is the file form of that exact dataflow. The discipline carried over:
+
+- **schema is required, never inferred** — `inferSchema`/sampling means an
+  extra full pass over the data (fatal at 100 TB) and one-row type inference
+  is the reference's known write-side bug shape (SURVEY.md §7 hard part 1);
+- **malformed rows never kill the scan** — the reference throws an
+  IOException mid-stream on an unsupported field (`Input:129-132`); here bad
+  lines are routed to a corrupt-record column (PERMISSIVE) or raise up front
+  (FAILFAST), chosen explicitly by the caller;
+- **writers produce directory datasets** (one file per partition) — the
+  scale-out form; never a single driver-merged file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: name of the corrupt-record column in PERMISSIVE mode
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read line-delimited JSON with a required schema.
+
+    PERMISSIVE (default): unparsable lines land in ``_corrupt_record`` with
+    all data columns null — filter/inspect downstream. FAILFAST: raise on the
+    first malformed line. DROPMALFORMED: silently skip (use sparingly; silent
+    data loss is usually the wrong default for training pipelines).
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if mode.upper() == "PERMISSIVE":
+        schema = _with_corrupt(schema)
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", mode.upper())
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Write line-delimited JSON, one file per partition."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    **options: str,
+) -> DataFrame:
+    """Read CSV with a required schema (no inferSchema pass, ever)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if mode.upper() == "PERMISSIVE":
+        schema = _with_corrupt(schema)
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode.upper())
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, **options: str
+) -> None:
+    """Write CSV, one file per partition."""
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.csv(path)
