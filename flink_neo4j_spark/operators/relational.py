@@ -487,6 +487,58 @@ def q28_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_docs.crossJoin(approx_p)
 
 
+# MERGE upsert — the reference's UNWIND..MATCH..SET updates existing rows
+# only (Neo4jOutputTest.java:83-87); MERGE is its upsert form (update when
+# matched, insert when not). Expressed as a full outer join on the key with
+# per-column coalesce(new, old) — the engine-level semantics Delta's MERGE
+# compiles to. The update batch is dimension-sized, so it broadcasts; the
+# base table never shuffles.
+def q29_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "ACCT_RESET", 0.0),       # update: existing key
+            (2, None, 999.99),            # partial update: name keeps old value
+            (900001, "Frank", 10.0),      # insert: new key
+            (900002, "Dave", 20.0),       # insert: new key
+        ],
+        "u_custkey long, u_name string, u_acctbal double",
+    )
+    merged = c.join(
+        F.broadcast(updates), c.c_custkey == updates.u_custkey, "full_outer"
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "u_custkey").alias("c_custkey"),
+        F.coalesce("u_name", "c_name").alias("c_name"),
+        F.coalesce("u_acctbal", "c_acctbal").alias("c_acctbal"),
+    ).orderBy("c_custkey")
+
+
+# Distinct-count aggregation with an exclusion list — TPC-H Q16 shape:
+# distinct suppliers per part attribute, excluding a predicated supplier set.
+# The exclusion is a LeftAnti join (NOT IN over a non-null key column; anti
+# join sidesteps SQL NOT IN's three-valued-logic null trap and is the only
+# formulation that scales — NOT IN compiles to a nested-loop against an
+# in-list otherwise).
+def q30_distinct_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("p_brand")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -515,6 +567,8 @@ QUERIES: dict[str, QueryFn] = {
     "q26_disjunctive_join": q26_disjunctive_join,
     "q27_nation_volume": q27_nation_volume,
     "q28_sketch_stats": q28_sketch_stats,
+    "q29_merge_upsert": q29_merge_upsert,
+    "q30_distinct_exclusion": q30_distinct_exclusion,
 }
 
 ORACLE: dict[str, str] = {
@@ -691,4 +745,22 @@ ORACLE: dict[str, str] = {
              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         ) GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year""",
+    "q29_merge_upsert": """
+        WITH u(u_custkey, u_name, u_acctbal) AS (VALUES
+          (1, 'ACCT_RESET', 0.0),
+          (2, NULL, 999.99),
+          (900001, 'Frank', 10.0),
+          (900002, 'Dave', 20.0))
+        SELECT COALESCE(c_custkey, u_custkey) AS c_custkey,
+               COALESCE(u_name, c_name) AS c_name,
+               COALESCE(u_acctbal, c_acctbal) AS c_acctbal
+        FROM customer FULL OUTER JOIN u ON c_custkey = u_custkey
+        ORDER BY c_custkey""",
+    "q30_distinct_exclusion": """
+        SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand ORDER BY p_brand""",
 }

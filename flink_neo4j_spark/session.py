@@ -10,6 +10,8 @@ semantics are deterministic across engines (the DuckDB oracle pins UTC too).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -33,6 +35,41 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Attribute set on a SparkContext once the package zip has been shipped.
+_SHIPPED_ATTR = "_flink_neo4j_spark_pyfile_shipped"
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``flink_neo4j_spark`` importable on every Python worker.
+
+    Module-level functions referenced by pandas UDFs are cloudpickled *by
+    reference*, so executors must be able to ``import flink_neo4j_spark``
+    themselves. That holds only by accident when the driver's cwd is the repo
+    root; on a real cluster (or a driver launched from elsewhere) it fails
+    with ModuleNotFoundError. ``sc.addPyFile`` is the deployment-grade answer:
+    the zip is distributed once per application to every executor and
+    prepended to worker ``sys.path``.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "flink_neo4j_spark_pkg.zip")
+    tmp_path = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "flink_neo4j_spark", os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, rel)
+    os.replace(tmp_path, zip_path)
+    sc.addPyFile(zip_path)
+    setattr(sc, _SHIPPED_ATTR, True)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an externally-created session (best effort)."""
     for key, value in RUNTIME_CONFS.items():
@@ -40,6 +77,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # immutable in this deployment; proceed with its value
+    ship_package(spark)
     return spark
 
 
