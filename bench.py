@@ -45,6 +45,14 @@ def main() -> None:
     spark.range(20000).selectExpr("md5(string(id)) AS h").groupBy("h").count().orderBy(
         "h"
     ).write.format("noop").mode("overwrite").save()
+    # full-width Arrow worker pool: the first 32-way mapInPandas otherwise
+    # pays ~7s of 32 Python processes importing pandas+pyarrow concurrently
+    def _warm_pool(batches):
+        yield from batches
+
+    spark.range(32 * 1000).repartition(32).mapInPandas(
+        _warm_pool, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}
