@@ -702,10 +702,13 @@ ORACLE: dict[str, str] = {
         WHERE l.l_quantity < p.qty_threshold""",
     "q23_conditional_agg": """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               -- CAST: DuckDB SUM over INTEGER yields HUGEINT, which pandas
+               -- materializes as float64 and diverges from Spark's bigint in
+               -- the value hash; BIGINT keeps both sides int64.
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
           AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'

@@ -181,22 +181,26 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # building block for IVF index training / k-means steps / class prototypes.
 # posexplode fans each row into (label, pos, x) triples, but the per-(label,
 # pos) average partial-aggregates map-side, so the shuffle carries only
-# n_labels x DIM rows per task regardless of input size; the array is
-# re-assembled from the sorted (pos, avg) structs. No driver collect, no UDF.
+# n_labels x DIM rows per task regardless of input size. The result is
+# emitted as scalar (label, pos, c) rows — one per centroid component —
+# rather than re-assembled arrays, so any downstream comparator (including
+# the driver's sort-based canonicalizer) can treat every column as a scalar.
+# No driver collect, no UDF.
 def s5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     exploded = e.select("label", F.posexplode("emb").alias("pos", "x"))
+    # +5e-10 before rounding moves exact x.xxxx5 ties off the half-rounding
+    # boundary (Spark decimal HALF_UP vs binary half-away engines); the
+    # trailing + 0.0 collapses IEEE -0.0 to +0.0 (Spark's BigDecimal round
+    # drops the zero sign, DuckDB's keeps it — string-sorting comparators
+    # see "-0.0" != "0.0"). Same expressions in the oracle.
     return (
-        exploded.groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"), F.count("*").alias("n"))
-        .groupBy("label")
+        exploded.groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(
-            F.first("n").alias("n_vectors"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, c))), s -> round(s.c, 4))"
-            ).alias("centroid"),
+            (F.round(F.avg("x") + F.lit(5e-10), 4) + F.lit(0.0)).alias("c"),
+            F.count("*").alias("n_vectors"),
         )
-        .orderBy("label")
+        .orderBy("label", "pos")
     )
 
 
@@ -273,15 +277,11 @@ ORACLE: dict[str, str] = {
         WHERE a.vec_id != {QUERY_VEC_ID}
         ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}""",
     "s5_label_centroids": f"""
-        WITH u AS (
-          SELECT label, g.pos AS pos, emb[g.pos] AS x, vec_id
-          FROM (SELECT label, vec_id, embedding::DOUBLE[] AS emb
-                FROM embeddings),
-               generate_series(1, {DIM}) AS g(pos)),
-        m AS (
-          SELECT label, pos, AVG(x) AS c, COUNT(*) AS n
-          FROM u GROUP BY label, pos)
-        SELECT label, MIN(n) AS n_vectors,
-               list(ROUND(c, 4) ORDER BY pos) AS centroid
-        FROM m GROUP BY label ORDER BY label""",
+        SELECT label, g.pos - 1 AS pos,
+               ROUND(AVG(emb[g.pos]) + 5e-10, 4) + 0.0 AS c,
+               COUNT(*) AS n_vectors
+        FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+             generate_series(1, {DIM}) AS g(pos)
+        GROUP BY label, g.pos
+        ORDER BY label, pos""",
 }
