@@ -61,9 +61,19 @@ def parallelize_for_compute(df: DataFrame) -> DataFrame:
     rows (bounded, one pass) and buys cores x speedup on the compute stage.
     At 100 TB the scan already produces thousands of partitions, so this is a
     conditional no-op there — the check keeps the operator scale-honest.
+
+    The check uses the scan's file count, not ``df.rdd.getNumPartitions()``:
+    the latter forces a DataFrame->RDD conversion (an extra analysis pass per
+    call), while ``inputFiles`` is a metadata lookup. Files under-count
+    partitions when a file holds many row groups, but that shape only occurs
+    on clusters where the conditional is a no-op anyway.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_parts = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. createDataFrame fixtures)
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

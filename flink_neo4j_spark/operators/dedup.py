@@ -46,6 +46,12 @@ COSINE_THRESHOLD = 0.4
 #: Buckets larger than this indicate a degenerate band key; they are dropped
 #: (logged in production) rather than allowed to go quadratic.
 NEAR_DUP_MAX_BUCKET = 1000
+#: Upper bound on rows per GEMM sub-block in d6 — caps the pandas frame an
+#: executor materializes for a hot label (4096 x 64 doubles ~= 2 MB).
+MAX_GEMM_BLOCK = 4096
+#: Hard cap on min-label-propagation rounds in d7; real dedup graphs are
+#: shallow (2-4 rounds) — a pathological chain stops here with a warning.
+MAX_CC_ROUNDS = 50
 
 # -- shared Spark-side expression builders ---------------------------------
 
@@ -216,6 +222,12 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", f"{CHAR_GRAMS_EXPR} AS gr")
         .withColumn("h0", F.expr(minhash_expr("gr", "g")))
     )
+    # degenerate-bucket guard (same as d3): a minhash bucket dominated by
+    # boilerplate text would go quadratic in the self-join below; drop it.
+    sizes = g.groupBy("h0").agg(F.count("*").alias("_bn"))
+    g = g.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "h0"
+    ).drop("_bn")
     a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gr").alias("a_gr"))
     b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gr").alias("b_gr"))
     pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
@@ -233,8 +245,8 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # D6 — embedding-cosine near-dup, blocked on `label` (the coarse partition a
-# real pipeline gets from a clustering/IVF step): one numpy GEMM per block
-# via applyInPandas.
+# real pipeline gets from a clustering/IVF step): numpy GEMM per block via
+# applyInPandas.
 #
 # Why not pure DataFrame expressions: a pair self-join with the dot product
 # as aggregate(zip_with(...)) runs the lambda interpreted per element (20x
@@ -242,35 +254,79 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression lands in ONE generated method too large for HotSpot's JIT
 # huge-method limit, so it runs as interpreted bytecode (still 5-7x slower).
 # Dense-vector pair scoring is the one place BLAS through Arrow is the right
-# physical plan: per block, cos = (M @ M.T) / outer(norms) — one vectorized
-# kernel, upper-triangle extracted, threshold applied before anything is
-# returned to the JVM. At 100 TB block size is bounded by the IVF/cluster
-# granularity upstream, so the per-group pandas frame stays executor-sized,
-# and blocks parallelize perfectly across the cluster (one shuffle on label).
+# physical plan: per block, cos = (A @ B.T) / outer(norms) — one vectorized
+# kernel, threshold applied before anything is returned to the JVM.
+#
+# Hot-label safety: a label is never materialized as one pandas frame.
+# Rows are ranked within their label and split into sub-blocks of at most
+# MAX_GEMM_BLOCK rows; the full within-label pair set is covered exactly by
+# the block-matrix decomposition — every sub-block pair (i, j), i <= j, is
+# one bounded GEMM task keyed (label, i, j). Each row is replicated to the
+# n_sub tasks that involve its sub-block (the unavoidable cost of exact
+# all-pairs within a hot label; the replication factor grows with the hot
+# label, not with the table). For uniform labels (n <= MAX_GEMM_BLOCK) this
+# degenerates to exactly one task per label, i.e. the simple per-label GEMM.
 def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
     )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    sub = e.withColumn(
+        "s", ((F.row_number().over(w) - 1) / F.lit(MAX_GEMM_BLOCK)).cast("int")
+    )
+    smax = sub.groupBy("label").agg(F.max("s").alias("smax"))
+    # tasks containing sub-block s, each exactly once:
+    #   (i, s) for i in 0..s   and   (s, j) for j in s+1..smax
+    tasks = (
+        sub.join(F.broadcast(smax), "label")
+        .withColumn(
+            "ij",
+            F.explode(
+                F.expr(
+                    "concat("
+                    "  transform(sequence(0, s), i -> struct(i AS i, s AS j)),"
+                    "  CASE WHEN s < smax"
+                    "       THEN transform(sequence(s + 1, smax),"
+                    "                      j -> struct(s AS i, j AS j))"
+                    "       ELSE array() END)"
+                )
+            ),
+        )
+        .select("label", "vec_id", "emb", "s", F.col("ij.i").alias("i"), F.col("ij.j").alias("j"))
+    )
 
     def gemm_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.vstack(pdf["emb"].to_numpy())
-        norms = np.sqrt((m * m).sum(axis=1))
-        cos = (m @ m.T) / np.outer(norms, norms)
-        ids = pdf["vec_id"].to_numpy()
-        iu = np.triu_indices(len(ids), k=1)
-        ai, bi = ids[iu[0]], ids[iu[1]]
+        i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
+        left = pdf[pdf["s"] == i]
+        m_a = np.vstack(left["emb"].to_numpy())
+        na = np.sqrt((m_a * m_a).sum(axis=1))
+        ids_a = left["vec_id"].to_numpy()
+        if i == j:
+            cos = (m_a @ m_a.T) / np.outer(na, na)
+            iu = np.triu_indices(len(ids_a), k=1)
+            ai, bi = ids_a[iu[0]], ids_a[iu[1]]
+            val = np.round(cos[iu], 4)
+        else:
+            right = pdf[pdf["s"] == j]
+            m_b = np.vstack(right["emb"].to_numpy())
+            nb = np.sqrt((m_b * m_b).sum(axis=1))
+            ids_b = right["vec_id"].to_numpy()
+            cos = (m_a @ m_b.T) / np.outer(na, nb)
+            ai = np.repeat(ids_a, len(ids_b))
+            bi = np.tile(ids_b, len(ids_a))
+            val = np.round(cos.ravel(), 4)
         swap = ai > bi  # normalize pair order to a_id < b_id
         a_id = np.where(swap, bi, ai)
         b_id = np.where(swap, ai, bi)
-        val = np.round(cos[iu], 4)
         keep = val >= COSINE_THRESHOLD
         return pd.DataFrame({"a_id": a_id[keep], "b_id": b_id[keep], "cos": val[keep]})
 
     return (
-        e.groupBy("label")
+        tasks.groupBy("label", "i", "j")
         .applyInPandas(gemm_block, schema="a_id long, b_id long, cos double")
         .orderBy("a_id", "b_id")
     )
@@ -295,7 +351,13 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = docs.select(F.col("doc_id").alias("vid"), F.col("doc_id").alias("comp"))
-    while True:
+    # Convergence is checked every 2nd round only: the check is a full
+    # comparison join + count() job, and dedup graphs converge in 2-4
+    # rounds, so halving the check cadence saves a job per round at the
+    # cost of at most one redundant propagation. MAX_CC_ROUNDS bounds a
+    # pathological chain (the fixpoint is monotone, so stopping early
+    # yields a coarser-but-valid partition rather than garbage).
+    for rnd in range(1, MAX_CC_ROUNDS + 1):
         msgs = und.join(
             comp.withColumnRenamed("vid", "a_id"), "a_id"
         ).select(F.col("b_id").alias("vid"), "comp")
@@ -305,15 +367,18 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "vid")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
+        if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "vid")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
     return comp.select(
         F.col("vid").alias("doc_id"),
         "comp",
@@ -331,11 +396,19 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unit-cost edit distance), so the operator is hash-checkable.
 def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    base = d.selectExpr(
-        "doc_id",
-        "substring(lower(text), 1, 200) AS t",
-        "substring(lower(text), 1, 16) AS blk",
+    base = _materialized(
+        d.selectExpr(
+            "doc_id",
+            "substring(lower(text), 1, 200) AS t",
+            "substring(lower(text), 1, 16) AS blk",
+        )
     )
+    # degenerate-bucket guard (same as d3/d5): a common 16-char prefix
+    # (boilerplate headers) would make the self-join quadratic; drop it.
+    sizes = base.groupBy("blk").agg(F.count("*").alias("_bn"))
+    base = base.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "blk"
+    ).drop("_bn")
     return (
         base.alias("a")
         .join(
@@ -379,12 +452,14 @@ _DUCK_SIMHASH_BITS = ", ".join(
 _DUCK_SIMHASH_SUM = " + ".join(f"b{b}" for b in range(16))
 
 ORACLE: dict[str, str] = {
-    "d8_edit_distance": """
-        WITH d AS (
+    "d8_edit_distance": f"""
+        WITH d0 AS (
           SELECT doc_id,
                  substring(lower(text), 1, 200) AS t,
                  substring(lower(text), 1, 16) AS blk
-          FROM documents)
+          FROM documents),
+        d AS (SELECT * FROM d0 WHERE blk IN (
+            SELECT blk FROM d0 GROUP BY blk HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET}))
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                levenshtein(a.t, b.t) AS dist
         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -429,9 +504,11 @@ ORACLE: dict[str, str] = {
                  list_distinct([substring(norm, i, 5)
                                 for i in generate_series(1, greatest(length(norm) - 4, 0))]) AS gr
           FROM normd
-        ), g AS (
+        ), g0 AS (
           SELECT doc_id, gr, list_min([md5('g|' || x) for x in gr]) AS h0
           FROM grams WHERE len(gr) > 0
+        ), g AS (SELECT * FROM g0 WHERE h0 IN (
+            SELECT h0 FROM g0 GROUP BY h0 HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET})
         )
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 /
