@@ -186,7 +186,65 @@ def write_cypher(
     df.foreachPartition(write_partition)
 
 
-class CypherSinkBuilder:
+class _ConnectionOptionsMixin:
+    """REST-endpoint options shared by both builders — the reference's
+    ``Neo4jFormatBase.Builder`` surface (`Neo4jFormatBase.java:112-196`):
+    restURI, username/password, connect/read timeouts (both default
+    1000 ms). Setting a REST URI makes ``finish()`` construct an
+    :class:`~flink_neo4j_spark.sources.transport.HttpTransport` factory;
+    an explicit ``set_transport_factory`` wins if both are configured.
+    """
+
+    _rest_uri: str | None = None
+    _username: str | None = None
+    _password: str | None = None
+    _connect_timeout_s: float = 1.0
+    _read_timeout_s: float = 1.0
+
+    def set_rest_uri(self, rest_uri: str):
+        self._rest_uri = rest_uri
+        return self
+
+    def set_username(self, username: str):
+        self._username = username
+        return self
+
+    def set_password(self, password: str):
+        self._password = password
+        return self
+
+    def set_connect_timeout(self, millis: int):
+        """Connect timeout in ms (`Neo4jFormatBase.java:125`, default 1000)."""
+        self._connect_timeout_s = millis / 1000.0
+        return self
+
+    def set_read_timeout(self, millis: int):
+        """Read timeout in ms (`Neo4jFormatBase.java:130`, default 1000)."""
+        self._read_timeout_s = millis / 1000.0
+        return self
+
+    def _resolve_transport_factory(
+        self, explicit: Callable[[], Transport] | None
+    ) -> Callable[[], Transport] | None:
+        if explicit is not None or self._rest_uri is None:
+            return explicit
+        import functools
+
+        from flink_neo4j_spark.sources.transport import HttpTransport
+
+        # functools.partial of a module-level class pickles cleanly to
+        # executors; a lambda would not.
+        return functools.partial(
+            HttpTransport,
+            self._rest_uri,
+            username=self._username,
+            password=self._password,
+            connect_timeout_s=self._connect_timeout_s,
+            read_timeout_s=self._read_timeout_s,
+        )
+
+
+class CypherSinkBuilder(_ConnectionOptionsMixin):
     """Fluent builder with validation — parity with the reference's builder
     (`Neo4jFormatBase.java:112-215`, `Neo4jOutputFormat.java:243-315`)."""
 
@@ -215,13 +273,15 @@ class CypherSinkBuilder:
         return self
 
     def finish(self) -> Callable[[DataFrame], None]:
-        # validate() parity: Base:201-208 requires uri+query; here transport
-        # stands in for uri, and one of query/label for the statement.
-        if self._transport_factory is None:
-            raise ValueError("transport factory not set")
+        # validate() parity: Base:201-208 requires uri+query; here a
+        # transport factory OR a REST URI stands in for the uri, and one of
+        # query/label for the statement.
+        factory = self._resolve_transport_factory(self._transport_factory)
+        if factory is None:
+            raise ValueError("transport factory or REST URI not set")
         if (self._query is None) == (self._label is None):
             raise ValueError("exactly one of cypher query or label required")
-        factory, query, label = self._transport_factory, self._query, self._label
+        query, label = self._query, self._label
         merge_key, batch_size = self._merge_key, self._batch_size
 
         def sink(df: DataFrame) -> None:
@@ -413,7 +473,7 @@ def read_pattern(
     return df.select(*cols)
 
 
-class CypherSourceBuilder:
+class CypherSourceBuilder(_ConnectionOptionsMixin):
     """Fluent builder for the read side (`Neo4jInputFormat.java:179-190`)."""
 
     def __init__(self) -> None:
@@ -441,13 +501,14 @@ class CypherSourceBuilder:
         return self
 
     def finish(self) -> Callable[[SparkSession], DataFrame]:
-        if self._transport_factory is None:
-            raise ValueError("transport factory not set")
+        factory = self._resolve_transport_factory(self._transport_factory)
+        if factory is None:
+            raise ValueError("transport factory or REST URI not set")
         if not self._query:
             raise ValueError("cypher query not set")  # Base:201-208 parity
         if self._schema is None:
             raise ValueError("schema required (explicit StructType or DDL string)")
-        factory, query, schema = self._transport_factory, self._query, self._schema
+        query, schema = self._query, self._schema
         n, tmpl = self._num_partitions, self._partition_template
 
         def source(spark: SparkSession) -> DataFrame:

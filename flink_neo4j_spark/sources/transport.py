@@ -5,6 +5,10 @@ The reference talks to Neo4j over Jersey HTTP with a JSON payload template
 tiny protocol so the engine's batching/decoding logic is testable without a
 live server:
 
+- :class:`HttpTransport` — the reference's own wire protocol: REST
+  ``transaction/commit`` with the JSON statements payload, Basic auth and
+  connect/read timeouts (`Neo4jFormatBase.java:38,43-44,96-105,125,130`).
+  Pure stdlib (``http.client``), so it runs on any executor.
 - :class:`BoltTransport` — real Neo4j via the ``neo4j`` Bolt driver
   (import-gated: the driver isn't installed in this container). Uses
   parameterized statements, never string splicing — the injection-safe
@@ -22,8 +26,11 @@ reference serializes its format object to tasks (`Neo4jFormatBase.java:31`).
 
 from __future__ import annotations
 
+import base64
+import http.client
 import json
 import os
+import urllib.parse
 import uuid
 from typing import Any, Protocol
 
@@ -77,6 +84,119 @@ class BoltTransport:
 
     def close(self) -> None:  # pragma: no cover - needs server
         self._driver.close()
+
+
+class HttpTransport:
+    """Neo4j transactional HTTP endpoint transport — the reference's actual
+    wire protocol (`Neo4jFormatBase.java:38,43-44,96-105`).
+
+    POSTs ``{"statements": [{"statement": ..., "parameters": {...}}]}`` to
+    ``rest_uri + "transaction/commit"`` with the reference's headers
+    (Accept/Content-Type JSON, ``X-Stream: true``, HTTP Basic auth when
+    credentials are set — `Neo4jInputFormat.java:59-68`,
+    `Neo4jFormatBase.java:101-103`). Parameters are a JSON object, so values
+    never splice into the statement text (vs the reference's quote-escaping
+    at `Neo4jFormatBase.java:60`).
+
+    Timeouts mirror ``setConnectTimeout``/``setReadTimeout``
+    (`Neo4jFormatBase.java:125,130`; both default 1000 ms): the connect
+    timeout bounds the TCP handshake, the read timeout re-arms the socket
+    for the response.
+
+    One deliberate deviation: the transactional endpoint answers 200 even
+    when the Cypher failed, with the failure under ``"errors"`` — the
+    reference never checks that field and silently drops such failures;
+    here a non-empty ``errors`` array raises ``IOError``.
+    """
+
+    def __init__(
+        self,
+        rest_uri: str,
+        username: str | None = None,
+        password: str | None = None,
+        connect_timeout_s: float = 1.0,  # reference default 1000 ms, Base:125
+        read_timeout_s: float = 1.0,  # reference default 1000 ms, Base:130
+    ):
+        self.rest_uri = rest_uri if rest_uri.endswith("/") else rest_uri + "/"
+        self.username = username
+        self.password = password
+        self.connect_timeout_s = connect_timeout_s
+        self.read_timeout_s = read_timeout_s
+
+    # -- connection management -------------------------------------------
+    # One connection per request, matching the reference's client-per-call
+    # (`Neo4jInputFormat.java:59`, `Neo4jOutputFormat.java:209-210` both do
+    # ``createClient()`` at the call site) — no stale keep-alive state
+    # across micro-batches.
+    def _connect(self) -> http.client.HTTPConnection:
+        u = urllib.parse.urlsplit(self.rest_uri)
+        cls = (
+            http.client.HTTPSConnection
+            if u.scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = cls(u.hostname, u.port, timeout=self.connect_timeout_s)
+        conn.connect()
+        # connect() bound the handshake; from here the socket waits on
+        # response bytes, which the read timeout governs.
+        if conn.sock is not None:
+            conn.sock.settimeout(self.read_timeout_s)
+        return conn
+
+    def _headers(self) -> dict[str, str]:
+        headers = {
+            "Accept": "application/json",
+            "Content-Type": "application/json;charset=UTF-8",
+            "X-Stream": "true",
+        }
+        if self.username is not None and self.password is not None:
+            token = base64.b64encode(
+                f"{self.username}:{self.password}".encode()
+            ).decode("ascii")
+            headers["Authorization"] = f"Basic {token}"
+        return headers
+
+    def run(self, statement, rows=None, params=None):
+        if rows is not None:
+            # UNWIND batch: the parameter name comes from the statement's
+            # contract (`Neo4jOutputFormat.java:129-136`). Lazy import — the
+            # cypher module imports this one.
+            from flink_neo4j_spark.sources.cypher import extract_parameter_name
+
+            parameters: dict[str, Any] = {extract_parameter_name(statement): rows}
+        else:
+            parameters = dict(params or {})
+        body = json.dumps(
+            {"statements": [{"statement": statement, "parameters": parameters}]}
+        )
+        u = urllib.parse.urlsplit(
+            urllib.parse.urljoin(self.rest_uri, TRANSACTION_URI)
+        )
+        conn = self._connect()
+        try:
+            conn.request("POST", u.path, body=body, headers=self._headers())
+            resp = conn.getresponse()
+            payload = resp.read()
+        finally:
+            conn.close()
+        if resp.status != 200:
+            raise IOError(f"Server returned status [{resp.status}]")
+        doc = json.loads(payload) if payload else {}
+        if doc.get("errors"):
+            raise IOError(f"Cypher transaction failed: {doc['errors']}")
+        out: list[dict[str, Any]] = []
+        for result in doc.get("results", []):
+            cols = result.get("columns", [])
+            for datum in result.get("data", []):
+                out.append(dict(zip(cols, datum.get("row", []))))
+        return out
+
+    def close(self) -> None:
+        pass  # connections are per-request (see _connect)
+
+
+#: Gets attached to the rest URI for transactional queries (`Base:38`).
+TRANSACTION_URI = "transaction/commit"
 
 
 class FileTransport:
