@@ -17,7 +17,8 @@ SESSION_GAP_MINUTES = 30
 
 def w1_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window rollup executed through Structured Streaming
-    (memory sink, complete mode); must equal the batch GROUP BY."""
+    (foreachBatch parquet sink, complete mode); must equal the batch
+    GROUP BY."""
     from flink_neo4j_spark.streaming.windows import run_daily_available_now
 
     return run_daily_available_now(spark, sf_dir)

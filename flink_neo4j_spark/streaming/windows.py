@@ -11,6 +11,7 @@ static directory — the code below only changes its ``readStream`` line.
 from __future__ import annotations
 
 import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,17 +61,29 @@ def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
-def run_daily_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the daily rollup as a real streaming query (AvailableNow trigger,
-    memory sink, complete mode) and return the final result as a batch
-    DataFrame. This is the engine's batch/stream parity bridge — the result
-    must hash-match the batch oracle (conformance query w1)."""
-    sink = f"stream_daily_{uuid.uuid4().hex[:8]}"
+def _run_complete_to_parquet(
+    stream_df: DataFrame, spark: SparkSession, name: str
+) -> DataFrame:
+    """Execute a complete-mode streaming aggregation to a parquet directory
+    and read the final result back as a batch DataFrame.
+
+    This is the deployable parity bridge: a plain file sink rejects
+    complete mode, so each micro-batch's full result is written by
+    ``foreachBatch`` — executor-side parquet writes, overwrite-per-batch so
+    the last (final) batch wins. No row ever passes through the driver,
+    unlike a memory sink + collect(), which dies at scale. A checkpoint
+    directory is configured the way a production topology would."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", f"{name}_{uuid.uuid4().hex[:8]}"
+    )
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
     q = (
-        tumbling_daily(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
+        stream_df.writeStream.foreachBatch(write_batch)
         .outputMode("complete")
+        .option("checkpointLocation", out_dir + "_ckpt")
         .trigger(availableNow=True)
         .start()
     )
@@ -78,9 +91,17 @@ def run_daily_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         q.stop()
-    # materialize before the memory table goes away with the query
-    out = spark.table(sink)
-    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming else out
+    return spark.read.parquet(out_dir)
+
+
+def run_daily_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the daily rollup as a real streaming query (AvailableNow trigger,
+    foreachBatch parquet sink, complete mode) and return the final result as
+    a batch DataFrame. This is the engine's batch/stream parity bridge — the
+    result must hash-match the batch oracle (conformance query w1)."""
+    out = _run_complete_to_parquet(
+        tumbling_daily(read_events_stream(spark, sf_dir)), spark, "daily"
+    )
     return out.orderBy("user_id", "day")
 
 
@@ -104,22 +125,10 @@ def sliding_12h(events: DataFrame, watermark: str = "1 day") -> DataFrame:
 
 def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rollup as a real streaming query (complete mode,
-    AvailableNow) — the w3 conformance query."""
-    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        sliding_12h(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    AvailableNow, foreachBatch parquet sink) — the w3 conformance query."""
+    out = _run_complete_to_parquet(
+        sliding_12h(read_events_stream(spark, sf_dir)), spark, "sliding"
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    out = spark.table(sink)
-    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming else out
     # compare at second granularity (DuckDB timestamps are tz-naive UTC)
     return out.select(
         "user_id",
@@ -135,29 +144,33 @@ def run_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow). Batch twin: COUNT(DISTINCT user_id) per type.
 
     At scale the unbounded dedup state store is swapped for
-    ``dropDuplicatesWithinWatermark`` so state expires with the watermark;
+    :func:`dedup_within_watermark` so state expires with the watermark;
     the topology is otherwise identical. The aggregate on top makes the
     result deterministic (which physical duplicate survives is not)."""
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
+    agg = (
         read_events_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count("*").alias("uniq_users"))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    out = spark.table(sink)
-    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming else out
-    return out.orderBy("event_type")
+    return _run_complete_to_parquet(agg, spark, "dedup").orderBy("event_type")
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "1 day"
+) -> DataFrame:
+    """At-scale streaming dedup: ``dropDuplicatesWithinWatermark`` expires
+    per-key state once the watermark passes, so state size tracks the
+    watermark horizon instead of all keys ever seen.
+
+    Semantics differ from exact ``dropDuplicates``: a duplicate arriving
+    with event time older than the watermark horizon is NOT suppressed —
+    acceptable for pipelines whose duplicates are bursty (retries,
+    replays), which is why this is the production form and the exact form
+    stays the conformance query (w4's oracle is a global COUNT DISTINCT).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

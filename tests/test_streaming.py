@@ -55,6 +55,37 @@ def test_append_mode_watermark_emits_closed_windows_only(spark):
     assert len(appended) < len(batch)  # open tail windows withheld
 
 
+def test_dedup_within_watermark_plumbing(spark):
+    """At-scale dedup form: state-expiring dropDuplicatesWithinWatermark.
+    On a finite replay every distinct key is emitted at least once, and the
+    emitted count is bounded by [distinct, total] (late out-of-horizon
+    duplicates may legitimately re-emit)."""
+    from flink_neo4j_spark.streaming.windows import dedup_within_watermark
+
+    sink = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_within_watermark(
+            read_events_stream(spark, SF_DIR), ["user_id", "event_type"]
+        )
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    emitted = [(r.user_id, r.event_type) for r in spark.table(sink).collect()]
+    events = load_table(spark, SF_DIR, "events")
+    distinct = {
+        (r.user_id, r.event_type)
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert set(emitted) == distinct
+    assert len(distinct) <= len(emitted) <= events.count()
+
+
 def test_sessionize_batch_properties(spark):
     events = load_table(spark, SF_DIR, "events")
     sessions = sessionize_batch(events, 30)
