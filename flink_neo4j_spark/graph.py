@@ -175,22 +175,31 @@ class PropertyGraph:
         WHERE p.name = u.name SET p.weight = ..., p.height = ...`` (B7/B8,
         `Neo4jOutputTest.java:83-87`).
 
-        Join-update: LEFT JOIN on the key, ``coalesce(new, old)`` per updated
-        column — the Delta-MERGE shape, expressed with a broadcast of the
-        (small) update batch so the base table never shuffles.
+        Join-update: LEFT JOIN on the key with an explicit matched marker,
+        then new values apply UNCONDITIONALLY on matched rows — the
+        Delta-MERGE shape, expressed with a broadcast of the (small) update
+        batch so the base table never shuffles. The marker (not
+        ``coalesce(new, old)``) is what preserves Neo4j's null semantics:
+        ``SET n.p = null`` REMOVES the property, so a matched row carrying
+        a null update must read back null, while unmatched rows keep their
+        old values.
         """
         upd_cols = [c for c in updates.columns if c != key]
         renamed = updates.select(
             F.col(key).alias(f"_u_{key}"),
+            F.lit(True).alias("_u__matched"),
             *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
         )
         joined = self.vertices.join(
             F.broadcast(renamed), self.vertices[key] == F.col(f"_u_{key}"), "left"
         )
+        matched = F.coalesce(F.col("_u__matched"), F.lit(False))
         out_cols: list[Column] = []
         for c in self.vertices.columns:
             if c in upd_cols:
-                out_cols.append(F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c))
+                out_cols.append(
+                    F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+                )
             else:
                 out_cols.append(F.col(c))
         # columns created only by the update (e.g. `weight`,
@@ -207,10 +216,16 @@ class PropertyGraph:
         stream per label/rel_type (Cypher cannot parameterize labels, so the
         per-label split mirrors how the reference's user authors one template
         per write — `README.md:40-49`). Distinct labels are few; collecting
-        them is a metadata-sized driver op, never row data."""
-        from flink_neo4j_spark.sources.cypher import write_cypher
+        them is a metadata-sized driver op, never row data. Labels and
+        rel_types are DATA here, yet must splice into Cypher text (labels
+        are not parameterizable) — so each one passes the same identifier
+        allowlist as generated templates before interpolation."""
+        from flink_neo4j_spark.sources.cypher import validate_identifier, write_cypher
 
-        labels = [r[0] for r in self.vertices.select("label").distinct().collect()]
+        labels = [
+            validate_identifier(r[0])
+            for r in self.vertices.select("label").distinct().collect()
+        ]
         vprops = [c for c in self.vertices.columns if c != "label"]
         for label in labels:
             write_cypher(
@@ -219,7 +234,10 @@ class PropertyGraph:
                 label=label,
                 batch_size=batch_size,
             )
-        rel_types = [r[0] for r in self.edges.select("rel_type").distinct().collect()]
+        rel_types = [
+            validate_identifier(r[0])
+            for r in self.edges.select("rel_type").distinct().collect()
+        ]
         eprops = [c for c in self.edges.columns if c != "rel_type"]
         for rel in rel_types:
             write_cypher(

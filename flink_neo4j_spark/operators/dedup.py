@@ -66,7 +66,12 @@ TOKENS_EXPR = tokens_expr("text")
 SHINGLES_FROM_TOK_EXPR = shingles_from_tokens_expr("tok", k=3)
 
 # DuckDB twins (1-based inclusive slices; generate_series(1,0) is empty).
-DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' ')"
+# string_split_regex(' +') matches Spark's split-on-whitespace-RUNS: text
+# whose normalization yields consecutive spaces ("a, b" -> "a  b") must not
+# produce empty-string tokens in one engine only.
+DUCK_TOKENS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+)
 DUCK_SHINGLES = (
     f"list_distinct([array_to_string(tok[i:i+2], ' ') "
     f"for i in generate_series(1, greatest(len(tok) - 2, 0))])"

@@ -47,17 +47,20 @@ def asof_join(
     a broadcast-nested-loop at best; at 100 TB the union-scan keeps the
     operator linear and never materializes candidate pairs.
 
-    Ties between a left and right row at the exact same timestamp order the
-    right row first (strictly-earlier semantics stays unambiguous as long as
-    (key, ts) is unique per side, which the conformance fixture guarantees).
+    Cross-side timestamp ties are excluded STRUCTURALLY: left rows sort
+    before right rows at the same timestamp (``__side``: left=0, right=1),
+    so a left row's preceding frame can never contain a same-timestamp
+    right row — strictly-earlier holds for any input, not just fixtures
+    with unique (key, ts). (Duplicate right rows at the same timestamp
+    remain order-ambiguous among themselves, as in any as-of engine.)
     """
     lcols = left.columns
-    l = left.withColumn("__side", F.lit(1))
+    l = left.withColumn("__side", F.lit(0))
     r = right.select(
         on,
         F.col(right_ts).alias(left_ts),
         *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
-    ).withColumn("__side", F.lit(0))
+    ).withColumn("__side", F.lit(1))
     unioned = l.unionByName(r.select(*r.columns), allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
@@ -71,7 +74,7 @@ def asof_join(
             for c in value_cols
         ],
     )
-    return out.filter(F.col("__side") == 1).select(
+    return out.filter(F.col("__side") == 0).select(
         *lcols, *[f"asof_{c}" for c in value_cols]
     )
 

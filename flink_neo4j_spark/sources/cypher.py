@@ -57,19 +57,38 @@ def extract_parameter_name(query: str) -> str:
 
 # -- template generation (replaces manual Cypher authoring) ----------------
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def validate_identifier(name: str) -> str:
+    """Gate any label / relationship-type / column name before it is
+    interpolated into generated Cypher text. VALUES always travel as
+    parameters; identifiers are the one thing Cypher cannot parameterize,
+    so they get a strict lexical allowlist instead — closing the splice
+    surface the reference leaves open via quote-escaping
+    (`Neo4jFormatBase.java:60`)."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid Cypher identifier: {name!r}")
+    return name
+
 
 def unwind_create_template(label: str, columns: list[str]) -> str:
     """``UNWIND $rows AS r CREATE (n:Label {k: r.k, ...})`` — the generated
-    form of `README.md:45`."""
-    props = ", ".join(f"{c}: r.{c}" for c in columns)
+    form of `README.md:45`. Label and column names are validated; row
+    values travel as the ``$rows`` parameter."""
+    validate_identifier(label)
+    props = ", ".join(f"{c}: r.{c}" for c in map(validate_identifier, columns))
     return f"UNWIND $rows AS r CREATE (n:{label} {{{props}}})"
 
 
 def unwind_merge_template(label: str, key: str, set_columns: list[str]) -> str:
     """``UNWIND $rows AS r MERGE (n:Label {key: r.key}) SET n.c = r.c ...`` —
     the idempotent form of the reference's MATCH+SET update
-    (`Neo4jOutputTest.java:83-87`), safe under Spark task retries."""
-    sets = ", ".join(f"n.{c} = r.{c}" for c in set_columns)
+    (`Neo4jOutputTest.java:83-87`), safe under Spark task retries. All
+    identifiers validated, values parameterized."""
+    validate_identifier(label)
+    validate_identifier(key)
+    sets = ", ".join(f"n.{c} = r.{c}" for c in map(validate_identifier, set_columns))
     return f"UNWIND $rows AS r MERGE (n:{label} {{{key}: r.{key}}}) SET {sets}"
 
 
@@ -372,8 +391,6 @@ def read_cypher(
 
 #: comparison operators renderable into a Cypher WHERE clause
 _PUSHABLE_OPS = ("=", "<>", "<", "<=", ">", ">=", "IN")
-
-_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def render_pattern_scan(

@@ -59,6 +59,28 @@ def test_d5_guard_off_keeps_pairs(spark, synth_dir):
     assert len(clone_pairs) == 10  # C(5,2)
 
 
+def test_duckdb_tokenizer_matches_spark_on_whitespace_runs(spark):
+    """Oracle-parity guard: normalization collapsing 'a, b' to 'a  b' must
+    tokenize identically in both engines (no empty-string tokens)."""
+    import duckdb
+
+    from flink_neo4j_spark.functions import tokens_expr
+
+    texts = ["a, b", "x  --  y!", " lead trail ", "comma,separated,words"]
+    spark_toks = [
+        r.t
+        for r in spark.createDataFrame([(t,) for t in texts], "text string")
+        .selectExpr(f"{tokens_expr('text')} AS t")
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck_toks = [
+        con.execute(f"SELECT {dedup.DUCK_TOKENS} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_toks == duck_toks
+
+
 def test_d6_subblock_decomposition_is_exact(spark, synth_dir, monkeypatch):
     """Forcing 20 vectors through 8-row sub-blocks (3 sub-blocks, 6 GEMM
     tasks) must yield exactly the single-block pair set."""

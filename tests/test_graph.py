@@ -70,6 +70,21 @@ def test_update_nodes_new_column_and_untouched_rows(spark, graph):
     assert abs(bob["height"] - 1.81) < 1e-9
 
 
+def test_update_nodes_null_clears_property(spark, graph):
+    """Neo4j parity: ``SET n.p = null`` REMOVES the property — a matched
+    row carrying a null update must read back null (not keep the old
+    value), while unmatched rows are untouched."""
+    upd = spark.createDataFrame(
+        [("Alice", None, 2.0)], "name string, born int, height double"
+    )
+    g2 = graph.update_nodes(upd, "name")
+    alice = g2.vertices.filter("name = 'Alice'").first()
+    assert alice["born"] is None  # null update applied, not coalesced away
+    assert abs(alice["height"] - 2.0) < 1e-9
+    bob = g2.vertices.filter("name = 'Bob'").first()
+    assert bob["born"] is not None  # unmatched row keeps its value
+
+
 def test_degrees(graph):
     out = {r["vid"]: r["degree"] for r in graph.degrees("out").collect()}
     assert out == {0: 1, 1: 1}
