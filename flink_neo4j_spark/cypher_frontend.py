@@ -14,19 +14,24 @@ the reference exercises (README + tests, SURVEY.md §2.B):
   — the test-fixture construction shape (B9, FmtTest:14-19)
 - read-side extensions beyond the reference's surface: ``RETURN DISTINCT``,
   aggregations (``count(*)``, ``count/sum/avg/min/max(n.prop)`` with
-  implicit grouping on the non-aggregated items, Cypher-style), and
+  implicit grouping on the non-aggregated items, Cypher-style),
   ``ORDER BY <alias> [ASC|DESC], ... LIMIT n`` — translated to
-  groupBy/agg, distinct, and TakeOrderedAndProject respectively
+  groupBy/agg, distinct, and TakeOrderedAndProject respectively;
+  ``OPTIONAL MATCH`` (one edge hop off a bound variable -> left equi-join,
+  optional-side WHERE applied pre-join), relationship-property ``WHERE``
+  (``e.p > x``), and bounded variable-length paths ``-[:T*lo..hi]->``
+  (union of fixed-length edge-join chains with relationship-isomorphism
+  filters; explicit bounds required, capped at ``MAX_VAR_HOPS``)
 
 Reads translate to the PropertyGraph scan/expand surface (Catalyst plans
 them: label filters push down, endpoint joins broadcast). Writes translate
 to ``create_nodes`` / ``update_nodes`` / ``from_rows`` semantics and return
 a NEW PropertyGraph (graphs are immutable values here).
 
-This is intentionally a SUBSET: no variable-length paths, aggregations,
-OPTIONAL MATCH, or multi-hop chains — those are served by the native
-DataFrame surface. Unsupported syntax raises ``CypherSyntaxError`` with the
-offending token, never a silent wrong answer.
+This is intentionally a SUBSET: unbounded path expansion, multi-clause
+MATCH chains, and path values are served by the native DataFrame surface.
+Unsupported syntax raises ``CypherSyntaxError`` with the offending token,
+never a silent wrong answer.
 """
 
 from __future__ import annotations
@@ -108,6 +113,8 @@ class EdgePat:
     src: NodePat
     dst: NodePat
     props: dict[str, Any] = field(default_factory=dict)
+    #: variable-length spec (lo, hi) from ``-[:T*lo..hi]->``; None = single hop
+    hops: tuple[int, int] | None = None
 
 
 @dataclass
@@ -138,6 +145,12 @@ class ReturnItem:
 #: aggregate function names recognized contextually (NOT keywords, so a
 #: property may still be named `count`)
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+
+#: hard ceiling on variable-length path expansion: each extra hop is one
+#: more edge join in the unioned plan, and path counts can grow
+#: combinatorially — the bound keeps the operator cluster-safe by
+#: construction (raise consciously, not by data surprise).
+MAX_VAR_HOPS = 6
 
 
 # -- parser ----------------------------------------------------------------
@@ -215,6 +228,31 @@ class _Parser:
         self.expect("punct", ")")
         return NodePat(var, label, props)
 
+    def parse_hops(self) -> tuple[int, int] | None:
+        """``*lo..hi`` or ``*n`` after the relationship type. Unbounded
+        (bare ``*`` / ``*lo..``) is rejected: an unbounded expansion has no
+        safe distributed plan, so the bound is part of the contract."""
+        if not self.at("punct", "*"):
+            return None
+        self.next()
+        if not self.at("number"):
+            raise CypherSyntaxError(
+                "variable-length pattern requires explicit bounds: *n or *lo..hi"
+            )
+        lo = int(self.expect("number").text)
+        if not self.at("punct", "."):
+            return (lo, lo)
+        self.expect("punct", ".")
+        self.expect("punct", ".")
+        hi = int(self.expect("number").text)
+        if lo < 1 or hi < lo:
+            raise CypherSyntaxError(f"invalid variable-length bounds *{lo}..{hi}")
+        if hi > MAX_VAR_HOPS:
+            raise CypherSyntaxError(
+                f"variable-length upper bound {hi} exceeds MAX_VAR_HOPS={MAX_VAR_HOPS}"
+            )
+        return (lo, hi)
+
     def parse_pattern(self, unwind_var: str | None = None) -> NodePat | EdgePat:
         src = self.parse_node(unwind_var)
         if not self.at("arrow", "-["):
@@ -226,10 +264,15 @@ class _Parser:
         if self.at("punct", ":"):
             self.next()
             rtype = self.expect("word").text
+        hops = self.parse_hops()
         props = self.parse_props(unwind_var)
         self.expect("arrow", "]->")
         dst = self.parse_node(unwind_var)
-        return EdgePat(evar, rtype, src, dst, props)
+        if hops is not None and evar is not None:
+            raise CypherSyntaxError(
+                "variable-length patterns cannot bind a relationship variable"
+            )
+        return EdgePat(evar, rtype, src, dst, props, hops)
 
     # expressions -----------------------------------------------------------
 
@@ -404,12 +447,146 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
     return out
 
 
+def _varlength_paths(graph: PropertyGraph, pat: EdgePat) -> DataFrame:
+    """``(a)-[:T*lo..hi]->(b)`` as a union of fixed-length edge-join chains.
+
+    One chain per path length L: ``e1.src = a.id``, ``e_{k+1}.src =
+    e_k.dst``, ``b.id = e_L.dst`` — all equi-joins Catalyst can broadcast /
+    AQE-plan. Cypher's relationship-isomorphism (no edge repeats within a
+    path) is enforced with pairwise edge-id inequality filters, exact for
+    the bounded hop counts this front end admits (MAX_VAR_HOPS). Row
+    multiplicity = number of distinct paths, matching Cypher.
+    """
+    lo, hi = pat.hops
+    e = graph.edges
+    if pat.rel_type is not None:
+        e = e.filter(F.col("rel_type") == pat.rel_type)
+    e = e.select("id", "src", "dst")
+    a = graph.nodes(pat.src.label).select(
+        *[F.col(c).alias(f"a_{c}") for c in graph.vertices.columns]
+    )
+    b = graph.nodes(pat.dst.label).select(
+        *[F.col(c).alias(f"b_{c}") for c in graph.vertices.columns]
+    )
+    out: DataFrame | None = None
+    for length in range(lo, hi + 1):
+        hops = [
+            e.select(
+                F.col("id").alias(f"__h{k}_id"),
+                F.col("src").alias(f"__h{k}_src"),
+                F.col("dst").alias(f"__h{k}_dst"),
+            )
+            for k in range(length)
+        ]
+        chain = a.join(hops[0], F.col("a_id") == F.col("__h0_src"))
+        for k in range(1, length):
+            chain = chain.join(
+                hops[k], F.col(f"__h{k - 1}_dst") == F.col(f"__h{k}_src")
+            )
+        for i in range(length):  # relationship-isomorphism
+            for j in range(i + 1, length):
+                chain = chain.filter(F.col(f"__h{i}_id") != F.col(f"__h{j}_id"))
+        chain = chain.join(b, F.col(f"__h{length - 1}_dst") == F.col("b_id"))
+        chain = chain.select(
+            *[f"a_{c}" for c in graph.vertices.columns],
+            *[f"b_{c}" for c in graph.vertices.columns],
+            F.lit(length).alias("__path_len"),
+        )
+        out = chain if out is None else out.unionByName(chain)
+    return out
+
+
+def _optional_match(
+    graph: PropertyGraph,
+    base: NodePat,
+    opt: NodePat | EdgePat,
+    opt_disj: list[list[Cond]] | None,
+    base_disj: list[list[Cond]] | None,
+):
+    """``MATCH (a[:L]) [WHERE ...] OPTIONAL MATCH (a)-[e:T]->(b[:L2])
+    [WHERE ...]`` -> base LEFT JOIN optional-side, null-extended.
+
+    The bound variable may be either endpoint. The optional WHERE filters
+    the optional side before the join; the base WHERE filters the base
+    side before the join (both are semantics-preserving pre-join pushdowns
+    in Cypher, because each references only its own side's variables).
+    Plan shape: one left equi-join; the optional side's endpoint join
+    broadcasts when the label restricts it to a dimension-sized set.
+    """
+    if not isinstance(opt, EdgePat) or opt.hops is not None:
+        raise CypherSyntaxError(
+            "OPTIONAL MATCH supports a single-hop edge pattern (a)-[e]->(b)"
+        )
+    if opt.props or opt.src.props or opt.dst.props:
+        raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
+    if base.var == opt.src.var:
+        bound_end, other = "src", opt.dst
+    elif base.var == opt.dst.var:
+        bound_end, other = "dst", opt.src
+    else:
+        raise CypherSyntaxError(
+            f"OPTIONAL MATCH pattern must reference the bound variable {base.var!r}"
+        )
+    if other.label is None and other.var is None:
+        raise CypherSyntaxError("optional pattern's free endpoint needs a variable")
+
+    base_df = graph.nodes(base.label)
+
+    def base_colmap(ref: PropRef) -> Column:
+        if ref.var != base.var:
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return F.col("id" if ref.prop is None else ref.prop)
+
+    if base_disj is not None:
+        base_df = base_df.filter(_where_to_column(base_disj, base_colmap))
+
+    e = graph.edges
+    if opt.rel_type is not None:
+        e = e.filter(F.col("rel_type") == opt.rel_type)
+    e = e.select(*[F.col(c).alias(f"__e_{c}") for c in graph.edges.columns])
+    other_df = graph.nodes(other.label).select(
+        *[F.col(c).alias(f"__o_{c}") for c in graph.vertices.columns]
+    )
+    free_end = "dst" if bound_end == "src" else "src"
+    opt_side = e.join(other_df, F.col(f"__e_{free_end}") == F.col("__o_id"))
+
+    def opt_colmap(ref: PropRef) -> Column:
+        if ref.var == opt.var:
+            return F.col(f"__e_{ref.prop or 'id'}")
+        if ref.var == other.var:
+            return F.col(f"__o_{ref.prop or 'id'}")
+        raise CypherSyntaxError(
+            f"OPTIONAL MATCH WHERE may only reference {opt.var!r}/{other.var!r}"
+        )
+
+    if opt_disj is not None:
+        opt_side = opt_side.filter(_where_to_column(opt_disj, opt_colmap))
+
+    df = base_df.join(
+        opt_side, base_df["id"] == F.col(f"__e_{bound_end}"), "left"
+    )
+
+    def colmap(ref: PropRef) -> Column:
+        if ref.var == base.var:
+            return base_df["id"] if ref.prop is None else F.col(ref.prop)
+        return opt_colmap(ref)
+
+    return df, colmap
+
+
 def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
-    """Execute a read-only ``MATCH ... [WHERE ...] RETURN ...`` query.
+    """Execute a read-only query:
+
+    ``MATCH <pattern> [WHERE ...] [OPTIONAL MATCH <edge-pattern>
+    [WHERE ...]] RETURN ...``
 
     Column names follow aliases when given, else ``id_<var>`` /
     ``<var>_<prop>`` (Cypher's positional results have no canonical names;
-    DataFrames need them).
+    DataFrames need them). The OPTIONAL MATCH clause requires a plain MATCH
+    node pattern whose variable appears as one endpoint of the optional
+    edge pattern; its WHERE conditions filter the optional side BEFORE the
+    left join (Cypher semantics: a failed optional pattern yields nulls,
+    never drops the base row).
     """
     p = _Parser(_tokenize(query))
     p.expect("kw", "MATCH")
@@ -418,11 +595,26 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     if p.at("kw", "WHERE"):
         p.next()
         disj = p.parse_where()
+    opt_pat = opt_disj = None
+    if p._at_word_ci("OPTIONAL"):
+        p.next()
+        p.expect("kw", "MATCH")
+        opt_pat = p.parse_pattern()
+        if p.at("kw", "WHERE"):
+            p.next()
+            opt_disj = p.parse_where()
     p.expect("kw", "RETURN")
     distinct, items = p.parse_return()
     order, limit = p.parse_tail()
 
-    if isinstance(pat, NodePat):
+    if opt_pat is not None:
+        if not isinstance(pat, NodePat) or pat.props:
+            raise CypherSyntaxError(
+                "OPTIONAL MATCH requires a plain MATCH (n[:Label]) base pattern"
+            )
+        df, colmap = _optional_match(graph, pat, opt_pat, opt_disj, disj)
+        disj = None  # base WHERE already applied pre-join inside the helper
+    elif isinstance(pat, NodePat):
         if pat.props:
             raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
         var = pat.var
@@ -432,6 +624,18 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
             if ref.var != var:
                 raise CypherSyntaxError(f"unknown variable {ref.var!r}")
             return F.col("id" if ref.prop is None else ref.prop)
+
+    elif pat.hops is not None:
+        if pat.props or pat.src.props or pat.dst.props:
+            raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
+        df = _varlength_paths(graph, pat)
+        names = {pat.src.var: "a_", pat.dst.var: "b_"}
+
+        def colmap(ref: PropRef) -> Column:
+            prefix = names.get(ref.var)
+            if prefix is None:
+                raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+            return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
 
     else:
         if pat.props or pat.src.props or pat.dst.props:

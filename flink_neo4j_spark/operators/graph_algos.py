@@ -87,12 +87,16 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             )
         )
     )
+    # `w` is a deterministic small edge property (source key mod 7) so
+    # relationship-property predicates (g10) have something to filter on —
+    # the analogue of an edge weight/since property in a real graph.
     e = (
         c.selectExpr(
             f"c_custkey + {CUSTOMER_BASE} AS id",
             f"c_custkey + {CUSTOMER_BASE} AS src",
             f"c_nationkey + {NATION_BASE} AS dst",
             "'IN_NATION' AS rel_type",
+            "c_custkey % 7 AS w",
         )
         .unionByName(
             s.selectExpr(
@@ -100,6 +104,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 f"s_suppkey + {SUPPLIER_BASE} AS src",
                 f"s_nationkey + {NATION_BASE} AS dst",
                 "'IN_NATION' AS rel_type",
+                "s_suppkey % 7 AS w",
             )
         )
         .unionByName(
@@ -108,6 +113,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 f"n_nationkey + {NATION_BASE} AS src",
                 f"n_regionkey + {REGION_BASE} AS dst",
                 "'IN_REGION' AS rel_type",
+                "n_nationkey % 7 AS w",
             )
         )
     )
@@ -295,6 +301,51 @@ def g7_cypher_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G8 — OPTIONAL MATCH through the front end: suppliers keep their row even
+# when the optional FRANCE-nation pattern fails (left equi-join; the
+# optional-side WHERE filters BEFORE the join — Cypher null-extension
+# semantics, never row loss).
+def g8_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (s:Supplier) OPTIONAL MATCH (s)-[e:IN_NATION]->(n:Nation) "
+        "WHERE n.name = 'FRANCE' "
+        "RETURN s.name AS supplier_name, n.name AS nation_name "
+        "ORDER BY supplier_name",
+    )
+
+
+# G9 — bounded variable-length path through the front end: every 1- and
+# 2-hop destination from each customer (union of fixed-length edge-join
+# chains, one row per path — Cypher multiplicity).
+def g9_cypher_varlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[*1..2]->(x) "
+        "RETURN id(c) AS c_id, id(x) AS x_id ORDER BY c_id, x_id",
+    )
+
+
+# G10 — relationship-property WHERE through the front end: the edge
+# predicate lands as a plain column filter on the expanded pattern
+# (pushable by Catalyst), not a post-hoc row filter in Python.
+def g10_cypher_relprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) WHERE e.w >= 5 "
+        "RETURN id(c) AS c_id, e.w AS w, n.name AS nation_name ORDER BY c_id",
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
@@ -303,6 +354,9 @@ QUERIES: dict[str, QueryFn] = {
     "g5_cypher_frontend": g5_cypher_frontend,
     "g6_bfs_hops": g6_bfs_hops,
     "g7_cypher_agg": g7_cypher_agg,
+    "g8_cypher_optional": g8_cypher_optional,
+    "g9_cypher_varlength": g9_cypher_varlength,
+    "g10_cypher_relprop": g10_cypher_relprop,
 }
 
 ORACLE: dict[str, str] = {
@@ -375,5 +429,29 @@ ORACLE: dict[str, str] = {
     "g5_cypher_frontend": f"""
         SELECT c_custkey + {CUSTOMER_BASE} AS c_id, n_name AS nation_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_id""",
+    # left join with the optional predicate in the ON clause — the SQL
+    # statement of Cypher's OPTIONAL MATCH null-extension semantics.
+    "g8_cypher_optional": """
+        SELECT s_name AS supplier_name, n_name AS nation_name
+        FROM supplier LEFT JOIN nation
+          ON s_nationkey = n_nationkey AND n_name = 'FRANCE'
+        ORDER BY supplier_name""",
+    # one row per path: 1-hop (customer->nation) plus 2-hop
+    # (customer->nation->region), stated as an explicit union.
+    "g9_cypher_varlength": f"""
+        SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
+               c_nationkey + {NATION_BASE} AS x_id
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + {CUSTOMER_BASE}, n_regionkey + {REGION_BASE}
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_id, x_id""",
+    "g10_cypher_relprop": f"""
+        SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
+               c_custkey % 7 AS w,
+               n_name AS nation_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey % 7 >= 5
         ORDER BY c_id""",
 }

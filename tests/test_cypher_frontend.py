@@ -180,3 +180,83 @@ def test_order_by_requires_return_column(fixture_graph):
 def test_non_count_agg_requires_property(fixture_graph):
     with pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN sum(*)")
+
+
+# -- OPTIONAL MATCH / variable-length / relationship-property WHERE ---------
+
+
+def test_optional_match_null_extends(fixture_graph):
+    # Eve has no outgoing KNOWS edge: her row survives with nulls (Cypher
+    # OPTIONAL MATCH semantics), while Alice/Bob resolve their targets.
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) OPTIONAL MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN a.name AS name, e.since AS since, b.name AS knows",
+    )
+    rows = {r["name"]: (r["since"], r["knows"]) for r in df.collect()}
+    assert rows == {
+        "Alice": (2001, "Bob"),
+        "Bob": (2002, "Alice"),
+        "Eve": (None, None),
+    }
+
+
+def test_optional_match_where_filters_before_join(fixture_graph):
+    # the optional WHERE removes Bob's edge from the OPTIONAL SIDE only;
+    # Bob's base row must remain (null-extended), never be dropped.
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) OPTIONAL MATCH (a)-[e:KNOWS]->(b:User) "
+        "WHERE e.since = 2001 "
+        "RETURN a.name AS name, b.name AS knows",
+    )
+    rows = {r["name"]: r["knows"] for r in df.collect()}
+    assert rows == {"Alice": "Bob", "Bob": None, "Eve": None}
+
+
+def test_optional_match_bound_as_destination(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (b:User) OPTIONAL MATCH (a:User)-[e:KNOWS]->(b) "
+        "RETURN b.name AS name, a.name AS known_by",
+    )
+    rows = {r["name"]: r["known_by"] for r in df.collect()}
+    assert rows == {"Alice": "Bob", "Bob": "Alice", "Eve": None}
+
+
+def test_relationship_property_where(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE e.since >= 2002 "
+        "RETURN a.name AS src, b.name AS dst",
+    )
+    assert [(r["src"], r["dst"]) for r in df.collect()] == [("Bob", "Alice")]
+
+
+def test_varlength_paths(fixture_graph):
+    # 1..2 hops from Alice: Alice->Bob (1 hop), Alice->Bob->Alice (2 hops,
+    # distinct relationships so the cycle back is a legal path).
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS*1..2]->(b:User) "
+        "WHERE a.name = 'Alice' RETURN b.name AS dst",
+    )
+    assert sorted(r["dst"] for r in df.collect()) == ["Alice", "Bob"]
+
+
+def test_varlength_relationship_isomorphism(fixture_graph):
+    # 3 hops from Alice would need to reuse an edge (only 2 exist):
+    # relationship-isomorphism forbids it -> exactly zero 3-hop paths.
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS*3]->(b:User) "
+        "WHERE a.name = 'Alice' RETURN b.name AS dst",
+    )
+    assert df.count() == 0
+
+
+def test_varlength_requires_bounds(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (a)-[:KNOWS*]->(b) RETURN id(a)")
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (a)-[:KNOWS*1..99]->(b) RETURN id(a)")
