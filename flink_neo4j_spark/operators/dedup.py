@@ -171,15 +171,15 @@ def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
-    return (
+    # persist pre-sort: the ORDER BY's sampling pass would re-execute the
+    # bucket join + intersect scoring (see d5's measurement)
+    return _materialized(
         pairs.select(
             "a_id",
             "b_id",
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
-        )
-        .filter(F.col("jac") >= JACCARD_THRESHOLD)
-        .orderBy("a_id", "b_id")
-    )
+        ).filter(F.col("jac") >= JACCARD_THRESHOLD)
+    ).orderBy("a_id", "b_id")
 
 
 # D4 — SimHash: 16-bit signature from per-token 16-bit md5 prefixes.
@@ -238,15 +238,17 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
     inter = F.size(F.array_intersect("a_gr", "b_gr"))
     union = F.size("a_gr") + F.size("b_gr") - inter
-    return (
+    # persist the (tiny) scored-pair result before the ORDER BY: the range
+    # partitioner's sampling pass otherwise re-executes the ENTIRE quadratic
+    # intersect-scoring subtree a second time (measured 2x wall on d5 at
+    # sf0.1 — the source of its run-to-run variance).
+    return _materialized(
         pairs.select(
             "a_id",
             "b_id",
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
-        )
-        .filter(F.col("jac") >= JACCARD_THRESHOLD)
-        .orderBy("a_id", "b_id")
-    )
+        ).filter(F.col("jac") >= JACCARD_THRESHOLD)
+    ).orderBy("a_id", "b_id")
 
 
 # D6 — embedding-cosine near-dup, blocked on `label` (the coarse partition a
@@ -414,7 +416,9 @@ def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.join(
         F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "blk"
     ).drop("_bn")
-    return (
+    # persist pre-sort: the ORDER BY's sampling pass would re-run every
+    # levenshtein otherwise (see d5's measurement)
+    return _materialized(
         base.alias("a")
         .join(
             base.alias("b"),
@@ -427,8 +431,7 @@ def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
         )
         .filter(F.col("dist") <= 40)
-        .orderBy("a_id", "b_id")
-    )
+    ).orderBy("a_id", "b_id")
 
 
 QUERIES: dict[str, QueryFn] = {
