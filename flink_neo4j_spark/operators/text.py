@@ -141,12 +141,80 @@ def t5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T6 — TF-IDF top terms per document: the classic corpus-weighting operator.
+# Three aggregations, all map-side partial: tf per (doc, term), df per term,
+# then a broadcast-join of the (small) per-term df table back onto the tf
+# table and a per-doc window top-k. The idf uses the smoothed form
+# ln((N + 1) / (df + 1)); scores round to 4dp with the half-boundary nudge
+# (see s5) so both engines agree bit-for-bit after rounding.
+TFIDF_TOP_K = 3
+MIN_TERM_LEN = 3
+
+
+def t6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = d.selectExpr("doc_id", f"explode_outer({TOKENS}) AS term").filter(
+        F.length("term") >= MIN_TERM_LEN
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.select("doc_id").distinct().count()  # scalar metadata, one job
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + F.lit(5e-10),
+            4,
+        )
+        + F.lit(0.0),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# T7 — PII-style redaction: digit runs and email-shaped tokens replaced by
+# placeholder tags, with a per-doc redaction count. Pure JVM regex — the
+# shape of every scrub/normalize pass in a training-data pipeline. The
+# redacted text is fingerprinted (md5) rather than hauled around whole.
+# [.] instead of \. : the pattern strings embed in SQL literals on BOTH
+# engines, and backslash-escape handling differs between them — a character
+# class is escape-free and identical everywhere.
+EMAIL_RE = "[a-zA-Z0-9_]+@[a-zA-Z0-9_]+[.][a-zA-Z]+"
+DIGIT_RE = "[0-9]+"
+
+
+def t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        f"regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>'), "
+        f"'{DIGIT_RE}', '<NUM>') AS red",
+        f"size(regexp_extract_all(text, '{EMAIL_RE}', 0)) AS n_emails",
+        f"size(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>'), "
+        f"'{DIGIT_RE}', 0)) AS n_numbers",
+    ).selectExpr(
+        "doc_id", "md5(red) AS redacted_fp", "n_emails", "n_numbers"
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t2_lang_id": t2_lang_id,
     "t3_quality_score": t3_quality_score,
     "t4_fingerprint": t4_fingerprint,
     "t5_top_terms": t5_top_terms,
+    "t6_tfidf": t6_tfidf,
+    "t7_pii_redact": t7_pii_redact,
 }
 
 _DUCK_LANG_HITS = ", ".join(
@@ -206,4 +274,34 @@ ORACLE: dict[str, str] = {
         FROM (SELECT unnest({DUCK_TOKENS}) AS term FROM documents)
         WHERE length(term) >= 3
         GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
+    "t6_tfidf": f"""
+        WITH f AS (
+          SELECT doc_id, term
+          FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents)
+          WHERE length(term) >= {MIN_TERM_LEN}
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY doc_id, term),
+        idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND(tf.tf * ln((n.n + 1.0) / (idf.df + 1.0)) + 5e-10, 4) + 0.0
+                   AS tfidf
+          FROM tf JOIN idf USING (term), n),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, rk, term, tfidf FROM ranked
+        WHERE rk <= {TFIDF_TOP_K} ORDER BY doc_id, rk""",
+    "t7_pii_redact": f"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{DIGIT_RE}', '<NUM>', 'g')) AS redacted_fp,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(
+                     regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{DIGIT_RE}')) AS n_numbers
+        FROM documents ORDER BY doc_id""",
 }

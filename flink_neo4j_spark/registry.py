@@ -63,6 +63,7 @@ def _modules():
         graph_algos,
         multimodal,
         relational,
+        sampling,
         similarity,
         skew,
         stream_batch,
@@ -72,6 +73,7 @@ def _modules():
 
     return (
         relational,
+        sampling,
         dedup,
         similarity,
         text,

@@ -96,3 +96,43 @@ def write_csv(
     for k, v in options.items():
         w = w.option(k, v)
     w.csv(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+    total_rows: int | None = None,
+    **options: str,
+) -> None:
+    """Write a dataset as ~``target_rows_per_file``-row files — the output
+    compaction every long-running pipeline eventually needs (a 100 TB job
+    with default partitioning emits millions of tiny files; small-file
+    storms kill downstream scans and object-store listings).
+
+    Two mechanisms compose:
+
+    - ``maxRecordsPerFile`` caps rows per file (splits oversized partitions
+      at write time without a shuffle);
+    - a round-robin ``repartition`` to ``ceil(total / target)`` partitions
+      merges undersized partitions so the cap has something to split.
+      ``total_rows`` avoids the extra ``count()`` job when the caller
+      already knows it (e.g. from a previous action).
+
+    The repartition is the one shuffle this costs — the standard price of
+    compaction; at scale, prefer compacting once at the end of a pipeline
+    rather than per stage.
+    """
+    if target_rows_per_file <= 0:
+        raise ValueError(f"target_rows_per_file must be positive, got {target_rows_per_file}")
+    n = total_rows if total_rows is not None else df.count()
+    n_files = max(1, -(-n // target_rows_per_file))  # ceil div
+    w = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.format(fmt).save(path)

@@ -81,3 +81,23 @@ def test_csv_type_mismatch_routed_not_fatal(spark, tmp_path):
     good = df.filter(F.col(CORRUPT_COL).isNull())
     assert [(r["a"], r["b"]) for r in good.collect()] == [(1, "x")]
     assert df.filter(F.col(CORRUPT_COL).isNotNull()).count() == 1
+
+
+def test_write_compacted_file_counts(spark, tmp_path):
+    import glob
+
+    from flink_neo4j_spark.sources.files import write_compacted
+
+    df = spark.range(1000).repartition(16)  # 16 small input partitions
+    out = str(tmp_path / "compacted")
+    write_compacted(df, out, target_rows_per_file=300)
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == 4  # ceil(1000/300), not 16 tiny files
+    assert spark.read.parquet(out).count() == 1000
+
+    # oversized single partition gets split by the per-file cap
+    out2 = str(tmp_path / "split")
+    write_compacted(df.coalesce(1), out2, target_rows_per_file=300, total_rows=1000)
+    files2 = glob.glob(f"{out2}/part-*")
+    assert len(files2) == 4
+    assert spark.read.parquet(out2).count() == 1000
