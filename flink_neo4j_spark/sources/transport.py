@@ -77,12 +77,15 @@ class BoltTransport:
         )
         self._database = database
 
-    def run(self, statement, rows=None, params=None):  # pragma: no cover - needs server
+    def run(self, statement, rows=None, params=None):
+        # exercised against a protocol stub in tests/test_bolt_transport.py
+        # (the driver package isn't installed here); live-server behavior
+        # additionally depends on the real neo4j wire protocol.
         with self._driver.session(database=self._database) as session:
             result = session.run(statement, rows=rows or [], **(params or {}))
             return [dict(record) for record in result]
 
-    def close(self) -> None:  # pragma: no cover - needs server
+    def close(self) -> None:
         self._driver.close()
 
 

@@ -112,6 +112,42 @@ def test_top_terms_is_partial_agg_topk(spark):
     assert has_take_ordered(t5_top_terms(spark, SF_DIR))
 
 
+def test_stratified_sample_is_narrow_map(spark):
+    """q31 must be scan + filter + sort only — a Bernoulli sample that
+    shuffles before sampling is doing the work in the wrong order."""
+    from flink_neo4j_spark.operators.sampling import q31_stratified_sample
+
+    plan = formatted_plan_of(q31_stratified_sample(spark, SF_DIR))
+    assert "Join" not in plan
+    # only the presentation sort may exchange; no pre-filter aggregation
+    assert "HashAggregate" not in plan
+
+
+def test_tfidf_df_join_broadcasts(spark):
+    """t6's per-term document-frequency table is dimension-sized relative
+    to the tf table — it must broadcast, not shuffle the tf side."""
+    from flink_neo4j_spark.operators.text import t6_tfidf
+
+    assert has_broadcast_join(t6_tfidf(spark, SF_DIR))
+
+
+def test_optional_match_is_single_left_join(spark):
+    """g8 compiles to one left outer join (plus the endpoint resolve);
+    a null-preserving formulation via union/anti would show extra joins."""
+    from flink_neo4j_spark.operators.graph_algos import g8_cypher_optional
+
+    plan = formatted_plan_of(g8_cypher_optional(spark, SF_DIR))
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_varlength_is_equi_joins_only(spark):
+    from flink_neo4j_spark.operators.graph_algos import g9_cypher_varlength
+
+    plan = formatted_plan_of(g9_cypher_varlength(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_label_partition_pruning(spark, tmp_path):
     """PropertyGraph parquet layout partitions by label; a label filter must
     prune partitions (PartitionFilters, not a post-scan filter)."""
