@@ -434,6 +434,43 @@ def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+# D9 — benchmark decontamination: flag training documents that share any
+# word-3-shingle with a held-out benchmark set (here a deterministic slice,
+# doc_id % 20 == 0, standing in for an eval suite). This is the standard
+# n-gram-overlap decontamination every pretraining pipeline runs before
+# training. Plan shape: explode shingles ONCE (persisted — the benchmark and
+# train branches both read it), drop shingles that are too common across
+# benchmark docs (CONTAM_MAX_DF — a super-common phrase is boilerplate, not
+# contamination, and would also be the degenerate join key that goes
+# quadratic at 100 TB), then one equi-join on the shingle and a per-doc
+# count. The benchmark side is orders of magnitude smaller than the train
+# side in production, so the join broadcasts; here it stays a shuffle join
+# under AQE, same semantics.
+CONTAM_MAX_DF = 100
+
+
+def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _materialized(
+        _shingled(spark, sf_dir).select(
+            "doc_id", F.explode_outer("sh").alias("sg")
+        )
+    )
+    bench_keys = (
+        ex.filter(F.col("doc_id") % 20 == 0)
+        .groupBy("sg")
+        .agg(F.count_distinct("doc_id").alias("bdf"))
+        .filter(F.col("bdf") <= CONTAM_MAX_DF)
+        .select("sg")
+    )
+    train = ex.filter(F.col("doc_id") % 20 != 0).select("doc_id", "sg").distinct()
+    return (
+        train.join(bench_keys, "sg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_signature": d2_minhash_signature,
@@ -443,6 +480,7 @@ QUERIES: dict[str, QueryFn] = {
     "d6_embedding_near_dup": d6_embedding_near_dup,
     "d7_dedup_clusters": d7_dedup_clusters,
     "d8_edit_distance": d8_edit_distance,
+    "d9_decontaminate": d9_decontaminate,
 }
 
 
@@ -476,6 +514,17 @@ ORACLE: dict[str, str] = {
     "d1_exact_dedup": """
         SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "d9_decontaminate": f"""
+        {_DUCK_SHINGLED},
+        ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        bench_keys AS (
+          SELECT sg FROM ex WHERE doc_id % 20 = 0
+          GROUP BY sg HAVING COUNT(DISTINCT doc_id) <= {CONTAM_MAX_DF}),
+        train AS (
+          SELECT DISTINCT doc_id, sg FROM ex WHERE doc_id % 20 <> 0)
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM train JOIN bench_keys USING (sg)
+        GROUP BY doc_id ORDER BY doc_id""",
     "d2_minhash_signature": f"""
         {_DUCK_SHINGLED}
         SELECT doc_id, {_duck_minhash_aggs()}

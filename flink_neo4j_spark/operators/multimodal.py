@@ -140,6 +140,57 @@ def frame_sample(multimodal: DataFrame, stride: int = 100) -> DataFrame:
     )
 
 
+#: audio framing stand-in: 8-bit mono PCM, 400-sample windows, 200-sample hop
+#: (the 25 ms / 10 ms analysis framing at 16 kHz, scaled to byte payloads).
+AUDIO_WIN = 400
+AUDIO_HOP = 200
+
+
+def audio_windows(multimodal: DataFrame) -> DataFrame:
+    """'Audio' sliding-window feature extraction over opaque bytes: treat the
+    payload as 8-bit PCM samples and emit one row per (win, hop) frame with a
+    windowed energy sum. This is the exact Arrow shape a real feature
+    extractor (librosa/torchaudio STFT) runs in: a mapInPandas that EXPANDS
+    rows (N docs in, N*windows out), numpy-vectorized inside the batch. The
+    codec-free energy formula keeps it oracle-checkable; swapping in a real
+    DSP kernel changes only the inner lambda, not the distribution shape.
+    Partition parallelism and batch sizing are unchanged by the expansion —
+    each input batch yields one output frame table, never a per-row loop in
+    Spark."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            out_doc, out_idx, out_start, out_energy = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8)
+                n = len(samples)
+                if n < AUDIO_WIN:
+                    continue
+                n_win = (n - AUDIO_WIN) // AUDIO_HOP + 1
+                starts = np.arange(n_win) * AUDIO_HOP
+                # vectorized windowed sum via cumsum — O(n), not O(n*win)
+                cs = np.concatenate(([0], np.cumsum(samples, dtype=np.int64)))
+                energy = cs[starts + AUDIO_WIN] - cs[starts]
+                out_doc.extend([doc_id] * n_win)
+                out_idx.extend(range(n_win))
+                out_start.extend(starts.tolist())
+                out_energy.extend(energy.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "win_idx": out_idx,
+                    "start_sample": out_start,
+                    "energy_sum": out_energy,
+                }
+            )
+
+    return multimodal.mapInPandas(
+        run,
+        schema="doc_id long, win_idx long, start_sample long, energy_sum long",
+    )
+
+
 # -- conformance queries ---------------------------------------------------
 
 
@@ -160,10 +211,16 @@ def m3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def m4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    return audio_windows(attach_payload(docs)).orderBy("doc_id", "win_idx")
+
+
 QUERIES: dict[str, QueryFn] = {
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_frame_sample": m2_frame_sample,
     "m3_resize": m3_resize,
+    "m4_audio_windows": m4_audio_windows,
 }
 
 ORACLE: dict[str, str] = {
@@ -193,4 +250,20 @@ ORACLE: dict[str, str] = {
                CAST(length(resized) AS INT) AS byte_len,
                sha256(resized) AS sha
         FROM r ORDER BY doc_id""",
+    # ascii text: byte k (0-based) == ascii(substring(text, k+1, 1)); the
+    # windowed energy sum is a plain character-code sum over the window.
+    "m4_audio_windows": f"""
+        WITH w AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, CAST(floor((length(text) - {AUDIO_WIN}) * 1.0
+                                 / {AUDIO_HOP}) AS BIGINT))) AS win_idx
+          FROM documents WHERE length(text) >= {AUDIO_WIN})
+        SELECT doc_id, win_idx,
+               win_idx * {AUDIO_HOP} AS start_sample,
+               list_sum([ascii(substring(text, p, 1))
+                         for p in generate_series(
+                             win_idx * {AUDIO_HOP} + 1,
+                             win_idx * {AUDIO_HOP} + {AUDIO_WIN})]) AS energy_sum
+        FROM w ORDER BY doc_id, win_idx""",
 }

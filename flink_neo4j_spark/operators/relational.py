@@ -539,6 +539,30 @@ def q30_distinct_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GROUPING SETS via CUBE + grouping_id: all four grouping combinations of
+# (returnflag, linestatus) in ONE scan — Catalyst's Expand emits one row per
+# grouping set per input row into a single hash aggregation, instead of four
+# scans unioned. grouping_id() disambiguates "NULL because subtotal" from a
+# genuine NULL group value, which matters for downstream consumers at scale
+# (can't rely on NULL sentinel semantics in 100 TB rollup tables).
+def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "cnt", "sum_qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -569,6 +593,7 @@ QUERIES: dict[str, QueryFn] = {
     "q28_sketch_stats": q28_sketch_stats,
     "q29_merge_upsert": q29_merge_upsert,
     "q30_distinct_exclusion": q30_distinct_exclusion,
+    "q33_grouping_sets": q33_grouping_sets,
 }
 
 ORACLE: dict[str, str] = {
@@ -766,4 +791,12 @@ ORACLE: dict[str, str] = {
         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0)
         GROUP BY p_brand ORDER BY p_brand""",
+    "q33_grouping_sets": """
+        SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               l_returnflag, l_linestatus,
+               COUNT(*) AS cnt,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 }

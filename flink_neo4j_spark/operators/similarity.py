@@ -204,12 +204,80 @@ def s5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S6 — scalar-quantized (int8-style) top-k: the FAISS SQ8 pattern. Pass 1
+# computes per-dimension min/max (posexplode + partial agg: 64 rows out of
+# any input size, assembled back into two array literals WITHOUT a driver
+# collect — array_sort(collect_list(struct))). Pass 2 quantizes every vector
+# to integer codes 0..255 and scores candidates with an exact INTEGER dot
+# product against the quantized query — at 100 TB this is the point: codes
+# are 4x smaller than float32 (scan + shuffle bytes), the candidate scan is
+# integer SIMD, and floats only appear for the CAND-row exact re-rank.
+# floor() (not round()) keeps the code assignment bit-identical across
+# engines — no half-tie or signed-zero traps (see s5) — and integer scoring
+# is exact, so even the approximate stage is hash-checkable.
+SQ_CAND = 30
+
+
+def s6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    stats = (
+        e.select(F.posexplode("emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct('pos', pos, 'v', mn))), "
+                "s -> s.v)"
+            ).alias("mn_arr"),
+            F.expr(
+                "transform(array_sort(collect_list(named_struct('pos', pos, 'v', mx - mn))), "
+                "s -> s.v)"
+            ).alias("sc_arr"),
+        )
+    )
+    qz = (
+        e.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "vec_id",
+            "emb",
+            "zip_with(zip_with(emb, mn_arr, (x, m) -> x - m), sc_arr, "
+            "  (d, s) -> IF(s = 0D, CAST(0 AS BIGINT), "
+            "               CAST(floor(d * 255.0D / s) AS BIGINT))) AS q",
+        )
+    )
+    qq = qz.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qv"), F.col("emb").alias("q_emb")
+    )
+    cand = (
+        qz.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qq))
+        .selectExpr(
+            "vec_id",
+            "emb",
+            "q_emb",
+            "aggregate(zip_with(q, qv, (a, b) -> a * b), CAST(0 AS BIGINT), "
+            "          (acc, v) -> acc + v) AS qdot",
+        )
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(SQ_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id", "qdot", F.round(_cosine("emb", "q_emb"), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_topk": s2_lsh_topk,
     "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
     "s4_ivf_topk": s4_ivf_topk,
     "s5_label_centroids": s5_label_centroids,
+    "s6_quantized_topk": s6_quantized_topk,
 }
 
 
@@ -276,6 +344,34 @@ ORACLE: dict[str, str] = {
         FROM assigned a JOIN probe USING (cell), q
         WHERE a.vec_id != {QUERY_VEC_ID}
         ORDER BY cos DESC, a.vec_id LIMIT {TOP_K}""",
+    "s6_quantized_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        stats AS (
+          SELECT g.pos AS pos, MIN(emb[g.pos]) AS mn, MAX(emb[g.pos]) AS mx
+          FROM e, generate_series(1, {DIM}) AS g(pos) GROUP BY g.pos),
+        arrs AS (
+          SELECT list(mn ORDER BY pos) AS mn_arr,
+                 list(mx - mn ORDER BY pos) AS sc_arr
+          FROM stats),
+        qz AS (
+          SELECT vec_id, emb,
+                 [CASE WHEN sc_arr[i] = 0 THEN 0
+                       ELSE CAST(floor((emb[i] - mn_arr[i]) * 255.0 / sc_arr[i])
+                                 AS BIGINT) END
+                  for i in generate_series(1, {DIM})] AS q
+          FROM e, arrs),
+        qq AS (SELECT q AS qv, emb AS q_emb FROM qz
+               WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS (
+          SELECT z.vec_id, z.emb, qq.q_emb,
+                 CAST(list_sum(list_transform(list_zip(z.q, qq.qv),
+                                              p -> p[1] * p[2])) AS BIGINT) AS qdot
+          FROM qz z, qq WHERE z.vec_id != {QUERY_VEC_ID}
+          ORDER BY qdot DESC, z.vec_id LIMIT {SQ_CAND})
+        SELECT vec_id, qdot,
+               ROUND({_duck_cos("emb", "q_emb")}, 6) AS cos
+        FROM cand
+        ORDER BY cos DESC, vec_id LIMIT {TOP_K}""",
     "s5_label_centroids": f"""
         SELECT label, g.pos - 1 AS pos,
                ROUND(AVG(emb[g.pos]) + 5e-10, 4) + 0.0 AS c,

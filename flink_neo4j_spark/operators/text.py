@@ -207,6 +207,95 @@ def t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# T8 — sequence packing: assign documents to fixed token-budget context
+# windows (the concat-and-chunk packing every LLM pretraining pipeline runs
+# before tokenized shard writing). The naive form — one global cumulative
+# sum — is a single-partition window, a guaranteed scale-killer at 100 TB.
+# Instead the stream is SHARDED by a hash nibble of the doc key and packed
+# independently per shard: Window.partitionBy(shard) keeps every cumulative
+# sum inside one ordinary shuffle partition, so 1000 executors pack 1000+
+# shards concurrently and a bin is globally identified by (shard, bin).
+# Order within a shard is the content hash — deterministic, retry-stable,
+# and engine-independent, so the whole assignment is oracle-checkable.
+PACK_BUDGET = 2048
+PACK_SHARDS = 16  # testing value; at 100 TB use ~4 nibbles (65k shards)
+_HEX = "0123456789abcdef"
+
+
+def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    base = d.selectExpr(
+        "doc_id",
+        f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
+        "md5(CAST(doc_id AS STRING)) AS okey",
+    ).selectExpr(
+        "doc_id",
+        "n_tok",
+        "okey",
+        f"CAST(locate(substring(okey, 1, 1), '{_HEX}') - 1 AS BIGINT) AS shard",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start")
+    return (
+        base.select("doc_id", "n_tok", "shard", start)
+        .select(
+            "doc_id",
+            "n_tok",
+            "shard",
+            F.floor(F.col("start") / PACK_BUDGET).cast("long").alias("bin"),
+            (F.col("start") % PACK_BUDGET).alias("bin_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# T9 — language segmentation: chunk each document into fixed token windows
+# and language-ID every chunk independently — the doc-level pass that splits
+# mixed-language documents before per-language routing (the corpus has no
+# sentence punctuation, so the segmenter is the fixed-window form; swapping
+# the chunk key for a sentence id changes one expression). Plan: posexplode
+# tokens (narrow), derive seg = pos DIV SEG_TOKENS, one partial-aggregated
+# groupBy(doc_id, seg) with per-language conditional occurrence counts, and
+# the same greatest/CASE winner vote as t2. Zero Python; one shuffle keyed
+# by (doc_id, seg) — high cardinality, skew-free by construction.
+SEG_TOKENS = 20
+
+
+def t9_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    ex = d.selectExpr("doc_id", f"posexplode_outer({TOKENS}) AS (pos, term)")
+    hits = [
+        F.sum(
+            F.when(F.col("term").isin(*words), 1).otherwise(0)
+        ).alias(f"{lang}_hits")
+        for lang, words in STOPWORDS.items()
+    ]
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in STOPWORDS])
+    pred = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:
+        pred = pred.when(F.col(f"{lang}_hits") == best, lang)
+    return (
+        ex.groupBy(
+            "doc_id", F.expr(f"CAST(pos DIV {SEG_TOKENS} AS BIGINT)").alias("seg")
+        )
+        .agg(F.count("*").alias("n_terms"), *hits)
+        .select(
+            "doc_id",
+            "seg",
+            "n_terms",
+            *[f"{lang}_hits" for lang in STOPWORDS],
+            pred.alias("seg_lang"),
+        )
+        .orderBy("doc_id", "seg")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t2_lang_id": t2_lang_id,
@@ -215,6 +304,8 @@ QUERIES: dict[str, QueryFn] = {
     "t5_top_terms": t5_top_terms,
     "t6_tfidf": t6_tfidf,
     "t7_pii_redact": t7_pii_redact,
+    "t8_pack_sequences": t8_pack_sequences,
+    "t9_lang_segments": t9_lang_segments,
 }
 
 _DUCK_LANG_HITS = ", ".join(
@@ -304,4 +395,53 @@ ORACLE: dict[str, str] = {
                      regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                      '{DIGIT_RE}')) AS n_numbers
         FROM documents ORDER BY doc_id""",
+    "t8_pack_sequences": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS okey
+          FROM documents),
+        sharded AS (
+          SELECT doc_id, n_tok, okey,
+                 CAST(strpos('{_HEX}', substring(okey, 1, 1)) - 1 AS BIGINT)
+                   AS shard
+          FROM base),
+        packed AS (
+          SELECT doc_id, n_tok, shard,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS start
+          FROM sharded)
+        SELECT doc_id, n_tok, shard,
+               CAST(FLOOR(start * 1.0 / {PACK_BUDGET}) AS BIGINT) AS bin,
+               start % {PACK_BUDGET} AS bin_offset
+        FROM packed ORDER BY doc_id""",
+    "t9_lang_segments": f"""
+        WITH tokd AS (SELECT doc_id, {DUCK_TOKENS} AS tok FROM documents),
+        ex AS (
+          SELECT doc_id,
+                 unnest([{{'seg': CAST((i - 1) // {SEG_TOKENS} AS BIGINT),
+                           'term': tok[i]}}
+                         for i in generate_series(1, len(tok))],
+                        recursive := true)
+          FROM tokd),
+        agged AS (
+          SELECT doc_id, seg, COUNT(*) AS n_terms,
+                 {", ".join(
+                     f"CAST(SUM(CASE WHEN list_contains({_duck_arr(w)}, term) "
+                     f"THEN 1 ELSE 0 END) AS BIGINT) AS {lang}_hits"
+                     for lang, w in STOPWORDS.items()
+                 )}
+          FROM ex GROUP BY doc_id, seg)
+        SELECT doc_id, seg, n_terms,
+               {", ".join(f"{lang}_hits" for lang in STOPWORDS)},
+               CASE WHEN greatest({", ".join(f"{lang}_hits" for lang in STOPWORDS)}) = 0
+                    THEN 'unknown'
+                    {" ".join(
+                        f"WHEN {lang}_hits = greatest("
+                        + ", ".join(f"{l2}_hits" for l2 in STOPWORDS)
+                        + f") THEN '{lang}'"
+                        for lang in STOPWORDS
+                    )}
+               END AS seg_lang
+        FROM agged ORDER BY doc_id, seg""",
 }

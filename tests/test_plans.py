@@ -167,3 +167,28 @@ def test_label_partition_pruning(spark, tmp_path):
 
     plan = formatted_plan(g2.nodes("User"))
     assert "PartitionFilters" in plan and "label" in plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """t8's cumulative sum must be a PARTITIONED window (hashpartitioning on
+    shard), never the single-partition global-window scale trap."""
+    from flink_neo4j_spark.operators.text import t8_pack_sequences
+
+    plan = formatted_plan_of(t8_pack_sequences(spark, SF_DIR))
+    assert "hashpartitioning(shard" in plan
+
+
+def test_quantized_topk_candidates_take_ordered(spark):
+    """s6's candidate stage and final top-k are TakeOrderedAndProject (no
+    global sort of scored vectors)."""
+    from flink_neo4j_spark.operators.similarity import s6_quantized_topk
+
+    assert has_take_ordered(s6_quantized_topk(spark, SF_DIR))
+
+
+def test_decontaminate_no_cartesian(spark):
+    """d9's overlap join must be an equi-join on the shingle key."""
+    from flink_neo4j_spark.operators.dedup import d9_decontaminate
+
+    plan = formatted_plan_of(d9_decontaminate(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
