@@ -471,6 +471,87 @@ def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D10 — multi-band MinHash-LSH: the production-recall form of d3. d3's one
+# band of one row catches only pairs sharing their global minimum shingle
+# hash; real pipelines run b bands of r rows (OR-of-ANDs: a pair is a
+# candidate if ALL r rows agree in ANY band), tuning (b, r) to the target
+# Jaccard threshold. Here the 4 signature hashes form 2 bands x 2 rows.
+# Plan shape: one explode over the band structs turns per-band joins into a
+# SINGLE equi-join keyed (band, bkey) — bands never cross-match because the
+# band index is part of the key. Candidates are deduped on bare (a_id, b_id)
+# ids BEFORE the shingle arrays are re-attached for exact-Jaccard verify:
+# distinct() over id pairs shuffles ~16 bytes/row, whereas deduping scored
+# pairs would shuffle both shingle arrays for every duplicate candidate. The
+# per-(band, bkey) degenerate-bucket guard is the same as d3/d5/d8.
+LSH_ROWS = 2
+LSH_BANDS = len(MINHASH_SEEDS) // LSH_ROWS
+
+
+def d10_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sig = _materialized(
+        sh.select(
+            "doc_id",
+            "sh",
+            *[
+                F.expr(minhash_expr("sh", str(s))).alias(f"h{s}")
+                for s in MINHASH_SEEDS
+            ],
+        )
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                )
+            ).alias("bkey"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bkey")
+    sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("_bn"))
+    banded = banded.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)),
+        ["band", "bkey"],
+    ).drop("_bn")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")),
+            "a_id",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")),
+            "b_id",
+        )
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return _materialized(
+        scored.select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
+        ).filter(F.col("jac") >= JACCARD_THRESHOLD)
+    ).orderBy("a_id", "b_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_signature": d2_minhash_signature,
@@ -481,6 +562,7 @@ QUERIES: dict[str, QueryFn] = {
     "d7_dedup_clusters": d7_dedup_clusters,
     "d8_edit_distance": d8_edit_distance,
     "d9_decontaminate": d9_decontaminate,
+    "d10_lsh_banded": d10_lsh_banded,
 }
 
 
@@ -525,6 +607,34 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, COUNT(*) AS n_shared
         FROM train JOIN bench_keys USING (sg)
         GROUP BY doc_id ORDER BY doc_id""",
+    "d10_lsh_banded": f"""
+        {_DUCK_SHINGLED},
+        sig AS (SELECT doc_id, sh, {_duck_minhash_aggs()} FROM s),
+        banded0 AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, "
+              f"md5(h{b * LSH_ROWS} || '|' || h{b * LSH_ROWS + 1}) AS bkey FROM sig"
+              for b in range(LSH_BANDS)
+          )}),
+        ok AS (SELECT band, bkey FROM banded0
+               GROUP BY band, bkey HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET}),
+        banded AS (SELECT doc_id, band, bkey FROM banded0
+                   JOIN ok USING (band, bkey)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        scored AS (
+          SELECT a_id, b_id,
+                 ROUND(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                       / (len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.a_id
+          JOIN sig sb ON sb.doc_id = cand.b_id)
+        SELECT a_id, b_id, jac FROM scored
+        WHERE jac >= {JACCARD_THRESHOLD}
+        ORDER BY a_id, b_id""",
     "d2_minhash_signature": f"""
         {_DUCK_SHINGLED}
         SELECT doc_id, {_duck_minhash_aggs()}

@@ -74,9 +74,73 @@ def q32_uniform_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q34: temperature-weighted source mixing -------------------------------
+#
+# The corpus-mixing pass of a pretraining pipeline: re-weight data sources
+# to a target token budget with temperature alpha (alpha < 1 upsamples small
+# sources relative to their raw share, the standard multilingual/multi-domain
+# mixing rule). Per-source token totals are a partial-aggregated groupBy on
+# `source` (tiny output); the 1-row corpus total crossJoins back broadcast,
+# so the per-source RATE table never leaves the executors and the final
+# Bernoulli keep is a broadcast-joined narrow map keyed on the same
+# content-hash uniform as q31 (retry-stable, engine-reproducible). Rates are
+# rounded to 6dp (half-nudged, see s5) so both engines compare u < rate on
+# identical doubles; u has 24-bit granularity from the first 6 md5 nibbles.
+MIX_ALPHA = 0.5
+MIX_TARGET_FRAC = 0.5
+_U24 = float(1 << 24)
+
+
+def q34_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.functions import tokens_expr
+
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size({tokens_expr('text')}) AS BIGINT) AS n_tok",
+    )
+    src = d.groupBy("source").agg(F.sum("n_tok").alias("toks"))
+    tot = src.agg(
+        F.sum(F.pow("toks", F.lit(MIX_ALPHA))).alias("wsum"),
+        F.sum("toks").alias("tot_toks"),
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.pow("toks", F.lit(MIX_ALPHA))
+                    / F.col("wsum")
+                    * (F.lit(MIX_TARGET_FRAC) * F.col("tot_toks"))
+                    / F.col("toks"),
+                )
+                + F.lit(5e-10),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_U24)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q31_stratified_sample": q31_stratified_sample,
     "q32_uniform_k_per_stratum": q32_uniform_k_per_stratum,
+    "q34_source_mixing": q34_source_mixing,
 }
 
 ORACLE: dict[str, str] = {
@@ -96,4 +160,25 @@ ORACLE: dict[str, str] = {
           FROM customer)
         WHERE rk <= {K_PER_STRATUM}
         ORDER BY c_nationkey, rk""",
+    "q34_source_mixing": f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')) AS BIGINT)
+                   AS n_tok
+          FROM documents),
+        src AS (SELECT source, SUM(n_tok) AS toks FROM d GROUP BY source),
+        tot AS (SELECT SUM(pow(toks, {MIX_ALPHA})) AS wsum,
+                       SUM(toks) AS tot_toks FROM src),
+        rates AS (
+          SELECT source,
+                 round(least(1.0, pow(toks, {MIX_ALPHA}) / wsum
+                                  * ({MIX_TARGET_FRAC} * tot_toks) / toks)
+                       + 5e-10, 6) + 0.0 AS rate
+          FROM src, tot)
+        SELECT doc_id, source, rate
+        FROM d JOIN rates USING (source)
+        WHERE ('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 6))
+                ::BIGINT / {_U24} < rate
+        ORDER BY doc_id""",
 }

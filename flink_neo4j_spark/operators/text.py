@@ -296,6 +296,105 @@ def t9_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T10 — repetition filter (the Gopher-rules family): flag documents whose
+# text is dominated by repeated n-grams or a single token. Three features:
+# duplicate-word-bigram fraction (1 - distinct/total bigrams), top-token
+# fraction (count of the modal token / token count), and symbol ratio
+# (non-alphanumeric chars / chars). The bigram + symbol features are narrow
+# per-row expressions; the modal token needs a per-(doc, term) count — two
+# partial-aggregated shuffles keyed by high-cardinality (doc_id, term) then
+# doc_id, joined back to the per-row features on doc_id. Thresholds are
+# corpus-tuned so the keep flag splits the synthetic corpus non-trivially
+# (production uses Gopher's published constants).
+DUP_BIGRAM_MAX = 0.05
+TOP_TOK_MAX = 0.13
+SYMBOL_MAX = 0.1
+
+
+def t10_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = d.selectExpr("doc_id", f"{TOKENS} AS tok")
+    # duplicate-bigram fraction: total bigrams is n_tok - 1 (positional), so
+    # only the DISTINCT bigram array is materialized (rule-1 projection
+    # split: tok is a real column, the transform runs once per row).
+    feats = toks.selectExpr(
+        "doc_id",
+        "CAST(size(tok) AS BIGINT) AS n_tok",
+        """CASE WHEN size(tok) >= 2 THEN
+             round(1.0D - size(array_distinct(transform(
+                 sequence(1, size(tok) - 1),
+                 i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1)))))
+               * 1.0D / (size(tok) - 1), 4)
+           ELSE 0.0D END AS dup_bigram_frac""",
+    )
+    sym = d.selectExpr(
+        "doc_id",
+        "round(size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0)) * 1.0D "
+        "/ length(text), 4) AS symbol_ratio",
+    )
+    mode = (
+        toks.selectExpr("doc_id", "explode_outer(tok) AS term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 4
+            ).alias("top_tok_frac")
+        )
+    )
+    return (
+        feats.join(mode, "doc_id")
+        .join(sym, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "dup_bigram_frac",
+            "top_tok_frac",
+            "symbol_ratio",
+            (
+                (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX)
+                & (F.col("top_tok_frac") <= TOP_TOK_MAX)
+                & (F.col("symbol_ratio") <= SYMBOL_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# T11 — deterministic training-order shuffle: the global-shuffle-before-
+# sharding pass every pretraining run needs, WITHOUT a global sort. Each doc
+# gets a seed-keyed content hash; the first hex nibble routes it to a shard
+# and row_number within the shard (ordered by the hash) is its position —
+# so ordering work is one partitioned window, never a single-partition
+# global ORDER BY. Changing SHUF_SEED reshuffles every epoch while staying
+# retry-stable and engine-reproducible (same discipline as q31/q32).
+SHUF_SEED = "epoch0"
+
+
+def t11_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.selectExpr(
+        "doc_id",
+        f"md5(concat('{SHUF_SEED}|', CAST(doc_id AS STRING))) AS okey",
+    ).selectExpr(
+        "doc_id",
+        "okey",
+        f"CAST(locate(substring(okey, 1, 1), '{_HEX}') - 1 AS BIGINT) AS shard",
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        base.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t2_lang_id": t2_lang_id,
@@ -306,6 +405,8 @@ QUERIES: dict[str, QueryFn] = {
     "t7_pii_redact": t7_pii_redact,
     "t8_pack_sequences": t8_pack_sequences,
     "t9_lang_segments": t9_lang_segments,
+    "t10_repetition_filter": t10_repetition_filter,
+    "t11_shuffle_shards": t11_shuffle_shards,
 }
 
 _DUCK_LANG_HITS = ", ".join(
@@ -415,6 +516,46 @@ ORACLE: dict[str, str] = {
                CAST(FLOOR(start * 1.0 / {PACK_BUDGET}) AS BIGINT) AS bin,
                start % {PACK_BUDGET} AS bin_offset
         FROM packed ORDER BY doc_id""",
+    "t10_repetition_filter": f"""
+        WITH tokd AS (SELECT doc_id, text, {DUCK_TOKENS} AS tok FROM documents),
+        feats AS (
+          SELECT doc_id,
+                 CAST(len(tok) AS BIGINT) AS n_tok,
+                 CASE WHEN len(tok) >= 2 THEN
+                   round(1.0 - len(list_distinct(
+                       [tok[i] || ' ' || tok[i+1]
+                        for i in generate_series(1, len(tok) - 1)]))
+                     * 1.0 / (len(tok) - 1), 4)
+                 ELSE 0.0 END AS dup_bigram_frac,
+                 round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                       * 1.0 / length(text), 4) AS symbol_ratio
+          FROM tokd),
+        mode AS (
+          SELECT doc_id, round(MAX(c) * 1.0 / SUM(c), 4) AS top_tok_frac
+          FROM (SELECT doc_id, term, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(tok) AS term FROM tokd)
+                GROUP BY doc_id, term)
+          GROUP BY doc_id)
+        SELECT doc_id, n_tok, dup_bigram_frac, top_tok_frac, symbol_ratio,
+               (dup_bigram_frac <= {DUP_BIGRAM_MAX}
+                AND top_tok_frac <= {TOP_TOK_MAX}
+                AND symbol_ratio <= {SYMBOL_MAX}) AS keep
+        FROM feats JOIN mode USING (doc_id)
+        ORDER BY doc_id""",
+    "t11_shuffle_shards": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 md5('{SHUF_SEED}|' || CAST(doc_id AS VARCHAR)) AS okey
+          FROM documents),
+        sharded AS (
+          SELECT doc_id, okey,
+                 CAST(strpos('{_HEX}', substring(okey, 1, 1)) - 1 AS BIGINT)
+                   AS shard
+          FROM base)
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+                 AS pos
+        FROM sharded ORDER BY shard, pos""",
     "t9_lang_segments": f"""
         WITH tokd AS (SELECT doc_id, {DUCK_TOKENS} AS tok FROM documents),
         ex AS (
