@@ -28,10 +28,14 @@ them: label filters push down, endpoint joins broadcast). Writes translate
 to ``create_nodes`` / ``update_nodes`` / ``from_rows`` semantics and return
 a NEW PropertyGraph (graphs are immutable values here).
 
-This is intentionally a SUBSET: unbounded path expansion, multi-clause
-MATCH chains, and path values are served by the native DataFrame surface.
-Unsupported syntax raises ``CypherSyntaxError`` with the offending token,
-never a silent wrong answer.
+  multi-clause ``MATCH ... MATCH ...`` chains unify on shared node
+  variables (name-based joins; clauses sharing no variable are rejected
+  rather than silently cross-joined).
+
+This is intentionally a SUBSET: unbounded path expansion and path values
+are served by the native DataFrame surface. Unsupported syntax raises
+``CypherSyntaxError`` with the offending token, never a silent wrong
+answer.
 """
 
 from __future__ import annotations
@@ -574,6 +578,106 @@ def _optional_match(
     return df, colmap
 
 
+def _prefixed_clause(
+    graph: PropertyGraph, pat: NodePat | EdgePat, idx: int
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """One MATCH clause as a DataFrame with every column prefixed by its
+    variable (``<var>_<col>``), plus the var -> column-list map. Node
+    clauses are a label scan; edge clauses are ``expand`` (two equi-joins
+    Catalyst broadcasts when a label restricts an endpoint)."""
+    if isinstance(pat, NodePat):
+        if pat.var is None:
+            raise CypherSyntaxError("chained MATCH patterns need node variables")
+        cols = [f"{pat.var}_{c}" for c in graph.vertices.columns]
+        df = graph.nodes(pat.label).select(
+            *[F.col(c).alias(f"{pat.var}_{c}") for c in graph.vertices.columns]
+        )
+        return df, {pat.var: cols}
+    if pat.hops is not None:
+        raise CypherSyntaxError(
+            "variable-length patterns not supported in multi-clause MATCH"
+        )
+    if pat.src.var is None or pat.dst.var is None or pat.src.var == pat.dst.var:
+        raise CypherSyntaxError(
+            "chained edge patterns need distinct variables on both endpoints"
+        )
+    evar = pat.var or f"__e{idx}"
+    df = graph.expand(
+        pat.src.label,
+        pat.rel_type,
+        pat.dst.label,
+        src_prefix=f"{pat.src.var}_",
+        dst_prefix=f"{pat.dst.var}_",
+    )
+    varmap = {
+        evar: [f"{evar}_{c}" for c in graph.edges.columns],
+        pat.src.var: [f"{pat.src.var}_{c}" for c in graph.vertices.columns],
+        pat.dst.var: [f"{pat.dst.var}_{c}" for c in graph.vertices.columns],
+    }
+    df = df.select(
+        *[F.col(c).alias(f"{evar}_{c}") for c in graph.edges.columns],
+        *varmap[pat.src.var],
+        *varmap[pat.dst.var],
+    )
+    return df, varmap
+
+
+def _match_chain(graph: PropertyGraph, pats: list[NodePat | EdgePat]):
+    """Multi-clause ``MATCH ... MATCH ...`` translation: each clause becomes
+    a var-prefixed DataFrame; consecutive clauses join on the node ids of
+    their shared variables (Cypher's name-based unification). Every clause
+    must share at least one variable with the accumulated pattern — a
+    clause that shares none would be a cartesian product, which this front
+    end refuses by contract (the native crossJoin is available to users who
+    really mean it). Re-binding a relationship variable is rejected, as in
+    Cypher. Plan shape: a chain of equi-joins on vertex ids — exactly what
+    Catalyst reorders/broadcasts; label filters stay pushed at each
+    clause's own scan."""
+    acc, varmap = _prefixed_clause(graph, pats[0], 0)
+    for idx, pat in enumerate(pats[1:], start=1):
+        df, vm = _prefixed_clause(graph, pat, idx)
+        edge_vars = (
+            {pat.var}
+            if isinstance(pat, EdgePat) and pat.var is not None
+            else set()
+        )
+        if edge_vars & varmap.keys():
+            raise CypherSyntaxError(
+                f"relationship variable {pat.var!r} already bound"
+            )
+        shared = sorted(set(vm) & set(varmap) - edge_vars)
+        if not shared:
+            raise CypherSyntaxError(
+                "each MATCH clause must share a variable with an earlier clause"
+            )
+        renames = {}
+        for v in shared:
+            for c in vm[v]:
+                renames[c] = f"__dup_{c}"
+        df = df.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+        )
+        cond = None
+        for v in shared:
+            eq = F.col(f"{v}_id") == F.col(f"__dup_{v}_id")
+            cond = eq if cond is None else (cond & eq)
+        acc = acc.join(df, cond).drop(*renames.values())
+        for v, cols in vm.items():
+            if v not in varmap:
+                varmap[v] = cols
+    known = {c for cols in varmap.values() for c in cols}
+
+    def colmap(ref: PropRef) -> Column:
+        name = f"{ref.var}_{'id' if ref.prop is None else ref.prop}"
+        if name not in known:
+            raise CypherSyntaxError(
+                f"unknown variable or property {ref.var}.{ref.prop or 'id'}"
+            )
+        return F.col(name)
+
+    return acc, colmap
+
+
 def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a read-only query:
 
@@ -595,8 +699,19 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     if p.at("kw", "WHERE"):
         p.next()
         disj = p.parse_where()
+    chain_pats, chain_disjs = [pat], ([disj] if disj is not None else [])
+    while p.at("kw", "MATCH"):  # multi-clause MATCH chain
+        p.next()
+        chain_pats.append(p.parse_pattern())
+        if p.at("kw", "WHERE"):
+            p.next()
+            chain_disjs.append(p.parse_where())
     opt_pat = opt_disj = None
     if p._at_word_ci("OPTIONAL"):
+        if len(chain_pats) > 1:
+            raise CypherSyntaxError(
+                "OPTIONAL MATCH after a multi-clause MATCH chain not supported"
+            )
         p.next()
         p.expect("kw", "MATCH")
         opt_pat = p.parse_pattern()
@@ -607,7 +722,21 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     distinct, items = p.parse_return()
     order, limit = p.parse_tail()
 
-    if opt_pat is not None:
+    if len(chain_pats) > 1:
+        for cp in chain_pats:
+            if (isinstance(cp, EdgePat) and (cp.props or cp.src.props or cp.dst.props)) or (
+                isinstance(cp, NodePat) and cp.props
+            ):
+                raise CypherSyntaxError(
+                    "inline property match not supported in MATCH; use WHERE"
+                )
+        df, colmap = _match_chain(graph, chain_pats)
+        # each clause's WHERE is a conjunct over the joined pattern (all
+        # clauses are inner joins, so post-join filtering is equivalent)
+        for d in chain_disjs:
+            df = df.filter(_where_to_column(d, colmap))
+        disj = None
+    elif opt_pat is not None:
         if not isinstance(pat, NodePat) or pat.props:
             raise CypherSyntaxError(
                 "OPTIONAL MATCH requires a plain MATCH (n[:Label]) base pattern"

@@ -209,6 +209,48 @@ class PropertyGraph:
                 out_cols.append(F.col(f"_u_{c}").alias(c))
         return PropertyGraph(joined.select(*out_cols), self.edges)
 
+    def delete_nodes(
+        self, keys: DataFrame, key: str = "id", detach: bool = False
+    ) -> "PropertyGraph":
+        """DELETE / DETACH DELETE parity — ``UNWIND $rows AS r MATCH (n)
+        WHERE n.key = r.key [DETACH] DELETE n``.
+
+        Neo4j refuses a plain DELETE on a node that still has relationships;
+        this mirrors that contract: ``detach=False`` raises if any matched
+        vertex has an incident edge, ``detach=True`` removes the incident
+        edges too. All set operations are anti/semi joins keyed on the id —
+        the delete set is a DataFrame (never collected), so a 10^9-row
+        delete behaves like any other join: AQE broadcasts it when small,
+        shuffles when not. The incident-edge check is a scalar count
+        (metadata to the driver, not row data)."""
+        ids = keys.select(F.col(key).alias("id")).distinct()
+        as_src = ids.withColumnRenamed("id", "src")
+        as_dst = ids.withColumnRenamed("id", "dst")
+        if not detach:
+            n_incident = (
+                self.edges.join(as_src, "src", "left_semi")
+                .unionAll(self.edges.join(as_dst, "dst", "left_semi"))
+                .count()
+            )
+            if n_incident:
+                raise ValueError(
+                    f"cannot DELETE: {n_incident} incident relationship(s) "
+                    "remain; use detach=True (DETACH DELETE)"
+                )
+            new_edges = self.edges
+        else:
+            new_edges = self.edges.join(as_src, "src", "left_anti").join(
+                as_dst, "dst", "left_anti"
+            )
+        matched = self.vertices.join(ids, "id", "left_anti")
+        return PropertyGraph(matched, new_edges)
+
+    def delete_edges(self, keys: DataFrame, key: str = "id") -> "PropertyGraph":
+        """Relationship delete — ``MATCH ()-[e]-() WHERE id(e) = r.id
+        DELETE e``. A single anti join on the edge id."""
+        ids = keys.select(F.col(key).alias("id")).distinct()
+        return PropertyGraph(self.vertices, self.edges.join(ids, "id", "left_anti"))
+
     # -- connector round-trip (SURVEY §7 step 5) --------------------------
 
     def to_cypher(self, transport_factory, batch_size: int = 1000) -> None:

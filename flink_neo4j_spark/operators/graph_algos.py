@@ -346,6 +346,47 @@ def g10_cypher_relprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G12 — multi-clause MATCH chain through the front end: two MATCH clauses
+# unify on the shared `n` variable (name-based join), with a WHERE on the
+# second clause's endpoint. Plans as customer⋈nation⋈region equi-joins with
+# the region filter pushed — identical shape to writing the joins by hand.
+def g12_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e1:IN_NATION]->(n:Nation) "
+        "MATCH (n)-[e2:IN_REGION]->(r:Region) WHERE r.name = 'ASIA' "
+        "RETURN id(c) AS c_id, n.name AS nation_name, r.name AS region_name "
+        "ORDER BY c_id",
+    )
+
+
+# G11 — DETACH DELETE under the conformance gate: delete every Nation vertex
+# in region 0 (the doomed set is derived FROM the graph — an edge scan, not
+# a literal list), then audit what remains as per-label vertex counts and
+# per-rel_type edge counts in one frame. The delete itself is three
+# anti-joins keyed on vertex id (PropertyGraph.delete_nodes); nothing is
+# collected, so the doomed set could be 10^9 rows and the plan shape holds.
+def g11_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    doomed = (
+        g.edges.filter(
+            (F.col("rel_type") == "IN_REGION")
+            & (F.col("dst") == REGION_BASE + 0)
+        ).select(F.col("src").alias("id"))
+    )
+    g2 = g.delete_nodes(doomed, detach=True)
+    v_counts = g2.vertices.groupBy("label").agg(F.count("*").alias("cnt")).select(
+        F.lit("V").alias("kind"), F.col("label").alias("name"), "cnt"
+    )
+    e_counts = g2.edges.groupBy("rel_type").agg(F.count("*").alias("cnt")).select(
+        F.lit("E").alias("kind"), F.col("rel_type").alias("name"), "cnt"
+    )
+    return v_counts.unionByName(e_counts).orderBy("kind", "name")
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
@@ -357,9 +398,34 @@ QUERIES: dict[str, QueryFn] = {
     "g8_cypher_optional": g8_cypher_optional,
     "g9_cypher_varlength": g9_cypher_varlength,
     "g10_cypher_relprop": g10_cypher_relprop,
+    "g11_detach_delete": g11_detach_delete,
+    "g12_match_chain": g12_match_chain,
 }
 
 ORACLE: dict[str, str] = {
+    "g12_match_chain": f"""
+        SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
+               n_name AS nation_name, r_name AS region_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        ORDER BY c_id""",
+    "g11_detach_delete": """
+        SELECT 'V' AS kind, 'Customer' AS name,
+               (SELECT COUNT(*) FROM customer) AS cnt
+        UNION ALL SELECT 'V', 'Supplier', (SELECT COUNT(*) FROM supplier)
+        UNION ALL SELECT 'V', 'Nation',
+               (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
+        UNION ALL SELECT 'V', 'Region', (SELECT COUNT(*) FROM region)
+        UNION ALL SELECT 'E', 'IN_NATION',
+               (SELECT COUNT(*) FROM customer JOIN nation
+                  ON c_nationkey = n_nationkey WHERE n_regionkey <> 0)
+             + (SELECT COUNT(*) FROM supplier JOIN nation
+                  ON s_nationkey = n_nationkey WHERE n_regionkey <> 0)
+        UNION ALL SELECT 'E', 'IN_REGION',
+               (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
+        ORDER BY kind, name""",
     # semi-naive recursion over the same undirected edge set; UNION (not
     # UNION ALL) dedups (vid, hops) states so the recursion stays linear.
     "g6_bfs_hops": f"""

@@ -47,11 +47,21 @@ def w4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup_available_now(spark, sf_dir)
 
 
+def w5_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click->purchase attribution) with
+    watermark-bounded state on both sides; must equal the batch interval
+    join."""
+    from flink_neo4j_spark.streaming.windows import run_interval_join_available_now
+
+    return run_interval_join_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
     "w2_sessionize": w2_sessionize,
     "w3_stream_sliding": w3_stream_sliding,
     "w4_stream_dedup": w4_stream_dedup,
+    "w5_stream_interval_join": w5_stream_interval_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -108,4 +118,16 @@ ORACLE: dict[str, str] = {
     "w4_stream_dedup": """
         SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
         FROM events GROUP BY event_type ORDER BY event_type""",
+    "w5_stream_interval_join": """
+        WITH c AS (SELECT event_id AS click_id, user_id,
+                          CAST(ts AS TIMESTAMP) AS click_ts
+                   FROM events WHERE event_type = 'click'),
+        b AS (SELECT event_id AS buy_id, user_id,
+                     CAST(ts AS TIMESTAMP) AS buy_ts
+              FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id AS user_id, click_id, buy_id,
+               epoch_us(buy_ts) - epoch_us(click_ts) AS lag_us
+        FROM c JOIN b ON c.user_id = b.user_id
+         AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 1 HOUR
+        ORDER BY c.user_id, click_id, buy_id""",
 }

@@ -92,6 +92,18 @@ def unwind_merge_template(label: str, key: str, set_columns: list[str]) -> str:
     return f"UNWIND $rows AS r MERGE (n:{label} {{{key}: r.{key}}}) SET {sets}"
 
 
+def unwind_delete_template(label: str, key: str, detach: bool = False) -> str:
+    """``UNWIND $rows AS r MATCH (n:Label {key: r.key}) [DETACH] DELETE n``
+    — the batch-delete twin of the create/merge templates. DETACH DELETE is
+    idempotent under Spark task retries (re-deleting a gone node matches
+    nothing); plain DELETE fails server-side if relationships remain, the
+    same contract PropertyGraph.delete_nodes enforces locally."""
+    validate_identifier(label)
+    validate_identifier(key)
+    kw = "DETACH DELETE" if detach else "DELETE"
+    return f"UNWIND $rows AS r MATCH (n:{label} {{{key}: r.{key}}}) {kw} n"
+
+
 # -- type system (parity with SURVEY §1.3) ---------------------------------
 
 #: Spark types the sink accepts — the reference's 6 write types

@@ -138,6 +138,91 @@ def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "win_start")
 
 
+def _run_append_to_parquet(
+    stream_df: DataFrame, spark: SparkSession, name: str
+) -> DataFrame:
+    """Append-mode twin of :func:`_run_complete_to_parquet`: each micro-batch
+    appends its newly-final rows to the parquet directory (the natural sink
+    mode for stream-stream joins, whose inner results are emitted eagerly
+    and never retracted)."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", f"{name}_{uuid.uuid4().hex[:8]}"
+    )
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+#: attribution horizon for the click->purchase interval join
+ATTRIBUTION = "1 hour"
+
+
+def interval_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click
+    by the same user within the preceding ATTRIBUTION hour.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state (clicks older than the
+    horizon, purchases older than their match window) instead of buffering
+    both streams forever — THE requirement for a deployable stream-stream
+    join. Inner-join rows emit eagerly; the watermarks exist for state
+    cleanup, which is why a finite AvailableNow replay reproduces the batch
+    twin exactly."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    return clicks.join(
+        buys,
+        F.expr(
+            f"click_user = buy_user AND buy_ts >= click_ts "
+            f"AND buy_ts <= click_ts + interval {ATTRIBUTION}"
+        ),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "buy_id",
+        F.expr("unix_micros(buy_ts) - unix_micros(click_ts)").alias("lag_us"),
+    )
+
+
+def run_interval_join_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution as a real stream-stream join (w5)."""
+    out = _run_append_to_parquet(
+        interval_join_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        "interval_join",
+    )
+    return out.orderBy("user_id", "click_id", "buy_id")
+
+
 def run_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: ``dropDuplicates`` over (user_id, event_type)
     keyed state, then per-type unique-user counts (complete mode,

@@ -260,3 +260,53 @@ def test_varlength_requires_bounds(fixture_graph):
         cypher_read(fixture_graph, "MATCH (a)-[:KNOWS*]->(b) RETURN id(a)")
     with pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (a)-[:KNOWS*1..99]->(b) RETURN id(a)")
+
+
+def test_match_chain_two_clauses(fixture_graph):
+    # Alice-[KNOWS]->Bob and Bob-[KNOWS]->x: the chain unifies on b.
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e1:KNOWS]->(b:User) MATCH (b)-[e2:KNOWS]->(c:User) "
+        "RETURN a.name AS a_name, b.name AS b_name, c.name AS c_name "
+        "ORDER BY a_name, c_name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Bob", "Alice"),
+        ("Bob", "Alice", "Bob"),
+    ]
+
+
+def test_match_chain_where_on_later_clause(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e1:KNOWS]->(b:User) MATCH (b)-[e2:KNOWS]->(c:User) "
+        "WHERE c.name = 'Alice' RETURN a.name AS a_name, e2.since AS since",
+    )
+    assert [tuple(r) for r in df.collect()] == [("Alice", 2002)]
+
+
+def test_match_chain_node_clause_relabel(fixture_graph):
+    # a second clause that just re-matches a bound var with a label
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b) MATCH (b:User) "
+        "RETURN a.name AS a_name, b.name AS b_name ORDER BY a_name",
+    )
+    assert [tuple(r) for r in df.collect()] == [("Alice", "Bob"), ("Bob", "Alice")]
+
+
+def test_match_chain_disconnected_rejected(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="share a variable"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User) MATCH (b:User) RETURN a.name, b.name",
+        )
+
+
+def test_match_chain_edge_var_rebind_rejected(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="already bound"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User)-[e:KNOWS]->(b:User) MATCH (b)-[e:KNOWS]->(c:User) "
+            "RETURN a.name",
+        )

@@ -148,3 +148,41 @@ def test_missing_required_columns(spark):
             spark.createDataFrame([(1,)], "id long"),
             spark.createDataFrame([(1, 0, 1, "X")], "id long, src long, dst long, rel_type string"),
         )
+
+
+def test_delete_nodes_plain_refuses_with_relationships(spark, graph):
+    doomed = spark.createDataFrame([(0,)], "id long")  # Alice has KNOWS edges
+    with pytest.raises(ValueError, match="DETACH"):
+        graph.delete_nodes(doomed)
+
+
+def test_delete_nodes_plain_on_isolated_vertex(spark, graph):
+    doomed = spark.createDataFrame([(2,)], "id long")  # Eve has no edges
+    g2 = graph.delete_nodes(doomed)
+    assert sorted(r.id for r in g2.vertices.collect()) == [0, 1]
+    assert g2.edges.count() == 2
+
+
+def test_detach_delete_removes_incident_edges(spark, graph):
+    doomed = spark.createDataFrame([(0,)], "id long")
+    g2 = graph.delete_nodes(doomed, detach=True)
+    assert sorted(r.id for r in g2.vertices.collect()) == [1, 2]
+    assert g2.edges.count() == 0  # both KNOWS edges touched Alice
+
+
+def test_delete_edges(spark, graph):
+    g2 = graph.delete_edges(spark.createDataFrame([(0,)], "id long"))
+    assert [r.id for r in g2.edges.collect()] == [1]
+    assert g2.vertices.count() == 3
+
+
+def test_unwind_delete_template():
+    from flink_neo4j_spark.sources.cypher import unwind_delete_template
+
+    assert (
+        unwind_delete_template("User", "name", detach=True)
+        == "UNWIND $rows AS r MATCH (n:User {name: r.name}) DETACH DELETE n"
+    )
+    assert unwind_delete_template("User", "name").endswith(" DELETE n")
+    with pytest.raises(ValueError):
+        unwind_delete_template("User`) DETACH DELETE (m", "name")
