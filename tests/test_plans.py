@@ -192,3 +192,35 @@ def test_decontaminate_no_cartesian(spark):
 
     plan = formatted_plan_of(d9_decontaminate(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_lsh_banded_no_cartesian(spark):
+    """d10's candidate generation must stay an equi-join on (band, bkey)."""
+    from flink_neo4j_spark.operators.dedup import d10_lsh_banded
+
+    plan = formatted_plan_of(d10_lsh_banded(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_detach_delete_anti_joins(spark):
+    """g11's delete is anti-joins, never a collected id list."""
+    from flink_neo4j_spark.operators.graph_algos import g11_detach_delete
+
+    plan = formatted_plan_of(g11_detach_delete(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_source_mixing_broadcasts_rates(spark):
+    """q34's per-source rate table joins broadcast onto documents."""
+    from flink_neo4j_spark.operators.sampling import q34_source_mixing
+
+    assert has_broadcast_join(q34_source_mixing(spark, SF_DIR))
+
+
+def test_shuffle_shards_window_is_sharded(spark):
+    """t11's epoch shuffle must use a PARTITIONED window, not a global sort
+    of the corpus."""
+    from flink_neo4j_spark.operators.text import t11_shuffle_shards
+
+    plan = formatted_plan_of(t11_shuffle_shards(spark, SF_DIR))
+    assert "hashpartitioning(shard" in plan
