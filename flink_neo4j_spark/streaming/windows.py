@@ -61,6 +61,30 @@ def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+#: state-store partition count for streaming queries. The shuffle-partition
+#: conf in force when a streaming query STARTS becomes its state-store
+#: partition count for the checkpoint's lifetime, and every micro-batch
+#: commits one delta file per partition per store (a stream-stream join
+#: keeps FOUR stores per partition). Sizing this to the stream's key
+#: cardinality/throughput instead of inheriting the batch shuffle default
+#: measured 7.8 s -> 2.6 s on w5 at sf0.1; production topologies pick it
+#: deliberately for the same reason (and must keep it stable across
+#: restarts of the same checkpoint).
+STREAM_STATE_PARTITIONS = 8
+
+
+def _start_with_state_partitions(spark: SparkSession, start_fn):
+    """Start a streaming query with the state-sized shuffle-partition conf,
+    restoring the batch setting afterwards (the value is captured at query
+    start, so restoring immediately after is safe)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        return start_fn()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_complete_to_parquet(
     stream_df: DataFrame, spark: SparkSession, name: str
 ) -> DataFrame:
@@ -80,12 +104,15 @@ def _run_complete_to_parquet(
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", out_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
+    q = _start_with_state_partitions(
+        spark,
+        lambda: (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", out_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        ),
     )
     try:
         q.awaitTermination()
@@ -152,12 +179,15 @@ def _run_append_to_parquet(
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", out_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
+    q = _start_with_state_partitions(
+        spark,
+        lambda: (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", out_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        ),
     )
     try:
         q.awaitTermination()
