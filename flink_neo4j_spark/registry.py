@@ -6,55 +6,62 @@ non-SQL-expressible operators, e.g. LSH bucketing or streaming state).
 
 Ordering matters: the conformance driver records at most ~50 query rows per
 run (round 1's CORRECTNESS file stopped at exactly 50 entries, cutting off
-the registry tail), so ``all_queries`` yields queries in an explicit
-priority order rather than module order:
+the registry tail), so ``all_queries`` yields queries in priority order,
+derived from the committed ``CORRECTNESS_r*.json`` artifacts themselves:
 
-- tier 0 — queries with no driver row in the previous round (the round-1
-  tail: q15, a1-a3, g1-g7, w1-w4) plus queries newly added this round;
-- tier 1 — queries whose implementation or oracle changed this round and
-  need re-verification (q23 oracle cast, s5 output shape, d5/d6/d7/d8
-  scale guards);
-- tier 2 — everything else, in stable module order (these were all green
-  in round 1 and are unchanged; if the driver cap cuts anything, it cuts
-  from here, and coverage rotates back next round).
+- tier 0 — queries with NO green driver row in any previous round (never
+  checked, checked-and-failed, or newly added) — these need the hard
+  signal most;
+- tier 1 — queries listed in ``_CHANGED_THIS_ROUND`` (implementation or
+  oracle edited since their last green row, so the old green no longer
+  vouches for them);
+- tier 2 — everything else (green in some previous round and unchanged),
+  in stable module order. If the driver cap cuts anything, it cuts here,
+  and because tier 0 is recomputed from the artifacts each round, whatever
+  the cap skipped automatically rotates to the front next round.
 
 Local ``tests/test_conformance.py`` always checks the full set regardless.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: Queries the round-1 driver never recorded (registry tail) — check first.
-_TIER0_PREVIOUSLY_UNCHECKED = (
-    "g1_two_hop",
-    "g2_degree",
-    "g3_connected_components",
-    "g4_pagerank",
-    "g5_cypher_frontend",
-    "g6_bfs_hops",
-    "g7_cypher_agg",
-    "q15_salted_agg",
-    "a1_asof_join",
-    "a2_interval_join",
-    "a3_json_extract",
-    "w1_stream_daily",
-    "w2_sessionize",
+#: Queries whose engine code or oracle changed this round: their previous
+#: green rows no longer certify the current code. Update per round.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "w1_stream_daily",  # state-partition sizing change in the stream runner
     "w3_stream_sliding",
     "w4_stream_dedup",
 )
 
-#: Queries whose engine code or oracle changed this round.
-_TIER1_CHANGED = (
-    "q23_conditional_agg",
-    "s5_label_centroids",
-    "d5_ngram_jaccard",
-    "d6_embedding_near_dup",
-    "d7_dedup_clusters",
-    "d8_edit_distance",
-)
+
+def _previously_green() -> set[str]:
+    """Names with a fully-green row in any committed CORRECTNESS artifact.
+
+    Green = no error AND row counts matched AND (value hash matched, or the
+    query is rows-only so there is no hash to match). Failed/erred rows stay
+    out, so they keep tier-0 priority until a green row lands.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            if row.get("rows_match") and row.get("hash_match") in (True, None):
+                green.add(name)
+    return green
 
 
 def _modules():
@@ -86,46 +93,12 @@ def _modules():
 
 
 def _ordered(merged: dict) -> dict:
-    """Reorder a merged name->value dict into tier order (see module doc).
-
-    Tier-0 names absent from ``merged`` (e.g. oracles for rows-only queries)
-    are skipped; names listed in no tier keep their module order at the end.
-    New queries registered by a module but not in any tier list land in
-    tier 0.5: ahead of tier 2, after the explicit lists — so a freshly added
-    operator always gets a driver row on its first round.
-    """
-    explicit = set(_TIER0_PREVIOUSLY_UNCHECKED) | set(_TIER1_CHANGED)
-    out = {}
-    for name in (*_TIER0_PREVIOUSLY_UNCHECKED, *_TIER1_CHANGED):
-        if name in merged:
-            out[name] = merged[name]
-    known_round1 = _ROUND1_CHECKED_GREEN | explicit
-    for name, value in merged.items():  # new-this-round queries
-        if name not in out and name not in known_round1:
-            out[name] = value
-    for name, value in merged.items():  # stable tail (green + unchanged)
-        if name not in out:
-            out[name] = value
-    return out
-
-
-#: Green in CORRECTNESS_r01.json and unchanged since — safe to rotate out if
-#: the driver's per-run row cap cuts the tail.
-_ROUND1_CHECKED_GREEN = {
-    "q1_node_scan", "q2_edge_join", "q3_disjunction", "q4_null_semantics",
-    "q5_join_update", "q6_batch_insert", "q7_grouped_count", "q8_multi_agg",
-    "q9_date_filter", "q10_topk", "q11_time_bucket", "q12_distinct_docs",
-    "q13_order_revenue_topk", "q14_local_supplier_revenue", "q16_window_rank",
-    "q17_set_ops", "q18_percentiles", "q19_rollup", "q20_exists_semi",
-    "q21_anti_scalar", "q22_groupwise_threshold", "q24_sample_split",
-    "q25_pivot", "q26_disjunctive_join", "q27_nation_volume",
-    "q28_sketch_stats", "q29_merge_upsert", "q30_distinct_exclusion",
-    "d1_exact_dedup", "d2_minhash_signature", "d3_minhash_near_dup",
-    "d4_simhash", "s1_cosine_topk", "s2_lsh_topk", "s3_cosine_topk_pandas",
-    "s4_ivf_topk", "t1_token_count", "t2_lang_id", "t3_quality_score",
-    "t4_fingerprint", "t5_top_terms", "m1_multimodal_meta",
-    "m2_frame_sample", "m3_resize",
-}
+    """Reorder a merged name->value dict into tier order (see module doc)."""
+    green = _previously_green()
+    tier0 = [n for n in merged if n not in green and n not in _CHANGED_THIS_ROUND]
+    tier1 = [n for n in _CHANGED_THIS_ROUND if n in merged]
+    tier2 = [n for n in merged if n in green and n not in _CHANGED_THIS_ROUND]
+    return {n: merged[n] for n in (*tier0, *tier1, *tier2)}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
