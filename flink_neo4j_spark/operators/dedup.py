@@ -552,6 +552,72 @@ def d10_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+# D11 — chunk-level (intra-corpus "line") dedup, the C4/RefinedWeb step that
+# removes REPEATED PASSAGES across documents while keeping the documents
+# themselves: segment each document into fixed CHUNK_TOKENS-token chunks,
+# keep only the first occurrence of each distinct chunk corpus-wide (first =
+# smallest (doc_id, chunk_idx)), and re-emit each document with its kept
+# chunks plus kept/total counts. The corpus has no sentence/line delimiters
+# (FIXTURES.md: space-joined word streams), so fixed token windows are the
+# segmentation — the same shape real pipelines use for sequence-level dedup.
+#
+# Plan shape (100 TB posture):
+# - chunking is ONE narrow projection (`transform(sequence(...), slice(...))`)
+#   followed by ONE posexplode of chunk strings — never a per-token explode;
+# - the keep-first winner per chunk is a groupBy(md5(chunk)).min(struct(...))
+#   — partial aggregation absorbs hot chunks (boilerplate) map-side, unlike a
+#   row_number() window which would sort every occurrence of a hot chunk in
+#   one partition;
+# - re-attach winners with an equi-join on the 16-byte chunk hash (not the
+#   chunk text), then one groupBy(doc_id) rebuilds documents. Three shuffles
+#   total, each on a bounded-width key.
+CHUNK_TOKENS = 10
+
+
+def d11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    n_chunks_expr = f"int(ceil(size(tok) / {CHUNK_TOKENS}.0))"
+    chunks = (
+        d.filter(F.expr(f"size({TOKENS_EXPR}) >= 1"))
+        .selectExpr("doc_id", f"{TOKENS_EXPR} AS tok")
+        .selectExpr(
+            "doc_id",
+            f"posexplode(transform(sequence(0, {n_chunks_expr} - 1), "
+            f"i -> array_join(slice(tok, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' ')))"
+            " AS (chunk_idx, chunk)",
+        )
+        .withColumn("ckey", F.md5("chunk"))
+    )
+    winners = chunks.groupBy("ckey").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    flagged = chunks.join(winners, "ckey").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("chunk_idx") == F.col("w.chunk_idx")),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            # collect_list drops the nulls `when` leaves for dropped chunks;
+            # array_sort on the (chunk_idx, chunk) struct restores document
+            # order before the join
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_minhash_signature": d2_minhash_signature,
@@ -563,6 +629,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_edit_distance": d8_edit_distance,
     "d9_decontaminate": d9_decontaminate,
     "d10_lsh_banded": d10_lsh_banded,
+    "d11_chunk_dedup": d11_chunk_dedup,
 }
 
 
@@ -580,6 +647,33 @@ _DUCK_SIMHASH_BITS = ", ".join(
 _DUCK_SIMHASH_SUM = " + ".join(f"b{b}" for b in range(16))
 
 ORACLE: dict[str, str] = {
+    # keep-first-occurrence is expressed as a row_number window here — the
+    # declarative twin of the engine's skew-safe min-struct aggregate.
+    "d11_chunk_dedup": f"""
+        WITH tokd AS (
+          SELECT doc_id, {DUCK_TOKENS} AS tok FROM documents
+          WHERE len({DUCK_TOKENS}) >= 1),
+        chunks AS (
+          SELECT doc_id, u.ci AS chunk_idx, u.c AS chunk
+          FROM (
+            SELECT doc_id,
+                   unnest([{{'ci': i, 'c': array_to_string(
+                       tok[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                       ' ')}}
+                     for i in generate_series(
+                       0, CAST(ceil(len(tok) / {CHUNK_TOKENS}.0) AS INT) - 1)]) AS u
+            FROM tokd)),
+        ranked AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks)
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                   ORDER BY chunk_idx), '') AS dedup_text
+        FROM ranked GROUP BY doc_id ORDER BY doc_id""",
     "d8_edit_distance": f"""
         WITH d0 AS (
           SELECT doc_id,

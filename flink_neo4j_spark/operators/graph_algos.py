@@ -405,6 +405,45 @@ def g11_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_counts.unionByName(e_counts).orderBy("kind", "name")
 
 
+# G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
+# DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
+# property `w` instead of 1, and the per-round re-minimization is over path
+# cost. The round budget equals the hop bound: after k rounds `dist` holds
+# the cheapest path using <= k edges, which is the true shortest-path cost
+# whenever the graph's weighted shortest paths use at most k edges (here the
+# fixture is a tree, so every path is unique and k = diameter is exact; on a
+# general graph raise the budget or iterate to a fixed point as g4 does).
+# The oracle is a DuckDB RECURSIVE CTE bounded by the same hop budget —
+# tuple-at-a-time semi-naive recursion vs bulk-synchronous relaxation must
+# produce identical costs.
+def g13_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    undirected = (
+        g.edges.select("src", "dst", "w")
+        .unionAll(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .persist()
+    )
+    dist = (
+        g.vertices.filter(F.col("id") == BFS_SOURCE)
+        .select(F.col("id").alias("vid"), F.lit(0).cast("long").alias("dist"))
+    )
+    for i in range(BFS_MAX_HOPS):
+        relaxed = (
+            undirected.join(dist.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("dst").alias("vid"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed).groupBy("vid").agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == BFS_MAX_HOPS - 1:
+            dist = dist.localCheckpoint()
+    return dist.orderBy("vid")
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
@@ -418,6 +457,7 @@ QUERIES: dict[str, QueryFn] = {
     "g10_cypher_relprop": g10_cypher_relprop,
     "g11_detach_delete": g11_detach_delete,
     "g12_match_chain": g12_match_chain,
+    "g13_weighted_sssp": g13_weighted_sssp,
 }
 
 ORACLE: dict[str, str] = {
@@ -444,6 +484,38 @@ ORACLE: dict[str, str] = {
         UNION ALL SELECT 'E', 'IN_REGION',
                (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0)
         ORDER BY kind, name""",
+    # weighted twin of g6's recursion: states are (vid, dist, hops), the
+    # hop counter bounds recursion depth to the same budget as the engine's
+    # relaxation rounds, and UNION dedups repeated states.
+    "g13_weighted_sssp": f"""
+        WITH RECURSIVE und AS (
+          SELECT c_custkey + {CUSTOMER_BASE} AS src,
+                 c_nationkey + {NATION_BASE} AS dst, c_custkey % 7 AS w
+          FROM customer
+          UNION ALL SELECT c_nationkey + {NATION_BASE},
+                 c_custkey + {CUSTOMER_BASE}, c_custkey % 7
+          FROM customer
+          UNION ALL SELECT s_suppkey + {SUPPLIER_BASE},
+                 s_nationkey + {NATION_BASE}, s_suppkey % 7
+          FROM supplier
+          UNION ALL SELECT s_nationkey + {NATION_BASE},
+                 s_suppkey + {SUPPLIER_BASE}, s_suppkey % 7
+          FROM supplier
+          UNION ALL SELECT n_nationkey + {NATION_BASE},
+                 n_regionkey + {REGION_BASE}, n_nationkey % 7
+          FROM nation
+          UNION ALL SELECT n_regionkey + {REGION_BASE},
+                 n_nationkey + {NATION_BASE}, n_nationkey % 7
+          FROM nation
+        ),
+        r AS (
+          SELECT {BFS_SOURCE} AS vid, CAST(0 AS BIGINT) AS dist, 0 AS hops
+          UNION
+          SELECT u.dst, r.dist + u.w, r.hops + 1
+          FROM r JOIN und u ON u.src = r.vid
+          WHERE r.hops < {BFS_MAX_HOPS}
+        )
+        SELECT vid, MIN(dist) AS dist FROM r GROUP BY vid ORDER BY vid""",
     # semi-naive recursion over the same undirected edge set; UNION (not
     # UNION ALL) dedups (vid, hops) states so the recursion stays linear.
     "g6_bfs_hops": f"""

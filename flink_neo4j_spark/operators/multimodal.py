@@ -216,14 +216,55 @@ def m4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(attach_payload(docs)).orderBy("doc_id", "win_idx")
 
 
+# M5 — training-sample assembly: the manifest join a multimodal training
+# pipeline runs to stitch each example together from its modality tables —
+# text stats from `documents`, the payload's typed metadata, and embedding
+# features from `embeddings` — keyed on the shared sample id. Everything is
+# JVM-side (one projection per side + one equi-join; the embedding norm is a
+# codegen'd `aggregate` fold, no Python). At 100 TB both sides bucket/
+# co-partition on the sample id so the join is shuffle-free; the payload
+# bytes themselves are never read (column pruning keeps the scan to
+# metadata).
+def m5_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    samples = docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
+        F.col("source").alias("origin"),
+        F.expr("size(split(trim(text), ' +'))").alias("n_tokens"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id AS doc_id",
+        "label",
+        "round(sqrt(aggregate(cast(embedding AS array<double>), 0D,"
+        " (acc, v) -> acc + v * v)), 6) AS emb_norm",
+    )
+    return samples.join(emb, "doc_id").orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "m1_multimodal_meta": m1_multimodal_meta,
     "m2_frame_sample": m2_frame_sample,
     "m3_resize": m3_resize,
     "m4_audio_windows": m4_audio_windows,
+    "m5_sample_assembly": m5_sample_assembly,
 }
 
 ORACLE: dict[str, str] = {
+    "m5_sample_assembly": """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(length(text) AS INT) AS byte_len,
+                 source AS origin,
+                 CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_tokens
+          FROM documents),
+        e AS (
+          SELECT vec_id AS doc_id, label,
+                 ROUND(sqrt(list_sum([x * x for x in embedding::DOUBLE[]])), 6)
+                   AS emb_norm
+          FROM embeddings)
+        SELECT doc_id, byte_len, origin, n_tokens, label, emb_norm
+        FROM d JOIN e USING (doc_id) ORDER BY doc_id""",
     # corpus text is ascii, so octet length == char length and byte values
     # == ascii codes; the oracle states the same byte-level formulas in SQL.
     "m1_multimodal_meta": """

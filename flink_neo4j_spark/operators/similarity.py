@@ -271,6 +271,76 @@ def s6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S7 — MMR (maximal-marginal-relevance) diversity re-rank: the standard
+# greedy pass that turns a similarity top-N into a RELEVANT-BUT-DIVERSE
+# top-k (retrieval result diversification; dataset curation "pick diverse
+# exemplars"). Pick argmax of
+#   MMR_LAMBDA * cos(q, d)  -  MMR_MU * max_{s in selected} cos(d, s)
+# k times. Plan shape: the candidate pool is a TakeOrderedAndProject top-N
+# (JVM-side fold cosine, as s1), and the greedy k-step kernel runs inside
+# ONE applyInPandas group keyed by the query id — per-query parallelism at
+# scale (thousands of queries = thousands of independent groups), never a
+# driver-side loop. The kernel is O(pool * k) with numpy pairwise sims.
+# MMR_MU is written 0.3 literally (not 1 - MMR_LAMBDA): 1 - 0.7 is
+# 0.30000000000000004 in IEEE double and the oracle says 0.3.
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+MMR_POOL = 20
+
+
+def s7_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "emb", _cosine("emb", "q_emb").alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(MMR_POOL)
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["emb"].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        S = (V @ V.T) / np.outer(norms, norms)
+        cos = pdf["cos"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        for _ in range(min(TOP_K, n)):
+            best, best_s = -1, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                pen = max(S[i][j] for j in selected) if selected else 0.0
+                s = MMR_LAMBDA * cos[i] - MMR_MU * pen
+                # strict > keeps the lowest vec_id on ties (rows are
+                # vec_id-sorted), matching the oracle's ORDER BY vec_id
+                if best_s is None or s > best_s:
+                    best, best_s = i, s
+            selected.append(best)
+            scores.append(float(best_s))
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(selected) + 1),
+                "vec_id": pdf["vec_id"].iloc[selected].to_numpy(),
+                "score": [round(s, 6) for s in scores],
+            }
+        )
+
+    return (
+        cand.withColumn("qid", F.lit(QUERY_VEC_ID))
+        .groupBy("qid")
+        .applyInPandas(greedy, schema="rank long, vec_id long, score double")
+        .orderBy("rank")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_topk": s2_lsh_topk,
@@ -278,6 +348,7 @@ QUERIES: dict[str, QueryFn] = {
     "s4_ivf_topk": s4_ivf_topk,
     "s5_label_centroids": s5_label_centroids,
     "s6_quantized_topk": s6_quantized_topk,
+    "s7_mmr_rerank": s7_mmr_rerank,
 }
 
 
@@ -304,7 +375,56 @@ _DUCK_SIG = " + ".join(
     for p in range(N_PLANES)
 )
 
+def _duck_mmr_sql() -> str:
+    """Greedy MMR as TOP_K unrolled CTE steps (SQL has no loops; the step
+    count is a small compile-time constant, so unrolling IS the declarative
+    statement of the greedy recurrence). Step i picks the argmax of
+    lambda*cos - mu*max(sim to selected) over the not-yet-selected pool."""
+
+    def prev_union(i: int) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+
+    steps = []
+    for i in range(2, TOP_K + 1):
+        p = prev_union(i)
+        steps.append(
+            f"""sel{i} AS MATERIALIZED (
+          SELECT {i} AS "rank", c.vec_id,
+                 {MMR_LAMBDA} * c.cos - {MMR_MU} * MAX(p.s) AS score
+          FROM cand c
+          JOIN pair p ON p.a_id = c.vec_id
+          JOIN ({p}) sel ON p.b_id = sel.vec_id
+          WHERE c.vec_id NOT IN ({p})
+          GROUP BY c.vec_id, c.cos
+          ORDER BY score DESC, c.vec_id LIMIT 1)"""
+        )
+    union_all = " UNION ALL ".join(
+        f'SELECT "rank", vec_id, score FROM sel{i}' for i in range(1, TOP_K + 1)
+    )
+    steps_sql = ",\n        ".join(steps)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        cand AS MATERIALIZED (
+          SELECT e.vec_id, e.emb, {_duck_cos("e.emb", "q.q_emb")} AS cos
+          FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
+          ORDER BY cos DESC, e.vec_id LIMIT {MMR_POOL}),
+        pair AS MATERIALIZED (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 {_duck_cos("a.emb", "b.emb")} AS s
+          FROM cand a JOIN cand b ON a.vec_id != b.vec_id),
+        sel1 AS MATERIALIZED (
+          SELECT 1 AS "rank", vec_id, {MMR_LAMBDA} * cos AS score FROM cand
+          ORDER BY score DESC, vec_id LIMIT 1),
+        {steps_sql}
+        SELECT "rank", vec_id, ROUND(score, 6) AS score
+        FROM ({union_all}) ORDER BY "rank" """
+
+
 ORACLE: dict[str, str] = {
+    "s7_mmr_rerank": _duck_mmr_sql(),
     "s1_cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID})

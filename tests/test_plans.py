@@ -224,3 +224,30 @@ def test_shuffle_shards_window_is_sharded(spark):
 
     plan = formatted_plan_of(t11_shuffle_shards(spark, SF_DIR))
     assert "hashpartitioning(shard" in plan
+
+
+def test_chunk_dedup_winner_is_aggregate_not_window(spark):
+    """d11's keep-first winner must be a hash aggregate (partial agg absorbs
+    hot boilerplate chunks map-side) — not a row_number window, whose sort
+    would funnel every occurrence of a hot chunk into one partition."""
+    from flink_neo4j_spark.operators.dedup import d11_chunk_dedup
+
+    plan = formatted_plan_of(d11_chunk_dedup(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_weighted_sssp_no_cartesian(spark):
+    """g13's relaxation rounds are equi-joins on the vertex id."""
+    from flink_neo4j_spark.operators.graph_algos import g13_weighted_sssp
+
+    plan = formatted_plan_of(g13_weighted_sssp(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_mmr_pool_is_take_ordered(spark):
+    """s7's candidate pool must be TakeOrderedAndProject (no global sort);
+    the greedy kernel sees only the pooled rows."""
+    from flink_neo4j_spark.operators.similarity import s7_mmr_rerank
+
+    assert has_take_ordered(s7_mmr_rerank(spark, SF_DIR))
