@@ -56,15 +56,35 @@ def w5_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_available_now(spark, sf_dir)
 
 
+def w6_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day trending top-k event types: streaming windowed counts +
+    batch re-rank of the final complete-mode state."""
+    from flink_neo4j_spark.streaming.windows import run_trending_available_now
+
+    return run_trending_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
     "w2_sessionize": w2_sessionize,
     "w3_stream_sliding": w3_stream_sliding,
     "w4_stream_dedup": w4_stream_dedup,
     "w5_stream_interval_join": w5_stream_interval_join,
+    "w6_stream_trending": w6_stream_trending,
 }
 
 ORACLE: dict[str, str] = {
+    "w6_stream_trending": """
+        WITH counts AS (
+          SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT day, event_type, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY day
+                                    ORDER BY cnt DESC, event_type) AS rnk
+          FROM counts)
+        SELECT day, event_type, cnt, rnk FROM ranked
+        WHERE rnk <= 3 ORDER BY day, rnk""",
     "w1_stream_daily": """
         SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
                ROUND(SUM(value), 2) AS total

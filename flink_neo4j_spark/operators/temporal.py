@@ -177,13 +177,128 @@ def a3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4 — first-touch conversion funnel (view -> click -> purchase, each step
+# within FUNNEL_HORIZON of the previous): the canonical product-analytics /
+# sessionized-conversion query. Each stage is one filtered scan + equi-join
+# on user_id + min-timestamp partial agg; the candidate set SHRINKS every
+# stage, so at 100 TB the later stages join against progressively smaller
+# keyed sets (and the final output is three scalar counts — nothing wide
+# ever reaches the driver). No window over the whole event stream, no
+# inequality theta-join: the per-stage bound is a residual filter on an
+# equi-join, which Catalyst keeps as a shuffled hash join.
+FUNNEL_HORIZON_S = 3600
+
+
+def a4_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    horizon = f"INTERVAL {FUNNEL_HORIZON_S} SECOND"
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t0")) & (F.col("ts") <= F.expr(f"t0 + {horizon}")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.expr(f"t1 + {horizon}")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+# A5 — day-cohort retention: group users by first-activity day, report how
+# many are active again exactly 1 and 7 days later. One distinct over
+# (user, day) + one min-day agg + one equi-join on user_id + one grouped
+# conditional count-distinct — every step partial-aggregates; cohort
+# cardinality (days) is tiny so the output agg never skews.
+RETENTION_DAYS = (1, 7)
+
+
+def a5_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    active = e.distinct()
+    joined = first.join(active, "user_id").withColumn(
+        "k", F.datediff("d", "d0")
+    )
+    aggs = [F.count_distinct("user_id").alias("n_users")] + [
+        F.count_distinct(F.when(F.col("k") == k, F.col("user_id"))).alias(
+            f"n_d{k}"
+        )
+        for k in RETENTION_DAYS
+    ]
+    return (
+        joined.groupBy(F.col("d0").alias("cohort_day"))
+        .agg(*aggs)
+        .orderBy("cohort_day")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_asof_join": a1_asof_join,
     "a2_interval_join": a2_interval_join,
     "a3_json_extract": a3_json_extract,
+    "a4_funnel": a4_funnel,
+    "a5_retention": a5_retention,
 }
 
 ORACLE: dict[str, str] = {
+    "a4_funnel": f"""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL {FUNNEL_HORIZON_S} SECOND
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL {FUNNEL_HORIZON_S} SECOND
+          GROUP BY e.user_id)
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        ORDER BY stage""",
+    "a5_retention": f"""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (
+          SELECT user_id, MIN(d) AS d0 FROM e GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, d FROM e)
+        SELECT f.d0 AS cohort_day,
+               COUNT(DISTINCT f.user_id) AS n_users,
+               {", ".join(
+                   f"COUNT(DISTINCT CASE WHEN a.d - f.d0 = {k} "
+                   f"THEN f.user_id END) AS n_d{k}"
+                   for k in RETENTION_DAYS
+               )}
+        FROM first f JOIN active a ON f.user_id = a.user_id
+        GROUP BY f.d0 ORDER BY cohort_day""",
     # DuckDB's ASOF JOIN picks the greatest right ts satisfying the
     # inequality — exactly the strictly-prior-view semantics.
     "a1_asof_join": """

@@ -369,3 +369,38 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+#: top-k size for the trending rollup
+TRENDING_K = 3
+
+
+def trending_types(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Per-day event-type counts — the streaming aggregation feeding a
+    trending/top-k rollup. The top-k itself is NOT part of the streaming
+    agg (rank-in-complete-mode would re-rank every window each batch); it
+    runs as a batch window function over the final result, the standard
+    two-stage trending topology."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").cast("date").alias("day"), "event_type", "cnt")
+    )
+
+
+def run_trending_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w6: per-day top-TRENDING_K event types by count — streaming counts
+    (complete mode, AvailableNow, foreachBatch parquet sink) + batch
+    row_number re-rank of the final state."""
+    from pyspark.sql.window import Window
+
+    out = _run_complete_to_parquet(
+        trending_types(read_events_stream(spark, sf_dir)), spark, "trending"
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), "event_type")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TRENDING_K)
+        .orderBy("day", "rnk")
+    )
