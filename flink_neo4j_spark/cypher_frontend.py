@@ -21,7 +21,12 @@ the reference exercises (README + tests, SURVEY.md §2.B):
   optional-side WHERE applied pre-join), relationship-property ``WHERE``
   (``e.p > x``), and bounded variable-length paths ``-[:T*lo..hi]->``
   (union of fixed-length edge-join chains with relationship-isomorphism
-  filters; explicit bounds required, capped at ``MAX_VAR_HOPS``)
+  filters; explicit bounds required, capped at ``MAX_VAR_HOPS``);
+  ``WITH`` pipeline stages (openCypher clause order ``WITH items
+  [ORDER BY/LIMIT] [WHERE]``, chainable) — projection aliases re-scope the
+  row, so HAVING-style filters on aggregates, top-k-then-continue, and
+  aggregate-of-aggregate pipelines all execute as ordinary Catalyst
+  projection/agg stages; pattern variables end at the WITH horizon
 
 Reads translate to the PropertyGraph scan/expand surface (Catalyst plans
 them: label filters push down, endpoint joins broadcast). Writes translate
@@ -72,7 +77,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"MATCH", "RETURN", "WHERE", "UNWIND", "AS", "CREATE", "SET", "AND", "OR",
-             "TRUE", "FALSE", "NULL", "ID"}
+             "TRUE", "FALSE", "NULL", "ID", "WITH"}
 
 
 @dataclass
@@ -125,6 +130,14 @@ class EdgePat:
 class PropRef:
     var: str
     prop: str | None  # None => id(var)
+
+
+@dataclass
+class BareRef:
+    """A bare projected-column reference, legal only AFTER a ``WITH`` stage
+    (where the row is no longer pattern variables but named scalars)."""
+
+    name: str
 
 
 @dataclass
@@ -280,7 +293,7 @@ class _Parser:
 
     # expressions -----------------------------------------------------------
 
-    def parse_prop_ref(self) -> PropRef:
+    def parse_prop_ref(self, allow_bare: bool = False) -> PropRef | BareRef:
         if self.at("kw", "ID"):
             self.next()
             self.expect("punct", "(")
@@ -288,6 +301,8 @@ class _Parser:
             self.expect("punct", ")")
             return PropRef(var, None)
         var = self.expect("word").text
+        if allow_bare and not self.at("punct", "."):
+            return BareRef(var)
         self.expect("punct", ".")
         return PropRef(var, self.expect("word").text)
 
@@ -306,11 +321,13 @@ class _Parser:
             return self.parse_prop_ref()
         return self.parse_value(unwind_var)
 
-    def parse_where(self, unwind_var: str | None = None) -> list[list[Cond]]:
+    def parse_where(
+        self, unwind_var: str | None = None, allow_bare: bool = False
+    ) -> list[list[Cond]]:
         """Disjunction of conjunctions (OR of ANDs — enough for B4)."""
         disj: list[list[Cond]] = [[]]
         while True:
-            left = self.parse_prop_ref()
+            left = self.parse_prop_ref(allow_bare)
             op = self.expect("op").text
             right = self.parse_operand(unwind_var)
             disj[-1].append(Cond(left, op, right))
@@ -327,7 +344,7 @@ class _Parser:
         tok = self.peek()
         return tok is not None and tok.kind == "word" and tok.text.upper() == upper_text
 
-    def parse_return_expr(self) -> PropRef | AggCall:
+    def parse_return_expr(self, allow_bare: bool = False) -> PropRef | BareRef | AggCall:
         tok = self.peek()
         if (
             tok is not None
@@ -339,33 +356,34 @@ class _Parser:
         ):
             fn = self.next().text.upper()
             self.expect("punct", "(")
-            arg: PropRef | None
+            arg: PropRef | BareRef | None
             if self.at("punct", "*"):
                 self.next()
                 arg = None
             elif (
-                self.at("word")
+                not allow_bare
+                and self.at("word")
                 and self.peek(1) is not None
                 and self.peek(1).text == ")"
             ):
                 self.next()  # count(n) — bare variable counts matched rows
                 arg = None
             else:
-                arg = self.parse_prop_ref()
+                arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
                 raise CypherSyntaxError(f"{fn} requires a property argument")
             self.expect("punct", ")")
             return AggCall(fn, arg)
-        return self.parse_prop_ref()
+        return self.parse_prop_ref(allow_bare)
 
-    def parse_return(self) -> tuple[bool, list[ReturnItem]]:
+    def parse_return(self, allow_bare: bool = False) -> tuple[bool, list[ReturnItem]]:
         distinct = False
         if self._at_word_ci("DISTINCT"):
             self.next()
             distinct = True
         items: list[ReturnItem] = []
         while True:
-            expr = self.parse_return_expr()
+            expr = self.parse_return_expr(allow_bare)
             alias = None
             if self.at("kw", "AS"):
                 self.next()
@@ -376,9 +394,12 @@ class _Parser:
                 continue
             return distinct, items
 
-    def parse_tail(self) -> tuple[list[tuple[str, bool]], int | None]:
+    def parse_tail(
+        self, require_end: bool = True
+    ) -> tuple[list[tuple[str, bool]], int | None]:
         """``ORDER BY <name> [ASC|DESC], ... LIMIT n`` — names refer to
-        RETURN aliases (or default output names)."""
+        RETURN aliases (or default output names). With ``require_end=False``
+        (inside a ``WITH`` stage) trailing tokens are left for the caller."""
         order: list[tuple[str, bool]] = []
         if self._at_word_ci("ORDER"):
             self.next()
@@ -405,7 +426,7 @@ class _Parser:
             if "." in tok.text:
                 raise CypherSyntaxError("LIMIT must be an integer")
             limit = int(tok.text)
-        if self.peek() is not None:
+        if require_end and self.peek() is not None:
             raise CypherSyntaxError(f"unexpected token {self.peek().text!r}")
         return order, limit
 
@@ -413,11 +434,15 @@ class _Parser:
 # -- translation: reads ----------------------------------------------------
 
 
-def _default_name(ref: PropRef | AggCall) -> str:
+def _default_name(ref: PropRef | BareRef | AggCall) -> str:
     if isinstance(ref, AggCall):
         if ref.arg is None:
             return "count"
+        if isinstance(ref.arg, BareRef):
+            return f"{ref.fn.lower()}_{ref.arg.name}"
         return f"{ref.fn.lower()}_{ref.arg.var}_{ref.arg.prop or 'id'}"
+    if isinstance(ref, BareRef):
+        return ref.name
     return f"id_{ref.var}" if ref.prop is None else f"{ref.var}_{ref.prop}"
 
 
@@ -443,7 +468,11 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
     for conj in disj:
         cc: Column | None = None
         for cond in conj:
-            right = colmap(cond.right) if isinstance(cond.right, PropRef) else cond.right
+            right = (
+                colmap(cond.right)
+                if isinstance(cond.right, (PropRef, BareRef))
+                else cond.right
+            )
             one = ops[cond.op](colmap(cond.left), right)
             cc = one if cc is None else (cc & one)
         out = cc if out is None else (out | cc)
@@ -678,6 +707,47 @@ def _match_chain(graph: PropertyGraph, pats: list[NodePat | EdgePat]):
     return acc, colmap
 
 
+def _out_name(item: ReturnItem) -> str:
+    return item.alias or _default_name(item.expr)
+
+
+def _apply_projection(
+    df: DataFrame, colmap, distinct: bool, items: list[ReturnItem]
+) -> DataFrame:
+    """One RETURN/WITH projection: Cypher's implicit grouping (non-aggregated
+    items become keys when any aggregate is present), column order restored
+    to clause order, optional DISTINCT."""
+    aggs = [i for i in items if isinstance(i.expr, AggCall)]
+    if aggs:
+        keys = [i for i in items if not isinstance(i.expr, AggCall)]
+        grouped = df.groupBy(
+            *[colmap(i.expr).alias(_out_name(i)) for i in keys]
+        ).agg(*[_agg_column(i.expr, colmap).alias(_out_name(i)) for i in aggs])
+        df = grouped.select(*[_out_name(i) for i in items])
+    else:
+        df = df.select(*[colmap(i.expr).alias(_out_name(i)) for i in items])
+    if distinct:
+        df = df.distinct()
+    return df
+
+
+def _bare_colmap(names: set[str]):
+    """colmap over a WITH stage's output: the row is named scalar columns,
+    so only bare alias references resolve — pattern variables are out of
+    scope past the WITH horizon (Cypher's scoping rule)."""
+
+    def colmap(ref) -> Column:
+        if isinstance(ref, BareRef):
+            if ref.name not in names:
+                raise CypherSyntaxError(f"unknown name {ref.name!r} after WITH")
+            return F.col(ref.name)
+        raise CypherSyntaxError(
+            "references after WITH must use the WITH output names"
+        )
+
+    return colmap
+
+
 def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a read-only query:
 
@@ -718,8 +788,20 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
         if p.at("kw", "WHERE"):
             p.next()
             opt_disj = p.parse_where()
+    # WITH pipeline stages: projection [ORDER BY/LIMIT] [WHERE], each
+    # re-scoping the row to its output names (openCypher clause order).
+    stages: list[tuple] = []
+    while p.at("kw", "WITH"):
+        p.next()
+        w_distinct, w_items = p.parse_return(allow_bare=bool(stages))
+        w_order, w_limit = p.parse_tail(require_end=False)
+        w_disj = None
+        if p.at("kw", "WHERE"):
+            p.next()
+            w_disj = p.parse_where(allow_bare=True)
+        stages.append((w_distinct, w_items, w_order, w_limit, w_disj))
     p.expect("kw", "RETURN")
-    distinct, items = p.parse_return()
+    distinct, items = p.parse_return(allow_bare=bool(stages))
     order, limit = p.parse_tail()
 
     if len(chain_pats) > 1:
@@ -783,24 +865,27 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap))
 
-    def out_name(item: ReturnItem) -> str:
-        return item.alias or _default_name(item.expr)
+    for w_distinct, w_items, w_order, w_limit, w_disj in stages:
+        df = _apply_projection(df, colmap, w_distinct, w_items)
+        w_names = {_out_name(i) for i in w_items}
+        colmap = _bare_colmap(w_names)
+        if w_order:
+            for name, _ in w_order:
+                if name not in w_names:
+                    raise CypherSyntaxError(
+                        f"ORDER BY {name!r} must reference a WITH column"
+                    )
+            df = df.orderBy(
+                *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in w_order]
+            )
+        if w_limit is not None:
+            df = df.limit(w_limit)
+        if w_disj is not None:
+            df = df.filter(_where_to_column(w_disj, colmap))
 
-    aggs = [i for i in items if isinstance(i.expr, AggCall)]
-    if aggs:
-        # Cypher's implicit grouping: non-aggregated return items are keys
-        keys = [i for i in items if not isinstance(i.expr, AggCall)]
-        grouped = df.groupBy(
-            *[colmap(i.expr).alias(out_name(i)) for i in keys]
-        ).agg(*[_agg_column(i.expr, colmap).alias(out_name(i)) for i in aggs])
-        # restore the RETURN clause's column order
-        df = grouped.select(*[out_name(i) for i in items])
-    else:
-        df = df.select(*[colmap(i.expr).alias(out_name(i)) for i in items])
-    if distinct:
-        df = df.distinct()
+    df = _apply_projection(df, colmap, distinct, items)
     if order:
-        names = {out_name(i) for i in items}
+        names = {_out_name(i) for i in items}
         for name, _ in order:
             if name not in names:
                 raise CypherSyntaxError(

@@ -213,11 +213,28 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same LSH shape as D3 but character-shingled (robust to word-order edits).
 CHAR_GRAMS_EXPR = char_grams_expr("norm", n=5)
 
+#: Injective int64 code for one 5-char gram over the normalized alphabet
+#: ([a-z0-9 ], every code point < 128): base-128 polynomial of the five
+#: code points. The quadratic pair-scoring phase then intersects arrays of
+#: primitive longs instead of UTF8 strings — same cardinalities exactly
+#: (injectivity ⇒ no collisions), but the per-pair hash set is primitive
+#: and allocation-free, which both speeds the hot loop ~2x and removes the
+#: GC pressure that made d5's wall time swing run-to-run.
+GRAM_CODE_LAMBDA = (
+    "s -> ((((CAST(ascii(substring(s, 1, 1)) AS BIGINT) * 128"
+    " + ascii(substring(s, 2, 1))) * 128"
+    " + ascii(substring(s, 3, 1))) * 128"
+    " + ascii(substring(s, 4, 1))) * 128"
+    " + ascii(substring(s, 5, 1)))"
+)
+
 
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
     # filter on normalized length (linear when pushed down), not size(gr) —
     # same pushdown trap as _shingled; gr is non-empty iff len(norm) >= 5.
+    # The string grams feed the band key (oracle parity); the join sides
+    # carry only the int-coded grams.
     g = _materialized(
         d.selectExpr(
             "doc_id",
@@ -226,6 +243,8 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("length(norm) >= 5"))
         .selectExpr("doc_id", f"{CHAR_GRAMS_EXPR} AS gr")
         .withColumn("h0", F.expr(minhash_expr("gr", "g")))
+        .withColumn("gc", F.expr(f"transform(gr, {GRAM_CODE_LAMBDA})"))
+        .drop("gr")
     )
     # degenerate-bucket guard (same as d3): a minhash bucket dominated by
     # boilerplate text would go quadratic in the self-join below; drop it.
@@ -233,11 +252,11 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = g.join(
         F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "h0"
     ).drop("_bn")
-    a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gr").alias("a_gr"))
-    b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gr").alias("b_gr"))
+    a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gc").alias("a_gc"))
+    b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gc").alias("b_gc"))
     pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect("a_gr", "b_gr"))
-    union = F.size("a_gr") + F.size("b_gr") - inter
+    inter = F.size(F.array_intersect("a_gc", "b_gc"))
+    union = F.size("a_gc") + F.size("b_gc") - inter
     # persist the (tiny) scored-pair result before the ORDER BY: the range
     # partitioner's sampling pass otherwise re-executes the ENTIRE quadratic
     # intersect-scoring subtree a second time (measured 2x wall on d5 at

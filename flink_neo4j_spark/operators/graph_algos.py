@@ -444,6 +444,176 @@ def g13_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.orderBy("vid")
 
 
+# G16 — WITH pipeline through the front end: aggregate per nation, keep the
+# top-10 by count INSIDE the pipeline (WITH ... ORDER BY ... LIMIT — Cypher's
+# top-k-then-continue idiom), filter the aggregated value (HAVING), then
+# re-order in RETURN. Plans as hash-agg → TakeOrderedAndProject → filter —
+# the same shape a hand-written DataFrame pipeline gets.
+def g16_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS cnt "
+        "ORDER BY cnt DESC, nation LIMIT 10 WHERE cnt >= 55 "
+        "RETURN nation, cnt ORDER BY nation",
+    )
+
+
+# G17 — two-stage aggregation through the front end (aggregate OF an
+# aggregate): per-nation counts in the WITH stage, then corpus-level
+# min/max/avg/count over those counts in RETURN — the shape that needs a
+# pipeline barrier in any engine. Both aggregations partial-aggregate;
+# stage 2's input is nation-sized (bounded), so the final agg is a
+# single-partition fold over 25 rows, not a wide shuffle.
+def g17_cypher_with_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS cnt "
+        "RETURN min(cnt) AS min_c, max(cnt) AS max_c, "
+        "avg(cnt) AS avg_c, count(*) AS n_nations",
+    )
+
+
+#: co-order graph edge filter: only lineitems with quantity >= this form
+#: part-part edges, keeping the projected graph sparse enough that the
+#: conformance fixture stays well below the triangle-join's memory budget
+#: while leaving ~10^5 triangles at sf0.1.
+TRI_MIN_QTY = 30
+#: result cap for the per-part triangle ranking (deterministic tie-break).
+TRI_TOP = 100
+
+
+# G14 — per-vertex triangle counting (Neo4j GDS `triangleCount` parity) on
+# the co-ordered-parts graph: parts are vertices, an edge connects two parts
+# that appear in the same order (both with quantity >= TRI_MIN_QTY).
+#
+# Execution is the degree-ordered orientation algorithm: every undirected
+# edge is directed from its lower-(degree, id) endpoint to the higher, which
+# turns the graph into a DAG where each triangle {a,b,c} materializes as
+# exactly one wedge (a->b, b->c) closed by (a->c). The wedge fan-out from
+# any vertex is bounded by its OUT-degree under this orientation — O(sqrt(m))
+# per vertex on skewed graphs — which is the property that keeps the
+# wedge-join from going quadratic on hub vertices at 100 TB (a hub's edges
+# all point INTO it, so it generates no wedges). Three hash joins + one
+# explode + one partial-agg count; no driver-side state.
+#
+# The oracle orients by id (a < b < c) instead — the triangle SET is
+# orientation-invariant, so both strategies must produce identical counts;
+# only the join-size profile differs.
+def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("dx"))
+    )
+    with_deg = edges.join(
+        deg.select(F.col("x").alias("u"), F.col("dx").alias("du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("dx").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.t") == F.col("e2.s"))
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    triangles = wedges.join(
+        oriented, (F.col("a") == F.col("s")) & (F.col("c") == F.col("t"))
+    ).select("a", "b", "c")
+    return (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("triangles"))
+        .orderBy(F.desc("triangles"), "part")
+        .limit(TRI_TOP)
+    )
+
+
+#: nodeSimilarity degree cutoff (Neo4j GDS `degreeCutoff`/`upperDegreeCutoff`
+#: analogue): parts bought by more than this many distinct customers are
+#: excluded from pair generation. This is THE scale guard — per-part pair
+#: fan-out is bounded by C(cutoff, 2), so a viral part bought by 10^6
+#: customers cannot generate 10^12 pairs. Parts with a single buyer carry
+#: no signal and are dropped too.
+ALSO_BOUGHT_DEGREE_CUTOFF = 60
+#: result cap (deterministic tie-break on the exact-integer score).
+ALSO_BOUGHT_TOP = 100
+
+
+# G15 — "customers also bought" link prediction (Neo4j GDS `nodeSimilarity`
+# / link-prediction parity): rank customer pairs by how many distinct parts
+# both bought, with the Adamic-Adar score (sum of 1/ln(part popularity))
+# as the tie-aware secondary signal. One equi-join to distinct (customer,
+# part), a broadcast-joined part-degree filter, a per-part self-join whose
+# fan-out the degree cutoff bounds, and a partial-aggregating pair count —
+# the ordering key is the exact integer count, so the top-k is
+# cross-engine deterministic; the float Adamic-Adar column is ROUNDed and
+# never used for ordering.
+def g15_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = (
+        cp.groupBy("part")
+        .agg(F.count("*").alias("dp"))
+        .filter((F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF))
+    )
+    # part-degree table is |parts|-sized (dimension-like vs the pair fan-out)
+    cpd = cp.join(F.broadcast(deg), "part")
+    return (
+        cpd.alias("a")
+        .join(
+            cpd.alias("b"),
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(F.col("a.cust").alias("c1"), F.col("b.cust").alias("c2"))
+        .agg(
+            F.count("*").alias("common_parts"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("a.dp"))), 4).alias(
+                "adamic_adar"
+            ),
+        )
+        .orderBy(F.desc("common_parts"), "c1", "c2")
+        .limit(ALSO_BOUGHT_TOP)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g2_degree": g2_degree,
@@ -458,9 +628,63 @@ QUERIES: dict[str, QueryFn] = {
     "g11_detach_delete": g11_detach_delete,
     "g12_match_chain": g12_match_chain,
     "g13_weighted_sssp": g13_weighted_sssp,
+    "g14_triangle_count": g14_triangle_count,
+    "g15_also_bought": g15_also_bought,
+    "g16_cypher_with": g16_cypher_with,
+    "g17_cypher_with_agg": g17_cypher_with_agg,
 }
 
 ORACLE: dict[str, str] = {
+    "g16_cypher_with": """
+        WITH t AS (
+          SELECT n_name AS nation, COUNT(*) AS cnt
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1 ORDER BY cnt DESC, nation LIMIT 10)
+        SELECT nation, cnt FROM t WHERE cnt >= 55 ORDER BY nation""",
+    "g17_cypher_with_agg": """
+        WITH t AS (
+          SELECT n_name AS nation, COUNT(*) AS cnt
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1)
+        SELECT MIN(cnt) AS min_c, MAX(cnt) AS max_c,
+               AVG(cnt) AS avg_c, COUNT(*) AS n_nations
+        FROM t""",
+    # id-orientation (a < b < c): enumerates the same triangle set as the
+    # engine's degree-orientation — counts must agree exactly.
+    "g14_triangle_count": f"""
+        WITH q AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {TRI_MIN_QTY}),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        t AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        x AS (
+          SELECT a AS part FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+        SELECT part, COUNT(*) AS triangles FROM x GROUP BY part
+        ORDER BY triangles DESC, part LIMIT {TRI_TOP}""",
+    "g15_also_bought": f"""
+        WITH cp AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (
+          SELECT part, COUNT(*) AS dp FROM cp GROUP BY part
+          HAVING COUNT(*) BETWEEN 2 AND {ALSO_BOUGHT_DEGREE_CUTOFF}),
+        cpd AS (
+          SELECT c.cust, c.part, d.dp FROM cp c JOIN deg d ON c.part = d.part)
+        SELECT a.cust AS c1, b.cust AS c2,
+               COUNT(*) AS common_parts,
+               ROUND(SUM(1.0 / LN(a.dp)), 4) AS adamic_adar
+        FROM cpd a JOIN cpd b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY 1, 2
+        ORDER BY common_parts DESC, c1, c2 LIMIT {ALSO_BOUGHT_TOP}""",
     "g12_match_chain": f"""
         SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
                n_name AS nation_name, r_name AS region_name

@@ -395,6 +395,53 @@ def t11_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T12 — corpus-statistics perplexity proxy: a char-bigram language model
+# fitted on the WHOLE corpus (add-one smoothing), then every document scored
+# by its average negative log-likelihood under that model — the statistical
+# quality score that separates fluent text from gibberish/boilerplate, the
+# two-pass ("fit then score") shape of a real KenLM-style perplexity filter.
+#
+# Pass 1 (fit) is a narrow map + partial-agg count over bigrams; the model
+# is at most ~27^2 rows regardless of corpus size, so pass 2 (score) joins
+# it back BROADCAST — at 100 TB the corpus is read twice and shuffled never
+# (the per-doc agg re-shuffles only (doc_id, ln p) pairs, partial-aggregated
+# map-side). All expressions are JVM built-ins: bigram generation is a
+# codegen'd transform(sequence(...)) — no Python in either pass.
+def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.selectExpr(
+        "doc_id", "regexp_replace(lower(text), '[^a-z ]', '') AS t"
+    ).filter(F.length("t") >= 2)
+    bg = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("b"),
+    )
+    model = bg.groupBy("b").agg(F.count("*").alias("c"))
+    tot = model.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )  # 1-row frame; crossJoin broadcasts it
+    scored = (
+        bg.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))).alias(
+                "lp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg("lp"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t2_lang_id": t2_lang_id,
@@ -407,6 +454,7 @@ QUERIES: dict[str, QueryFn] = {
     "t9_lang_segments": t9_lang_segments,
     "t10_repetition_filter": t10_repetition_filter,
     "t11_shuffle_shards": t11_shuffle_shards,
+    "t12_bigram_lm": t12_bigram_lm,
 }
 
 _DUCK_LANG_HITS = ", ".join(
@@ -423,6 +471,22 @@ _DUCK_PRED = (
 )
 
 ORACLE: dict[str, str] = {
+    # same two-pass fit/score; DuckDB generates bigrams with a lateral
+    # UNNEST(range(...)) where the engine uses transform(sequence(...)).
+    "t12_bigram_lm": """
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, substring(t, CAST(i AS INT), 2) AS b
+          FROM d, UNNEST(range(1, length(t))) AS u(i)
+          WHERE length(t) >= 2),
+        model AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM model)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-AVG(LN((m.c + 1.0) / (tot.n + tot.v))), 4) AS avg_nll
+        FROM bg JOIN model m USING (b) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""",
     "t1_token_count": f"""
         SELECT doc_id,
                len({DUCK_TOKENS}) AS ws_tokens,

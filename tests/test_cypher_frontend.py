@@ -310,3 +310,70 @@ def test_match_chain_edge_var_rebind_rejected(fixture_graph):
             "MATCH (a:User)-[e:KNOWS]->(b:User) MATCH (b)-[e:KNOWS]->(c:User) "
             "RETURN a.name",
         )
+
+
+# -- WITH pipeline stages --------------------------------------------------
+
+
+def test_with_aggregate_then_filter(fixture_graph):
+    # born-year histogram, HAVING-style filter on the aggregated count
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WITH u.born AS born, count(*) AS n "
+        "WHERE n >= 2 RETURN born, n",
+    ).collect()
+    assert [(r["born"], r["n"]) for r in rows] == [(1984, 2)]
+
+
+def test_with_order_limit_then_return(fixture_graph):
+    # top-1-by-name inside the pipeline, RETURN re-projects the alias
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WITH u.name AS name ORDER BY name DESC LIMIT 1 "
+        "RETURN name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Eve"]
+
+
+def test_with_two_stage_aggregation(fixture_graph):
+    # aggregate OF an aggregate: per-year counts, then overall max
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WITH u.born AS born, count(*) AS n "
+        "RETURN max(n) AS max_n, count(*) AS n_years",
+    ).collect()
+    assert (rows[0]["max_n"], rows[0]["n_years"]) == (2, 2)
+
+
+def test_with_distinct(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WITH DISTINCT u.born AS born RETURN born ORDER BY born",
+    ).collect()
+    assert [r["born"] for r in rows] == [1983, 1984]
+
+
+def test_with_chained_stages(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WITH u.born AS born, count(*) AS n "
+        "WITH n WHERE n = 1 RETURN count(*) AS singles",
+    ).collect()
+    assert rows[0]["singles"] == 1
+
+
+def test_with_scoping_pattern_var_rejected(fixture_graph):
+    # pattern variables do not survive past the WITH horizon
+    with pytest.raises(CypherSyntaxError, match="WITH"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (u:User) WITH u.born AS born RETURN u.name",
+        ).collect()
+
+
+def test_with_unknown_alias_rejected(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="unknown name"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (u:User) WITH u.born AS born RETURN nope",
+        ).collect()
