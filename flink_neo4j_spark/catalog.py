@@ -1,12 +1,14 @@
 """Table catalog over the driver's parquet test data.
 
 Loads the TPC-H-ish tables (``TESTDATA.md``) with the verified recipe from
-SURVEY.md §2.3: session timezone UTC, and ``events.ts`` (parquet
-TIMESTAMP(NANOS), unreadable by vanilla Spark) decoded via
-``nanosAsLong=true`` + lossless integer-division conversion to a microsecond
-timestamp. All loads are plain ``spark.read.parquet`` so Catalyst gets
-predicate pushdown, column pruning and partition-size planning for free —
-``.explain`` on any engine query shows ``PushedFilters`` reaching the scan.
+SURVEY.md §2.3: session timezone UTC, and ``events.ts`` normalized to a
+session-UTC ``timestamp`` regardless of how the generator stored it — the
+driver has shipped the column as int64 nanoseconds (round 1) and as
+TIMESTAMP(MICROS, NTZ) (round 2+), so :func:`normalize_event_ts` detects the
+stored form instead of assuming one. All loads are plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column pruning
+and partition-size planning for free — ``.explain`` on any engine query
+shows ``PushedFilters`` reaching the scan.
 """
 
 from __future__ import annotations
@@ -35,18 +37,38 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table, normalizing engine-specific quirks.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a session-UTC ``timestamp``.
 
-    ``events.ts`` arrives as int64 nanoseconds (because of the
-    ``nanosAsLong`` conf); we convert with ``timestamp_micros(ts div 1000)``
-    — integer div, never ``/1000`` which routes through double and loses
-    precision on ~1.7e18 ns values (SURVEY.md §2.3).
+    Handles every form the test generator has shipped (the stored unit has
+    changed across driver rounds, which is exactly why this is ONE shared
+    helper used by both the batch and streaming readers):
+
+    - ``bigint`` — int64 nanoseconds surfaced by ``nanosAsLong=true``;
+      converted with ``timestamp_micros(ts div 1000)``. Integer ``div``,
+      never ``/1000`` which routes through double and loses precision on
+      ~1.7e18 ns values (SURVEY.md §2.3).
+    - ``timestamp_ntz`` — TIMESTAMP(MICROS/NANOS, NTZ); cast to ``timestamp``.
+      With the session timezone pinned to UTC the wall-clock values are
+      preserved exactly, and functions that reject NTZ (``unix_micros``,
+      watermarks on older Sparks) work uniformly downstream.
+    - ``timestamp`` — already the target type; untouched.
     """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing engine-specific quirks
+    (``events.ts`` via :func:`normalize_event_ts`)."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

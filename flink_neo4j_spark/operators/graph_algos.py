@@ -784,9 +784,9 @@ ORACLE: dict[str, str] = {
           UNION ALL
           SELECT s_nationkey, COUNT(*) FROM supplier GROUP BY 1
         )
-        SELECT n_nationkey + {NATION_BASE} AS vid,
+        SELECT CAST(n_nationkey + {NATION_BASE} AS BIGINT) AS vid,
                n_name AS nation_name,
-               SUM(cnt) AS degree
+               CAST(SUM(cnt) AS BIGINT) AS degree
         FROM d JOIN nation ON nk = n_nationkey
         GROUP BY 1, 2
         ORDER BY vid""",

@@ -302,9 +302,10 @@ ORACLE: dict[str, str] = {
           FROM documents WHERE length(text) >= {AUDIO_WIN})
         SELECT doc_id, win_idx,
                win_idx * {AUDIO_HOP} AS start_sample,
-               list_sum([ascii(substring(text, p, 1))
+               CAST(list_sum([ascii(substring(text, p, 1))
                          for p in generate_series(
                              win_idx * {AUDIO_HOP} + 1,
-                             win_idx * {AUDIO_HOP} + {AUDIO_WIN})]) AS energy_sum
+                             win_idx * {AUDIO_HOP} + {AUDIO_WIN})]) AS BIGINT)
+                 AS energy_sum
         FROM w ORDER BY doc_id, win_idx""",
 }

@@ -105,8 +105,12 @@ ORACLE: dict[str, str] = {
           FROM e
         ), sessions AS (
           SELECT user_id, value,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 -- CAST: DuckDB windowed SUM(INT) is HUGEINT -> pandas
+                 -- float64, which breaks the driver value-hash vs bigint
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,

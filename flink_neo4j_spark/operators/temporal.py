@@ -327,7 +327,7 @@ ORACLE: dict[str, str] = {
         GROUP BY e.err_id, e.user_id
         ORDER BY e.err_id""",
     "a3_json_extract": """
-        SELECT event_type, COUNT(k) AS cnt, SUM(k) AS sum_k,
+        SELECT event_type, COUNT(k) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
                ROUND(AVG(k), 2) AS avg_k
         FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

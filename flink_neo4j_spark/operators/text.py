@@ -573,8 +573,12 @@ ORACLE: dict[str, str] = {
           FROM base),
         packed AS (
           SELECT doc_id, n_tok, shard,
-                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY okey, doc_id
-                                  ROWS UNBOUNDED PRECEDING) - n_tok AS start
+                 -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT, which
+                 -- pandas materializes as float64 and the driver value-hash
+                 -- then diverges from Spark's bigint (round-2 t8 hash fail)
+                 CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+                   AS start
           FROM sharded)
         SELECT doc_id, n_tok, shard,
                CAST(FLOOR(start * 1.0 / {PACK_BUDGET}) AS BIGINT) AS bin,

@@ -35,9 +35,19 @@ from pyspark.sql import DataFrame, SparkSession
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "w1_stream_daily",  # state-partition sizing change in the stream runner
+    # round 3: events.ts normalization fix (catalog.normalize_event_ts) —
+    # every streaming query's input changed
+    "w1_stream_daily",
+    "w2_sessionize",  # + NTZ-safe interval arithmetic, session_id BIGINT cast
     "w3_stream_sliding",
     "w4_stream_dedup",
+    "w5_stream_interval_join",
+    "w6_stream_trending",
+    # round 3: oracle HUGEINT->BIGINT casts (driver value-hash artifacts)
+    "t8_pack_sequences",
+    "m4_audio_windows",
+    "g2_degree",
+    "a3_json_extract",
 )
 
 

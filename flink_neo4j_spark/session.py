@@ -21,9 +21,11 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark refuses
-    # to read (PARQUET_TYPE_ILLEGAL). Read it as long; catalog.load_table
-    # converts ns -> microsecond timestamps losslessly with integer div.
+    # Belt-and-braces for TIMESTAMP(NANOS) parquet, which vanilla Spark
+    # refuses to read (PARQUET_TYPE_ILLEGAL). The generator has shipped
+    # events.ts as nanos in some rounds and micros-NTZ in others; with this
+    # conf a nanos column surfaces as bigint and catalog.normalize_event_ts
+    # detects the actual stored form either way.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
     # ones. Critical at 100 TB where static partition counts are always wrong.

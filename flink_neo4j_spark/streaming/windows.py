@@ -18,34 +18,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_neo4j_spark.catalog import normalize_event_ts
 from flink_neo4j_spark.session import apply_runtime_confs
 
-#: Raw parquet schema of events (ts is int64 nanoseconds; see catalog).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Streaming file sources require an explicit schema (they never infer).
+    The generator has stored ``ts`` as int64-nanos in one round and
+    TIMESTAMP(MICROS, NTZ) in another, so the schema is taken from a
+    driver-side batch footer read of the same file — a metadata-only
+    operation — instead of being hard-coded to one unit. The stale
+    hard-coded LongType schema was the root cause of the round-2 streaming
+    failures: micros read as Long then div-1000 compressed event time 1000x.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (explicit schema — streaming
-    sources never infer), ns -> microsecond timestamp conversion as in the
-    batch catalog."""
+    """events.parquet as a file-source stream, with ``ts`` normalized to a
+    session-UTC ``timestamp`` by the same shared helper as the batch catalog
+    (``catalog.normalize_event_ts``) so batch/stream parity holds by
+    construction whatever unit the file stores."""
     apply_runtime_confs(spark)
+    schema = _events_raw_schema(spark, sf_dir)
     # the file source requires a directory or glob (not a bare file path);
     # the glob also scopes basePath to sf_dir so only events files match
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(os.path.join(sf_dir, "events.parque[t]"))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
@@ -348,14 +351,17 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     partition key); at 100 TB this is the standard sort-within-partition
     sessionizer — no Python, no state store."""
     w = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    # interval arithmetic is type-agnostic (works for timestamp AND
+    # timestamp_ntz inputs), unlike unix_micros which rejects NTZ — the
+    # round-2 w2 crash that aborted the whole bench run
     return (
         events.selectExpr(
             "user_id",
             "ts",
             "event_id",
             "value",
-            f"CASE WHEN unix_micros(ts) - unix_micros(lag(ts) OVER {w}) "
-            f"> {gap_minutes} * 60 * 1000000 OR lag(ts) OVER {w} IS NULL "
+            f"CASE WHEN ts - lag(ts) OVER {w} "
+            f"> INTERVAL '{gap_minutes}' MINUTE OR lag(ts) OVER {w} IS NULL "
             f"THEN 1 ELSE 0 END AS is_new",
         )
         .selectExpr(
