@@ -271,6 +271,40 @@ def s6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S8 — KNN self-join: every vector's TOP-K nearest neighbors in one pass —
+# the batch workhorse behind semantic dedup, embedding-cluster curation and
+# retrieval-index QA (contrast s1/s2: ONE query vector vs the whole table).
+# Scale shape: candidates are generated by an LSH-bucket equi-join (same
+# deterministic sign-signature as s2), so the join shuffles on `sig` and each
+# bucket is processed independently — never an all-pairs cross join. The
+# per-vector top-k is a row_number window over (cos DESC, b_id), which AQE
+# executes as a partial top-k per partition; ranking on the ROUNDED cosine
+# makes the ordering (and thus the result set) bit-identical across engines.
+# At 100 TB: raise N_PLANES so buckets stay bounded (16 buckets is the
+# conformance setting), add band rotation for recall, and the plan is
+# unchanged — one bucketed self-join + one windowed top-k.
+KNN_K = 5
+
+
+def s8_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).withColumn("sig", _sig_expr("emb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "sig")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "sig")
+    scored = (
+        a.join(b, "sig")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(_cosine("a_emb", "b_emb"), 6).alias("cos"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .orderBy("a_id", "rnk")
+    )
+
+
 # S7 — MMR (maximal-marginal-relevance) diversity re-rank: the standard
 # greedy pass that turns a similarity top-N into a RELEVANT-BUT-DIVERSE
 # top-k (retrieval result diversification; dataset curation "pick diverse
@@ -349,6 +383,7 @@ QUERIES: dict[str, QueryFn] = {
     "s5_label_centroids": s5_label_centroids,
     "s6_quantized_topk": s6_quantized_topk,
     "s7_mmr_rerank": s7_mmr_rerank,
+    "s8_knn_join": s8_knn_join,
 }
 
 
@@ -425,6 +460,21 @@ def _duck_mmr_sql() -> str:
 
 ORACLE: dict[str, str] = {
     "s7_mmr_rerank": _duck_mmr_sql(),
+    "s8_knn_join": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        e AS (SELECT vec_id, emb, {_DUCK_SIG} AS sig FROM e0),
+        pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND({_duck_cos("a.emb", "b.emb")}, 6) AS cos
+          FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id != b.vec_id),
+        ranked AS (
+          SELECT a_id, b_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+                                         ORDER BY cos DESC, b_id) AS INT)
+                   AS rnk
+          FROM pairs)
+        SELECT a_id, b_id, cos, rnk FROM ranked WHERE rnk <= {KNN_K}
+        ORDER BY a_id, rnk""",
     "s1_cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID})

@@ -94,8 +94,61 @@ def q15_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-safe equi-join: the join-side twin of :func:`salted_aggregate`.
+
+    The big (skewed) side gets a salt in 0..n_salts-1; the small side is
+    replicated once per salt value (``explode`` of a literal range — an
+    n_salts-times fan-out of the SMALL side only); the join key becomes
+    (key, salt), so a hot key's rows spread over ``n_salts`` reducers
+    instead of one. Results are salt-invariant by construction.
+
+    Decision ladder at 100 TB: (1) if the small side fits in memory,
+    ``F.broadcast`` — no shuffle at all, skew irrelevant; (2) if not, AQE's
+    skew-join splitting handles MOST skew at runtime; (3) this operator is
+    for the residual case — a medium dimension too big to broadcast joined
+    on a pathologically hot key — and for engines/paths where AQE is off
+    (e.g. inside a streaming foreachBatch). The salt is
+    ``spark_partition_id() % n_salts``: free to compute, deterministic
+    within an execution, and never read from data columns.
+    """
+    big_s = big.withColumn("_salt", F.spark_partition_id() % n_salts)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+# Q35 — salted join over lineitem's 3-value returnflag key: with only 3
+# distinct join keys, an unsalted shuffle join uses exactly 3 reducers no
+# matter the cluster size; the salted form uses 3 x n_salts. The oracle is
+# the plain equi-join + GROUP BY, proving salt-invariance (as q15 does for
+# aggregation).
+def q35_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    dim = (
+        l.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_desc", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = salted_join(l, dim, "l_returnflag", n_salts=8)
+    return (
+        joined.groupBy("flag_desc")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .orderBy("flag_desc")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q15_salted_agg": q15_salted_agg,
+    "q35_salted_join": q35_salted_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -104,4 +157,13 @@ ORACLE: dict[str, str] = {
                ROUND(MAX(l_quantity), 2) AS max_qty,
                CAST(MIN(l_shipdate) AS DATE) AS min_ship
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q35_salted_join": """
+        WITH dim AS (
+          SELECT DISTINCT l_returnflag,
+                 'flag_' || l_returnflag AS flag_desc
+          FROM lineitem)
+        SELECT flag_desc, COUNT(*) AS cnt,
+               ROUND(SUM(l_extendedprice), 2) AS rev
+        FROM lineitem JOIN dim USING (l_returnflag)
+        GROUP BY flag_desc ORDER BY flag_desc""",
 }

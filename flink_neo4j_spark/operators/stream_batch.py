@@ -64,8 +64,17 @@ def w6_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_trending_available_now(spark, sf_dir)
 
 
+def w7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (event stream x customer->nation dim) +
+    per-nation daily rollup; must equal the batch three-way join."""
+    from flink_neo4j_spark.streaming.windows import run_enrich_available_now
+
+    return run_enrich_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
+    "w7_stream_static_enrich": w7_stream_static_enrich,
     "w2_sessionize": w2_sessionize,
     "w3_stream_sliding": w3_stream_sliding,
     "w4_stream_dedup": w4_stream_dedup,
@@ -74,6 +83,13 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w7_stream_static_enrich": """
+        SELECT n_name AS nation_name, CAST(ts AS DATE) AS day,
+               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "w6_stream_trending": """
         WITH counts AS (
           SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt

@@ -255,15 +255,56 @@ def a5_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A6 — per-event trailing-hour features: for every event, the count and
+# value-sum of the SAME user's events in the preceding hour (inclusive) —
+# the standard rate-limiting / velocity-feature / abuse-detection shape.
+# This is a time-RANGE window frame, not a row frame: Spark plans one
+# shuffle on user_id + a per-partition sort, then each frame is a sliding
+# pointer pair over the sorted run (no self-join, no candidate-pair blowup).
+# The frame bound is expressed on unix_micros(ts) because Spark's
+# rangeBetween needs a numeric ordering key; the microsecond scale keeps the
+# arithmetic exact (bigint), and ties (equal ts) are included in each
+# other's frames by RANGE semantics in both engines identically.
+TRAIL_S = 3600
+
+
+def a6_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAIL_S * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("val_1h"),
+    ).orderBy("event_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_asof_join": a1_asof_join,
     "a2_interval_join": a2_interval_join,
     "a3_json_extract": a3_json_extract,
     "a4_funnel": a4_funnel,
     "a5_retention": a5_retention,
+    "a6_trailing_features": a6_trailing_features,
 }
 
 ORACLE: dict[str, str] = {
+    "a6_trailing_features": f"""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               ROUND(SUM(value) OVER w, 2) AS val_1h
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL {TRAIL_S} SECOND PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id""",
     "a4_funnel": f"""
         WITH v AS (
           SELECT user_id, MIN(ts) AS t0 FROM events

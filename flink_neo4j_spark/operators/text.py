@@ -442,8 +442,35 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T13 — vocabulary induction: corpus-level term + document frequencies with
+# a min-document-frequency cutoff — the first pass of tokenizer/vocab
+# training and of stopword/OOV analysis. Plan: one explode (narrow) + ONE
+# shuffle keyed by term. COUNT(tf) partial-aggregates map-side;
+# COUNT(DISTINCT doc_id) Spark plans as the standard two-phase expand-agg —
+# both skew-safe because the key space (terms) is large and Zipf-heavy keys
+# still partial-aggregate. The ORDER BY tf DESC presents the Zipf head
+# first; rank ties break on the term itself so the full ordering is total
+# and hash-stable.
+VOCAB_MIN_DF = 5
+
+
+def t13_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    ex = d.selectExpr("doc_id", f"explode({TOKENS}) AS term")
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= VOCAB_MIN_DF)
+        .orderBy(F.desc("tf"), "term")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
+    "t13_vocab": t13_vocab,
     "t2_lang_id": t2_lang_id,
     "t3_quality_score": t3_quality_score,
     "t4_fingerprint": t4_fingerprint,
@@ -471,6 +498,11 @@ _DUCK_PRED = (
 )
 
 ORACLE: dict[str, str] = {
+    "t13_vocab": f"""
+        SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents)
+        GROUP BY term HAVING COUNT(DISTINCT doc_id) >= {VOCAB_MIN_DF}
+        ORDER BY tf DESC, term""",
     # same two-pass fit/score; DuckDB generates bigrams with a lateral
     # UNNEST(range(...)) where the engine uses transform(sequence(...)).
     "t12_bigram_lm": """

@@ -275,6 +275,50 @@ def run_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete_to_parquet(agg, spark, "dedup").orderBy("event_type")
 
 
+def enrich_daily_by_nation(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a broadcast
+    dimension (user -> nation), then a per-nation daily tumbling rollup.
+
+    The stream-static join is STATELESS — each micro-batch joins against the
+    (broadcast) batch dimension with no state store involved, which is why
+    it's the canonical way to attach slowly-changing reference data to a
+    stream at scale (the alternative, a stream-stream join, would buffer the
+    dimension in state forever). The aggregation on top is the only stateful
+    operator."""
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", "1 day")
+        .groupBy("nation_name", F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "nation_name",
+            F.col("win.start").cast("date").alias("day"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+def run_enrich_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment rollup as a real streaming query (w7)."""
+    from flink_neo4j_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation_name"),
+    )
+    dim = cust.join(nat, "c_nationkey").select("user_id", "nation_name")
+    out = _run_complete_to_parquet(
+        enrich_daily_by_nation(read_events_stream(spark, sf_dir), dim),
+        spark,
+        "enrich",
+    )
+    return out.orderBy("nation_name", "day")
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str], watermark: str = "1 day"
 ) -> DataFrame:

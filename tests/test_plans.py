@@ -251,3 +251,34 @@ def test_mmr_pool_is_take_ordered(spark):
     from flink_neo4j_spark.operators.similarity import s7_mmr_rerank
 
     assert has_take_ordered(s7_mmr_rerank(spark, SF_DIR))
+
+
+def test_knn_join_is_bucketed_equi_join(spark):
+    """s8's candidate generation must be an equi-join on the LSH signature —
+    never an all-pairs cross join — and the per-vector top-k a window, not a
+    global sort of all pairs."""
+    from flink_neo4j_spark.operators.similarity import s8_knn_join
+
+    plan = formatted_plan_of(s8_knn_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "sig" in plan  # join keyed on the signature
+
+
+def test_trailing_features_single_shuffle(spark):
+    """a6 is one window over user_id: exactly one exchange, no join."""
+    from flink_neo4j_spark.operators.temporal import a6_trailing_features
+
+    plan = formatted_plan_of(a6_trailing_features(spark, SF_DIR))
+    assert "Join" not in plan
+    # exactly one hash-partition exchange (the window's); the only other
+    # exchange is the presentation ORDER BY's range partitioning
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_salted_join_spreads_key(spark):
+    """q35's join must carry the salt in its join keys (that's the point)."""
+    from flink_neo4j_spark.operators.skew import q35_salted_join
+
+    plan = formatted_plan_of(q35_salted_join(spark, SF_DIR))
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
