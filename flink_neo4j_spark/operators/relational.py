@@ -276,6 +276,54 @@ def q18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q36 — exact percentiles AT SCALE via value histogram: q18's exact
+# `percentile` buffers every value of a group in one reducer's memory (the
+# 100 TB hazard its comment flags; only 3 groups exist, so 3 reducers hold
+# the whole table). For a bounded-precision column the exact answer
+# decomposes: (1) a (key, value) COUNT histogram — map-side partial agg,
+# shuffle keyed by (key, value) so hot KEYS still spread across reducers;
+# (2) a window cumsum over each key's (tiny) distinct-value set, giving the
+# row-index span [lo, hi] each value covers; (3) percentile_cont
+# interpolation between the two covering cells. Bit-identical to
+# quantile_cont/percentile, with nothing larger than the distinct-value set
+# ever held in one place.
+Q36_PS = (0.5, 0.9)
+
+
+def q36_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    cells = hist.withColumn("hi", F.sum("c").over(w) - 1).withColumn(
+        "lo", F.col("hi") - F.col("c") + 1
+    )
+    stats = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    j = cells.join(F.broadcast(stats), "l_returnflag")
+    aggs = []
+    for p in Q36_PS:
+        pos = (F.col("n") - 1) * F.lit(p)
+        k1, k2 = F.floor(pos), F.ceil(pos)
+        vl = F.max(
+            F.when((F.col("lo") <= k1) & (F.col("hi") >= k1), F.col("l_quantity"))
+        )
+        vu = F.max(
+            F.when((F.col("lo") <= k2) & (F.col("hi") >= k2), F.col("l_quantity"))
+        )
+        aggs.append(
+            F.round(vl + (vu - vl) * (pos - k1), 2).alias(f"p{int(p * 100)}_qty")
+        )
+    return (
+        j.groupBy("l_returnflag", "n")
+        .agg(*aggs)
+        .drop("n")
+        .orderBy("l_returnflag")
+    )
+
+
 # ROLLUP: hierarchical subtotals (returnflag -> linestatus -> grand total) in
 # one pass — Expand + single hash aggregation, no multi-scan union.
 def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +629,7 @@ QUERIES: dict[str, QueryFn] = {
     "q16_window_rank": q16_window_rank,
     "q17_set_ops": q17_set_ops,
     "q18_percentiles": q18_percentiles,
+    "q36_histogram_percentile": q36_histogram_percentile,
     "q19_rollup": q19_rollup,
     "q20_exists_semi": q20_exists_semi,
     "q21_anti_scalar": q21_anti_scalar,
@@ -698,6 +747,11 @@ ORACLE: dict[str, str] = {
         SELECT l_returnflag,
                ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
                ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q36_histogram_percentile": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q19_rollup": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt

@@ -217,6 +217,64 @@ def write_cypher(
     df.foreachPartition(write_partition)
 
 
+def write_cypher_stream(
+    stream_df: DataFrame,
+    transport_factory: Callable[[], "Transport"],
+    query: str | None = None,
+    label: str | None = None,
+    merge_key: str | None = None,
+    batch_size: int = -1,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Structured-Streaming Cypher sink — the engine's analogue of the
+    reference's whole raison d'être: a *streaming dataflow* writing into
+    Neo4j (the reference is a Flink connector; its output format receives
+    an unbounded stream of task records, `Neo4jOutputFormat.java:106-113`).
+
+    Each micro-batch routes through :func:`write_cypher` via
+    ``foreachBatch``, so the streaming path reuses the identical template
+    generation, schema validation and per-partition micro-batched
+    transaction code as the batch sink — and inherits its scale posture
+    (executor-side writes, one transport per partition, no driver traffic).
+
+    Delivery is at-least-once: Spark replays an uncommitted micro-batch
+    after failure, exactly like the reference's batch re-send on task retry
+    (SURVEY.md §7 "What's hard" #3). Production topologies should pass
+    ``label + merge_key`` (idempotent MERGE template) so replays converge.
+
+    Returns the started ``StreamingQuery``; the default AvailableNow
+    trigger drains the current input and stops (swap to a processing-time
+    trigger for a continuously-running sink).
+    """
+    # fail fast at start() time, not first-batch time: same checks the
+    # batch writer applies (Output:129-136 / Output:310-312 parity)
+    if (query is None) == (label is None):
+        raise ValueError("pass exactly one of 'query' or 'label'")
+    if batch_size == 0 or batch_size < -1:
+        raise ValueError(f"batch_size must be positive or -1, got {batch_size}")
+    if query is not None:
+        extract_parameter_name(query)
+    _check_writable_schema(stream_df.schema)
+
+    def sink_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        write_cypher(
+            batch_df,
+            transport_factory,
+            query=query,
+            label=label,
+            merge_key=merge_key,
+            batch_size=batch_size,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 class _ConnectionOptionsMixin:
     """REST-endpoint options shared by both builders — the reference's
     ``Neo4jFormatBase.Builder`` surface (`Neo4jFormatBase.java:112-196`):
@@ -326,6 +384,37 @@ class CypherSinkBuilder(_ConnectionOptionsMixin):
             )
 
         return sink
+
+    def finish_streaming(self):
+        """Streaming twin of :func:`finish`: returns
+        ``start(stream_df, checkpoint_dir=None, available_now=True)`` which
+        begins a :func:`write_cypher_stream` query with this builder's
+        validated configuration."""
+        factory = self._resolve_transport_factory(self._transport_factory)
+        if factory is None:
+            raise ValueError("transport factory or REST URI not set")
+        if (self._query is None) == (self._label is None):
+            raise ValueError("exactly one of cypher query or label required")
+        query, label = self._query, self._label
+        merge_key, batch_size = self._merge_key, self._batch_size
+
+        def start(
+            stream_df: DataFrame,
+            checkpoint_dir: str | None = None,
+            available_now: bool = True,
+        ):
+            return write_cypher_stream(
+                stream_df,
+                factory,
+                query=query,
+                label=label,
+                merge_key=merge_key,
+                batch_size=batch_size,
+                checkpoint_dir=checkpoint_dir,
+                available_now=available_now,
+            )
+
+        return start
 
 
 # -- source (A1-A8) --------------------------------------------------------

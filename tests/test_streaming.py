@@ -135,3 +135,35 @@ def test_stateful_stream_sessionize_matches_batch_closed_sessions(spark):
         if r["session_id"] != last[r["user_id"]]
     }
     assert streamed == expected
+
+
+def test_streaming_cypher_sink_spools_all_rows(spark, tmp_path):
+    """The streaming Cypher sink (foreachBatch over the batch writer) must
+    deliver every stream row through the transport exactly once on a clean
+    AvailableNow run, with the same generated UNWIND template as batch."""
+    from flink_neo4j_spark.sources.cypher import CypherSinkBuilder
+    from flink_neo4j_spark.sources.transport import FileTransport
+    from flink_neo4j_spark.streaming.windows import read_events_stream
+
+    spool = str(tmp_path / "spool")
+    stream = read_events_stream(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type"
+    )
+    start = (
+        CypherSinkBuilder()
+        .set_transport_factory(lambda: FileTransport(spool))
+        .set_label("Event")
+        .set_task_batch_size(500)
+        .finish_streaming()
+    )
+    q = start(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    stored = FileTransport(spool).batches()
+    rows = [r for b in stored for r in b["rows"]]
+    expected = load_table(spark, SF_DIR, "events").count()
+    assert len(rows) == expected
+    assert all(b["statement"].startswith("UNWIND $rows AS r") for b in stored)
+    assert all(len(b["rows"]) <= 500 for b in stored)
+    ids = sorted(r["event_id"] for r in rows)
+    assert len(set(ids)) == expected  # no duplicates on a clean run
