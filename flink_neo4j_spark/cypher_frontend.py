@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"MATCH", "RETURN", "WHERE", "UNWIND", "AS", "CREATE", "SET", "AND", "OR",
-             "TRUE", "FALSE", "NULL", "ID", "WITH"}
+             "TRUE", "FALSE", "NULL", "ID", "WITH", "MERGE"}
 
 
 @dataclass
@@ -946,6 +946,44 @@ def cypher_write(
         if batch is None:
             return graph
         return graph.create_nodes(batch, node.label)
+
+    if p.at("kw", "MERGE"):
+        # UNWIND $rows AS r MERGE (n:L {k: r.k}) [SET n.a = r.a, ...] —
+        # the idempotent upsert the sink generates (unwind_merge_template);
+        # SET applies on match AND create, as in Cypher.
+        p.next()
+        node = p.parse_node(unwind_var=uvar)
+        if node.label is None:
+            raise CypherSyntaxError("MERGE requires a label")
+        if len(node.props) != 1:
+            raise CypherSyntaxError(
+                "MERGE pattern needs exactly one key property"
+            )
+        ((key, key_val),) = node.props.items()
+        updates: dict[str, Any] = {}
+        if p.at("kw", "SET"):
+            p.next()
+            while True:
+                ref = p.parse_prop_ref()
+                if ref.var != node.var:
+                    raise CypherSyntaxError(f"SET target must be {node.var!r}")
+                p.expect("op", "=")
+                updates[ref.prop] = p.parse_value(unwind_var=uvar)
+                if p.at("punct", ","):
+                    p.next()
+                    continue
+                break
+        spark = graph.vertices.sparkSession
+        data = [
+            {
+                key: _resolve(key_val, row),
+                **{c: _resolve(v, row) for c, v in updates.items()},
+            }
+            for row in rows
+        ]
+        if not data:
+            return graph
+        return graph.merge_nodes(spark.createDataFrame(data), node.label, key)
 
     p.expect("kw", "MATCH")
     target = p.parse_node(unwind_var=uvar)

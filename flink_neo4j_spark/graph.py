@@ -209,6 +209,55 @@ class PropertyGraph:
                 out_cols.append(F.col(f"_u_{c}").alias(c))
         return PropertyGraph(joined.select(*out_cols), self.edges)
 
+    def merge_nodes(
+        self, batch: DataFrame, label: str, key: str
+    ) -> "PropertyGraph":
+        """MERGE upsert — ``UNWIND $rows AS r MERGE (n:Label {key: r.key})
+        SET n.prop = r.prop`` (the idempotent write form the sink generates
+        via ``unwind_merge_template``; retry-safe per SURVEY.md §7 #3).
+
+        Rows whose ``key`` matches an existing ``label`` vertex update in
+        place (SET applies on match AND on create, as in Cypher); the rest
+        append as new vertices with ids allocated as in
+        :meth:`create_nodes`. Both arms broadcast the (small) batch; the
+        base vertex table never shuffles.
+        """
+        if key not in self.vertices.columns:
+            raise ValueError(
+                f"merge key {key!r} not a vertex property; cannot match"
+            )
+        upd_cols = [c for c in batch.columns if c != key]
+        renamed = batch.select(
+            F.col(key).alias(f"_u_{key}"),
+            F.lit(True).alias("_u__matched"),
+            *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+        )
+        cond = (self.vertices[key] == F.col(f"_u_{key}")) & (
+            self.vertices["label"] == F.lit(label)
+        )
+        joined = self.vertices.join(F.broadcast(renamed), cond, "left")
+        matched = F.coalesce(F.col("_u__matched"), F.lit(False))
+        out_cols: list[Column] = []
+        for c in self.vertices.columns:
+            if c in upd_cols:
+                out_cols.append(
+                    F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        for c in upd_cols:
+            if c not in self.vertices.columns:
+                out_cols.append(F.col(f"_u_{c}").alias(c))
+        updated = PropertyGraph(joined.select(*out_cols), self.edges)
+        inserts = batch.join(
+            self.vertices.filter(F.col("label") == F.lit(label)).select(
+                F.col(key).alias("_k")
+            ),
+            batch[key] == F.col("_k"),
+            "left_anti",
+        )
+        return updated.create_nodes(inserts, label)
+
     def delete_nodes(
         self, keys: DataFrame, key: str = "id", detach: bool = False
     ) -> "PropertyGraph":

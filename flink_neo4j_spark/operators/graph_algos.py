@@ -405,6 +405,33 @@ def g11_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_counts.unionByName(e_counts).orderBy("kind", "name")
 
 
+# G18 — Cypher MERGE upsert through the front end: the idempotent write
+# form the reference's sink users rely on for retry safety (SURVEY.md §7
+# #3), now parsed and executed natively. Updates two existing Nation
+# vertices (SET creates the new `tier` property), inserts one new vertex;
+# the oracle states the closed-form result over the nation table.
+MERGE_TIER_NATIONS = ("NATION_0", "NATION_1")
+
+
+def g18_cypher_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    rows = [
+        {"name": n, "tier": "gold"} for n in MERGE_TIER_NATIONS
+    ] + [{"name": "ATLANTIS", "tier": "gold"}]
+    g2 = cypher_write(
+        g,
+        "UNWIND $rows AS r MERGE (n:Nation {name: r.name}) SET n.tier = r.tier",
+        {"rows": rows},
+    )
+    return (
+        g2.vertices.filter(F.col("label") == "Nation")
+        .select("name", "tier")
+        .orderBy("name")
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -632,9 +659,17 @@ QUERIES: dict[str, QueryFn] = {
     "g15_also_bought": g15_also_bought,
     "g16_cypher_with": g16_cypher_with,
     "g17_cypher_with_agg": g17_cypher_with_agg,
+    "g18_cypher_merge": g18_cypher_merge,
 }
 
 ORACLE: dict[str, str] = {
+    "g18_cypher_merge": f"""
+        SELECT n_name AS name,
+               CASE WHEN n_name IN {MERGE_TIER_NATIONS!r} THEN 'gold' END
+                 AS tier
+        FROM nation
+        UNION ALL SELECT 'ATLANTIS', 'gold'
+        ORDER BY name""",
     "g16_cypher_with": """
         WITH t AS (
           SELECT n_name AS nation, COUNT(*) AS cnt

@@ -377,3 +377,48 @@ def test_with_unknown_alias_rejected(fixture_graph):
             fixture_graph,
             "MATCH (u:User) WITH u.born AS born RETURN nope",
         ).collect()
+
+
+def test_unwind_merge_updates_and_inserts(fixture_graph):
+    """MERGE upsert: existing key -> in-place SET; new key -> new vertex
+    with SET applied (the sink's unwind_merge_template semantics)."""
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MERGE (u:User {name: r.name}) SET u.trust = r.trust",
+        {"rows": [
+            {"name": "Eve", "trust": True},     # existing: update
+            {"name": "Frank", "trust": False},  # new: insert
+        ]},
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert set(users) == {"Alice", "Bob", "Eve", "Frank"}
+    assert users["Eve"]["trust"] is True         # updated
+    assert users["Eve"]["born"] == 1984          # untouched props survive
+    assert users["Alice"]["trust"] is True       # unmatched rows unchanged
+    assert users["Frank"]["trust"] is False      # insert got SET value
+    old_max = max(r["id"] for r in fixture_graph.vertices.collect())
+    assert users["Frank"]["id"] > old_max        # fresh id allocated
+
+
+def test_merge_is_idempotent_on_replay(fixture_graph):
+    """Replaying the same MERGE batch (task retry) must not duplicate."""
+    stmt = "UNWIND $rows AS r MERGE (u:User {name: r.name}) SET u.trust = r.trust"
+    batch = {"rows": [{"name": "Grace", "trust": True}]}
+    g2 = cypher_write(fixture_graph, stmt, batch)
+    g3 = cypher_write(g2, stmt, batch)
+    assert g3.nodes("User").filter("name = 'Grace'").count() == 1
+
+
+def test_merge_requires_label_and_single_key(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MERGE (u {name: r.name})",
+            {"rows": [{"name": "x"}]},
+        )
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MERGE (u:User {name: r.name, born: r.born})",
+            {"rows": [{"name": "x", "born": 1}]},
+        )
