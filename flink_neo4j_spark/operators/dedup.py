@@ -412,6 +412,69 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# D12 — SEMANTIC dedup end-to-end: the embedding-space twin of d3->d7.
+# Candidate pairs come from the deterministic sign-LSH bucket join (s8's
+# generator: never all-pairs), survive an exact rounded-cosine threshold,
+# and collapse into keep-lists by the same min-label component propagation
+# as d7 (keep = cluster minimum). This is the "semantic dedup" pass of a
+# pretraining pipeline (SemDeDup-style): near-duplicate MEANING, not
+# near-duplicate text. Threshold is data-tuned (synthetic corpus max
+# intra-bucket cosine ~0.46; production uses 0.9+ on real embeddings).
+SEM_COS_THRESHOLD = 0.35
+
+
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.functions import cosine_col
+    from flink_neo4j_spark.operators.similarity import _emb, _sig_expr
+
+    e = _emb(spark, sf_dir).withColumn("sig", _sig_expr("emb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "sig")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "sig")
+    pairs = (
+        a.join(b, "sig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.round(cosine_col("a_emb", "b_emb"), 4).alias("cos")
+        )
+        .filter(F.col("cos") >= SEM_COS_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    und = _materialized(
+        pairs.unionAll(
+            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        )
+    )
+    vids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    comp = vids.select(F.col("vec_id").alias("vid"), F.col("vec_id").alias("comp"))
+    for rnd in range(1, MAX_CC_ROUNDS + 1):
+        msgs = und.join(
+            comp.withColumnRenamed("vid", "a_id"), "a_id"
+        ).select(F.col("b_id").alias("vid"), "comp")
+        new_comp = (
+            comp.unionByName(msgs)
+            .groupBy("vid")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "vid")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
+    return comp.select(
+        F.col("vid").alias("vec_id"),
+        "comp",
+        (F.col("vid") == F.col("comp")).alias("is_kept"),
+    ).orderBy("vec_id")
+
+
 # D8 — blocked edit-distance near-dup: candidate pairs share a 16-char
 # normalized prefix (an equi-join on the block key — never an all-pairs
 # scan), then exact Levenshtein on 200-char prefixes within each block.
@@ -647,6 +710,7 @@ QUERIES: dict[str, QueryFn] = {
     "d7_dedup_clusters": d7_dedup_clusters,
     "d8_edit_distance": d8_edit_distance,
     "d9_decontaminate": d9_decontaminate,
+    "d12_semantic_dedup": d12_semantic_dedup,
     "d10_lsh_banded": d10_lsh_banded,
     "d11_chunk_dedup": d11_chunk_dedup,
 }
@@ -665,7 +729,34 @@ _DUCK_SIMHASH_BITS = ", ".join(
 )
 _DUCK_SIMHASH_SUM = " + ".join(f"b{b}" for b in range(16))
 
+def _d12_oracle() -> str:
+    from flink_neo4j_spark.operators.similarity import _DUCK_SIG, _duck_cos
+
+    return f"""
+        WITH RECURSIVE
+        e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        e AS (SELECT vec_id, emb, {_DUCK_SIG} AS sig FROM e0),
+        pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+          WHERE ROUND({_duck_cos("a.emb", "b.emb")}, 4) >= {SEM_COS_THRESHOLD}),
+        und AS (SELECT a_id AS a, b_id AS b FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (
+          SELECT v.vec_id,
+                 LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS comp
+          FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+          GROUP BY v.vec_id)
+        SELECT vec_id, comp, vec_id = comp AS is_kept
+        FROM comp ORDER BY vec_id"""
+
+
 ORACLE: dict[str, str] = {
+    "d12_semantic_dedup": _d12_oracle(),
     # keep-first-occurrence is expressed as a row_number window here — the
     # declarative twin of the engine's skew-safe min-struct aggregate.
     "d11_chunk_dedup": f"""

@@ -375,8 +375,45 @@ def s7_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S9 — distributed Gram matrix (X^T X over the embedding table): the
+# covariance/PCA/whitening building block of embedding analytics. The
+# classic two-phase tree aggregation: each partition accumulates its local
+# d x d Gram with one numpy GEMM over Arrow batches (O(d^2) state per
+# partition, independent of row count), emits the upper triangle as
+# (i, j, partial) rows, and one groupBy(i, j) sums partials — the shuffle
+# carries d(d+1)/2 rows PER PARTITION, never anything proportional to N.
+# At 100 TB this is exactly how a driver-side-free covariance is built; the
+# fp-rounding discipline (half-nudge + signed-zero collapse) matches s5.
+def s9_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _emb(spark, sf_dir).select("emb")
+
+    def gram(batches):
+        acc = np.zeros((DIM, DIM))
+        for pdf in batches:
+            if len(pdf):
+                X = np.asarray(pdf["emb"].tolist(), dtype="float64")
+                acc += X.T @ X
+        iu = np.triu_indices(DIM)
+        yield pd.DataFrame(
+            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"),
+             "partial": acc[iu]}
+        )
+
+    parts = e.mapInPandas(gram, schema="i long, j long, partial double")
+    return (
+        parts.groupBy("i", "j")
+        .agg(
+            (F.round(F.sum("partial") + F.lit(5e-10), 4) + F.lit(0.0)).alias("g")
+        )
+        .orderBy("i", "j")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
+    "s9_gram_matrix": s9_gram_matrix,
     "s2_lsh_topk": s2_lsh_topk,
     "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
     "s4_ivf_topk": s4_ivf_topk,
@@ -460,6 +497,15 @@ def _duck_mmr_sql() -> str:
 
 ORACLE: dict[str, str] = {
     "s7_mmr_rerank": _duck_mmr_sql(),
+    "s9_gram_matrix": f"""
+        SELECT i.i AS i, j.j AS j,
+               ROUND(SUM(emb[i.i + 1] * emb[j.j + 1]) + 5e-10, 4) + 0.0 AS g
+        FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+             generate_series(0, {DIM - 1}) AS i(i),
+             generate_series(0, {DIM - 1}) AS j(j)
+        WHERE i.i <= j.j
+        GROUP BY i.i, j.j
+        ORDER BY i, j""",
     "s8_knn_join": f"""
         WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         e AS (SELECT vec_id, emb, {_DUCK_SIG} AS sig FROM e0),
