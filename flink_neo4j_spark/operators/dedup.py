@@ -424,17 +424,32 @@ SEM_COS_THRESHOLD = 0.35
 
 
 def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_neo4j_spark.functions import cosine_col
     from flink_neo4j_spark.operators.similarity import _emb, _sig_expr
 
-    e = _emb(spark, sf_dir).withColumn("sig", _sig_expr("emb"))
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "sig")
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "sig")
+    # per-vector norm precomputed once (bitwise-identical to inline; see s8)
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("sig", _sig_expr("emb"))
+        .withColumn("nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"), "sig",
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"), "sig",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
     pairs = (
         a.join(b, "sig")
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
-            "a_id", "b_id", F.round(cosine_col("a_emb", "b_emb"), 4).alias("cos")
+            "a_id",
+            "b_id",
+            F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= SEM_COS_THRESHOLD)
         .select("a_id", "b_id")

@@ -324,6 +324,24 @@ def q36_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q37 — UNPIVOT (wide -> long reshape, the inverse of q25's PIVOT): melt a
+# wide per-key stats row into (key, metric, val) triples with `stack`, the
+# expression form Spark plans as a single Expand over one scan — never a
+# UNION of per-metric rescans. The metric set is static (schema must be
+# known before execution, as with PIVOT's value list).
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'cnt', cnt, 'price', price, 'qty', qty) AS (metric, val)",
+    ).orderBy("l_returnflag", "metric")
+
+
 # ROLLUP: hierarchical subtotals (returnflag -> linestatus -> grand total) in
 # one pass — Expand + single hash aggregation, no multi-scan union.
 def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,6 +648,7 @@ QUERIES: dict[str, QueryFn] = {
     "q17_set_ops": q17_set_ops,
     "q18_percentiles": q18_percentiles,
     "q36_histogram_percentile": q36_histogram_percentile,
+    "q37_unpivot": q37_unpivot,
     "q19_rollup": q19_rollup,
     "q20_exists_semi": q20_exists_semi,
     "q21_anti_scalar": q21_anti_scalar,
@@ -753,6 +772,18 @@ ORACLE: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
                ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q37_unpivot": """
+        WITH w AS (
+          SELECT l_returnflag,
+                 ROUND(SUM(l_quantity), 2) AS qty,
+                 ROUND(SUM(l_extendedprice), 2) AS price,
+                 CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, metric, val FROM (
+          SELECT l_returnflag, 'cnt' AS metric, cnt AS val FROM w
+          UNION ALL SELECT l_returnflag, 'price', price FROM w
+          UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
+        ORDER BY l_returnflag, metric""",
     "q19_rollup": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
         FROM lineitem

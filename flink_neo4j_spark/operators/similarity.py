@@ -289,13 +289,34 @@ KNN_K = 5
 def s8_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = _emb(spark, sf_dir).withColumn("sig", _sig_expr("emb"))
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "sig")
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "sig")
+    # norms precomputed ONCE per vector, not once per pair (each vector
+    # appears in ~bucket_size pairs); bitwise-identical to inline norms —
+    # same sequential fold over the same array — so the oracle hash is
+    # unaffected, but the pair-scan drops two O(d) folds per row
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("sig", _sig_expr("emb"))
+        .withColumn("nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"), "sig",
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"), "sig",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
     scored = (
         a.join(b, "sig")
         .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", F.round(_cosine("a_emb", "b_emb"), 6).alias("cos"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
     return (

@@ -285,6 +285,31 @@ def a6_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# A7 — OHLC/session-boundary rollup: first/last/min/max value per user-day
+# via min_by/max_by (argmin/argmax aggregates) — the canonical "opening and
+# closing reading" shape (metrics, sensor readings, price candles). min_by
+# partial-aggregates like any other agg (each partial keeps its best
+# (key, value) witness), so the plan is one map-side-combined groupBy —
+# no window, no sort, no self-join. The events fixture has no duplicate
+# (user_id, ts) pairs (verified by the driver), so ts is a total
+# per-group ordering key and argmin/argmax are unique cross-engine.
+def a7_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "value"
+    )
+    return (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.expr("min_by(value, ts)").alias("open"),
+            F.expr("max_by(value, ts)").alias("close"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_asof_join": a1_asof_join,
     "a2_interval_join": a2_interval_join,
@@ -292,9 +317,15 @@ QUERIES: dict[str, QueryFn] = {
     "a4_funnel": a4_funnel,
     "a5_retention": a5_retention,
     "a6_trailing_features": a6_trailing_features,
+    "a7_ohlc": a7_ohlc,
 }
 
 ORACLE: dict[str, str] = {
+    "a7_ohlc": """
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               arg_min(value, ts) AS open, arg_max(value, ts) AS close,
+               MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "a6_trailing_features": f"""
         SELECT event_id, user_id,
                COUNT(*) OVER w AS n_1h,
