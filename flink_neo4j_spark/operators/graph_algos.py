@@ -534,7 +534,9 @@ TRI_TOP = 100
 # The oracle orients by id (a < b < c) instead — the triangle SET is
 # orientation-invariant, so both strategies must produce identical counts;
 # only the join-size profile differs.
-def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_triangles(spark: SparkSession, sf_dir: str):
+    """Shared by g14/g19: (degree table, per-vertex triangle counts) over
+    the co-ordered-parts projection, degree-ordered orientation."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= TRI_MIN_QTY)
@@ -578,11 +580,48 @@ def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles = wedges.join(
         oriented, (F.col("a") == F.col("s")) & (F.col("c") == F.col("t"))
     ).select("a", "b", "c")
-    return (
+    tri_per_vertex = (
         triangles.select(F.explode(F.array("a", "b", "c")).alias("part"))
         .groupBy("part")
         .agg(F.count("*").alias("triangles"))
-        .orderBy(F.desc("triangles"), "part")
+    )
+    return deg, tri_per_vertex
+
+
+def g14_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, tri = _copurchase_triangles(spark, sf_dir)
+    return tri.orderBy(F.desc("triangles"), "part").limit(TRI_TOP)
+
+
+# G19 — local clustering coefficient (Neo4j GDS `localClusteringCoefficient`
+# parity): coeff(v) = triangles(v) / C(deg(v), 2) over the same co-ordered-
+# parts projection as g14. Zero-triangle vertices surface with coeff 0 (left
+# join + coalesce); deg < 2 is excluded (undefined denominator). The
+# arithmetic is one exact-integer ratio per vertex — identical doubles in
+# both engines — with the s5 rounding discipline for the hash.
+def g19_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg, tri = _copurchase_triangles(spark, sf_dir)
+    joined = (
+        deg.filter(F.col("dx") >= 2)
+        .join(tri.withColumnRenamed("part", "x"), "x", "left")
+        .select(
+            F.col("x").alias("part"),
+            F.col("dx").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+    )
+    coeff = (
+        F.round(
+            F.col("triangles") * 2.0
+            / (F.col("degree") * (F.col("degree") - 1))
+            + F.lit(5e-10),
+            4,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        joined.withColumn("coeff", coeff)
+        .orderBy(F.desc("coeff"), "part")
         .limit(TRI_TOP)
     )
 
@@ -660,6 +699,7 @@ QUERIES: dict[str, QueryFn] = {
     "g16_cypher_with": g16_cypher_with,
     "g17_cypher_with_agg": g17_cypher_with_agg,
     "g18_cypher_merge": g18_cypher_merge,
+    "g19_clustering_coeff": g19_clustering_coeff,
 }
 
 ORACLE: dict[str, str] = {
@@ -705,6 +745,36 @@ ORACLE: dict[str, str] = {
           UNION ALL SELECT c FROM t)
         SELECT part, COUNT(*) AS triangles FROM x GROUP BY part
         ORDER BY triangles DESC, part LIMIT {TRI_TOP}""",
+    "g19_clustering_coeff": f"""
+        WITH q AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {TRI_MIN_QTY}),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT x AS part, COUNT(*) AS degree FROM (
+            SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+          GROUP BY x),
+        t AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tri AS (
+          SELECT part, COUNT(*) AS triangles FROM (
+            SELECT a AS part FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+          GROUP BY part)
+        SELECT d.part, d.degree,
+               COALESCE(tri.triangles, 0) AS triangles,
+               ROUND(COALESCE(tri.triangles, 0) * 2.0
+                     / (d.degree * (d.degree - 1)) + 5e-10, 4) + 0.0 AS coeff
+        FROM deg d LEFT JOIN tri ON d.part = tri.part
+        WHERE d.degree >= 2
+        ORDER BY coeff DESC, d.part LIMIT {TRI_TOP}""",
     "g15_also_bought": f"""
         WITH cp AS (
           SELECT DISTINCT o_custkey AS cust, l_partkey AS part

@@ -335,6 +335,44 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def session_window_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN ``session_window`` —
+    the declarative twin of :func:`sessionize_stream`'s custom
+    ``applyInPandasWithState`` kernel. The state store merges overlapping
+    per-event windows per key and the watermark closes (emits) a session
+    once no event can extend it — append mode output, which is why a finite
+    replay emits the batch sessionizer's CLOSED sessions (tail sessions
+    stay open; the parity test asserts the subset relation on exact
+    bounds/rollups). Prefer this form when the per-session logic IS the
+    rollup; drop to the custom kernel only for state shapes
+    ``session_window`` can't express."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_session_window_available_now(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Built-in session_window sessionizer as a real streaming query."""
+    return _run_append_to_parquet(
+        session_window_stream(read_events_stream(spark, sf_dir), gap_minutes),
+        spark,
+        "session_window",
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful streaming sessionizer via ``applyInPandasWithState``.
 

@@ -167,3 +167,64 @@ def test_streaming_cypher_sink_spools_all_rows(spark, tmp_path):
     assert all(len(b["rows"]) <= 500 for b in stored)
     ids = sorted(r["event_id"] for r in rows)
     assert len(set(ids)) == expected  # no duplicates on a clean run
+
+
+def test_builtin_session_window_matches_batch_closed_sessions(spark):
+    """The built-in session_window operator must emit exactly the batch
+    sessionizer's CLOSED sessions (same bounds and rollups); tail sessions
+    stay open on a finite replay."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_session_window_available_now,
+    )
+
+    streamed = {
+        (r["user_id"], r["start"], r["n_events"], r["session_value"])
+        for r in run_session_window_available_now(spark, SF_DIR).collect()
+    }
+    assert streamed, "no sessions emitted"
+
+    # independent batch twin with session bounds: gap-flag cumsum windows
+    batch = load_table(spark, SF_DIR, "events").selectExpr(
+        "user_id", "ts", "event_id", "value"
+    )
+    batch.createOrReplaceTempView("ev")
+    batch_sessions = spark.sql("""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL '30' MINUTE
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS start, MAX(ts) AS last_ts,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sessions GROUP BY user_id, sid
+    """)
+    rows = batch_sessions.collect()
+    allb = {
+        (r["user_id"], r["start"], r["n_events"], r["session_value"]): r["last_ts"]
+        for r in rows
+    }
+    assert streamed <= set(allb)
+    # closure model: a session is emitted iff the final watermark (global
+    # max event time - 1 day) has passed its end (last event + gap)
+    import datetime
+
+    max_ts = max(r["last_ts"] for r in rows)
+    wm = max_ts - datetime.timedelta(days=1)
+    gap = datetime.timedelta(minutes=30)
+    closed = {k for k, last in allb.items() if last + gap < wm}
+    missing = set(allb) - streamed
+    # every emitted session is closed-by-watermark; every session the
+    # watermark passed well clear of the boundary was emitted
+    assert streamed <= {k for k, last in allb.items() if last + gap <= max_ts}
+    assert closed <= streamed, f"closed-but-unemitted: {sorted(closed - streamed)[:3]}"
+    assert all(allb[k] + gap >= wm for k in missing), (
+        f"unemitted sessions outside the watermark tail: "
+        f"{sorted(k for k in missing if allb[k] + gap < wm)[:3]}"
+    )
