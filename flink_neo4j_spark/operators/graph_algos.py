@@ -659,8 +659,12 @@ def g15_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("dp"))
         .filter((F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF))
     )
-    # part-degree table is |parts|-sized (dimension-like vs the pair fan-out)
-    cpd = cp.join(F.broadcast(deg), "part")
+    # part-degree table is |parts|-sized (dimension-like vs the pair fan-out).
+    # localCheckpoint: BOTH sides of the self-join read this lineage and
+    # Catalyst does not plan a ReusedExchange across it (measured 16 parquet
+    # scans without, 5.0 s -> materializing the small (cust, part, dp)
+    # projection once removes the duplicate scan/distinct/agg work)
+    cpd = cp.join(F.broadcast(deg), "part").localCheckpoint()
     return (
         cpd.alias("a")
         .join(

@@ -468,9 +468,68 @@ def t13_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T14 — cross-source overlap matrix: for every source pair, how many
+# distinct word-shingles they share and the containment fraction
+# shared/min(|A|,|B|) — the corpus-governance report behind "source B is a
+# scrape of source A" and licensing/contamination review. Plan: one
+# (source, shingle) distinct projection (shuffle keyed by the pair),
+# materialized once and reused by the totals agg and BOTH sides of the
+# shingle-keyed self-join; per-shingle pair fan-out is bounded by
+# C(n_sources, 2), so no degenerate-bucket guard is needed until sources
+# number in the thousands (then add d9's max-df filter).
+def t14_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.operators.dedup import _shingled
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("sg"))
+        .join(docs, "doc_id")
+        .select("source", "sg")
+        .distinct()
+        .localCheckpoint()
+    )
+    totals = ss.groupBy("source").agg(F.count("*").alias("tot"))
+    pairs = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.sg") == F.col("b.sg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.selectExpr("source AS src_a", "tot AS tot_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(totals.selectExpr("source AS src_b", "tot AS tot_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            (
+                F.round(
+                    F.col("shared") / F.least("tot_a", "tot_b") + F.lit(5e-10), 4
+                )
+                + F.lit(0.0)
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t13_vocab": t13_vocab,
+    "t14_source_overlap": t14_source_overlap,
     "t2_lang_id": t2_lang_id,
     "t3_quality_score": t3_quality_score,
     "t4_fingerprint": t4_fingerprint,
@@ -497,7 +556,31 @@ _DUCK_PRED = (
     + " END"
 )
 
+def _t14_oracle() -> str:
+    from flink_neo4j_spark.operators.dedup import _DUCK_SHINGLED
+
+    return f"""
+        {_DUCK_SHINGLED},
+        src AS (
+          SELECT DISTINCT d.source, u.sg
+          FROM (SELECT doc_id, unnest(sh) AS sg FROM s) u
+          JOIN documents d ON u.doc_id = d.doc_id),
+        tot AS (SELECT source, COUNT(*) AS tot FROM src GROUP BY 1),
+        p AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+          FROM src a JOIN src b ON a.sg = b.sg AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, shared,
+               ROUND(shared * 1.0 / LEAST(ta.tot, tb.tot) + 5e-10, 4) + 0.0
+                 AS containment
+        FROM p
+        JOIN tot ta ON p.src_a = ta.source
+        JOIN tot tb ON p.src_b = tb.source
+        ORDER BY src_a, src_b"""
+
+
 ORACLE: dict[str, str] = {
+    "t14_source_overlap": _t14_oracle(),
     "t13_vocab": f"""
         SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents)
