@@ -310,8 +310,44 @@ def a7_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A8 — time-series gap fill (resample-to-daily with zero-fill): generate
+# each user's full date spine between first and last activity with
+# sequence() + explode, left-join the observed daily rollup, zero-fill the
+# holes — the standard prep before window features / forecasting, where a
+# missing day must mean 0.0, not an absent row. The spine explode is narrow
+# (per-user bounds from a tiny agg); the join is keyed (user_id, day) —
+# both sides already clustered by the rollup shuffle. At 100 TB the spine
+# size is bounded by users x days, independent of event count.
+def a8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+            F.col("total").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_asof_join": a1_asof_join,
+    "a8_gap_fill": a8_gap_fill,
     "a2_interval_join": a2_interval_join,
     "a3_json_extract": a3_json_extract,
     "a4_funnel": a4_funnel,
@@ -321,6 +357,24 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a8_gap_fill": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 ROUND(SUM(value), 2) AS total
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1),
+        spine AS (
+          SELECT user_id, CAST(unnest(generate_series(
+                   CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+          FROM b)
+        SELECT s.user_id, s.day,
+               COALESCE(d.total, 0.0) AS total,
+               d.total IS NOT NULL AS observed
+        FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        ORDER BY 1, 2""",
     "a7_ohlc": """
         SELECT user_id, CAST(ts AS DATE) AS day,
                arg_min(value, ts) AS open, arg_max(value, ts) AS close,
