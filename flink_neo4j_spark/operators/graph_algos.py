@@ -551,12 +551,14 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        .localCheckpoint()  # feeds deg (twice via union) + the orientation
     )
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("dx"))
+        .localCheckpoint()  # joined twice here, once more by g19
     )
     with_deg = edges.join(
         deg.select(F.col("x").alias("u"), F.col("dx").alias("du")), "u"
@@ -564,10 +566,15 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # localCheckpoint: `oriented` is consumed THREE times (both wedge sides
+    # + the closing-edge probe) and deg twice; without materialization each
+    # consumer re-runs the quadratic co-purchase projection (60+ parquet
+    # scans observed in the g14/g19 plans). The edge list is the small
+    # derived frame — one pass to build, reused everywhere.
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint()
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.t") == F.col("e2.s"))

@@ -294,9 +294,13 @@ def q36_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     l = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint: the histogram feeds both the cumsum window and the
+    # per-key totals, with no ReusedExchange between them — materializing
+    # the (key, value, count) frame (size = keys x distinct values, tiny)
+    # keeps the big lineitem scan single-pass
     hist = l.groupBy("l_returnflag", "l_quantity").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     cells = hist.withColumn("hi", F.sum("c").over(w) - 1).withColumn(
         "lo", F.col("hi") - F.col("c") + 1

@@ -322,9 +322,13 @@ def a8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
+    # localCheckpoint: daily feeds BOTH the spine bounds and the join probe
+    # side, and Catalyst plans no ReusedExchange across them — without it
+    # the events scan + rollup runs twice (4 scans observed). The
+    # materialized frame is users x active-days, tiny vs the input.
     daily = e.groupBy("user_id", "day").agg(
         F.round(F.sum("value"), 2).alias("total")
-    )
+    ).localCheckpoint()
     spine = (
         daily.groupBy("user_id")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))

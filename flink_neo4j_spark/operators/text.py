@@ -481,9 +481,17 @@ def t14_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.operators.dedup import _shingled
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = (
+    # explode_outer + materialize-right-after-explode, exactly as d9: plain
+    # explode triggers InferFiltersFromGenerate, which pushes the quadratic
+    # shingle expression (inlined twice) into the scan filter — measured
+    # 63 s vs 1.7 s for the same projection at sf0.1
+    ex = (
         _shingled(spark, sf_dir)
-        .select("doc_id", F.explode("sh").alias("sg"))
+        .select("doc_id", F.explode_outer("sh").alias("sg"))
+        .localCheckpoint()
+    )
+    ss = (
+        ex.filter(F.col("sg").isNotNull())
         .join(docs, "doc_id")
         .select("source", "sg")
         .distinct()

@@ -186,3 +186,59 @@ def test_unwind_delete_template():
     assert unwind_delete_template("User", "name").endswith(" DELETE n")
     with pytest.raises(ValueError):
         unwind_delete_template("User`) DETACH DELETE (m", "name")
+
+
+def test_merge_nodes_updates_inserts_and_new_column(spark, graph):
+    """merge_nodes: matched keys update (new column created for all rows,
+    null elsewhere), unmatched keys insert with fresh ids."""
+    batch = spark.createDataFrame(
+        [("Alice", "gold"), ("Zed", "silver")], "name string, tier string"
+    )
+    g2 = graph.merge_nodes(batch, "User", "name")
+    rows = {r["name"]: r for r in g2.vertices.collect()}
+    assert set(rows) == {"Alice", "Bob", "Eve", "Zed"}
+    assert rows["Alice"]["tier"] == "gold"
+    assert rows["Alice"]["id"] == 0            # updated in place
+    assert rows["Bob"]["tier"] is None         # untouched rows: null new col
+    assert rows["Bob"]["born"] == 1983
+    assert rows["Zed"]["tier"] == "silver"
+    assert rows["Zed"]["id"] > 2               # fresh id
+    assert g2.edges.count() == 2               # edges untouched
+
+
+def test_merge_nodes_label_scoped(spark, graph):
+    """A matching key under a DIFFERENT label must not be updated; the row
+    inserts under the merge label instead (Cypher MERGE label semantics)."""
+    base = PropertyGraph(
+        graph.vertices.unionByName(
+            spark.createDataFrame(
+                [(10, "Bot", "Alice", 2020, 0.0, False)], V_SCHEMA
+            )
+        ),
+        graph.edges,
+    )
+    batch = spark.createDataFrame([("Alice", 1999)], "name string, born int")
+    g2 = base.merge_nodes(batch, "Bot", "name")
+    by_label = {
+        (r["label"], r["name"]): r for r in g2.vertices.collect()
+    }
+    assert by_label[("Bot", "Alice")]["born"] == 1999    # Bot Alice updated
+    assert by_label[("User", "Alice")]["born"] == 1984   # User Alice untouched
+
+
+def test_merge_nodes_null_set_clears(spark, graph):
+    """SET n.trust = null through merge clears the property on match
+    (Neo4j SET-null-removes semantics, as update_nodes)."""
+    batch = spark.createDataFrame(
+        [("Alice", None)], "name string, trust boolean"
+    )
+    g2 = graph.merge_nodes(batch, "User", "name")
+    rows = {r["name"]: r for r in g2.vertices.collect()}
+    assert rows["Alice"]["trust"] is None
+    assert rows["Bob"]["trust"] is True
+
+
+def test_merge_nodes_unknown_key_raises(spark, graph):
+    batch = spark.createDataFrame([("x",)], "nope string")
+    with pytest.raises(ValueError, match="merge key"):
+        graph.merge_nodes(batch, "User", "nope")
