@@ -270,6 +270,49 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+# D13 — asymmetric CONTAINMENT near-dup: score = |A∩B| / min(|A|, |B|) —
+# catches "doc A is a quote/excerpt of doc B", which symmetric Jaccard
+# (d5) structurally misses: a 100-gram doc fully inside a 10000-gram doc
+# has Jaccard ~0.01 but containment 1.0. Same banded candidate generation,
+# bucket guard, int-coded gram intersection and pre-sort persist as d5;
+# only the denominator changes. The corpus genuinely contains such pairs
+# (max containment 1.0 at every SF).
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def d13_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    g = _materialized(
+        d.selectExpr(
+            "doc_id",
+            "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ')) AS norm",
+        )
+        .filter(F.expr("length(norm) >= 5"))
+        .selectExpr("doc_id", f"{CHAR_GRAMS_EXPR} AS gr")
+        .withColumn("h0", F.expr(minhash_expr("gr", "g")))
+        .withColumn("gc", F.expr(f"transform(gr, {GRAM_CODE_LAMBDA})"))
+        .drop("gr")
+    )
+    sizes = g.groupBy("h0").agg(F.count("*").alias("_bn"))
+    g = g.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "h0"
+    ).drop("_bn")
+    a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gc").alias("a_gc"))
+    b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gc").alias("b_gc"))
+    pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_gc", "b_gc"))
+    denom = F.least(F.size("a_gc"), F.size("b_gc"))
+    return _materialized(
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / denom.cast("double"), 4).alias(
+                "cont"
+            ),
+        ).filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
+    ).orderBy("a_id", "b_id")
+
+
 # D6 — embedding-cosine near-dup, blocked on `label` (the coarse partition a
 # real pipeline gets from a clustering/IVF step): numpy GEMM per block via
 # applyInPandas.
@@ -726,6 +769,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_edit_distance": d8_edit_distance,
     "d9_decontaminate": d9_decontaminate,
     "d12_semantic_dedup": d12_semantic_dedup,
+    "d13_containment": d13_containment,
     "d10_lsh_banded": d10_lsh_banded,
     "d11_chunk_dedup": d11_chunk_dedup,
 }
@@ -880,6 +924,29 @@ ORACLE: dict[str, str] = {
           SELECT doc_id, {_DUCK_SIMHASH_BITS} FROM toks GROUP BY doc_id
         )
         SELECT doc_id, {_DUCK_SIMHASH_SUM} AS simhash FROM bits ORDER BY doc_id""",
+    "d13_containment": f"""
+        WITH normd AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS norm
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct([substring(norm, i, 5)
+                                for i in generate_series(1, greatest(length(norm) - 4, 0))]) AS gr
+          FROM normd
+        ), g0 AS (
+          SELECT doc_id, gr, list_min([md5('g|' || x) for x in gr]) AS h0
+          FROM grams WHERE len(gr) > 0
+        ), g AS (SELECT * FROM g0 WHERE h0 IN (
+            SELECT h0 FROM g0 GROUP BY h0 HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET})
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 /
+                     least(len(a.gr), len(b.gr)), 4) AS cont
+        FROM g a JOIN g b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.gr, b.gr)) * 1.0 /
+                    least(len(a.gr), len(b.gr)), 4) >= {CONTAINMENT_THRESHOLD}
+        ORDER BY a_id, b_id""",
     "d5_ngram_jaccard": f"""
         WITH normd AS (
           SELECT doc_id,

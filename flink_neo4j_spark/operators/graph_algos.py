@@ -691,8 +691,66 @@ def g15_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G20 — nodeSimilarity with the JACCARD metric (Neo4j GDS default; g15 is
+# the count/Adamic-Adar ranking): customer pairs scored by
+# |common parts| / |parts(a) ∪ parts(b)|, all neighborhoods taken over the
+# SAME degree-cutoff-filtered part universe so numerator and denominator
+# are consistent (the cutoff is GDS's degreeCutoff — the viral-part guard
+# that bounds per-part pair fan-out at C(cutoff, 2)). Per-customer
+# neighborhood sizes are a tiny agg broadcast back; the ordering key is
+# the ROUNDED jaccard + ids, so the top-k is cross-engine deterministic.
+def g20_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = (
+        cp.groupBy("part")
+        .agg(F.count("*").alias("dp"))
+        .filter((F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF))
+    )
+    cpd = cp.join(F.broadcast(deg.select("part")), "part").localCheckpoint()
+    csize = cpd.groupBy("cust").agg(F.count("*").alias("nparts"))
+    pairs = (
+        cpd.alias("a")
+        .join(
+            cpd.alias("b"),
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(F.col("a.cust").alias("c1"), F.col("b.cust").alias("c2"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(csize.selectExpr("cust AS c1", "nparts AS n1")), "c1"
+        )
+        .join(F.broadcast(csize.selectExpr("cust AS c2", "nparts AS n2")), "c2")
+        .select(
+            "c1",
+            "c2",
+            "common",
+            (
+                F.round(
+                    F.col("common")
+                    / (F.col("n1") + F.col("n2") - F.col("common"))
+                    + F.lit(5e-10),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "c1", "c2")
+        .limit(ALSO_BOUGHT_TOP)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
+    "g20_node_similarity": g20_node_similarity,
     "g2_degree": g2_degree,
     "g3_connected_components": g3_connected_components,
     "g4_pagerank": g4_pagerank,
@@ -786,6 +844,27 @@ ORACLE: dict[str, str] = {
         FROM deg d LEFT JOIN tri ON d.part = tri.part
         WHERE d.degree >= 2
         ORDER BY coeff DESC, d.part LIMIT {TRI_TOP}""",
+    "g20_node_similarity": f"""
+        WITH cp AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (
+          SELECT part FROM cp GROUP BY part
+          HAVING COUNT(*) BETWEEN 2 AND {ALSO_BOUGHT_DEGREE_CUTOFF}),
+        cpd AS (SELECT c.cust, c.part FROM cp c JOIN deg USING (part)),
+        csize AS (SELECT cust, COUNT(*) AS nparts FROM cpd GROUP BY cust),
+        p AS (
+          SELECT a.cust AS c1, b.cust AS c2, COUNT(*) AS common
+          FROM cpd a JOIN cpd b
+            ON a.part = b.part AND a.cust < b.cust
+          GROUP BY 1, 2)
+        SELECT c1, c2, common,
+               ROUND(common * 1.0 / (s1.nparts + s2.nparts - common)
+                     + 5e-10, 4) + 0.0 AS jaccard
+        FROM p
+        JOIN csize s1 ON p.c1 = s1.cust
+        JOIN csize s2 ON p.c2 = s2.cust
+        ORDER BY jaccard DESC, c1, c2 LIMIT {ALSO_BOUGHT_TOP}""",
     "g15_also_bought": f"""
         WITH cp AS (
           SELECT DISTINCT o_custkey AS cust, l_partkey AS part

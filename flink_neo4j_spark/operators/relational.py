@@ -346,6 +346,28 @@ def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "metric")
 
 
+# Q38 — quantile bucketing via ntile + percent_rank: the feature-
+# engineering pass that turns a continuous column into per-group quartile
+# labels and normalized ranks (price-tier features, stratified binning).
+# One shuffle on the window partition key; both functions are rank-based,
+# so with a tie-broken total ordering (price, orderkey) the assignment is
+# cross-engine deterministic — percent_rank's (r-1)/(n-1) is an exact
+# integer ratio evaluated identically in both engines.
+def q38_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+    ).orderBy("o_orderkey")
+
+
 # ROLLUP: hierarchical subtotals (returnflag -> linestatus -> grand total) in
 # one pass — Expand + single hash aggregation, no multi-scan union.
 def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +675,7 @@ QUERIES: dict[str, QueryFn] = {
     "q18_percentiles": q18_percentiles,
     "q36_histogram_percentile": q36_histogram_percentile,
     "q37_unpivot": q37_unpivot,
+    "q38_ntile_buckets": q38_ntile_buckets,
     "q19_rollup": q19_rollup,
     "q20_exists_semi": q20_exists_semi,
     "q21_anti_scalar": q21_anti_scalar,
@@ -776,6 +799,14 @@ ORACLE: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
                ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q38_ntile_buckets": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               ROUND(percent_rank() OVER w, 4) AS pr
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""",
     "q37_unpivot": """
         WITH w AS (
           SELECT l_returnflag,
