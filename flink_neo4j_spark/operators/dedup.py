@@ -270,6 +270,66 @@ def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+# D14 — SimHash near-dup pair DETECTION via banded hamming probing — the
+# Manku-Jain-Sarma web-dedup algorithm (d4 only computes signatures; this
+# completes the pipeline). The 16-bit signature splits into 4 bands of 4
+# bits; a pair at hamming distance <= HAM_K is GUARANTEED to agree exactly
+# on at least one band (pigeonhole: HAM_K < n_bands), so banded equi-joins
+# have perfect recall — candidates are then verified with one
+# bit_count(XOR) each, integer ops only. Per-(band, key) bucket guard as
+# d3/d5; candidates dedupe on bare id pairs across bands before verify.
+HAM_K = 3
+SIMHASH_BAND_BITS = 4
+
+
+def d14_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = d4_simhash(spark, sf_dir)  # (doc_id, simhash), materialized
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {SIMHASH_BAND_BITS * i}) "
+                            f"% {1 << SIMHASH_BAND_BITS}"
+                        ).alias("key"),
+                    )
+                    for i in range(16 // SIMHASH_BAND_BITS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+    kept = bands.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)),
+        ["band", "key"],
+    ).drop("_bn")
+    a = kept.select(
+        "band", "key", F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa")
+    )
+    b = kept.select(
+        "band", "key", F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sa ^ sb)")
+    return (
+        cand.select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= HAM_K)
+        .orderBy("a_id", "b_id")
+    )
+
+
 # D13 — asymmetric CONTAINMENT near-dup: score = |A∩B| / min(|A|, |B|) —
 # catches "doc A is a quote/excerpt of doc B", which symmetric Jaccard
 # (d5) structurally misses: a 100-gram doc fully inside a 10000-gram doc
@@ -770,6 +830,7 @@ QUERIES: dict[str, QueryFn] = {
     "d9_decontaminate": d9_decontaminate,
     "d12_semantic_dedup": d12_semantic_dedup,
     "d13_containment": d13_containment,
+    "d14_simhash_hamming": d14_simhash_hamming,
     "d10_lsh_banded": d10_lsh_banded,
     "d11_chunk_dedup": d11_chunk_dedup,
 }
@@ -924,6 +985,33 @@ ORACLE: dict[str, str] = {
           SELECT doc_id, {_DUCK_SIMHASH_BITS} FROM toks GROUP BY doc_id
         )
         SELECT doc_id, {_DUCK_SIMHASH_SUM} AS simhash FROM bits ORDER BY doc_id""",
+    "d14_simhash_hamming": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(tok), 1, 4) AS INT) AS h
+          FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents)
+        ), bits AS (
+          SELECT doc_id, {_DUCK_SIMHASH_BITS} FROM toks GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, {_DUCK_SIMHASH_SUM} AS simhash FROM bits
+        ), bands AS (
+          SELECT doc_id, simhash, b.band,
+                 (simhash >> ({SIMHASH_BAND_BITS} * b.band))
+                   % {1 << SIMHASH_BAND_BITS} AS key
+          FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        ), kept AS (
+          SELECT * FROM bands WHERE (band, key) IN (
+            SELECT (band, key) FROM bands GROUP BY band, key
+            HAVING COUNT(*) <= {NEAR_DUP_MAX_BUCKET})
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {HAM_K}
+        ORDER BY a_id, b_id""",
     "d13_containment": f"""
         WITH normd AS (
           SELECT doc_id,

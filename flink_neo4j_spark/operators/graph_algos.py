@@ -748,9 +748,48 @@ def g20_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G21 — one round of neighbor feature aggregation (average neighbor
+# degree): the message-passing shape every GNN feature pipeline and
+# assortativity analysis starts with — per-vertex mean over neighbors of a
+# per-vertex feature (here: degree, so the whole thing is closed-form
+# checkable on the fixture topology). Plan: undirected edge union + one
+# degree agg + one join (edge side keyed by neighbor) + one per-vertex
+# avg — two shuffles total, both on vertex ids; the general k-round form
+# iterates this exact block.
+def g21_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    und = (
+        g.edges.select("src", "dst")
+        .unionAll(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()  # feeds the degree agg AND the propagation join
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "vid"
+    )
+    neigh = (
+        und.join(deg.withColumnRenamed("vid", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.avg("deg").alias("av"))
+    )
+    return (
+        deg.join(neigh.withColumnRenamed("src", "vid"), "vid")
+        .select(
+            "vid",
+            "deg",
+            (F.round(F.col("av") + F.lit(5e-10), 4) + F.lit(0.0)).alias(
+                "avg_neighbor_deg"
+            ),
+        )
+        .orderBy("vid")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g20_node_similarity": g20_node_similarity,
+    "g21_neighbor_agg": g21_neighbor_agg,
     "g2_degree": g2_degree,
     "g3_connected_components": g3_connected_components,
     "g4_pagerank": g4_pagerank,
@@ -844,6 +883,39 @@ ORACLE: dict[str, str] = {
         FROM deg d LEFT JOIN tri ON d.part = tri.part
         WHERE d.degree >= 2
         ORDER BY coeff DESC, d.part LIMIT {TRI_TOP}""",
+    # closed-form oracle on the FK-tree topology: customer/supplier degree
+    # is 1 (neighbor = its nation), nation degree = #cust + #supp + 1,
+    # region degree = #nations; neighbor averages follow directly.
+    "g21_neighbor_agg": f"""
+        WITH nc AS (SELECT c_nationkey AS nk, COUNT(*) AS n
+                    FROM customer GROUP BY 1),
+        ns AS (SELECT s_nationkey AS nk, COUNT(*) AS n
+               FROM supplier GROUP BY 1),
+        nd AS (SELECT n_nationkey AS nk, n_regionkey AS rk,
+                      COALESCE(nc.n, 0) + COALESCE(ns.n, 0) + 1 AS d
+               FROM nation LEFT JOIN nc ON n_nationkey = nc.nk
+                           LEFT JOIN ns ON n_nationkey = ns.nk),
+        rd AS (SELECT n_regionkey AS rk, COUNT(*) AS d FROM nation GROUP BY 1),
+        v AS (
+          SELECT c_custkey + {CUSTOMER_BASE} AS vid, 1 AS deg, nd.d * 1.0 AS av
+          FROM customer JOIN nd ON c_nationkey = nd.nk
+          UNION ALL
+          SELECT s_suppkey + {SUPPLIER_BASE}, 1, nd.d * 1.0
+          FROM supplier JOIN nd ON s_nationkey = nd.nk
+          UNION ALL
+          SELECT nd.nk + {NATION_BASE}, nd.d,
+                 (COALESCE(nc.n, 0) * 1.0 + COALESCE(ns.n, 0) + rd.d) / nd.d
+          FROM nd LEFT JOIN nc ON nd.nk = nc.nk
+                  LEFT JOIN ns ON nd.nk = ns.nk
+                  JOIN rd ON nd.rk = rd.rk
+          UNION ALL
+          SELECT r_regionkey + {REGION_BASE}, rd.d,
+                 (SELECT AVG(nd2.d) FROM nd nd2 WHERE nd2.rk = r_regionkey)
+          FROM region JOIN rd ON r_regionkey = rd.rk
+        )
+        SELECT CAST(vid AS BIGINT) AS vid, CAST(deg AS BIGINT) AS deg,
+               ROUND(av + 5e-10, 4) + 0.0 AS avg_neighbor_deg
+        FROM v ORDER BY vid""",
     "g20_node_similarity": f"""
         WITH cp AS (
           SELECT DISTINCT o_custkey AS cust, l_partkey AS part

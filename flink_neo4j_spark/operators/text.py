@@ -534,10 +534,42 @@ def t14_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T15 — per-source length-distribution report (the dataset-card staple):
+# fixed power-of-two byte-length buckets with count/mean/min/max per
+# (source, bucket). Bucket edges are INTEGER comparisons (CASE), never
+# floor(log2(len)) — log2 differs by an ulp across engines near exact
+# powers of two, which flips the floor. One partial-aggregated groupBy.
+LEN_EDGES = (512, 1024, 2048, 4096)
+
+
+def _len_bucket(col: str) -> F.Column:
+    expr = F.when(F.length(col) < LEN_EDGES[0], f"0000-{LEN_EDGES[0] - 1}")
+    for lo, hi in zip(LEN_EDGES, LEN_EDGES[1:]):
+        expr = expr.when(F.length(col) < hi, f"{lo:04d}-{hi - 1}")
+    return expr.otherwise(f"{LEN_EDGES[-1]:04d}+")
+
+
+def t15_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", _len_bucket("text").alias("bucket"),
+                 F.length("text").alias("len"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("len"), 2).alias("mean_len"),
+            F.min("len").alias("min_len"),
+            F.max("len").alias("max_len"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
     "t13_vocab": t13_vocab,
     "t14_source_overlap": t14_source_overlap,
+    "t15_length_histogram": t15_length_histogram,
     "t2_lang_id": t2_lang_id,
     "t3_quality_score": t3_quality_score,
     "t4_fingerprint": t4_fingerprint,
@@ -587,7 +619,22 @@ def _t14_oracle() -> str:
         ORDER BY src_a, src_b"""
 
 
+def _t15_bucket_sql() -> str:
+    parts = [f"WHEN length(text) < {LEN_EDGES[0]} THEN '0000-{LEN_EDGES[0] - 1}'"]
+    for lo, hi in zip(LEN_EDGES, LEN_EDGES[1:]):
+        parts.append(f"WHEN length(text) < {hi} THEN '{lo:04d}-{hi - 1}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{LEN_EDGES[-1]:04d}+' END"
+
+
 ORACLE: dict[str, str] = {
+    "t15_length_histogram": f"""
+        SELECT source, {_t15_bucket_sql()} AS bucket,
+               COUNT(*) AS n,
+               ROUND(AVG(length(text)), 2) AS mean_len,
+               MIN(length(text)) AS min_len,
+               MAX(length(text)) AS max_len
+        FROM documents
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "t14_source_overlap": _t14_oracle(),
     "t13_vocab": f"""
         SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
