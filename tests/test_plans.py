@@ -282,3 +282,27 @@ def test_salted_join_spreads_key(spark):
     plan = formatted_plan_of(q35_salted_join(spark, SF_DIR))
     assert "_salt" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_simhash_hamming_banded_no_cartesian(spark):
+    """d14's candidate generation must stay a (band, key) equi-join."""
+    from flink_neo4j_spark.operators.dedup import d14_simhash_hamming
+
+    plan = formatted_plan_of(d14_simhash_hamming(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_node_similarity_no_cartesian(spark):
+    """g20's pair generation must be the part-keyed equi-join with the
+    degree cutoff applied before pairing."""
+    from flink_neo4j_spark.operators.graph_algos import g20_node_similarity
+
+    plan = formatted_plan_of(g20_node_similarity(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_containment_no_cartesian(spark):
+    from flink_neo4j_spark.operators.dedup import d13_containment
+
+    plan = formatted_plan_of(d13_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
