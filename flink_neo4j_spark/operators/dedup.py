@@ -818,8 +818,32 @@ def d11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D15 — normalization-invariant exact dedup: canonicalize the text (lower,
+# non-alphanumerics -> single space, trim) BEFORE fingerprinting, so casing,
+# punctuation, and whitespace variants of the same document collapse into
+# one group — the standard first-strike dedup between exact (d1) and
+# near-dup (d3/d5) in web-corpus pipelines (catches mirrored pages,
+# re-encoded punctuation, trailing-boilerplate whitespace). Same plan shape
+# as d1: narrow per-row canonicalization entirely in JVM regex built-ins,
+# then ONE groupBy on the 128-bit md5 of the canonical form (~16 B/row
+# shuffle at any scale). Groups are compared engine-vs-oracle including the
+# canonical fingerprint itself, so the normalization chain must agree
+# byte-for-byte (same regex class, same replacement, same trim).
+def d15_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        d.groupBy(F.md5(canon).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_variants"))
+        .orderBy("keep_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "d1_exact_dedup": d1_exact_dedup,
+    "d15_normalized_dedup": d15_normalized_dedup,
     "d2_minhash_signature": d2_minhash_signature,
     "d3_minhash_near_dup": d3_minhash_near_dup,
     "d4_simhash": d4_simhash,
@@ -920,6 +944,15 @@ ORACLE: dict[str, str] = {
     "d1_exact_dedup": """
         SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "d15_normalized_dedup": """
+        WITH canon AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   AS c
+          FROM documents)
+        SELECT md5(c) AS fp, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_variants
+        FROM canon GROUP BY md5(c) ORDER BY keep_id""",
     "d9_decontaminate": f"""
         {_DUCK_SHINGLED},
         ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),

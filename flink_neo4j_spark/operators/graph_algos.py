@@ -748,6 +748,119 @@ def g20_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G22 — k-core decomposition (membership in the K-core): iteratively peel
+# vertices of degree < K until a fixpoint — the standard graph-curation
+# primitive for isolating the dense backbone (spam-farm detection, community
+# seeding, visualization pruning). Runs on a SPARSER co-purchase projection
+# than g14 (KCORE_MIN_QTY keeps only high-quantity lineitems) so the peel is
+# a genuine multi-round cascade, not a one-shot filter. Each round is one
+# partial-aggregated degree count + two semi-joins restricting the adjacency
+# to surviving endpoints; ``localCheckpoint`` truncates lineage per round and
+# the driver sees ONE scalar (the survivor count) per round for the
+# convergence test — peeling shrinks monotonically, so equal counts imply an
+# identical survivor set. The oracle unrolls KCORE_ORACLE_ROUNDS peel rounds
+# as generated CTEs (fixture converges in ~5 at sf0.01; extra rounds are
+# no-ops past the fixpoint).
+KCORE_MIN_QTY = 45
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 30
+KCORE_ORACLE_ROUNDS = 10
+
+
+def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= KCORE_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+
+
+def g22_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = _kcore_adjacency(spark, sf_dir).localCheckpoint()
+    prev_n = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        keep = (
+            live.groupBy("x")
+            .agg(F.count("*").alias("dx"))
+            .filter(F.col("dx") >= KCORE_K)
+            .select("x")
+            .localCheckpoint()
+        )
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        live = (
+            live.join(keep, "x")
+            .join(keep.withColumnRenamed("x", "y"), "y")
+            .select("x", "y")
+            .localCheckpoint()
+        )
+    return (
+        live.groupBy(F.col("x").alias("part"))
+        .agg(F.count("*").alias("core_degree"))
+        .filter(F.col("core_degree") >= KCORE_K)
+        .orderBy("part")
+    )
+
+
+def _duck_kcore_sql() -> str:
+    """Generated peel-round CTE chain (the engine's loop, unrolled).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB's default inlining re-expands
+    each round's two references to the previous round, which is exponential
+    in the unroll depth (symptom: "Too many open files" on the parquet
+    view); materialization evaluates each round exactly once, like the
+    engine's per-round ``localCheckpoint``.
+    """
+    ctes = [
+        f"""q AS MATERIALIZED (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {KCORE_MIN_QTY})""",
+        """e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""",
+        "adj0 AS MATERIALIZED "
+        "(SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e)",
+    ]
+    for r in range(KCORE_ORACLE_ROUNDS):
+        ctes.append(
+            f"""keep{r} AS MATERIALIZED (
+              SELECT x FROM adj{r} GROUP BY x
+              HAVING COUNT(*) >= {KCORE_K})"""
+        )
+        ctes.append(
+            f"""adj{r + 1} AS MATERIALIZED (
+              SELECT l.x, l.y FROM adj{r} l
+              JOIN keep{r} a ON l.x = a.x
+              JOIN keep{r} b ON l.y = b.x)"""
+        )
+    final = KCORE_ORACLE_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT x AS part, COUNT(*) AS core_degree
+        FROM adj{final} GROUP BY x
+        HAVING COUNT(*) >= {KCORE_K}
+        ORDER BY part"""
+    )
+
+
 # G21 — one round of neighbor feature aggregation (average neighbor
 # degree): the message-passing shape every GNN feature pipeline and
 # assortativity analysis starts with — per-vertex mean over neighbors of a
@@ -790,6 +903,7 @@ QUERIES: dict[str, QueryFn] = {
     "g1_two_hop": g1_two_hop,
     "g20_node_similarity": g20_node_similarity,
     "g21_neighbor_agg": g21_neighbor_agg,
+    "g22_kcore": g22_kcore,
     "g2_degree": g2_degree,
     "g3_connected_components": g3_connected_components,
     "g4_pagerank": g4_pagerank,
@@ -811,6 +925,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g22_kcore": _duck_kcore_sql(),
     "g18_cypher_merge": f"""
         SELECT n_name AS name,
                CASE WHEN n_name IN {MERGE_TIER_NATIONS!r} THEN 'gold' END

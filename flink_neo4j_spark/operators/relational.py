@@ -655,6 +655,117 @@ def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q21 shape — "suppliers who kept multi-supplier orders waiting":
+# among orders with >= 2 distinct suppliers, find orders whose latest-shipping
+# lineitems all came from ONE supplier (that supplier alone delayed the
+# order), and count such orders per supplier. The EXISTS/NOT-EXISTS pair of
+# the original compiles here to two grouped aggregations over the same
+# shuffled-by-orderkey run: max-shipdate + distinct-supplier count, then a
+# distinct-supplier count over only the latest items — no correlated
+# subquery re-scan, no semi-join against a second lineitem pass. Everything
+# partial-aggregates; the supplier name attach is a broadcast.
+def q39_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("nsupp"),
+    )
+    latest = (
+        l.join(per_order, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("nsupp") >= 2))
+    )
+    sole = (
+        latest.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("nlate"),
+            F.min("l_suppkey").alias("supp"),
+        )
+        .filter(F.col("nlate") == 1)
+    )
+    return (
+        sole.groupBy("supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("supp") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+# TPC-H Q15 shape — top supplier by quarterly revenue via a scalar-max
+# subquery: revenue per supplier over one shipdate quarter, then keep the
+# supplier(s) whose revenue equals the maximum. The max is a 1-row aggregate
+# crossJoin-broadcast back onto the (already tiny, supplier-cardinality)
+# revenue table — never a window over the full fact scan and never a
+# driver-side collect. Revenue is rounded to 2dp BEFORE the max/equality so
+# partition-order summation noise cannot make the engine and oracle disagree
+# about who is on top.
+def q40_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# TPC-H Q11 shape — groups whose value exceeds a fraction of the GLOBAL
+# total: per-nation lineitem value (supplier nation attached by broadcast),
+# kept only when above GLOBAL_SHARE of the corpus-wide total. The global
+# total is a second 1-row aggregate over the (nation-cardinality) value
+# table — the fact table is scanned ONCE; the threshold compare happens on
+# the tiny side. The filter uses the unrounded values (a share boundary is
+# never an exact tie on real revenue sums); only the OUTPUT columns round.
+GLOBAL_SHARE = 0.03
+
+
+def q41_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "nation_val"
+            )
+        )
+        .localCheckpoint()  # feeds both the total and the probe side
+    )
+    total = val.agg(F.sum("nation_val").alias("corpus_val"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_val") > GLOBAL_SHARE * F.col("corpus_val"))
+        .join(F.broadcast(n), val.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.round("nation_val", 2).alias("value"),
+            F.round(F.col("nation_val") / F.col("corpus_val"), 4).alias("share"),
+        )
+        .orderBy(F.col("value").desc(), "n_name")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -689,6 +800,9 @@ QUERIES: dict[str, QueryFn] = {
     "q29_merge_upsert": q29_merge_upsert,
     "q30_distinct_exclusion": q30_distinct_exclusion,
     "q33_grouping_sets": q33_grouping_sets,
+    "q39_late_supplier": q39_late_supplier,
+    "q40_top_supplier": q40_top_supplier,
+    "q41_nation_share": q41_nation_share,
 }
 
 ORACLE: dict[str, str] = {
@@ -919,4 +1033,47 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q39_late_supplier": """
+        WITH per_order AS (
+          SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+                 COUNT(DISTINCT l_suppkey) AS nsupp
+          FROM lineitem GROUP BY l_orderkey),
+        latest AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+          WHERE l.l_shipdate = p.max_ship AND p.nsupp >= 2),
+        sole AS (
+          SELECT l_orderkey, MIN(l_suppkey) AS supp
+          FROM latest GROUP BY l_orderkey
+          HAVING COUNT(DISTINCT l_suppkey) = 1)
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        FROM sole JOIN supplier s ON sole.supp = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_suppkey LIMIT 20""",
+    "q40_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1995-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s.s_suppkey""",
+    "q41_nation_share": f"""
+        WITH val AS (
+          SELECT s.s_nationkey,
+                 SUM(l_extendedprice * (1 - l_discount)) AS nation_val
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY s.s_nationkey),
+        total AS (SELECT SUM(nation_val) AS corpus_val FROM val)
+        SELECT n.n_name,
+               ROUND(v.nation_val, 2) AS value,
+               ROUND(v.nation_val / t.corpus_val, 4) AS share
+        FROM val v CROSS JOIN total t
+        JOIN nation n ON v.s_nationkey = n.n_nationkey
+        WHERE v.nation_val > {GLOBAL_SHARE} * t.corpus_val
+        ORDER BY value DESC, n.n_name""",
 }

@@ -432,8 +432,47 @@ def s9_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s10 — embedding L2-norm outlier report: per-vector norms scored against
+# the corpus mean/population-stddev. Degenerate embeddings (all-zero, fp
+# blowups, truncated inference outputs) show up as norm outliers, making
+# this the standard first screen before any similarity/clustering pass.
+# The norm is a JVM codegen'd sequential fold over the array (deterministic
+# element order, double accumulator — bitwise-identical cross-engine); the
+# corpus stats are ONE 1-row aggregate crossJoin-broadcast back, so the
+# embedding table is scanned once and nothing is collected. The z-score
+# rounds to 2dp and the flag derives from the rounded value so summation
+# noise in mu/sigma can't flip a boundary row.
+NORM_Z_THRESHOLD = 2.0
+
+
+def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, cast(0.0 as double), "
+            "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+        )
+    )
+    norms = e.select("vec_id", norm.alias("nrm")).localCheckpoint()
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
+    )
+    z = F.round((F.col("nrm") - F.col("mu")) / F.col("sigma"), 2)
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.round("nrm", 4).alias("l2_norm"),
+            z.alias("z"),
+            (F.abs(z) > NORM_Z_THRESHOLD).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
+    "s10_norm_outliers": s10_norm_outliers,
     "s9_gram_matrix": s9_gram_matrix,
     "s2_lsh_topk": s2_lsh_topk,
     "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
@@ -517,6 +556,20 @@ def _duck_mmr_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "s10_norm_outliers": f"""
+        WITH norms AS (
+          SELECT vec_id,
+                 sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        stats AS (
+          SELECT AVG(nrm) AS mu, stddev_pop(nrm) AS sigma FROM norms)
+        SELECT n.vec_id, ROUND(n.nrm, 4) AS l2_norm,
+               ROUND((n.nrm - s.mu) / s.sigma, 2) AS z,
+               ABS(ROUND((n.nrm - s.mu) / s.sigma, 2)) > {NORM_Z_THRESHOLD}
+                 AS is_outlier
+        FROM norms n CROSS JOIN stats s
+        ORDER BY n.vec_id""",
     "s7_mmr_rerank": _duck_mmr_sql(),
     "s9_gram_matrix": f"""
         SELECT i.i AS i, j.j AS j,

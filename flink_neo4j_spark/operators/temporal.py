@@ -349,8 +349,41 @@ def a8_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A9 — per-user z-score anomaly flags: each event's value scored against its
+# user's own mean/population-stddev — the standard per-entity anomaly /
+# outlier-detection rollup (fraud velocity, sensor drift, metric spikes).
+# Two passes over the keyed data, both cheap: one map-side-combined groupBy
+# for the (mu, sigma) profile table (user-cardinality — broadcastable at
+# any corpus size where users << events), then one broadcast join back onto
+# the stream. The z-score is rounded to 2dp and the anomaly flag derived
+# from the ROUNDED value, so cross-engine fp summation noise in mu/sigma
+# can't flip a row near the threshold.
+Z_THRESHOLD = 2.0
+
+
+def a9_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    stats = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2)
+    return (
+        e.join(F.broadcast(stats), "user_id")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            z.alias("z"),
+            (F.abs(z) > Z_THRESHOLD).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_asof_join": a1_asof_join,
+    "a9_zscore_anomaly": a9_zscore_anomaly,
     "a8_gap_fill": a8_gap_fill,
     "a2_interval_join": a2_interval_join,
     "a3_json_extract": a3_json_extract,
@@ -361,6 +394,17 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a9_zscore_anomaly": f"""
+        WITH stats AS (
+          SELECT user_id, AVG(value) AS mu, stddev_pop(value) AS sigma
+          FROM events GROUP BY user_id)
+        SELECT e.event_id, e.user_id,
+               ROUND((e.value - s.mu) / s.sigma, 2) AS z,
+               ABS(ROUND((e.value - s.mu) / s.sigma, 2)) > {Z_THRESHOLD}
+                 AS is_anomaly
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WHERE s.sigma > 0
+        ORDER BY e.event_id""",
     "a8_gap_fill": """
         WITH daily AS (
           SELECT user_id, CAST(ts AS DATE) AS day,
