@@ -242,8 +242,71 @@ def m5_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samples.join(emb, "doc_id").orderBy("doc_id")
 
 
+#: image tiling stand-in: ViT-style fixed-size patch grid over the fake
+#: decoder's (width, height); partial edge tiles keep their clipped size.
+TILE = 64
+
+
+def image_tiles(multimodal: DataFrame) -> DataFrame:
+    """'Image tiling' over opaque bytes: enumerate the TILE x TILE patch
+    grid covering each payload's fake-decoded (width, height) and emit one
+    row per tile with its clipped geometry plus a probe byte sampled from
+    the payload at a tile-determined offset. This is the ViT/patch-export
+    distribution shape — a row-EXPANDING mapInPandas (N images -> N*tiles
+    rows) where a real pipeline would slice pixel buffers; the probe-byte
+    formula keeps the payload access oracle-checkable without a codec.
+    Tile enumeration is numpy meshgrid per batch, never a per-tile Python
+    loop; partition parallelism and Arrow batch shape are unchanged by the
+    expansion."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "doc_id": [], "tile_x": [], "tile_y": [],
+                "tile_w": [], "tile_h": [], "probe": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                width, height, _ = fake_decode_meta(payload)
+                if width <= 0 or height <= 0:
+                    continue
+                nx = -(-width // TILE)
+                ny = -(-height // TILE)
+                tx, ty = np.meshgrid(np.arange(nx), np.arange(ny))
+                tx, ty = tx.ravel(), ty.ravel()
+                probe_idx = (ty * TILE * width + tx * TILE) % len(payload)
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                cols["doc_id"].extend([doc_id] * len(tx))
+                cols["tile_x"].extend(tx.tolist())
+                cols["tile_y"].extend(ty.tolist())
+                cols["tile_w"].extend(
+                    np.minimum(TILE, width - tx * TILE).tolist()
+                )
+                cols["tile_h"].extend(
+                    np.minimum(TILE, height - ty * TILE).tolist()
+                )
+                cols["probe"].extend(buf[probe_idx].tolist())
+            yield pd.DataFrame(cols)
+
+    return multimodal.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, tile_x int, tile_y int, "
+            "tile_w int, tile_h int, probe int"
+        ),
+    )
+
+
+def m6_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    return image_tiles(attach_payload(docs)).orderBy(
+        "doc_id", "tile_y", "tile_x"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "m1_multimodal_meta": m1_multimodal_meta,
+    "m6_image_tiles": m6_image_tiles,
     "m2_frame_sample": m2_frame_sample,
     "m3_resize": m3_resize,
     "m4_audio_windows": m4_audio_windows,
@@ -251,6 +314,31 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    # ascii corpus: payload byte k (0-based) == ascii(substring(text, k+1));
+    # the tile grid is pure integer geometry over the fake-decoded dims.
+    "m6_image_tiles": f"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS bl,
+                 length(text) % 640 AS w,
+                 ascii(substring(text, 1, 1)) AS h
+          FROM documents
+          WHERE length(text) % 640 > 0 AND ascii(substring(text, 1, 1)) > 0),
+        gx AS (
+          SELECT *, unnest(generate_series(
+                   0, CAST(ceil(w * 1.0 / {TILE}) AS BIGINT) - 1)) AS tx
+          FROM d),
+        gxy AS (
+          SELECT *, unnest(generate_series(
+                   0, CAST(ceil(h * 1.0 / {TILE}) AS BIGINT) - 1)) AS ty
+          FROM gx)
+        SELECT doc_id,
+               CAST(tx AS INT) AS tile_x, CAST(ty AS INT) AS tile_y,
+               CAST(LEAST({TILE}, w - tx * {TILE}) AS INT) AS tile_w,
+               CAST(LEAST({TILE}, h - ty * {TILE}) AS INT) AS tile_h,
+               CAST(ascii(substring(text,
+                 CAST((ty * {TILE} * w + tx * {TILE}) % bl AS INT) + 1, 1))
+                 AS INT) AS probe
+        FROM gxy ORDER BY doc_id, tile_y, tile_x""",
     "m5_sample_assembly": """
         WITH d AS (
           SELECT doc_id,

@@ -72,8 +72,23 @@ def w7_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_enrich_available_now(spark, sf_dir)
 
 
+def w8_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: matched clicks emit eagerly,
+    unmatched clicks emit null-padded once the watermark passes their match
+    horizon. The oracle restates the watermark cutoff explicitly: an
+    unmatched click appears iff click_ts + attribution horizon is strictly
+    before the final global watermark (min of both sides' max event time,
+    minus the watermark delay)."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_interval_left_join_available_now,
+    )
+
+    return run_interval_left_join_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
+    "w8_stream_left_outer": w8_stream_left_outer,
     "w7_stream_static_enrich": w7_stream_static_enrich,
     "w2_sessionize": w2_sessionize,
     "w3_stream_sliding": w3_stream_sliding,
@@ -158,6 +173,29 @@ ORACLE: dict[str, str] = {
     "w4_stream_dedup": """
         SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
         FROM events GROUP BY event_type ORDER BY event_type""",
+    "w8_stream_left_outer": """
+        WITH c AS (SELECT event_id AS click_id, user_id,
+                          CAST(ts AS TIMESTAMP) AS click_ts
+                   FROM events WHERE event_type = 'click'),
+        b AS (SELECT event_id AS buy_id, user_id,
+                     CAST(ts AS TIMESTAMP) AS buy_ts
+              FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                            (SELECT MAX(buy_ts) FROM b))
+                      - INTERVAL 2 HOUR AS final_wm)
+        SELECT c.user_id AS user_id, click_id, buy_id,
+               epoch_us(buy_ts) - epoch_us(click_ts) AS lag_us
+        FROM c JOIN b ON c.user_id = b.user_id
+         AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT c.user_id, click_id, NULL, NULL
+        FROM c CROSS JOIN wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b WHERE b.user_id = c.user_id
+              AND b.buy_ts >= c.click_ts
+              AND b.buy_ts <= c.click_ts + INTERVAL 1 HOUR)
+          AND c.click_ts + INTERVAL 1 HOUR < wm.final_wm
+        ORDER BY user_id, click_id, buy_id""",
     "w5_stream_interval_join": """
         WITH c AS (SELECT event_id AS click_id, user_id,
                           CAST(ts AS TIMESTAMP) AS click_ts

@@ -256,6 +256,66 @@ def run_interval_join_available_now(spark: SparkSession, sf_dir: str) -> DataFra
     return out.orderBy("user_id", "click_id", "buy_id")
 
 
+def interval_left_join_stream(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits — matched
+    clicks eagerly with their purchase, unmatched clicks with nulls once the
+    watermark passes their match horizon and their join state is evicted.
+
+    This is the attribution topology where "no conversion" is itself the
+    signal (abandonment analysis, negative sampling for CTR training). The
+    null-side emission is WATERMARK-DRIVEN: an unmatched click row is only
+    final when no future purchase can match it, i.e. when the global
+    watermark (min over both sides of max-event-time minus the 2h delay)
+    passes ``click_ts + ATTRIBUTION``. A finite AvailableNow replay
+    therefore emits null rows for all but the tail of the stream — the
+    batch twin states the same cutoff explicitly (w8's oracle), which is
+    the honest parity statement for an outer stream join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    return clicks.join(
+        buys,
+        F.expr(
+            f"click_user = buy_user AND buy_ts >= click_ts "
+            f"AND buy_ts <= click_ts + interval {ATTRIBUTION}"
+        ),
+        "left_outer",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "buy_id",
+        F.expr("unix_micros(buy_ts) - unix_micros(click_ts)").alias("lag_us"),
+    )
+
+
+def run_interval_left_join_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-outer click attribution as a real streaming query (w8)."""
+    out = _run_append_to_parquet(
+        interval_left_join_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        "interval_left_join",
+    )
+    return out.orderBy("user_id", "click_id", "buy_id")
+
+
 def run_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: ``dropDuplicates`` over (user_id, event_type)
     keyed state, then per-type unique-user counts (complete mode,
