@@ -137,13 +137,118 @@ def q34_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- q42: deterministic negative sampling --------------------------------
+#
+# Link-prediction / recommender training needs (user, item) NEGATIVES —
+# pairs that never co-occurred — sampled reproducibly so retries, backfills
+# and incremental runs emit the same training set (rand() negatives differ
+# per attempt and silently skew eval). Candidates come from a content-hash:
+# NEG_CANDIDATES hashed part ids per customer (24-bit md5 nibbles mod the
+# part-key space — the q34 uniform), deduped keeping the earliest slot,
+# anti-joined against the observed positives, then the first NEG_KEEP
+# survivors per customer by candidate index. Plan shape: the candidate side
+# is a narrow explode of the customer dim (never of the fact table); the
+# positives projection partial-aggregates to distinct pairs once; the
+# anti-join shuffles on the (customer, part) pair key; the final per-customer
+# rank windows over at most NEG_CANDIDATES rows.
+NEG_CANDIDATES = 8
+NEG_KEEP = 4
+
+
+def q42_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    npart = load_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("np")
+    )
+    cand_part = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg|"),
+                        F.col("c_custkey").cast("string"),
+                        F.lit("|"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("np")
+        + 1
+    )
+    cand = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(npart))
+        .select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_CANDIDATES - 1))).alias("i"),
+            "np",
+        )
+        .select("c_custkey", "i", cand_part.alias("cand_part"))
+        .groupBy("c_custkey", "cand_part")
+        .agg(F.min("i").alias("i"))
+    )
+    neg = cand.join(
+        pos,
+        (cand.c_custkey == pos.c) & (cand.cand_part == pos.p),
+        "left_anti",
+    )
+    w = Window.partitionBy("c_custkey").orderBy("i")
+    return (
+        neg.withColumn("slot", F.row_number().over(w).cast("long"))
+        .filter(F.col("slot") <= NEG_KEEP)
+        .select("c_custkey", F.col("cand_part").alias("neg_partkey"), "slot")
+        .orderBy("c_custkey", "slot")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q31_stratified_sample": q31_stratified_sample,
+    "q42_negative_sampling": q42_negative_sampling,
     "q32_uniform_k_per_stratum": q32_uniform_k_per_stratum,
     "q34_source_mixing": q34_source_mixing,
 }
 
 ORACLE: dict[str, str] = {
+    "q42_negative_sampling": f"""
+        WITH np AS (SELECT MAX(p_partkey) AS np FROM part),
+        cand0 AS (
+          SELECT c_custkey, i,
+                 (('0x' || substring(md5('neg|' || CAST(c_custkey AS VARCHAR)
+                    || '|' || CAST(i AS VARCHAR)), 1, 6))::BIGINT % np) + 1
+                   AS cand_part
+          FROM customer, np,
+               generate_series(0, {NEG_CANDIDATES - 1}) AS t(i)),
+        cand AS (
+          SELECT c_custkey, cand_part, MIN(i) AS i
+          FROM cand0 GROUP BY 1, 2),
+        pos AS (
+          SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        neg AS (
+          SELECT cand.* FROM cand
+          WHERE NOT EXISTS (SELECT 1 FROM pos
+                            WHERE pos.c = cand.c_custkey
+                              AND pos.p = cand.cand_part)),
+        r AS (
+          SELECT c_custkey, cand_part,
+                 ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY i)
+                   AS slot
+          FROM neg)
+        SELECT c_custkey, cand_part AS neg_partkey, slot
+        FROM r WHERE slot <= {NEG_KEEP}
+        ORDER BY c_custkey, slot""",
     "q31_stratified_sample": f"""
         SELECT c_custkey, c_nationkey FROM customer
         WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <

@@ -381,8 +381,41 @@ def a9_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A10 — cumulative-share curves: per user-day running total and its share
+# of the user's lifetime total (spend pacing, quota burn-down, LTV curves).
+# Both the running sum and the lifetime total are window aggregates over the
+# SAME partitioning (user_id), so the daily rollup shuffles once and both
+# frames evaluate in the same per-partition pass. Determinism: the daily
+# value is rounded to 2dp BEFORE the cumulative sum, and a window cumsum
+# evaluates in sorted day order — so both engines accumulate identical
+# doubles in identical order (no partition-order noise reaches the curve).
+def a10_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 2).alias("day_val")
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("user_id")
+    return daily.select(
+        "user_id",
+        "day",
+        "day_val",
+        F.round(F.sum("day_val").over(w_cum), 2).alias("cum_val"),
+        F.round(
+            F.sum("day_val").over(w_cum) / F.sum("day_val").over(w_all), 4
+        ).alias("cum_share"),
+    ).orderBy("user_id", "day")
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_asof_join": a1_asof_join,
+    "a10_cumulative_share": a10_cumulative_share,
     "a9_zscore_anomaly": a9_zscore_anomaly,
     "a8_gap_fill": a8_gap_fill,
     "a2_interval_join": a2_interval_join,
@@ -394,6 +427,20 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a10_cumulative_share": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 ROUND(SUM(value), 2) AS day_val
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, day, day_val,
+               ROUND(SUM(day_val) OVER w_cum, 2) AS cum_val,
+               ROUND(SUM(day_val) OVER w_cum
+                     / SUM(day_val) OVER (PARTITION BY user_id), 4)
+                 AS cum_share
+        FROM daily
+        WINDOW w_cum AS (PARTITION BY user_id ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
+        ORDER BY user_id, day""",
     "a9_zscore_anomaly": f"""
         WITH stats AS (
           SELECT user_id, AVG(value) AS mu, stddev_pop(value) AS sigma

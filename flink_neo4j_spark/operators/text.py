@@ -565,8 +565,41 @@ def t15_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T16 — lexical-diversity report: per-doc type-token ratio + hapax-legomena
+# count (tokens occurring exactly once). Low TTR flags templated/spammy
+# text; a high hapax fraction flags OCR noise and codeswitching — both
+# standard corpus-quality features next to t3/t10. Shape: ONE explode of
+# the token array into a (doc, token) count (map-side partial agg absorbs
+# repeated tokens before the shuffle), then a per-doc re-aggregation where
+# n_tokens/n_types/hapax are all conditional counts over the same run —
+# the corpus is never scanned twice and nothing is quadratic in doc length.
+def t16_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode_outer(F.expr(TOKENS)).alias("tok")
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "t1_token_count": t1_token_count,
+    "t16_type_token_ratio": t16_type_token_ratio,
     "t13_vocab": t13_vocab,
     "t14_source_overlap": t14_source_overlap,
     "t15_length_histogram": t15_length_histogram,
@@ -662,6 +695,17 @@ ORACLE: dict[str, str] = {
                len({DUCK_TOKENS}) AS ws_tokens,
                len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe_tokens
         FROM documents ORDER BY doc_id""",
+    "t16_type_token_ratio": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents),
+        pt AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax,
+               ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS ttr
+        FROM pt GROUP BY doc_id ORDER BY doc_id""",
     "t2_lang_id": f"""
         WITH hits AS (SELECT doc_id, {_DUCK_LANG_HITS} FROM documents)
         SELECT doc_id, {", ".join(f"{lang}_hits" for lang in STOPWORDS)},
