@@ -306,3 +306,50 @@ def test_containment_no_cartesian(spark):
 
     plan = formatted_plan_of(d13_containment(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_late_supplier_no_second_fact_pass(spark):
+    """q39 compiles the EXISTS/NOT-EXISTS pair to grouped aggs, never a
+    nested-loop or cartesian against a second lineitem scan."""
+    from flink_neo4j_spark.operators.relational import q39_late_supplier
+
+    plan = formatted_plan_of(q39_late_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_top_supplier_scalar_is_broadcast(spark):
+    """q40's scalar max attaches via a broadcast, not a shuffle or sort."""
+    from flink_neo4j_spark.operators.relational import q40_top_supplier
+
+    df = q40_top_supplier(spark, SF_DIR)
+    assert has_broadcast_join(df)
+
+
+def test_negative_sampling_candidates_from_dim_side(spark):
+    """q42 explodes candidates from the customer dim, anti-joins positives;
+    no nested-loop anywhere."""
+    from flink_neo4j_spark.operators.sampling import q42_negative_sampling
+
+    plan = formatted_plan_of(q42_negative_sampling(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_cumulative_share_single_partitioning(spark):
+    """a10's two window frames share one hashpartitioning on user_id —
+    the plan must not re-shuffle between the cumsum and the total."""
+    from flink_neo4j_spark.operators.temporal import a10_cumulative_share
+
+    plan = formatted_plan_of(a10_cumulative_share(spark, SF_DIR))
+    # exactly one exchange hash-partitioned on user_id feeds both windows
+    # (plus the final range partition for the ORDER BY)
+    assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_norm_outliers_single_scan(spark):
+    """s10 must not rescan the embeddings table for the stats side (the
+    norms frame is materialized once)."""
+    from flink_neo4j_spark.operators.similarity import s10_norm_outliers
+
+    plan = formatted_plan_of(s10_norm_outliers(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 1
