@@ -15,8 +15,8 @@ the reference exercises (README + tests, SURVEY.md §2.B):
 - read-side extensions beyond the reference's surface: ``RETURN DISTINCT``,
   aggregations (``count(*)``, ``count/sum/avg/min/max(n.prop)`` with
   implicit grouping on the non-aggregated items, Cypher-style),
-  ``ORDER BY <alias> [ASC|DESC], ... LIMIT n`` — translated to
-  groupBy/agg, distinct, and TakeOrderedAndProject respectively;
+  ``ORDER BY <alias> [ASC|DESC], ... [SKIP n] [LIMIT m]`` — translated to
+  groupBy/agg, distinct, Offset, and TakeOrderedAndProject respectively;
   ``OPTIONAL MATCH`` (one edge hop off a bound variable -> left equi-join,
   optional-side WHERE applied pre-join), relationship-property ``WHERE``
   (``e.p > x``), and bounded variable-length paths ``-[:T*lo..hi]->``
@@ -396,10 +396,11 @@ class _Parser:
 
     def parse_tail(
         self, require_end: bool = True
-    ) -> tuple[list[tuple[str, bool]], int | None]:
-        """``ORDER BY <name> [ASC|DESC], ... LIMIT n`` — names refer to
-        RETURN aliases (or default output names). With ``require_end=False``
-        (inside a ``WITH`` stage) trailing tokens are left for the caller."""
+    ) -> tuple[list[tuple[str, bool]], int | None, int | None]:
+        """``ORDER BY <name> [ASC|DESC], ... [SKIP n] [LIMIT m]`` — names
+        refer to RETURN aliases (or default output names), SKIP/LIMIT in
+        openCypher clause order. With ``require_end=False`` (inside a
+        ``WITH`` stage) trailing tokens are left for the caller."""
         order: list[tuple[str, bool]] = []
         if self._at_word_ci("ORDER"):
             self.next()
@@ -419,6 +420,13 @@ class _Parser:
                     self.next()
                     continue
                 break
+        skip = None
+        if self._at_word_ci("SKIP"):
+            self.next()
+            tok = self.expect("number")
+            if "." in tok.text:
+                raise CypherSyntaxError("SKIP must be an integer")
+            skip = int(tok.text)
         limit = None
         if self._at_word_ci("LIMIT"):
             self.next()
@@ -428,7 +436,7 @@ class _Parser:
             limit = int(tok.text)
         if require_end and self.peek() is not None:
             raise CypherSyntaxError(f"unexpected token {self.peek().text!r}")
-        return order, limit
+        return order, skip, limit
 
 
 # -- translation: reads ----------------------------------------------------
@@ -794,15 +802,15 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     while p.at("kw", "WITH"):
         p.next()
         w_distinct, w_items = p.parse_return(allow_bare=bool(stages))
-        w_order, w_limit = p.parse_tail(require_end=False)
+        w_order, w_skip, w_limit = p.parse_tail(require_end=False)
         w_disj = None
         if p.at("kw", "WHERE"):
             p.next()
             w_disj = p.parse_where(allow_bare=True)
-        stages.append((w_distinct, w_items, w_order, w_limit, w_disj))
+        stages.append((w_distinct, w_items, w_order, w_skip, w_limit, w_disj))
     p.expect("kw", "RETURN")
     distinct, items = p.parse_return(allow_bare=bool(stages))
-    order, limit = p.parse_tail()
+    order, skip, limit = p.parse_tail()
 
     if len(chain_pats) > 1:
         for cp in chain_pats:
@@ -865,7 +873,7 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap))
 
-    for w_distinct, w_items, w_order, w_limit, w_disj in stages:
+    for w_distinct, w_items, w_order, w_skip, w_limit, w_disj in stages:
         df = _apply_projection(df, colmap, w_distinct, w_items)
         w_names = {_out_name(i) for i in w_items}
         colmap = _bare_colmap(w_names)
@@ -878,6 +886,8 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
             df = df.orderBy(
                 *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in w_order]
             )
+        if w_skip is not None:
+            df = df.offset(w_skip)
         if w_limit is not None:
             df = df.limit(w_limit)
         if w_disj is not None:
@@ -894,6 +904,11 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
         df = df.orderBy(
             *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in order]
         )
+    if skip is not None:
+        # openCypher SKIP: drop the first n rows of the (ordered) result —
+        # Catalyst plans Offset; without an ORDER BY the dropped prefix is
+        # engine-dependent, exactly as in Neo4j.
+        df = df.offset(skip)
     if limit is not None:
         df = df.limit(limit)
     return df

@@ -489,6 +489,27 @@ def g16_cypher_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G23 — SKIP/LIMIT pagination through the front end: openCypher's
+# ``ORDER BY ... SKIP n LIMIT m`` result paging (the cursor-free pagination
+# every graph-API consumer uses). Under a total ORDER BY the page is
+# deterministic; Catalyst plans Offset + CollectLimit over the sorted run —
+# the page never materializes more than skip+limit rows per partition.
+CYPHER_SKIP = 20
+CYPHER_PAGE = 15
+
+
+def g23_cypher_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "RETURN c.name AS customer, n.name AS nation "
+        f"ORDER BY customer SKIP {CYPHER_SKIP} LIMIT {CYPHER_PAGE}",
+    )
+
+
 # G17 — two-stage aggregation through the front end (aggregate OF an
 # aggregate): per-nation counts in the WITH stage, then corpus-level
 # min/max/avg/count over those counts in RETURN — the shape that needs a
@@ -904,6 +925,7 @@ QUERIES: dict[str, QueryFn] = {
     "g20_node_similarity": g20_node_similarity,
     "g21_neighbor_agg": g21_neighbor_agg,
     "g22_kcore": g22_kcore,
+    "g23_cypher_skip": g23_cypher_skip,
     "g2_degree": g2_degree,
     "g3_connected_components": g3_connected_components,
     "g4_pagerank": g4_pagerank,
@@ -926,6 +948,11 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLE: dict[str, str] = {
     "g22_kcore": _duck_kcore_sql(),
+    "g23_cypher_skip": f"""
+        SELECT c.c_name AS customer, n.n_name AS nation
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY customer
+        LIMIT {CYPHER_PAGE} OFFSET {CYPHER_SKIP}""",
     "g18_cypher_merge": f"""
         SELECT n_name AS name,
                CASE WHEN n_name IN {MERGE_TIER_NATIONS!r} THEN 'gold' END

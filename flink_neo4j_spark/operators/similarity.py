@@ -470,9 +470,46 @@ def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s11 — one Lloyd (k-means) refinement step: assign every vector to its
+# nearest pivot cell (s4's deterministic coarse quantizer), then recompute
+# each cell's centroid as the member mean — the index-training iteration
+# FAISS/IVF pipelines run repeatedly. Assignment is a broadcast cross join
+# against N_CELLS pivots + an argmax partial agg (one pass, embeddings
+# shuffle once on vec_id); the centroid recompute is s5's posexplode →
+# per-(cell, pos) partial-agg mean, emitted as scalar rows. The full
+# k-means loop iterates THIS operator with the new centroids as pivots —
+# each round has identical plan shape and cost.
+def s11_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    pivots = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("emb").alias("p_emb"))
+    scored = e.crossJoin(F.broadcast(pivots)).withColumn(
+        "pcos", _cosine("emb", "p_emb")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct("pcos", "cell")).alias("m"),
+            F.first("emb").alias("emb"),
+        )
+        .select(F.col("m.cell").alias("cell"), "emb")
+    )
+    exploded = assigned.select("cell", F.posexplode("emb").alias("pos", "x"))
+    return (
+        exploded.groupBy("cell", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (F.round(F.avg("x") + F.lit(5e-10), 4) + F.lit(0.0)).alias("c"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("cell", "pos")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "s1_cosine_topk": s1_cosine_topk,
     "s10_norm_outliers": s10_norm_outliers,
+    "s11_kmeans_step": s11_kmeans_step,
     "s9_gram_matrix": s9_gram_matrix,
     "s2_lsh_topk": s2_lsh_topk,
     "s3_cosine_topk_pandas": s3_cosine_topk_pandas,
@@ -614,6 +651,26 @@ ORACLE: dict[str, str] = {
         SELECT e.vec_id, ROUND({_DUCK_COS}, 6) AS cos
         FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
         ORDER BY cos DESC, e.vec_id LIMIT {TOP_K}""",
+    "s11_kmeans_step": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        p AS (SELECT vec_id AS cell, emb AS p_emb FROM e
+              WHERE vec_id BETWEEN 1 AND {N_CELLS}),
+        scored AS (
+          SELECT e.vec_id, e.emb, p.cell,
+                 {_duck_cos("e.emb", "p.p_emb")} AS pcos
+          FROM e CROSS JOIN p),
+        assigned AS (
+          SELECT emb, cell FROM (
+            SELECT emb, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY pcos DESC, cell DESC) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT cell, g.pos - 1 AS pos,
+               ROUND(AVG(emb[g.pos]) + 5e-10, 4) + 0.0 AS c,
+               COUNT(*) AS n_members
+        FROM assigned, generate_series(1, {DIM}) AS g(pos)
+        GROUP BY cell, g.pos
+        ORDER BY cell, pos""",
     "s4_ivf_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         p AS (SELECT vec_id AS cell, emb AS p_emb FROM e

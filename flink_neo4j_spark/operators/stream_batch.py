@@ -7,6 +7,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_neo4j_spark.catalog import load_table
 
@@ -86,8 +87,30 @@ def w8_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_left_join_available_now(spark, sf_dir)
 
 
+def w9_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` sessionizer through a real append-mode
+    streaming run: the state store merges per-event windows per user and
+    the watermark closes (emits) a session once no event can extend it.
+    Emission boundary verified exact at sf0.001/sf0.01: a session emits iff
+    last_event + gap < final watermark (global max event time - 1 day) —
+    the oracle restates that cutoff over the batch sessionization. Session
+    start is compared as epoch micros (exact integers)."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_session_window_available_now,
+    )
+
+    out = run_session_window_available_now(spark, sf_dir)
+    return out.select(
+        "user_id",
+        F.unix_micros("start").alias("start_us"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "start_us")
+
+
 QUERIES: dict[str, QueryFn] = {
     "w1_stream_daily": w1_stream_daily,
+    "w9_stream_session_window": w9_stream_session_window,
     "w8_stream_left_outer": w8_stream_left_outer,
     "w7_stream_static_enrich": w7_stream_static_enrich,
     "w2_sessionize": w2_sessionize,
@@ -173,6 +196,33 @@ ORACLE: dict[str, str] = {
     "w4_stream_dedup": """
         SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
         FROM events GROUP BY event_type ORDER BY event_type""",
+    "w9_stream_session_window": f"""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {SESSION_GAP_MINUTES} * 60 * 1000000
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged),
+        rolled AS (
+          SELECT user_id, MIN(ts) AS start, MAX(ts) AS last_ts,
+                 COUNT(*) AS n_events,
+                 ROUND(SUM(value), 2) AS session_value
+          FROM sess GROUP BY user_id, sid),
+        wm AS (SELECT MAX(ts) - INTERVAL 1 DAY AS final_wm FROM e)
+        SELECT user_id, epoch_us(start) AS start_us,
+               n_events, session_value
+        FROM rolled, wm
+        WHERE last_ts + INTERVAL {SESSION_GAP_MINUTES} MINUTE < final_wm
+        ORDER BY user_id, start_us""",
     "w8_stream_left_outer": """
         WITH c AS (SELECT event_id AS click_id, user_id,
                           CAST(ts AS TIMESTAMP) AS click_ts

@@ -422,3 +422,36 @@ def test_merge_requires_label_and_single_key(fixture_graph):
             "UNWIND $rows AS r MERGE (u:User {name: r.name, born: r.born})",
             {"rows": [{"name": "x", "born": 1}]},
         )
+
+
+def test_skip_pages_ordered_result(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) RETURN u.name AS name ORDER BY name SKIP 1 LIMIT 1",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Bob"]
+
+
+def test_skip_without_limit(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) RETURN u.name AS name ORDER BY name SKIP 2",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Eve"]
+
+
+def test_skip_inside_with_stage(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WITH u.name AS name ORDER BY name SKIP 1 LIMIT 1 "
+        "RETURN name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Bob"]
+
+
+def test_skip_requires_integer(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph,
+            "MATCH (u:User) RETURN u.name AS name SKIP 1.5",
+        )
