@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
 from flink_neo4j_spark.functions import (
@@ -841,7 +842,43 @@ def d15_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D16 — canonical-document selection: given a duplicate-cluster key, keep
+# exactly one document per cluster chosen by SOURCE PRIORITY (curated sources
+# beat crawled ones), tie-broken by doc_id — the "which copy survives"
+# policy step every production dedup pipeline runs after clustering, where
+# the keep decision is editorial, not just MIN(doc_id). Cluster key here is
+# a coarse (lang, length-bucket) blocking key so the fixture has real multi-
+# member clusters; in production it is d7's cluster_id or d15's normalized
+# fingerprint — the operator is key-agnostic.
+#
+# Scale shape: ONE shuffle on the cluster key for the row_number window; the
+# priority rank is a pure expression (numeric suffix of `source`), so no
+# dimension join is needed — and if priority came from a real policy table,
+# it is dimension-sized and broadcasts. Never materializes per-cluster
+# candidate pairs.
+def d16_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    priority = F.regexp_extract("source", "(\\d+)$", 1).cast("int")
+    cluster = F.concat_ws(
+        "_", "lang", F.floor(F.col("n_chars") / 100).cast("int").cast("string")
+    )
+    w = Window.partitionBy("cluster").orderBy("priority", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            cluster.alias("cluster"),
+            priority.alias("priority"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("keep_id"), "source")
+        .orderBy("cluster")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "d16_priority_dedup": d16_priority_dedup,
     "d1_exact_dedup": d1_exact_dedup,
     "d15_normalized_dedup": d15_normalized_dedup,
     "d2_minhash_signature": d2_minhash_signature,
@@ -900,6 +937,20 @@ def _d12_oracle() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "d16_priority_dedup": """
+        WITH ranked AS (
+          SELECT lang || '_' || CAST(CAST(FLOOR(n_chars / 100) AS INT) AS VARCHAR)
+                   AS cluster,
+                 doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang || '_'
+                     || CAST(CAST(FLOOR(n_chars / 100) AS INT) AS VARCHAR)
+                   ORDER BY CAST(regexp_extract(source, '(\\d+)$', 1) AS INT),
+                            doc_id) AS rn
+          FROM documents)
+        SELECT cluster, doc_id AS keep_id, source
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster""",
     "d12_semantic_dedup": _d12_oracle(),
     # keep-first-occurrence is expressed as a row_number window here — the
     # declarative twin of the engine's skew-safe min-struct aggregate.

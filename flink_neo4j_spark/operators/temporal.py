@@ -413,7 +413,141 @@ def a10_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day")
 
 
+# A11 — trailing 7-day distinct active users per observed day (rolling MAU/
+# WAU-style metric). Sliding COUNT(DISTINCT) is not window-expressible in
+# Spark (no DISTINCT inside a range frame), and the naive day-range self-join
+# is O(days × rows). Instead each distinct (user, day) pair is exploded to
+# the <=7 cover days it contributes to — a BOUNDED ×7 narrow expansion — and
+# the answer is a plain two-phase distinct-count per cover day. Shuffles:
+# one for the (user, day) distinct, one for the final partial-agg count;
+# both scale linearly, and the ×7 factor is constant regardless of data
+# size. The tiny observed-day frame broadcasts to trim unobserved tail days.
+def a11_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    covered = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+            "cover_day"
+        ),
+    )
+    observed = pairs.select(F.col("day").alias("cover_day")).distinct()
+    return (
+        covered.join(F.broadcast(observed), "cover_day")
+        .groupBy("cover_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("cover_day").alias("day"), "active_7d")
+        .orderBy("day")
+    )
+
+
+def scd2_build(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from a change stream: one
+    row per state change with ``valid_from`` = change time and ``valid_to`` =
+    next change time for the same key (null on the open current interval).
+
+    One window function over one shuffle on the key — the standard lead()
+    formulation; no joins, no driver state.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    return df.select(
+        key,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        *value_cols,
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Point-in-time join: each fact row gets the dimension state whose
+    ``[valid_from, valid_to)`` interval contains its timestamp (null before
+    the first change).
+
+    SCD2 containment (``valid_from <= ts < valid_to``) needs only
+    ``valid_from`` once intervals are contiguous per key, so the interval
+    predicate collapses to an INCLUSIVE as-of: the latest change at-or-
+    before the fact. Implementation is the same union-and-scan as
+    :func:`asof_join` — tag, union, ``last(..., ignorenulls)`` over
+    preceding rows — but with the tags flipped (dim=0, fact=1) so a change
+    landing exactly at the fact's timestamp IS visible to it, matching the
+    inclusive lower bound. One shuffle + one sort; never materializes the
+    fact×interval candidate pairs a theta-join would.
+    """
+    fcols = facts.columns
+    f_tag = facts.withColumn("__side", F.lit(1))
+    d_tag = dim.select(
+        on,
+        F.col("valid_from").alias(fact_ts),
+        F.col("valid_from").alias("__rv_valid_from"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    unioned = f_tag.unionByName(d_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(fact_ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned.select(
+        "*",
+        F.last("__rv_valid_from", ignorenulls=True).over(w).alias("valid_from"),
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"dim_{c}")
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("__side") == 1).select(
+        *fcols, "valid_from", *[f"dim_{c}" for c in value_cols]
+    )
+
+
+# A12 — SCD2 point-in-time enrichment: each user's purchase stream is the
+# change log of a "current tier" dimension (value at last purchase); every
+# click is enriched with the tier active AT click time, plus the interval
+# start proving which version matched. Oracle is the independent formulation:
+# build intervals with SQL lead(), then join on interval CONTAINMENT — if
+# the collapse-to-asof rewrite were wrong on any boundary, the two would
+# diverge.
+def a12_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.round("value", 2).alias("tier")
+        ),
+        key="user_id",
+        value_cols=("tier",),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        scd2_lookup(clicks, dim, on="user_id", value_cols=("tier",))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("valid_from").alias("valid_from_us"),
+            F.col("dim_tier").alias("tier"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a11_trailing_distinct": a11_trailing_distinct,
+    "a12_scd2_join": a12_scd2_join,
     "a1_asof_join": a1_asof_join,
     "a10_cumulative_share": a10_cumulative_share,
     "a9_zscore_anomaly": a9_zscore_anomaly,
@@ -427,6 +561,33 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a11_trailing_distinct": """
+        WITH pairs AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT d.day, COUNT(DISTINCT p.user_id) AS active_7d
+        FROM days d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+        ORDER BY d.day""",
+    "a12_scd2_join": """
+        WITH dim AS (
+          SELECT user_id,
+                 CAST(ts AS TIMESTAMP) AS valid_from,
+                 LEAD(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                 ROUND(value, 2) AS tier
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id,
+               epoch_us(d.valid_from) AS valid_from_us,
+               d.tier
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click') c
+        LEFT JOIN dim d
+          ON c.user_id = d.user_id
+         AND c.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+        ORDER BY c.event_id""",
     "a10_cumulative_share": """
         WITH daily AS (
           SELECT user_id, CAST(ts AS DATE) AS day,
