@@ -35,6 +35,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_neo4j_spark.catalog import load_table
 from flink_neo4j_spark.graph import PropertyGraph
@@ -920,7 +921,63 @@ def g21_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synchronous label-propagation rounds for g24 (fixed, so the oracle can
+#: unroll the exact same schedule; real LPA runs to fixpoint with a cap).
+LPA_ROUNDS = 2
+
+
+# G24 — label propagation community detection (Neo4j GDS `labelPropagation`
+# parity) on the co-ordered-parts graph. Each synchronous round reassigns
+# every vertex the most frequent label among its neighbors, ties broken by
+# the SMALLEST label — that tie rule makes the algorithm fully deterministic
+# (GDS itself is run-order-dependent), so the result is hash-checkable
+# against an unrolled SQL oracle rather than rows-only.
+#
+# Scale shape per round: one hash join (edges ⋈ labels on the neighbor id —
+# labels is the small side early on but stays partitioned on id, so the join
+# reuses one exchange), one partial-agg count on (vertex, label), one
+# window row_number per vertex. All linear in |E|; no driver-side state, no
+# label table collect. The fixed-round schedule keeps lineage shallow
+# enough to skip checkpointing; the to-fixpoint variant would localCheckpoint
+# every k rounds like g3/g4.
+def g24_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # consumed once per round — stop re-running the
+    # quadratic co-purchase projection each iteration
+    labels = und.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "label")
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            und.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+    return labels.select(F.col("id").alias("part"), "label").orderBy("part")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "g24_label_propagation": g24_label_propagation,
     "g1_two_hop": g1_two_hop,
     "g20_node_similarity": g20_node_similarity,
     "g21_neighbor_agg": g21_neighbor_agg,
@@ -947,6 +1004,32 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g24_label_propagation": f"""
+        WITH q AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {TRI_MIN_QTY}),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        l0 AS (SELECT DISTINCT u AS id, u AS label FROM und),
+        r1 AS MATERIALIZED (
+          SELECT id, label FROM (
+            SELECT und.u AS id, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY und.u
+                                      ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM und JOIN l0 l ON und.v = l.id
+            GROUP BY und.u, l.label) WHERE rn = 1),
+        r2 AS (
+          SELECT id, label FROM (
+            SELECT und.u AS id, l.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY und.u
+                                      ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM und JOIN r1 l ON und.v = l.id
+            GROUP BY und.u, l.label) WHERE rn = 1)
+        SELECT id AS part, label FROM r2 ORDER BY part""",
     "g22_kcore": _duck_kcore_sql(),
     "g23_cypher_skip": f"""
         SELECT c.c_name AS customer, n.n_name AS nation

@@ -506,7 +506,45 @@ def s11_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: multi-query batch for s12 range search.
+RANGE_QUERY_IDS = (0, 1, 2, 3, 4)
+#: cosine radius for s12 (synthetic corpus max pairwise cos ~0.47).
+RANGE_THRESHOLD = 0.25
+
+
+# S12 — batched RANGE search (radius query): all corpus vectors within a
+# cosine radius of EACH of a small batch of query vectors — the "find every
+# near neighbor above θ" primitive behind semantic retrieval-augmented
+# filtering, where top-k truncation is wrong because the answer set size is
+# data-dependent.
+#
+# Scale shape: the query batch is dimension-sized, so the right plan is a
+# BROADCAST nested-loop of corpus × Q (linear in corpus size, Q a small
+# constant) with the radius filter evaluated inside codegen — confirmed by
+# the plan test: no shuffle of the corpus side at all. For a LARGE query
+# batch this flips to the LSH formulation (bucket both sides on the s2
+# signature and equi-join) — same recipe as d10's banded self-join.
+def s12_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    ids = ", ".join(str(i) for i in RANGE_QUERY_IDS)
+    q = e.filter(F.expr(f"vec_id IN ({ids})")).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_cosine("emb", "q_emb"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= RANGE_THRESHOLD)
+        .orderBy("q_id", "vec_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "s12_range_search": s12_range_search,
     "s1_cosine_topk": s1_cosine_topk,
     "s10_norm_outliers": s10_norm_outliers,
     "s11_kmeans_step": s11_kmeans_step,
@@ -593,6 +631,16 @@ def _duck_mmr_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "s12_range_search": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+              WHERE vec_id IN ({", ".join(str(i) for i in RANGE_QUERY_IDS)}))
+        SELECT q.q_id, e.vec_id,
+               ROUND({_duck_cos("e.emb", "q.q_emb")}, 6) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+          AND ROUND({_duck_cos("e.emb", "q.q_emb")}, 6) >= {RANGE_THRESHOLD}
+        ORDER BY q.q_id, e.vec_id""",
     "s10_norm_outliers": f"""
         WITH norms AS (
           SELECT vec_id,

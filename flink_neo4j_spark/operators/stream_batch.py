@@ -108,7 +108,20 @@ def w9_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "start_us")
 
 
+def w10_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming aggregation (hourly tumbling counts re-aggregated
+    to daily inside ONE streaming query — two stateful operators) in
+    append mode. Integer-only aggregates, so the two-level rollup equals
+    the one-level batch GROUP BY exactly; the oracle restates the append
+    cutoff (a day emits iff its end has been passed by the final
+    watermark, max event time minus the 1h delay)."""
+    from flink_neo4j_spark.streaming.windows import run_chained_available_now
+
+    return run_chained_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
+    "w10_stream_chained_agg": w10_stream_chained_agg,
     "w1_stream_daily": w1_stream_daily,
     "w9_stream_session_window": w9_stream_session_window,
     "w8_stream_left_outer": w8_stream_left_outer,
@@ -121,6 +134,15 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w10_stream_chained_agg": """
+        WITH mx AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+               e.event_type, COUNT(*) AS cnt
+        FROM events e, mx
+        WHERE date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 DAY
+              <= mx.m - INTERVAL 1 HOUR
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "w7_stream_static_enrich": """
         SELECT n_name AS nation_name, CAST(ts AS DATE) AS day,
                COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total

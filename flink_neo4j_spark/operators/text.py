@@ -597,7 +597,40 @@ def t16_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T17 — character-level Shannon entropy per document (bits/char) — the
+# classic cheap screen for binary junk, base64 blobs (high entropy) and
+# template/repeated filler (low entropy) in crawled corpora.
+#
+# H = log2(T) - (Σ c·ln c)/(T·ln 2) over per-char counts c needs only TWO
+# partial-aggregable sums, so the plan is explode → partial-agg on
+# (doc, char) → partial-agg on doc — all map-side combinable, one shuffle
+# per level, zero Python. Rounded to 3dp so cross-partition float summation
+# order can't leak into the hash (same discipline as s5/g19).
+def t17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode_outer(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("t"),
+            F.sum(F.col("cnt") * F.log("cnt")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("t").alias("n_chars_counted"),
+            F.round(
+                (F.log("t") - F.col("s") / F.col("t")) / F.log(F.lit(2.0)), 3
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "t17_char_entropy": t17_char_entropy,
     "t1_token_count": t1_token_count,
     "t16_type_token_ratio": t16_type_token_ratio,
     "t13_vocab": t13_vocab,
@@ -660,6 +693,19 @@ def _t15_bucket_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "t17_char_entropy": """
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        f AS (
+          SELECT doc_id, c, COUNT(*) AS cnt FROM ch
+          WHERE c <> '' GROUP BY doc_id, c),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t,
+                 SUM(cnt * ln(cnt)) AS s
+          FROM f GROUP BY doc_id)
+        SELECT doc_id, t AS n_chars_counted,
+               ROUND((ln(t) - s / t) / ln(2), 3) AS entropy_bits
+        FROM agg ORDER BY doc_id""",
     "t15_length_histogram": f"""
         SELECT source, {_t15_bucket_sql()} AS bucket,
                COUNT(*) AS n,

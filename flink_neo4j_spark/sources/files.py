@@ -19,6 +19,7 @@ is the file form of that exact dataflow. The discipline carried over:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: name of the corrupt-record column in PERMISSIVE mode
@@ -136,3 +137,57 @@ def write_compacted(
     for k, v in options.items():
         w = w.option(k, v)
     w.format(fmt).save(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """Read an ORC dataset. ORC carries its own schema (like parquet), so
+    ``schema`` is optional and, when given, acts as a projection/assert —
+    the same pushdown/pruning guarantees as the parquet path apply (ORC is
+    the second columnar format Spark ships a vectorized native reader for).
+    """
+    r = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Write an ORC directory dataset (zstd default, like our parquet)."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned layout (``col=value/`` directories) with
+    optional within-file sort — THE data-layout primitive for 100 TB tables:
+
+    - readers filtering on ``partition_cols`` get PARTITION PRUNING (the
+      scan lists only matching directories — no footer reads, no data IO
+      for pruned partitions);
+    - ``sort_cols`` ordering within each file tightens parquet min/max
+      row-group statistics, so predicate pushdown on those columns skips
+      row groups inside the files that do get read.
+
+    The ``repartition(*partition_cols)`` before the write is deliberate:
+    without it every incoming task holds an open writer per output
+    partition value it sees (the small-file storm / OOM shape); with it
+    each output partition is produced by one task. A skewed partition
+    value is the one case to handle differently — add a salt column to the
+    repartition (not the layout) so one hot date spreads over N tasks.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )

@@ -552,3 +552,57 @@ def run_trending_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TRENDING_K)
         .orderBy("day", "rnk")
     )
+
+
+#: watermark delay for the chained (hourly -> daily) aggregation; the
+#: append-mode cutoff the oracle restates is max(ts) - this delay.
+CHAINED_DELAY = "1 hour"
+
+
+def chained_hourly_daily(events: DataFrame) -> DataFrame:
+    """CHAINED streaming aggregation: hourly tumbling counts per event type,
+    re-aggregated into daily counts — two stateful operators in ONE streaming
+    query (Spark's multiple-stateful-operator support), the standard
+    coarsening-rollup topology that avoids re-reading the source for each
+    granularity.
+
+    The second level groups on ``window(window_time(hw), '1 day')`` so the
+    engine derives the daily window from the hourly one and propagates the
+    event-time watermark across the chain; a daily row becomes final (and is
+    appended) only once the watermark passes its day end, by which point all
+    its hourly inputs have already emitted. All aggregates are INTEGER counts
+    — the two-level rollup is exactly equal to the one-level batch GROUP BY,
+    no float-summation-order caveat.
+
+    State cost: hourly state is |types| x 24 rows/day, daily |types| x 1 —
+    both bounded by the watermark horizon, evicted as it advances.
+    """
+    hourly = (
+        events.withWatermark("ts", CHAINED_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("hw"), "1 day").alias("dw"), "event_type"
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.col("dw.start").cast("date").alias("day"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def run_chained_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w10: the chained rollup as a real append-mode streaming query. Only
+    days fully passed by the final watermark (max event time minus
+    CHAINED_DELAY) are emitted — the oracle restates that cutoff, as w8's
+    does for its join horizon."""
+    out = _run_append_to_parquet(
+        chained_hourly_daily(read_events_stream(spark, sf_dir)),
+        spark,
+        "chained",
+    )
+    return out.orderBy("day", "event_type")

@@ -353,3 +353,65 @@ def test_norm_outliers_single_scan(spark):
 
     plan = formatted_plan_of(s10_norm_outliers(spark, SF_DIR))
     assert plan.count("Scan parquet") <= 1
+
+
+def test_trailing_distinct_bounded_expansion(spark):
+    """a11 must be the x7 cover-day explode + two-phase distinct count,
+    never a day-range theta join (that's the oracle's shape)."""
+    from flink_neo4j_spark.operators.temporal import a11_trailing_distinct
+
+    plan = formatted_plan_of(a11_trailing_distinct(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_scd2_join_no_candidate_pairs(spark):
+    """a12's point-in-time lookup is the union-and-scan as-of — no
+    theta-join materializing fact x interval candidates."""
+    from flink_neo4j_spark.operators.temporal import a12_scd2_join
+
+    plan = formatted_plan_of(a12_scd2_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan
+    # one union of facts+dim, one window pass — no join operator at all
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_priority_dedup_single_shuffle(spark):
+    """d16 is one row_number window over the cluster key."""
+    from flink_neo4j_spark.operators.dedup import d16_priority_dedup
+
+    plan = formatted_plan_of(d16_priority_dedup(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_range_search_corpus_not_shuffled(spark):
+    """s12: query batch broadcasts; the corpus side must reach the join
+    without an exchange (linear scan x small constant)."""
+    from flink_neo4j_spark.operators.similarity import s12_range_search
+
+    plan = formatted_plan_of(s12_range_search(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash/sort-merge join shuffling the corpus
+    assert "SortMergeJoin" not in plan
+
+
+def test_char_entropy_partial_aggregable(spark):
+    """t17's two sums must partial-aggregate (HashAggregate pairs), with
+    no join and no Python evaluation."""
+    from flink_neo4j_spark.operators.text import t17_char_entropy
+
+    plan = formatted_plan_of(t17_char_entropy(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_label_propagation_equi_join_only(spark):
+    """g24's per-round neighbor join must stay an equi-join on the
+    neighbor id — no cartesian/nested-loop anywhere in the unrolled plan."""
+    from flink_neo4j_spark.operators.graph_algos import g24_label_propagation
+
+    plan = formatted_plan_of(g24_label_propagation(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
