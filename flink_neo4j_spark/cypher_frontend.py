@@ -756,8 +756,10 @@ def _bare_colmap(names: set[str]):
     return colmap
 
 
-def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
-    """Execute a read-only query:
+def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
+    """One single-query (MATCH ... RETURN ...) starting at the parser's
+    current position; trailing tokens (e.g. a following UNION) are left
+    for the caller. See :func:`cypher_read` for the supported surface:
 
     ``MATCH <pattern> [WHERE ...] [OPTIONAL MATCH <edge-pattern>
     [WHERE ...]] RETURN ...``
@@ -770,7 +772,6 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     left join (Cypher semantics: a failed optional pattern yields nulls,
     never drops the base row).
     """
-    p = _Parser(_tokenize(query))
     p.expect("kw", "MATCH")
     pat = p.parse_pattern()
     disj = None
@@ -810,7 +811,7 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
         stages.append((w_distinct, w_items, w_order, w_skip, w_limit, w_disj))
     p.expect("kw", "RETURN")
     distinct, items = p.parse_return(allow_bare=bool(stages))
-    order, skip, limit = p.parse_tail()
+    order, skip, limit = p.parse_tail(require_end=False)
 
     if len(chain_pats) > 1:
         for cp in chain_pats:
@@ -911,6 +912,39 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
         df = df.offset(skip)
     if limit is not None:
         df = df.limit(limit)
+    return df
+
+
+def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
+    """Execute a read-only query — one single-query (see
+    :func:`_read_single` for the clause surface) or several combined with
+    ``UNION`` / ``UNION ALL``.
+
+    openCypher UNION rules enforced: every part must return the SAME
+    column names, and plain UNION deduplicates the combined rows (one
+    ``distinct()`` over the union — for an all-UNION chain Spark collapses
+    the repeated dedups into one aggregate). ``unionByName`` keeps the
+    match positional-independent, mirroring Cypher's by-name semantics.
+    """
+    p = _Parser(_tokenize(query))
+    df = _read_single(graph, p)
+    while p._at_word_ci("UNION"):
+        p.next()
+        dedup = True
+        if p._at_word_ci("ALL"):
+            p.next()
+            dedup = False
+        rhs = _read_single(graph, p)
+        if df.columns != rhs.columns:
+            raise CypherSyntaxError(
+                "all parts of a UNION must return the same column names: "
+                f"{df.columns} vs {rhs.columns}"
+            )
+        df = df.unionByName(rhs)
+        if dedup:
+            df = df.distinct()
+    if p.peek() is not None:
+        raise CypherSyntaxError(f"unexpected token {p.peek().text!r}")
     return df
 
 

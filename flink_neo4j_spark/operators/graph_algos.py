@@ -976,7 +976,29 @@ def g24_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("part"), "label").orderBy("part")
 
 
+# G25 — Cypher UNION: combine customers and suppliers of one nation into a
+# single name column, openCypher by-name union with set semantics (the
+# plain-UNION dedup). Exercises the front end's multi-part query path; the
+# translation is two independent pattern plans + unionByName + one
+# distinct — Catalyst plans the dedup as a single hash aggregate over the
+# union, which is exactly the scale-correct shape.
+def g25_cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WHERE n.name = 'FRANCE' RETURN c.name AS name "
+        "UNION "
+        "MATCH (s:Supplier)-[e2:IN_NATION]->(n2:Nation) "
+        "WHERE n2.name = 'FRANCE' RETURN s.name AS name",
+    )
+    return df.orderBy("name")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "g25_cypher_union": g25_cypher_union,
     "g24_label_propagation": g24_label_propagation,
     "g1_two_hop": g1_two_hop,
     "g20_node_similarity": g20_node_similarity,
@@ -1004,6 +1026,15 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g25_cypher_union": """
+        SELECT c_name AS name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = 'FRANCE'
+        UNION
+        SELECT s_name AS name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'FRANCE'
+        ORDER BY name""",
     "g24_label_propagation": f"""
         WITH q AS (
           SELECT l_orderkey, l_partkey FROM lineitem

@@ -304,7 +304,66 @@ def m6_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: scene-segmentation knobs: frame stride (reuses m2's framing) and the
+#: feature-jump threshold that declares a scene boundary.
+SCENE_STRIDE = 100
+SCENE_THRESHOLD = 30
+
+
+def scene_segments(multimodal: DataFrame, stride: int = SCENE_STRIDE) -> DataFrame:
+    """'Video scene segmentation' over opaque payloads: frames are every
+    ``stride``-th byte (m2's framing), the per-frame feature is the byte
+    value, and a scene boundary is a feature jump > SCENE_THRESHOLD between
+    consecutive frames — the shape of real shot detection (histogram/embedding
+    distance over decoded frames), with the codec swapped for the
+    deterministic byte probe so the whole thing stays oracle-checkable.
+
+    Pure map: per-doc numpy over Arrow batches, no shuffle, output one row
+    per doc (n_frames, n_scenes, longest run). At 100 TB this pipelines
+    behind the scan with zero exchanges; the real-codec variant only swaps
+    the feature function.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, ns, longest = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = np.frombuffer(payload, dtype=np.uint8)[::stride].astype(
+                    np.int64
+                )
+                n = len(v)
+                if n == 0:
+                    continue
+                b = np.abs(np.diff(v)) > SCENE_THRESHOLD
+                starts = np.concatenate(([0], np.flatnonzero(b) + 1))
+                lengths = np.diff(np.append(starts, n))
+                ids.append(doc_id)
+                nf.append(n)
+                ns.append(len(starts))
+                longest.append(int(lengths.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nf,
+                    "n_scenes": ns,
+                    "longest_scene": longest,
+                }
+            )
+
+    return multimodal.mapInPandas(
+        run, schema="doc_id long, n_frames int, n_scenes int, longest_scene int"
+    )
+
+
+def m7_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    return scene_segments(attach_payload(docs)).orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "m7_scene_segments": m7_scene_segments,
     "m1_multimodal_meta": m1_multimodal_meta,
     "m6_image_tiles": m6_image_tiles,
     "m2_frame_sample": m2_frame_sample,
@@ -314,6 +373,35 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "m7_scene_segments": f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS bl FROM documents),
+        g AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, (bl - 1) // {SCENE_STRIDE})) AS idx
+          FROM d),
+        fr AS (
+          SELECT doc_id, idx,
+                 ascii(substring(text,
+                   CAST(idx * {SCENE_STRIDE} + 1 AS INT), 1)) AS v
+          FROM g),
+        df AS (
+          SELECT doc_id, idx,
+                 CASE WHEN ABS(v - LAG(v) OVER (PARTITION BY doc_id
+                                                ORDER BY idx))
+                        > {SCENE_THRESHOLD}
+                      THEN 1 ELSE 0 END AS b
+          FROM fr),
+        seg AS (
+          SELECT doc_id, idx,
+                 SUM(b) OVER (PARTITION BY doc_id ORDER BY idx
+                              ROWS UNBOUNDED PRECEDING) AS s
+          FROM df),
+        seglen AS (
+          SELECT doc_id, s, COUNT(*) AS len FROM seg GROUP BY doc_id, s)
+        SELECT doc_id, CAST(SUM(len) AS INT) AS n_frames,
+               CAST(COUNT(*) AS INT) AS n_scenes,
+               CAST(MAX(len) AS INT) AS longest_scene
+        FROM seglen GROUP BY doc_id ORDER BY doc_id""",
     # ascii corpus: payload byte k (0-based) == ascii(substring(text, k+1));
     # the tile grid is pure integer geometry over the fake-decoded dims.
     "m6_image_tiles": f"""

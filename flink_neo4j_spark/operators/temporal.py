@@ -545,7 +545,53 @@ def a12_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A13 — linear multi-touch attribution: every purchase splits one unit of
+# conversion credit equally over the user's clicks in the preceding hour;
+# each click reports its total earned credit across all purchases it
+# touched (plus how many). The marketing-analytics workhorse that needs
+# BOTH directions of the interval join's output: per-purchase touch counts
+# (the denominator) re-joined onto the pairs to credit each click.
+#
+# Scale shape: ONE bucketed interval equi-join builds the pairs (a2's
+# recipe — never a theta join), then two partial-aggable groupBys; the
+# per-purchase count table is purchase-cardinality (small side) and joins
+# back to pairs on buy_id. Zero-credit clicks are preserved via a left
+# join against the click base — at scale that's the same shuffle key as
+# the credit agg, so AQE coalesces the two exchanges.
+def a13_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts"
+    )
+    pairs = interval_join_bucketed(
+        clicks, buys, on="user_id", window_seconds=3600
+    ).select("click_id", "buy_id")
+    per_buy = pairs.groupBy("buy_id").agg(F.count("*").alias("n_touches"))
+    credit = (
+        pairs.join(per_buy, "buy_id")
+        .groupBy("click_id")
+        .agg(
+            F.count("*").alias("n_buys"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 4).alias("credit"),
+        )
+    )
+    return (
+        clicks.join(credit, "click_id", "left")
+        .select(
+            "click_id",
+            "user_id",
+            F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+            F.coalesce("credit", F.lit(0.0)).alias("credit"),
+        )
+        .orderBy("click_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a13_attribution": a13_attribution,
     "a11_trailing_distinct": a11_trailing_distinct,
     "a12_scd2_join": a12_scd2_join,
     "a1_asof_join": a1_asof_join,
@@ -561,6 +607,29 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a13_attribution": """
+        WITH clicks AS (
+          SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+          FROM events WHERE event_type = 'click'),
+        buys AS (
+          SELECT event_id AS buy_id, user_id, CAST(ts AS TIMESTAMP) AS bts
+          FROM events WHERE event_type = 'purchase'),
+        pairs AS (
+          SELECT c.click_id, b.buy_id
+          FROM clicks c JOIN buys b
+            ON c.user_id = b.user_id
+           AND b.bts > c.cts AND b.bts <= c.cts + INTERVAL 1 HOUR),
+        pn AS (SELECT buy_id, COUNT(*) AS n FROM pairs GROUP BY buy_id),
+        credit AS (
+          SELECT p.click_id, CAST(COUNT(*) AS BIGINT) AS n_buys,
+                 ROUND(SUM(CAST(1.0 AS DOUBLE) / pn.n), 4) AS credit
+          FROM pairs p JOIN pn ON p.buy_id = pn.buy_id
+          GROUP BY p.click_id)
+        SELECT c.click_id, c.user_id,
+               COALESCE(cr.n_buys, 0) AS n_buys,
+               COALESCE(cr.credit, 0.0) AS credit
+        FROM clicks c LEFT JOIN credit cr ON c.click_id = cr.click_id
+        ORDER BY c.click_id""",
     "a11_trailing_distinct": """
         WITH pairs AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
