@@ -766,7 +766,58 @@ def q41_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q43 — incremental aggregate-state MERGE: the re-aggregation identity every
+# incremental ETL relies on (yesterday's rollup + today's delta == full
+# recompute). The data is split into two "batches" (event_id parity stands in
+# for old/new partitions), each aggregated independently, and the two state
+# tables are merged by RE-AGGREGATING the mergeable states: count→SUM,
+# sum→SUM, min→MIN, max→MAX. The oracle recomputes from scratch — if any
+# state were not mergeable (e.g. a naive avg), the hashes would diverge.
+# At 100 TB this is the pattern that turns a daily full-table rollup into a
+# delta-sized job; avg/stddev ride along as (sum, count) / (sum, sumsq)
+# pairs, re-derived after the merge (avg shown).
+def q43_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sums accumulate INTEGER cents, not doubles: float addition is not
+    # associative, so a two-stage double sum can land on the other side of
+    # a ROUND boundary than the oracle's one-stage sum depending on
+    # partition layout (observed: same values in-process, hash-flip in a
+    # fresh 8-partition session). Integer accumulation is order-independent
+    # — the merge identity holds BIT-exactly on any cluster layout, which
+    # is also the production-correct discipline for mergeable money/metric
+    # states.
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("cnt"),
+            F.sum("cents").alias("sc"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    old = partial(e.filter(F.col("event_id") % 2 == 0))
+    new = partial(e.filter(F.col("event_id") % 2 == 1))
+    return (
+        old.unionByName(new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sc") / 100.0, 2).alias("sum_value"),
+            F.round(F.min("mn"), 2).alias("min_value"),
+            F.round(F.max("mx"), 2).alias("max_value"),
+            F.round(F.sum("sc") / 100.0 / F.sum("cnt"), 4).alias("avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q43_incremental_merge": q43_incremental_merge,
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
     "q3_disjunction": q3_disjunction,
@@ -806,6 +857,15 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q43_incremental_merge": """
+        SELECT user_id, COUNT(*) AS cnt,
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)
+                 AS sum_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value,
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+                     / COUNT(*), 4) AS avg_value
+        FROM events GROUP BY user_id ORDER BY user_id""",
     "q1_node_scan": """
         SELECT c_custkey, c_name, c_nationkey
         FROM customer ORDER BY c_custkey""",

@@ -543,7 +543,69 @@ def s12_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: product-quantization geometry: M subspaces of SUB dims (M*SUB == DIM),
+#: K centroids per subspace. Codebook = subvectors of the first K corpus
+#: vectors — deterministic, so even the quantizer is oracle-checkable
+#: (production trains it with k-means; the encode/ADC dataflow is identical).
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+
+
+# S13 — product-quantization top-k (the FAISS IndexPQ shape): vectors are
+# compressed to M 4-bit codes (argmin centroid per subspace); queries score
+# candidates with the ASYMMETRIC distance (ADC) — exact query-subvector to
+# centroid distances, summed via code lookup. This is the memory-bound ANN
+# regime: 64-dim float vectors (256 B) become M=8 codes (8 B, 32x), so at
+# 100 TB the scan reads codes, not vectors, and the per-query work is an
+# M×K lookup-table build plus one gather+sum per candidate.
+#
+# Spark shape: the codebook is K bounded rows (collected like the IVF
+# pivots — dimension-sized metadata, not data); encode + ADC run in ONE
+# Arrow-vectorized mapInPandas pass (batched numpy einsum-free argmin),
+# then TakeOrderedAndProject for the top-k. No shuffle at all until the
+# final k rows. np's axis sums are sequential below the 128-element
+# pairwise threshold, so they accumulate in the same order as the
+# oracle's list_sum — the 6dp round absorbs the residual ulps.
+def s13_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    cb_rows = (
+        e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("emb").collect()
+    )
+    codebook = np.array([r["emb"] for r in cb_rows]).reshape(PQ_K, PQ_M, PQ_SUB)
+    codebook = np.transpose(codebook, (1, 0, 2))  # [M, K, SUB]
+    q_emb = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()["emb"]
+    )
+    qsub = np.array(q_emb).reshape(PQ_M, PQ_SUB)
+    qd = ((qsub[:, None, :] - codebook) ** 2).sum(-1)  # [M, K] ADC table
+
+    def run(batches):
+        for pdf in batches:
+            x = np.array(pdf["emb"].tolist()).reshape(-1, PQ_M, PQ_SUB)
+            # [n, M, K] subspace distances -> 4-bit codes
+            d = ((x[:, :, None, :] - codebook[None]) ** 2).sum(-1)
+            codes = d.argmin(-1)  # ties -> smallest k, same as the oracle
+            dist = qd[np.arange(PQ_M)[None, :], codes].sum(-1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "dist": np.round(dist, 6)}
+            )
+
+    import pandas as pd
+
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "emb")
+        .mapInPandas(run, schema="vec_id long, dist double")
+        .orderBy("dist", "vec_id")
+        .limit(TOP_K)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "s13_pq_topk": s13_pq_topk,
     "s12_range_search": s12_range_search,
     "s1_cosine_topk": s1_cosine_topk,
     "s10_norm_outliers": s10_norm_outliers,
@@ -631,6 +693,34 @@ def _duck_mmr_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "s13_pq_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cb AS (SELECT vec_id AS k, emb FROM e WHERE vec_id < {PQ_K}),
+        sub AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+        dists AS (
+          SELECT x.vec_id, sub.s, c.k,
+                 list_sum([ (x.emb[sub.s * {PQ_SUB} + d]
+                             - c.emb[sub.s * {PQ_SUB} + d]) ^ 2
+                            for d in generate_series(1, {PQ_SUB})]) AS d2
+          FROM e x, sub, cb c),
+        enc AS (
+          SELECT vec_id, s, k AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d2, k) AS rn
+            FROM dists) WHERE rn = 1),
+        qd AS (
+          SELECT sub.s, c.k,
+                 list_sum([ (q.emb[sub.s * {PQ_SUB} + d]
+                             - c.emb[sub.s * {PQ_SUB} + d]) ^ 2
+                            for d in generate_series(1, {PQ_SUB})]) AS d2
+          FROM (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}) q, sub, cb c),
+        adc AS (
+          SELECT enc.vec_id, ROUND(SUM(qd.d2), 6) AS dist
+          FROM enc JOIN qd ON enc.s = qd.s AND enc.code = qd.k
+          WHERE enc.vec_id <> {QUERY_VEC_ID}
+          GROUP BY enc.vec_id)
+        SELECT vec_id, dist FROM adc
+        ORDER BY dist, vec_id LIMIT {TOP_K}""",
     "s12_range_search": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e

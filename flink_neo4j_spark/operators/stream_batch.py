@@ -120,7 +120,27 @@ def w10_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_chained_available_now(spark, sf_dir)
 
 
+def w11_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert materialization: the stream maintained as a keyed
+    latest-state parquet snapshot, merged per micro-batch (ping-pong
+    publish). Final state == batch argmax over the full log by
+    (ts, event_id) — the micro-batching must not be observable."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_cdc_upsert_available_now,
+    )
+
+    out = run_cdc_upsert_available_now(spark, sf_dir)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "w11_stream_cdc_upsert": w11_stream_cdc_upsert,
     "w10_stream_chained_agg": w10_stream_chained_agg,
     "w1_stream_daily": w1_stream_daily,
     "w9_stream_session_window": w9_stream_session_window,
@@ -134,6 +154,15 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w11_stream_cdc_upsert": """
+        WITH ranked AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 event_id, event_type, ROUND(value, 2) AS value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, ts_us, event_id, event_type, value
+        FROM ranked WHERE rn = 1 ORDER BY user_id""",
     "w10_stream_chained_agg": """
         WITH mx AS (
           SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events)

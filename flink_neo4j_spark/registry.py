@@ -9,16 +9,19 @@ run (round 1's CORRECTNESS file stopped at exactly 50 entries, cutting off
 the registry tail), so ``all_queries`` yields queries in priority order,
 derived from the committed ``CORRECTNESS_r*.json`` artifacts themselves:
 
-- tier 0 — queries with NO green driver row in any previous round (never
-  checked, checked-and-failed, or newly added) — these need the hard
-  signal most;
-- tier 1 — queries listed in ``_CHANGED_THIS_ROUND`` (implementation or
-  oracle edited since their last green row, so the old green no longer
-  vouches for them);
-- tier 2 — everything else (green in some previous round and unchanged),
-  in stable module order. If the driver cap cuts anything, it cuts here,
-  and because tier 0 is recomputed from the artifacts each round, whatever
-  the cap skipped automatically rotates to the front next round.
+- tier A — queries listed in ``_CHANGED_THIS_ROUND`` (previous driver row
+  was red, or implementation/oracle edited since their last green row).
+  FIRST because a failed row turning green is the round's most important
+  hard signal, and the tier is small by construction;
+- tier B — queries with NO driver row in any previous round (newly added),
+  ordered by operator family novelty (streaming/temporal/multimodal first,
+  the well-trodden relational shapes last) so a cap cuts the queries whose
+  family already has many green rows;
+- tier C — everything else (green — or rows-only-recorded ``no_oracle`` —
+  in some previous round and unchanged), in stable module order. If the
+  driver cap cuts anything, it cuts here, and because the tiers are
+  recomputed from the artifacts each round, whatever the cap skipped
+  automatically rotates to the front next round.
 
 Local ``tests/test_conformance.py`` always checks the full set regardless.
 """
@@ -72,7 +75,14 @@ def _previously_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # rows-only query, already recorded — a repeat row can never
+                # say more, so don't spend a capped driver slot on it again
+                green.add(name)
+                continue
+            if row.get("err") is not None:
                 continue
             if row.get("rows_match") and row.get("hash_match") in (True, None):
                 green.add(name)
@@ -107,13 +117,21 @@ def _modules():
     )
 
 
+#: tier-B family order: least-proven operator families first (streaming,
+#: temporal, multimodal), the heavily-green relational tail last.
+_FAMILY_PRIORITY = {"w": 0, "a": 1, "m": 2, "s": 3, "g": 4, "d": 5, "t": 6, "q": 7}
+
+
 def _ordered(merged: dict) -> dict:
     """Reorder a merged name->value dict into tier order (see module doc)."""
     green = _previously_green()
-    tier0 = [n for n in merged if n not in green and n not in _CHANGED_THIS_ROUND]
-    tier1 = [n for n in _CHANGED_THIS_ROUND if n in merged]
-    tier2 = [n for n in merged if n in green and n not in _CHANGED_THIS_ROUND]
-    return {n: merged[n] for n in (*tier0, *tier1, *tier2)}
+    tier_a = [n for n in _CHANGED_THIS_ROUND if n in merged]
+    tier_b = sorted(
+        (n for n in merged if n not in green and n not in _CHANGED_THIS_ROUND),
+        key=lambda n: _FAMILY_PRIORITY.get(n[0], 9),
+    )
+    tier_c = [n for n in merged if n in green and n not in _CHANGED_THIS_ROUND]
+    return {n: merged[n] for n in (*tier_a, *tier_b, *tier_c)}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

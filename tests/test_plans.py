@@ -415,3 +415,24 @@ def test_label_propagation_equi_join_only(spark):
 
     plan = formatted_plan_of(g24_label_propagation(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_incremental_merge_partial_aggs(spark):
+    """q43: both partials and the merge must be hash aggregates over the
+    SAME user_id partitioning — no join operator anywhere."""
+    from flink_neo4j_spark.operators.relational import q43_incremental_merge
+
+    plan = formatted_plan_of(q43_incremental_merge(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_pq_topk_no_shuffle_before_topk(spark):
+    """s13: encode+ADC is one Arrow map pass; the only ordering operator
+    is the global top-k (TakeOrderedAndProject), never a full sort or a
+    join."""
+    from flink_neo4j_spark.operators.similarity import s13_pq_topk
+
+    plan = formatted_plan_of(s13_pq_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
