@@ -816,7 +816,70 @@ def q43_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q44 — TPC-H Q13 shape: distribution of customers by order count,
+# INCLUDING zero-order customers (the left join is the point — an inner
+# join silently drops the empty bucket, the classic Q13 trap). Two
+# aggregations: per-customer count over the left join (shuffle on custkey;
+# count(o_orderkey) counts only matched rows), then the tiny distribution
+# re-agg. Both partial-aggregate; the distribution keys are a handful of
+# small ints so the second shuffle is bytes.
+def q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# Q45 — TPC-H Q9 shape: revenue by supplier nation × order year for parts
+# matching a name predicate. Join pyramid: lineitem is the only fact-sized
+# side — part (filtered, name predicate pushed to the scan), supplier, and
+# nation broadcast; orders joins on orderkey for the year. GROUP BY
+# (nation, year) partial-aggregates to a dimension-sized result, so the
+# whole query is one fact scan + one fact-sized shuffle (the orders join)
+# regardless of SF.
+def q45_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q44_order_count_distribution": q44_order_count_distribution,
+    "q45_profit_by_nation_year": q45_profit_by_nation_year,
     "q43_incremental_merge": q43_incremental_merge,
     "q1_node_scan": q1_node_scan,
     "q2_edge_join": q2_edge_join,
@@ -857,6 +920,25 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q44_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""",
+    "q45_profit_by_nation_year": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+        ORDER BY nation, o_year DESC""",
     "q43_incremental_merge": """
         SELECT user_id, COUNT(*) AS cnt,
                ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)

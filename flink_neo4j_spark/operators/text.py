@@ -412,31 +412,55 @@ def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = d.selectExpr(
         "doc_id", "regexp_replace(lower(text), '[^a-z ]', '') AS t"
     ).filter(F.length("t") >= 2)
-    bg = norm.select(
+    # bigrams via a MATERIALIZED char array + O(1) element_at, not
+    # substring(t, i, 2): substring re-seeks from the string head per
+    # lambda index (O(n^2) per doc — unbounded doc length kills it), and
+    # split() must be a separate projection, never inlined in the lambda
+    # (re-evaluated per iteration: measured 40 s vs 1.0 s at sf0.1).
+    chars = norm.selectExpr(
+        "doc_id", "split(t, '') AS ch", "length(t) AS n"
+    )
+    bg = chars.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+            F.expr(
+                "transform(sequence(1, n - 1),"
+                " i -> concat(element_at(ch, i), element_at(ch, i + 1)))"
+            )
         ).alias("b"),
     )
-    model = bg.groupBy("b").agg(F.count("*").alias("c"))
+    # Collapse to per-(doc, bigram) counts FIRST: the alphabet is tiny
+    # (<= 27^2 bigrams), so this map-side-combining agg shrinks the corpus
+    # explode to <= 729 rows/doc, and everything downstream (model build +
+    # scoring join) runs over the collapsed frame — ONE pass over the raw
+    # text instead of two (the previous shape re-derived the explode for
+    # scoring; at 100 TB that's a second full corpus scan). Persisted
+    # because model and scoring both consume it.
+    bgc = bg.groupBy("doc_id", "b").agg(F.count("*").alias("k")).persist()
+    model = bgc.groupBy("b").agg(F.sum("k").alias("c"))
     tot = model.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     )  # 1-row frame; crossJoin broadcasts it
     scored = (
-        bg.join(F.broadcast(model), "b")
+        bgc.join(F.broadcast(model), "b")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "k",
             (F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))).alias(
                 "lp"
             ),
         )
     )
+    # weighted mean == the per-occurrence mean, with the weighted summation
+    # mirrored in the oracle so both engines add the same terms
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(-F.avg("lp"), 4).alias("avg_nll"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("k") * F.col("lp")) / F.sum("k"), 4
+            ).alias("avg_nll"),
         )
         .orderBy("doc_id")
     )
@@ -730,11 +754,13 @@ ORACLE: dict[str, str] = {
           SELECT doc_id, substring(t, CAST(i AS INT), 2) AS b
           FROM d, UNNEST(range(1, length(t))) AS u(i)
           WHERE length(t) >= 2),
-        model AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
-        tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM model)
-        SELECT doc_id, COUNT(*) AS n_bigrams,
-               ROUND(-AVG(LN((m.c + 1.0) / (tot.n + tot.v))), 4) AS avg_nll
-        FROM bg JOIN model m USING (b) CROSS JOIN tot
+        bgc AS (SELECT doc_id, b, COUNT(*) AS k FROM bg GROUP BY doc_id, b),
+        model AS (SELECT b, CAST(SUM(k) AS BIGINT) AS c FROM bgc GROUP BY b),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM model)
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               ROUND(-SUM(k * LN((m.c + 1.0) / (tot.n + tot.v))) / SUM(k), 4)
+                 AS avg_nll
+        FROM bgc JOIN model m USING (b) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""",
     "t1_token_count": f"""
         SELECT doc_id,

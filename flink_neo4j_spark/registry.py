@@ -51,6 +51,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "m4_audio_windows",
     "g2_degree",
     "a3_json_extract",
+    # round 3: single-pass weighted rewrite + linear bigram derivation,
+    # oracle twinned to the weighted summation
+    "t12_bigram_lm",
     # round 3: plan changes after their round-2 green rows (localCheckpoint
     # materialization of multi-consumer projections; g14 also refactored
     # into the shared _copurchase_triangles helper)

@@ -436,3 +436,29 @@ def test_pq_topk_no_shuffle_before_topk(spark):
     plan = formatted_plan_of(s13_pq_topk(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q45_only_fact_shuffles(spark):
+    """q45's dimension joins (part/supplier/nation) must all broadcast —
+    the only shuffle joins allowed involve the fact/orders sides."""
+    from flink_neo4j_spark.operators.relational import q45_profit_by_nation_year
+
+    plan = formatted_plan_of(q45_profit_by_nation_year(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q44_left_join_preserves_all_customers(spark):
+    """Q13's defining property is the LEFT join (zero-order customers must
+    keep a bucket). The fixture happens to have no order-less customers, so
+    assert the structure two ways: the plan contains a LeftOuter join, and
+    the distribution's total mass equals the customer count (an inner-join
+    mistake would still pass that here, but not the plan check)."""
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.operators.relational import q44_order_count_distribution
+
+    df = q44_order_count_distribution(spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    assert "LeftOuter" in plan
+    total = sum(r["custdist"] for r in df.collect())
+    assert total == load_table(spark, SF_DIR, "customer").count()
