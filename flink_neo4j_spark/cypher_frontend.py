@@ -68,7 +68,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<arrow>-\[|\]->)
   | (?P<op><>|<=|>=|=|<|>)
-  | (?P<punct>[(){}:,.\$*])
+  | (?P<punct>[(){}:,.\$*\[\]])
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -328,9 +328,34 @@ class _Parser:
         disj: list[list[Cond]] = [[]]
         while True:
             left = self.parse_prop_ref(allow_bare)
-            op = self.expect("op").text
-            right = self.parse_operand(unwind_var)
-            disj[-1].append(Cond(left, op, right))
+            if self._at_word_ci("IN"):
+                self.next()
+                self.expect("punct", "[")
+                vals: list[Any] = []
+                if not self.at("punct", "]"):
+                    while True:
+                        vals.append(self.parse_value(unwind_var))
+                        if self.at("punct", ","):
+                            self.next()
+                            continue
+                        break
+                self.expect("punct", "]")
+                disj[-1].append(Cond(left, "IN", vals))
+            elif self._at_word_ci("STARTS") or self._at_word_ci("ENDS"):
+                kw = self.next().text.upper()
+                self.expect("kw", "WITH")
+                disj[-1].append(
+                    Cond(left, f"{kw} WITH", self.parse_value(unwind_var))
+                )
+            elif self._at_word_ci("CONTAINS"):
+                self.next()
+                disj[-1].append(
+                    Cond(left, "CONTAINS", self.parse_value(unwind_var))
+                )
+            else:
+                op = self.expect("op").text
+                right = self.parse_operand(unwind_var)
+                disj[-1].append(Cond(left, op, right))
             if self.at("kw", "AND"):
                 self.next()
                 continue
@@ -472,6 +497,11 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
     }
+    string_ops = {
+        "STARTS WITH": lambda c, v: c.startswith(v),
+        "ENDS WITH": lambda c, v: c.endswith(v),
+        "CONTAINS": lambda c, v: c.contains(v),
+    }
     out: Column | None = None
     for conj in disj:
         cc: Column | None = None
@@ -481,7 +511,17 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
                 if isinstance(cond.right, (PropRef, BareRef))
                 else cond.right
             )
-            one = ops[cond.op](colmap(cond.left), right)
+            if cond.op == "IN":
+                # empty list literal: openCypher `x IN []` is never true
+                one = (
+                    colmap(cond.left).isin(*cond.right)
+                    if cond.right
+                    else F.lit(False)
+                )
+            elif cond.op in string_ops:
+                one = string_ops[cond.op](colmap(cond.left), right)
+            else:
+                one = ops[cond.op](colmap(cond.left), right)
             cc = one if cc is None else (cc & one)
         out = cc if out is None else (out | cc)
     assert out is not None

@@ -997,7 +997,27 @@ def g25_cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("name")
 
 
+# G26 — Cypher list/string predicates: `IN [..]` membership and
+# `STARTS WITH` / `CONTAINS` string matching — openCypher's everyday WHERE
+# surface beyond comparison operators. All three compile to codegen'd
+# Column predicates (isin / startswith / contains), so they push down to
+# the scan like any native filter.
+def g26_cypher_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WHERE n.name IN ['FRANCE', 'GERMANY', 'CHINA'] "
+        "AND c.name CONTAINS '1' AND c.name STARTS WITH 'Customer' "
+        "RETURN c.name AS customer, n.name AS nation",
+    )
+    return df.orderBy("customer", "nation")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "g26_cypher_predicates": g26_cypher_predicates,
     "g25_cypher_union": g25_cypher_union,
     "g24_label_propagation": g24_label_propagation,
     "g1_two_hop": g1_two_hop,
@@ -1026,6 +1046,12 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g26_cypher_predicates": """
+        SELECT c_name AS customer, n_name AS nation
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('FRANCE', 'GERMANY', 'CHINA')
+          AND c.c_name LIKE '%1%' AND c.c_name LIKE 'Customer%'
+        ORDER BY customer, nation""",
     "g25_cypher_union": """
         SELECT c_name AS name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -590,7 +590,55 @@ def a13_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA smoothing factor and bounded lookback (observations, not days).
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 10
+
+
+# A14 — exponentially-weighted moving average over each user's daily series
+# (the standard smoothing/trend feature next to a6's flat trailing windows).
+# EWMA is a recurrence — not directly window-expressible — but with q=1-α
+# the normalized form over a bounded lookback telescopes to a RATIO OF TWO
+# WINDOW SUMS: ewma_t = Σ x_j q^(t-j) / Σ q^(t-j) = [Σ x_j q^(-j)] /
+# [Σ q^(-j)] over the frame (the q^t factor cancels), so each term needs
+# only the row's OWN index — one sort-based window pass, two sums over the
+# same 10-row frame, no self-join and no per-user iteration. Within a
+# frame the q^(-j) terms span only q^(-LOOKBACK), so the big-exponent
+# scale cancels in the ratio and precision holds at any series length.
+def a14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 2).alias("day_val")
+    )
+    q = 1.0 - EWMA_ALPHA
+    w_idx = Window.partitionBy("user_id").orderBy("day")
+    idxed = daily.withColumn("j", F.row_number().over(w_idx)).select(
+        "user_id",
+        "day",
+        "day_val",
+        "j",
+        (F.col("day_val") * F.pow(F.lit(1.0 / q), F.col("j"))).alias("g"),
+        F.pow(F.lit(1.0 / q), F.col("j")).alias("wt"),
+    )
+    w_frame = (
+        Window.partitionBy("user_id")
+        .orderBy("j")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    )
+    return idxed.select(
+        "user_id",
+        "day",
+        "day_val",
+        F.round(
+            F.sum("g").over(w_frame) / F.sum("wt").over(w_frame), 4
+        ).alias("ewma"),
+    ).orderBy("user_id", "day")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a14_ewma": a14_ewma,
     "a13_attribution": a13_attribution,
     "a11_trailing_distinct": a11_trailing_distinct,
     "a12_scd2_join": a12_scd2_join,
@@ -607,6 +655,25 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a14_ewma": f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 ROUND(SUM(value), 2) AS day_val
+          FROM events GROUP BY 1, 2),
+        idxed AS (
+          SELECT user_id, day, day_val,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS j
+          FROM daily)
+        SELECT user_id, day, day_val,
+               ROUND(
+                 SUM(day_val * POWER({1.0 / (1.0 - EWMA_ALPHA)!r}, j)) OVER w
+                 / SUM(POWER({1.0 / (1.0 - EWMA_ALPHA)!r}, j)) OVER w, 4)
+                 AS ewma
+        FROM idxed
+        WINDOW w AS (PARTITION BY user_id ORDER BY j
+                     ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING
+                              AND CURRENT ROW)
+        ORDER BY user_id, day""",
     "a13_attribution": """
         WITH clicks AS (
           SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts

@@ -455,3 +455,62 @@ def test_skip_requires_integer(fixture_graph):
             fixture_graph,
             "MATCH (u:User) RETURN u.name AS name SKIP 1.5",
         )
+
+
+def test_in_list_predicate(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE u.name IN ['Alice', 'Eve'] "
+        "RETURN u.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve"]
+
+
+def test_in_empty_list_is_never_true(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE u.name IN [] RETURN u.name AS name",
+    ).collect()
+    assert rows == []
+
+
+def test_starts_with_and_contains(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE u.name STARTS WITH 'A' OR u.name CONTAINS 'v' "
+        "RETURN u.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve"]
+
+
+def test_ends_with(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE u.name ENDS WITH 'e' "
+        "RETURN u.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve"]
+
+
+def test_union_dedup_and_all(fixture_graph):
+    dedup = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE u.name = 'Alice' RETURN u.name AS name "
+        "UNION MATCH (v:User) WHERE v.name = 'Alice' RETURN v.name AS name",
+    ).collect()
+    assert len(dedup) == 1
+    dup = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE u.name = 'Alice' RETURN u.name AS name "
+        "UNION ALL MATCH (v:User) WHERE v.name = 'Alice' RETURN v.name AS name",
+    ).collect()
+    assert len(dup) == 2
+
+
+def test_union_column_mismatch_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph,
+            "MATCH (u:User) RETURN u.name AS a "
+            "UNION MATCH (v:User) RETURN v.name AS b",
+        )
