@@ -148,6 +148,18 @@ class Cond:
 
 
 @dataclass
+class PatternCond:
+    """A pattern predicate in WHERE: ``[NOT] (v)-[:TYPE]->(()|(:Label))`` —
+    Cypher's existential subquery shorthand. Compiles to a semi-join
+    (positive) or anti-join (NOT) against the edge endpoints."""
+
+    var: str
+    rel_type: str | None
+    dst_label: str | None
+    negated: bool
+
+
+@dataclass
 class AggCall:
     fn: str  # COUNT / SUM / AVG / MIN / MAX
     arg: PropRef | None  # None => count(*) or count(var)
@@ -327,6 +339,16 @@ class _Parser:
         """Disjunction of conjunctions (OR of ANDs — enough for B4)."""
         disj: list[list[Cond]] = [[]]
         while True:
+            if self._at_word_ci("NOT") or self.at("punct", "("):
+                disj[-1].append(self.parse_pattern_predicate())
+                if self.at("kw", "AND"):
+                    self.next()
+                    continue
+                if self.at("kw", "OR"):
+                    self.next()
+                    disj.append([])
+                    continue
+                return disj
             left = self.parse_prop_ref(allow_bare)
             if self._at_word_ci("IN"):
                 self.next()
@@ -364,6 +386,31 @@ class _Parser:
                 disj.append([])
                 continue
             return disj
+
+    def parse_pattern_predicate(self) -> PatternCond:
+        """``[NOT] (v)-[:TYPE]->(target)`` where target is ``()`` (any) or
+        ``(:Label)``. Forward direction only (the grammar has no backward
+        arrow — matching the reference's query surface)."""
+        negated = False
+        if self._at_word_ci("NOT"):
+            self.next()
+            negated = True
+        self.expect("punct", "(")
+        var = self.expect("word").text
+        self.expect("punct", ")")
+        self.expect("arrow", "-[")
+        rel_type = None
+        if self.at("punct", ":"):
+            self.next()
+            rel_type = self.expect("word").text
+        self.expect("arrow", "]->")
+        self.expect("punct", "(")
+        dst_label = None
+        if self.at("punct", ":"):
+            self.next()
+            dst_label = self.expect("word").text
+        self.expect("punct", ")")
+        return PatternCond(var, rel_type, dst_label, negated)
 
     def _at_word_ci(self, upper_text: str) -> bool:
         tok = self.peek()
@@ -506,6 +553,11 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
     for conj in disj:
         cc: Column | None = None
         for cond in conj:
+            if isinstance(cond, PatternCond):
+                raise CypherSyntaxError(
+                    "pattern predicates are only supported in the WHERE of "
+                    "a single-MATCH node query"
+                )
             right = (
                 colmap(cond.right)
                 if isinstance(cond.right, (PropRef, BareRef))
@@ -879,6 +931,41 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
         var = pat.var
         df = graph.nodes(pat.label)
+        if disj is not None and any(
+            isinstance(c, PatternCond) for conj in disj for c in conj
+        ):
+            if len(disj) > 1:
+                raise CypherSyntaxError(
+                    "pattern predicates cannot be OR-combined"
+                )
+            pattern_conds = [c for c in disj[0] if isinstance(c, PatternCond)]
+            rest = [c for c in disj[0] if not isinstance(c, PatternCond)]
+            disj = [rest] if rest else None
+            # each pattern predicate is one semi-join (positive) or
+            # anti-join (NOT) against the distinct qualifying edge sources
+            # — the scale-correct existential form (never materializes the
+            # per-node match multiplicity)
+            for pc in pattern_conds:
+                if pc.var != var:
+                    raise CypherSyntaxError(f"unknown variable {pc.var!r}")
+                edges = graph.edges
+                if pc.rel_type is not None:
+                    edges = edges.filter(F.col("rel_type") == pc.rel_type)
+                if pc.dst_label is not None:
+                    dst_ids = graph.nodes(pc.dst_label).select(
+                        F.col("id").alias("__pp_dst")
+                    )
+                    edges = edges.join(
+                        dst_ids,
+                        F.col("dst") == F.col("__pp_dst"),
+                        "left_semi",
+                    )
+                ep = edges.select(F.col("src").alias("__pp_id"))
+                df = df.join(
+                    ep,
+                    F.col("id") == F.col("__pp_id"),
+                    "left_anti" if pc.negated else "left_semi",
+                )
 
         def colmap(ref: PropRef) -> Column:
             if ref.var != var:

@@ -1016,7 +1016,25 @@ def g26_cypher_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("customer", "nation")
 
 
+# G27 — Cypher pattern predicate: `WHERE NOT (x)-[:TYPE]->()` — Cypher's
+# existential-subquery shorthand, compiled to an ANTI-join against the
+# distinct qualifying edge sources (the positive form is a semi-join).
+# Over the unlabeled node set this selects exactly the Nation and Region
+# vertices (nothing points out of them via IN_NATION).
+def g27_cypher_pattern_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH (x) WHERE NOT (x)-[:IN_NATION]->() "
+        "RETURN id(x) AS node_id",
+    )
+    return df.orderBy("node_id")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "g27_cypher_pattern_predicate": g27_cypher_pattern_predicate,
     "g26_cypher_predicates": g26_cypher_predicates,
     "g25_cypher_union": g25_cypher_union,
     "g24_label_propagation": g24_label_propagation,
@@ -1046,6 +1064,11 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g27_cypher_pattern_predicate": f"""
+        SELECT n_nationkey + {NATION_BASE} AS node_id FROM nation
+        UNION ALL
+        SELECT r_regionkey + {REGION_BASE} AS node_id FROM region
+        ORDER BY node_id""",
     "g26_cypher_predicates": """
         SELECT c_name AS customer, n_name AS nation
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -139,7 +139,17 @@ def w11_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def w12_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-expiring streaming dedup (dropDuplicatesWithinWatermark) run
+    end-to-end; per-type distinct-user counts over the sink must equal the
+    batch COUNT(DISTINCT) (survivor-choice-invariant)."""
+    from flink_neo4j_spark.streaming.windows import run_wm_dedup_available_now
+
+    return run_wm_dedup_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
+    "w12_stream_wm_dedup": w12_stream_wm_dedup,
     "w11_stream_cdc_upsert": w11_stream_cdc_upsert,
     "w10_stream_chained_agg": w10_stream_chained_agg,
     "w1_stream_daily": w1_stream_daily,
@@ -154,6 +164,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w12_stream_wm_dedup": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY event_type ORDER BY event_type""",
     "w11_stream_cdc_upsert": """
         WITH ranked AS (
           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -681,3 +681,27 @@ def run_cdc_upsert_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = _current()
     assert cur is not None, "CDC sink produced no snapshot"
     return spark.read.parquet(cur)
+
+
+def run_wm_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w12: the AT-SCALE streaming dedup — ``dropDuplicatesWithinWatermark``
+    keyed on (user_id, event_type), run end-to-end through the append-mode
+    parquet sink. Unlike w4's unbounded ``dropDuplicates`` state, this
+    state expires as the watermark advances (the only dedup that survives
+    an infinite stream); first-seen rows emit immediately, so every key
+    appears exactly once in the sink. WHICH physical row survives is
+    non-deterministic, so the conformance result is the per-type distinct
+    user count over the sink — invariant to the survivor choice — equal to
+    the batch COUNT(DISTINCT user_id).
+    """
+    deduped = dedup_within_watermark(
+        read_events_stream(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        watermark="1 day",
+    ).select("user_id", "event_type")
+    out = _run_append_to_parquet(deduped, spark, "wm_dedup")
+    return (
+        out.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+        .orderBy("event_type")
+    )

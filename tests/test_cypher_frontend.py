@@ -514,3 +514,30 @@ def test_union_column_mismatch_raises(fixture_graph):
             "MATCH (u:User) RETURN u.name AS a "
             "UNION MATCH (v:User) RETURN v.name AS b",
         )
+
+
+def test_pattern_predicate_negated(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE NOT (u)-[:KNOWS]->() "
+        "RETURN u.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Eve"]
+
+
+def test_pattern_predicate_positive_with_label_and_cond(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (u:User) WHERE (u)-[:KNOWS]->(:User) AND u.born = 1984 "
+        "RETURN u.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice"]
+
+
+def test_pattern_predicate_rejects_or(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph,
+            "MATCH (u:User) WHERE (u)-[:KNOWS]->() OR u.born = 1984 "
+            "RETURN u.name AS name",
+        ).collect()
