@@ -877,7 +877,95 @@ def q45_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q46 — data-quality audit: the referential-integrity / validity sweep a
+# pipeline runs before promoting a snapshot, emitted as one tall
+# (check, n) metrics table. Checks: orphaned fact rows (lineitem with no
+# order — anti-join), childless orders (anti-join the other way), null
+# keys, duplicate primary keys, and domain-range violations. Each check
+# is one partial-aggregable scan or one key-shuffled anti-join; the union
+# of six one-row frames costs nothing. At 100 TB the two anti-joins are
+# the only shuffles, and they share the orderkey partitioning.
+def q46_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("check"), "n"
+        )
+
+    li_orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    o_childless = o.join(
+        li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_anti"
+    )
+    o_null_cust = o.filter(F.col("o_custkey").isNull())
+    c_dups = (
+        c.groupBy("c_custkey")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    li_bad_qty = li.filter(
+        (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+    )
+    o_neg_total = o.filter(F.col("o_totalprice") < 0)
+    return (
+        one("lineitem_orphans", li_orphans)
+        .unionByName(one("orders_childless", o_childless))
+        .unionByName(one("orders_null_custkey", o_null_cust))
+        .unionByName(one("customer_dup_keys", c_dups))
+        .unionByName(one("lineitem_qty_out_of_range", li_bad_qty))
+        .unionByName(one("orders_negative_total", o_neg_total))
+        .orderBy("check")
+    )
+
+
+# Q47 — snapshot diff / reconciliation: given two versions of a keyed
+# table, classify every key as added / removed / changed / unchanged — the
+# table-diff primitive behind lakehouse time travel audits, CDC validation,
+# and migration sign-off. ONE full-outer join on the key + a codegen'd
+# CASE classification + a tiny count rollup; at 100 TB both snapshots
+# shuffle once on the key (or zero times if both are bucketed on it).
+# The two "snapshots" here are derived deterministically from `customer`
+# (membership by custkey modulus, a value mutation on a third modulus) so
+# every class is non-empty and the oracle can rebuild them exactly.
+def q47_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    snap_a = c.filter(F.col("c_custkey") % 11 != 0)
+    snap_b = c.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 10, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    a = snap_a.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("va")
+    )
+    b = snap_b.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("vb")
+    )
+    status = (
+        F.when(F.col("va").isNull(), F.lit("added"))
+        .when(F.col("vb").isNull(), F.lit("removed"))
+        .when(F.col("va") != F.col("vb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, "k", "full_outer")
+        .select(status.alias("diff"))
+        .groupBy("diff")
+        .agg(F.count("*").alias("n"))
+        .orderBy("diff")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q47_snapshot_diff": q47_snapshot_diff,
+    "q46_dq_audit": q46_dq_audit,
     "q44_order_count_distribution": q44_order_count_distribution,
     "q45_profit_by_nation_year": q45_profit_by_nation_year,
     "q43_incremental_merge": q43_incremental_merge,
@@ -920,6 +1008,43 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q47_snapshot_diff": """
+        WITH a AS (
+          SELECT c_custkey AS k, c_acctbal AS va FROM customer
+          WHERE c_custkey % 11 <> 0),
+        b AS (
+          SELECT c_custkey AS k,
+                 CASE WHEN c_custkey % 7 = 0
+                      THEN ROUND(c_acctbal + 10, 2)
+                      ELSE c_acctbal END AS vb
+          FROM customer WHERE c_custkey % 13 <> 0)
+        SELECT CASE WHEN va IS NULL THEN 'added'
+                    WHEN vb IS NULL THEN 'removed'
+                    WHEN va <> vb THEN 'changed'
+                    ELSE 'unchanged' END AS diff,
+               COUNT(*) AS n
+        FROM a FULL OUTER JOIN b USING (k)
+        GROUP BY 1 ORDER BY diff""",
+    "q46_dq_audit": """
+        SELECT 'lineitem_orphans' AS check, COUNT(*) AS n FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_childless', COUNT(*) FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        UNION ALL
+        SELECT 'orders_null_custkey', COUNT(*) FROM orders
+        WHERE o_custkey IS NULL
+        UNION ALL
+        SELECT 'customer_dup_keys', COUNT(*) FROM (
+          SELECT c_custkey FROM customer GROUP BY c_custkey
+          HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_qty_out_of_range', COUNT(*) FROM lineitem
+        WHERE l_quantity <= 0 OR l_quantity > 50
+        UNION ALL
+        SELECT 'orders_negative_total', COUNT(*) FROM orders
+        WHERE o_totalprice < 0
+        ORDER BY "check" """,
     "q44_order_count_distribution": """
         SELECT c_count, COUNT(*) AS custdist FROM (
           SELECT c_custkey, COUNT(o_orderkey) AS c_count
