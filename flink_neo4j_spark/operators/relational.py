@@ -963,7 +963,83 @@ def q47_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom-filter geometry for q48: M bits (power of two), K hash probes.
+BLOOM_M = 1 << 16
+BLOOM_K = 3
+
+
+def bloom_build(df: DataFrame, key: str) -> list:
+    """Build an M-bit Bloom filter over ``df[key]`` as a list of M/64 longs.
+
+    All set-bit computation is JVM-side (xxhash64 + pmod + bit_or partial
+    agg); only the FINISHED bitset (M/64 longs — 8 KB at M=2^16) reaches
+    the driver, the same bounded-metadata class as the IVF pivots. At
+    cluster scale this is exactly what Spark's runtime bloom pruning
+    injects; building it explicitly makes the technique available where
+    the optimizer can't see the opportunity (cross-job prefilters,
+    persisted filters reused across queries).
+    """
+    probes = ", ".join(
+        f"pmod(xxhash64({key}, {i}), {BLOOM_M})" for i in range(BLOOM_K)
+    )
+    words = df.selectExpr(f"explode(array({probes})) AS pos").selectExpr(
+        "pos div 64 AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+    )
+    built = (
+        words.groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitset = [0] * (BLOOM_M // 64)
+    for r in built:
+        bitset[int(r["w"])] = int(r["word"])
+    return bitset
+
+
+def bloom_probe_expr(key: str, bitset: list) -> F.Column:
+    """Membership-test Column: true iff all K probe bits are set. The
+    bitset ships as a literal array (broadcast with the plan); each probe
+    is two integer ops + an array index, all inside codegen."""
+    arr = "array(" + ", ".join(f"{int(w)}L" for w in bitset) + ")"
+    tests = []
+    for i in range(BLOOM_K):
+        pos = f"pmod(xxhash64({key}, {i}), {BLOOM_M})"
+        tests.append(
+            f"(shiftright(element_at({arr}, CAST(({pos}) div 64 AS INT) + 1),"
+            f" CAST(({pos}) % 64 AS INT)) % 2) != 0"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+# Q48 — Bloom-prefiltered semi-join: reduce a fact table against a filtered
+# dimension WITHOUT shuffling the non-qualifying fact rows. The qualifying
+# order keys (one priority class) are summarized into a 2^16-bit Bloom
+# filter; the lineitem scan drops ~(1-fpr) of non-matching rows AT THE SCAN
+# (the probe is a codegen'd filter), and only the survivors pay the exact
+# semi-join that removes false positives. Result is EXACTLY the plain
+# semi-join (the oracle); the filter only changes how many rows reach the
+# shuffle — at 100 TB that's the difference between shuffling the full
+# fact and shuffling ~the matching fraction.
+def q48_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select("o_orderkey")
+    bitset = bloom_build(keys, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    prefiltered = li.filter(bloom_probe_expr("l_orderkey", bitset))
+    exact = prefiltered.join(
+        keys, prefiltered.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q48_bloom_semi_join": q48_bloom_semi_join,
     "q47_snapshot_diff": q47_snapshot_diff,
     "q46_dq_audit": q46_dq_audit,
     "q44_order_count_distribution": q44_order_count_distribution,
@@ -1008,6 +1084,13 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q48_bloom_semi_join": """
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q47_snapshot_diff": """
         WITH a AS (
           SELECT c_custkey AS k, c_acctbal AS va FROM customer

@@ -637,7 +637,44 @@ def a14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day")
 
 
+# A15 — time-weighted average (TWAP): within each user-day, each value is
+# weighted by how long it was "current" (the gap to the user's next event
+# that day) — the finance/metrics standard where plain AVG over-counts
+# bursts. One window pass for lead(ts); all accumulation is INTEGER
+# (cents × microseconds, ≤ ~1e17 per day — inside int64), so the result
+# is bit-identical on any partition layout (the q43 lesson applied from
+# the start). Days with a single event have no holding interval and are
+# excluded (Σdt = 0).
+def a15_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us")
+    gapped = e.withColumn(
+        "dt", F.lead("us").over(w) - F.col("us")
+    ).filter(F.col("dt").isNotNull())
+    return (
+        gapped.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt")).alias("acc"),
+            F.sum("dt").alias("dt_total"),
+            F.count("*").alias("n_intervals"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_intervals",
+            F.round(F.col("acc") / F.col("dt_total") / 100.0, 4).alias("twap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a15_twap": a15_twap,
     "a14_ewma": a14_ewma,
     "a13_attribution": a13_attribution,
     "a11_trailing_distinct": a11_trailing_distinct,
@@ -655,6 +692,23 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a15_twap": """
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events),
+        gapped AS (
+          SELECT user_id, day, cents,
+                 LEAD(us) OVER (PARTITION BY user_id, day ORDER BY us) - us
+                   AS dt
+          FROM e)
+        SELECT user_id, day, COUNT(*) AS n_intervals,
+               ROUND(CAST(SUM(cents * dt) AS DOUBLE)
+                     / CAST(SUM(dt) AS DOUBLE) / 100.0, 4) AS twap
+        FROM gapped WHERE dt IS NOT NULL
+        GROUP BY user_id, day
+        ORDER BY user_id, day""",
     "a14_ewma": f"""
         WITH daily AS (
           SELECT user_id, CAST(ts AS DATE) AS day,

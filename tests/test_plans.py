@@ -462,3 +462,36 @@ def test_q44_left_join_preserves_all_customers(spark):
     assert "LeftOuter" in plan
     total = sum(r["custdist"] for r in df.collect())
     assert total == load_table(spark, SF_DIR, "customer").count()
+
+
+def test_bloom_prefilter_prunes_and_is_exact(spark):
+    """q48: the Bloom probe must (a) drop most non-qualifying fact rows
+    before the shuffle, (b) never drop a qualifying row (no false
+    negatives), so the post-join result is exactly the plain semi-join."""
+    from pyspark.sql import functions as F
+
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.operators.relational import (
+        bloom_build,
+        bloom_probe_expr,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select("o_orderkey")
+    bitset = bloom_build(keys, "o_orderkey")
+    li = load_table(spark, SF_DIR, "lineitem")
+    pre = li.filter(bloom_probe_expr("l_orderkey", bitset))
+    exact = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+    n_total, n_pre, n_exact = li.count(), pre.count(), exact.count()
+    # no false negatives: every exact row survives the prefilter
+    assert (
+        exact.join(pre.select("l_orderkey", "l_linenumber").distinct(),
+                   ["l_orderkey", "l_linenumber"], "left_anti").count() == 0
+    )
+    # real pruning: the prefilter drops a large share of the non-matching rows
+    assert n_exact <= n_pre < n_total
+    non_matching = n_total - n_exact
+    false_pos = n_pre - n_exact
+    assert false_pos < 0.1 * non_matching
