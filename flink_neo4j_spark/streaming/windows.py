@@ -30,8 +30,19 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     operation — instead of being hard-coded to one unit. The stale
     hard-coded LongType schema was the root cause of the round-2 streaming
     failures: micros read as Long then div-1000 compressed event time 1000x.
+
+    Memoized per (session, sf_dir) like ``catalog.load_table``'s plan cache:
+    the footer read costs ~250 ms of JVM round-trips and the RAW (pre-
+    normalization) schema cannot come from the batch cache, whose ``ts`` is
+    already converted.
     """
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    cache = spark.__dict__.setdefault("_fns_stream_schema_cache", {})
+    key = os.path.abspath(sf_dir)
+    schema = cache.get(key)
+    if schema is None:
+        schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        cache[key] = schema
+    return schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
