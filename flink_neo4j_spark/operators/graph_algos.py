@@ -37,8 +37,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_neo4j_spark.catalog import load_table
+import os
+
+from flink_neo4j_spark.catalog import load_table, session_memo
 from flink_neo4j_spark.graph import PropertyGraph
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_qty: int
+) -> DataFrame:
+    """Distinct part-part co-order edges (u < v) over lineitems with
+    quantity >= ``min_qty`` — the shared projection under g14/g19 (triangle
+    family, TRI_MIN_QTY), g24 (label propagation, same cutoff) and g22
+    (k-core, sparser KCORE_MIN_QTY). Session-memoized (GDS
+    ``gds.graph.project`` shape): the quadratic-ish self-join + distinct is
+    paid once per (sf_dir, cutoff), then every algorithm reuses the
+    materialized edge list."""
+
+    def build() -> DataFrame:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") >= min_qty)
+            .select("l_orderkey", "l_partkey")
+        )
+        return (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+    key = ("copurchase_edges", os.path.abspath(sf_dir), min_qty)
+    return session_memo(spark, key, build)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -558,23 +595,17 @@ TRI_TOP = 100
 # only the join-size profile differs.
 def _copurchase_triangles(spark: SparkSession, sf_dir: str):
     """Shared by g14/g19: (degree table, per-vertex triangle counts) over
-    the co-ordered-parts projection, degree-ordered orientation."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= TRI_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
+    the co-ordered-parts projection, degree-ordered orientation. The whole
+    (deg, tri) pair is session-memoized on top of the shared edge
+    projection, so whichever of g14/g19 runs first pays the build."""
+    key = ("copurchase_triangles", os.path.abspath(sf_dir))
+    return session_memo(
+        spark, key, lambda: _build_copurchase_triangles(spark, sf_dir)
     )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint()  # feeds deg (twice via union) + the orientation
-    )
+
+
+def _build_copurchase_triangles(spark: SparkSession, sf_dir: str):
+    edges = _copurchase_edges(spark, sf_dir, TRI_MIN_QTY)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -675,25 +706,44 @@ ALSO_BOUGHT_TOP = 100
 # the ordering key is the exact integer count, so the top-k is
 # cross-engine deterministic; the float Adamic-Adar column is ROUNDed and
 # never used for ordering.
+def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cust, part, dp) distinct customer-part incidence restricted to
+    parts with 2..ALSO_BOUGHT_DEGREE_CUTOFF distinct buyers — the shared
+    bipartite projection under g15 (count/Adamic-Adar ranking) and g20
+    (Jaccard nodeSimilarity). localCheckpoint: BOTH sides of each query's
+    self-join read this lineage and Catalyst does not plan a ReusedExchange
+    across it (measured 16 parquet scans without, 5.0 s -> materializing
+    the small (cust, part, dp) projection once removes the duplicate
+    scan/distinct/agg work); session-memoized so the second similarity
+    query reuses it outright."""
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        cp = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+            )
+            .distinct()
+        )
+        deg = (
+            cp.groupBy("part")
+            .agg(F.count("*").alias("dp"))
+            .filter(
+                (F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF)
+            )
+        )
+        return cp.join(F.broadcast(deg), "part").localCheckpoint()
+
+    key = ("cust_part_projection", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
 def g15_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
-    deg = (
-        cp.groupBy("part")
-        .agg(F.count("*").alias("dp"))
-        .filter((F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF))
-    )
-    # part-degree table is |parts|-sized (dimension-like vs the pair fan-out).
-    # localCheckpoint: BOTH sides of the self-join read this lineage and
-    # Catalyst does not plan a ReusedExchange across it (measured 16 parquet
-    # scans without, 5.0 s -> materializing the small (cust, part, dp)
-    # projection once removes the duplicate scan/distinct/agg work)
-    cpd = cp.join(F.broadcast(deg), "part").localCheckpoint()
+    cpd = _cust_part_projection(spark, sf_dir)
     return (
         cpd.alias("a")
         .join(
@@ -722,19 +772,7 @@ def g15_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighborhood sizes are a tiny agg broadcast back; the ordering key is
 # the ROUNDED jaccard + ids, so the top-k is cross-engine deterministic.
 def g20_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
-    deg = (
-        cp.groupBy("part")
-        .agg(F.count("*").alias("dp"))
-        .filter((F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF))
-    )
-    cpd = cp.join(F.broadcast(deg.select("part")), "part").localCheckpoint()
+    cpd = _cust_part_projection(spark, sf_dir).select("cust", "part")
     csize = cpd.groupBy("cust").agg(F.count("*").alias("nparts"))
     pairs = (
         cpd.alias("a")
@@ -790,21 +828,7 @@ KCORE_ORACLE_ROUNDS = 10
 
 
 def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= KCORE_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MIN_QTY)
     return edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
@@ -941,21 +965,7 @@ LPA_ROUNDS = 2
 # enough to skip checkpointing; the to-fixpoint variant would localCheckpoint
 # every k rounds like g3/g4.
 def g24_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= TRI_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir, TRI_MIN_QTY)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()  # consumed once per round — stop re-running the

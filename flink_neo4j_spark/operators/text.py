@@ -16,7 +16,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
+import os
+
+from flink_neo4j_spark.catalog import (
+    load_table,
+    parallelize_for_compute,
+    session_memo,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -35,6 +41,26 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 TOKENS = "split(trim(regexp_replace(lower(text), ' +', ' ')), ' ')"
 DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')"
+
+
+def _exploded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) corpus token stream — the shared first stage of t5
+    (top terms), t6 (TF-IDF, which consumes it twice: tf and df) and t13
+    (vocab induction). Session-memoized + localCheckpoint so the
+    tokenize+explode map is paid once per session; per-query length filters
+    apply on top of the materialized stream (a cheap in-memory scan).
+    Plain ``explode`` (not _outer): t13 wants token-bearing docs only, and
+    t5/t6's length filters drop null terms anyway, so the variants agree
+    post-filter."""
+
+    def build() -> DataFrame:
+        d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+        return d.selectExpr(
+            "doc_id", f"explode({TOKENS}) AS term"
+        ).localCheckpoint()
+
+    key = ("exploded_tokens", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
 
 
 def _arr(words: tuple[str, ...]) -> str:
@@ -130,9 +156,8 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only formulation that survives a 100 TB corpus. Final top-k is
 # TakeOrderedAndProject, never a full sort.
 def t5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
     return (
-        d.selectExpr(f"explode_outer({TOKENS}) AS term")
+        _exploded_tokens(spark, sf_dir)
         .filter(F.length("term") >= 3)
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
@@ -154,8 +179,8 @@ MIN_TERM_LEN = 3
 def t6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
-    toks = d.selectExpr("doc_id", f"explode_outer({TOKENS}) AS term").filter(
+    d = load_table(spark, sf_dir, "documents")
+    toks = _exploded_tokens(spark, sf_dir).filter(
         F.length("term") >= MIN_TERM_LEN
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -479,8 +504,7 @@ VOCAB_MIN_DF = 5
 
 
 def t13_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
-    ex = d.selectExpr("doc_id", f"explode({TOKENS}) AS term")
+    ex = _exploded_tokens(spark, sf_dir)
     return (
         ex.groupBy("term")
         .agg(
@@ -653,7 +677,127 @@ def t17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T18 — BPE merge induction: the first K merge rounds of byte-pair
+# encoding over the letters-only corpus — the core primitive of tokenizer
+# training (Sennrich et al.; GPT/Llama vocabularies are built exactly
+# this way at corpus scale). Each round: (1) count adjacent symbol pairs
+# corpus-wide (explode + partial-agg — map-side combinable, one shuffle on
+# the pair key), (2) take the argmax pair with a deterministic (count
+# DESC, pair ASC) tie-break — a 1-row frame, NEVER a driver collect:
+# the winner is broadcast-crossJoined back so the merge application stays
+# fully distributed, (3) apply the merge with one corpus-wide replace()
+# (left-to-right non-overlapping in both engines, matching BPE's greedy
+# left scan). The corpus is re-materialized per round (localCheckpoint) so
+# round r+1's plan does not re-execute rounds 1..r; rounds are a fixed
+# unrolled schedule, so the DuckDB oracle states the identical computation
+# as K materialized CTE blocks (the g22 pattern).
+#
+# Scale shape per round: one corpus map (replace) + one explode/agg. K
+# rounds = K linear passes, no driver-side data, pair-key shuffle is
+# alphabet-bounded (symbols grow by 1/round). Word-boundary markers and
+# pair-index caching (the production refinements) change the symbol
+# alphabet, not the plan shape.
+BPE_MERGE_ROUNDS = 4
+
+
+def t18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    # letters-only normalization, then one space between adjacent symbols;
+    # docs with < 2 symbols carry no pairs and are dropped up front.
+    cur = (
+        d.selectExpr(
+            "doc_id", "regexp_replace(lower(text), '[^a-z]', '') AS raw"
+        )
+        .filter(F.length("raw") >= 2)
+        .selectExpr("doc_id", "trim(regexp_replace(raw, '(.)', '$1 ')) AS s")
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        # split-then-project (never inline the split in the lambda — t12's
+        # re-evaluation trap), pairs via O(1) element_at
+        syms = cur.selectExpr("split(s, ' ') AS a").selectExpr(
+            "a", "size(a) AS n"
+        )
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 1),"
+                    " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                )
+            ).alias("p")
+        )
+        win = (
+            pairs.groupBy("p")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p")
+            .limit(1)
+            .selectExpr(
+                f"CAST({rnd} AS BIGINT) AS merge_rank",
+                "p AS pair",
+                "replace(p, ' ', '') AS merged",
+                "cnt",
+            )
+            .localCheckpoint()  # tiny; consumed by output AND next round
+        )
+        merges.append(win)
+        if rnd < BPE_MERGE_ROUNDS:
+            cur = (
+                cur.crossJoin(F.broadcast(win.select("pair", "merged")))
+                .selectExpr("doc_id", "replace(s, pair, merged) AS s")
+                .localCheckpoint()
+            )
+    out = merges[0]
+    for w in merges[1:]:
+        out = out.unionByName(w)
+    return out.orderBy("merge_rank")
+
+
+def _t18_oracle() -> str:
+    """Unrolled K-round BPE oracle — every CTE MATERIALIZED (the g22
+    rule: DuckDB's default inlining re-expands each round's references to
+    the previous round exponentially)."""
+    ctes = [
+        """d0 AS MATERIALIZED (
+          SELECT doc_id,
+                 trim(regexp_replace(raw, '(.)', '\\1 ', 'g')) AS s
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z]', '', 'g') AS raw
+                FROM documents)
+          WHERE length(raw) >= 2)"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT p, COUNT(*) AS cnt FROM (
+                SELECT unnest([a[i] || ' ' || a[i + 1]
+                               for i in generate_series(1, len(a) - 1)]) AS p
+                FROM (SELECT string_split(s, ' ') AS a FROM {prev}))
+              GROUP BY p)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+              SELECT CAST({r} AS BIGINT) AS merge_rank, p AS pair,
+                     replace(p, ' ', '') AS merged, cnt
+              FROM p{r} ORDER BY cnt DESC, p LIMIT 1)"""
+        )
+        if r < BPE_MERGE_ROUNDS:
+            ctes.append(
+                f"""d{r} AS MATERIALIZED (
+                  SELECT doc_id,
+                         replace(s, (SELECT pair FROM w{r}),
+                                 (SELECT merged FROM w{r})) AS s
+                  FROM {prev})"""
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f" {unions} ORDER BY merge_rank"
+
+
 QUERIES: dict[str, QueryFn] = {
+    "t18_bpe_merges": t18_bpe_merges,
     "t17_char_entropy": t17_char_entropy,
     "t1_token_count": t1_token_count,
     "t16_type_token_ratio": t16_type_token_ratio,
@@ -717,6 +861,7 @@ def _t15_bucket_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "t18_bpe_merges": _t18_oracle(),
     "t17_char_entropy": """
         WITH ch AS (
           SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),

