@@ -457,7 +457,9 @@ def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = norms.agg(
         F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
     )
-    z = F.round((F.col("nrm") - F.col("mu")) / F.col("sigma"), 2)
+    # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB ROUND keeps the sign,
+    # Spark drops it; a signed zero flips the driver's value hash).
+    z = F.round((F.col("nrm") - F.col("mu")) / F.col("sigma"), 2) + F.lit(0.0)
     return (
         norms.crossJoin(F.broadcast(stats))
         .select(
@@ -740,7 +742,7 @@ ORACLE: dict[str, str] = {
         stats AS (
           SELECT AVG(nrm) AS mu, stddev_pop(nrm) AS sigma FROM norms)
         SELECT n.vec_id, ROUND(n.nrm, 4) AS l2_norm,
-               ROUND((n.nrm - s.mu) / s.sigma, 2) AS z,
+               ROUND((n.nrm - s.mu) / s.sigma, 2) + 0.0 AS z,
                ABS(ROUND((n.nrm - s.mu) / s.sigma, 2)) > {NORM_Z_THRESHOLD}
                  AS is_outlier
         FROM norms n CROSS JOIN stats s

@@ -367,7 +367,12 @@ def a9_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"),
         F.stddev_pop("value").alias("sigma"),
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2)
+    # + 0.0 collapses IEEE -0.0 (a tiny-negative diff rounded to 2dp) to
+    # +0.0 — DuckDB's ROUND keeps the sign, Spark's drops it, and a signed
+    # zero is invisible numerically but flips the driver's value hash.
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2) + F.lit(
+        0.0
+    )
     return (
         e.join(F.broadcast(stats), "user_id")
         .filter(F.col("sigma") > 0)
@@ -797,7 +802,7 @@ ORACLE: dict[str, str] = {
           SELECT user_id, AVG(value) AS mu, stddev_pop(value) AS sigma
           FROM events GROUP BY user_id)
         SELECT e.event_id, e.user_id,
-               ROUND((e.value - s.mu) / s.sigma, 2) AS z,
+               ROUND((e.value - s.mu) / s.sigma, 2) + 0.0 AS z,
                ABS(ROUND((e.value - s.mu) / s.sigma, 2)) > {Z_THRESHOLD}
                  AS is_anomaly
         FROM events e JOIN stats s ON e.user_id = s.user_id
