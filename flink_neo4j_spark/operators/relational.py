@@ -1038,7 +1038,223 @@ def q48_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+# Q49 — TPC-H Q2 shape: groupwise-ARGMIN join-back. For every part shipped
+# out of one region, find the supplier offering the lowest observed unit
+# price (min over that part's lineitems, region-restricted), with the
+# supplier id as deterministic tie-break. One struct-min partial aggregate
+# computes BOTH the argmin and the tie-break in a single shuffle on
+# l_partkey — no join-back against a separately-computed per-part MIN (the
+# naive Q2 plan, which pays the fact shuffle twice). Dimensions broadcast.
+# Numeric discipline: the argmin compares the RAW IEEE quotient (division
+# is bit-identical across engines) and the display value truncates via
+# floor (exact) — ROUND before the min is a trap, because Spark
+# (BigDecimal HALF_UP on the exact binary value) and DuckDB disagree on
+# ...x49999 boundary doubles.
+def q49_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eligible = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.select("r_regionkey")),
+                    n.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    best = (
+        l.join(F.broadcast(eligible), l.l_suppkey == eligible.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_price", "s_suppkey")).alias("m"))
+        .select(
+            "l_partkey",
+            (F.floor(F.col("m.unit_price") * 10000) / 10000).alias(
+                "best_price"
+            ),
+            F.col("m.s_suppkey").alias("s_suppkey"),
+        )
+    )
+    return (
+        best.join(F.broadcast(eligible), "s_suppkey")
+        .select("l_partkey", "best_price", "s_suppkey", "s_name", "n_name")
+        .orderBy("l_partkey")
+    )
+
+
+# Q50 — TPC-H Q8 shape: market share of one nation's suppliers within the
+# yearly revenue of a part segment. Numerator and denominator come from the
+# SAME conditional aggregation pass (SUM(CASE) / SUM), so the fact table is
+# scanned and shuffled once; a separate filtered re-aggregation would double
+# the fact cost for an answer the conditional form gets for free. Revenue
+# accumulates integer cents so the share survives any partition layout.
+def q50_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+            F.when(F.col("n_name") == "GERMANY", cents)
+            .otherwise(F.lit(0))
+            .alias("nation_cents"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(F.sum("nation_cents") / 100.0, 2).alias("nation_rev"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_rev"),
+            F.round(
+                F.sum("nation_cents") / F.sum("cents").cast("double"), 4
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+#: q51 qualifying share: a supplier qualifies when it shipped more than
+#: this fraction of a red part's corpus-wide shipped quantity.
+SURPLUS_SHARE = 0.15
+
+
+# Q51 — TPC-H Q20 shape: the nested semi-join chain. Suppliers who shipped
+# MORE than a set share of a red part's corpus-wide shipped quantity; the
+# supplier list is then semi-joined (EXISTS) against those qualifying
+# (part, supplier) facts. The per-(part,supp) and per-part totals come from
+# one partial-agg cascade over the SAME shuffle key prefix (l_partkey), so
+# the window-free formulation re-uses the first aggregation instead of
+# re-scanning the fact; the final semi-join is dimension-sized.
+def q51_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_ps = (
+        l.join(F.broadcast(red.select("p_partkey")), l.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("ps_qty"))
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("ps_qty").alias("part_qty")
+    )
+    qualifying = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("ps_qty") > SURPLUS_SHARE * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# Q52 — TPC-H Q10 shape: top customers by lost (returned-item) revenue.
+# Fact filtered at the scan (returnflag pushdown), one shuffle on custkey
+# for the per-customer rollup, customer + nation broadcast onto the
+# aggregated (already small) side, and the top-k is TakeOrderedAndProject —
+# the full ranking never materializes. Joining dimensions AFTER the rollup
+# keeps the fact-sized stream two columns wide.
+def q52_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        l.select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("cents") / 100.0, 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# Q53 — table-stats profiler (ANALYZE TABLE shape): per-column row count,
+# null count, distinct count, min and max over orders, emitted as one tall
+# (column, metric...) table. All metrics for ALL columns come from a single
+# scan: Spark plans the multi-count_distinct as one Expand (each row fans
+# out once per distinct-aggregated column) — one pass, one shuffle. At
+# 100 TB the exact NDV expand is the costly term; the production profile
+# swaps count_distinct for approx_count_distinct (HLL, partial-agg, no
+# expand) and keeps everything else identical — the oracle checks the exact
+# form.
+def q53_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, ndv, min_val, max_val)",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val"
+    ).orderBy("column_name")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q49_cheapest_supplier": q49_cheapest_supplier,
+    "q50_market_share": q50_market_share,
+    "q51_surplus_suppliers": q51_surplus_suppliers,
+    "q52_returned_top_customers": q52_returned_top_customers,
+    "q53_table_stats": q53_table_stats,
     "q48_bloom_semi_join": q48_bloom_semi_join,
     "q47_snapshot_diff": q47_snapshot_diff,
     "q46_dq_audit": q46_dq_audit,
@@ -1084,6 +1300,113 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q49_cheapest_supplier": """
+        WITH eligible AS (
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        priced AS (
+          SELECT l_partkey, l_suppkey,
+                 l_extendedprice / l_quantity AS unit_price
+          FROM lineitem
+          JOIN eligible ON l_suppkey = s_suppkey),
+        best AS (
+          SELECT l_partkey,
+                 FLOOR(MIN(unit_price) * 10000) / 10000 AS best_price,
+                 MIN(l_suppkey) FILTER (WHERE unit_price = m) AS s_suppkey
+          FROM (SELECT *, MIN(unit_price) OVER (PARTITION BY l_partkey) AS m
+                FROM priced)
+          GROUP BY l_partkey)
+        SELECT b.l_partkey, b.best_price, b.s_suppkey, e.s_name, e.n_name
+        FROM best b JOIN eligible e ON b.s_suppkey = e.s_suppkey
+        ORDER BY b.l_partkey""",
+    "q50_market_share": """
+        WITH f AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                 CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS cents,
+                 CASE WHEN n_name = 'GERMANY' THEN
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) ELSE 0 END AS nation_cents
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE p_type = 'PROMO')
+        SELECT o_year,
+               ROUND(SUM(nation_cents) / 100.0, 2) AS nation_rev,
+               ROUND(SUM(cents) / 100.0, 2) AS total_rev,
+               ROUND(SUM(nation_cents) / CAST(SUM(cents) AS DOUBLE), 4)
+                 AS mkt_share
+        FROM f GROUP BY o_year ORDER BY o_year""",
+    "q51_surplus_suppliers": f"""
+        WITH per_ps AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+          GROUP BY l_partkey, l_suppkey),
+        per_part AS (
+          SELECT l_partkey, SUM(ps_qty) AS part_qty
+          FROM per_ps GROUP BY l_partkey)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT a.l_suppkey FROM per_ps a
+          JOIN per_part b ON a.l_partkey = b.l_partkey
+          WHERE a.ps_qty > {SURPLUS_SHARE} * b.part_qty)
+        ORDER BY s_suppkey""",
+    "q52_returned_top_customers": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                       * 100) AS BIGINT)) / 100.0, 2) AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_name, revenue
+        FROM per_cust
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""",
+    "q53_table_stats": """
+        WITH t AS (SELECT COUNT(*) AS n_rows FROM orders)
+        SELECT * FROM (
+          SELECT 'o_orderkey' AS column_name, t.n_rows,
+                 SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_nulls,
+                 COUNT(DISTINCT o_orderkey)::BIGINT AS ndv,
+                 MIN(CAST(o_orderkey AS VARCHAR)) AS min_val,
+                 MAX(CAST(o_orderkey AS VARCHAR)) AS max_val
+          FROM orders, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'o_custkey', t.n_rows,
+                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                 COUNT(DISTINCT o_custkey)::BIGINT,
+                 MIN(CAST(o_custkey AS VARCHAR)),
+                 MAX(CAST(o_custkey AS VARCHAR))
+          FROM orders, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'o_orderstatus', t.n_rows,
+                 SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+                     END)::BIGINT,
+                 COUNT(DISTINCT o_orderstatus)::BIGINT,
+                 MIN(CAST(o_orderstatus AS VARCHAR)),
+                 MAX(CAST(o_orderstatus AS VARCHAR))
+          FROM orders, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'o_orderpriority', t.n_rows,
+                 SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                     END)::BIGINT,
+                 COUNT(DISTINCT o_orderpriority)::BIGINT,
+                 MIN(CAST(o_orderpriority AS VARCHAR)),
+                 MAX(CAST(o_orderpriority AS VARCHAR))
+          FROM orders, t GROUP BY t.n_rows)
+        ORDER BY column_name""",
     "q48_bloom_semi_join": """
         SELECT l_returnflag, COUNT(*) AS cnt,
                ROUND(SUM(l_extendedprice), 2) AS revenue

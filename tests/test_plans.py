@@ -531,3 +531,73 @@ def test_shared_projections_survive_clear_cache(spark):
     sh2 = _shingled(spark, SF_DIR)
     assert sh2 is sh
     assert sh2.count() == n1
+
+
+def test_q49_argmin_single_fact_shuffle(spark):
+    """Q2-shape argmin: the struct-min computes argmin + tie-break in ONE
+    aggregation over ONE fact shuffle (no join-back against a separate
+    per-part MIN), and every dimension side broadcasts."""
+    from flink_neo4j_spark.operators.relational import q49_cheapest_supplier
+
+    df = q49_cheapest_supplier(spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q50_single_conditional_pass(spark):
+    """Q8-shape market share: numerator and denominator come from one
+    conditional aggregation — exactly one scan of lineitem in the plan."""
+    from flink_neo4j_spark.operators.relational import q50_market_share
+
+    plan = formatted_plan_of(q50_market_share(spark, SF_DIR))
+    # one fact scan only (Location lines name the file per Scan node)
+    assert sum(
+        1
+        for line in plan.splitlines()
+        if "lineitem.parquet" in line and "Location" in line
+    ) == 1
+
+
+def test_q51_semi_join_chain(spark):
+    """Q20 shape: the supplier filter is a LeftSemi join (EXISTS), not an
+    inner join that could duplicate suppliers."""
+    from flink_neo4j_spark.operators.relational import q51_surplus_suppliers
+
+    df = q51_surplus_suppliers(spark, SF_DIR)
+    assert "LeftSemi" in formatted_plan_of(df)
+    rows = df.collect()
+    assert len({r["s_suppkey"] for r in rows}) == len(rows)  # no dup suppliers
+
+
+def test_q52_topk_after_rollup(spark):
+    """Q10 shape: returnflag filter pushed to the scan; dimensions join the
+    aggregated side (broadcast); top-20 is TakeOrderedAndProject."""
+    from flink_neo4j_spark.operators.relational import (
+        q52_returned_top_customers,
+    )
+
+    df = q52_returned_top_customers(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed
+    assert has_take_ordered(df)
+    assert has_broadcast_join(df)
+
+
+def test_q53_single_scan_profile(spark):
+    """ANALYZE-shape profiler: all per-column metrics from ONE scan of the
+    table (Spark's Expand handles the multi-count_distinct), reading only
+    the profiled columns."""
+    from flink_neo4j_spark.operators.relational import q53_table_stats
+
+    df = q53_table_stats(spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    assert sum(
+        1
+        for line in plan.splitlines()
+        if "orders.parquet" in line and "Location" in line
+    ) == 1
+    assert "Expand" in plan
+    cols = read_schema_columns(df)
+    assert "o_totalprice" not in cols  # unprofiled columns pruned
