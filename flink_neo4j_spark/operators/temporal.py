@@ -678,7 +678,121 @@ def a15_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a16: sliding two-sample window width (days each side) and the minimum
+#: absolute before/after level shift (in value units) that flags a change.
+CHANGE_W = 7
+CHANGE_MIN_SHIFT = 50.0
+
+
+# A16 — level-shift change-point detection over per-user daily series:
+# for each day with a FULL window on both sides, compare the mean of the
+# preceding W days against the mean of the current+following W-1 days and
+# flag |shift| above a threshold (the sliding two-sample test — the
+# window-expressible form of CUSUM; the recursive CUSUM statistic itself
+# is not expressible without per-row recursion). One shuffle on user_id:
+# the daily rollup and both window frames share the same partitioning.
+# All accumulation is integer cents, so means are layout-independent;
+# + 0.0 collapses signed zero on the rounded (possibly negative) shift.
+def a16_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day").agg(F.sum("cents").alias("day_cents"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    pre = w.rowsBetween(-CHANGE_W, -1)
+    post = w.rowsBetween(0, CHANGE_W - 1)
+    scored = daily.select(
+        "user_id",
+        "day",
+        F.count("*").over(pre).alias("n_pre"),
+        F.count("*").over(post).alias("n_post"),
+        (F.sum("day_cents").over(pre) / F.count("*").over(pre) / 100.0).alias(
+            "pre_avg"
+        ),
+        (
+            F.sum("day_cents").over(post) / F.count("*").over(post) / 100.0
+        ).alias("post_avg"),
+    )
+    shift = F.col("post_avg") - F.col("pre_avg")
+    return (
+        scored.filter(
+            (F.col("n_pre") == CHANGE_W)
+            & (F.col("n_post") == CHANGE_W)
+            & (F.abs(shift) > CHANGE_MIN_SHIFT)
+        )
+        .select(
+            "user_id",
+            "day",
+            (F.round(F.col("pre_avg"), 2) + F.lit(0.0)).alias("pre_avg"),
+            (F.round(F.col("post_avg"), 2) + F.lit(0.0)).alias("post_avg"),
+            (F.round(shift, 2) + F.lit(0.0)).alias("shift"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# A17 — per-user correlation between two daily series (click activity vs
+# purchase value): the feature-engineering "does engagement track spend"
+# screen. The built-in corr() accumulates FLOAT co-moments in partition
+# row order — not layout-independent — so the correlation is assembled
+# from INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy², all
+# int64-exact over cents) and the closed form evaluates once per user on
+# identical integers in any layout/engine. One shuffle on (user, day) for
+# the aligned pivot, one on user for the moments.
+def a17_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("cents")
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((varx > 0) & (vary > 0) & (F.col("n") >= 5))
+        .select(
+            "user_id",
+            "n",
+            (
+                F.round(
+                    cov.cast("double")
+                    / F.sqrt(varx.cast("double"))
+                    / F.sqrt(vary.cast("double")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("click_purchase_corr"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a16_changepoints": a16_changepoints,
+    "a17_series_corr": a17_series_corr,
     "a15_twap": a15_twap,
     "a14_ewma": a14_ewma,
     "a13_attribution": a13_attribution,
@@ -697,6 +811,56 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a16_changepoints": f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT user_id, day,
+                 COUNT(*) OVER pre AS n_pre,
+                 COUNT(*) OVER post AS n_post,
+                 SUM(day_cents) OVER pre / CAST(COUNT(*) OVER pre AS DOUBLE)
+                   / 100.0 AS pre_avg,
+                 SUM(day_cents) OVER post / CAST(COUNT(*) OVER post AS DOUBLE)
+                   / 100.0 AS post_avg
+          FROM daily
+          WINDOW pre AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN {CHANGE_W} PRECEDING AND 1 PRECEDING),
+                 post AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN CURRENT ROW
+                          AND {CHANGE_W - 1} FOLLOWING))
+        SELECT user_id, day,
+               ROUND(pre_avg, 2) + 0.0 AS pre_avg,
+               ROUND(post_avg, 2) + 0.0 AS post_avg,
+               ROUND(post_avg - pre_avg, 2) + 0.0 AS shift
+        FROM scored
+        WHERE n_pre = {CHANGE_W} AND n_post = {CHANGE_W}
+          AND ABS(post_avg - pre_avg) > {CHANGE_MIN_SHIFT}
+        ORDER BY user_id, day""",
+    "a17_series_corr": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(ROUND(value * 100) AS BIGINT)
+                     ELSE 0 END) AS x,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ROUND(value * 100) AS BIGINT)
+                     ELSE 0 END) AS y
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT user_id, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM daily GROUP BY user_id)
+        SELECT user_id, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0.0
+                 AS click_purchase_corr
+        FROM m
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 AND n >= 5
+        ORDER BY user_id""",
     "a15_twap": """
         WITH e AS (
           SELECT user_id, CAST(ts AS DATE) AS day,

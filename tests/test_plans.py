@@ -601,3 +601,41 @@ def test_q53_single_scan_profile(spark):
     assert "Expand" in plan
     cols = read_schema_columns(df)
     assert "o_totalprice" not in cols  # unprofiled columns pruned
+
+
+def test_a16_single_user_partitioning(spark):
+    """Change-point windows: the daily rollup and both window frames share
+    ONE user_id-prefixed partitioning — exactly one fact scan and no
+    shuffle between the rollup and the windows."""
+    from flink_neo4j_spark.operators.temporal import a16_changepoints
+
+    plan = formatted_plan_of(a16_changepoints(spark, SF_DIR))
+    assert sum(
+        1
+        for line in plan.splitlines()
+        if "events.parquet" in line and "Location" in line
+    ) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_a17_integer_sufficient_statistics(spark):
+    """Correlation from integer sufficient statistics must be identical
+    across partition layouts (the reason corr() is NOT used): evaluate at
+    two shuffle-partition settings and compare bit-exactly."""
+    from flink_neo4j_spark.operators.temporal import a17_series_corr
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {
+            (r["user_id"]): r["click_purchase_corr"]
+            for r in a17_series_corr(spark, SF_DIR).collect()
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {
+            (r["user_id"]): r["click_purchase_corr"]
+            for r in a17_series_corr(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
