@@ -1043,7 +1043,201 @@ def g27_cypher_pattern_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("node_id")
 
 
+#: g28 random-walk schedule: steps per walk and the LCG-style mixing
+#: constants (Knuth multiplicative + an odd increment). The "random" choice
+#: is a pure function of (walk_id, step) so walks are retry-stable,
+#: resumable, and reproducible in ANY engine — the node2vec corpus
+#: requirement that a seeded RNG per task cannot give (task retries and
+#: splits change the stream).
+WALK_STEPS = 3
+WALK_MULT = 2654435761
+WALK_INC = 40503
+
+#: g29: number of sampled BFS sources (smallest node ids — deterministic),
+#: hop budget, and the LCM of 1..HOPS so per-distance harmonic credits
+#: accumulate as exact integers.
+HARMONIC_SOURCES = 8
+HARMONIC_HOPS = 4
+HARMONIC_LCM = 12
+
+
+def _walk_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked undirected adjacency over the sparse co-purchase projection:
+    (u, v, rk, deg) with rk = v's rank among u's sorted neighbors. The rank
+    turns 'pick neighbor #i' into an equi-join — the distributed form of
+    indexed neighbor access. Session-memoized with the edge list."""
+
+    def build() -> DataFrame:
+        e = _copurchase_edges(spark, sf_dir, KCORE_MIN_QTY)
+        und = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        w = Window.partitionBy("u").orderBy("v")
+        return und.select(
+            "u",
+            "v",
+            (F.row_number().over(w) - 1).alias("rk"),
+            F.count("*").over(Window.partitionBy("u")).alias("deg"),
+        ).localCheckpoint()
+
+    key = ("walk_adjacency", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
+# G28 — deterministic random-walk generation (the node2vec/DeepWalk corpus
+# step). One walk starts at every node; step t moves to neighbor index
+# (walk_id·MULT + t·INC) mod degree via an equi-join against the ranked
+# adjacency — each step is ONE shuffle-join of the (walks × 1) frontier,
+# so a K-step corpus costs K joins regardless of graph size, and the hash
+# choice makes the corpus bit-reproducible across retries, engines, and
+# partition layouts (a per-task seeded RNG is none of those).
+def g28_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = _walk_adjacency(spark, sf_dir)
+    cur = (
+        adj.select("u")
+        .distinct()
+        .select(
+            F.col("u").cast("long").alias("walk_id"),
+            F.col("u").cast("long").alias("node"),
+            F.lit(0).alias("step"),
+        )
+    )
+    out = cur
+    for t in range(1, WALK_STEPS + 1):
+        idx = (F.col("walk_id") * WALK_MULT + t * WALK_INC) % F.col("deg")
+        cur = (
+            cur.join(adj, cur.node == adj.u)
+            .filter(F.col("rk") == idx)
+            .select(
+                "walk_id",
+                F.col("v").cast("long").alias("node"),
+                F.lit(t).alias("step"),
+            )
+        )
+        out = out.unionByName(cur)
+    return out.orderBy("walk_id", "step")
+
+
+# G29 — harmonic centrality from a deterministic source sample (the
+# scalable stand-in for exact closeness: S sources × bounded-hop BFS
+# instead of all-pairs). The multi-source BFS keys state on (source, vid)
+# so all S frontiers advance in the SAME join per round — S is a
+# multiplier on state size, not on rounds. Harmonic credits 1/d
+# accumulate as exact integers scaled by LCM(1..HOPS), so the sum is
+# layout-independent and the single division at the end is deterministic.
+def g29_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = _walk_adjacency(spark, sf_dir)
+    und = adj.select("u", "v")
+    sources = (
+        und.select("u").distinct().orderBy("u").limit(HARMONIC_SOURCES)
+    )
+    dist = sources.select(
+        F.col("u").alias("s"), F.col("u").alias("vid"), F.lit(0).alias("d")
+    )
+    for i in range(HARMONIC_HOPS):
+        reached = dist.join(und, dist.vid == und.u).select(
+            "s", F.col("v").alias("vid"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("s", "vid")
+            .agg(F.min("d").alias("d"))
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 or i == HARMONIC_HOPS - 1:
+            dist = dist.localCheckpoint()
+    return (
+        dist.filter(F.col("d") > 0)
+        .groupBy("vid")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum(F.expr(f"{HARMONIC_LCM} div d")).alias("hsum"),
+        )
+        .select(
+            "vid",
+            "n_reached",
+            F.round(F.col("hsum") / float(HARMONIC_LCM), 4).alias("harmonic"),
+        )
+        .orderBy("vid")
+    )
+
+
+def _duck_walk_sql() -> str:
+    """g28 oracle: identical ranked adjacency + the same K unrolled
+    hash-indexed steps."""
+    steps = []
+    prev = "w0"
+    for t in range(1, WALK_STEPS + 1):
+        steps.append(
+            f"""w{t} AS MATERIALIZED (
+          SELECT w.walk_id, CAST(a.v AS BIGINT) AS node, {t} AS step
+          FROM {prev} w JOIN adj a ON w.node = a.u
+          WHERE a.rk = (w.walk_id * {WALK_MULT} + {t} * {WALK_INC}) % a.deg)"""
+        )
+        prev = f"w{t}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{t}" for t in range(WALK_STEPS + 1)
+    )
+    return f"""
+        WITH q AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {KCORE_MIN_QTY}),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        adj AS MATERIALIZED (
+          SELECT u, v,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY u) AS deg
+          FROM und),
+        w0 AS (SELECT DISTINCT CAST(u AS BIGINT) AS walk_id,
+                      CAST(u AS BIGINT) AS node, 0 AS step FROM adj),
+        {", ".join(steps)}
+        SELECT walk_id, node, step FROM ({union})
+        ORDER BY walk_id, step"""
+
+
+def _duck_harmonic_sql() -> str:
+    """g29 oracle: the same {HARMONIC_HOPS} unrolled min-distance rounds
+    and integer harmonic credits."""
+    rounds = []
+    prev = "d0"
+    for i in range(1, HARMONIC_HOPS + 1):
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+          SELECT s, vid, MIN(d) AS d FROM (
+            SELECT s, vid, d FROM {prev}
+            UNION ALL
+            SELECT p.s, u.v AS vid, p.d + 1 AS d
+            FROM {prev} p JOIN und u ON p.vid = u.u)
+          GROUP BY s, vid)"""
+        )
+        prev = f"d{i}"
+    return f"""
+        WITH q AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {KCORE_MIN_QTY}),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        und AS MATERIALIZED (
+          SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        src AS (SELECT DISTINCT u FROM und ORDER BY u
+                LIMIT {HARMONIC_SOURCES}),
+        d0 AS (SELECT u AS s, u AS vid, 0 AS d FROM src),
+        {", ".join(rounds)}
+        SELECT vid, COUNT(*) AS n_reached,
+               ROUND(SUM({HARMONIC_LCM} // d) / {HARMONIC_LCM}.0, 4)
+                 AS harmonic
+        FROM {prev} WHERE d > 0
+        GROUP BY vid ORDER BY vid"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "g28_random_walks": g28_random_walks,
+    "g29_harmonic_centrality": g29_harmonic_centrality,
     "g27_cypher_pattern_predicate": g27_cypher_pattern_predicate,
     "g26_cypher_predicates": g26_cypher_predicates,
     "g25_cypher_union": g25_cypher_union,
@@ -1074,6 +1268,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g28_random_walks": _duck_walk_sql(),
+    "g29_harmonic_centrality": _duck_harmonic_sql(),
     "g27_cypher_pattern_predicate": f"""
         SELECT n_nationkey + {NATION_BASE} AS node_id FROM nation
         UNION ALL

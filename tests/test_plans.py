@@ -689,3 +689,51 @@ def test_t19_no_explode_for_stats(spark):
     plan = formatted_plan_of(t19_sentences(spark, SF_DIR))
     assert "Generate" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_g28_walks_equi_join_per_step(spark):
+    """Each walk step must be an equi-join against the ranked adjacency —
+    no cartesian/nested-loop anywhere, and walks must be deterministic
+    across partition layouts (the hash-indexed-choice contract)."""
+    from flink_neo4j_spark.operators.graph_algos import g28_random_walks
+
+    plan = formatted_plan_of(g28_random_walks(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, g28_random_walks(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "11")
+        b = sorted(map(tuple, g28_random_walks(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
+
+
+def test_g29_walk_continuity(spark):
+    """Every step-t node must be a graph neighbor of the walk's step-t-1
+    node (semantic check of the ranked-adjacency join), and harmonic
+    credits must be bounded by the theoretical max S*LCM."""
+    from flink_neo4j_spark.operators.graph_algos import (
+        HARMONIC_LCM,
+        HARMONIC_SOURCES,
+        _walk_adjacency,
+        g28_random_walks,
+        g29_harmonic_centrality,
+    )
+
+    adj = {
+        (r["u"], r["v"])
+        for r in _walk_adjacency(spark, SF_DIR).select("u", "v").collect()
+    }
+    rows = g28_random_walks(spark, SF_DIR).collect()
+    pos = {(r["walk_id"], r["step"]): r["node"] for r in rows}
+    for (wid, step), node in pos.items():
+        if step == 0:
+            continue
+        assert (pos[(wid, step - 1)], node) in adj
+    h = g29_harmonic_centrality(spark, SF_DIR).collect()
+    assert len(h) > 0
+    assert all(
+        r["harmonic"] <= HARMONIC_SOURCES * HARMONIC_LCM for r in h
+    )
