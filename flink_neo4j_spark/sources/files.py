@@ -191,3 +191,73 @@ def write_partitioned(
         .format(fmt)
         .save(path)
     )
+
+
+#: z-order resolution: bits per dimension (2 dims -> 2*ZORDER_BITS-bit key).
+ZORDER_BITS = 8
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, str],
+    n_files: int,
+) -> None:
+    """Z-order-clustered parquet layout over TWO numeric columns — the
+    multi-dimensional data-clustering primitive (Delta/Iceberg ``OPTIMIZE
+    ZORDER BY``): readers filtering on EITHER column skip most files via
+    parquet min/max footer statistics, where a single-column sort only
+    helps its own column.
+
+    Mechanism, all scale-safe:
+
+    - each dimension is rank-bucketized into 2^ZORDER_BITS quantile
+      buckets using ``approxQuantile`` split points (a bounded driver
+      array) — rank buckets, not value ranges, so skewed distributions
+      still spread across the key space;
+    - the bucket lookup is a codegen'd fold over the broadcast split
+      array (no join, no UDF);
+    - bucket bits interleave into the z-value with shift arithmetic;
+    - ``repartitionByRange(n_files, z)`` + ``sortWithinPartitions(z)``
+      gives each file a tight z-range, hence tight min/max on BOTH
+      source columns.
+
+    The one full shuffle (the range partitioning) is the price of any
+    re-clustering; there is deliberately NO global-window ntile here —
+    that formulation funnels every row through one partition.
+    """
+    zu, zv = zorder_cols
+    splits = {
+        c: df.approxQuantile(
+            c,
+            [i / (1 << ZORDER_BITS) for i in range(1, 1 << ZORDER_BITS)],
+            0.001,
+        )
+        for c in zorder_cols
+    }
+
+    def bucket(col: str) -> str:
+        arr = "array(" + ", ".join(repr(float(b)) + "D" for b in splits[col]) + ")"
+        return (
+            f"aggregate({arr}, 0, (acc, b) -> acc + "
+            f"(CASE WHEN CAST({col} AS DOUBLE) >= b THEN 1 ELSE 0 END))"
+        )
+
+    interleave = " + ".join(
+        f"(shiftleft(shiftright(bu, {k}) % 2, {2 * k + 1}) + "
+        f"shiftleft(shiftright(bv, {k}) % 2, {2 * k}))"
+        for k in range(ZORDER_BITS)
+    )
+    z = (
+        df.withColumn("bu", F.expr(bucket(zu)))
+        .withColumn("bv", F.expr(bucket(zv)))
+        .withColumn("z", F.expr(interleave))
+        .drop("bu", "bv")
+    )
+    (
+        z.repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

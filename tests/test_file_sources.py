@@ -144,3 +144,63 @@ def test_write_partitioned_layout_and_pruning(spark, tmp_path):
     assert one.count() == expected
     # round-trip equality on the full set (partition col is restored)
     assert back.count() == src.count()
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order clustering must give file-skipping on BOTH dimensions:
+    for a narrow predicate on either column, the fraction of files whose
+    parquet [min,max] footer range intersects must be well below 1.0 —
+    whereas a single-column sort only skips on its own column."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.sources.files import write_zordered
+
+    from .conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    zpath = str(tmp_path / "z")
+    write_zordered(e, zpath, ("user_id", "value"), n_files=16)
+
+    def overlap_fraction(path, col, lo, hi):
+        files = sorted(_glob.glob(path + "/*.parquet"))
+        assert len(files) >= 8
+        hit = 0
+        for f in files:
+            md = _pq.read_metadata(f)
+            mns, mxs = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema == col:
+                        mns.append(c.statistics.min)
+                        mxs.append(c.statistics.max)
+            if max(mxs) >= lo and min(mns) <= hi:
+                hit += 1
+        return hit / len(files)
+
+    stats = e.agg(
+        F.expr("percentile(user_id, 0.5)").alias("mu"),
+        F.expr("percentile(value, 0.5)").alias("mv"),
+        F.expr("percentile(user_id, 0.55)").alias("mu2"),
+        F.expr("percentile(value, 0.55)").alias("mv2"),
+    ).first()
+    fu = overlap_fraction(zpath, "user_id", stats["mu"], stats["mu2"])
+    fv = overlap_fraction(zpath, "value", stats["mv"], stats["mv2"])
+    # both dimensions skip: a narrow band touches a minority of files
+    assert fu <= 0.75 and fv <= 0.75, (fu, fv)
+
+    # contrast: user_id-sorted layout skips on user_id but NOT on value
+    spath = str(tmp_path / "s")
+    (
+        e.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    fv_sorted = overlap_fraction(spath, "value", stats["mv"], stats["mv2"])
+    assert fv_sorted >= 0.9  # value band hits ~every file in sorted layout
+    assert fv < fv_sorted
