@@ -148,7 +148,20 @@ def w12_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_wm_dedup_available_now(spark, sf_dir)
 
 
+def w13_stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming COUNT(DISTINCT user) per day via two chained
+    stateful aggregations (collapse-to-key then count) — must equal the
+    batch COUNT(DISTINCT) for every day fully passed by the final
+    watermark."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_daily_distinct_available_now,
+    )
+
+    return run_daily_distinct_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
+    "w13_stream_daily_distinct": w13_stream_daily_distinct,
     "w12_stream_wm_dedup": w12_stream_wm_dedup,
     "w11_stream_cdc_upsert": w11_stream_cdc_upsert,
     "w10_stream_chained_agg": w10_stream_chained_agg,
@@ -164,6 +177,16 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w13_stream_daily_distinct": """
+        WITH mx AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+               COUNT(DISTINCT e.user_id) AS distinct_users,
+               COUNT(*) AS n_events
+        FROM events e, mx
+        WHERE date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 DAY
+              <= mx.m - INTERVAL 1 HOUR
+        GROUP BY 1 ORDER BY 1""",
     "w12_stream_wm_dedup": """
         SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users
         FROM events GROUP BY event_type ORDER BY event_type""",

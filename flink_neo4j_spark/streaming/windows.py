@@ -716,3 +716,49 @@ def run_wm_dedup_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("uniq_users"))
         .orderBy("event_type")
     )
+
+
+#: w13: lateness horizon for the distinct-actives rollup.
+DISTINCT_DELAY = "1 hour"
+
+
+def daily_distinct_users(events: DataFrame) -> DataFrame:
+    """EXACT streaming COUNT(DISTINCT) per day — two chained stateful
+    aggregations (the w10 multiple-stateful-operator topology): level 1
+    collapses to one row per (day-window, user); level 2 counts those rows
+    per day. approx_count_distinct would be one operator, but the two-level
+    exact form costs only |day × active-users| watermark-bounded state and
+    returns the true number — the streaming twin of a11's batch rolling
+    distinct. All aggregates are integer counts: no float caveats.
+    """
+    lvl1 = (
+        events.withWatermark("ts", DISTINCT_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("dw"), "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        lvl1.groupBy(F.window(F.window_time("dw"), "1 day").alias("dw2"))
+        .agg(
+            F.count("*").alias("distinct_users"),
+            F.sum("c").alias("n_events"),
+        )
+        .select(
+            F.col("dw2.start").cast("date").alias("day"),
+            "distinct_users",
+            "n_events",
+        )
+    )
+
+
+def run_daily_distinct_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """w13: the exact-distinct rollup as a real append-mode streaming
+    query; only days fully passed by the final watermark emit (the oracle
+    restates the cutoff, as w10's does)."""
+    out = _run_append_to_parquet(
+        daily_distinct_users(read_events_stream(spark, sf_dir)),
+        spark,
+        "daily_distinct",
+    )
+    return out.orderBy("day")

@@ -228,3 +228,32 @@ def test_builtin_session_window_matches_batch_closed_sessions(spark):
         f"unemitted sessions outside the watermark tail: "
         f"{sorted(k for k in missing if allb[k] + gap < wm)[:3]}"
     )
+
+
+def test_daily_distinct_two_stateful_operators(spark):
+    """w13's exact-distinct topology must chain TWO stateful aggregations
+    in one query (collapse-to-key, then count) and equal the batch
+    COUNT(DISTINCT) for fully-final days."""
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.streaming.windows import (
+        run_daily_distinct_available_now,
+    )
+
+    from .conftest import SF_DIR
+
+    out = run_daily_distinct_available_now(spark, SF_DIR)
+    rows = {r["day"]: (r["distinct_users"], r["n_events"]) for r in out.collect()}
+    assert rows
+    e = load_table(spark, SF_DIR, "events")
+    import pyspark.sql.functions as F
+
+    batch = {
+        r["day"]: (r["du"], r["n"])
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("du"), F.count("*").alias("n")
+        )
+        .collect()
+    }
+    for day, vals in rows.items():
+        assert batch[day] == vals
