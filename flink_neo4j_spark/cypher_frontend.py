@@ -173,7 +173,7 @@ class ReturnItem:
 
 #: aggregate function names recognized contextually (NOT keywords, so a
 #: property may still be named `count`)
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT"}
 
 #: hard ceiling on variable-length path expansion: each extra hop is one
 #: more edge join in the unioned plan, and path counts can grow
@@ -526,7 +526,18 @@ def _default_name(ref: PropRef | BareRef | AggCall) -> str:
     return f"id_{ref.var}" if ref.prop is None else f"{ref.var}_{ref.prop}"
 
 
-_AGG_FN_MAP = {"COUNT": F.count, "SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}
+# collect() materializes the group's values as a list. openCypher leaves
+# element order unspecified; emitting it SORTED makes the result a value
+# (layout-independent) rather than an accident of partition order — the
+# same determinism contract the rest of the engine keeps.
+_AGG_FN_MAP = {
+    "COUNT": F.count,
+    "SUM": F.sum,
+    "AVG": F.avg,
+    "MIN": F.min,
+    "MAX": F.max,
+    "COLLECT": lambda c: F.array_sort(F.collect_list(c)),
+}
 
 
 def _agg_column(call: AggCall, colmap) -> Column:

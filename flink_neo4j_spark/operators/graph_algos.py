@@ -992,6 +992,28 @@ def g24_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # translation is two independent pattern plans + unionByName + one
 # distinct — Catalyst plans the dedup as a single hash aggregate over the
 # union, which is exactly the scale-correct shape.
+# G30 — Cypher collect() aggregate (the openCypher list materializer —
+# "every customer name per nation" is THE canonical Cypher rollup). The
+# front end emits the list SORTED (openCypher leaves order unspecified;
+# sorted makes it a value, not a partition-order accident); the
+# conformance projection joins it to a string because the driver's
+# canonicalizer cannot sort array cells (round-1 s5 lesson). Compiles to
+# collect_list + array_sort partial aggs — one shuffle on the group key.
+def g30_cypher_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH (s:Supplier)-[e:IN_NATION]->(n:Nation) "
+        "RETURN n.name AS nation, count(*) AS n_supp, "
+        "collect(s.name) AS names",
+    )
+    return df.select(
+        "nation", "n_supp", F.array_join("names", "|").alias("names")
+    ).orderBy("nation")
+
+
 def g25_cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.cypher_frontend import cypher_read
 
@@ -1236,6 +1258,7 @@ def _duck_harmonic_sql() -> str:
 
 
 QUERIES: dict[str, QueryFn] = {
+    "g30_cypher_collect": g30_cypher_collect,
     "g28_random_walks": g28_random_walks,
     "g29_harmonic_centrality": g29_harmonic_centrality,
     "g27_cypher_pattern_predicate": g27_cypher_pattern_predicate,
@@ -1268,6 +1291,11 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g30_cypher_collect": """
+        SELECT n_name AS nation, COUNT(*) AS n_supp,
+               string_agg(s_name, '|' ORDER BY s_name) AS names
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY nation""",
     "g28_random_walks": _duck_walk_sql(),
     "g29_harmonic_centrality": _duck_harmonic_sql(),
     "g27_cypher_pattern_predicate": f"""

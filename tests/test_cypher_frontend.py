@@ -541,3 +541,27 @@ def test_pattern_predicate_rejects_or(fixture_graph):
             "MATCH (u:User) WHERE (u)-[:KNOWS]->() OR u.born = 1984 "
             "RETURN u.name AS name",
         ).collect()
+
+
+def test_collect_aggregate_sorted(fixture_graph):
+    """collect(x.prop) materializes the group's values as a SORTED list
+    (deterministic-value contract; openCypher leaves order unspecified)."""
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "RETURN a.name AS src, collect(b.name) AS peers",
+    )
+    rows = {r["src"]: list(r["peers"]) for r in df.collect()}
+    assert rows["Alice"] == sorted(rows["Alice"])
+    assert all(peers == sorted(peers) for peers in rows.values())
+
+
+def test_collect_requires_argument(fixture_graph):
+    import pytest as _pytest
+
+    from flink_neo4j_spark.cypher_frontend import CypherSyntaxError, cypher_read
+
+    with _pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN collect(*) AS xs")
