@@ -160,7 +160,19 @@ def w13_stream_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_daily_distinct_available_now(spark, sf_dir)
 
 
+def w14_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful quota kernel (applyInPandasWithState): admit at most
+    K events per (user, day), earliest first; must equal the batch
+    row_number() <= K selection on the finite replay."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_rate_limit_available_now,
+    )
+
+    return run_rate_limit_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
+    "w14_stream_rate_limit": w14_stream_rate_limit,
     "w13_stream_daily_distinct": w13_stream_daily_distinct,
     "w12_stream_wm_dedup": w12_stream_wm_dedup,
     "w11_stream_cdc_upsert": w11_stream_cdc_upsert,
@@ -177,6 +189,14 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w14_stream_rate_limit": """
+        SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id) AS BIGINT) AS admit_rank
+        FROM events
+        QUALIFY admit_rank <= 5
+        ORDER BY user_id, day, admit_rank""",
     "w13_stream_daily_distinct": """
         WITH mx AS (
           SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events)

@@ -762,3 +762,70 @@ def run_daily_distinct_available_now(
         "daily_distinct",
     )
     return out.orderBy("day")
+
+
+#: w14: per-(user, day) event quota.
+RATE_LIMIT_K = 5
+
+
+def rate_limit_stream(events: DataFrame, k: int = RATE_LIMIT_K) -> DataFrame:
+    """Per-key quota enforcement (abuse/rate limiting): emit at most ``k``
+    events per (user, day), keeping the earliest by (ts, event_id) — the
+    admission-control twin of the sessionizer's ``applyInPandasWithState``
+    kernel. State per key is ONE counter; each micro-batch's group slice is
+    sorted inside the kernel (file-source batches guarantee no intra-group
+    order) and rows are admitted until the quota fills.
+
+    Admission is exactly "first k by event time" when a key's rows arrive
+    within one micro-batch (the AvailableNow single-file replay used by
+    conformance); across batches (or across the ~10k-row Arrow chunks a
+    huge group splits into) it is first-k in arrival order with
+    time-order within each batch — the production semantics of any quota
+    enforced on a live stream (you cannot un-admit an event because an
+    earlier one arrives late)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, day date, event_id long, admit_rank long"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state: GroupState):
+        user_id, day = key
+        n = state.get[0] if state.exists else 0
+        # vectorized admission: sort, take the quota remainder's head —
+        # no per-row Python (measured 4x on the kernel at sf0.01)
+        for pdf in pdfs:
+            if n >= k:
+                break
+            sel = pdf.sort_values(["ts", "event_id"]).head(k - n)
+            if len(sel):
+                yield pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "day": day,
+                        "event_id": sel["event_id"].to_numpy(),
+                        "admit_rank": range(n + 1, n + len(sel) + 1),
+                    }
+                )
+                n += len(sel)
+        state.update((n,))
+
+    ev = events.select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id"
+    )
+    return ev.groupBy("user_id", "day").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_rate_limit_available_now(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """w14: the quota kernel end-to-end through the append-mode parquet
+    sink."""
+    out = _run_append_to_parquet(
+        rate_limit_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        "rate_limit",
+    )
+    return out.orderBy("user_id", "day", "admit_rank")

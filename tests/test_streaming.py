@@ -257,3 +257,44 @@ def test_daily_distinct_two_stateful_operators(spark):
     }
     for day, vals in rows.items():
         assert batch[day] == vals
+
+
+def test_rate_limit_quota_and_order(spark):
+    """w14: no key exceeds the quota; admitted events are each key's
+    earliest by (ts, event_id); admit_rank is dense 1..n."""
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.streaming.windows import (
+        RATE_LIMIT_K,
+        run_rate_limit_available_now,
+    )
+
+    from .conftest import SF_DIR
+
+    out = run_rate_limit_available_now(spark, SF_DIR).collect()
+    assert out
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault((r["user_id"], r["day"]), []).append(
+            (r["admit_rank"], r["event_id"])
+        )
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    expect: dict = {}
+    for r in (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RATE_LIMIT_K)
+        .collect()
+    ):
+        expect.setdefault((r["user_id"], r["day"]), []).append(
+            (r["rn"], r["event_id"])
+        )
+    for key, rows in per_key.items():
+        assert len(rows) <= RATE_LIMIT_K
+        assert sorted(rows) == sorted(expect[key])
+    assert set(per_key) == set(expect)
