@@ -744,7 +744,110 @@ def s15_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+#: s16 two-stage retrieval: candidate prefix width, candidate pool size.
+TRUNC_DIM = 16
+TRUNC_CAND = 50
+
+
+# S16 — truncated-dimension two-stage retrieval (the Matryoshka/MRL
+# serving pattern): stage 1 scores every vector on only the FIRST
+# TRUNC_DIM components (4x less arithmetic and — with a prefix-sliced
+# column layout — 4x less IO) and keeps a TRUNC_CAND candidate pool via
+# TakeOrderedAndProject; stage 2 re-ranks just the pool with the full-
+# dimension cosine. Recall loss is bounded by the pool size; the plan
+# never materializes a global sort and the full-width vectors of
+# non-candidates are never touched in stage 2.
+def s16_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.slice("emb", 1, TRUNC_DIM).alias("q16"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored16 = (
+        e.select("vec_id", F.slice("emb", 1, TRUNC_DIM).alias("e16"), "emb")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cos16", _cosine("e16", "q16"))
+    )
+    cands = scored16.orderBy(F.desc("cos16"), "vec_id").limit(TRUNC_CAND)
+    return (
+        cands.select(
+            "vec_id", F.round(_cosine("emb", "q_emb"), 6).alias("cos")
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+# S17 — contrastive-pair mining (the training-data op behind every
+# embedding model: for each anchor, the most similar SAME-label vector is
+# the positive, the most similar DIFFERENT-label vector is the hard
+# negative — "hard" because a random negative teaches nothing). Candidate
+# space is the LSH sign-bucket equi-join (d12's), never all pairs; both
+# argmaxes come from ONE grouped pass over the candidate pairs via
+# conditional struct-max (no second join-back), with (cos desc, id asc)
+# tie-breaks. At 100 TB the bucket count scales with N_PLANES exactly as
+# d12 documents.
+def s17_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("sig", _sig_expr("emb"))
+        .withColumn(
+            "nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))")
+        )
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "sig",
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "sig",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        a.join(b, "sig")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("a_label") == F.col("b_label")).alias("same"),
+            F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 6).alias("cos"),
+        )
+    )
+    m = scored.groupBy("a_id").agg(
+        F.max(
+            F.when(F.col("same"), F.struct("cos", (-F.col("b_id")).alias("nb")))
+        ).alias("p"),
+        F.max(
+            F.when(~F.col("same"), F.struct("cos", (-F.col("b_id")).alias("nb")))
+        ).alias("n"),
+    )
+    return (
+        m.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
+        .select(
+            "a_id",
+            (-F.col("p.nb")).alias("pos_id"),
+            F.col("p.cos").alias("pos_cos"),
+            (-F.col("n.nb")).alias("neg_id"),
+            F.col("n.cos").alias("neg_cos"),
+        )
+        .orderBy("a_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "s17_hard_negatives": s17_hard_negatives,
+    "s16_truncated_rerank": s16_truncated_rerank,
     "s14_kmeans_lloyd": s14_kmeans_lloyd,
     "s15_pca_power": s15_pca_power,
     "s13_pq_topk": s13_pq_topk,
@@ -921,6 +1024,41 @@ def _duck_pca_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "s17_hard_negatives": f"""
+        WITH e0 AS (SELECT vec_id, label,
+                           embedding::DOUBLE[] AS emb FROM embeddings),
+        e AS (SELECT vec_id, label, emb, {_DUCK_SIG} AS sig,
+                     sqrt(list_sum([x * x for x in emb])) AS nrm
+              FROM e0),
+        scored AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 a.label = b.label AS same,
+                 ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                         p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) AS cos
+          FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id, same
+                                       ORDER BY cos DESC, b_id) AS rn
+          FROM scored)
+        SELECT p.a_id, p.b_id AS pos_id, p.cos AS pos_cos,
+               n.b_id AS neg_id, n.cos AS neg_cos
+        FROM ranked p
+        JOIN ranked n ON n.a_id = p.a_id AND NOT n.same AND n.rn = 1
+        WHERE p.same AND p.rn = 1
+        ORDER BY p.a_id""",
+    "s16_truncated_rerank": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb[1:{TRUNC_DIM}] AS q16, emb AS q_emb FROM e
+              WHERE vec_id = {QUERY_VEC_ID}),
+        cands AS (
+          SELECT e.vec_id, e.emb, q.q_emb,
+                 {_duck_cos(f'e.emb[1:{TRUNC_DIM}]', 'q.q16')} AS cos16
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          ORDER BY cos16 DESC, e.vec_id LIMIT {TRUNC_CAND})
+        SELECT vec_id, ROUND({_duck_cos('emb', 'q_emb')}, 6) AS cos
+        FROM cands
+        ORDER BY cos DESC, vec_id LIMIT {TOP_K}""",
     "s14_kmeans_lloyd": _duck_kmeans_sql(),
     "s15_pca_power": _duck_pca_sql(),
     "s13_pq_topk": f"""

@@ -171,7 +171,17 @@ def w14_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_rate_limit_available_now(spark, sf_dir)
 
 
+def w15_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user anomaly alerts scored against prior history only
+    (prefix mean/std from int64 sufficient statistics in state); must equal
+    the batch prefix-window z-score on the finite replay."""
+    from flink_neo4j_spark.streaming.windows import run_anomaly_available_now
+
+    return run_anomaly_available_now(spark, sf_dir)
+
+
 QUERIES: dict[str, QueryFn] = {
+    "w15_stream_anomaly": w15_stream_anomaly,
     "w14_stream_rate_limit": w14_stream_rate_limit,
     "w13_stream_daily_distinct": w13_stream_daily_distinct,
     "w12_stream_wm_dedup": w12_stream_wm_dedup,
@@ -189,6 +199,28 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "w15_stream_anomaly": """
+        WITH c AS (
+          SELECT user_id, ts, event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events),
+        pre AS (
+          SELECT user_id, event_id, cents,
+                 COUNT(*) OVER w AS pn,
+                 COALESCE(SUM(cents) OVER w, 0) AS ps,
+                 COALESCE(SUM(cents * cents) OVER w, 0) AS pss
+          FROM c
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id, event_id,
+               ROUND(CAST(cents * pn - ps AS DOUBLE)
+                     / sqrt(CAST(pn * pss - ps * ps AS DOUBLE)), 2) + 0.0
+                 AS z
+        FROM pre
+        WHERE pn >= 10 AND pn * pss - ps * ps > 0
+          AND ABS(CAST(cents * pn - ps AS DOUBLE)
+                  / sqrt(CAST(pn * pss - ps * ps AS DOUBLE))) > 3.0
+        ORDER BY user_id, event_id""",
     "w14_stream_rate_limit": """
         SELECT user_id, CAST(ts AS DATE) AS day, event_id,
                CAST(ROW_NUMBER() OVER (

@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 import os
 
@@ -842,7 +843,66 @@ def t19_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t20: rank depth of the Zipf fit (the head is where the law holds and
+#: where every engine has identical exact counts).
+ZIPF_TOP = 100
+#: fixed-point scale for the log-coordinate sums: ln() may differ between
+#: libm implementations in the last ulp, so coordinates are rounded to 6dp
+#: and summed as exact integers — the regression is then bit-identical
+#: given identical rounded coordinates. 6dp keeps Σx·y well inside int64
+#: (ln values ≤ ~30 → products ≤ ~1e15·R).
+ZIPF_SCALE = 1_000_000
+
+
+# T20 — Zipf-slope corpus diagnostic: fit log(frequency) ~ log(rank) over
+# the top-R terms. A healthy natural-language corpus sits near slope -1;
+# templated/spammy corpora flatten, truncated-vocab ones steepen — the
+# one-number "does this look like language" screen next to t17's entropy.
+# Plan: the shared token stream -> term counts (one shuffle) -> top-R via
+# TakeOrderedAndProject (never a global sort) -> ONE tiny row of integer
+# sufficient statistics -> closed-form slope/intercept (a17's discipline:
+# integer sums make the float regression layout-independent).
+def t20_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _exploded_tokens(spark, sf_dir)
+    top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("tf"), "term")
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * ZIPF_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("tf").cast("double")) * ZIPF_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy).cast("double") / (
+        (n * sxx - sx * sx).cast("double")
+    )
+    intercept = (
+        sy.cast("double") / n.cast("double")
+        - slope * sx.cast("double") / n.cast("double")
+    ) / ZIPF_SCALE
+    return m.select(
+        n.alias("n_terms"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 4) + F.lit(0.0)).alias("intercept"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "t20_zipf_slope": t20_zipf_slope,
     "t19_sentences": t19_sentences,
     "t18_bpe_merges": t18_bpe_merges,
     "t17_char_entropy": t17_char_entropy,
@@ -908,6 +968,32 @@ def _t15_bucket_sql() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "t20_zipf_slope": f"""
+        WITH tok AS (
+          SELECT unnest({DUCK_TOKENS}) AS term FROM documents),
+        top AS (
+          SELECT term, COUNT(*) AS tf FROM tok
+          GROUP BY term ORDER BY tf DESC, term LIMIT {ZIPF_TOP}),
+        xy AS (
+          SELECT CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
+                   (ORDER BY tf DESC, term) AS DOUBLE)) * {ZIPF_SCALE})
+                 AS BIGINT) AS x,
+                 CAST(ROUND(ln(CAST(tf AS DOUBLE)) * {ZIPF_SCALE})
+                 AS BIGINT) AS y
+          FROM top),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy)
+        SELECT n AS n_terms,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS slope,
+               ROUND((CAST(sy AS DOUBLE) / n
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / n) / {ZIPF_SCALE}, 4) + 0.0
+                 AS intercept
+        FROM m""",
     "t19_sentences": r"""
         WITH s AS (
           SELECT doc_id,

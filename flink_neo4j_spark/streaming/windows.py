@@ -829,3 +829,72 @@ def run_rate_limit_available_now(
         "rate_limit",
     )
     return out.orderBy("user_id", "day", "admit_rank")
+
+
+#: w15: minimum history before scoring, and the |z| alert threshold.
+ANOM_MIN_N = 10
+ANOM_Z = 3.0
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user anomaly alerting: each event is scored against
+    the user's PRIOR history (prefix mean/std — the only causally valid
+    baseline on a live stream; a9 is the offline full-series twin). State
+    per user is three INT64 sufficient statistics (n, Σcents, Σcents²), so
+    z = (c·n − Σc)/√(n·Σc² − (Σc)²) evaluates on exact integers — the
+    emitted alerts are bit-identical to the batch prefix-window oracle
+    regardless of layout. The kernel is vectorized numpy over each group
+    slice (cumsums give every prefix at once; no per-row Python).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, z double"
+    state_schema = "n long, s long, ss long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            c = np.rint(pdf["value"].to_numpy() * 100).astype(np.int64)
+            # prefix stats BEFORE each row: state + cumsum shifted by one
+            pn = n + np.arange(len(c))
+            ps = s + np.concatenate(([0], np.cumsum(c)[:-1]))
+            pss = ss + np.concatenate(([0], np.cumsum(c * c)[:-1]))
+            varnum = pn * pss - ps * ps
+            ok = (pn >= ANOM_MIN_N) & (varnum > 0)
+            z = np.zeros(len(c))
+            z[ok] = (c[ok] * pn[ok] - ps[ok]) / np.sqrt(
+                varnum[ok].astype(np.float64)
+            )
+            flag = ok & (np.abs(z) > ANOM_Z)
+            if len(c):
+                n = int(pn[-1] + 1)
+                s = int(ps[-1] + c[-1])
+                ss = int(pss[-1] + c[-1] * c[-1])
+            if flag.any():
+                yield pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "event_id": pdf["event_id"].to_numpy()[flag],
+                        "z": np.round(z[flag], 2) + 0.0,
+                    }
+                )
+        state.update((n, s, ss))
+
+    ev = events.select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_anomaly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w15: the anomaly kernel end-to-end through the append-mode sink."""
+    out = _run_append_to_parquet(
+        anomaly_stream(read_events_stream(spark, sf_dir)),
+        spark,
+        "anomaly",
+    )
+    return out.orderBy("user_id", "event_id")

@@ -298,3 +298,55 @@ def test_rate_limit_quota_and_order(spark):
         assert len(rows) <= RATE_LIMIT_K
         assert sorted(rows) == sorted(expect[key])
     assert set(per_key) == set(expect)
+
+
+def test_anomaly_prefix_causality(spark):
+    """w15 alerts must be scored on PRIOR history only: recomputing each
+    flagged event's z from the batch prefix stats reproduces it exactly,
+    and no alert exists with fewer than ANOM_MIN_N prior events."""
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.streaming.windows import (
+        ANOM_MIN_N,
+        ANOM_Z,
+        run_anomaly_available_now,
+    )
+
+    from .conftest import SF_DIR
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    out = {
+        (r["user_id"], r["event_id"]): r["z"]
+        for r in run_anomaly_available_now(spark, SF_DIR).collect()
+    }
+    assert out
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = e.select(
+        "user_id", "event_id", "c",
+        F.count("*").over(w).alias("pn"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("ps"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0)).alias("pss"),
+    )
+    z = (F.col("c") * F.col("pn") - F.col("ps")).cast("double") / F.sqrt(
+        (F.col("pn") * F.col("pss") - F.col("ps") * F.col("ps")).cast("double")
+    )
+    expect = {
+        (r["user_id"], r["event_id"]): r["z"]
+        for r in pre.filter(
+            (F.col("pn") >= ANOM_MIN_N)
+            & (F.col("pn") * F.col("pss") - F.col("ps") * F.col("ps") > 0)
+            & (F.abs(z) > ANOM_Z)
+        )
+        .select("user_id", "event_id", (F.round(z, 2) + F.lit(0.0)).alias("z"))
+        .collect()
+    }
+    assert out == expect
