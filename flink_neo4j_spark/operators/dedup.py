@@ -908,7 +908,95 @@ def d16_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d17 sparse-cosine knobs: posting-list df window (rare terms can't link
+#: documents; frequent terms are the quadratic hazard — the ABSOLUTE cap is
+#: the load-bearing guard at any corpus size, the fractional one keeps the
+#: fixture honest), weight quantization scale, and the match threshold.
+SPARSE_MIN_DF = 2
+SPARSE_MAXDF_FRAC = 0.05
+SPARSE_MAXDF_ABS = 200
+SPARSE_SCALE = 10_000
+SPARSE_COS = 0.35
+
+
+# d17 — sparse TF-IDF cosine near-dup (the lexical-overlap twin of dense
+# d6: documents sharing enough RARE vocabulary, weighted by how rare).
+# Classic sparse-vector similarity join: per-(doc, term) sublinear-tf ×
+# idf weights, posting-list self-join on term, per-pair dot accumulation.
+# Two scale disciplines do the heavy lifting:
+# - the df window on terms — a term in more than min(frac·N, ABS) docs
+#   generates O(df²) pair fragments, so stopword-frequency terms are
+#   excluded BEFORE the join (d3/d5's bucket guard, applied to postings);
+# - weights quantize to int64 (round((1+ln tf)·ln(N/df) · 1e4)), so the
+#   per-pair dot and the per-doc norms are EXACT integer sums — the
+#   quantized cosine is a deterministic value on any layout/engine, not a
+#   float-accumulation accident.
+def d17_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.operators.text import _exploded_tokens
+
+    tok = _exploded_tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    kept = (
+        df.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("df") >= SPARSE_MIN_DF)
+            & (
+                F.col("df")
+                <= F.least(
+                    SPARSE_MAXDF_FRAC * F.col("n_docs"),
+                    F.lit(SPARSE_MAXDF_ABS),
+                )
+            )
+        )
+        .select("term", "df", "n_docs")
+    )
+    w = tf.join(kept, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (1.0 + F.log(F.col("tf").cast("double")))
+            * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            * SPARSE_SCALE
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("n2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("a_id"), "term", F.col("wq").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("b_id"), "term", F.col("wq").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double"))
+        * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id", (F.round(cos, 4) + F.lit(0.0)).alias("cos")
+        )
+        .filter(F.col("cos") >= SPARSE_COS)
+        .orderBy("a_id", "b_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "d17_sparse_cosine": d17_sparse_cosine,
     "d16_priority_dedup": d16_priority_dedup,
     "d1_exact_dedup": d1_exact_dedup,
     "d15_normalized_dedup": d15_normalized_dedup,
@@ -967,7 +1055,51 @@ def _d12_oracle() -> str:
         FROM comp ORDER BY vec_id"""
 
 
+def _d17_oracle() -> str:
+    from flink_neo4j_spark.operators.text import DUCK_TOKENS
+
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok
+          GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+        kept AS (
+          SELECT term, df, n_docs FROM df, total
+          WHERE df >= {SPARSE_MIN_DF}
+            AND df <= LEAST({SPARSE_MAXDF_FRAC} * n_docs,
+                            {SPARSE_MAXDF_ABS})),
+        w AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(ROUND((1.0 + ln(CAST(tf AS DOUBLE)))
+                      * ln(CAST(n_docs AS DOUBLE) / df)
+                      * {SPARSE_SCALE}) AS BIGINT) AS wq
+          FROM tf JOIN kept ON tf.term = kept.term),
+        norms AS (
+          SELECT doc_id, SUM(wq * wq) AS n2 FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 SUM(a.wq * b.wq) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 4) + 0.0 AS cos
+        FROM dots
+        JOIN norms na ON na.doc_id = a_id
+        JOIN norms nb ON nb.doc_id = b_id
+        WHERE ROUND(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na.n2 AS DOUBLE))
+                       * sqrt(CAST(nb.n2 AS DOUBLE))), 4) + 0.0
+              >= {SPARSE_COS}
+        ORDER BY a_id, b_id"""
+
+
 ORACLE: dict[str, str] = {
+    "d17_sparse_cosine": _d17_oracle(),
     "d16_priority_dedup": """
         WITH ranked AS (
           SELECT lang || '_' || CAST(CAST(FLOOR(n_chars / 100) AS INT) AS VARCHAR)

@@ -79,6 +79,50 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Mirror of :func:`asof_join`: attach the EARLIEST *strictly later*
+    right row per key (columns ``next_<value_col>``; null if none) — the
+    time-to-next-event / forward-attribution primitive.
+
+    Same union-and-scan shape and cost (one shuffle + per-partition sort).
+    Strictly-later holds structurally: right rows sort BEFORE left rows at
+    an equal timestamp (``__side``: right=0, left=1), so a left row's
+    following frame never contains a same-timestamp right row. Duplicate
+    right rows at one (key, ts) remain order-ambiguous among themselves —
+    pre-aggregate the right side if that matters (a18 does).
+    """
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        on,
+        F.col(right_ts).alias(left_ts),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    unioned = l.unionByName(r.select(*r.columns), allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(left_ts, "__side")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    out = unioned.select(
+        "*",
+        *[
+            F.first(f"__rv_{c}", ignorenulls=True).over(w).alias(f"next_{c}")
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("__side") == 1).select(
+        *lcols, *[f"next_{c}" for c in value_cols]
+    )
+
+
 def interval_join_bucketed(
     left: DataFrame,
     right: DataFrame,
@@ -790,7 +834,35 @@ def a17_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A18 — FORWARD as-of join: each click attached to the user's next
+# strictly-later purchase (time-to-conversion features; a1 is the backward
+# twin). The right side pre-aggregates to one row per (user, ts) — min
+# value — so the nearest-later pick is fully deterministic. Same
+# union-and-scan plan as a1: one shuffle, no candidate pairs.
+def a18_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+    return (
+        asof_join_forward(clicks, purchases, on="user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("next_value").alias("next_purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a18_asof_forward": a18_asof_forward,
     "a16_changepoints": a16_changepoints,
     "a17_series_corr": a17_series_corr,
     "a15_twap": a15_twap,
@@ -811,6 +883,23 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a18_asof_forward": """
+        WITH c AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id, ts, MIN(value) AS value FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        j AS (
+          SELECT c.event_id, p.value AS pval,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY p.ts) AS rn
+          FROM c JOIN p ON c.user_id = p.user_id AND p.ts > c.ts)
+        SELECT c.event_id, c.user_id, c.value,
+               j.pval AS next_purchase_value
+        FROM c LEFT JOIN (SELECT event_id, pval FROM j WHERE rn = 1) j
+          ON c.event_id = j.event_id
+        ORDER BY c.event_id""",
     "a16_changepoints": f"""
         WITH daily AS (
           SELECT user_id, CAST(ts AS DATE) AS day,

