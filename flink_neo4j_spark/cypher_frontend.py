@@ -418,6 +418,25 @@ class _Parser:
 
     def parse_return_expr(self, allow_bare: bool = False) -> PropRef | BareRef | AggCall:
         tok = self.peek()
+        # length(p) — the path-length accessor for shortestPath variables;
+        # modeled as PropRef(p, "length") so the shortestPath colmap
+        # resolves it and every other context rejects the unknown variable.
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text == "length"
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).text == ")"
+        ):
+            self.next()
+            self.next()
+            var = self.next().text
+            self.next()
+            return PropRef(var, "length")
         if (
             tok is not None
             and tok.kind == "word"
@@ -822,6 +841,66 @@ def _out_name(item: ReturnItem) -> str:
     return item.alias or _default_name(item.expr)
 
 
+def _shortest_path(graph: PropertyGraph, pat: EdgePat, pathvar: str):
+    """``p = shortestPath((a:L1)-[:T*lo..hi]->(b:L2))`` — minimum hop
+    count per (a, b) pair within the bound, via iterative frontier BFS
+    with min-distance aggregation (NOT the path-enumeration union
+    ``_varlength_paths`` uses: shortestPath needs one row per pair, and
+    min-dist state is |V|·|sources| where path enumeration is
+    exponential on dense graphs). Each round is one equi-join + one
+    partial-agg min — the g6/g13 plan shape. ``length(p)`` resolves to
+    the hop count. WHERE predicates apply after translation; at scale a
+    source-selective query should prefilter the anchor label (the
+    frontier starts from every a-label node)."""
+    lo, hi = pat.hops
+    e = graph.edges
+    if pat.rel_type is not None:
+        e = e.filter(F.col("rel_type") == pat.rel_type)
+    e = e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+    vcols = graph.vertices.columns
+    a_nodes = graph.nodes(pat.src.label)
+    dist = a_nodes.select(
+        F.col("id").alias("__a"), F.col("id").alias("__v"), F.lit(0).alias("__len")
+    )
+    for i in range(hi):
+        nxt = dist.join(e, F.col("__v") == F.col("__s")).select(
+            "__a", F.col("__d").alias("__v"), (F.col("__len") + 1).alias("__len")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("__a", "__v")
+            .agg(F.min("__len").alias("__len"))
+        )
+        if (i + 1) % 3 == 0 or i == hi - 1:
+            dist = dist.localCheckpoint()
+    paths = dist.filter(F.col("__len") >= max(lo, 1))
+    a = a_nodes.select(*[F.col(c).alias(f"a_{c}") for c in vcols])
+    b = graph.nodes(pat.dst.label).select(
+        *[F.col(c).alias(f"b_{c}") for c in vcols]
+    )
+    df = (
+        paths.join(a, F.col("__a") == F.col("a_id"))
+        .join(b, F.col("__v") == F.col("b_id"))
+        .withColumnRenamed("__len", "__path_len")
+        .drop("__a", "__v")
+    )
+    names = {pat.src.var: "a_", pat.dst.var: "b_"}
+
+    def colmap(ref: PropRef) -> Column:
+        if ref.var == pathvar:
+            if ref.prop != "length":
+                raise CypherSyntaxError(
+                    f"only length({pathvar}) is defined for a path variable"
+                )
+            return F.col("__path_len")
+        prefix = names.get(ref.var)
+        if prefix is None:
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
+
+    return df, colmap
+
+
 def _apply_projection(
     df: DataFrame, colmap, distinct: bool, items: list[ReturnItem]
 ) -> DataFrame:
@@ -876,7 +955,28 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     never drops the base row).
     """
     p.expect("kw", "MATCH")
-    pat = p.parse_pattern()
+    sp_var = None
+    if (
+        p.at("word")
+        and p.peek(1) is not None
+        and p.peek(1).text == "="
+        and p.peek(2) is not None
+        and p.peek(2).kind == "word"
+        and p.peek(2).text == "shortestPath"
+    ):
+        sp_var = p.next().text
+        p.next()  # =
+        p.next()  # shortestPath
+        p.expect("punct", "(")
+        pat = p.parse_pattern()
+        p.expect("punct", ")")
+        if not isinstance(pat, EdgePat) or pat.hops is None:
+            raise CypherSyntaxError(
+                "shortestPath requires a bounded variable-length pattern "
+                "(a)-[:T*lo..hi]->(b)"
+            )
+    else:
+        pat = p.parse_pattern()
     disj = None
     if p.at("kw", "WHERE"):
         p.next()
@@ -916,7 +1016,14 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     distinct, items = p.parse_return(allow_bare=bool(stages))
     order, skip, limit = p.parse_tail(require_end=False)
 
-    if len(chain_pats) > 1:
+    if sp_var is not None:
+        if len(chain_pats) > 1 or opt_pat is not None:
+            raise CypherSyntaxError(
+                "shortestPath cannot combine with MATCH chains or "
+                "OPTIONAL MATCH"
+            )
+        df, colmap = _shortest_path(graph, pat, sp_var)
+    elif len(chain_pats) > 1:
         for cp in chain_pats:
             if (isinstance(cp, EdgePat) and (cp.props or cp.src.props or cp.dst.props)) or (
                 isinstance(cp, NodePat) and cp.props

@@ -992,6 +992,24 @@ def g24_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # translation is two independent pattern plans + unionByName + one
 # distinct — Catalyst plans the dedup as a single hash aggregate over the
 # union, which is exactly the scale-correct shape.
+# G31 — Cypher shortestPath() (Neo4j's marquee path function) through the
+# front end: compiled to iterative frontier BFS with min-distance
+# aggregation, NOT path enumeration — one row per (a, b) pair, each round
+# one equi-join + partial-agg min (the g6/g13 plan shape), so dense graphs
+# cost |V|·|sources| state instead of exponential path counts.
+def g31_cypher_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = shortestPath((s:Supplier)-[*1..3]->(r:Region)) "
+        "WHERE r.name = 'ASIA' "
+        "RETURN id(s) AS supplier, r.name AS region, length(p) AS hops "
+        "ORDER BY supplier",
+    )
+
+
 # G30 — Cypher collect() aggregate (the openCypher list materializer —
 # "every customer name per nation" is THE canonical Cypher rollup). The
 # front end emits the list SORTED (openCypher leaves order unspecified;
@@ -1258,6 +1276,7 @@ def _duck_harmonic_sql() -> str:
 
 
 QUERIES: dict[str, QueryFn] = {
+    "g31_cypher_shortest_path": g31_cypher_shortest_path,
     "g30_cypher_collect": g30_cypher_collect,
     "g28_random_walks": g28_random_walks,
     "g29_harmonic_centrality": g29_harmonic_centrality,
@@ -1291,6 +1310,14 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g31_cypher_shortest_path": f"""
+        SELECT s_suppkey + {SUPPLIER_BASE} AS supplier,
+               r_name AS region, 2 AS hops
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        ORDER BY supplier""",
     "g30_cypher_collect": """
         SELECT n_name AS nation, COUNT(*) AS n_supp,
                string_agg(s_name, '|' ORDER BY s_name) AS names

@@ -565,3 +565,46 @@ def test_collect_requires_argument(fixture_graph):
 
     with _pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN collect(*) AS xs")
+
+
+def test_shortest_path_basic(fixture_graph):
+    """shortestPath returns the minimum hop count per endpoint pair; the
+    fixture's Alice->Bob->Eve chain gives hops(Alice,Eve)=2 even though a
+    longer path may exist."""
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((a:User)-[*1..3]->(b:User)) "
+        "RETURN a.name AS src, b.name AS dst, length(p) AS hops "
+        "ORDER BY src, dst",
+    )
+    rows = {(r["src"], r["dst"]): r["hops"] for r in df.collect()}
+    assert rows[("Alice", "Bob")] == 1
+    assert rows.get(("Alice", "Eve"), 2) == 2
+
+
+def test_shortest_path_requires_varlength(fixture_graph):
+    import pytest as _pytest
+
+    from flink_neo4j_spark.cypher_frontend import CypherSyntaxError, cypher_read
+
+    with _pytest.raises(CypherSyntaxError, match="variable-length"):
+        cypher_read(
+            fixture_graph,
+            "MATCH p = shortestPath((a:User)-[:KNOWS]->(b:User)) "
+            "RETURN length(p) AS hops",
+        )
+
+
+def test_path_length_only_accessor(fixture_graph):
+    import pytest as _pytest
+
+    from flink_neo4j_spark.cypher_frontend import CypherSyntaxError, cypher_read
+
+    with _pytest.raises(CypherSyntaxError, match="length"):
+        cypher_read(
+            fixture_graph,
+            "MATCH p = shortestPath((a:User)-[*1..2]->(b:User)) "
+            "RETURN p.nodes AS xs",
+        )
