@@ -1249,7 +1249,142 @@ def q53_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+#: q54: the erasure cohort — customers whose key hashes into this residue
+#: (a deterministic stand-in for a deletion-request list).
+ERASE_MOD = 97
+
+
+# Q54 — GDPR-style erasure cascade: given a deletion-request cohort,
+# remove the customers, their orders, and those orders' lineitems, and
+# emit the audit report (rows erased / retained per table) that a
+# compliance pipeline must produce. Shape: the cohort key-list propagates
+# by LEFT-SEMI joins down the foreign-key chain (customer → orders →
+# lineitem) — each hop is one key-shuffled semi-join, the erased fact
+# rows are never materialized wider than their keys, and the retained
+# tables are the complementary LEFT-ANTI joins sharing the same shuffle.
+# At 100 TB this is the standard tombstone-compaction read path; the
+# write path would rewrite only affected partitions.
+def q54_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    cohort = c.filter(F.col("c_custkey") % ERASE_MOD == 0)
+    erased_orders = o.join(
+        cohort, o.o_custkey == cohort.c_custkey, "left_semi"
+    )
+    erased_li = li.join(
+        erased_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def audit(name: str, erased: DataFrame, total: DataFrame) -> DataFrame:
+        e = erased.agg(F.count("*").cast("long").alias("erased"))
+        t = total.agg(F.count("*").cast("long").alias("total"))
+        return e.crossJoin(t).select(
+            F.lit(name).alias("tbl"),
+            "erased",
+            (F.col("total") - F.col("erased")).alias("retained"),
+        )
+
+    return (
+        audit("customer", cohort, c)
+        .unionByName(audit("orders", erased_orders, o))
+        .unionByName(audit("lineitem", erased_li, li))
+        .orderBy("tbl")
+    )
+
+
+# Q55 — incremental JOIN maintenance (the join twin of q43's aggregate
+# merge): with A split into (A_old, ΔA) and B into (B_old, ΔB), the
+# delta-join identity  A⋈B = A_old⋈B_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+# means a view over a growing fact pair is maintainable by joining ONLY
+# the deltas against the other side — never re-joining old⋈old. The
+# query materializes the three delta terms and re-aggregates them with
+# the pre-existing state; the oracle is the full recompute, certifying
+# the identity. Every term shares the o_orderkey shuffle partitioning.
+def q55_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o_old, o_new = (
+        o.filter(F.col("o_orderkey") % 2 == p) for p in (0, 1)
+    )
+    l_old, l_new = (
+        li.filter(F.col("l_orderkey") % 3 != 0),
+        li.filter(F.col("l_orderkey") % 3 == 0),
+    )
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority", "cents"
+        )
+
+    joined = (
+        term(o_old, l_old)
+        .unionByName(term(o_new, l_old))
+        .unionByName(term(o_old, l_new))
+        .unionByName(term(o_new, l_new))
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Q56 — join-key / foreign-key discovery profiling (q53's sibling): for
+# candidate column pairs, the inclusion coefficient |distinct(A) ∩
+# distinct(B)| / |distinct(A)| — the signal schema-inference tools use to
+# propose FK edges on an undocumented lake. Each pair costs two
+# partial-agg distincts + one semi-join ON THE DISTINCT SETS (dimension-
+# sized, never the fact tables); a true FK scores 1.0, the deliberately
+# wrong pair scores near 0.
+def q56_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "customer": load_table(spark, sf_dir, "customer"),
+        "part": load_table(spark, sf_dir, "part"),
+        "supplier": load_table(spark, sf_dir, "supplier"),
+    }
+    candidates = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem", "l_linenumber", "customer", "c_custkey"),  # negative
+    ]
+    out: DataFrame | None = None
+    for ta, ca, tb, cb in candidates:
+        da = tables[ta].select(F.col(ca).cast("long").alias("k")).distinct()
+        db = tables[tb].select(F.col(cb).cast("long").alias("k")).distinct()
+        inter = da.join(db, "k", "left_semi")
+        row = (
+            da.agg(F.count("*").alias("n_a"))
+            .crossJoin(inter.agg(F.count("*").alias("n_in")))
+            .select(
+                F.lit(f"{ta}.{ca}->{tb}.{cb}").alias("candidate"),
+                F.col("n_a").cast("long").alias("ndv_a"),
+                F.col("n_in").cast("long").alias("ndv_shared"),
+                F.round(F.col("n_in") / F.col("n_a"), 4).alias("inclusion"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q54_erasure_cascade": q54_erasure_cascade,
+    "q55_incremental_join": q55_incremental_join,
+    "q56_fk_discovery": q56_fk_discovery,
     "q49_cheapest_supplier": q49_cheapest_supplier,
     "q50_market_share": q50_market_share,
     "q51_surplus_suppliers": q51_surplus_suppliers,
@@ -1300,6 +1435,65 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q54_erasure_cascade": f"""
+        WITH cohort AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0),
+        eo AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM cohort)),
+        el AS (SELECT 1 FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM eo))
+        SELECT 'customer' AS tbl,
+               (SELECT COUNT(*) FROM cohort) AS erased,
+               (SELECT COUNT(*) FROM customer)
+                 - (SELECT COUNT(*) FROM cohort) AS retained
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM el),
+               (SELECT COUNT(*) FROM lineitem)
+                 - (SELECT COUNT(*) FROM el)
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM eo),
+               (SELECT COUNT(*) FROM orders)
+                 - (SELECT COUNT(*) FROM eo)
+        ORDER BY tbl""",
+    "q55_incremental_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q56_fk_discovery": """
+        SELECT candidate, ndv_a, ndv_shared,
+               ROUND(CAST(ndv_shared AS DOUBLE) / ndv_a, 4) AS inclusion
+        FROM (
+          SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+                 (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_a,
+                 (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+                   AS ndv_shared
+          UNION ALL
+          SELECT 'orders.o_custkey->customer.c_custkey',
+                 (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                 (SELECT COUNT(DISTINCT o_custkey) FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part.p_partkey',
+                 (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+                 (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part))
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                 (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+                 (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+                  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier))
+          UNION ALL
+          SELECT 'lineitem.l_linenumber->customer.c_custkey',
+                 (SELECT COUNT(DISTINCT l_linenumber) FROM lineitem),
+                 (SELECT COUNT(DISTINCT l_linenumber) FROM lineitem
+                  WHERE l_linenumber IN (SELECT c_custkey FROM customer))
+        ) _(candidate, ndv_a, ndv_shared)
+        ORDER BY candidate""",
     "q49_cheapest_supplier": """
         WITH eligible AS (
           SELECT s_suppkey, s_name, n_name

@@ -771,3 +771,61 @@ def test_d17_frequent_term_guard(spark):
     )
     assert df > 0  # the fixture does contain over-cap terms to guard
     assert d17_sparse_cosine(spark, SF_DIR).count() >= 0  # runs post-guard
+
+
+def test_q54_semi_anti_cascade(spark):
+    """Erasure cascade: the cohort propagates via LeftSemi joins; no fact
+    row is materialized wider than its keys (ReadSchema stays key-only)."""
+    from flink_neo4j_spark.operators.relational import q54_erasure_cascade
+
+    df = q54_erasure_cascade(spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    assert "LeftSemi" in plan
+    cols = read_schema_columns(df, table_hint="lineitem")
+    assert cols == {"l_orderkey"}
+
+
+def test_q55_delta_identity_partition(spark):
+    """The four delta terms must reproduce the full join exactly — the
+    incremental-maintenance identity — and the splits must partition the
+    inputs (no row lost or duplicated)."""
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.operators.relational import q55_incremental_join
+
+    inc = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in q55_incremental_join(spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    full = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert inc == full
+
+
+def test_q56_fk_scores(spark):
+    """True FKs score inclusion 1.0; the deliberate negative pair scores
+    well below (l_linenumber values are a tiny subset of custkeys by
+    accident of range, not semantics — it must not look like an FK via
+    ndv)."""
+    from flink_neo4j_spark.operators.relational import q56_fk_discovery
+
+    rows = {r["candidate"]: r for r in q56_fk_discovery(spark, SF_DIR).collect()}
+    assert rows["lineitem.l_orderkey->orders.o_orderkey"]["inclusion"] == 1.0
+    assert rows["orders.o_custkey->customer.c_custkey"]["inclusion"] == 1.0
+    neg = rows["lineitem.l_linenumber->customer.c_custkey"]
+    assert neg["ndv_a"] <= 10  # the ndv signal that rejects the pair
