@@ -28,6 +28,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
 
@@ -362,7 +363,89 @@ def m7_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_segments(attach_payload(docs)).orderBy("doc_id")
 
 
+# M8 — audio-to-scene alignment (AV sync: attach each audio feature
+# window to the video scene it falls inside — the cross-modality join a
+# captioning/AV-training pipeline needs). The alignment key is the FRAME
+# INDEX containing the window midpoint, so the "interval join" becomes a
+# plain EQUI-join on (doc_id, frame_idx) — no range predicate, no
+# nested-loop hazard; per-doc multiplicity is bounded by payload length,
+# and the doc_id key distributes. Both modality tables derive
+# declaratively (sequence + window functions — the m4/m7 kernels'
+# batch-SQL twins), and energies are integer byte sums, so the rollup is
+# exact on any layout.
+def m8_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("bl")
+    )
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("bl") - 1) / SCENE_STRIDE).cast("int")
+            )
+        ).alias("idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "idx",
+        F.expr(f"ascii(substring(text, idx * {SCENE_STRIDE} + 1, 1))").alias(
+            "v"
+        ),
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("idx")
+    scenes = frames.select(
+        "doc_id",
+        "idx",
+        F.when(
+            F.abs(F.col("v") - F.lag("v").over(wlag)) > SCENE_THRESHOLD, 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.sum("b")
+        .over(wlag.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("scene"),
+    )
+    wins = d.filter(F.col("bl") >= AUDIO_WIN).select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("bl") - AUDIO_WIN) / AUDIO_HOP).cast("int"),
+            )
+        ).alias("win_idx"),
+        "text",
+    )
+    energy = F.expr(
+        f"aggregate(transform(sequence(win_idx * {AUDIO_HOP} + 1, "
+        f"win_idx * {AUDIO_HOP} + {AUDIO_WIN}), "
+        "p -> ascii(substring(text, p, 1))), 0L, (acc, x) -> acc + x)"
+    )
+    win_feat = wins.select(
+        "doc_id",
+        "win_idx",
+        energy.alias("energy"),
+        (
+            (F.col("win_idx") * AUDIO_HOP + AUDIO_WIN // 2) / SCENE_STRIDE
+        )
+        .cast("int")
+        .alias("idx"),
+    )
+    return (
+        win_feat.join(scenes, ["doc_id", "idx"])
+        .groupBy("doc_id", "scene")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .orderBy("doc_id", "scene")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "m8_av_align": m8_av_align,
     "m7_scene_segments": m7_scene_segments,
     "m1_multimodal_meta": m1_multimodal_meta,
     "m6_image_tiles": m6_image_tiles,
@@ -373,6 +456,49 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "m8_av_align": f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS bl FROM documents),
+        g AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, (bl - 1) // {SCENE_STRIDE})) AS idx
+          FROM d),
+        fr AS (
+          SELECT doc_id, idx,
+                 ascii(substring(text,
+                   CAST(idx * {SCENE_STRIDE} + 1 AS INT), 1)) AS v
+          FROM g),
+        br AS (
+          SELECT doc_id, idx,
+                 CASE WHEN ABS(v - LAG(v) OVER (PARTITION BY doc_id
+                                                ORDER BY idx))
+                        > {SCENE_THRESHOLD} THEN 1 ELSE 0 END AS b
+          FROM fr),
+        sc AS (
+          SELECT doc_id, idx,
+                 SUM(b) OVER (PARTITION BY doc_id ORDER BY idx
+                              ROWS UNBOUNDED PRECEDING) AS scene
+          FROM br),
+        wi AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, (bl - {AUDIO_WIN}) // {AUDIO_HOP})) AS win_idx
+          FROM d WHERE bl >= {AUDIO_WIN}),
+        wf AS (
+          SELECT doc_id, win_idx,
+                 CAST(list_sum([ascii(substring(text, p, 1))
+                       for p in generate_series(
+                           win_idx * {AUDIO_HOP} + 1,
+                           win_idx * {AUDIO_HOP} + {AUDIO_WIN})]) AS BIGINT)
+                   AS energy,
+                 CAST((win_idx * {AUDIO_HOP} + {AUDIO_WIN // 2})
+                      // {SCENE_STRIDE} AS INT) AS idx
+          FROM wi)
+        SELECT wf.doc_id, CAST(sc.scene AS BIGINT) AS scene,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(wf.energy) AS BIGINT) AS total_energy
+        FROM wf JOIN sc ON wf.doc_id = sc.doc_id AND wf.idx = sc.idx
+        GROUP BY wf.doc_id, sc.scene
+        ORDER BY wf.doc_id, scene""",
     "m7_scene_segments": f"""
         WITH d AS (SELECT doc_id, text, length(text) AS bl FROM documents),
         g AS (

@@ -829,3 +829,12 @@ def test_q56_fk_scores(spark):
     assert rows["orders.o_custkey->customer.c_custkey"]["inclusion"] == 1.0
     neg = rows["lineitem.l_linenumber->customer.c_custkey"]
     assert neg["ndv_a"] <= 10  # the ndv signal that rejects the pair
+
+
+def test_m8_alignment_is_equi_join(spark):
+    """The AV alignment must be an equi-join on (doc_id, frame_idx) —
+    never a range/nested-loop interval join."""
+    from flink_neo4j_spark.operators.multimodal import m8_av_align
+
+    plan = formatted_plan_of(m8_av_align(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
