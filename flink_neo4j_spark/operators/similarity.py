@@ -845,7 +845,26 @@ def s17_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S18 — ANN recall evaluation as a first-class operator (retrieval QA:
+# every production ANN index ships with a recall@k monitor against the
+# exact answer on a sample). Composes s1 (exact) and s2 (LSH) and scores
+# |exact ∩ ann| / k — both sides are existing TakeOrdered plans, the
+# intersection is a 10-row semi-join, and the whole check costs two
+# corpus scans regardless of SF. Deterministic by construction since both
+# inputs are (the s2 planes are fixed).
+def s18_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = s1_cosine_topk(spark, sf_dir).select("vec_id")
+    ann = s2_lsh_topk(spark, sf_dir).select(F.col("vec_id").alias("a_id"))
+    hits = exact.join(ann, exact.vec_id == F.col("a_id"), "left_semi")
+    return hits.agg(F.count("*").cast("long").alias("n_hits")).select(
+        F.lit(TOP_K).alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / TOP_K, 4).alias("recall_at_k"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "s18_ann_recall": s18_ann_recall,
     "s17_hard_negatives": s17_hard_negatives,
     "s16_truncated_rerank": s16_truncated_rerank,
     "s14_kmeans_lloyd": s14_kmeans_lloyd,
@@ -1234,3 +1253,11 @@ ORACLE: dict[str, str] = {
         GROUP BY label, g.pos
         ORDER BY label, pos""",
 }
+
+# s18 composes the two existing oracles verbatim — the recall check is
+# definitionally "these two queries' intersection".
+ORACLE["s18_ann_recall"] = f"""
+    SELECT {TOP_K} AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / {TOP_K}.0, 4) AS recall_at_k
+    FROM ({ORACLE['s1_cosine_topk']}) x
+    WHERE x.vec_id IN (SELECT vec_id FROM ({ORACLE['s2_lsh_topk']}) y)"""

@@ -1234,3 +1234,73 @@ ORACLE: dict[str, str] = {
                END AS seg_lang
         FROM agged ORDER BY doc_id, seg""",
 }
+
+
+#: t21 scorecard thresholds (C4/Gopher-style rule stack).
+SCORE_MIN_QUALITY = 0.3
+SCORE_ENTROPY_LO = 2.5
+SCORE_ENTROPY_HI = 6.5
+
+
+def t21_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality-filter scorecard — the C4-style rule stack as ONE
+    decision table: repetition screens (t10), quality score (t3), char
+    entropy (t17) and language id (t2) joined per doc, with the FIRST
+    failing rule as the reject reason (ordered: repetitive → low_quality
+    → entropy). Composition is plain DataFrame joins over the registered
+    operators, so every rule's semantics stays defined in exactly one
+    place; Catalyst fuses the shared ``documents`` scans where the
+    intermediates allow. This is the op a curation pipeline actually
+    runs: one pass, one verdict, full provenance of why."""
+    lang = t2_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    qual = t3_quality_score(spark, sf_dir).select("doc_id", "quality")
+    rep = t10_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    ent = t17_char_entropy(spark, sf_dir).select("doc_id", "entropy_bits")
+    reason = (
+        F.when(~F.col("rep_keep"), F.lit("repetitive"))
+        .when(F.col("quality") < SCORE_MIN_QUALITY, F.lit("low_quality"))
+        .when(
+            (F.col("entropy_bits") < SCORE_ENTROPY_LO)
+            | (F.col("entropy_bits") > SCORE_ENTROPY_HI),
+            F.lit("entropy"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(ent, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "quality",
+            "entropy_bits",
+            reason.alias("reason"),
+            (reason == "pass").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["t21_scorecard"] = t21_scorecard
+ORACLE["t21_scorecard"] = f"""
+    WITH lang AS (SELECT doc_id, pred_lang FROM ({ORACLE['t2_lang_id']}) x),
+    qual AS (SELECT doc_id, quality FROM ({ORACLE['t3_quality_score']}) x),
+    rep AS (SELECT doc_id, keep AS rep_keep
+            FROM ({ORACLE['t10_repetition_filter']}) x),
+    ent AS (SELECT doc_id, entropy_bits
+            FROM ({ORACLE['t17_char_entropy']}) x),
+    j AS (
+      SELECT lang.doc_id, pred_lang, quality, entropy_bits,
+             CASE WHEN NOT rep_keep THEN 'repetitive'
+                  WHEN quality < {SCORE_MIN_QUALITY} THEN 'low_quality'
+                  WHEN entropy_bits < {SCORE_ENTROPY_LO}
+                    OR entropy_bits > {SCORE_ENTROPY_HI} THEN 'entropy'
+                  ELSE 'pass' END AS reason
+      FROM lang JOIN qual USING (doc_id)
+      JOIN rep USING (doc_id) JOIN ent USING (doc_id))
+    SELECT doc_id, pred_lang, quality, entropy_bits, reason,
+           reason = 'pass' AS keep
+    FROM j ORDER BY doc_id"""
