@@ -160,8 +160,17 @@ class PatternCond:
 
 
 @dataclass
+class FuncCall:
+    """A scalar function over a property reference in RETURN/WITH
+    (openCypher string functions: ``toLower``/``toUpper``/``trim``)."""
+
+    fn: str
+    arg: PropRef
+
+
+@dataclass
 class AggCall:
-    fn: str  # COUNT / SUM / AVG / MIN / MAX
+    fn: str  # COUNT / SUM / AVG / MIN / MAX / COLLECT
     arg: PropRef | None  # None => count(*) or count(var)
 
 
@@ -440,6 +449,18 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
+            and tok.text in _SCALAR_FNS
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            fn = self.next().text
+            self.expect("punct", "(")
+            arg = self.parse_prop_ref(allow_bare=False)
+            self.expect("punct", ")")
+            return FuncCall(fn, arg)
+        if (
+            tok is not None
+            and tok.kind == "word"
             and tok.text.upper() in _AGG_FNS
             and self.peek(1) is not None
             and self.peek(1).kind == "punct"
@@ -533,7 +554,13 @@ class _Parser:
 # -- translation: reads ----------------------------------------------------
 
 
-def _default_name(ref: PropRef | BareRef | AggCall) -> str:
+#: openCypher scalar string functions -> Spark Column functions.
+_SCALAR_FNS = {"toLower": F.lower, "toUpper": F.upper, "trim": F.trim}
+
+
+def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
+    if isinstance(ref, FuncCall):
+        return f"{ref.fn}_{_default_name(ref.arg)}"
     if isinstance(ref, AggCall):
         if ref.arg is None:
             return "count"
@@ -907,15 +934,20 @@ def _apply_projection(
     """One RETURN/WITH projection: Cypher's implicit grouping (non-aggregated
     items become keys when any aggregate is present), column order restored
     to clause order, optional DISTINCT."""
+    def col_of(expr) -> Column:
+        if isinstance(expr, FuncCall):
+            return _SCALAR_FNS[expr.fn](colmap(expr.arg))
+        return colmap(expr)
+
     aggs = [i for i in items if isinstance(i.expr, AggCall)]
     if aggs:
         keys = [i for i in items if not isinstance(i.expr, AggCall)]
         grouped = df.groupBy(
-            *[colmap(i.expr).alias(_out_name(i)) for i in keys]
+            *[col_of(i.expr).alias(_out_name(i)) for i in keys]
         ).agg(*[_agg_column(i.expr, colmap).alias(_out_name(i)) for i in aggs])
         df = grouped.select(*[_out_name(i) for i in items])
     else:
-        df = df.select(*[colmap(i.expr).alias(_out_name(i)) for i in items])
+        df = df.select(*[col_of(i.expr).alias(_out_name(i)) for i in items])
     if distinct:
         df = df.distinct()
     return df

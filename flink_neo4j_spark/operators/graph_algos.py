@@ -1010,6 +1010,21 @@ def g31_cypher_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G32 — Cypher scalar string functions (toLower/toUpper/trim) in
+# RETURN/WITH projections — compiled straight to the codegen'd Column
+# functions, composing with implicit grouping.
+def g32_cypher_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "RETURN toLower(n.name) AS nation_lc, toUpper(n.name) AS nation_uc, "
+        "count(*) AS cnt ORDER BY nation_lc",
+    )
+
+
 # G30 — Cypher collect() aggregate (the openCypher list materializer —
 # "every customer name per nation" is THE canonical Cypher rollup). The
 # front end emits the list SORTED (openCypher leaves order unspecified;
@@ -1276,6 +1291,7 @@ def _duck_harmonic_sql() -> str:
 
 
 QUERIES: dict[str, QueryFn] = {
+    "g32_cypher_string_fns": g32_cypher_string_fns,
     "g31_cypher_shortest_path": g31_cypher_shortest_path,
     "g30_cypher_collect": g30_cypher_collect,
     "g28_random_walks": g28_random_walks,
@@ -1310,6 +1326,11 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g32_cypher_string_fns": """
+        SELECT lower(n_name) AS nation_lc, upper(n_name) AS nation_uc,
+               COUNT(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY nation_lc""",
     "g31_cypher_shortest_path": f"""
         SELECT s_suppkey + {SUPPLIER_BASE} AS supplier,
                r_name AS region, 2 AS hops

@@ -1381,7 +1381,49 @@ def q56_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("candidate")
 
 
+# Q57 — full CDC apply: a change log with INSERT/UPDATE/DELETE ops folded
+# into the final table state (the lakehouse MERGE in its complete form —
+# q29 is upsert-only, w11 is the streaming twin without deletes). The
+# change log derives deterministically from events: per user, ordered by
+# (ts, event_id), op = D when value < 10 (a tombstone), else U. Apply =
+# one argmax per key (latest change wins) + drop keys whose latest op is
+# D — a single shuffle on the key, merge-state associative (max), so the
+# same fold works per-micro-batch, per-partition, or whole-log.
+def q57_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.when(F.col("value") < 10, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    latest = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "ts", "event_id", F.col("op").alias("op"), "value"
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.op").alias("op"),
+            F.col("m.value").alias("value"),
+            F.col("m.event_id").alias("last_event_id"),
+        )
+    )
+    return (
+        latest.filter(F.col("op") != "D")
+        .select("user_id", "value", "last_event_id")
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q57_cdc_apply": q57_cdc_apply,
     "q54_erasure_cascade": q54_erasure_cascade,
     "q55_incremental_join": q55_incremental_join,
     "q56_fk_discovery": q56_fk_discovery,
@@ -1435,6 +1477,19 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q57_cdc_apply": """
+        WITH log AS (
+          SELECT user_id, ts, event_id, ROUND(value, 2) AS value,
+                 CASE WHEN value < 10 THEN 'D' ELSE 'U' END AS op
+          FROM events),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC)
+                      AS rn
+          FROM log)
+        SELECT user_id, value, event_id AS last_event_id
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        ORDER BY user_id""",
     "q54_erasure_cascade": f"""
         WITH cohort AS (
           SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0),

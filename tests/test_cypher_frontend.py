@@ -608,3 +608,25 @@ def test_path_length_only_accessor(fixture_graph):
             "MATCH p = shortestPath((a:User)-[*1..2]->(b:User)) "
             "RETURN p.nodes AS xs",
         )
+
+
+def test_scalar_string_functions(fixture_graph):
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN toUpper(n.name) AS up, toLower(n.name) AS lo "
+        "ORDER BY up",
+    )
+    rows = [(r["up"], r["lo"]) for r in df.collect()]
+    assert all(u == u.upper() and lo == lo.lower() for u, lo in rows)
+    assert rows == sorted(rows)
+
+
+def test_unknown_function_rejected(fixture_graph):
+    import pytest as _pytest
+
+    from flink_neo4j_spark.cypher_frontend import CypherSyntaxError, cypher_read
+
+    with _pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN reverse(n.name) AS r")

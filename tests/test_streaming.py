@@ -350,3 +350,66 @@ def test_anomaly_prefix_causality(spark):
         .collect()
     }
     assert out == expect
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once across restarts: run a streaming rollup to a file sink
+    with AvailableNow, add NEW source files, restart the query from the
+    SAME checkpoint — the second run must process only the new files (no
+    re-emission of batch-0 state in append mode, no duplicated rows), and
+    the union must equal the batch rollup over all files."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    day1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    day2 = dt.datetime(2024, 1, 3, 10, 0, 0)  # past day1's watermark
+    write_batch([(1, day1, 1.0), (1, day1, 2.0), (2, day1, 5.0)])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+            .withWatermark("ts", "1 day")
+            .groupBy("user_id", F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+            .select("user_id", F.col("w.start").cast("date").alias("day"), "cnt", "total")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run_once()
+    # second wave: new day advances the watermark past day1, finalizing it
+    write_batch([(1, day2, 10.0), (2, day2, 20.0)])
+    run_once()
+    write_batch([(2, dt.datetime(2024, 1, 5, 10, 0, 0), 7.0)])
+    run_once()
+
+    got = {
+        (r["user_id"], str(r["day"])): (r["cnt"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # day1 and day2 are watermark-final; each appears EXACTLY once
+    assert got[(1, "2024-01-01")] == (2, 3.0)
+    assert got[(2, "2024-01-01")] == (1, 5.0)
+    assert got[(1, "2024-01-03")] == (1, 10.0)
+    assert got[(2, "2024-01-03")] == (1, 20.0)
+    rows = spark.read.parquet(out).count()
+    assert rows == len(got)  # no duplicated emissions across restarts
