@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_neo4j_spark.session import apply_runtime_confs
@@ -146,3 +146,24 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so ``spark.sql`` works directly."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def observe_quality(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach free data-quality counters to a DataFrame via Spark's
+    Observation API: the named aggregate expressions evaluate DURING the
+    query's own pass (accumulator-backed, no extra scan, no extra
+    shuffle) and are readable after the first action. This is how a
+    pipeline records rows-seen / nulls / out-of-range counts on a 100 TB
+    run without paying a second job for the audit — the streaming twin is
+    ``df.observe`` + a StreamingQueryListener.
+
+    Returns ``(observed_df, observation)``; call ``observation.get``
+    after an action on ``observed_df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [expr.alias(alias) for alias, expr in metrics.items()]
+    return df.observe(obs, *named), obs

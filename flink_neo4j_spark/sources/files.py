@@ -261,3 +261,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Incremental backfill writer: overwrite ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched (Spark's
+    ``partitionOverwriteMode=dynamic``; static mode — the default — would
+    truncate the whole table first, the classic backfill data-loss trap).
+    This is the daily-repair primitive for a 100 TB partitioned table:
+    recompute one day, rewrite one directory. Same single-writer-per-
+    partition repartition discipline as :func:`write_partitioned`.
+
+    The conf is set per-write and restored, so surrounding code keeps the
+    (safer) static default.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

@@ -204,3 +204,39 @@ def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
     fv_sorted = overlap_fraction(spath, "value", stats["mv"], stats["mv2"])
     assert fv_sorted >= 0.9  # value band hits ~every file in sorted layout
     assert fv < fv_sorted
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, tmp_path):
+    """Backfilling one partition must not truncate the rest (the static-
+    mode trap); the rewritten partition's content is replaced."""
+    from flink_neo4j_spark.sources.files import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0)],
+        "day string, k long, v double",
+    )
+    write_partitioned(base, path, ("day",))
+    repair = spark.createDataFrame(
+        [("2024-01-02", 2, 99.0), ("2024-01-02", 3, 1.0)],
+        "day string, k long, v double",
+    )
+    overwrite_partitions_dynamic(repair, path, ("day",))
+    # partition values type-infer to DATE on read; compare as strings
+    got = {
+        (str(r["day"]), r["k"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 10.0,  # untouched partition survives
+        ("2024-01-02", 2): 99.0,  # replaced
+        ("2024-01-02", 3): 1.0,
+    }
+    # conf restored to the safer default afterwards
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )

@@ -838,3 +838,40 @@ def test_m8_alignment_is_equi_join(spark):
 
     plan = formatted_plan_of(m8_av_align(spark, SF_DIR))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_observe_quality_no_extra_pass(spark):
+    """Observation metrics ride the query's own pass: the observed plan
+    has the same single scan, and the counters match an independent
+    aggregation."""
+    from flink_neo4j_spark.catalog import load_table, observe_quality
+
+    e = load_table(spark, SF_DIR, "events")
+    observed, obs = observe_quality(
+        e.filter(F.col("value") > 0),
+        "dq",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_props": F.sum(F.col("props").isNull().cast("long")),
+            "max_value": F.max("value"),
+        },
+    )
+    plan = formatted_plan_of(observed)
+    assert sum(
+        1
+        for line in plan.splitlines()
+        if "events.parquet" in line and "Location" in line
+    ) == 1
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    check = (
+        e.filter(F.col("value") > 0)
+        .agg(
+            F.sum(F.col("props").isNull().cast("long")).alias("np"),
+            F.max("value").alias("mx"),
+        )
+        .first()
+    )
+    assert got["n_null_props"] == (check["np"] or 0)
+    assert got["max_value"] == check["mx"]
