@@ -995,7 +995,69 @@ def d17_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d18 span-detection knobs: gram width, max postings per gram (the
+#: boilerplate guard — a gram in more than this many positions corpus-wide
+#: is template text and would go quadratic), and the minimum run length
+#: (in grams) that counts as a copied span.
+SPAN_GRAM = 8
+SPAN_MAX_POSTINGS = 50
+SPAN_MIN_GRAMS = 13
+
+
+# d18 — matching-SPAN detection (plagiarism / quotation localization):
+# not just WHICH documents share text (d5/d13) but WHERE — the exact
+# copied character ranges in both documents. Classic diagonal-run method:
+# position-aware char-gram postings, equi-join on the gram, then
+# consecutive matches on one DIAGONAL (pa − pb constant) collapse into
+# islands via the pa − row_number() run trick — a window over
+# (pair, diag), no self-join of matches. The postings cap excises
+# template text BEFORE the join (the d3/d17 guard, position-aware form);
+# past it, cost is (shared-span length × pairs), not corpus².
+def d18_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallelize_for_compute(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.length("text") >= SPAN_GRAM)
+    grams = d.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(1, length(text) - {SPAN_GRAM} + 1),"
+        f" i -> substring(lower(text), i, {SPAN_GRAM}))) AS (p0, g)",
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    kept = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= SPAN_MAX_POSTINGS)
+        .select("g")
+    )
+    p = grams.join(kept, "g")
+    a = p.select(
+        F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "g"
+    )
+    b = p.select(
+        F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "g"
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = pairs.withColumn("run", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("a_id", "b_id", "diag", "run")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            F.count("*").alias("n_grams"),
+            (F.max("pa") - F.min("pa") + SPAN_GRAM).alias("span_len"),
+        )
+        .filter(F.col("n_grams") >= SPAN_MIN_GRAMS)
+        .select("a_id", "b_id", "a_start", "b_start", "span_len", "n_grams")
+        .orderBy("a_id", "b_id", "a_start")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "d18_match_spans": d18_match_spans,
     "d17_sparse_cosine": d17_sparse_cosine,
     "d16_priority_dedup": d16_priority_dedup,
     "d1_exact_dedup": d1_exact_dedup,
@@ -1099,6 +1161,38 @@ def _d17_oracle() -> str:
 
 
 ORACLE: dict[str, str] = {
+    "d18_match_spans": f"""
+        WITH d AS (
+          SELECT doc_id, lower(text) AS t, length(text) AS bl
+          FROM documents WHERE length(text) >= {SPAN_GRAM}),
+        g0 AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, bl - {SPAN_GRAM} + 1)) AS pos
+          FROM d),
+        g AS (
+          SELECT doc_id, pos,
+                 substring(t, CAST(pos AS INT), {SPAN_GRAM}) AS g
+          FROM g0),
+        kept AS (
+          SELECT g FROM g GROUP BY g
+          HAVING COUNT(*) <= {SPAN_MAX_POSTINGS}),
+        p AS (SELECT g.* FROM g JOIN kept USING (g)),
+        pr AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+          FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id),
+        runs AS (
+          SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                                            ORDER BY pa) AS run
+          FROM pr)
+        SELECT a_id, b_id,
+               CAST(MIN(pa) AS BIGINT) AS a_start,
+               CAST(MIN(pb) AS BIGINT) AS b_start,
+               CAST(MAX(pa) - MIN(pa) + {SPAN_GRAM} AS BIGINT) AS span_len,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM runs GROUP BY a_id, b_id, diag, run
+        HAVING COUNT(*) >= {SPAN_MIN_GRAMS}
+        ORDER BY a_id, b_id, a_start""",
     "d17_sparse_cosine": _d17_oracle(),
     "d16_priority_dedup": """
         WITH ranked AS (

@@ -861,7 +861,49 @@ def a18_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A19 — business-day fulfillment lag (calendar-aware SLA reporting: the
+# ship lag in WEEKDAYS, not raw days — the form ops teams actually
+# contract on). The weekday count has a closed form on (total days,
+# start weekday): full_weeks·5 plus a ≤6-element fold counting the
+# remainder days that land Mon–Fri — pure codegen arithmetic, no
+# calendar table, no UDF, identical expression in both engines (weekday
+# normalized to 0=Monday on each side). Lags accumulate as exact
+# integers; one shuffle on the priority rollup.
+def a19_businessday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("n"),
+        F.expr("weekday(o_orderdate)").alias("w0"),
+    ).filter(F.col("n") >= 0)
+# NOTE: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty (DuckDB's generate_series(1, 0) is empty) — the zero-remainder
+    # case must be guarded explicitly on the Spark side.
+    bdays = F.expr(
+        "(n div 7) * 5 + (CASE WHEN n % 7 = 0 THEN 0 ELSE "
+        "aggregate(sequence(1, n % 7), 0, "
+        "(acc, k) -> acc + (CASE WHEN (w0 + k) % 7 <= 4 THEN 1 ELSE 0 END))"
+        " END)"
+    )
+    return (
+        j.select("o_orderpriority", bdays.alias("bd"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("bd") / F.count("*"), 2).alias("avg_bdays"),
+            F.max("bd").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a19_businessday_lag": a19_businessday_lag,
     "a18_asof_forward": a18_asof_forward,
     "a16_changepoints": a16_changepoints,
     "a17_series_corr": a17_series_corr,
@@ -883,6 +925,24 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a19_businessday_lag": """
+        WITH j AS (
+          SELECT o_orderpriority,
+                 datediff('day', o_orderdate, l_shipdate) AS n,
+                 isodow(o_orderdate) - 1 AS w0
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= o_orderdate),
+        b AS (
+          SELECT o_orderpriority,
+                 (n // 7) * 5 + COALESCE(list_sum([
+                   CASE WHEN (w0 + k) % 7 <= 4 THEN 1 ELSE 0 END
+                   for k in generate_series(1, n % 7)]), 0) AS bd
+          FROM j)
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(bd) AS DOUBLE) / COUNT(*), 2) AS avg_bdays,
+               CAST(MAX(bd) AS BIGINT) AS max_bdays
+        FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a18_asof_forward": """
         WITH c AS (
           SELECT event_id, user_id, ts, value FROM events

@@ -875,3 +875,61 @@ def test_observe_quality_no_extra_pass(spark):
     )
     assert got["n_null_props"] == (check["np"] or 0)
     assert got["max_value"] == check["mx"]
+
+
+def test_a19_no_udf_calendar(spark):
+    """Business-day arithmetic must stay inside codegen — no Python
+    stages — and the closed form must agree with a reference python
+    computation on sampled rows."""
+    import datetime as dt
+
+    from flink_neo4j_spark.operators.temporal import a19_businessday_lag
+
+    plan = formatted_plan_of(a19_businessday_lag(spark, SF_DIR))
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+    def py_bdays(d1, d2):
+        n = 0
+        d = d1
+        while d < d2:
+            d += dt.timedelta(days=1)
+            if d.weekday() <= 4:
+                n += 1
+        return n
+
+    # spot-check the closed form against the day-walk on a few spans
+    for d1, d2 in [
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 1)),
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 8)),
+        (dt.date(2024, 1, 5), dt.date(2024, 1, 9)),  # over a weekend
+        (dt.date(2024, 1, 6), dt.date(2024, 1, 15)),  # start Saturday
+    ]:
+        n = (d2 - d1).days
+        w0 = d1.weekday()
+        closed = (n // 7) * 5 + sum(
+            1 for k in range(1, n % 7 + 1) if (w0 + k) % 7 <= 4
+        )
+        assert closed == py_bdays(d1, d2), (d1, d2)
+
+
+def test_d18_spans_are_verbatim_matches(spark):
+    """Every reported span must be an actual verbatim substring match at
+    the claimed positions, at least SPAN_MIN_GRAMS + GRAM - 1 chars long."""
+    from flink_neo4j_spark.catalog import load_table
+    from flink_neo4j_spark.operators.dedup import (
+        SPAN_GRAM,
+        SPAN_MIN_GRAMS,
+        d18_match_spans,
+    )
+
+    spans = d18_match_spans(spark, SF_DIR).collect()
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    assert spans
+    for r in spans:
+        assert r["span_len"] >= SPAN_MIN_GRAMS + SPAN_GRAM - 1
+        a = texts[r["a_id"]][r["a_start"] - 1 : r["a_start"] - 1 + r["span_len"]]
+        b = texts[r["b_id"]][r["b_start"] - 1 : r["b_start"] - 1 + r["span_len"]]
+        assert a == b and len(a) == r["span_len"]
