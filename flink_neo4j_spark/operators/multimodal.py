@@ -444,7 +444,54 @@ def m8_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: m9: minimum payload size that counts as a usable media asset.
+COVERAGE_MIN_BYTES = 400
+
+
+# M9 — modality coverage report (the dataset-card completeness table):
+# per source, what fraction of samples have a usable payload, an
+# embedding, and both — the first governance question about any
+# multimodal corpus ("can we even train image+text on source X?").
+# One LEFT join documents→embeddings on the sample id + one conditional
+# aggregation per source; counts are integers, fractions divide once.
+def m9_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            F.length(F.encode(F.col("text"), "UTF-8")) >= COVERAGE_MIN_BYTES
+        ).alias("has_payload"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_emb")
+    )
+    j = docs.join(emb, "doc_id", "left").select(
+        "source",
+        "has_payload",
+        F.coalesce("has_emb", F.lit(False)).alias("has_emb"),
+    )
+    n = F.count("*")
+    return (
+        j.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum(F.col("has_payload").cast("long")).alias("n_payload"),
+            F.sum(F.col("has_emb").cast("long")).alias("n_emb"),
+            F.sum(
+                (F.col("has_payload") & F.col("has_emb")).cast("long")
+            ).alias("n_both"),
+            F.round(
+                F.sum((F.col("has_payload") & F.col("has_emb")).cast("long"))
+                / n,
+                4,
+            ).alias("trainable_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "m9_modality_coverage": m9_modality_coverage,
     "m8_av_align": m8_av_align,
     "m7_scene_segments": m7_scene_segments,
     "m1_multimodal_meta": m1_multimodal_meta,
@@ -456,6 +503,25 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "m9_modality_coverage": f"""
+        WITH j AS (
+          SELECT d.source,
+                 octet_length(encode(d.text)) >= {COVERAGE_MIN_BYTES}
+                   AS has_payload,
+                 e.vec_id IS NOT NULL AS has_emb
+          FROM documents d
+          LEFT JOIN embeddings e ON d.doc_id = e.vec_id)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN has_payload THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_payload,
+               CAST(SUM(CASE WHEN has_emb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_emb,
+               CAST(SUM(CASE WHEN has_payload AND has_emb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both,
+               ROUND(SUM(CASE WHEN has_payload AND has_emb THEN 1 ELSE 0
+                     END) / CAST(COUNT(*) AS DOUBLE), 4) AS trainable_frac
+        FROM j GROUP BY source ORDER BY source""",
     "m8_av_align": f"""
         WITH d AS (SELECT doc_id, text, length(text) AS bl FROM documents),
         g AS (

@@ -902,7 +902,36 @@ def a19_businessday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A20 — LOCAL-time daily rollup: bucket each user's events by the user's
+# own local midnight, not UTC (the subtle bug class behind every "daily
+# actives dropped 30% in APAC" incident). The per-user offset here is a
+# deterministic stand-in (user_id % 24 − 12) for a timezone dimension;
+# the mechanics — shift event time by the offset BEFORE the date
+# truncation, then aggregate on the local day — are exactly the
+# production form, still one shuffle and fully codegen'd (no tz library
+# in the hot path; a real deployment joins a broadcast tz-offset dim).
+def a20_localtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.col("user_id") % 24) - 12).cast("int").alias("tz_off"),
+    )
+    local_day = F.to_date(
+        F.col("ts") + F.make_interval(hours=F.col("tz_off"))
+    )
+    return (
+        e.groupBy("user_id", local_day.alias("local_day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total"),
+        )
+        .orderBy("user_id", "local_day")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "a20_localtime_rollup": a20_localtime_rollup,
     "a19_businessday_lag": a19_businessday_lag,
     "a18_asof_forward": a18_asof_forward,
     "a16_changepoints": a16_changepoints,
@@ -925,6 +954,15 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "a20_localtime_rollup": """
+        SELECT user_id,
+               CAST(CAST(ts AS TIMESTAMP)
+                    + to_hours(user_id % 24 - 12) AS DATE) AS local_day,
+               COUNT(*) AS cnt,
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)
+                 AS total
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "a19_businessday_lag": """
         WITH j AS (
           SELECT o_orderpriority,
