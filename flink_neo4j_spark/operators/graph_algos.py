@@ -1010,6 +1010,103 @@ def g31_cypher_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: g33: integer fixed-point PPR schedule — seed mass per seed, damping as
+#: an integer percentage, rounds. All arithmetic is int64 with integer
+#: division, so the iterative recurrence is bit-identical across layouts
+#: and engines (g4's float PageRank is rows-only for exactly this reason;
+#: this is the hash-checkable form of the same algorithm family).
+PPR_SEED_MASS = 1_000_000_000
+PPR_DAMP_PCT = 85
+PPR_ROUNDS = 3
+PPR_SEEDS = 8
+
+
+def g33_ppr_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / spreading activation in INTEGER fixed
+    point over the co-purchase graph: seeds (the 8 smallest node ids)
+    start with SEED_MASS micro-units; each round every node forwards
+    ``(mass · DAMP) div (100 · deg)`` to each neighbor (integer
+    division — truncation loss is the defined semantics, standing in for
+    the damping leak), and seeds additionally receive a constant
+    teleport ``(SEED_MASS · (100 − DAMP)) div 100``. Each round is one
+    equi-join + one partial-agg sum, the g4/g6 plan shape; K rounds
+    unroll in the oracle as materialized CTEs."""
+    adj = _walk_adjacency(spark, sf_dir)
+    und = adj.select("u", "v", "deg")
+    seeds = und.select("u").distinct().orderBy("u").limit(PPR_SEEDS)
+    teleport = seeds.select(
+        F.col("u").alias("vid"),
+        F.lit(PPR_SEED_MASS * (100 - PPR_DAMP_PCT) // 100).alias("t_mass"),
+    ).localCheckpoint()
+    mass = teleport.select(
+        "vid", F.lit(PPR_SEED_MASS).cast("long").alias("mass")
+    )
+    for _ in range(PPR_ROUNDS):
+        fwd = (
+            mass.join(und, mass.vid == und.u)
+            .select(
+                F.col("v").alias("vid"),
+                F.expr(f"(mass * {PPR_DAMP_PCT}) div (100 * deg)").alias(
+                    "m"
+                ),
+            )
+        )
+        mass = (
+            fwd.unionByName(
+                teleport.select("vid", F.col("t_mass").alias("m"))
+            )
+            .groupBy("vid")
+            .agg(F.sum("m").alias("mass"))
+            .localCheckpoint()
+        )
+    return (
+        mass.filter(F.col("mass") > 0)
+        .select("vid", "mass")
+        .orderBy(F.desc("mass"), "vid")
+        .limit(50)
+    )
+
+
+def _duck_ppr_sql() -> str:
+    """g33 oracle: identical integer recurrence, K materialized rounds."""
+    rounds = []
+    prev = "m0"
+    for i in range(1, PPR_ROUNDS + 1):
+        rounds.append(
+            f"""m{i} AS MATERIALIZED (
+          SELECT vid, SUM(m) AS mass FROM (
+            SELECT und.v AS vid,
+                   (p.mass * {PPR_DAMP_PCT}) // (100 * und.deg) AS m
+            FROM {prev} p JOIN und ON p.vid = und.u
+            UNION ALL
+            SELECT vid, t_mass AS m FROM tp)
+          GROUP BY vid)"""
+        )
+        prev = f"m{i}"
+    return f"""
+        WITH q AS (
+          SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {KCORE_MIN_QTY}),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM q a JOIN q b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        und0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        und AS MATERIALIZED (
+          SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS deg FROM und0),
+        sd AS (SELECT DISTINCT u FROM und ORDER BY u LIMIT {PPR_SEEDS}),
+        tp AS (SELECT u AS vid,
+                      {PPR_SEED_MASS * (100 - PPR_DAMP_PCT) // 100}
+                        AS t_mass
+               FROM sd),
+        m0 AS (SELECT vid, CAST({PPR_SEED_MASS} AS BIGINT) AS mass
+               FROM tp),
+        {", ".join(rounds)}
+        SELECT vid, CAST(mass AS BIGINT) AS mass FROM {prev}
+        WHERE mass > 0
+        ORDER BY mass DESC, vid LIMIT 50"""
+
+
 # G32 — Cypher scalar string functions (toLower/toUpper/trim) in
 # RETURN/WITH projections — compiled straight to the codegen'd Column
 # functions, composing with implicit grouping.
@@ -1291,6 +1388,7 @@ def _duck_harmonic_sql() -> str:
 
 
 QUERIES: dict[str, QueryFn] = {
+    "g33_ppr_integer": g33_ppr_integer,
     "g32_cypher_string_fns": g32_cypher_string_fns,
     "g31_cypher_shortest_path": g31_cypher_shortest_path,
     "g30_cypher_collect": g30_cypher_collect,
@@ -1326,6 +1424,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "g33_ppr_integer": _duck_ppr_sql(),
     "g32_cypher_string_fns": """
         SELECT lower(n_name) AS nation_lc, upper(n_name) AS nation_uc,
                COUNT(*) AS cnt

@@ -1304,3 +1304,44 @@ ORACLE["t21_scorecard"] = f"""
     SELECT doc_id, pred_lang, quality, entropy_bits, reason,
            reason = 'pass' AS keep
     FROM j ORDER BY doc_id"""
+
+
+def t22_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over t8's sequence packing (the QA table
+    behind "are our training batches actually full?"): per shard — docs,
+    tokens, bins consumed, fill rate against the token budget, and how
+    many documents straddle a bin boundary (each straddle is a truncation
+    or a wasted pad in the loader). Pure composition over the registered
+    t8 operator: its packing semantics stay defined in one place."""
+    p = t8_pack_sequences(spark, sf_dir)
+    straddle = (F.col("bin_offset") + F.col("n_tok") > PACK_BUDGET).cast(
+        "long"
+    )
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            (F.max("bin") + 1).alias("n_bins"),
+            F.round(
+                F.sum("n_tok") / ((F.max("bin") + 1) * float(PACK_BUDGET)),
+                4,
+            ).alias("fill_rate"),
+            F.sum(straddle).alias("n_straddles"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["t22_packing_efficiency"] = t22_packing_efficiency
+ORACLE["t22_packing_efficiency"] = f"""
+    WITH p AS ({ORACLE['t8_pack_sequences']})
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+           ROUND(SUM(n_tok) / ((MAX(bin) + 1) * {float(PACK_BUDGET)}), 4)
+             AS fill_rate,
+           CAST(SUM(CASE WHEN bin_offset + n_tok > {PACK_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+    FROM p GROUP BY shard ORDER BY shard"""
