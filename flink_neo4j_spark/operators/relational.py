@@ -1422,7 +1422,64 @@ def q57_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q58 count-min sketch geometry + the engine-neutral row hashes
+#: (arithmetic LCG mixes — identical in any engine; xxhash64/md5 would
+#: diverge between Spark and DuckDB).
+CMS_ROWS = 4
+CMS_COLS = 1024
+CMS_MULT = (2654435761, 40503, 2246822519, 3266489917)
+CMS_TOP = 20
+
+
+# Q58 — count-min sketch heavy hitters, DETERMINISTIC end to end: the
+# sketch is CMS_ROWS × CMS_COLS integer counters built by one
+# explode(×4) + partial-agg count (the sketch is the aggregate — at
+# 100 TB the shuffle carries ≤ 4096 counter rows per task, however many
+# keys exist); estimates are the min over the key's 4 cells (broadcast
+# join against the 4 KB counter table), over-counting bounded by
+# collisions. Because the row hashes are arithmetic (LCG mixes), both
+# engines build the IDENTICAL sketch, so even the approximation error is
+# hash-checkable — the same trick that makes s2's LSH oracle-able. The
+# report compares estimate vs true count for the top keys.
+def q58_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = [
+        f"named_struct('r', {r}, 'c', pmod(l_partkey * {m} + {r * 40503}, {CMS_COLS}))"
+        for r, m in enumerate(CMS_MULT)
+    ]
+    sketch = (
+        li.select(
+            F.explode(F.expr("array(" + ", ".join(cells) + ")")).alias("cell")
+        )
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = li.groupBy("l_partkey").agg(F.count("*").alias("true_cnt"))
+    probes = truth.select("l_partkey", "true_cnt")
+    est = None
+    for r, m in enumerate(CMS_MULT):
+        s_r = sketch.filter(F.col("r") == r).select(
+            F.col("c").alias(f"c{r}"), F.col("cnt").alias(f"cnt{r}")
+        )
+        probes = probes.withColumn(
+            f"c{r}", F.expr(f"pmod(l_partkey * {m} + {r * 40503}, {CMS_COLS})")
+        ).join(F.broadcast(s_r), f"c{r}")
+        est = (
+            F.col(f"cnt{r}")
+            if est is None
+            else F.least(est, F.col(f"cnt{r}"))
+        )
+    return (
+        probes.select(
+            "l_partkey", "true_cnt", est.alias("cms_est")
+        )
+        .orderBy(F.desc("cms_est"), F.desc("true_cnt"), "l_partkey")
+        .limit(CMS_TOP)
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q58_cms_heavy_hitters": q58_cms_heavy_hitters,
     "q57_cdc_apply": q57_cdc_apply,
     "q54_erasure_cascade": q54_erasure_cascade,
     "q55_incremental_join": q55_incremental_join,
@@ -1477,6 +1534,33 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLE: dict[str, str] = {
+    "q58_cms_heavy_hitters": f"""
+        WITH li AS (SELECT l_partkey FROM lineitem),
+        cells AS (
+          {" UNION ALL ".join(
+            f'''SELECT {r} AS r,
+                ((l_partkey * {m} + {r * 40503}) % {CMS_COLS}
+                 + {CMS_COLS}) % {CMS_COLS} AS c
+                FROM li'''
+            for r, m in enumerate(CMS_MULT))}),
+        sketch AS MATERIALIZED (
+          SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY r, c),
+        truth AS (
+          SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+          FROM li GROUP BY l_partkey),
+        probed AS (
+          SELECT t.l_partkey, t.true_cnt,
+                 LEAST({", ".join(
+                   f'''(SELECT cnt FROM sketch WHERE r = {r}
+                        AND c = ((t.l_partkey * {m} + {r * 40503})
+                                 % {CMS_COLS} + {CMS_COLS}) % {CMS_COLS})'''
+                   for r, m in enumerate(CMS_MULT))}) AS cms_est
+          FROM truth t)
+        SELECT l_partkey, true_cnt, cms_est
+        FROM probed
+        ORDER BY cms_est DESC, true_cnt DESC, l_partkey
+        LIMIT {CMS_TOP}""",
     "q57_cdc_apply": """
         WITH log AS (
           SELECT user_id, ts, event_id, ROUND(value, 2) AS value,

@@ -33,3 +33,16 @@ def test_sketches_bound_exact(spark):
     # percentile_approx(accuracy=10000) rank error <= n/10000; translate to a
     # loose value tolerance of 1% of the exact p90
     assert abs(row["p90_price_approx"] - exact_p90) <= 0.01 * exact_p90
+
+
+def test_cms_overestimates_only(spark):
+    """Count-min property: the estimate NEVER undercounts; overcount is
+    bounded by collisions (here, small relative to the table size)."""
+    from flink_neo4j_spark.operators.relational import q58_cms_heavy_hitters
+
+    from .conftest import SF_DIR
+
+    rows = q58_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"]
