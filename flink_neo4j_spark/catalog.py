@@ -138,6 +138,50 @@ def parallelize_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def table_for_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A catalog table, repartitioned for per-row compute AND
+    materialized past the exchange — session-memoized.
+
+    :func:`parallelize_for_compute` alone is not enough for the text/dedup
+    operators: Catalyst pushes *filters* (including expensive computed
+    predicates like ``length(regexp_replace(lower(text), ...)) >= 2``)
+    below the round-robin exchange into the scan stage, and the local
+    testdata scan is ONE task — so the regex over the whole corpus runs on
+    a single core no matter how the downstream stage is partitioned
+    (measured on t18: 3.3 s -> 2.0 s at sf0.1 from this barrier alone).
+    The ``localCheckpoint`` is an optimizer barrier: everything derived
+    from it, filters included, runs at full parallelism.
+
+    Scale honesty: the checkpoint is taken ONLY when the scan under-fills
+    the cores (the same conditional as :func:`parallelize_for_compute`).
+    On a real cluster the 100 TB documents scan already yields thousands
+    of partitions, this returns the plain memoized plan, and no
+    materialization happens — predicate pushdown into a parallel scan is
+    then a win, not a bottleneck.
+    """
+
+    def build() -> DataFrame:
+        df = load_table(spark, sf_dir, name)
+        target = spark.sparkContext.defaultParallelism
+        try:
+            n_parts = len(df.inputFiles())
+        except Exception:
+            n_parts = df.rdd.getNumPartitions()
+        if n_parts >= target:
+            return df
+        return df.repartition(target).localCheckpoint()
+
+    return session_memo(
+        spark, ("table_for_compute", os.path.abspath(sf_dir), name), build
+    )
+
+
+def documents_for_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table via :func:`table_for_compute` — the corpus every
+    text/dedup operator's per-row compute starts from."""
+    return table_for_compute(spark, sf_dir, "documents")
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -30,9 +30,11 @@ from pyspark.sql.window import Window
 import os
 
 from flink_neo4j_spark.catalog import (
+    documents_for_compute,
     load_table,
     parallelize_for_compute,
     session_memo,
+    table_for_compute,
 )
 from flink_neo4j_spark.functions import (
     char_grams_expr,
@@ -96,7 +98,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # start from this exact (doc_id, sh) table; the tokenize+shingle map is
     # paid once per session instead of once per query.
     def build() -> DataFrame:
-        d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+        d = documents_for_compute(spark, sf_dir)
         return (
             d.filter(F.expr(f"size({TOKENS_EXPR}) >= 3"))
             .selectExpr("doc_id", f"{TOKENS_EXPR} AS tok")
@@ -133,7 +135,7 @@ _DUCK_SHINGLED = f"""
 # Hash-groupBy on md5(text): one shuffle keyed by the fingerprint; at 100 TB
 # group on the 128-bit hash, never the full text (shuffle bytes ~= 16B/row).
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     return (
         d.groupBy(F.md5(F.col("text")).alias("fp"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
@@ -212,7 +214,7 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    d = documents_for_compute(spark, sf_dir)
     toks = d.selectExpr("doc_id", f"explode({TOKENS_EXPR}) AS tok").withColumn(
         "h", F.expr("CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)")
     )
@@ -270,7 +272,7 @@ def _chargram_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown trap as _shingled; gr is non-empty iff len(norm) >= 5."""
 
     def build() -> DataFrame:
-        d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+        d = documents_for_compute(spark, sf_dir)
         g = (
             d.selectExpr(
                 "doc_id",
@@ -432,7 +434,7 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+    e = table_for_compute(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
     )
     w = Window.partitionBy("label").orderBy("vec_id")
@@ -634,7 +636,7 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify step. Spark's levenshtein() and DuckDB's agree exactly (classic
 # unit-cost edit distance), so the operator is hash-checkable.
 def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     base = _materialized(
         d.selectExpr(
             "doc_id",
@@ -807,7 +809,7 @@ CHUNK_TOKENS = 10
 
 
 def d11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    d = documents_for_compute(spark, sf_dir)
     n_chunks_expr = f"int(ceil(size(tok) / {CHUNK_TOKENS}.0))"
     chunks = (
         d.filter(F.expr(f"size({TOKENS_EXPR}) >= 1"))
@@ -862,7 +864,7 @@ def d11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical fingerprint itself, so the normalization chain must agree
 # byte-for-byte (same regex class, same replacement, same trim).
 def d15_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     canon = F.trim(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
     )

@@ -722,12 +722,18 @@ def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
+        # Materialize the join+distinct ONCE before deriving the degree
+        # table: `cp` feeds both the deg broadcast subplan and the final
+        # join, and without this intermediate checkpoint Catalyst executes
+        # the lineitem⋈orders+distinct twice (once inside the broadcast
+        # job) — measured 2.3 s of duplicate work at sf0.1.
         cp = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .select(
                 F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
             )
             .distinct()
+            .localCheckpoint()
         )
         deg = (
             cp.groupBy("part")

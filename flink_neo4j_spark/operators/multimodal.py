@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_neo4j_spark.catalog import load_table, parallelize_for_compute
+from flink_neo4j_spark.catalog import (
+    documents_for_compute,
+    load_table,
+    parallelize_for_compute,
+    table_for_compute,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -196,24 +201,24 @@ def audio_windows(multimodal: DataFrame) -> DataFrame:
 
 
 def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     return extract_meta(attach_payload(docs)).orderBy("doc_id")
 
 
 def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     return frame_sample(attach_payload(docs), stride=100).orderBy("doc_id")
 
 
 def m3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     return resize(attach_payload(docs), factor=4).select(
         "doc_id", "byte_len", "sha"
     ).orderBy("doc_id")
 
 
 def m4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     return audio_windows(attach_payload(docs)).orderBy("doc_id", "win_idx")
 
 
@@ -227,14 +232,14 @@ def m4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bytes themselves are never read (column pruning keeps the scan to
 # metadata).
 def m5_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     samples = docs.select(
         "doc_id",
         F.length(F.encode(F.col("text"), "UTF-8")).alias("byte_len"),
         F.col("source").alias("origin"),
         F.expr("size(split(trim(text), ' +'))").alias("n_tokens"),
     )
-    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+    emb = table_for_compute(spark, sf_dir, "embeddings").selectExpr(
         "vec_id AS doc_id",
         "label",
         "round(sqrt(aggregate(cast(embedding AS array<double>), 0D,"
@@ -299,7 +304,7 @@ def image_tiles(multimodal: DataFrame) -> DataFrame:
 
 
 def m6_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     return image_tiles(attach_payload(docs)).orderBy(
         "doc_id", "tile_y", "tile_x"
     )
@@ -359,7 +364,7 @@ def scene_segments(multimodal: DataFrame, stride: int = SCENE_STRIDE) -> DataFra
 
 
 def m7_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    docs = documents_for_compute(spark, sf_dir)
     return scene_segments(attach_payload(docs)).orderBy("doc_id")
 
 
@@ -462,7 +467,7 @@ def m9_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.encode(F.col("text"), "UTF-8")) >= COVERAGE_MIN_BYTES
         ).alias("has_payload"),
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = table_for_compute(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), F.lit(True).alias("has_emb")
     )
     j = docs.join(emb, "doc_id", "left").select(

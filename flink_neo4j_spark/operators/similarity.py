@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from flink_neo4j_spark.catalog import load_table
+from flink_neo4j_spark.catalog import load_table, table_for_compute
 from flink_neo4j_spark.functions import cosine_col as _cosine
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -56,7 +56,10 @@ PLANES = _planes()
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").selectExpr(
+    # table_for_compute: the local single-file scan is one task, and the
+    # per-row dot-product `aggregate` expressions (and any computed filters
+    # Catalyst pushes into the scan) would otherwise run on one core.
+    return table_for_compute(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
     )
 
@@ -446,7 +449,7 @@ NORM_Z_THRESHOLD = 2.0
 
 
 def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = table_for_compute(spark, sf_dir, "embeddings")
     norm = F.sqrt(
         F.expr(
             "aggregate(embedding, cast(0.0 as double), "

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 import os
 
 from flink_neo4j_spark.catalog import (
+    documents_for_compute,
     load_table,
     parallelize_for_compute,
     session_memo,
@@ -55,7 +56,7 @@ def _exploded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-filter."""
 
     def build() -> DataFrame:
-        d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+        d = documents_for_compute(spark, sf_dir)
         return d.selectExpr(
             "doc_id", f"explode({TOKENS}) AS term"
         ).localCheckpoint()
@@ -74,7 +75,7 @@ def _duck_arr(words: tuple[str, ...]) -> str:
 
 # T1 — token counting: whitespace tokens + BPE-ish regex tokens.
 def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     return d.selectExpr(
         "doc_id",
         f"size({TOKENS}) AS ws_tokens",
@@ -86,7 +87,7 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declaration-order tiebreak. (Corpus `lang` labels are synthetic; the
 # operator contract is the deterministic heuristic itself.)
 def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     hits = d.selectExpr(
         "doc_id",
         f"{TOKENS} AS toks",
@@ -108,7 +109,7 @@ def t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T3 — quality scoring: length/word-shape/stopword-ratio features + a
 # composite score. Pure arithmetic; rounded for cross-engine hashing.
 def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     en = _arr(STOPWORDS["en"])
     return d.selectExpr(
         "doc_id",
@@ -137,7 +138,7 @@ def t3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing computes one md5 per 5-gram position — CPU-bound enough to
     # warrant rebalancing the single-row-group local scan across cores.
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    d = documents_for_compute(spark, sf_dir)
     return d.selectExpr(
         "doc_id",
         "trim(regexp_replace(lower(text), ' +', ' ')) AS norm",
@@ -220,7 +221,7 @@ DIGIT_RE = "[0-9]+"
 
 
 def t7_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     return d.selectExpr(
         "doc_id",
         f"regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>'), "
@@ -251,7 +252,7 @@ _HEX = "0123456789abcdef"
 def t8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    d = documents_for_compute(spark, sf_dir)
     base = d.selectExpr(
         "doc_id",
         f"CAST(size({TOKENS}) AS BIGINT) AS n_tok",
@@ -294,7 +295,7 @@ SEG_TOKENS = 20
 
 
 def t9_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    d = documents_for_compute(spark, sf_dir)
     ex = d.selectExpr("doc_id", f"posexplode_outer({TOKENS}) AS (pos, term)")
     hits = [
         F.sum(
@@ -338,7 +339,7 @@ SYMBOL_MAX = 0.1
 
 
 def t10_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
+    d = documents_for_compute(spark, sf_dir)
     toks = d.selectExpr("doc_id", f"{TOKENS} AS tok")
     # duplicate-bigram fraction: total bigrams is n_tok - 1 (positional), so
     # only the DISTINCT bigram array is materialized (rule-1 projection
@@ -434,7 +435,7 @@ def t11_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side). All expressions are JVM built-ins: bigram generation is a
 # codegen'd transform(sequence(...)) — no Python in either pass.
 def t12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     norm = d.selectExpr(
         "doc_id", "regexp_replace(lower(text), '[^a-z ]', '') AS t"
     ).filter(F.length("t") >= 2)
@@ -623,7 +624,7 @@ def t15_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_tokens/n_types/hapax are all conditional counts over the same run —
 # the corpus is never scanned twice and nothing is quadratic in doc length.
 def t16_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode_outer(F.expr(TOKENS)).alias("tok")
     )
@@ -656,7 +657,7 @@ def t16_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per level, zero Python. Rounded to 3dp so cross-partition float summation
 # order can't leak into the hash (same discipline as s5/g19).
 def t17_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     chars = d.select(
         "doc_id", F.explode_outer(F.split(F.col("text"), "")).alias("ch")
     ).filter(F.col("ch") != "")
@@ -702,15 +703,22 @@ BPE_MERGE_ROUNDS = 4
 
 
 def t18_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallelize_for_compute(load_table(spark, sf_dir, "documents"))
-    # letters-only normalization, then one space between adjacent symbols;
+    # documents_for_compute materializes the round-robin repartition BEFORE
+    # the regex work: Catalyst pushes the `length(regexp_replace(...)) >= 2`
+    # filter below the exchange into the scan stage, and the local testdata
+    # scan is one task — without that barrier the whole letters-only
+    # normalization regex runs on a single core (measured 3.3 s -> 2.0 s
+    # at sf0.1).
+    d = documents_for_compute(spark, sf_dir)
+    # letters-only normalization, then one space between adjacent symbols
+    # (concat_ws over a char split — linear, no per-char regex captures);
     # docs with < 2 symbols carry no pairs and are dropped up front.
     cur = (
         d.selectExpr(
             "doc_id", "regexp_replace(lower(text), '[^a-z]', '') AS raw"
         )
         .filter(F.length("raw") >= 2)
-        .selectExpr("doc_id", "trim(regexp_replace(raw, '(.)', '$1 ')) AS s")
+        .selectExpr("doc_id", "concat_ws(' ', split(raw, '')) AS s")
         .localCheckpoint()
     )
     merges = []
@@ -807,7 +815,7 @@ def _t18_oracle() -> str:
 # is the presentation sort; char sums are integers, the mean divides once
 # at the end.
 def t19_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = documents_for_compute(spark, sf_dir)
     sents = F.filter(
         F.transform(
             F.split(F.col("text"), r"[.!?]\s+"), lambda s: F.trim(s)
