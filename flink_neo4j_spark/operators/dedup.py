@@ -1442,3 +1442,51 @@ ORACLE: dict[str, str] = {
                      sqrt(list_sum([x * x for x in b.emb]))), 4) >= {COSINE_THRESHOLD}
         ORDER BY a_id, b_id""",
 }
+
+
+#: d19 split fractions in 16ths of the md5 nibble space: 0-11 train (75%),
+#: 12-13 val (12.5%), 14-15 test (12.5%).
+SPLIT_SEED = "split0"
+SPLIT_TRAIN_MAX = 11
+SPLIT_VAL_MAX = 13
+
+
+# D19 — leakage-safe train/val/test split: assign every document to a
+# split by hashing its NEAR-DUP CLUSTER id (d7's connected component),
+# never the doc itself — so two near-duplicate documents can never land in
+# different splits and leak training content into eval (the
+# contamination mode test-set decontamination (d9) cannot catch, because
+# both copies are in-corpus). The hash is a seeded md5 (q24's
+# rand()-free discipline: stable across engines, retries, partitionings);
+# fractions come from the first hex nibble. One extra narrow map over
+# d7's per-doc cluster frame — the CC is the expensive part and it is
+# shared/memoized; the split adds no shuffle beyond d7's own.
+def d19_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = d7_dedup_clusters(spark, sf_dir).select("doc_id", "comp")
+    nib = F.expr(
+        f"CAST(conv(substring(md5(concat('{SPLIT_SEED}|', "
+        "CAST(comp AS STRING))), 1, 1), 16, 10) AS INT)"
+    )
+    return comp.select(
+        "doc_id",
+        "comp",
+        F.when(nib <= SPLIT_TRAIN_MAX, "train")
+        .when(nib <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+QUERIES["d19_leakage_safe_split"] = d19_leakage_safe_split
+ORACLE["d19_leakage_safe_split"] = f"""
+    WITH comp_base AS MATERIALIZED ({ORACLE['d7_dedup_clusters']})
+    SELECT doc_id, comp,
+           CASE WHEN nib <= {SPLIT_TRAIN_MAX} THEN 'train'
+                WHEN nib <= {SPLIT_VAL_MAX} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, comp,
+                 CAST('0x' || substring(
+                     md5('{SPLIT_SEED}|' || CAST(comp AS VARCHAR)), 1, 1)
+                   AS INT) AS nib
+          FROM comp_base)
+    ORDER BY doc_id"""

@@ -2083,3 +2083,86 @@ ORACLE: dict[str, str] = {
         WHERE v.nation_val > {GLOBAL_SHARE} * t.corpus_val
         ORDER BY value DESC, n.n_name""",
 }
+
+
+#: q59: a lineitem is "late" when it ships this many days after the order.
+LATE_DAYS = 60
+LONELY_LATE_TOP = 20
+
+
+# Q59 — TPC-H Q21's "lonely late supplier" shape: suppliers who were the
+# ONLY late shipper on a finished multi-supplier order. The classic SQL
+# states it as a double correlated (NOT) EXISTS against lineitem with a
+# `<> l_suppkey` correlation; the Spark-first form DECORRELATES both
+# subqueries into one per-order aggregation — count the order's distinct
+# suppliers and its distinct LATE suppliers once, then the predicate is a
+# pure filter (late AND n_supp > 1 AND n_late = 1). That turns two extra
+# lineitem self-joins into one partial-aggregated groupBy on the SAME
+# orderkey the main join already shuffles on (AQE co-partitions them), and
+# the supplier name lookup broadcasts. The DuckDB oracle states the
+# literal EXISTS form, so the conformance gate proves the rewrite.
+def q59_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    ls = (
+        li.join(o, li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), LATE_DAYS)
+            ).alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        # late_lines keeps the per-LINEITEM multiplicity the SQL's per-l1-row
+        # count has (a supplier with two late lines on one order counts 2)
+        .agg(
+            F.max("late").alias("late"),
+            F.sum(F.col("late").cast("long")).alias("late_lines"),
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+    )
+    lonely = (
+        ls.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lonely.join(F.broadcast(s), lonely.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(LONELY_LATE_TOP)
+    )
+
+
+QUERIES["q59_lonely_late_supplier"] = q59_lonely_late_supplier
+ORACLE["q59_lonely_late_supplier"] = f"""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE)
+          > CAST(o_orderdate AS DATE) + INTERVAL {LATE_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE)
+                            > CAST(o_orderdate AS DATE)
+                              + INTERVAL {LATE_DAYS} DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {LONELY_LATE_TOP}"""

@@ -1353,3 +1353,116 @@ ORACLE["t22_packing_efficiency"] = f"""
            CAST(SUM(CASE WHEN bin_offset + n_tok > {PACK_BUDGET}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
     FROM p GROUP BY shard ORDER BY shard"""
+
+
+#: t23 DSIR importance weighting: hashed-feature buckets + the target slice.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+#: fixed-point scale for per-bucket log-ratios (a17/g33/t20 discipline:
+#: integer accumulation makes the per-doc sum layout-independent).
+DSIR_SCALE = 1_000_000
+
+
+# T23 — DSIR-style importance weights (Xie et al., "Data Selection for
+# Language Models via Importance Resampling"): score every document by how
+# much more likely its hashed-feature profile is under a target domain
+# (here the `lang = 'en'` slice) than under the raw corpus. This is the
+# standard pretraining-mixture re-weighting op: weights feed importance
+# resampling, so a web-scale raw crawl can be tilted toward a target
+# distribution without training a classifier.
+#
+# Features are hashed word unigrams (md5 -> one of DSIR_BUCKETS buckets —
+# the hash is engine-reproducible, same trick as d4's simhash bits). The
+# bucket model is two add-one-smoothed count vectors; their per-bucket
+# log-ratio is quantized to integer micro-units BEFORE the per-doc
+# aggregation, so the Σ over a document's tokens is an exact int64 sum —
+# immune to float summation order across partitions/engines — and divides
+# back to the rounded per-token average at the very end.
+#
+# Scale shape: one token explode (narrow) -> per-bucket counts (64 rows,
+# partial-agg; ONE shuffle of bucket keys) -> broadcast the 64-row model
+# back -> per-doc sum (second shuffle, keyed by doc_id). The corpus is
+# scanned once; nothing is collected; the model is O(DSIR_BUCKETS).
+def t23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = documents_for_compute(spark, sf_dir)
+    toks = d.selectExpr(
+        "doc_id", "lang", f"explode({TOKENS}) AS tok"
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        f"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT) % {DSIR_BUCKETS}"
+        " AS b",
+    )
+    cnt = toks.groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tgt_c"),
+    )
+    tot = cnt.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_c") + F.lit(1.0))
+                    / (F.col("tgt_n") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("raw_c") + F.lit(1.0))
+                    / (F.col("raw_n") + F.lit(float(DSIR_BUCKETS)))
+                )
+            )
+            * DSIR_SCALE
+        )
+        .cast("long")
+        .alias("lr_fp"),
+    )
+    return (
+        toks.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (
+                F.round(
+                    F.sum("lr_fp")
+                    / (F.count("*") * F.lit(float(DSIR_SCALE))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["t23_dsir_weights"] = t23_dsir_weights
+ORACLE["t23_dsir_weights"] = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST('0x' || substring(md5(tok), 1, 4) AS INT) % {DSIR_BUCKETS}
+               AS b
+      FROM (SELECT doc_id, lang, unnest({DUCK_TOKENS}) AS tok
+            FROM documents)
+    ), cnt AS (
+      SELECT b, COUNT(*) AS raw_c,
+             SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS tgt_c
+      FROM toks GROUP BY b
+    ), tot AS (
+      SELECT SUM(raw_c) AS raw_n, SUM(tgt_c) AS tgt_n FROM cnt
+    ), model AS (
+      SELECT b,
+             CAST(ROUND((ln((tgt_c + 1.0) / (tgt_n + {DSIR_BUCKETS}.0))
+                       - ln((raw_c + 1.0) / (raw_n + {DSIR_BUCKETS}.0)))
+                  * {DSIR_SCALE}) AS BIGINT) AS lr_fp
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(SUM(lr_fp) / (COUNT(*) * {DSIR_SCALE}.0), 4) + 0.0
+             AS dsir_logw
+    FROM toks JOIN model USING (b)
+    GROUP BY doc_id ORDER BY doc_id"""
