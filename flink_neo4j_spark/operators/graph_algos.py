@@ -155,7 +155,19 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             )
         )
     )
-    return PropertyGraph(v, e)
+    # Session-memoized + localCheckpoint: this projection is the shared
+    # entry point of every g* query (the GDS `gds.graph.project` step —
+    # project once, run many algorithms). Without the materialization each
+    # query's action re-executes the 4-table scan+union lineage; with it
+    # the per-query cost is an in-memory scan of ~|V|+|E| rows. PropertyGraph
+    # mutations (MERGE, DETACH DELETE) derive new frames from the
+    # checkpointed base without touching it.
+    def _ckpt() -> tuple[DataFrame, DataFrame]:
+        return (v.localCheckpoint(), e.localCheckpoint())
+
+    key = ("tpch_graph", os.path.abspath(sf_dir))
+    vv, ee = session_memo(spark, key, _ckpt)
+    return PropertyGraph(vv, ee)
 
 
 # G1 — two-hop pattern match:
