@@ -1806,3 +1806,107 @@ ORACLE: dict[str, str] = {
         WHERE c_custkey % 7 >= 5
         ORDER BY c_id""",
 }
+
+
+#: g34: per-customer basket cap (bounds the per-customer pair fan-out at
+#: C(cap, 2) — the degree-cutoff guard in its basket-mining form) and the
+#: support floor below which a pair is noise.
+PMI_BASKET_CAP = 40
+PMI_MIN_PAIR = 3
+PMI_TOP = 50
+
+
+# G34 — co-purchase PMI (pointwise mutual information / market-basket
+# lift): rank part pairs by how much more often they are bought by the
+# SAME customer than independence predicts — pmi = ln(n·c_ab/(c_a·c_b))
+# over the customer-part incidence. The association-mining primitive
+# behind "frequently bought together" (g15 ranks by raw co-count; PMI
+# corrects for item popularity, surfacing niche affinities).
+#
+# Scale shape: the incidence projection is shared (g15/g20's memoized
+# cust-part frame); customers above PMI_BASKET_CAP parts are dropped
+# BEFORE the self-join (the d3-style guard — a whale basket would fan out
+# quadratically), the pair count partial-aggregates on the (a,b) key, and
+# the per-part marginals are a tiny broadcast joined back twice. PMI is
+# computed from four int64 counts, so it is layout-independent before the
+# one presentation ROUND; ordering is on integer support then rounded pmi
+# then ids — cross-engine total.
+def g34_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cpd = _cust_part_projection(spark, sf_dir).select("cust", "part")
+    bsize = cpd.groupBy("cust").agg(F.count("*").alias("bsz"))
+    kept = cpd.join(
+        F.broadcast(bsize.filter(F.col("bsz") <= PMI_BASKET_CAP)), "cust"
+    ).select("cust", "part")
+    n_cust = kept.select("cust").distinct().agg(
+        F.count("*").alias("n_cust")
+    )
+    marg = kept.groupBy("part").agg(F.count("*").alias("c"))
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("pa"), F.col("b.part").alias("pb")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    return (
+        pairs.join(F.broadcast(marg.selectExpr("part AS pa", "c AS c_a")), "pa")
+        .join(F.broadcast(marg.selectExpr("part AS pb", "c AS c_b")), "pb")
+        .crossJoin(F.broadcast(n_cust))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            (
+                F.round(
+                    F.log(
+                        F.col("n_cust").cast("double")
+                        * F.col("c_ab")
+                        / (F.col("c_a").cast("double") * F.col("c_b"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c_ab"), F.desc("pmi"), "pa", "pb")
+        .limit(PMI_TOP)
+    )
+
+
+QUERIES["g34_copurchase_pmi"] = g34_copurchase_pmi
+ORACLE["g34_copurchase_pmi"] = f"""
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), deg AS (
+      SELECT part FROM cp GROUP BY part
+      HAVING COUNT(*) BETWEEN 2 AND {ALSO_BOUGHT_DEGREE_CUTOFF}
+    ), cpd AS MATERIALIZED (
+      SELECT cust, part FROM cp JOIN deg USING (part)
+    ), kept AS MATERIALIZED (
+      SELECT cust, part FROM cpd
+      WHERE cust IN (SELECT cust FROM cpd GROUP BY cust
+                     HAVING COUNT(*) <= {PMI_BASKET_CAP})
+    ), n AS (SELECT COUNT(DISTINCT cust) AS n_cust FROM kept),
+    marg AS (SELECT part, COUNT(*) AS c FROM kept GROUP BY part),
+    pairs AS (
+      SELECT a.part AS pa, b.part AS pb, COUNT(*) AS c_ab
+      FROM kept a JOIN kept b
+        ON a.cust = b.cust AND a.part < b.part
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_PAIR}
+    )
+    SELECT pa, pb, c_ab,
+           ROUND(ln(n_cust * 1.0 * c_ab / (ma.c * 1.0 * mb.c)), 4) + 0.0
+             AS pmi
+    FROM pairs
+    JOIN marg ma ON ma.part = pa
+    JOIN marg mb ON mb.part = pb
+    CROSS JOIN n
+    ORDER BY c_ab DESC, pmi DESC, pa, pb
+    LIMIT {PMI_TOP}"""

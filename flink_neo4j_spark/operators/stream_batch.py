@@ -398,3 +398,27 @@ ORACLE: dict[str, str] = {
          AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 1 HOUR
         ORDER BY c.user_id, click_id, buy_id""",
 }
+
+
+def w16_stream_batch_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture drift audit: the streaming daily rollup (real
+    topology, parquet sink) full-outer-joined against its batch twin; the
+    oracle states zero drift, so any stream/batch divergence is a red
+    conformance row."""
+    from flink_neo4j_spark.streaming.windows import (
+        run_reconcile_available_now,
+    )
+
+    return run_reconcile_available_now(spark, sf_dir)
+
+
+QUERIES["w16_stream_batch_reconcile"] = w16_stream_batch_reconcile
+ORACLE["w16_stream_batch_reconcile"] = """
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(0 AS BIGINT) AS stream_only,
+           CAST(0 AS BIGINT) AS batch_only
+    FROM (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events GROUP BY 1, 2)
+    GROUP BY day ORDER BY day"""

@@ -1262,3 +1262,117 @@ ORACLE: dict[str, str] = {
               FROM events)
         GROUP BY event_type ORDER BY event_type""",
 }
+
+
+#: a21: centered moving-average half-width (3 -> 7-day trend window) and the
+#: fixed-point scale that makes the detrended series integer-exact: the
+#: trend denominator is the frame row count (4..7 at the series edges), and
+#: 420 = lcm(4,5,6,7), so 420/den is always integral.
+SEASONAL_HALF = 3
+SEASONAL_LCM = 420
+SEASONAL_EPOCH = "1996-01-01"
+
+
+# A21 — STL-lite seasonal decomposition of the corpus-wide daily event
+# count: count_t = trend (centered 7-day moving average) + weekly seasonal
+# (day-of-week mean of the detrended series) + residual — the standard
+# first decomposition for traffic/ingest monitoring before any anomaly
+# rule (a9/a16 operate on raw series; this separates "it's Sunday" from
+# "something broke").
+#
+# Exactness discipline (the q43/a15 lesson): daily counts are integers, so
+# detrended_fp = 420·n − trend_num·(420/trend_den) is an EXACT int64 in
+# 1/420ths, the seasonal means aggregate integer sums, and every float
+# division happens once at presentation — the result is bit-identical on
+# any partition layout/engine. Day-of-week is (day − epoch) mod 7 (both
+# engines agree; no locale-dependent dayofweek()).
+#
+# Scale shape: events partial-aggregate to one row per DAY before any
+# window — the windowed series is calendar-bounded (~decades = thousands
+# of rows), so the unpartitioned centered window is a deliberate tiny
+# single-task stage, not a scale hazard; everything upstream shuffles
+# once on the day key.
+def a21_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("day").agg(F.count("*").alias("n"))
+    w = (
+        Window.orderBy("day").rowsBetween(-SEASONAL_HALF, SEASONAL_HALF)
+    )
+    trended = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("t_num"),
+        F.count("n").over(w).alias("t_den"),
+        F.expr(f"(datediff(day, DATE '{SEASONAL_EPOCH}') % 7 + 7) % 7").alias(
+            "dow"
+        ),
+    ).withColumn(
+        "det_fp",
+        F.lit(SEASONAL_LCM) * F.col("n")
+        - F.col("t_num") * (F.lit(SEASONAL_LCM) / F.col("t_den")).cast("long"),
+    )
+    seas = trended.groupBy("dow").agg(
+        F.sum("det_fp").alias("s_num"), F.count("*").alias("s_den")
+    )
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "n",
+            (F.round(F.col("t_num") / F.col("t_den"), 4) + F.lit(0.0)).alias(
+                "trend"
+            ),
+            (
+                F.round(
+                    F.col("s_num")
+                    / (F.col("s_den") * F.lit(float(SEASONAL_LCM))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("seasonal"),
+            (
+                F.round(
+                    F.col("det_fp") / F.lit(float(SEASONAL_LCM))
+                    - F.col("s_num")
+                    / (F.col("s_den") * F.lit(float(SEASONAL_LCM))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("resid"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["a21_seasonal_decomp"] = a21_seasonal_decomp
+ORACLE["a21_seasonal_decomp"] = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT day, n,
+             SUM(n) OVER w AS t_num,
+             COUNT(n) OVER w AS t_den,
+             ((day - DATE '{SEASONAL_EPOCH}') % 7 + 7) % 7 AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {SEASONAL_HALF} PRECEDING
+                        AND {SEASONAL_HALF} FOLLOWING)
+    ), det AS (
+      SELECT *,
+             {SEASONAL_LCM} * n
+               - t_num * CAST({SEASONAL_LCM} / t_den AS BIGINT) AS det_fp
+      FROM trended
+    ), seas AS (
+      SELECT dow, SUM(det_fp) AS s_num, COUNT(*) AS s_den
+      FROM det GROUP BY dow
+    )
+    SELECT day, n,
+           ROUND(t_num * 1.0 / t_den, 4) + 0.0 AS trend,
+           ROUND(s_num / (s_den * {SEASONAL_LCM}.0), 4) + 0.0 AS seasonal,
+           ROUND(det_fp / {SEASONAL_LCM}.0
+                 - s_num / (s_den * {SEASONAL_LCM}.0), 4) + 0.0 AS resid
+    FROM det JOIN seas USING (dow)
+    ORDER BY day"""

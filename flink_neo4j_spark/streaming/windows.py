@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_neo4j_spark.catalog import normalize_event_ts
+from flink_neo4j_spark.catalog import load_table, normalize_event_ts
 from flink_neo4j_spark.session import apply_runtime_confs
 
 
@@ -910,3 +910,52 @@ def run_anomaly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anomaly",
     )
     return out.orderBy("user_id", "event_id")
+
+
+def run_reconcile_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w16: lambda-architecture reconciliation — run the daily rollup BOTH
+    ways (the real Structured Streaming topology through its parquet sink,
+    and the batch twin over the same source), full-outer join the two
+    results, and emit the per-day drift audit every speed/batch-layer
+    deployment runs before trusting the serving table.
+
+    The audit counts keys only present on one side and keys whose
+    aggregates disagree; counts compare exactly (int64), the rounded float
+    totals with a half-ulp-of-2dp tolerance (|Δ| < 0.005) so a boundary
+    rounding flip between the two layers' partition layouts cannot
+    false-alarm. On a correct engine every key matches — which is exactly
+    what the DuckDB oracle states, so any stream/batch divergence turns
+    the conformance row red.
+    """
+    stream = run_daily_available_now(spark, sf_dir).selectExpr(
+        "user_id", "day", "cnt AS s_cnt", "total AS s_total"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("b_cnt"),
+            F.round(F.sum("value"), 2).alias("b_total"),
+        )
+        .select(
+            "user_id", F.col("win.start").cast("date").alias("day"),
+            "b_cnt", "b_total",
+        )
+    )
+    j = stream.join(batch, ["user_id", "day"], "full_outer")
+    matched = (
+        F.col("s_cnt").isNotNull()
+        & F.col("b_cnt").isNotNull()
+        & (F.col("s_cnt") == F.col("b_cnt"))
+        & (F.abs(F.col("s_total") - F.col("b_total")) < 0.005)
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(matched.cast("long")).alias("n_matched"),
+            F.sum(F.col("b_cnt").isNull().cast("long")).alias("stream_only"),
+            F.sum(F.col("s_cnt").isNull().cast("long")).alias("batch_only"),
+        )
+        .orderBy("day")
+    )
