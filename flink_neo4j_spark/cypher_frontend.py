@@ -1313,6 +1313,61 @@ def cypher_write(
 
     p.expect("kw", "MATCH")
     target = p.parse_node(unwind_var=uvar)
+
+    if p.at("punct", ","):
+        # UNWIND $rows AS r MATCH (a:LA {k: r.x}), (b:LB {k: r.y})
+        #   MERGE|CREATE (a)-[:T]->(b) — the relationship batch-write form
+        # (endpoints matched by key, edge inserted; MERGE is idempotent on
+        # the (src, dst, rel_type) pair, CREATE inserts unconditionally).
+        p.next()
+        target_b = p.parse_node(unwind_var=uvar)
+        if p.at("kw", "MERGE"):
+            idempotent = True
+        elif p.at("kw", "CREATE"):
+            idempotent = False
+        else:
+            raise CypherSyntaxError(
+                "two-node MATCH must be followed by MERGE or CREATE"
+            )
+        p.next()
+        pat = p.parse_pattern()
+        if not isinstance(pat, EdgePat) or pat.hops is not None:
+            raise CypherSyntaxError(
+                "relationship write needs a single-hop edge pattern"
+            )
+        if pat.rel_type is None:
+            raise CypherSyntaxError("relationship write requires a type")
+        if pat.props or pat.var is not None:
+            raise CypherSyntaxError(
+                "relationship write supports an anonymous, property-free edge"
+            )
+        if (pat.src.var, pat.dst.var) != (target.var, target_b.var):
+            raise CypherSyntaxError(
+                "edge endpoints must be the two MATCHed variables in order"
+            )
+        for node in (target, target_b):
+            if node.label is None or len(node.props) != 1:
+                raise CypherSyntaxError(
+                    "each endpoint needs a label and exactly one key property"
+                )
+        ((akey, aval),) = target.props.items()
+        ((bkey, bval),) = target_b.props.items()
+        data = [
+            {"__a": _resolve(aval, row), "__b": _resolve(bval, row)}
+            for row in rows
+        ]
+        if not data:
+            return graph
+        spark = graph.vertices.sparkSession
+        eps = graph._resolve_endpoints(
+            spark.createDataFrame(data),
+            target.label, akey, "__a",
+            target_b.label, bkey, "__b",
+        )
+        if idempotent:
+            return graph.merge_relationships(eps, pat.rel_type)
+        return graph.create_relationships(eps, pat.rel_type)
+
     p.expect("kw", "WHERE")
     disj = p.parse_where(unwind_var=uvar)
     p.expect("kw", "SET")

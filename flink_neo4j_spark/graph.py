@@ -300,6 +300,76 @@ class PropertyGraph:
         ids = keys.select(F.col(key).alias("id")).distinct()
         return PropertyGraph(self.vertices, self.edges.join(ids, "id", "left_anti"))
 
+    def _resolve_endpoints(
+        self,
+        batch: DataFrame,
+        src_label: str,
+        src_key: str,
+        src_col: str,
+        dst_label: str,
+        dst_key: str,
+        dst_col: str,
+    ) -> DataFrame:
+        """Resolve a key-addressed endpoint batch to internal (src, dst) id
+        pairs — the ``MATCH (a:LA {k: r.x}), (b:LB {k: r.y})`` step of a
+        relationship write. Two inner equi-joins against the vertex table
+        (the batch side broadcasts when small, as UNWIND batches are); rows
+        whose endpoints do not BOTH exist drop out, mirroring Cypher MATCH
+        semantics (no implicit node creation)."""
+        a = self.vertices.filter(F.col("label") == src_label).select(
+            F.col(src_key).alias("__ak"), F.col("id").alias("src")
+        )
+        b = self.vertices.filter(F.col("label") == dst_label).select(
+            F.col(dst_key).alias("__bk"), F.col("id").alias("dst")
+        )
+        return (
+            batch.join(a, batch[src_col] == F.col("__ak"))
+            .join(b, batch[dst_col] == F.col("__bk"))
+            .select("src", "dst")
+        )
+
+    def create_relationships(
+        self,
+        endpoints: DataFrame,
+        rel_type: str,
+    ) -> "PropertyGraph":
+        """Relationship batch INSERT — ``UNWIND $rows AS r MATCH (a), (b)
+        CREATE (a)-[:T]->(b)`` once endpoints are resolved to (src, dst)
+        internal ids. Edge ids allocate above the current max exactly as
+        :meth:`create_nodes` does for vertices (scalar-agg base +
+        ``monotonically_increasing_id`` offsets — no collect, no gaps
+        assumption). CREATE semantics: every batch row inserts, duplicates
+        included, as in Cypher."""
+        base = self.edges.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
+        new = (
+            endpoints.select("src", "dst")
+            .withColumn("rel_type", F.lit(rel_type))
+            .withColumn("_off", F.monotonically_increasing_id())
+            .crossJoin(F.broadcast(base))
+            .withColumn("id", F.col("m") + 1 + F.col("_off"))
+            .drop("m", "_off")
+        )
+        merged = self.edges.unionByName(new, allowMissingColumns=True)
+        return PropertyGraph(self.vertices, merged)
+
+    def merge_relationships(
+        self,
+        endpoints: DataFrame,
+        rel_type: str,
+    ) -> "PropertyGraph":
+        """Relationship MERGE — ``MERGE (a)-[:T]->(b)``: insert the edge
+        only if no (src, dst, rel_type) edge exists, making the write
+        idempotent (retry-safe, the sink's at-least-once story — re-running
+        the same batch is a no-op). One distinct + one anti-join against
+        the existing edge set keyed on the endpoint pair, then the same
+        id-allocation path as :meth:`create_relationships`."""
+        wanted = endpoints.select("src", "dst").distinct()
+        existing = self.edges.filter(
+            F.col("rel_type") == rel_type
+        ).select("src", "dst")
+        missing = wanted.join(existing, ["src", "dst"], "left_anti")
+        return self.create_relationships(missing, rel_type)
+
     # -- connector round-trip (SURVEY §7 step 5) --------------------------
 
     def to_cypher(self, transport_factory, batch_size: int = 1000) -> None:

@@ -1910,3 +1910,60 @@ ORACLE["g34_copurchase_pmi"] = f"""
     CROSS JOIN n
     ORDER BY c_ab DESC, pmi DESC, pa, pb
     LIMIT {PMI_TOP}"""
+
+
+#: g35 probe set: the nations whose region memberships the audit lists.
+REL_MERGE_PROBE = ("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+
+
+# G35 — Cypher relationship MERGE through the front end: the idempotent
+# edge upsert every Neo4j ingestion pipeline pairs with node MERGE (g18) —
+# `UNWIND $rows AS r MATCH (a {k}), (b {k}) MERGE (a)-[:T]->(b)`. The
+# batch mixes already-existing memberships (must no-op), genuinely new
+# cross-region memberships (must insert exactly once), and a row whose
+# endpoint does not exist (MATCH semantics: dropped, never auto-created).
+# The result lists the probe nations' region memberships from the mutated
+# graph; the oracle states the closed form (original mapping UNION the two
+# inserted pairs, set semantics).
+def g35_cypher_rel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    rows = [
+        {"nation": "NATION_0", "region": "AFRICA"},    # exists -> no-op
+        {"nation": "NATION_1", "region": "AMERICA"},   # exists -> no-op
+        {"nation": "NATION_0", "region": "ASIA"},      # new edge
+        {"nation": "NATION_2", "region": "AFRICA"},    # new edge
+        {"nation": "NATION_0", "region": "ATLANTIS"},  # no such Region
+    ]
+    g2 = cypher_write(
+        g,
+        "UNWIND $rows AS r MATCH (n:Nation {name: r.nation}),"
+        " (g:Region {name: r.region}) MERGE (n)-[:IN_REGION]->(g)",
+        {"rows": rows},
+    )
+    nat = g2.vertices.filter(
+        (F.col("label") == "Nation") & F.col("name").isin(*REL_MERGE_PROBE)
+    ).select(F.col("id").alias("nid"), F.col("name").alias("nation_name"))
+    reg = g2.vertices.filter(F.col("label") == "Region").select(
+        F.col("id").alias("rid"), F.col("name").alias("region_name")
+    )
+    return (
+        g2.edges.filter(F.col("rel_type") == "IN_REGION")
+        .join(F.broadcast(nat), F.col("src") == F.col("nid"))
+        .join(F.broadcast(reg), F.col("dst") == F.col("rid"))
+        .select("nation_name", "region_name")
+        .orderBy("nation_name", "region_name")
+    )
+
+
+QUERIES["g35_cypher_rel_merge"] = g35_cypher_rel_merge
+ORACLE["g35_cypher_rel_merge"] = """
+    SELECT nation_name, region_name FROM (
+      SELECT n_name AS nation_name, r_name AS region_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE n_nationkey <= 3
+      UNION
+      SELECT * FROM (VALUES ('NATION_0', 'ASIA'), ('NATION_2', 'AFRICA'))
+        AS added(nation_name, region_name)
+    ) ORDER BY nation_name, region_name"""

@@ -33,7 +33,6 @@ from pyspark.sql.window import Window
 from flink_neo4j_spark.catalog import (
     documents_for_compute,
     load_table,
-    parallelize_for_compute,
     table_for_compute,
 )
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from flink_neo4j_spark.catalog import load_table, table_for_compute
+from flink_neo4j_spark.catalog import table_for_compute
 from flink_neo4j_spark.functions import cosine_col as _cosine
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

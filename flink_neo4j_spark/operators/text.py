@@ -22,7 +22,6 @@ import os
 from flink_neo4j_spark.catalog import (
     documents_for_compute,
     load_table,
-    parallelize_for_compute,
     session_memo,
 )
 

@@ -1,0 +1,72 @@
+"""Relationship CREATE/MERGE: the edge-write half of the batch sink
+(`UNWIND $rows AS r MATCH (a), (b) MERGE (a)-[:T]->(b)`), node endpoints
+resolved by key, MERGE idempotent on (src, dst, rel_type)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_neo4j_spark.cypher_frontend import CypherSyntaxError, cypher_write
+from flink_neo4j_spark.graph import PropertyGraph
+
+MERGE_Q = (
+    "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+    " MERGE (a)-[:KNOWS]->(b)"
+)
+CREATE_Q = MERGE_Q.replace("MERGE", "CREATE", 1)
+
+
+@pytest.fixture()
+def fixture_graph(spark):
+    return PropertyGraph.from_rows(
+        spark,
+        [(1, "User", "alice"), (2, "User", "bob"), (3, "User", "carol")],
+        "id long, label string, name string",
+        [(10, 1, 2, "KNOWS")],
+        "id long, src long, dst long, rel_type string",
+    )
+
+
+def test_merge_is_idempotent_and_drops_missing_endpoints(spark, fixture_graph):
+    rows = [
+        {"src": "alice", "dst": "bob"},    # already exists -> no-op
+        {"src": "bob", "dst": "carol"},    # new
+        {"src": "alice", "dst": "ghost"},  # unmatched endpoint -> dropped
+    ]
+    g2 = cypher_write(fixture_graph, MERGE_Q, {"rows": rows})
+    assert sorted(
+        (r.src, r.dst, r.rel_type) for r in g2.edges.collect()
+    ) == [(1, 2, "KNOWS"), (2, 3, "KNOWS")]
+    # retry-safety: re-running the same batch changes nothing
+    g3 = cypher_write(g2, MERGE_Q, {"rows": rows})
+    assert g3.edges.count() == 2
+
+
+def test_create_inserts_duplicates_with_fresh_ids(spark, fixture_graph):
+    g2 = cypher_write(
+        fixture_graph, CREATE_Q, {"rows": [{"src": "alice", "dst": "bob"}]}
+    )
+    assert g2.edges.count() == 2  # duplicate edge allowed under CREATE
+    assert g2.edges.select("id").distinct().count() == 2
+
+
+def test_rejects_malformed_relationship_writes(spark, fixture_graph):
+    bad = [
+        # unlabeled endpoint
+        "UNWIND $rows AS r MATCH (a {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[:KNOWS]->(b)",
+        # untyped edge
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[]->(b)",
+        # endpoint variables out of order
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (b)-[:KNOWS]->(a)",
+        # neither MERGE nor CREATE after the two-node MATCH
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " SET a.x = r.src",
+    ]
+    for q in bad:
+        with pytest.raises(CypherSyntaxError):
+            cypher_write(
+                fixture_graph, q, {"rows": [{"src": "alice", "dst": "bob"}]}
+            )
