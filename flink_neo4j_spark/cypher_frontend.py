@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"MATCH", "RETURN", "WHERE", "UNWIND", "AS", "CREATE", "SET", "AND", "OR",
-             "TRUE", "FALSE", "NULL", "ID", "WITH", "MERGE"}
+             "TRUE", "FALSE", "NULL", "ID", "WITH", "MERGE", "DETACH", "DELETE"}
 
 
 @dataclass
@@ -1367,6 +1367,35 @@ def cypher_write(
         if idempotent:
             return graph.merge_relationships(eps, pat.rel_type)
         return graph.create_relationships(eps, pat.rel_type)
+
+    if p.at("kw", "DETACH") or p.at("kw", "DELETE"):
+        # UNWIND $rows AS r MATCH (n:L {k: r.k}) [DETACH] DELETE n —
+        # key-addressed batch delete; plain DELETE keeps Neo4j's contract
+        # (refuses when a matched vertex still has relationships).
+        detach = False
+        if p.at("kw", "DETACH"):
+            detach = True
+            p.next()
+        p.expect("kw", "DELETE")
+        var = p.expect("word").text
+        if var != target.var:
+            raise CypherSyntaxError(f"DELETE target must be {target.var!r}")
+        if target.label is None or len(target.props) != 1:
+            raise CypherSyntaxError(
+                "DELETE MATCH needs a label and exactly one key property"
+            )
+        ((key, val),) = target.props.items()
+        data = [{"__k": _resolve(val, row)} for row in rows]
+        if not data:
+            return graph
+        spark = graph.vertices.sparkSession
+        batch = spark.createDataFrame(data)
+        ids = (
+            graph.vertices.filter(F.col("label") == target.label)
+            .join(batch, graph.vertices[key] == batch["__k"], "left_semi")
+            .select("id")
+        )
+        return graph.delete_nodes(ids, detach=detach)
 
     p.expect("kw", "WHERE")
     disj = p.parse_where(unwind_var=uvar)

@@ -1,0 +1,57 @@
+"""Layout independence of rounded-float results.
+
+Float addition is not associative, so a SUM of doubles can change at the
+ROUND boundary when the partition layout changes (the q43 lesson: a result
+that hash-matched in one session flipped in a fresh session with a
+different shuffle-partition count). Queries whose per-group accumulations
+are integer fixed-point by design must produce BIT-IDENTICAL rounded
+output under any layout — this test re-runs them with a different
+``spark.sql.shuffle.partitions`` and compares canonical hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flink_neo4j_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+#: queries whose docstrings promise layout-independent accumulation
+FIXED_POINT_QUERIES = [
+    "t23_dsir_weights",
+    "a21_seasonal_decomp",
+    "g34_copurchase_pmi",
+    "t20_zipf_slope",
+    "a15_twap",
+    "a17_series_corr",
+]
+
+
+def _canonical_hash(df) -> str:
+    cols = sorted(df.columns)
+    pdf = df.toPandas()[cols]
+    rows = sorted(
+        "|".join(repr(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", FIXED_POINT_QUERIES)
+def test_result_is_identical_across_shuffle_layouts(spark, name):
+    fn = all_queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        h3 = _canonical_hash(fn(spark, SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        h17 = _canonical_hash(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h3 == h17, f"{name} result depends on partition layout"

@@ -70,3 +70,26 @@ def test_rejects_malformed_relationship_writes(spark, fixture_graph):
             cypher_write(
                 fixture_graph, q, {"rows": [{"src": "alice", "dst": "bob"}]}
             )
+
+
+DELETE_Q = "UNWIND $rows AS r MATCH (n:User {name: r.name}) DELETE n"
+DETACH_Q = DELETE_Q.replace("DELETE", "DETACH DELETE", 1)
+
+
+def test_detach_delete_by_key_drops_vertices_and_incident_edges(
+    spark, fixture_graph
+):
+    g2 = cypher_write(
+        fixture_graph, DETACH_Q,
+        {"rows": [{"name": "alice"}, {"name": "ghost"}]},  # ghost: no match
+    )
+    assert sorted(r.name for r in g2.vertices.collect()) == ["bob", "carol"]
+    assert g2.edges.count() == 0
+
+
+def test_plain_delete_keeps_neo4j_incident_edge_contract(spark, fixture_graph):
+    with pytest.raises(ValueError, match="incident"):
+        cypher_write(fixture_graph, DELETE_Q, {"rows": [{"name": "alice"}]})
+    g2 = cypher_write(fixture_graph, DELETE_Q, {"rows": [{"name": "carol"}]})
+    assert sorted(r.name for r in g2.vertices.collect()) == ["alice", "bob"]
+    assert g2.edges.count() == 1
