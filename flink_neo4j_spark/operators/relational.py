@@ -2166,3 +2166,154 @@ ORACLE["q59_lonely_late_supplier"] = f"""
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT {LONELY_LATE_TOP}"""
+
+
+# Q60 — TPC-H Q6 shape: the pure predicate-pushdown scan-aggregate
+# (forecast revenue change). No join, no group — the whole query is one
+# filtered scan with a two-column projection, so its physical plan is the
+# pushdown litmus test: date + quantity predicates reach the parquet
+# reader and the aggregate is a single partial-agg pass. Revenue
+# accumulates as INTEGER cents x discount-percent (price and discount are
+# 2dp decimals stored as doubles; both engines round to the same int64
+# before any summation), so the sum is layout-independent and the one
+# float division happens at presentation.
+def q60_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & (F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)") >= 2)
+            & (F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)") <= 6)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+                    * F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+                )
+                / F.lit(10000.0),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+QUERIES["q60_revenue_scan"] = q60_revenue_scan
+ORACLE["q60_revenue_scan"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(ROUND(l_discount * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 2 AND 6
+      AND l_quantity < 24"""
+
+
+# Q61 — TPC-H Q14 shape: promotion revenue share — a conditional-aggregate
+# RATIO over one join month. Both numerator and denominator accumulate as
+# int64 (cents x (100 - discount%)), the part-side predicate is a plain
+# dimension filter that BROADCASTS, and the single percent division+round
+# happens on the 1-row result — layout-independent by construction.
+def q61_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    d = F.col("l_shipdate").cast("date")
+    net = F.expr(
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+    )
+    j = li.filter(
+        (d >= F.lit("1996-03-01").cast("date"))
+        & (d < F.lit("1996-04-01").cast("date"))
+    ).join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0))
+                / F.sum(net),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("promo_share_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+QUERIES["q61_promo_share"] = q61_promo_share
+ORACLE["q61_promo_share"] = """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN net
+                                  ELSE 0 END) * 1.0 / SUM(net), 4) + 0.0
+             AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (SELECT p_type,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS net
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01')"""
+
+
+#: q62: minimum total order quantity for the "large order" report.
+LARGE_ORDER_MIN_QTY = 140
+LARGE_ORDER_TOP = 20
+
+
+# Q62 — TPC-H Q18 shape: large-volume orders — the grouped-HAVING
+# semi-join. The classic SQL nests `o_orderkey IN (SELECT l_orderkey ...
+# GROUP BY ... HAVING SUM(qty) > t)`; the Spark-first form aggregates
+# lineitem ONCE on the orderkey (quantities are integral — cast to int64
+# so the HAVING threshold compares exactly), keeps qualifying keys, and
+# joins customers/orders back to the tiny survivor set. The quantity agg
+# shuffles on the same orderkey the join needs — one partial-agg pass
+# over the fact table, no correlated re-scan.
+def q62_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(LARGE_ORDER_TOP)
+    )
+
+
+QUERIES["q62_large_orders"] = q62_large_orders
+ORACLE["q62_large_orders"] = f"""
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN (SELECT l_orderkey,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                 > {LARGE_ORDER_MIN_QTY}) big
+      ON big.l_orderkey = o_orderkey
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT {LARGE_ORDER_TOP}"""

@@ -38,33 +38,83 @@ def oracle():
     con.close()
 
 
-def normalize(rows, ndigits=6):
-    """Rows -> sorted list of tuples with column order by name and floats
-    rounded, so Spark/DuckDB results compare order- and fp-insensitively."""
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                v = None if math.isnan(v) else round(v, ndigits)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+def canon_cell(v):
+    """Canonicalize one result cell EXACTLY like the driver's value-hash
+    (repr-based, so an int64 column and a float64 column with equal values
+    STILL mismatch). This strictness matters: DuckDB's ``fetchdf``
+    materializes HUGEINT (the type of SUM over BIGINT) as float64, so an
+    oracle missing a ``CAST(... AS BIGINT)`` passes a ``==``-based compare
+    yet fails the driver's hash — q23 (round 1) and q62 (round 3) both
+    shipped that way. Keep this in lockstep with
+    ``.claude/skills/verify/driver_sim.py``."""
+    import datetime
+
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 6)
+        if r == 0.0:
+            r = 0.0
+        return repr(r)
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        if v == v.normalize():
+            return str(v.date())
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        if v.time() == datetime.time(0, 0):
+            return str(v.date())
+        return str(v)
+    if isinstance(v, datetime.date):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(canon_cell(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.integer):
+            return repr(int(v))
+        if isinstance(v, np.floating):
+            return canon_cell(float(v))
+        if isinstance(v, np.bool_):
+            return repr(bool(v))
+    except ImportError:  # pragma: no cover
+        pass
+    return repr(v)
+
+
+def _canon_rows(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    return sorted(
+        "|".join(canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False)
+    )
 
 
 def assert_matches_oracle(df, con, sql):
-    """Compare a Spark DataFrame against DuckDB output of `sql`."""
-    cols = sorted(df.columns)
-    spark_rows = [tuple(r[c] for c in cols) for r in df.collect()]
-    res = con.execute(sql)
-    o_cols = [d[0] for d in res.description]
-    assert sorted(o_cols) == cols, f"column mismatch: spark={cols} oracle={sorted(o_cols)}"
-    idx = [o_cols.index(c) for c in cols]
-    oracle_rows = [tuple(r[i] for i in idx) for r in res.fetchall()]
-    # normalize temporal types: duckdb returns datetime.date/datetime, Spark too
-    assert len(spark_rows) == len(oracle_rows), (
-        f"row count: spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    """Compare a Spark DataFrame against DuckDB output of `sql`, through
+    the SAME pandas materialization + repr canonicalization as the
+    driver's hash check (``fetchdf``, not ``fetchall`` — see
+    :func:`canon_cell` for why the dtype path matters)."""
+    spdf = df.toPandas()
+    odf = con.execute(sql).fetchdf()
+    cols = sorted(spdf.columns)
+    assert sorted(odf.columns) == cols, (
+        f"column mismatch: spark={cols} oracle={sorted(odf.columns)}"
     )
-    sn, on = normalize(spark_rows), normalize(oracle_rows)
+    assert len(spdf) == len(odf), (
+        f"row count: spark={len(spdf)} oracle={len(odf)}"
+    )
+    sn, on = _canon_rows(spdf), _canon_rows(odf)
     mismatches = [(a, b) for a, b in zip(sn, on) if a != b]
     assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"

@@ -933,3 +933,29 @@ def test_d18_spans_are_verbatim_matches(spark):
         a = texts[r["a_id"]][r["a_start"] - 1 : r["a_start"] - 1 + r["span_len"]]
         b = texts[r["b_id"]][r["b_start"] - 1 : r["b_start"] - 1 + r["span_len"]]
         assert a == b and len(a) == r["span_len"]
+
+
+def test_q60_scan_aggregate_plan_shape(spark):
+    """TPC-H Q6 is the pushdown litmus query: the date range + quantity
+    predicates must reach the parquet reader and the read schema must
+    prune to exactly the four touched columns."""
+    from flink_neo4j_spark.operators.relational import q60_revenue_scan
+
+    df = q60_revenue_scan(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert read_schema_columns(df) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q61_dimension_broadcasts(spark):
+    from flink_neo4j_spark.operators.relational import q61_promo_share
+
+    assert has_broadcast_join(q61_promo_share(spark, SF_DIR))
+
+
+def test_q62_topk_is_take_ordered(spark):
+    from flink_neo4j_spark.operators.relational import q62_large_orders
+
+    assert has_take_ordered(q62_large_orders(spark, SF_DIR))
