@@ -2317,3 +2317,131 @@ ORACLE["q62_large_orders"] = f"""
       ON big.l_orderkey = o_orderkey
     ORDER BY sum_qty DESC, o_orderkey
     LIMIT {LARGE_ORDER_TOP}"""
+
+
+# Q63 — the LITERAL TPC-H Q1 pricing summary (q8 is the multi-agg shape;
+# this is the canonical report with the full derived-measure set,
+# including the only use of l_tax in the schema): per (returnflag,
+# linestatus), quantity/base-price/discounted-price/charge sums plus
+# averages and a row count. All four sums accumulate as int64 fixed-point
+# (cents, cents x (100 - disc), cents x (100 - disc) x (100 + tax) — max
+# ~1e11/row x 6e5 rows at sf0.1, safely inside int64), so every float in
+# the output derives from exact integers via ONE division at presentation
+# and the result is partition-layout- and engine-independent. One
+# partial-aggregated shuffle on a 6-group key; the date predicate is
+# pushed to the scan.
+def q63_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.expr("CAST(ROUND(l_quantity) AS BIGINT)")
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    disc = F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+    tax = F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)")
+    return (
+        li.filter(
+            F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(cents * (100 - disc)) / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(cents * (100 - disc) * (100 + tax)) / 1000000.0, 2
+            ).alias("sum_charge"),
+            F.round(F.sum(qty) / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(cents) / (F.count("*") * 100.0), 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(disc) / (F.count("*") * 100.0), 4).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES["q63_pricing_summary"] = q63_pricing_summary
+ORACLE["q63_pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           ROUND(SUM(cents) / 100.0, 2) AS sum_base_price,
+           ROUND(SUM(cents * (100 - disc)) / 10000.0, 2) AS sum_disc_price,
+           ROUND(SUM(cents * (100 - disc) * (100 + tax)) / 1000000.0, 2)
+             AS sum_charge,
+           ROUND(SUM(qty) * 1.0 / COUNT(*), 4) AS avg_qty,
+           ROUND(SUM(cents) / (COUNT(*) * 100.0), 4) AS avg_price,
+           ROUND(SUM(disc) / (COUNT(*) * 100.0), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02')
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+
+# Q64 — realized-price vs list-price margin analysis (retail analytics
+# shape; also the only consumer of p_retailprice in the schema): for every
+# part, the ratio of realized unit revenue (Σ extendedprice / Σ quantity)
+# to its list price, averaged per brand. Each per-part ratio derives from
+# THREE exact int64 sums (cents, quantity, retail cents) — deterministic —
+# and is immediately quantized to 1e6 fixed-point so the per-brand average
+# is again an integer sum (the a17/t20 discipline, applied twice). Plan:
+# one fact-side partial agg on partkey, a broadcast dimension join, one
+# 25-group re-agg.
+def q64_brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("cents").alias("sum_cents"), F.sum("qty").alias("sum_qty")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias(
+            "retail_cents"
+        ),
+    )
+    ratio_fp = F.expr(
+        "CAST(ROUND(sum_cents * 1000000.0 / (sum_qty * retail_cents))"
+        " AS BIGINT)"
+    )
+    return (
+        per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
+        .select("p_brand", ratio_fp.alias("r_fp"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("r_fp") / (F.count("*") * 1e6), 4).alias(
+                "avg_price_ratio"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["q64_brand_margin"] = q64_brand_margin
+ORACLE["q64_brand_margin"] = """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(r_fp) / (COUNT(*) * 1e6), 4) AS avg_price_ratio
+    FROM (SELECT p_brand,
+                 CAST(ROUND(sum_cents * 1000000.0
+                            / (sum_qty * CAST(ROUND(p_retailprice * 100)
+                                              AS BIGINT))) AS BIGINT) AS r_fp
+          FROM (SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         AS sum_cents,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+                FROM lineitem GROUP BY l_partkey) f
+          JOIN part ON l_partkey = p_partkey)
+    GROUP BY p_brand ORDER BY p_brand"""
