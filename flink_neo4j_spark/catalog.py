@@ -162,14 +162,10 @@ def table_for_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     def build() -> DataFrame:
         df = load_table(spark, sf_dir, name)
-        target = spark.sparkContext.defaultParallelism
-        try:
-            n_parts = len(df.inputFiles())
-        except Exception:
-            n_parts = df.rdd.getNumPartitions()
-        if n_parts >= target:
+        rebalanced = parallelize_for_compute(df)
+        if rebalanced is df:  # scan already fills the cores: no-op at scale
             return df
-        return df.repartition(target).localCheckpoint()
+        return rebalanced.localCheckpoint()
 
     return session_memo(
         spark, ("table_for_compute", os.path.abspath(sf_dir), name), build

@@ -219,6 +219,17 @@ class _Parser:
         tok = self.peek()
         return tok is not None and tok.kind == kind and (text is None or tok.text == text)
 
+    def expect_end(self) -> None:
+        """Reject trailing tokens. Every cypher_write form must call this
+        before executing: a clause the grammar does not support (e.g. a SET
+        after a relationship MERGE) must be a loud syntax error, never a
+        silently-dropped write."""
+        tok = self.peek()
+        if tok is not None:
+            raise CypherSyntaxError(
+                f"unsupported trailing clause at {tok.text!r}"
+            )
+
     # values ----------------------------------------------------------------
 
     def parse_value(self, unwind_var: str | None):
@@ -1264,6 +1275,7 @@ def cypher_write(
         node = p.parse_node(unwind_var=uvar)
         if node.label is None:
             raise CypherSyntaxError("CREATE requires a label")
+        p.expect_end()
         spark = graph.vertices.sparkSession
         data = [
             {k: _resolve(v, row) for k, v in node.props.items()} for row in rows
@@ -1299,6 +1311,7 @@ def cypher_write(
                     p.next()
                     continue
                 break
+        p.expect_end()
         spark = graph.vertices.sparkSession
         data = [
             {
@@ -1350,6 +1363,7 @@ def cypher_write(
                 raise CypherSyntaxError(
                     "each endpoint needs a label and exactly one key property"
                 )
+        p.expect_end()
         ((akey, aval),) = target.props.items()
         ((bkey, bval),) = target_b.props.items()
         data = [
@@ -1384,6 +1398,7 @@ def cypher_write(
             raise CypherSyntaxError(
                 "DELETE MATCH needs a label and exactly one key property"
             )
+        p.expect_end()
         ((key, val),) = target.props.items()
         data = [{"__k": _resolve(val, row)} for row in rows]
         if not data:
@@ -1425,6 +1440,7 @@ def cypher_write(
             continue
         break
 
+    p.expect_end()
     spark = graph.vertices.sparkSession
     data = [
         {key: _resolve(("__param__", cond.right[1]), row),

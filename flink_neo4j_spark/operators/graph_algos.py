@@ -1834,9 +1834,15 @@ PMI_TOP = 50
 def g34_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpd = _cust_part_projection(spark, sf_dir).select("cust", "part")
     bsize = cpd.groupBy("cust").agg(F.count("*").alias("bsz"))
-    kept = cpd.join(
-        F.broadcast(bsize.filter(F.col("bsz") <= PMI_BASKET_CAP)), "cust"
-    ).select("cust", "part")
+    # localCheckpoint: kept is consumed four times (n_cust, marginals, and
+    # both sides of the pair self-join) — materialize the basket filter once
+    kept = (
+        cpd.join(
+            F.broadcast(bsize.filter(F.col("bsz") <= PMI_BASKET_CAP)), "cust"
+        )
+        .select("cust", "part")
+        .localCheckpoint()
+    )
     n_cust = kept.select("cust").distinct().agg(
         F.count("*").alias("n_cust")
     )

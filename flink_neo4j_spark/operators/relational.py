@@ -2125,6 +2125,9 @@ def q59_lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late").alias("late"),
             F.sum(F.col("late").cast("long")).alias("late_lines"),
         )
+        # localCheckpoint: ls feeds both per_order and the lonely filter —
+        # without it the lineitem⋈orders join executes twice
+        .localCheckpoint()
     )
     per_order = ls.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),

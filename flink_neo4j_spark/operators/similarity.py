@@ -192,7 +192,12 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     exploded = e.select("label", F.posexplode("emb").alias("pos", "x"))
-    # +5e-10 before rounding moves exact x.xxxx5 ties off the half-rounding
+    # Components quantize to EMB_SCALE fixed-point BEFORE the sum (the
+    # _int_centroids discipline): the multi-partition embeddings scan makes
+    # a float AVG's accumulation order layout-dependent, and an exact int64
+    # sum is not. The mean is then an exact rational (s / n / SCALE) and
+    # the single float division + round is deterministic on any layout and
+    # engine. +5e-10 moves exact x.xxxx5 rationals off the half-rounding
     # boundary (Spark decimal HALF_UP vs binary half-away engines); the
     # trailing + 0.0 collapses IEEE -0.0 to +0.0 (Spark's BigDecimal round
     # drops the zero sign, DuckDB's keeps it — string-sorting comparators
@@ -200,8 +205,21 @@ def s5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(
-            (F.round(F.avg("x") + F.lit(5e-10), 4) + F.lit(0.0)).alias("c"),
+            F.sum(F.round(F.col("x") * EMB_SCALE).cast("long")).alias("s"),
             F.count("*").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "pos",
+            (
+                F.round(
+                    F.col("s") / (F.col("n_vectors") * float(EMB_SCALE))
+                    + F.lit(5e-10),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("c"),
+            "n_vectors",
         )
         .orderBy("label", "pos")
     )
@@ -440,12 +458,19 @@ def s9_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blowups, truncated inference outputs) show up as norm outliers, making
 # this the standard first screen before any similarity/clustering pass.
 # The norm is a JVM codegen'd sequential fold over the array (deterministic
-# element order, double accumulator — bitwise-identical cross-engine); the
-# corpus stats are ONE 1-row aggregate crossJoin-broadcast back, so the
-# embedding table is scanned once and nothing is collected. The z-score
-# rounds to 2dp and the flag derives from the rounded value so summation
-# noise in mu/sigma can't flip a boundary row.
+# element order, double accumulator — bitwise-identical cross-engine).
+# The corpus mean/variance derive from EXACT integer sufficient statistics:
+# each norm quantizes to 1e9 fixed-point (the corpus is unit-normalized,
+# so the signal IS the ~1e-8 per-vector float32 quantization residue — a
+# corrupted vector deviates by orders of magnitude more; 1e6 resolution
+# would collapse the variance to zero), Σx is int64 and Σx² a
+# decimal(38,0) (int64 would overflow at ~1e19 — DuckDB mirrors with
+# HUGEINT), so mu and sigma are identical functions of exact integers on
+# any partition layout — a float AVG/STDDEV over the multi-partition scan
+# would be accumulation-order-dependent at the 2dp ROUND boundary. The
+# z-score rounds to 2dp and the flag derives from the rounded value.
 NORM_Z_THRESHOLD = 2.0
+NORM_SCALE = 1_000_000_000
 
 
 def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,13 +481,25 @@ def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, x) -> acc + cast(x as double) * cast(x as double))"
         )
     )
-    norms = e.select("vec_id", norm.alias("nrm")).localCheckpoint()
-    stats = norms.agg(
-        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
+    norms = (
+        e.select("vec_id", norm.alias("nrm"))
+        .withColumn(
+            "nfp", F.round(F.col("nrm") * NORM_SCALE).cast("long")
+        )
+        .localCheckpoint()
     )
+    stats = norms.agg(
+        F.count("*").alias("n"),
+        F.sum("nfp").alias("s1"),
+        F.sum(
+            F.col("nfp").cast("decimal(38,0)") * F.col("nfp")
+        ).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
     # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB ROUND keeps the sign,
     # Spark drops it; a signed zero flips the driver's value hash).
-    z = F.round((F.col("nrm") - F.col("mu")) / F.col("sigma"), 2) + F.lit(0.0)
+    z = F.round((F.col("nfp") - mu) / F.sqrt(var), 2) + F.lit(0.0)
     return (
         norms.crossJoin(F.broadcast(stats))
         .select(
@@ -501,11 +538,26 @@ def s11_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("m.cell").alias("cell"), "emb")
     )
     exploded = assigned.select("cell", F.posexplode("emb").alias("pos", "x"))
+    # int64 fixed-point sums for the same reason as s5: a float AVG over
+    # the multi-partition scan is accumulation-order-dependent.
     return (
         exploded.groupBy("cell", F.col("pos").cast("long").alias("pos"))
         .agg(
-            (F.round(F.avg("x") + F.lit(5e-10), 4) + F.lit(0.0)).alias("c"),
+            F.sum(F.round(F.col("x") * EMB_SCALE).cast("long")).alias("s"),
             F.count("*").alias("n_members"),
+        )
+        .select(
+            "cell",
+            "pos",
+            (
+                F.round(
+                    F.col("s") / (F.col("n_members") * float(EMB_SCALE))
+                    + F.lit(5e-10),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("c"),
+            "n_members",
         )
         .orderBy("cell", "pos")
     )
@@ -1127,14 +1179,25 @@ ORACLE: dict[str, str] = {
                  sqrt(list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
           FROM embeddings),
+        nf AS (
+          SELECT vec_id, nrm,
+                 CAST(ROUND(nrm * {NORM_SCALE}) AS BIGINT) AS nfp
+          FROM norms),
         stats AS (
-          SELECT AVG(nrm) AS mu, stddev_pop(nrm) AS sigma FROM norms)
-        SELECT n.vec_id, ROUND(n.nrm, 4) AS l2_norm,
-               ROUND((n.nrm - s.mu) / s.sigma, 2) + 0.0 AS z,
-               ABS(ROUND((n.nrm - s.mu) / s.sigma, 2)) > {NORM_Z_THRESHOLD}
-                 AS is_outlier
-        FROM norms n CROSS JOIN stats s
-        ORDER BY n.vec_id""",
+          SELECT COUNT(*) AS n, SUM(nfp) AS s1,
+                 SUM(CAST(nfp AS HUGEINT) * nfp) AS s2
+          FROM nf)
+        SELECT vec_id, ROUND(nrm, 4) AS l2_norm,
+               ROUND((nfp - s1 * 1.0 / n)
+                     / sqrt(CAST(s2 AS DOUBLE) / n
+                            - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 2) + 0.0
+                 AS z,
+               ABS(ROUND((nfp - s1 * 1.0 / n)
+                         / sqrt(CAST(s2 AS DOUBLE) / n
+                                - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 2))
+                 > {NORM_Z_THRESHOLD} AS is_outlier
+        FROM nf CROSS JOIN stats
+        ORDER BY vec_id""",
     "s7_mmr_rerank": _duck_mmr_sql(),
     "s9_gram_matrix": f"""
         SELECT i.i AS i, j.j AS j,
@@ -1194,7 +1257,8 @@ ORACLE: dict[str, str] = {
                                       ORDER BY pcos DESC, cell DESC) AS rn
             FROM scored) WHERE rn = 1)
         SELECT cell, g.pos - 1 AS pos,
-               ROUND(AVG(emb[g.pos]) + 5e-10, 4) + 0.0 AS c,
+               ROUND(SUM(CAST(ROUND(emb[g.pos] * {EMB_SCALE}) AS BIGINT))
+                     / (COUNT(*) * {EMB_SCALE}.0) + 5e-10, 4) + 0.0 AS c,
                COUNT(*) AS n_members
         FROM assigned, generate_series(1, {DIM}) AS g(pos)
         GROUP BY cell, g.pos
@@ -1249,7 +1313,8 @@ ORACLE: dict[str, str] = {
         ORDER BY cos DESC, vec_id LIMIT {TOP_K}""",
     "s5_label_centroids": f"""
         SELECT label, g.pos - 1 AS pos,
-               ROUND(AVG(emb[g.pos]) + 5e-10, 4) + 0.0 AS c,
+               ROUND(SUM(CAST(ROUND(emb[g.pos] * {EMB_SCALE}) AS BIGINT))
+                     / (COUNT(*) * {EMB_SCALE}.0) + 5e-10, 4) + 0.0 AS c,
                COUNT(*) AS n_vectors
         FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
              generate_series(1, {DIM}) AS g(pos)

@@ -1384,13 +1384,18 @@ DSIR_SCALE = 1_000_000
 # scanned once; nothing is collected; the model is O(DSIR_BUCKETS).
 def t23_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = documents_for_compute(spark, sf_dir)
-    toks = d.selectExpr(
-        "doc_id", "lang", f"explode({TOKENS}) AS tok"
-    ).selectExpr(
-        "doc_id",
-        "lang",
-        f"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT) % {DSIR_BUCKETS}"
-        " AS b",
+    # localCheckpoint: toks feeds BOTH the bucket-count aggregation and the
+    # per-doc scoring join; without the barrier Catalyst re-executes the
+    # tokenize+md5 pipeline (the query's dominant cost) once per consumer.
+    toks = (
+        d.selectExpr("doc_id", "lang", f"explode({TOKENS}) AS tok")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS INT)"
+            f" % {DSIR_BUCKETS} AS b",
+        )
+        .localCheckpoint()
     )
     cnt = toks.groupBy("b").agg(
         F.count("*").alias("raw_c"),

@@ -54,6 +54,13 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round 3: single-pass weighted rewrite + linear bigram derivation,
     # oracle twinned to the weighted summation
     "t12_bigram_lm",
+    # round 3 (continued): float AVG/STDDEV over the now-multi-partition
+    # embeddings scan replaced with int64/decimal fixed-point sufficient
+    # statistics (layout-independent); values can shift at the ROUND
+    # boundary, so previous green rows no longer certify these three
+    "s5_label_centroids",
+    "s10_norm_outliers",
+    "s11_kmeans_step",
 )
 # Plan-only refactors (session-memoized shared projections/signatures in
 # graph_algos and dedup; catalog plan cache) deliberately do NOT re-enter

@@ -43,15 +43,26 @@ def _canonical_hash(df) -> str:
     return h.hexdigest()
 
 
+def _clear_projection_memo(spark):
+    """Drop session-memoized projections so the second layout rebuilds them
+    from scratch — otherwise every shuffle inside a memoized prefix (the
+    documents/cust-part checkpoints) runs only under the FIRST layout and
+    the test exercises nothing upstream of the memo."""
+    spark.__dict__.get("_fns_projection_memo", {}).clear()
+
+
 @pytest.mark.parametrize("name", FIXED_POINT_QUERIES)
 def test_result_is_identical_across_shuffle_layouts(spark, name):
     fn = all_queries()[name]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        _clear_projection_memo(spark)
         h3 = _canonical_hash(fn(spark, SF_DIR))
         spark.conf.set("spark.sql.shuffle.partitions", "17")
+        _clear_projection_memo(spark)
         h17 = _canonical_hash(fn(spark, SF_DIR))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _clear_projection_memo(spark)
     assert h3 == h17, f"{name} result depends on partition layout"

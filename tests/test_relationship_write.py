@@ -64,6 +64,11 @@ def test_rejects_malformed_relationship_writes(spark, fixture_graph):
         # neither MERGE nor CREATE after the two-node MATCH
         "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
         " SET a.x = r.src",
+        # trailing clause the grammar does not support must RAISE, never be
+        # silently dropped (a swallowed SET would be invisible data loss)
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[:KNOWS]->(b) SET a.seen = r.src",
+        "UNWIND $rows AS r MATCH (n:User {name: r.src}) DELETE n RETURN n",
     ]
     for q in bad:
         with pytest.raises(CypherSyntaxError):
