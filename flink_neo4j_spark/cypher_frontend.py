@@ -394,6 +394,17 @@ class _Parser:
                 disj[-1].append(
                     Cond(left, "CONTAINS", self.parse_value(unwind_var))
                 )
+            elif self._at_word_ci("IS"):
+                # n.prop IS [NOT] NULL — Neo4j's missing-property predicate
+                # (B5: absent properties read as null)
+                self.next()
+                if self._at_word_ci("NOT"):
+                    self.next()
+                    self.expect("kw", "NULL")
+                    disj[-1].append(Cond(left, "IS NOT NULL", None))
+                else:
+                    self.expect("kw", "NULL")
+                    disj[-1].append(Cond(left, "IS NULL", None))
             else:
                 op = self.expect("op").text
                 right = self.parse_operand(unwind_var)
@@ -617,6 +628,10 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
         "ENDS WITH": lambda c, v: c.endswith(v),
         "CONTAINS": lambda c, v: c.contains(v),
     }
+    null_ops = {
+        "IS NULL": lambda c: c.isNull(),
+        "IS NOT NULL": lambda c: c.isNotNull(),
+    }
     out: Column | None = None
     for conj in disj:
         cc: Column | None = None
@@ -640,6 +655,8 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
                 )
             elif cond.op in string_ops:
                 one = string_ops[cond.op](colmap(cond.left), right)
+            elif cond.op in null_ops:
+                one = null_ops[cond.op](colmap(cond.left))
             else:
                 one = ops[cond.op](colmap(cond.left), right)
             cc = one if cc is None else (cc & one)

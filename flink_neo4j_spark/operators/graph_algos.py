@@ -1973,3 +1973,37 @@ ORACLE["g35_cypher_rel_merge"] = """
       SELECT * FROM (VALUES ('NATION_0', 'ASIA'), ('NATION_2', 'AFRICA'))
         AS added(nation_name, region_name)
     ) ORDER BY nation_name, region_name"""
+
+
+# G36 — null-property predicate through the write->read pipeline: after
+# g18's MERGE gives `tier` to two nations (SET creates the property; every
+# other Nation vertex reads it as null — Neo4j's missing-property
+# semantics, capability B5), `WHERE n.tier IS NULL` must select exactly
+# the untouched nations. Exercises IS [NOT] NULL in the Cypher front end
+# against a property that EXISTS in the schema only because a write added
+# it to other vertices — the sharpest form of the missing-property
+# contract.
+def g36_cypher_null_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    rows = [{"name": n, "tier": "gold"} for n in MERGE_TIER_NATIONS]
+    g2 = cypher_write(
+        g,
+        "UNWIND $rows AS r MERGE (n:Nation {name: r.name}) SET n.tier = r.tier",
+        {"rows": rows},
+    )
+    return cypher_read(
+        g2,
+        "MATCH (n:Nation) WHERE n.tier IS NULL "
+        "RETURN n.name AS name ORDER BY name",
+    )
+
+
+QUERIES["g36_cypher_null_predicate"] = g36_cypher_null_predicate
+ORACLE["g36_cypher_null_predicate"] = """
+    SELECT n_name AS name FROM nation
+    WHERE n_name NOT IN ({})
+    ORDER BY name""".format(
+    ", ".join(f"'{n}'" for n in MERGE_TIER_NATIONS)
+)

@@ -630,3 +630,26 @@ def test_unknown_function_rejected(fixture_graph):
 
     with _pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN reverse(n.name) AS r")
+
+
+def test_is_null_predicates(spark, fixture_graph):
+    """IS [NOT] NULL — Neo4j's missing-property semantics (B5): a property
+    SET on some vertices reads as null on the others."""
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    names = [r["name"] for r in fixture_graph.nodes("User", "name").collect()]
+    tagged = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MERGE (n:User {name: r.name}) SET n.vip = r.vip",
+        {"rows": [{"name": names[0], "vip": True}]},
+    )
+    nulls = cypher_read(
+        tagged,
+        "MATCH (n:User) WHERE n.vip IS NULL RETURN n.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in nulls.collect()] == sorted(names[1:])
+    non_nulls = cypher_read(
+        tagged,
+        "MATCH (n:User) WHERE n.vip IS NOT NULL RETURN n.name AS name",
+    )
+    assert [r["name"] for r in non_nulls.collect()] == [names[0]]
