@@ -40,7 +40,9 @@ a NEW PropertyGraph (graphs are immutable values here).
 This is intentionally a SUBSET: unbounded path expansion and path values
 are served by the native DataFrame surface. Unsupported syntax raises
 ``CypherSyntaxError`` with the offending token, never a silent wrong
-answer.
+answer. Like openCypher, MERGE/DETACH/DELETE (any case) are reserved
+words — a property or label spelled `delete` is rejected rather than
+parsed ambiguously.
 """
 
 from __future__ import annotations
