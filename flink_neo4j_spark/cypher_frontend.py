@@ -616,7 +616,14 @@ def _agg_column(call: AggCall, colmap) -> Column:
     return _AGG_FN_MAP[call.fn](colmap(call.arg))
 
 
-def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
+#: a colmap output that is a bare column reference (every node/edge colmap
+#: returns plain ``F.col(name)``; computed columns never match this shape)
+_PLAIN_COL_RE = re.compile(r"Column<'([A-Za-z_][A-Za-z0-9_]*)'>")
+
+
+def _where_to_column(
+    disj: list[list[Cond]], colmap, have: set[str] | None = None
+) -> Column:
     ops = {
         "=": lambda c, v: c == v,
         "<>": lambda c, v: c != v,
@@ -634,6 +641,20 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
         "IS NULL": lambda c: c.isNull(),
         "IS NOT NULL": lambda c: c.isNotNull(),
     }
+
+    def missing(ref) -> bool:
+        # Neo4j semantics: reading a property that no write ever created
+        # yields null, NOT an error (openCypher §"property access on
+        # missing keys"). Our vertex frame only has columns some write
+        # created, so a resolved-but-absent plain column reference means
+        # "property never set on any node" — detectable pre-analysis.
+        # Only checked when the caller supplied the frame's columns;
+        # WITH-stage colmaps validate names themselves and raise first.
+        if have is None or not isinstance(ref, (PropRef, BareRef)):
+            return False
+        m = _PLAIN_COL_RE.fullmatch(str(colmap(ref)))
+        return bool(m) and m.group(1) not in have
+
     out: Column | None = None
     for conj in disj:
         cc: Column | None = None
@@ -648,7 +669,15 @@ def _where_to_column(disj: list[list[Cond]], colmap) -> Column:
                 if isinstance(cond.right, (PropRef, BareRef))
                 else cond.right
             )
-            if cond.op == "IN":
+            if cond.op in null_ops and missing(cond.left):
+                one = F.lit(cond.op == "IS NULL")
+            elif cond.op not in null_ops and (
+                missing(cond.left) or missing(cond.right)
+            ):
+                # any comparison/IN/string op on an always-null operand is
+                # null in Cypher: the row never passes the WHERE
+                one = F.lit(None).cast("boolean")
+            elif cond.op == "IN":
                 # empty list literal: openCypher `x IN []` is never true
                 one = (
                     colmap(cond.left).isin(*cond.right)
@@ -758,7 +787,9 @@ def _optional_match(
         return F.col("id" if ref.prop is None else ref.prop)
 
     if base_disj is not None:
-        base_df = base_df.filter(_where_to_column(base_disj, base_colmap))
+        base_df = base_df.filter(
+            _where_to_column(base_disj, base_colmap, set(base_df.columns))
+        )
 
     e = graph.edges
     if opt.rel_type is not None:
@@ -780,7 +811,9 @@ def _optional_match(
         )
 
     if opt_disj is not None:
-        opt_side = opt_side.filter(_where_to_column(opt_disj, opt_colmap))
+        opt_side = opt_side.filter(
+            _where_to_column(opt_disj, opt_colmap, set(opt_side.columns))
+        )
 
     df = base_df.join(
         opt_side, base_df["id"] == F.col(f"__e_{bound_end}"), "left"
@@ -1097,7 +1130,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # each clause's WHERE is a conjunct over the joined pattern (all
         # clauses are inner joins, so post-join filtering is equivalent)
         for d in chain_disjs:
-            df = df.filter(_where_to_column(d, colmap))
+            df = df.filter(_where_to_column(d, colmap, set(df.columns)))
         disj = None
     elif opt_pat is not None:
         if not isinstance(pat, NodePat) or pat.props:
@@ -1179,7 +1212,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
 
     if disj is not None:
-        df = df.filter(_where_to_column(disj, colmap))
+        df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
 
     for w_distinct, w_items, w_order, w_skip, w_limit, w_disj in stages:
         df = _apply_projection(df, colmap, w_distinct, w_items)

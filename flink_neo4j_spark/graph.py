@@ -18,11 +18,39 @@ partitioning of the underlying V/E tables.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 VERTEX_REQUIRED = ("id", "label")
 EDGE_REQUIRED = ("id", "src", "dst", "rel_type")
+
+
+def _allocate_ids(new: DataFrame, base: DataFrame) -> DataFrame:
+    """Assign dense ids ``max(id)+1 .. max(id)+count`` to a write batch and
+    MATERIALIZE the assignment.
+
+    Two properties a lazy ``monotonically_increasing_id`` plan does not
+    give: (1) **stability** — without materialization, separate actions on
+    the returned graph can recompute the batch under a different partition
+    layout (AQE re-plan) and hand the same row a different id;
+    ``localCheckpoint`` freezes the assignment the way the memoized
+    projections do. (2) **density** — mono-id strides by partition<<33, so
+    every write would inflate ``max(id)`` by ~numPartitions·2³³,
+    compounding across successive writes. The global ``row_number`` window
+    is a deliberate single-partition pass over the BATCH ONLY (UNWIND write
+    batches are micro-batch-sized by contract — the reference caps them at
+    ``batchSize`` rows, `Neo4jOutputFormat.java:142-160`); the base table
+    never shuffles.
+    """
+    w = Window.orderBy("_off")
+    return (
+        new.withColumn("_off", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(base))
+        .withColumn("id", F.col("m") + F.col("_rn"))
+        .drop("m", "_off", "_rn")
+        .localCheckpoint()
+    )
 
 
 class PropertyGraph:
@@ -155,18 +183,12 @@ class PropertyGraph:
         """Row-parameterized batch INSERT — ``UNWIND {inserts} AS i CREATE
         (a:User {...})`` (B6, `README.md:45`, `Neo4jOutputTest.java:24-26`).
 
-        New ids are allocated above the current max without collect-gaps:
-        ``monotonically_increasing_id()`` gives cluster-unique offsets, the
-        max-id base is a scalar agg (one tiny job, no row data to driver).
+        New ids are allocated dense above the current max without
+        collect-gaps (see :func:`_allocate_ids`); the max-id base is a
+        scalar agg (one tiny job, no row data to driver).
         """
         base = self.vertices.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
-        new = (
-            batch.withColumn("label", F.lit(label))
-            .withColumn("_off", F.monotonically_increasing_id())
-            .crossJoin(F.broadcast(base))
-            .withColumn("id", F.col("m") + 1 + F.col("_off"))
-            .drop("m", "_off")
-        )
+        new = _allocate_ids(batch.withColumn("label", F.lit(label)), base)
         merged = self.vertices.unionByName(new, allowMissingColumns=True)
         return PropertyGraph(merged, self.edges)
 
@@ -335,19 +357,18 @@ class PropertyGraph:
     ) -> "PropertyGraph":
         """Relationship batch INSERT — ``UNWIND $rows AS r MATCH (a), (b)
         CREATE (a)-[:T]->(b)`` once endpoints are resolved to (src, dst)
-        internal ids. Edge ids allocate above the current max exactly as
-        :meth:`create_nodes` does for vertices (scalar-agg base +
-        ``monotonically_increasing_id`` offsets — no collect, no gaps
-        assumption). CREATE semantics: every batch row inserts, duplicates
-        included, as in Cypher."""
+        internal ids. Edge ids allocate dense above the current max exactly
+        as :meth:`create_nodes` does for vertices (scalar-agg base +
+        materialized dense offsets, :func:`_allocate_ids` — no collect, and
+        stable across repeated actions on the returned graph). CREATE
+        semantics: every batch row inserts, duplicates included, as in
+        Cypher."""
         base = self.edges.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
-        new = (
-            endpoints.select("src", "dst")
-            .withColumn("rel_type", F.lit(rel_type))
-            .withColumn("_off", F.monotonically_increasing_id())
-            .crossJoin(F.broadcast(base))
-            .withColumn("id", F.col("m") + 1 + F.col("_off"))
-            .drop("m", "_off")
+        new = _allocate_ids(
+            endpoints.select("src", "dst").withColumn(
+                "rel_type", F.lit(rel_type)
+            ),
+            base,
         )
         merged = self.edges.unionByName(new, allowMissingColumns=True)
         return PropertyGraph(self.vertices, merged)

@@ -1030,7 +1030,13 @@ def d18_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") <= SPAN_MAX_POSTINGS)
         .select("g")
     )
-    p = grams.join(kept, "g")
+    # Materialize the guarded postings ONCE: without the barrier, `grams`
+    # (a full posexplode of every char-gram position over the corpus) is
+    # re-derived for the cap aggregate AND each join side — three corpus
+    # shingle passes (8 parquet scans / 16 exchanges in the r3 plan audit).
+    # Same double-consumption fix as _cust_part_projection
+    # (graph_algos.py), measured there at 2.3 s on the sf0.1 bench.
+    p = grams.join(kept, "g").localCheckpoint()
     a = p.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "g"
     )

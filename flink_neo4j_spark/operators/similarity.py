@@ -495,8 +495,20 @@ def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nfp").cast("decimal(38,0)") * F.col("nfp")
         ).alias("s2"),
     )
-    mu = F.col("s1") / F.col("n")
-    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    mu = F.col("s1").cast("double") / F.col("n")
+    # Variance numerator n·Σx² − (Σx)² held EXACTLY in decimal(38,0)
+    # (~1e23 at this scale, ~1e36 headroom at n=1e9 rows): the naive
+    # E[x²]−E[x]² float subtraction on values centered at ~1e9 with a
+    # ~10-unit spread cancels ~7% of sigma (measured 1408 vs exact 1318
+    # at sf0.01) and can even go ≤0 → NaN z. One double rounding happens
+    # only AFTER the exact subtraction, so sigma is correct to ulp.
+    var_num = (
+        F.col("s2") * F.col("n").cast("decimal(38,0)")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
+    )
+    var = var_num.cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
     # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB ROUND keeps the sign,
     # Spark drops it; a signed zero flips the driver's value hash).
     z = F.round((F.col("nfp") - mu) / F.sqrt(var), 2) + F.lit(0.0)
@@ -1186,17 +1198,21 @@ ORACLE: dict[str, str] = {
         stats AS (
           SELECT COUNT(*) AS n, SUM(nfp) AS s1,
                  SUM(CAST(nfp AS HUGEINT) * nfp) AS s2
-          FROM nf)
+          FROM nf),
+        -- variance numerator n*s2 - s1^2 exact in HUGEINT (mirrors the
+        -- engine's decimal(38,0)); one double rounding only after the
+        -- exact subtraction, so sigma is cancellation-free
+        st AS (
+          SELECT CAST(s1 AS DOUBLE) / n AS mu,
+                 sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                           AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma
+          FROM stats)
         SELECT vec_id, ROUND(nrm, 4) AS l2_norm,
-               ROUND((nfp - s1 * 1.0 / n)
-                     / sqrt(CAST(s2 AS DOUBLE) / n
-                            - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 2) + 0.0
-                 AS z,
-               ABS(ROUND((nfp - s1 * 1.0 / n)
-                         / sqrt(CAST(s2 AS DOUBLE) / n
-                                - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 2))
+               ROUND((nfp - mu) / sigma, 2) + 0.0 AS z,
+               ABS(ROUND((nfp - mu) / sigma, 2))
                  > {NORM_Z_THRESHOLD} AS is_outlier
-        FROM nf CROSS JOIN stats
+        FROM nf CROSS JOIN st
         ORDER BY vec_id""",
     "s7_mmr_rerank": _duck_mmr_sql(),
     "s9_gram_matrix": f"""

@@ -38,30 +38,16 @@ from pyspark.sql import DataFrame, SparkSession
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 3: events.ts normalization fix (catalog.normalize_event_ts) —
-    # every streaming query's input changed
-    "w1_stream_daily",
-    "w2_sessionize",  # + NTZ-safe interval arithmetic, session_id BIGINT cast
-    "w3_stream_sliding",
-    "w4_stream_dedup",
-    "w5_stream_interval_join",
-    "w6_stream_trending",
-    # round 3: oracle HUGEINT->BIGINT casts (driver value-hash artifacts)
-    "t8_pack_sequences",
-    "m4_audio_windows",
-    "g2_degree",
-    "a3_json_extract",
-    # round 3: single-pass weighted rewrite + linear bigram derivation,
-    # oracle twinned to the weighted summation
-    "t12_bigram_lm",
-    # round 3 (continued): float AVG/STDDEV over the now-multi-partition
-    # embeddings scan replaced with int64/decimal fixed-point sufficient
-    # statistics (layout-independent); values can shift at the ROUND
-    # boundary, so previous green rows no longer certify these three
-    "s5_label_centroids",
+    # round 4: s10 variance numerator rewritten to exact integer arithmetic
+    # (n·Σx² − (Σx)² in decimal(38,0)/HUGEINT) — the previous
+    # E[x²]−E[x]² float subtraction lost ~7% of sigma to catastrophic
+    # cancellation on nfp values centered at ~1e9; z values shift, so the
+    # r03 green row no longer certifies the current code.
     "s10_norm_outliers",
-    "s11_kmeans_step",
 )
+# Round-3 tier-A entries all earned green rows in CORRECTNESS_r03.json, so
+# they drop back to tier C here; every remaining driver slot this round goes
+# to the 71-query never-checked backlog (tier B).
 # Plan-only refactors (session-memoized shared projections/signatures in
 # graph_algos and dedup; catalog plan cache) deliberately do NOT re-enter
 # tier A: results are unchanged by construction, and each refactor was

@@ -653,3 +653,63 @@ def test_is_null_predicates(spark, fixture_graph):
         "MATCH (n:User) WHERE n.vip IS NOT NULL RETURN n.name AS name",
     )
     assert [r["name"] for r in non_nulls.collect()] == [names[0]]
+
+
+def test_missing_property_predicates(fixture_graph):
+    """A property NO write ever created (absent from the vertex schema
+    entirely) follows Neo4j semantics instead of erroring: IS NULL is true
+    for every node, IS NOT NULL for none, and any comparison is
+    null → never passes the WHERE."""
+    all_null = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.nickname IS NULL RETURN n.name AS name",
+    )
+    assert all_null.count() == 3
+    none_set = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.nickname IS NOT NULL RETURN n.name AS name",
+    )
+    assert none_set.count() == 0
+    never_true = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.nickname = 'Al' RETURN n.name AS name",
+    )
+    assert never_true.count() == 0
+    # disjunction: the resolvable side still matches
+    mixed = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.nickname = 'Al' OR n.name = 'Alice' "
+        "RETURN n.name AS name",
+    )
+    assert [r["name"] for r in mixed.collect()] == ["Alice"]
+
+
+def test_create_ids_dense_and_stable(spark, fixture_graph):
+    """Write-batch id allocation is dense (max inflates by exactly the
+    batch size, no mono-id partition striding) and stable (two separate
+    actions on the same returned graph read identical ids)."""
+    base_max = fixture_graph.vertices.agg({"id": "max"}).collect()[0][0]
+    batch = spark.createDataFrame(
+        [(f"u{i}",) for i in range(7)], "name string"
+    ).repartition(4)  # multi-partition batch: mono-id alone would stride
+    g2 = fixture_graph.create_nodes(batch, "User")
+    new_ids_a = sorted(
+        r["id"]
+        for r in g2.vertices.filter(g2.vertices.id > base_max).collect()
+    )
+    new_ids_b = sorted(
+        r["id"]
+        for r in g2.vertices.filter(g2.vertices.id > base_max).collect()
+    )
+    assert new_ids_a == list(range(base_max + 1, base_max + 8))  # dense
+    assert new_ids_a == new_ids_b  # stable across actions
+
+    e_max = fixture_graph.edges.agg({"id": "max"}).collect()[0][0]
+    eps = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    ).repartition(3)
+    g3 = fixture_graph.create_relationships(eps, "KNOWS")
+    eids = sorted(
+        r["id"] for r in g3.edges.filter(g3.edges.id > e_max).collect()
+    )
+    assert eids == list(range(e_max + 1, e_max + 4))

@@ -21,6 +21,9 @@ from .conftest import SF_DIR
 
 #: queries whose docstrings promise layout-independent accumulation
 FIXED_POINT_QUERIES = [
+    "s5_label_centroids",
+    "s10_norm_outliers",
+    "s11_kmeans_step",
     "t23_dsir_weights",
     "a21_seasonal_decomp",
     "g34_copurchase_pmi",

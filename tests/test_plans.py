@@ -4,6 +4,8 @@ scale must be visible in the physical plan (SURVEY.md §4; project brief's
 
 from __future__ import annotations
 
+import pytest
+
 from flink_neo4j_spark.catalog import load_table
 from flink_neo4j_spark.operators.relational import (
     q10_topk,
@@ -959,3 +961,43 @@ def test_q62_topk_is_take_ordered(spark):
     from flink_neo4j_spark.operators.relational import q62_large_orders
 
     assert has_take_ordered(q62_large_orders(spark, SF_DIR))
+
+
+# -- plan budgets for the top bench queries ------------------------------
+#
+# The d18 bug class (a shared derivation silently consumed N times, hit
+# twice now: _cust_part_projection in round 2, d18's gram postings in
+# round 3) shows up in the physical plan as extra parquet scans and
+# exchanges long before it shows up in wall time at scale. Freeze an
+# upper bound per top-bench query; a refactor that reintroduces a
+# re-derivation blows the budget and fails here.
+
+PLAN_BUDGETS = {
+    # name: (max parquet scans, max exchanges incl. broadcasts) — measured
+    # 0/2, 0/2, 0/4, 0/6, 0/4 after the round-4 d18 fix (every query's
+    # heavy shared derivation is localCheckpointed, so the final plan
+    # reads the materialized RDD, not parquet); +small headroom so an AQE
+    # or shuffle-partition change doesn't false-fail.
+    "d5_ngram_jaccard": (1, 4),
+    "d13_containment": (1, 4),
+    "d18_match_spans": (1, 6),
+    "g15_also_bought": (1, 8),
+    "g22_kcore": (1, 6),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
+def test_plan_budget(spark, name):
+    import re as _re
+
+    from flink_neo4j_spark.registry import all_queries
+
+    df = all_queries()[name](spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    scans = len(_re.findall(r"Scan parquet", plan))
+    exchanges = len(_re.findall(r"\bExchange\b", plan))
+    max_scans, max_exchanges = PLAN_BUDGETS[name]
+    assert scans <= max_scans, f"{name}: {scans} parquet scans (budget {max_scans})"
+    assert exchanges <= max_exchanges, (
+        f"{name}: {exchanges} exchanges (budget {max_exchanges})"
+    )
