@@ -163,11 +163,15 @@ class PatternCond:
 
 @dataclass
 class FuncCall:
-    """A scalar function over a property reference in RETURN/WITH
-    (openCypher string functions: ``toLower``/``toUpper``/``trim``)."""
+    """A scalar function in RETURN/WITH: the openCypher string functions
+    (``toLower``/``toUpper``/``trim``), the graph-model accessors
+    (``labels``/``type`` — parsed into rewritten property refs on the
+    label/rel_type columns), ``size``, and variadic ``coalesce`` (further
+    operands, refs or literals, in ``extra``)."""
 
     fn: str
-    arg: PropRef
+    arg: "PropRef | BareRef | Any"
+    extra: tuple = ()
 
 
 @dataclass
@@ -340,6 +344,24 @@ class _Parser:
         self.expect("punct", ".")
         return PropRef(var, self.expect("word").text)
 
+    def _parse_fn_arg(self, allow_bare: bool):
+        """One scalar-function operand: a property/bare reference or a
+        literal (``coalesce(n.nickname, 'anon')``)."""
+        tok = self.peek()
+        if tok is None:
+            raise CypherSyntaxError("unexpected end of query")
+        is_ref = (tok.kind == "kw" and tok.text == "ID") or (
+            tok.kind == "word"
+            and self.peek(1) is not None
+            and (
+                self.peek(1).text == "."
+                or (allow_bare and self.peek(1).text in (",", ")"))
+            )
+        )
+        if is_ref:
+            return self.parse_prop_ref(allow_bare)
+        return self.parse_value(None)
+
     def parse_operand(self, unwind_var: str | None):
         tok = self.peek()
         if tok is None:
@@ -470,16 +492,53 @@ class _Parser:
             var = self.next().text
             self.next()
             return PropRef(var, "length")
+        # labels(n) / type(r) — graph-model accessors over a bare pattern
+        # variable; rewritten at parse time into refs on the model's
+        # label / rel_type columns so the normal colmap machinery resolves
+        # them (reference data model: Neo4jFormatTest.java:14-19).
         if (
             tok is not None
             and tok.kind == "word"
-            and tok.text in _SCALAR_FNS
+            and tok.text in ("labels", "type")
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).text == ")"
+        ):
+            fn = self.next().text
+            self.next()  # (
+            var = self.next().text
+            self.next()  # )
+            return FuncCall(
+                fn, PropRef(var, "label" if fn == "labels" else "rel_type")
+            )
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text == "coalesce"
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            self.next()
+            self.expect("punct", "(")
+            args = [self._parse_fn_arg(allow_bare)]
+            while self.at("punct", ","):
+                self.next()
+                args.append(self._parse_fn_arg(allow_bare))
+            self.expect("punct", ")")
+            return FuncCall("coalesce", args[0], tuple(args[1:]))
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and (tok.text in _SCALAR_FNS or tok.text == "size")
             and self.peek(1) is not None
             and self.peek(1).text == "("
         ):
             fn = self.next().text
             self.expect("punct", "(")
-            arg = self.parse_prop_ref(allow_bare=False)
+            arg = self.parse_prop_ref(allow_bare)
             self.expect("punct", ")")
             return FuncCall(fn, arg)
         if (
@@ -582,8 +641,45 @@ class _Parser:
 _SCALAR_FNS = {"toLower": F.lower, "toUpper": F.upper, "trim": F.trim}
 
 
+def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
+    """Translate one RETURN/WITH scalar function call against ``df``.
+
+    The frame is needed for two things plain colmaps can't answer:
+    missing-property operands (``coalesce(n.nickname, n.name)`` where no
+    write ever created ``nickname`` — Neo4j reads null, so the operand
+    becomes a null literal rather than an analysis error) and ``size``'s
+    type dispatch (list length for arrays, character length for strings,
+    per openCypher)."""
+
+    def resolve(a) -> Column:
+        if isinstance(a, (PropRef, BareRef)):
+            col = colmap(a)
+            m = _PLAIN_COL_RE.fullmatch(str(col))
+            if m and m.group(1) not in df.columns:
+                return F.lit(None)
+            return col
+        return F.lit(a)
+
+    if call.fn == "labels":
+        # single-label vertex model (SURVEY §1.1): labels(n) is the
+        # one-element list [n.label], matching Neo4j's list return shape
+        return F.array(resolve(call.arg))
+    if call.fn == "type":
+        return resolve(call.arg)
+    if call.fn == "coalesce":
+        return F.coalesce(*[resolve(a) for a in (call.arg, *call.extra)])
+    if call.fn == "size":
+        col = resolve(call.arg)
+        m = _PLAIN_COL_RE.fullmatch(str(col))
+        dtype = dict(df.dtypes).get(m.group(1)) if m else None
+        return F.size(col) if dtype and dtype.startswith("array") else F.length(col)
+    return _SCALAR_FNS[call.fn](resolve(call.arg))
+
+
 def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
     if isinstance(ref, FuncCall):
+        if not isinstance(ref.arg, (PropRef, BareRef, AggCall, FuncCall)):
+            return ref.fn  # literal first operand (e.g. coalesce('x', ...))
         return f"{ref.fn}_{_default_name(ref.arg)}"
     if isinstance(ref, AggCall):
         if ref.arg is None:
@@ -999,7 +1095,7 @@ def _apply_projection(
     to clause order, optional DISTINCT."""
     def col_of(expr) -> Column:
         if isinstance(expr, FuncCall):
-            return _SCALAR_FNS[expr.fn](colmap(expr.arg))
+            return _scalar_fn_column(expr, colmap, df)
         return colmap(expr)
 
     aggs = [i for i in items if isinstance(i.expr, AggCall)]
@@ -1298,7 +1394,9 @@ def _resolve(value: Any, row: dict[str, Any]) -> Any:
 
 
 def cypher_write(
-    graph: PropertyGraph, query: str, params: dict[str, list[dict[str, Any]]]
+    graph: PropertyGraph,
+    query: str,
+    params: dict[str, list[dict[str, Any]]] | None = None,
 ) -> PropertyGraph:
     """Execute ``UNWIND $param AS v CREATE ...`` or ``UNWIND $param AS v
     MATCH ... WHERE ... SET ...`` against the graph; returns the new graph.
@@ -1306,9 +1404,17 @@ def cypher_write(
     The parameter batch semantics mirror the sink (`Neo4jOutputFormat`):
     ``params[name]`` is the list of row dicts the reference would send as
     one UNWIND batch.
+
+    One non-UNWIND statement is also accepted: the bare interactive delete
+    ``MATCH (n[:L]) [WHERE ...] [DETACH] DELETE n`` (Neo4j's most common
+    ad-hoc cleanup), which needs no parameter batch — the match set comes
+    from the WHERE predicate, not a key list.
     """
     p = _Parser(_tokenize(query))
+    if p.at("kw", "MATCH"):
+        return _bare_delete(graph, p)
     p.expect("kw", "UNWIND")
+    params = params or {}
     if p.at("punct", "$"):  # $rows — modern; {rows} legacy
         p.next()
         pname = p.expect("word").text
@@ -1504,6 +1610,45 @@ def cypher_write(
     if target.label is not None:
         raise CypherSyntaxError("labeled MATCH in update not supported (B8 is unlabeled)")
     return graph.update_nodes(spark.createDataFrame(data), key)
+
+
+def _bare_delete(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
+    """``MATCH (n[:L]) [WHERE ...] [DETACH] DELETE n`` — the predicate-
+    addressed interactive delete. Compiles to a filtered id projection fed
+    to :meth:`PropertyGraph.delete_nodes`, so plain DELETE keeps Neo4j's
+    still-has-relationships refusal and DETACH cascades to incident edges.
+    """
+    p.expect("kw", "MATCH")
+    target = p.parse_node()
+    if not isinstance(target, NodePat) or target.props:
+        raise CypherSyntaxError(
+            "bare DELETE matches a plain node pattern; use WHERE for "
+            "property predicates"
+        )
+    disj = None
+    if p.at("kw", "WHERE"):
+        p.next()
+        disj = p.parse_where()
+    detach = False
+    if p.at("kw", "DETACH"):
+        detach = True
+        p.next()
+    p.expect("kw", "DELETE")
+    var = p.expect("word").text
+    if var != target.var:
+        raise CypherSyntaxError(f"DELETE target must be {target.var!r}")
+    p.expect_end()
+
+    df = graph.nodes(target.label)
+
+    def colmap(ref: PropRef) -> Column:
+        if ref.var != target.var:
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return F.col("id" if ref.prop is None else ref.prop)
+
+    if disj is not None:
+        df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
+    return graph.delete_nodes(df.select("id"), detach=detach)
 
 
 def cypher_create_graph(spark, query: str) -> PropertyGraph:

@@ -2007,3 +2007,38 @@ ORACLE["g36_cypher_null_predicate"] = """
     ORDER BY name""".format(
     ", ".join(f"'{n}'" for n in MERGE_TIER_NATIONS)
 )
+
+
+# G37 — the scalar functions every Neo4j user types daily: `labels(n)` /
+# `type(r)` (graph-model accessors — on this single-label model, labels()
+# is the one-element list of the label column and type() the rel_type
+# column, both plain projections), `coalesce()` over a property no write
+# ever created (reads null, openCypher missing-property semantics — the
+# canonical coalesce use), and `size()` (character length on strings).
+# All compile to codegen'd Column expressions; labels() is flattened with
+# array_join for the driver canonicalizer (the g30 array-cell lesson).
+def g37_cypher_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "RETURN labels(c) AS lbls, type(e) AS rel, "
+        "coalesce(c.nickname, c.name) AS display, "
+        "size(n.name) AS nation_len",
+    )
+    return df.select(
+        F.array_join("lbls", "|").alias("lbls"),
+        "rel",
+        "display",
+        "nation_len",
+    ).orderBy("display")
+
+
+QUERIES["g37_cypher_scalar_fns"] = g37_cypher_scalar_fns
+ORACLE["g37_cypher_scalar_fns"] = """
+    SELECT 'Customer' AS lbls, 'IN_NATION' AS rel, c_name AS display,
+           CAST(length(n_name) AS INT) AS nation_len
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY display"""

@@ -713,3 +713,67 @@ def test_create_ids_dense_and_stable(spark, fixture_graph):
         r["id"] for r in g3.edges.filter(g3.edges.id > e_max).collect()
     )
     assert eids == list(range(e_max + 1, e_max + 4))
+
+
+def test_labels_type_coalesce_size(fixture_graph):
+    """The four scalar functions every Neo4j user types daily (round-4
+    parity additions): labels()/type() graph accessors, coalesce() over a
+    missing property, size() on strings."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN labels(n) AS lbls, "
+        "coalesce(n.nickname, n.name) AS display, size(n.name) AS len "
+        "ORDER BY display",
+    )
+    rows = df.collect()
+    assert [r["lbls"] for r in rows] == [["User"]] * 3
+    assert [r["display"] for r in rows] == ["Alice", "Bob", "Eve"]
+    assert [r["len"] for r in rows] == [5, 3, 3]
+
+    edf = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e]->(b:User) RETURN type(e) AS t, "
+        "coalesce(e.since, 0) AS since ORDER BY since",
+    )
+    erows = edf.collect()
+    assert [r["t"] for r in erows] == ["KNOWS", "KNOWS"]
+    assert [r["since"] for r in erows] == [2001, 2002]
+
+
+def test_scalar_fns_after_with_stage(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.name AS nm, n.born AS born WHERE born = 1984 "
+        "RETURN coalesce(nm, 'anon') AS who, size(nm) AS ln ORDER BY who",
+    )
+    assert [(r["who"], r["ln"]) for r in df.collect()] == [("Alice", 5), ("Eve", 3)]
+
+
+def test_coalesce_literal_fallback(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN coalesce(n.nickname, 'anon') AS who",
+    )
+    assert [r["who"] for r in df.collect()] == ["anon"] * 3
+
+
+def test_bare_detach_delete(spark):
+    """`MATCH (n:L) WHERE ... [DETACH] DELETE n` without UNWIND — Neo4j's
+    most common interactive delete (round-4 parity addition)."""
+    g = cypher_create_graph(spark, FIXTURE)
+    g2 = cypher_write(g, "MATCH (n:User) WHERE n.born = 1984 DETACH DELETE n")
+    assert [r["name"] for r in g2.nodes("User", "name").collect()] == ["Bob"]
+    assert g2.edges.count() == 0
+
+    # plain DELETE keeps the still-has-relationships refusal
+    with pytest.raises(ValueError, match="incident relationship"):
+        cypher_write(g, "MATCH (n:User) WHERE n.name = 'Alice' DELETE n")
+    # ... but works on isolated nodes
+    g3 = cypher_write(g, "MATCH (n:User) WHERE n.name = 'Eve' DELETE n")
+    assert sorted(r["name"] for r in g3.nodes("User", "name").collect()) == [
+        "Alice",
+        "Bob",
+    ]
+    # unlabeled wipe
+    g4 = cypher_write(g, "MATCH (n) DETACH DELETE n")
+    assert g4.vertices.count() == 0 and g4.edges.count() == 0
