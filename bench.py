@@ -5,6 +5,15 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Timing discipline: one warm-up of a tiny query to JIT/codegen-prime the
 session, then each query timed end-to-end (plan + execute + collect). The
 metric value is the total wall time of the full query set — lower is better.
+
+``--with-oracle`` additionally times every DuckDB oracle in the SAME
+process run, immediately after the engine pass (Spark session stopped
+first, so neither engine competes for cores), and writes both payloads to
+``BENCH_LOCAL_sf{sf}.json`` / ``ORACLE_TIMINGS_sf{sf}.json``. This makes
+the engine-vs-oracle ratio load-controlled: the two measurements come from
+one session under one machine load, not separate solo runs (which showed
+±50% sensitivity to background load — BASELINE.md). The driver's plain
+``python bench.py`` invocation is unchanged: one JSON line on stdout.
 """
 
 from __future__ import annotations
@@ -17,8 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_engine(sf_dir: str) -> dict:
     from flink_neo4j_spark.registry import all_queries
     from flink_neo4j_spark.session import get_spark
 
@@ -69,21 +77,54 @@ def main() -> None:
         # so one query's cache residency can't distort the next (outside the
         # timed region — standard bench hygiene)
         spark.catalog.clearCache()
-
-    total = round(sum(timings.values()), 4)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
     spark.stop()
+
+    return {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+
+
+def _sf_of(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "", 1).isdigit() else sf
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    with_oracle = "--with-oracle" in sys.argv[1:]
+
+    payload = run_engine(sf_dir)
+    print(json.dumps(payload))
+
+    if with_oracle:
+        # Spark is stopped; DuckDB now times under the same machine load.
+        from bench_oracle import run_oracle
+
+        opayload = run_oracle(sf_dir)
+        sf = payload["sf"]
+        bench_path = f"BENCH_LOCAL_sf{sf}.json"
+        oracle_path = f"ORACLE_TIMINGS_sf{sf}.json"
+        with open(bench_path, "w") as fh:
+            json.dump(payload, fh)
+            fh.write("\n")
+        with open(oracle_path, "w") as fh:
+            json.dump(opayload, fh)
+            fh.write("\n")
+        ratio = (
+            round(payload["value"] / opayload["value"], 3)
+            if opayload["value"]
+            else None
+        )
+        print(
+            f"engine {payload['value']}s / {len(payload['queries'])} queries; "
+            f"oracle {opayload['value']}s / {len(opayload['queries'])} oracles; "
+            f"ratio {ratio} -> {bench_path}, {oracle_path}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -429,22 +429,24 @@ def d13_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs within a hot label; the replication factor grows with the hot
 # label, not with the table). For uniform labels (n <= MAX_GEMM_BLOCK) this
 # degenerates to exactly one task per label, i.e. the simple per-label GEMM.
-def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
+def _gemm_tasks(e: DataFrame, block: int) -> DataFrame:
+    """Block-matrix task assignment for within-label all-pairs GEMM.
+
+    Rows rank within their label into sub-blocks of at most ``block`` rows;
+    each row replicates to every (i, j) sub-block pair that involves its
+    own sub-block — (i, s) for i ≤ s and (s, j) for j > s — so every
+    within-label pair is covered by EXACTLY one task and no task ever
+    holds more than 2·``block`` rows, however hot the label. Exposed
+    separately from :func:`d6_embedding_near_dup` so the hot-label
+    guarantee is testable directly (``tests/test_dedup_guards.py``)."""
     from pyspark.sql import Window
 
-    e = table_for_compute(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
-    )
     w = Window.partitionBy("label").orderBy("vec_id")
     sub = e.withColumn(
-        "s", ((F.row_number().over(w) - 1) / F.lit(MAX_GEMM_BLOCK)).cast("int")
+        "s", ((F.row_number().over(w) - 1) / F.lit(block)).cast("int")
     )
     smax = sub.groupBy("label").agg(F.max("s").alias("smax"))
-    # tasks containing sub-block s, each exactly once:
-    #   (i, s) for i in 0..s   and   (s, j) for j in s+1..smax
-    tasks = (
+    return (
         sub.join(F.broadcast(smax), "label")
         .withColumn(
             "ij",
@@ -459,8 +461,21 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select("label", "vec_id", "emb", "s", F.col("ij.i").alias("i"), F.col("ij.j").alias("j"))
+        .select(
+            "label", "vec_id", "emb", "s",
+            F.col("ij.i").alias("i"), F.col("ij.j").alias("j"),
+        )
     )
+
+
+def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = table_for_compute(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
+    )
+    tasks = _gemm_tasks(e, MAX_GEMM_BLOCK)
 
     def gemm_block(pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])

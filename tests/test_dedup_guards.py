@@ -90,3 +90,80 @@ def test_d6_subblock_decomposition_is_exact(spark, synth_dir, monkeypatch):
     as_set = lambda rows: {(r.a_id, r.b_id, r.cos) for r in rows}
     assert as_set(whole) == as_set(split)
     assert len(whole) > 0  # fixture produces real near-dups
+
+
+def test_d6_hot_label_task_bound_and_exact_pairs(spark, tmp_path, monkeypatch):
+    """One label holding ~10x MAX_GEMM_BLOCK rows: (a) no GEMM task may
+    receive more than 2x MAX_GEMM_BLOCK rows (the hot-label OOM guard),
+    (b) every within-label pair is covered exactly once, and (c) the
+    emitted pair set equals the brute-force reference."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    block = 8
+    hot_n, cold_n = 83, 5  # hot label ~10.4x block
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), 1, [float(x) for x in rng.standard_normal(4)])
+        for i in range(hot_n)
+    ] + [
+        (int(100 + i), 2, [float(x) for x in rng.standard_normal(4)])
+        for i in range(cold_n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).repartition(4).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    e = (
+        spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+        .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+    )
+    tasks = dedup._gemm_tasks(e, block)
+
+    # (a) bounded tasks
+    sizes = tasks.groupBy("label", "i", "j").count().collect()
+    assert max(r["count"] for r in sizes) <= 2 * block
+    # diagonal tasks hold one sub-block, off-diagonal exactly two
+    for r in sizes:
+        assert r["count"] <= (block if r["i"] == r["j"] else 2 * block)
+
+    # (b) exact single coverage of every within-label pair
+    assign = tasks.select("label", "vec_id", "s", "i", "j").collect()
+    by_task: dict = {}
+    for r in assign:
+        by_task.setdefault((r["label"], r["i"], r["j"]), []).append((r["vec_id"], r["s"]))
+    covered: dict = {}
+    for (label, i, j), members in by_task.items():
+        left = [v for v, s in members if s == i]
+        right = [v for v, s in members if s == j]
+        pairs = (
+            itertools.combinations(sorted(left), 2)
+            if i == j
+            else ((a, b) for a in left for b in right)
+        )
+        for a, b in pairs:
+            key = (label, min(a, b), max(a, b))
+            covered[key] = covered.get(key, 0) + 1
+    n_expected = hot_n * (hot_n - 1) // 2 + cold_n * (cold_n - 1) // 2
+    assert len(covered) == n_expected
+    assert set(covered.values()) == {1}  # each pair exactly once
+
+    # (c) emitted pairs equal the unblocked brute-force reference
+    monkeypatch.setattr(dedup, "MAX_GEMM_BLOCK", block)
+    got = {
+        (r.a_id, r.b_id, r.cos)
+        for r in dedup.d6_embedding_near_dup(spark, str(tmp_path)).collect()
+    }
+    vecs = {int(v): np.asarray(emb) for v, _, emb in rows}
+    want = set()
+    for label, ids in ((1, range(hot_n)), (2, range(100, 100 + cold_n))):
+        for a, b in itertools.combinations(ids, 2):
+            va, vb = vecs[a], vecs[b]
+            cos = round(
+                float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4
+            )
+            if cos >= dedup.COSINE_THRESHOLD:
+                want.add((a, b, cos))
+    assert got == want and len(want) > 0

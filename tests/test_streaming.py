@@ -413,3 +413,53 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     assert got[(2, "2024-01-03")] == (1, 20.0)
     rows = spark.read.parquet(out).count()
     assert rows == len(got)  # no duplicated emissions across restarts
+
+
+def test_rate_limit_carry_across_chunks():
+    """The w14 admission kernel's cross-chunk state carry: a day's quota
+    fills across two Arrow chunks/micro-batches; a new day resets; a LATE
+    chunk for an already-passed day re-admits (documented arrival-order
+    semantics — you cannot un-admit past events on a live stream)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flink_neo4j_spark.streaming.windows import _admit_chunk
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+
+    def chunk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": 1,
+                    "day": day,
+                    "ts": pd.Timestamp(day) + pd.Timedelta(seconds=s),
+                    "event_id": e,
+                }
+                for day, s, e in rows
+            ]
+        )
+
+    k = 3
+    # chunk 1: two events on d1 -> both admit, state carries n=2
+    out, so, sn = _admit_chunk(chunk([(d1, 1, 10), (d1, 2, 11)]), k, -1, 0, 1)
+    assert list(out["admit_rank"]) == [1, 2] and sn == 2
+    # chunk 2: three more on d1 -> only ONE slot left (carry), then d2
+    # resets and admits from rank 1
+    out, so, sn = _admit_chunk(
+        chunk([(d1, 3, 12), (d1, 4, 13), (d2, 1, 20)]), k, so, sn, 1
+    )
+    assert list(zip(out["event_id"], out["admit_rank"])) == [(12, 3), (20, 1)]
+    assert sn == 1  # one admitted on the open day d2
+    # chunk 3: late d1 arrival AFTER d2 opened -> d1's counter was reset
+    # when the state moved on, and processing d1 rewinds the state day, so
+    # the following d2 run ALSO restarts at rank 1 (the sequential
+    # per-day loop this kernel replaces behaved identically: only the
+    # single open day ever carries — arrival-order semantics)
+    out, so, sn = _admit_chunk(chunk([(d1, 9, 14), (d2, 2, 21)]), k, so, sn, 1)
+    assert list(zip(out["event_id"], out["admit_rank"])) == [(14, 1), (21, 1)]
+    # mid-chunk day run equal to an OLD state day must not inherit carry:
+    # state is on d2 with quota full
+    out, so, sn = _admit_chunk(chunk([(d2, 3, 22)]), 1, so, 1, 1)
+    assert out is None and sn == 1
