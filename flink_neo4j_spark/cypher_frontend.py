@@ -69,10 +69,10 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<arrow>-\[|\]->)
-  | (?P<op><>|<=|>=|=|<|>)
+  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<op><>|<=|>=|=|<|>|\+|-|/|%)
   | (?P<punct>[(){}:,.\$*\[\]])
   | (?P<string>'(?:[^'\\]|\\.)*')
-  | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
 """,
     re.VERBOSE,
@@ -178,6 +178,20 @@ class FuncCall:
 class AggCall:
     fn: str  # COUNT / SUM / AVG / MIN / MAX / COLLECT
     arg: PropRef | None  # None => count(*) or count(var)
+    distinct: bool = False  # count(DISTINCT x) / collect(DISTINCT x) / ...
+
+
+@dataclass
+class BinOp:
+    """Arithmetic in RETURN/WITH: ``n.a + n.b``, ``s / c`` over WITH
+    columns, ``n.price * 2``. Operands are refs, literals, scalar function
+    calls, or nested BinOps — never aggregates (compute those in a WITH
+    stage first; the parser rejects the mix, keeping implicit-grouping
+    analysis trivially correct)."""
+
+    op: str  # + - * / %
+    left: Any
+    right: Any
 
 
 @dataclass
@@ -471,7 +485,50 @@ class _Parser:
         tok = self.peek()
         return tok is not None and tok.kind == "word" and tok.text.upper() == upper_text
 
-    def parse_return_expr(self, allow_bare: bool = False) -> PropRef | BareRef | AggCall:
+    def parse_return_expr(self, allow_bare: bool = False):
+        """RETURN/WITH item: additive arithmetic over terms. Aggregates
+        may appear alone but never as arithmetic operands."""
+        node = self._parse_arith_term(allow_bare)
+        while self.at("op", "+") or self.at("op", "-"):
+            op = self.next().text
+            right = self._parse_arith_term(allow_bare)
+            node = self._binop(op, node, right)
+        return node
+
+    def _parse_arith_term(self, allow_bare: bool):
+        node = self._parse_arith_factor(allow_bare)
+        while (
+            self.at("op", "/") or self.at("op", "%") or self.at("punct", "*")
+        ):
+            op = self.next().text
+            right = self._parse_arith_factor(allow_bare)
+            node = self._binop(op, node, right)
+        return node
+
+    @staticmethod
+    def _binop(op: str, left, right) -> BinOp:
+        if isinstance(left, AggCall) or isinstance(right, AggCall):
+            raise CypherSyntaxError(
+                "arithmetic over aggregates is not supported here; compute "
+                "the aggregate in a WITH stage and operate on its alias"
+            )
+        return BinOp(op, left, right)
+
+    def _parse_arith_factor(self, allow_bare: bool):
+        if self.at("punct", "("):
+            self.next()
+            node = self.parse_return_expr(allow_bare)
+            self.expect("punct", ")")
+            return node
+        tok = self.peek()
+        if tok is not None and tok.kind == "number":
+            self.next()
+            return float(tok.text) if "." in tok.text else int(tok.text)
+        return self._parse_primary_expr(allow_bare)
+
+    def _parse_primary_expr(
+        self, allow_bare: bool = False
+    ) -> PropRef | BareRef | AggCall | FuncCall:
         tok = self.peek()
         # length(p) — the path-length accessor for shortestPath variables;
         # modeled as PropRef(p, "length") so the shortestPath colmap
@@ -551,6 +608,10 @@ class _Parser:
         ):
             fn = self.next().text.upper()
             self.expect("punct", "(")
+            distinct = False
+            if self._at_word_ci("DISTINCT"):
+                self.next()
+                distinct = True
             arg: PropRef | BareRef | None
             if self.at("punct", "*"):
                 self.next()
@@ -561,14 +622,16 @@ class _Parser:
                 and self.peek(1) is not None
                 and self.peek(1).text == ")"
             ):
-                self.next()  # count(n) — bare variable counts matched rows
-                arg = None
+                # count(n) counts matched rows; count(DISTINCT n) counts
+                # distinct matched NODES, i.e. distinct internal ids
+                var = self.next().text
+                arg = PropRef(var, None) if distinct else None
             else:
                 arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
                 raise CypherSyntaxError(f"{fn} requires a property argument")
             self.expect("punct", ")")
-            return AggCall(fn, arg)
+            return AggCall(fn, arg, distinct)
         return self.parse_prop_ref(allow_bare)
 
     def parse_return(self, allow_bare: bool = False) -> tuple[bool, list[ReturnItem]]:
@@ -676,7 +739,60 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
     return _SCALAR_FNS[call.fn](resolve(call.arg))
 
 
+def _is_integral(expr, colmap, df: DataFrame) -> bool:
+    """Conservative static typing for Cypher's integer-division rule:
+    True only when the operand is provably integer-typed."""
+    if isinstance(expr, bool):
+        return False
+    if isinstance(expr, int):
+        return True
+    if isinstance(expr, BinOp):
+        return _is_integral(expr.left, colmap, df) and _is_integral(
+            expr.right, colmap, df
+        )
+    if isinstance(expr, FuncCall):
+        return expr.fn == "size"  # length/size are integers
+    if isinstance(expr, (PropRef, BareRef)):
+        m = _PLAIN_COL_RE.fullmatch(str(colmap(expr)))
+        dtype = dict(df.dtypes).get(m.group(1)) if m else None
+        return dtype in ("tinyint", "smallint", "int", "bigint")
+    return False
+
+
+def _expr_column(expr, colmap, df: DataFrame) -> Column:
+    """RETURN/WITH expression → Column: refs, literals, scalar functions,
+    and arithmetic. openCypher's integer division truncates (``1 / 2 = 0``)
+    — applied when BOTH operands are provably integer-typed (Spark's ``/``
+    is always float); the toward-zero LongType cast matches Java/Neo4j
+    truncation for either sign."""
+    if isinstance(expr, BinOp):
+        left = _expr_column(expr.left, colmap, df)
+        right = _expr_column(expr.right, colmap, df)
+        if expr.op == "+":
+            return left + right
+        if expr.op == "-":
+            return left - right
+        if expr.op == "*":
+            return left * right
+        if expr.op == "%":
+            return left % right
+        if _is_integral(expr.left, colmap, df) and _is_integral(
+            expr.right, colmap, df
+        ):
+            return (left / right).cast("long")
+        return left / right
+    if isinstance(expr, FuncCall):
+        return _scalar_fn_column(expr, colmap, df)
+    if isinstance(expr, (PropRef, BareRef)):
+        return colmap(expr)
+    return F.lit(expr)
+
+
 def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
+    if isinstance(ref, BinOp):
+        raise CypherSyntaxError(
+            "an arithmetic RETURN/WITH item needs an AS alias"
+        )
     if isinstance(ref, FuncCall):
         if not isinstance(ref.arg, (PropRef, BareRef, AggCall, FuncCall)):
             return ref.fn  # literal first operand (e.g. coalesce('x', ...))
@@ -705,11 +821,25 @@ _AGG_FN_MAP = {
     "COLLECT": lambda c: F.array_sort(F.collect_list(c)),
 }
 
+#: DISTINCT inside an aggregate (count(DISTINCT x), collect(DISTINCT x),
+#: ...). AVG has no *_distinct builtin: exact sum_distinct/count_distinct
+#: quotient. MIN/MAX are distinct-invariant. collect_set + array_sort keeps
+#: the sorted-list determinism contract.
+_AGG_FN_DISTINCT_MAP = {
+    "COUNT": F.count_distinct,
+    "SUM": F.sum_distinct,
+    "AVG": lambda c: F.sum_distinct(c) / F.count_distinct(c),
+    "MIN": F.min,
+    "MAX": F.max,
+    "COLLECT": lambda c: F.array_sort(F.collect_set(c)),
+}
+
 
 def _agg_column(call: AggCall, colmap) -> Column:
     if call.arg is None:
         return F.count(F.lit(1))
-    return _AGG_FN_MAP[call.fn](colmap(call.arg))
+    fns = _AGG_FN_DISTINCT_MAP if call.distinct else _AGG_FN_MAP
+    return fns[call.fn](colmap(call.arg))
 
 
 #: a colmap output that is a bare column reference (every node/edge colmap
@@ -1094,9 +1224,7 @@ def _apply_projection(
     items become keys when any aggregate is present), column order restored
     to clause order, optional DISTINCT."""
     def col_of(expr) -> Column:
-        if isinstance(expr, FuncCall):
-            return _scalar_fn_column(expr, colmap, df)
-        return colmap(expr)
+        return _expr_column(expr, colmap, df)
 
     aggs = [i for i in items if isinstance(i.expr, AggCall)]
     if aggs:

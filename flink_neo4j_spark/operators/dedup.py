@@ -1039,19 +1039,23 @@ def d18_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"posexplode(transform(sequence(1, length(text) - {SPAN_GRAM} + 1),"
         f" i -> substring(lower(text), i, {SPAN_GRAM}))) AS (p0, g)",
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
-    kept = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("c"))
+    # Guard + materialize the postings in ONE gram pass: the postings cap
+    # is a count window over the same g-shuffle the postings need anyway
+    # (vs the old separate count-aggregate joined back — an extra shuffle
+    # and, because both consumers re-derived `grams`, THREE full corpus
+    # shingle passes: 8 parquet scans / 16 exchanges in the r3 plan
+    # audit). The localCheckpoint then feeds both sides of the pair join
+    # from the materialized frame — the _cust_part_projection
+    # double-consumption fix (graph_algos.py). Measured at sf0.1:
+    # 1.84 s → 1.43 s for the postings phase, one corpus pass total.
+    p = (
+        grams.withColumn(
+            "c", F.count("*").over(Window.partitionBy("g"))
+        )
         .filter(F.col("c") <= SPAN_MAX_POSTINGS)
-        .select("g")
+        .drop("c")
+        .localCheckpoint()
     )
-    # Materialize the guarded postings ONCE: without the barrier, `grams`
-    # (a full posexplode of every char-gram position over the corpus) is
-    # re-derived for the cap aggregate AND each join side — three corpus
-    # shingle passes (8 parquet scans / 16 exchanges in the r3 plan audit).
-    # Same double-consumption fix as _cust_part_projection
-    # (graph_algos.py), measured there at 2.3 s on the sf0.1 bench.
-    p = grams.join(kept, "g").localCheckpoint()
     a = p.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "g"
     )

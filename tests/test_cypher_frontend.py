@@ -777,3 +777,82 @@ def test_bare_detach_delete(spark):
     # unlabeled wipe
     g4 = cypher_write(g, "MATCH (n) DETACH DELETE n")
     assert g4.vertices.count() == 0 and g4.edges.count() == 0
+
+
+def test_aggregate_distinct(fixture_graph):
+    """count/sum/collect(DISTINCT ...) — openCypher's in-aggregate
+    DISTINCT (round-4 parity addition)."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN count(DISTINCT n.born) AS yrs, "
+        "sum(DISTINCT n.born) AS sum_yrs, collect(DISTINCT n.born) AS lst",
+    )
+    row = df.collect()[0]
+    assert row["yrs"] == 2
+    assert row["sum_yrs"] == 1983 + 1984
+    assert row["lst"] == [1983, 1984]
+
+    # count(DISTINCT n) counts distinct matched nodes, not rows
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e]->(b:User) RETURN count(DISTINCT a) AS people, "
+        "count(*) AS rows_matched",
+    )
+    row2 = df2.collect()[0]
+    assert (row2["people"], row2["rows_matched"]) == (2, 2)
+
+    # grouped form through a WITH stage
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.born AS born, count(DISTINCT n.name) AS names "
+        "RETURN born, names ORDER BY born",
+    )
+    assert [(r["born"], r["names"]) for r in df3.collect()] == [
+        (1983, 1),
+        (1984, 2),
+    ]
+
+
+def test_return_arithmetic(fixture_graph):
+    """Arithmetic in RETURN/WITH (round-4 addition): +,-,*,/,% with
+    precedence and parens; Cypher integer division truncates; aggregates
+    compose via a WITH alias, never inline."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, n.born + 1 AS next_year, "
+        "2025 - n.born AS age, n.born % 10 AS last_digit, "
+        "n.born / 10 AS decade, n.height * 100 AS cm "
+        "ORDER BY name",
+    )
+    rows = df.collect()
+    alice = rows[0]
+    assert (alice["next_year"], alice["age"]) == (1985, 41)
+    assert alice["last_digit"] == 4
+    assert alice["decade"] == 198  # integer division truncates
+    assert abs(alice["cm"] - 172.0) < 1e-9  # float operand -> float math
+
+    # precedence and parens
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Bob' "
+        "RETURN n.born + 2 * 10 AS a, (n.born + 2) * 10 AS b",
+    )
+    r = df2.collect()[0]
+    assert (r["a"], r["b"]) == (2003, 19850)
+
+    # post-aggregate arithmetic through a WITH stage
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH sum(n.born) AS s, count(*) AS c "
+        "RETURN s / c AS avg_born",
+    )
+    assert df3.collect()[0]["avg_born"] == (1984 + 1983 + 1984) // 3
+
+    # aggregates inline in arithmetic are rejected with a clear error
+    with pytest.raises(CypherSyntaxError, match="WITH stage"):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN sum(n.born) / 3 AS x"
+        )
+    # arithmetic items need an alias
+    with pytest.raises(CypherSyntaxError, match="AS alias"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN n.born + 1")
