@@ -105,9 +105,13 @@ def main() -> None:
         from bench_oracle import run_oracle
 
         opayload = run_oracle(sf_dir)
-        sf = payload["sf"]
-        bench_path = f"BENCH_LOCAL_sf{sf}.json"
-        oracle_path = f"ORACLE_TIMINGS_sf{sf}.json"
+        # name artifacts by the sf-dir basename (sf0.1 -> ...sf0.1.json,
+        # sf1 -> ...sf1.json — no float round-trip) and anchor them at the
+        # repo root regardless of the invoking CWD
+        root = os.path.dirname(os.path.abspath(__file__))
+        sfname = os.path.basename(sf_dir.rstrip("/"))
+        bench_path = os.path.join(root, f"BENCH_LOCAL_{sfname}.json")
+        oracle_path = os.path.join(root, f"ORACLE_TIMINGS_{sfname}.json")
         with open(bench_path, "w") as fh:
             json.dump(payload, fh)
             fh.write("\n")

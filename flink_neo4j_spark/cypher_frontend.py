@@ -485,12 +485,28 @@ class _Parser:
         tok = self.peek()
         return tok is not None and tok.kind == "word" and tok.text.upper() == upper_text
 
+    def _at_negative_number(self) -> bool:
+        # `n.born-1` lexes "-1" as one NUMBER token (the lexer can't know
+        # a binary context); the additive loop re-reads it as minus + 1 so
+        # glued subtraction parses exactly like the spaced form.
+        tok = self.peek()
+        return (
+            tok is not None and tok.kind == "number" and tok.text.startswith("-")
+        )
+
     def parse_return_expr(self, allow_bare: bool = False):
         """RETURN/WITH item: additive arithmetic over terms. Aggregates
         may appear alone but never as arithmetic operands."""
         node = self._parse_arith_term(allow_bare)
-        while self.at("op", "+") or self.at("op", "-"):
-            op = self.next().text
+        while self.at("op", "+") or self.at("op", "-") or self._at_negative_number():
+            if self._at_negative_number():
+                # split "-1" in place into minus + "1" so the remainder
+                # (e.g. the "*2" in "n.a-1*2") parses with normal
+                # precedence
+                self.toks[self.i] = _Tok("number", self.peek().text[1:])
+                op = "-"
+            else:
+                op = self.next().text
             right = self._parse_arith_term(allow_bare)
             node = self._binop(op, node, right)
         return node
@@ -716,11 +732,7 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
 
     def resolve(a) -> Column:
         if isinstance(a, (PropRef, BareRef)):
-            col = colmap(a)
-            m = _PLAIN_COL_RE.fullmatch(str(col))
-            if m and m.group(1) not in df.columns:
-                return F.lit(None)
-            return col
+            return _resolve_ref(a, colmap, df)
         return F.lit(a)
 
     if call.fn == "labels":
@@ -733,8 +745,8 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         return F.coalesce(*[resolve(a) for a in (call.arg, *call.extra)])
     if call.fn == "size":
         col = resolve(call.arg)
-        m = _PLAIN_COL_RE.fullmatch(str(col))
-        dtype = dict(df.dtypes).get(m.group(1)) if m else None
+        name = _plain_name(col)
+        dtype = dict(df.dtypes).get(name) if name else None
         return F.size(col) if dtype and dtype.startswith("array") else F.length(col)
     return _SCALAR_FNS[call.fn](resolve(call.arg))
 
@@ -751,10 +763,19 @@ def _is_integral(expr, colmap, df: DataFrame) -> bool:
             expr.right, colmap, df
         )
     if isinstance(expr, FuncCall):
-        return expr.fn == "size"  # length/size are integers
+        if expr.fn == "size":
+            return True  # length/size are integers
+        if expr.fn == "coalesce":
+            # integral iff every operand is (Cypher's integer-division
+            # rule must survive the canonical coalesce-default pattern)
+            return all(
+                _is_integral(a, colmap, df)
+                for a in (expr.arg, *expr.extra)
+            )
+        return False
     if isinstance(expr, (PropRef, BareRef)):
-        m = _PLAIN_COL_RE.fullmatch(str(colmap(expr)))
-        dtype = dict(df.dtypes).get(m.group(1)) if m else None
+        name = _plain_name(colmap(expr))
+        dtype = dict(df.dtypes).get(name) if name else None
         return dtype in ("tinyint", "smallint", "int", "bigint")
     return False
 
@@ -784,7 +805,10 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
     if isinstance(expr, (PropRef, BareRef)):
-        return colmap(expr)
+        # same missing-property-reads-null contract as WHERE and the
+        # scalar-function operands: `RETURN n.nickname` on a property no
+        # write ever created is a null column, not an analysis error
+        return _resolve_ref(expr, colmap, df)
     return F.lit(expr)
 
 
@@ -835,16 +859,46 @@ _AGG_FN_DISTINCT_MAP = {
 }
 
 
-def _agg_column(call: AggCall, colmap) -> Column:
+def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
     if call.arg is None:
         return F.count(F.lit(1))
     fns = _AGG_FN_DISTINCT_MAP if call.distinct else _AGG_FN_MAP
-    return fns[call.fn](colmap(call.arg))
+    # _resolve_ref: aggregating a property no write ever created
+    # aggregates nulls (count 0 / sum null), not an analysis error
+    return fns[call.fn](_resolve_ref(call.arg, colmap, df))
 
 
 #: a colmap output that is a bare column reference (every node/edge colmap
 #: returns plain ``F.col(name)``; computed columns never match this shape)
 _PLAIN_COL_RE = re.compile(r"Column<'([A-Za-z_][A-Za-z0-9_]*)'>")
+
+
+def _plain_name(col: Column) -> str | None:
+    """The underlying column name iff ``col`` is a bare reference."""
+    m = _PLAIN_COL_RE.fullmatch(str(col))
+    return m.group(1) if m else None
+
+
+def _ref_is_missing(ref, colmap, have: set[str]) -> bool:
+    """Neo4j semantics: reading a property that no write ever created
+    yields null, NOT an error (openCypher §"property access on missing
+    keys"). Our vertex frame only has columns some write created, so a
+    resolved-but-absent plain column reference means "property never set
+    on any node" — detectable pre-analysis. WITH-stage colmaps validate
+    names themselves and raise first, so they never reach this check."""
+    if not isinstance(ref, (PropRef, BareRef)):
+        return False
+    name = _plain_name(colmap(ref))
+    return name is not None and name not in have
+
+
+def _resolve_ref(ref, colmap, df: DataFrame) -> Column:
+    """Column for one RETURN/WITH ref with missing-property-reads-null
+    semantics — the single resolution point every projection path shares
+    (WHERE has its own tri-state handling in :func:`_where_to_column`)."""
+    if _ref_is_missing(ref, colmap, set(df.columns)):
+        return F.lit(None)
+    return colmap(ref)
 
 
 def _where_to_column(
@@ -869,17 +923,7 @@ def _where_to_column(
     }
 
     def missing(ref) -> bool:
-        # Neo4j semantics: reading a property that no write ever created
-        # yields null, NOT an error (openCypher §"property access on
-        # missing keys"). Our vertex frame only has columns some write
-        # created, so a resolved-but-absent plain column reference means
-        # "property never set on any node" — detectable pre-analysis.
-        # Only checked when the caller supplied the frame's columns;
-        # WITH-stage colmaps validate names themselves and raise first.
-        if have is None or not isinstance(ref, (PropRef, BareRef)):
-            return False
-        m = _PLAIN_COL_RE.fullmatch(str(colmap(ref)))
-        return bool(m) and m.group(1) not in have
+        return have is not None and _ref_is_missing(ref, colmap, have)
 
     out: Column | None = None
     for conj in disj:
@@ -1231,7 +1275,7 @@ def _apply_projection(
         keys = [i for i in items if not isinstance(i.expr, AggCall)]
         grouped = df.groupBy(
             *[col_of(i.expr).alias(_out_name(i)) for i in keys]
-        ).agg(*[_agg_column(i.expr, colmap).alias(_out_name(i)) for i in aggs])
+        ).agg(*[_agg_column(i.expr, colmap, df).alias(_out_name(i)) for i in aggs])
         df = grouped.select(*[_out_name(i) for i in items])
     else:
         df = df.select(*[col_of(i.expr).alias(_out_name(i)) for i in items])

@@ -44,6 +44,16 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # cancellation on nfp values centered at ~1e9; z values shift, so the
     # r03 green row no longer certifies the current code.
     "s10_norm_outliers",
+    # round 4: the w14 admission kernel was REWRITTEN (vectorized
+    # _admit_chunk) and d18's postings derivation restructured (count
+    # window + localCheckpoint). Both are result-identical by
+    # construction and verified (w14: 3000-trial randomized differential
+    # vs the old loop + oracle hash; d18: oracle hash), but the registry's
+    # tier-A criterion is "implementation edited since the last green
+    # row", and a stateful Python kernel rewrite is not a plan-only
+    # refactor — they re-certify.
+    "w14_stream_rate_limit",
+    "d18_match_spans",
 )
 # Round-3 tier-A entries all earned green rows in CORRECTNESS_r03.json, so
 # they drop back to tier C here; every remaining driver slot this round goes

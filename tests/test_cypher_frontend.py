@@ -856,3 +856,48 @@ def test_return_arithmetic(fixture_graph):
     # arithmetic items need an alias
     with pytest.raises(CypherSyntaxError, match="AS alias"):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN n.born + 1")
+
+
+def test_arithmetic_glued_negative_number(fixture_graph):
+    """`n.born-1` lexes "-1" as one number token; the parser must re-read
+    it as binary subtraction, with precedence intact for `-1*2`."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Alice' "
+        "RETURN n.born-1 AS a, n.born -1 AS b, 2-1 AS c, n.born-1*2 AS d",
+    )
+    r = df.collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (1983, 1983, 1, 1982)
+
+
+def test_integer_division_through_coalesce(fixture_graph):
+    """Cypher's integer-division rule must survive the canonical
+    coalesce-with-integer-default pattern."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Alice' "
+        "RETURN coalesce(n.born, 0) / 10 AS d, "
+        "coalesce(n.height, 0) / 2 AS h",
+    )
+    r = df.collect()[0]
+    assert r["d"] == 198  # int via coalesce -> truncating division
+    assert abs(r["h"] - 0.86) < 1e-9  # float operand stays float
+
+
+def test_return_missing_property_is_null(fixture_graph):
+    """Missing-property-reads-null holds in EVERY clause, not just WHERE:
+    plain RETURN, arithmetic, and aggregates over a property no write
+    ever created."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, n.nickname AS nick, "
+        "n.nickname + 1 AS nick_math ORDER BY name",
+    )
+    rows = df.collect()
+    assert [r["nick"] for r in rows] == [None] * 3
+    assert [r["nick_math"] for r in rows] == [None] * 3
+    agg = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN count(n.nickname) AS c, sum(n.nickname) AS s",
+    ).collect()[0]
+    assert (agg["c"], agg["s"]) == (0, None)
