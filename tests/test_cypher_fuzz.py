@@ -1,0 +1,107 @@
+"""Parser robustness: whatever the input, the Cypher front end either
+answers or raises CypherSyntaxError — never IndexError/KeyError/
+AttributeError from a parser state the grammar writer didn't foresee.
+Hypothesis drives (a) raw garbage and (b) token-level mutations of the
+reference's real queries (the adversarial neighborhood of valid syntax)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_neo4j_spark.cypher_frontend import (
+    CypherSyntaxError,
+    _Parser,
+    _tokenize,
+)
+
+VALID_QUERIES = [
+    "MATCH (n:User) RETURN id(n), n.name, n.born",
+    "MATCH (a:User)-[e]->(b:User) RETURN id(e), id(a), id(b), e.since",
+    "MATCH (n:User) WHERE n.name = 'Frank' OR n.name = 'Dave' "
+    "RETURN n.name AS name ORDER BY name SKIP 1 LIMIT 2",
+    "MATCH (n:User) WITH n.born AS born, count(DISTINCT n.name) AS c "
+    "WHERE born = 1984 RETURN born, c ORDER BY born",
+    "MATCH (n:User) RETURN labels(n) AS l, coalesce(n.x, n.name) AS d, "
+    "size(n.name) AS s, n.born + 1 AS y",
+    "MATCH (a:User)-[:KNOWS*1..2]->(b:User) RETURN a.name AS x, b.name AS y",
+]
+
+
+def _parse_only(query: str) -> None:
+    """Drive the read grammar without a graph: tokenise and run the parser
+    entry points used by cypher_read (pattern, WHERE, RETURN, tail)."""
+    from flink_neo4j_spark.cypher_frontend import _Parser, _tokenize
+
+    p = _Parser(_tokenize(query))
+    p.expect("kw", "MATCH")
+    p.parse_pattern()
+    if p.at("kw", "WHERE"):
+        p.next()
+        p.parse_where()
+    p.expect("kw", "RETURN")
+    p.parse_return()
+    p.parse_tail(require_end=True)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(min_size=0, max_size=80))
+def test_garbage_never_crashes_the_parser(s):
+    try:
+        _parse_only(s)
+    except CypherSyntaxError:
+        pass  # the contract: loud, typed syntax errors only
+
+
+#: Cypher-vocabulary token soup reaches far deeper parser states than
+#: character noise: every draw is a lexable token, so failures happen in
+#: the grammar, not the tokenizer.
+_TOKEN_SOUP = st.lists(
+    st.sampled_from(
+        [
+            "MATCH", "RETURN", "WHERE", "WITH", "AS", "ORDER", "BY", "SKIP",
+            "LIMIT", "DISTINCT", "AND", "OR", "NOT", "IN", "IS", "NULL",
+            "STARTS", "ENDS", "CONTAINS", "count", "sum", "collect",
+            "coalesce", "size", "labels", "type", "toLower", "id",
+            "shortestPath", "length", "n", "a", "b", "e", "p", "User",
+            "KNOWS", "name", "born", "(", ")", "[", "]", "{", "}", ":", ",",
+            ".", "*", "=", "<>", "<", ">=", "+", "-", "/", "%", "$", "-[",
+            "]->", "'x'", "1", "2.5", "-3", "1..2",
+        ]
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=500, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_TOKEN_SOUP)
+def test_token_soup_never_crashes_the_parser(tokens):
+    try:
+        _parse_only(" ".join(tokens))
+    except CypherSyntaxError:
+        pass
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.sampled_from(VALID_QUERIES),
+    st.integers(min_value=0, max_value=200),
+    st.sampled_from(["delete", "dup", "swap"]),
+)
+def test_token_mutations_never_crash_the_parser(query, pos, mode):
+    toks = query.split(" ")
+    pos %= max(len(toks), 1)
+    if mode == "delete":
+        mutated = toks[:pos] + toks[pos + 1 :]
+    elif mode == "dup":
+        mutated = toks[:pos] + [toks[pos]] + toks[pos:]
+    else:
+        j = (pos + 1) % len(toks)
+        toks[pos], toks[j] = toks[j], toks[pos]
+        mutated = toks
+    try:
+        _parse_only(" ".join(mutated))
+    except CypherSyntaxError:
+        pass
