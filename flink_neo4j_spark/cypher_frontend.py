@@ -19,7 +19,12 @@ the reference exercises (README + tests, SURVEY.md §2.B):
   groupBy/agg, distinct, Offset, and TakeOrderedAndProject respectively;
   ``OPTIONAL MATCH`` (one edge hop off a bound variable -> left equi-join,
   optional-side WHERE applied pre-join), relationship-property ``WHERE``
-  (``e.p > x``), and bounded variable-length paths ``-[:T*lo..hi]->``
+  (``e.p > x``), incoming patterns ``(a)<-[e]-(b)`` (parse-time endpoint
+  swap — works in every clause that accepts a pattern), undirected
+  patterns ``(a)-[e]-(b)`` (union of both orientations, self-loops
+  matched once; single-hop MATCH/chains and pattern predicates),
+  ``ORDER BY n.prop`` / ``ORDER BY count(*)`` (sort by a projected
+  expression), and bounded variable-length paths ``-[:T*lo..hi]->``
   (union of fixed-length edge-join chains with relationship-isomorphism
   filters; explicit bounds required, capped at ``MAX_VAR_HOPS``);
   ``WITH`` pipeline stages (openCypher clause order ``WITH items
@@ -68,7 +73,7 @@ class CypherSyntaxError(ValueError):
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<arrow>-\[|\]->)
+  | (?P<arrow><-\[|-\[|\]->|\]-)
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<op><>|<=|>=|=|<|>|\+|-|/|%)
   | (?P<punct>[(){}:,.\$*\[\]])
@@ -126,6 +131,10 @@ class EdgePat:
     props: dict[str, Any] = field(default_factory=dict)
     #: variable-length spec (lo, hi) from ``-[:T*lo..hi]->``; None = single hop
     hops: tuple[int, int] | None = None
+    #: ``(a)-[e]-(b)``: match the edge in either orientation. Incoming
+    #: patterns ``(a)<-[e]-(b)`` never reach the AST — the parser swaps the
+    #: endpoints into the equivalent outgoing form.
+    undirected: bool = False
 
 
 @dataclass
@@ -159,6 +168,9 @@ class PatternCond:
     rel_type: str | None
     dst_label: str | None
     negated: bool
+    #: which endpoint ``var`` occupies: "out" ``(v)-[]->()``, "in"
+    #: ``(v)<-[]-()``, or "undirected" ``(v)-[]-()``
+    direction: str = "out"
 
 
 @dataclass
@@ -324,8 +336,9 @@ class _Parser:
 
     def parse_pattern(self, unwind_var: str | None = None) -> NodePat | EdgePat:
         src = self.parse_node(unwind_var)
-        if not self.at("arrow", "-["):
+        if not (self.at("arrow", "-[") or self.at("arrow", "<-[")):
             return src
+        incoming = self.at("arrow", "<-[")
         self.next()
         evar = rtype = None
         if self.at("word"):
@@ -335,13 +348,41 @@ class _Parser:
             rtype = self.expect("word").text
         hops = self.parse_hops()
         props = self.parse_props(unwind_var)
-        self.expect("arrow", "]->")
+        undirected = False
+        if incoming:
+            # ``(a)<-[e]-(b)``: the only legal close is ``]-`` (a pattern
+            # with arrowheads on both ends is invalid Cypher)
+            if not self.at("arrow", "]-"):
+                raise CypherSyntaxError(
+                    "incoming pattern must close with ]- (\"<-[...]-\"); "
+                    "\"<-[...]->\" is not a valid pattern"
+                )
+            self.next()
+        elif self.at("arrow", "]->"):
+            self.next()
+        elif self.at("arrow", "]-"):
+            # ``(a)-[e]-(b)``: undirected — match either orientation
+            self.next()
+            undirected = True
+        else:
+            raise CypherSyntaxError("expected ]-> or ]- to close the pattern")
         dst = self.parse_node(unwind_var)
+        if incoming:
+            # normalize to the outgoing form: (a)<-[e]-(b) == (b)-[e]->(a).
+            # Every downstream stage (expand, chains, OPTIONAL MATCH,
+            # var-length, shortestPath) keys on variable NAMES, so the swap
+            # is semantics-complete and incoming needs no execution support.
+            src, dst = dst, src
         if hops is not None and evar is not None:
             raise CypherSyntaxError(
                 "variable-length patterns cannot bind a relationship variable"
             )
-        return EdgePat(evar, rtype, src, dst, props, hops)
+        if undirected and hops is not None:
+            raise CypherSyntaxError(
+                "undirected variable-length patterns are not supported; "
+                "use two directed MATCH clauses"
+            )
+        return EdgePat(evar, rtype, src, dst, props, hops, undirected)
 
     # expressions -----------------------------------------------------------
 
@@ -457,9 +498,10 @@ class _Parser:
             return disj
 
     def parse_pattern_predicate(self) -> PatternCond:
-        """``[NOT] (v)-[:TYPE]->(target)`` where target is ``()`` (any) or
-        ``(:Label)``. Forward direction only (the grammar has no backward
-        arrow — matching the reference's query surface)."""
+        """``[NOT] (v)-[:TYPE]->(target)``, ``(v)<-[:TYPE]-(target)``, or
+        ``(v)-[:TYPE]-(target)`` where target is ``()`` (any) or
+        ``(:Label)`` — Cypher's existential subquery shorthand in all
+        three orientations."""
         negated = False
         if self._at_word_ci("NOT"):
             self.next()
@@ -467,19 +509,39 @@ class _Parser:
         self.expect("punct", "(")
         var = self.expect("word").text
         self.expect("punct", ")")
-        self.expect("arrow", "-[")
+        incoming = self.at("arrow", "<-[")
+        if incoming:
+            self.next()
+        else:
+            self.expect("arrow", "-[")
         rel_type = None
         if self.at("punct", ":"):
             self.next()
             rel_type = self.expect("word").text
-        self.expect("arrow", "]->")
+        if incoming:
+            if not self.at("arrow", "]-"):
+                raise CypherSyntaxError(
+                    "incoming pattern predicate must close with ]-"
+                )
+            self.next()
+            direction = "in"
+        elif self.at("arrow", "]->"):
+            self.next()
+            direction = "out"
+        elif self.at("arrow", "]-"):
+            self.next()
+            direction = "undirected"
+        else:
+            raise CypherSyntaxError(
+                "expected ]-> or ]- to close the pattern predicate"
+            )
         self.expect("punct", "(")
         dst_label = None
         if self.at("punct", ":"):
             self.next()
             dst_label = self.expect("word").text
         self.expect("punct", ")")
-        return PatternCond(var, rel_type, dst_label, negated)
+        return PatternCond(var, rel_type, dst_label, negated, direction)
 
     def _at_word_ci(self, upper_text: str) -> bool:
         tok = self.peek()
@@ -669,27 +731,47 @@ class _Parser:
             return distinct, items
 
     def parse_tail(
-        self, require_end: bool = True
-    ) -> tuple[list[tuple[str, bool]], int | None, int | None]:
+        self, require_end: bool = True, allow_bare: bool = False
+    ) -> tuple[list[tuple], int | None, int | None]:
         """``ORDER BY <name> [ASC|DESC], ... [SKIP n] [LIMIT m]`` — names
         refer to RETURN aliases (or default output names), SKIP/LIMIT in
         openCypher clause order. With ``require_end=False`` (inside a
         ``WITH`` stage) trailing tokens are left for the caller."""
-        order: list[tuple[str, bool]] = []
+        order: list[tuple] = []
         if self._at_word_ci("ORDER"):
             self.next()
             if not self._at_word_ci("BY"):
                 raise CypherSyntaxError("expected BY after ORDER")
             self.next()
             while True:
-                name = self.expect("word").text
+                # a projected-column alias, or the Cypher
+                # sort-by-projected-expression idioms `ORDER BY n.prop` /
+                # `ORDER BY count(*)` — an expression that must match a
+                # projected item (resolved in _order_columns)
+                tok = self.peek()
+                if (
+                    tok is not None
+                    and tok.kind == "word"
+                    and tok.text.upper() in _AGG_FNS
+                    and self.peek(1) is not None
+                    and self.peek(1).text == "("
+                ):
+                    key: "str | PropRef | AggCall" = self._parse_primary_expr(
+                        allow_bare
+                    )
+                else:
+                    word = self.expect("word").text
+                    key = word
+                    if self.at("punct", "."):
+                        self.next()
+                        key = PropRef(word, self.expect("word").text)
                 asc = True
                 if self._at_word_ci("ASC"):
                     self.next()
                 elif self._at_word_ci("DESC"):
                     self.next()
                     asc = False
-                order.append((name, asc))
+                order.append((key, asc))
                 if self.at("punct", ","):
                     self.next()
                     continue
@@ -810,6 +892,37 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         # write ever created is a null column, not an analysis error
         return _resolve_ref(expr, colmap, df)
     return F.lit(expr)
+
+
+def _order_columns(order: list[tuple], items: list[ReturnItem], clause: str) -> list[Column]:
+    """Resolve ORDER BY keys against a projection: a string key is a
+    projected alias/default name; a PropRef/AggCall key (``ORDER BY
+    n.prop`` / ``ORDER BY count(*)``) must equal a projected item's
+    expression and sorts by that item's output column (Neo4j's
+    sort-by-projected-expression idiom)."""
+    names = {_out_name(i) for i in items}
+    cols: list[Column] = []
+    for key, asc in order:
+        if isinstance(key, (PropRef, AggCall)):
+            match = next((i for i in items if i.expr == key), None)
+            if match is None:
+                desc = (
+                    f"{key.var}.{key.prop}"
+                    if isinstance(key, PropRef)
+                    else f"{key.fn.lower()}(...)"
+                )
+                raise CypherSyntaxError(
+                    f"ORDER BY {desc} must reference a {clause} column"
+                )
+            name = _out_name(match)
+        else:
+            if key not in names:
+                raise CypherSyntaxError(
+                    f"ORDER BY {key!r} must reference a {clause} column"
+                )
+            name = key
+        cols.append(F.col(name).asc() if asc else F.col(name).desc())
+    return cols
 
 
 def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
@@ -1036,6 +1149,11 @@ def _optional_match(
         raise CypherSyntaxError(
             "OPTIONAL MATCH supports a single-hop edge pattern (a)-[e]->(b)"
         )
+    if opt.undirected:
+        raise CypherSyntaxError(
+            "undirected OPTIONAL MATCH is not supported; use a directed "
+            "pattern (incoming \"<-[...]-\"  is supported)"
+        )
     if opt.props or opt.src.props or opt.dst.props:
         raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
     if base.var == opt.src.var:
@@ -1128,6 +1246,18 @@ def _prefixed_clause(
         src_prefix=f"{pat.src.var}_",
         dst_prefix=f"{pat.dst.var}_",
     )
+    if pat.undirected:
+        # either-orientation clause inside a chain: union the reversed
+        # frame (swapped labels + swapped prefixes), minus self-loops
+        # (matched once, by the forward frame)
+        back = graph.expand(
+            pat.dst.label,
+            pat.rel_type,
+            pat.src.label,
+            src_prefix=f"{pat.dst.var}_",
+            dst_prefix=f"{pat.src.var}_",
+        ).filter(F.col("src") != F.col("dst"))
+        df = df.unionByName(back.select(*df.columns))
     varmap = {
         evar: [f"{evar}_{c}" for c in graph.edges.columns],
         pat.src.var: [f"{pat.src.var}_{c}" for c in graph.vertices.columns],
@@ -1369,7 +1499,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     while p.at("kw", "WITH"):
         p.next()
         w_distinct, w_items = p.parse_return(allow_bare=bool(stages))
-        w_order, w_skip, w_limit = p.parse_tail(require_end=False)
+        w_order, w_skip, w_limit = p.parse_tail(
+            require_end=False, allow_bare=bool(stages)
+        )
         w_disj = None
         if p.at("kw", "WHERE"):
             p.next()
@@ -1377,7 +1509,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         stages.append((w_distinct, w_items, w_order, w_skip, w_limit, w_disj))
     p.expect("kw", "RETURN")
     distinct, items = p.parse_return(allow_bare=bool(stages))
-    order, skip, limit = p.parse_tail(require_end=False)
+    order, skip, limit = p.parse_tail(require_end=False, allow_bare=bool(stages))
 
     if sp_var is not None:
         if len(chain_pats) > 1 or opt_pat is not None:
@@ -1432,16 +1564,28 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 edges = graph.edges
                 if pc.rel_type is not None:
                     edges = edges.filter(F.col("rel_type") == pc.rel_type)
-                if pc.dst_label is not None:
-                    dst_ids = graph.nodes(pc.dst_label).select(
-                        F.col("id").alias("__pp_dst")
-                    )
-                    edges = edges.join(
-                        dst_ids,
-                        F.col("dst") == F.col("__pp_dst"),
-                        "left_semi",
-                    )
-                ep = edges.select(F.col("src").alias("__pp_id"))
+
+                def _qualifying(bound_end: str, pc=pc, edges=edges) -> DataFrame:
+                    # ids qualifying at `bound_end`; the target label (if
+                    # any) constrains the OTHER endpoint — a semi-join so
+                    # per-node match multiplicity never materializes
+                    other_end = "dst" if bound_end == "src" else "src"
+                    e = edges
+                    if pc.dst_label is not None:
+                        lbl = graph.nodes(pc.dst_label).select(
+                            F.col("id").alias("__pp_l")
+                        )
+                        e = e.join(
+                            lbl, F.col(other_end) == F.col("__pp_l"), "left_semi"
+                        )
+                    return e.select(F.col(bound_end).alias("__pp_id"))
+
+                if pc.direction == "out":
+                    ep = _qualifying("src")
+                elif pc.direction == "in":
+                    ep = _qualifying("dst")
+                else:  # undirected: qualifying at either endpoint
+                    ep = _qualifying("src").unionByName(_qualifying("dst"))
                 df = df.join(
                     ep,
                     F.col("id") == F.col("__pp_id"),
@@ -1469,6 +1613,21 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         if pat.props or pat.src.props or pat.dst.props:
             raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
         df = graph.expand(pat.src.label, pat.rel_type, pat.dst.label)
+        if pat.undirected:
+            # (a)-[e]-(b): union the reversed orientation (pattern src
+            # bound to the edge's dst side — expand with swapped labels
+            # and swapped prefixes so both frames share one naming).
+            # Self-loops match the pattern once, so the reversed frame
+            # drops them; rows stay distinct because orientations differ
+            # on (edge id, binding side).
+            back = graph.expand(
+                pat.dst.label,
+                pat.rel_type,
+                pat.src.label,
+                src_prefix="b_",
+                dst_prefix="a_",
+            ).filter(F.col("src") != F.col("dst"))
+            df = df.unionByName(back.select(*df.columns))
         names = {pat.src.var: "a_", pat.dst.var: "b_"}
 
         def colmap(ref: PropRef) -> Column:
@@ -1487,13 +1646,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         w_names = {_out_name(i) for i in w_items}
         colmap = _bare_colmap(w_names)
         if w_order:
-            for name, _ in w_order:
-                if name not in w_names:
-                    raise CypherSyntaxError(
-                        f"ORDER BY {name!r} must reference a WITH column"
-                    )
             df = df.orderBy(
-                *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in w_order]
+                *_order_columns(w_order, w_items, "WITH")
             )
         if w_skip is not None:
             df = df.offset(w_skip)
@@ -1504,15 +1658,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
 
     df = _apply_projection(df, colmap, distinct, items)
     if order:
-        names = {_out_name(i) for i in items}
-        for name, _ in order:
-            if name not in names:
-                raise CypherSyntaxError(
-                    f"ORDER BY {name!r} must reference a RETURN column"
-                )
-        df = df.orderBy(
-            *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in order]
-        )
+        df = df.orderBy(*_order_columns(order, items, "RETURN"))
     if skip is not None:
         # openCypher SKIP: drop the first n rows of the (ordered) result —
         # Catalyst plans Offset; without an ORDER BY the dropped prefix is
@@ -1678,15 +1824,26 @@ def cypher_write(
             raise CypherSyntaxError(
                 "relationship write needs a single-hop edge pattern"
             )
+        if pat.undirected:
+            raise CypherSyntaxError(
+                "relationship write requires a direction (-[:T]-> or <-[:T]-)"
+            )
         if pat.rel_type is None:
             raise CypherSyntaxError("relationship write requires a type")
         if pat.props or pat.var is not None:
             raise CypherSyntaxError(
                 "relationship write supports an anonymous, property-free edge"
             )
-        if (pat.src.var, pat.dst.var) != (target.var, target_b.var):
+        # the parser normalizes (a)<-[:T]-(b) to src=b, dst=a, so the
+        # stored direction always follows pat.src -> pat.dst; the two
+        # endpoints just have to be the two MATCHed variables
+        if (pat.src.var, pat.dst.var) == (target.var, target_b.var):
+            src_node, dst_node = target, target_b
+        elif (pat.src.var, pat.dst.var) == (target_b.var, target.var):
+            src_node, dst_node = target_b, target
+        else:
             raise CypherSyntaxError(
-                "edge endpoints must be the two MATCHed variables in order"
+                "edge endpoints must be the two MATCHed variables"
             )
         for node in (target, target_b):
             if node.label is None or len(node.props) != 1:
@@ -1694,8 +1851,8 @@ def cypher_write(
                     "each endpoint needs a label and exactly one key property"
                 )
         p.expect_end()
-        ((akey, aval),) = target.props.items()
-        ((bkey, bval),) = target_b.props.items()
+        ((akey, aval),) = src_node.props.items()
+        ((bkey, bval),) = dst_node.props.items()
         data = [
             {"__a": _resolve(aval, row), "__b": _resolve(bval, row)}
             for row in rows
@@ -1705,8 +1862,8 @@ def cypher_write(
         spark = graph.vertices.sparkSession
         eps = graph._resolve_endpoints(
             spark.createDataFrame(data),
-            target.label, akey, "__a",
-            target_b.label, bkey, "__b",
+            src_node.label, akey, "__a",
+            dst_node.label, bkey, "__b",
         )
         if idempotent:
             return graph.merge_relationships(eps, pat.rel_type)
@@ -1833,6 +1990,10 @@ def cypher_create_graph(spark, query: str) -> PropertyGraph:
     edges: list[EdgePat] = []
     while True:
         pat = p.parse_pattern()
+        if isinstance(pat, EdgePat) and pat.undirected:
+            raise CypherSyntaxError(
+                "CREATE requires a direction (-[:T]-> or <-[:T]-)"
+            )
         (nodes if isinstance(pat, NodePat) else edges).append(pat)
         if p.at("punct", ","):
             p.next()

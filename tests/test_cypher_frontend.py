@@ -901,3 +901,209 @@ def test_return_missing_property_is_null(fixture_graph):
         "MATCH (n:User) RETURN count(n.nickname) AS c, sum(n.nickname) AS s",
     ).collect()[0]
     assert (agg["c"], agg["s"]) == (0, None)
+
+
+def test_order_by_property_ref(fixture_graph):
+    """`ORDER BY n.prop` — Neo4j's sort-by-projected-expression idiom
+    (round-4 addition): the ref must match a projected item and sorts by
+    that item's output column."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name, n.born ORDER BY n.born DESC, n.name",
+    )
+    assert [r["n_name"] for r in df.collect()] == ["Alice", "Eve", "Bob"]
+
+    # aliased projection: the ref still resolves to the item's alias
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS who ORDER BY n.name DESC",
+    )
+    assert [r["who"] for r in df2.collect()] == ["Eve", "Bob", "Alice"]
+
+    # un-projected ref is rejected loudly
+    with pytest.raises(CypherSyntaxError, match="must reference a RETURN"):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN n.name ORDER BY n.born"
+        )
+
+    # WITH-stage form
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.name AS nm, n.born AS born "
+        "ORDER BY n.born DESC, n.name LIMIT 2 RETURN nm",
+    )
+    assert [r["nm"] for r in df3.collect()] == ["Alice", "Eve"]
+
+
+# -- round 4: pattern directions ---------------------------------------------
+
+
+def test_incoming_pattern_equals_reversed_outgoing(fixture_graph):
+    """(a)<-[e]-(b) is (b)-[e]->(a): the parser normalizes by swapping
+    endpoints, so every downstream stage works unchanged."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)<-[e:KNOWS]-(b:User) "
+        "RETURN b.name AS frm, a.name AS dst, e.since AS since ORDER BY since",
+    )
+    assert [(r["frm"], r["dst"], r["since"]) for r in df.collect()] == [
+        ("Alice", "Bob", 2001),
+        ("Bob", "Alice", 2002),
+    ]
+
+
+def test_undirected_pattern_matches_both_orientations(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]-(b:User) "
+        "RETURN a.name AS a_name, b.name AS b_name, e.since AS since",
+    )
+    assert sorted(
+        (r["a_name"], r["b_name"], r["since"]) for r in df.collect()
+    ) == [
+        ("Alice", "Bob", 2001),
+        ("Alice", "Bob", 2002),
+        ("Bob", "Alice", 2001),
+        ("Bob", "Alice", 2002),
+    ]
+
+
+def test_undirected_degree_count(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User)-[e:KNOWS]-(m:User) "
+        "RETURN n.name AS name, count(*) AS deg ORDER BY name",
+    )
+    assert [(r["name"], r["deg"]) for r in df.collect()] == [
+        ("Alice", 2),
+        ("Bob", 2),
+    ]
+
+
+def test_undirected_self_loop_matches_once(spark):
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:N {k: 1}), (b:N {k: 2}), "
+        "(a)-[:T {w: 1}]->(a), (a)-[:T {w: 2}]->(b)",
+    )
+    df = cypher_read(
+        g, "MATCH (x:N)-[e:T]-(y:N) RETURN x.k AS xk, y.k AS yk, e.w AS w"
+    )
+    rows = sorted((r["xk"], r["yk"], r["w"]) for r in df.collect())
+    # self-loop a-a matches ONCE; a-b matches in both orientations
+    assert rows == [(1, 1, 1), (1, 2, 2), (2, 1, 2)]
+
+
+def test_incoming_varlength_equals_swapped(fixture_graph):
+    fwd = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS*1..2]->(b:User) RETURN id(a) AS x, id(b) AS y",
+    )
+    rev = cypher_read(
+        fixture_graph,
+        "MATCH (b:User)<-[:KNOWS*1..2]-(a:User) RETURN id(a) AS x, id(b) AS y",
+    )
+    key = lambda r: (r["x"], r["y"])
+    assert sorted(map(key, fwd.collect())) == sorted(map(key, rev.collect()))
+
+
+def test_incoming_optional_match(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)<-[e:KNOWS]-(m:User) "
+        "RETURN n.name AS name, m.name AS who ORDER BY name",
+    )
+    assert [(r["name"], r["who"]) for r in df.collect()] == [
+        ("Alice", "Bob"),
+        ("Bob", "Alice"),
+        ("Eve", None),
+    ]
+
+
+def test_undirected_chain_clause(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]-(b:User) MATCH (b)-[f:KNOWS]->(c:User) "
+        "RETURN a.name AS an, b.name AS bn, c.name AS cn",
+    )
+    assert df.count() == 4  # 4 undirected bindings, each with one out-edge
+
+
+def test_pattern_predicate_directions(fixture_graph):
+    out_df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE (n)-[:KNOWS]->() RETURN n.name AS name",
+    )
+    in_df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE (n)<-[:KNOWS]-() RETURN n.name AS name",
+    )
+    none_df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT (n)-[:KNOWS]-() RETURN n.name AS name",
+    )
+    assert {r["name"] for r in out_df.collect()} == {"Alice", "Bob"}
+    assert {r["name"] for r in in_df.collect()} == {"Alice", "Bob"}
+    assert {r["name"] for r in none_df.collect()} == {"Eve"}
+
+
+def test_incoming_relationship_write(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MATCH (a:User {name: r.a}), (b:User {name: r.b}) "
+        "MERGE (a)<-[:LIKES]-(b)",
+        {"rows": [{"a": "Eve", "b": "Alice"}]},
+    )
+    likes = g2.relationships("LIKES").collect()
+    assert len(likes) == 1
+    names = {r["id"]: r["name"] for r in g2.vertices.collect()}
+    # (a)<-[:LIKES]-(b): stored direction is b -> a, i.e. Alice -> Eve
+    assert names[likes[0]["src"]] == "Alice"
+    assert names[likes[0]["dst"]] == "Eve"
+
+
+def test_direction_syntax_rejections(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="not a valid pattern"):
+        cypher_read(
+            fixture_graph, "MATCH (a:User)<-[e:KNOWS]->(b:User) RETURN id(e)"
+        )
+    with pytest.raises(CypherSyntaxError, match="undirected variable-length"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User)-[:KNOWS*1..2]-(b:User) RETURN id(a)",
+        )
+    with pytest.raises(CypherSyntaxError, match="undirected OPTIONAL MATCH"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]-(m:User) "
+            "RETURN n.name",
+        )
+    with pytest.raises(CypherSyntaxError, match="CREATE requires a direction"):
+        cypher_create_graph(
+            fixture_graph.vertices.sparkSession,
+            "CREATE (a:N {k: 1}), (b:N {k: 2}), (a)-[:T]-(b)",
+        )
+    with pytest.raises(CypherSyntaxError, match="requires a direction"):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MATCH (a:User {name: r.a}), "
+            "(b:User {name: r.b}) MERGE (a)-[:LIKES]-(b)",
+            {"rows": [{"a": "Eve", "b": "Alice"}]},
+        )
+
+
+def test_order_by_aggregate_expression(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born AS born, count(*) AS c "
+        "ORDER BY count(*) DESC, born",
+    )
+    assert [(r["born"], r["c"]) for r in df.collect()] == [(1984, 2), (1983, 1)]
+
+    # un-projected aggregate is rejected loudly
+    with pytest.raises(CypherSyntaxError, match="must reference a RETURN"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN n.born AS born, count(*) AS c "
+            "ORDER BY sum(n.height)",
+        )
