@@ -75,7 +75,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<arrow><-\[|-\[|\]->|\]-)
   | (?P<number>-?\d+\.\d+|-?\d+)
-  | (?P<op><>|<=|>=|=|<|>|\+|-|/|%)
+  | (?P<op><>|<=|>=|=~|=|<|>|\+|-|/|%)
   | (?P<punct>[(){}:,.\$*\[\]])
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -171,6 +171,18 @@ class PatternCond:
     #: which endpoint ``var`` occupies: "out" ``(v)-[]->()``, "in"
     #: ``(v)<-[]-()``, or "undirected" ``(v)-[]-()``
     direction: str = "out"
+
+
+@dataclass
+class CaseExpr:
+    """``CASE WHEN <pred> THEN <expr> [...] [ELSE <expr>] END`` in a
+    RETURN/WITH item (the simple form ``CASE x WHEN v THEN ...`` is
+    desugared to equality predicates at parse time). Compiles to a
+    chained ``F.when``; an unmatched row without ELSE is null, as in
+    Cypher."""
+
+    whens: tuple  # ((disj, result_expr), ...)
+    default: Any = None
 
 
 @dataclass
@@ -487,6 +499,10 @@ class _Parser:
             else:
                 op = self.expect("op").text
                 right = self.parse_operand(unwind_var)
+                if op == "=~" and not isinstance(right, str):
+                    raise CypherSyntaxError(
+                        "=~ requires a string regex literal on the right"
+                    )
                 disj[-1].append(Cond(left, op, right))
             if self.at("kw", "AND"):
                 self.next()
@@ -602,12 +618,60 @@ class _Parser:
         if tok is not None and tok.kind == "number":
             self.next()
             return float(tok.text) if "." in tok.text else int(tok.text)
+        if tok is not None and (
+            tok.kind == "string"
+            or (tok.kind == "kw" and tok.text in ("TRUE", "FALSE", "NULL"))
+        ):
+            return self.parse_value(None)
         return self._parse_primary_expr(allow_bare)
+
+    def parse_case(self, allow_bare: bool = False) -> CaseExpr:
+        """``CASE [x] WHEN ... THEN ... [ELSE ...] END`` — the generic form
+        takes full WHERE predicates; the simple form desugars ``CASE x
+        WHEN v`` into ``x = v`` conditions."""
+        simple_left = None
+        if not self._at_word_ci("WHEN"):
+            simple_left = self.parse_prop_ref(allow_bare)
+        whens = []
+        while self._at_word_ci("WHEN"):
+            self.next()
+            if simple_left is not None:
+                disj = [[Cond(simple_left, "=", self.parse_value(None))]]
+            else:
+                disj = self.parse_where(allow_bare=allow_bare)
+            if not self._at_word_ci("THEN"):
+                raise CypherSyntaxError("expected THEN after WHEN condition")
+            self.next()
+            result = self.parse_return_expr(allow_bare)
+            if isinstance(result, AggCall):
+                raise CypherSyntaxError(
+                    "aggregates inside CASE are not supported; compute the "
+                    "aggregate in a WITH stage and CASE over its alias"
+                )
+            whens.append((disj, result))
+        if not whens:
+            raise CypherSyntaxError("CASE requires at least one WHEN branch")
+        default = None
+        if self._at_word_ci("ELSE"):
+            self.next()
+            default = self.parse_return_expr(allow_bare)
+            if isinstance(default, AggCall):
+                raise CypherSyntaxError(
+                    "aggregates inside CASE are not supported; compute the "
+                    "aggregate in a WITH stage and CASE over its alias"
+                )
+        if not self._at_word_ci("END"):
+            raise CypherSyntaxError("expected END to close CASE")
+        self.next()
+        return CaseExpr(tuple(whens), default)
 
     def _parse_primary_expr(
         self, allow_bare: bool = False
     ) -> PropRef | BareRef | AggCall | FuncCall:
         tok = self.peek()
+        if tok is not None and tok.kind == "word" and tok.text.upper() == "CASE":
+            self.next()
+            return self.parse_case(allow_bare)
         # length(p) — the path-length accessor for shortestPath variables;
         # modeled as PropRef(p, "length") so the shortestPath colmap
         # resolves it and every other context rejects the unknown variable.
@@ -884,6 +948,16 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         ):
             return (left / right).cast("long")
         return left / right
+    if isinstance(expr, CaseExpr):
+        col: Column | None = None
+        have = set(df.columns)
+        for disj, res in expr.whens:
+            pred = _where_to_column(disj, colmap, have)
+            rescol = _expr_column(res, colmap, df)
+            col = F.when(pred, rescol) if col is None else col.when(pred, rescol)
+        if expr.default is not None:
+            col = col.otherwise(_expr_column(expr.default, colmap, df))
+        return col
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
     if isinstance(expr, (PropRef, BareRef)):
@@ -930,6 +1004,10 @@ def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
         raise CypherSyntaxError(
             "an arithmetic RETURN/WITH item needs an AS alias"
         )
+    if isinstance(ref, CaseExpr):
+        raise CypherSyntaxError("a CASE RETURN/WITH item needs an AS alias")
+    if not isinstance(ref, (PropRef, BareRef, AggCall, FuncCall)):
+        raise CypherSyntaxError("a literal RETURN/WITH item needs an AS alias")
     if isinstance(ref, FuncCall):
         if not isinstance(ref.arg, (PropRef, BareRef, AggCall, FuncCall)):
             return ref.fn  # literal first operand (e.g. coalesce('x', ...))
@@ -1029,6 +1107,9 @@ def _where_to_column(
         "STARTS WITH": lambda c, v: c.startswith(v),
         "ENDS WITH": lambda c, v: c.endswith(v),
         "CONTAINS": lambda c, v: c.contains(v),
+        # Neo4j =~ matches the ENTIRE string (java.util.regex.matches),
+        # where Spark rlike is an unanchored search — anchor it
+        "=~": lambda c, v: c.rlike(f"^(?:{v})$"),
     }
     null_ops = {
         "IS NULL": lambda c: c.isNull(),

@@ -1107,3 +1107,107 @@ def test_order_by_aggregate_expression(fixture_graph):
             "MATCH (n:User) RETURN n.born AS born, count(*) AS c "
             "ORDER BY sum(n.height)",
         )
+
+
+# -- round 4: CASE expressions and =~ regex ---------------------------------
+
+
+def test_case_generic_form(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "CASE WHEN n.height >= 1.72 THEN 'tall' WHEN n.height >= 1.65 "
+        "THEN 'mid' ELSE 'short' END AS bucket ORDER BY name",
+    )
+    assert [(r["name"], r["bucket"]) for r in df.collect()] == [
+        ("Alice", "tall"),
+        ("Bob", "tall"),
+        ("Eve", "short"),
+    ]
+
+
+def test_case_simple_form_and_null_without_else(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "CASE n.born WHEN 1983 THEN 'b83' END AS tag ORDER BY name",
+    )
+    assert [(r["name"], r["tag"]) for r in df.collect()] == [
+        ("Alice", None),
+        ("Bob", "b83"),
+        ("Eve", None),
+    ]
+
+
+def test_case_with_compound_predicate_and_refs(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "CASE WHEN n.born = 1984 AND n.trust = true THEN n.height "
+        "ELSE 0.0 END AS h ORDER BY name",
+    )
+    assert [(r["name"], r["h"]) for r in df.collect()] == [
+        ("Alice", 1.72),
+        ("Bob", 0.0),
+        ("Eve", 0.0),
+    ]
+
+
+def test_case_after_with_stage(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.name AS name, n.born AS born "
+        "RETURN name, CASE WHEN born = 1984 THEN 1 ELSE 0 END AS is84 "
+        "ORDER BY name",
+    )
+    assert [(r["name"], r["is84"]) for r in df.collect()] == [
+        ("Alice", 1),
+        ("Bob", 0),
+        ("Eve", 1),
+    ]
+
+
+def test_case_requires_alias_and_end(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="needs an AS alias"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN CASE WHEN n.born = 1984 THEN 1 END",
+        )
+    with pytest.raises(CypherSyntaxError, match="expected END"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN CASE WHEN n.born = 1984 THEN 1 AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="aggregates inside CASE"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN CASE WHEN n.born = 1984 "
+            "THEN count(*) END AS x",
+        )
+
+
+def test_regex_match_is_anchored(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name =~ '[AB].*' RETURN n.name AS name",
+    )
+    assert {r["name"] for r in df.collect()} == {"Alice", "Bob"}
+    # Neo4j =~ matches the WHOLE string: 'li' alone must not match Alice
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name =~ 'li' RETURN n.name AS name",
+    )
+    assert df2.count() == 0
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name =~ '.*li.*' RETURN n.name AS name",
+    )
+    assert {r["name"] for r in df3.collect()} == {"Alice"}
+
+
+def test_regex_requires_string_literal(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="string regex literal"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.name =~ 1984 RETURN n.name",
+        )
