@@ -2042,3 +2042,44 @@ ORACLE["g37_cypher_scalar_fns"] = """
            CAST(length(n_name) AS INT) AS nation_len
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     ORDER BY display"""
+
+
+# G38 — the round-4 Cypher surface in one conformance query: an UNDIRECTED
+# pattern (n:Nation)-[e]-(m) (union of both orientations — a nation's
+# IN_REGION out-edge plus every customer/supplier IN_NATION in-edge), a
+# WITH aggregation stage, a CASE expression over the aggregate's alias,
+# and ORDER BY on a projected alias. Plan shape: two expand frames
+# unioned (each a pair of equi-joins Catalyst broadcasts against the
+# 25-row nation side), one hash aggregate, one presentation sort — the
+# undirected union adds NO extra shuffle because both frames aggregate
+# under the same key. Neo4j semantics parity: undirected matches count
+# each edge once per orientation, self-loops once (none here — the id
+# spaces are disjoint by construction).
+def g38_cypher_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation)-[e]-(m) "
+        "WITH n.name AS name, count(*) AS deg "
+        "RETURN name, deg, "
+        "CASE WHEN deg >= 60 THEN 'hub' ELSE 'leaf' END AS klass "
+        "ORDER BY deg DESC, name",
+    )
+
+
+QUERIES["g38_cypher_undirected"] = g38_cypher_undirected
+ORACLE["g38_cypher_undirected"] = """
+    WITH deg AS (
+        SELECT n.n_name AS name,
+               (SELECT count(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey)
+             + (SELECT count(*) FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey)
+             + 1 AS deg
+        FROM nation n
+    )
+    SELECT name, CAST(deg AS BIGINT) AS deg,
+           CASE WHEN deg >= 60 THEN 'hub' ELSE 'leaf' END AS klass
+    FROM deg ORDER BY deg DESC, name"""
