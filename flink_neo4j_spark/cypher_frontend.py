@@ -190,7 +190,9 @@ class FuncCall:
     """A scalar function in RETURN/WITH: the openCypher string functions
     (``toLower``/``toUpper``/``trim``), the graph-model accessors
     (``labels``/``type`` — parsed into rewritten property refs on the
-    label/rel_type columns), ``size``, and variadic ``coalesce`` (further
+    label/rel_type columns; ``keys``/``properties`` — whole-variable
+    accessors over the clause's var_props annotation), ``size``, and
+    variadic ``coalesce`` (further
     operands, refs or literals, in ``extra``)."""
 
     fn: str
@@ -698,7 +700,7 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
-            and tok.text in ("labels", "type")
+            and tok.text in ("labels", "type", "keys", "properties")
             and self.peek(1) is not None
             and self.peek(1).text == "("
             and self.peek(2) is not None
@@ -710,6 +712,10 @@ class _Parser:
             self.next()  # (
             var = self.next().text
             self.next()  # )
+            if fn in ("keys", "properties"):
+                # whole-variable accessors: resolved against the clause's
+                # var_props annotation (see _scalar_fn_column)
+                return FuncCall(fn, PropRef(var, None))
             return FuncCall(
                 fn, PropRef(var, "label" if fn == "labels" else "rel_type")
             )
@@ -881,6 +887,30 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
             return _resolve_ref(a, colmap, df)
         return F.lit(a)
 
+    if call.fn in ("keys", "properties"):
+        # keys(n): the property names present (non-null) on the row, sorted
+        # for determinism (Neo4j leaves order unspecified). properties(n):
+        # the property map — Spark maps are monomorphic in the value type,
+        # so heterogeneous Neo4j property maps are surfaced as a canonical
+        # JSON string (sorted fields, nulls omitted — matching keys()).
+        ref = call.arg
+        var_props = getattr(colmap, "var_props", None)
+        if var_props is None or ref.var not in var_props:
+            raise CypherSyntaxError(
+                f"{call.fn}({ref.var}) is not supported in this clause "
+                "position (pattern variable not in scope)"
+            )
+        props = sorted(var_props[ref.var])
+        cols = [(p, colmap(PropRef(ref.var, p))) for p in props]
+        if call.fn == "keys":
+            if not cols:
+                return F.lit([]).cast("array<string>")
+            return F.array_compact(
+                F.array(*[F.when(c.isNotNull(), F.lit(p)) for p, c in cols])
+            )
+        if not cols:
+            return F.lit("{}")
+        return F.to_json(F.struct(*[c.alias(p) for p, c in cols]))
     if call.fn == "labels":
         # single-label vertex model (SURVEY §1.1): labels(n) is the
         # one-element list [n.label], matching Neo4j's list return shape
@@ -1293,6 +1323,15 @@ def _optional_match(
             return base_df["id"] if ref.prop is None else F.col(ref.prop)
         return opt_colmap(ref)
 
+    vertex_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
+    colmap.var_props = {base.var: vertex_props}
+    if other.var is not None:
+        colmap.var_props[other.var] = vertex_props
+    if opt.var is not None:
+        colmap.var_props[opt.var] = [
+            c for c in graph.edges.columns
+            if c not in ("id", "src", "dst", "rel_type")
+        ]
     return df, colmap
 
 
@@ -1405,6 +1444,15 @@ def _match_chain(graph: PropertyGraph, pats: list[NodePat | EdgePat]):
             )
         return F.col(name)
 
+    internal = {"id", "label", "src", "dst", "rel_type"}
+    colmap.var_props = {
+        v: [
+            c[len(v) + 1:]
+            for c in cols
+            if c[len(v) + 1:] not in internal
+        ]
+        for v, cols in varmap.items()
+    }
     return acc, colmap
 
 
@@ -1678,6 +1726,10 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 raise CypherSyntaxError(f"unknown variable {ref.var!r}")
             return F.col("id" if ref.prop is None else ref.prop)
 
+        colmap.var_props = {
+            var: [c for c in graph.vertices.columns if c not in ("id", "label")]
+        }
+
     elif pat.hops is not None:
         if pat.props or pat.src.props or pat.dst.props:
             raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
@@ -1718,6 +1770,19 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             if prefix is None:
                 raise CypherSyntaxError(f"unknown variable {ref.var!r}")
             return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
+
+        vertex_props = [
+            c for c in graph.vertices.columns if c not in ("id", "label")
+        ]
+        colmap.var_props = {
+            v: vertex_props for v in (pat.src.var, pat.dst.var) if v is not None
+        }
+        if pat.var is not None:
+            colmap.var_props[pat.var] = [
+                c
+                for c in graph.edges.columns
+                if c not in ("id", "src", "dst", "rel_type")
+            ]
 
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap, set(df.columns)))

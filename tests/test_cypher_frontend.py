@@ -1211,3 +1211,56 @@ def test_regex_requires_string_literal(fixture_graph):
             fixture_graph,
             "MATCH (n:User) WHERE n.name =~ 1984 RETURN n.name",
         )
+
+
+# -- round 4: keys() / properties() -----------------------------------------
+
+
+def test_keys_lists_present_properties(spark, fixture_graph):
+    # give one user an extra property so keys() differs per row
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MATCH (p) WHERE p.name = r.name SET p.nick = r.nick",
+        {"rows": [{"name": "Alice", "nick": "Al"}]},
+    )
+    df = cypher_read(
+        g2, "MATCH (n:User) RETURN n.name AS name, keys(n) AS ks ORDER BY name"
+    )
+    rows = {r["name"]: list(r["ks"]) for r in df.collect()}
+    assert rows["Alice"] == ["born", "height", "name", "nick", "trust"]
+    assert rows["Bob"] == ["born", "height", "name", "trust"]  # no nick
+
+
+def test_properties_returns_canonical_json(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Eve' RETURN properties(n) AS props",
+    )
+    import json
+
+    props = json.loads(df.collect()[0]["props"])
+    assert props == {
+        "born": 1984,
+        "height": 1.62,
+        "name": "Eve",
+        "trust": False,
+    }
+
+
+def test_keys_on_edge_and_endpoint_vars(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "RETURN a.name AS name, keys(e) AS eks, keys(b) AS bks ORDER BY name",
+    )
+    row = df.collect()[0]
+    assert list(row["eks"]) == ["since"]
+    assert list(row["bks"]) == ["born", "height", "name", "trust"]
+
+
+def test_keys_out_of_scope_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="not supported in this clause"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WITH n.name AS name RETURN keys(name) AS k",
+        )

@@ -26,6 +26,10 @@ VALID_QUERIES = [
     "MATCH (n:User) RETURN labels(n) AS l, coalesce(n.x, n.name) AS d, "
     "size(n.name) AS s, n.born + 1 AS y",
     "MATCH (a:User)-[:KNOWS*1..2]->(b:User) RETURN a.name AS x, b.name AS y",
+    "MATCH (a:User)<-[e:KNOWS]-(b:User) RETURN b.name AS f, e.since AS s",
+    "MATCH (a:User)-[e:KNOWS]-(b:User) WHERE b.name =~ '[AB].*' "
+    "RETURN a.name AS x, CASE WHEN e.since > 2001 THEN 'new' ELSE 'old' "
+    "END AS k ORDER BY x",
 ]
 
 
@@ -68,6 +72,8 @@ _TOKEN_SOUP = st.lists(
             "KNOWS", "name", "born", "(", ")", "[", "]", "{", "}", ":", ",",
             ".", "*", "=", "<>", "<", ">=", "+", "-", "/", "%", "$", "-[",
             "]->", "'x'", "1", "2.5", "-3", "1..2",
+            # round-4 surface: directions, CASE, regex
+            "<-[", "]-", "CASE", "WHEN", "THEN", "ELSE", "END", "=~",
         ]
     ),
     min_size=0,

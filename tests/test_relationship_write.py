@@ -58,9 +58,9 @@ def test_rejects_malformed_relationship_writes(spark, fixture_graph):
         # untyped edge
         "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
         " MERGE (a)-[]->(b)",
-        # endpoint variables out of order
+        # an endpoint variable that is not one of the two MATCHed nodes
         "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
-        " MERGE (b)-[:KNOWS]->(a)",
+        " MERGE (a)-[:KNOWS]->(c)",
         # neither MERGE nor CREATE after the two-node MATCH
         "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
         " SET a.x = r.src",
@@ -75,6 +75,22 @@ def test_rejects_malformed_relationship_writes(spark, fixture_graph):
             cypher_write(
                 fixture_graph, q, {"rows": [{"src": "alice", "dst": "bob"}]}
             )
+
+
+def test_reversed_endpoint_roles_store_reversed_direction(spark, fixture_graph):
+    """MERGE (b)-[:T]->(a) is legal Cypher (round 4 — previously rejected
+    as out-of-order): the stored direction follows the pattern, not the
+    MATCH clause order."""
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), "
+        "(b:User {name: r.dst}) MERGE (b)-[:LIKES]->(a)",
+        {"rows": [{"src": "alice", "dst": "carol"}]},
+    )
+    likes = [
+        (r.src, r.dst) for r in g2.edges.collect() if r.rel_type == "LIKES"
+    ]
+    assert likes == [(3, 1)]  # carol -> alice
 
 
 DELETE_Q = "UNWIND $rows AS r MATCH (n:User {name: r.name}) DELETE n"
