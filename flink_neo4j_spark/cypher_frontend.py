@@ -12,7 +12,9 @@ the reference exercises (README + tests, SURVEY.md §2.B):
 - ``UNWIND $rows AS u MATCH (p) WHERE p.k = u.k SET p.a = u.a, ...`` (B7/B8)
 - multi-pattern ``CREATE (v:L {..literals..}), (v1)-[:T {..}]->(v2)``
   — the test-fixture construction shape (B9, FmtTest:14-19)
-- read-side extensions beyond the reference's surface: ``RETURN DISTINCT``,
+- read-side extensions beyond the reference's surface: ``RETURN n``
+  (whole node/relationship as a struct column), general ``NOT <cond>``
+  (three-valued), ``RETURN DISTINCT``,
   aggregations (``count(*)``, ``count/sum/avg/min/max(n.prop)`` with
   implicit grouping on the non-aggregated items, Cypher-style),
   ``ORDER BY <alias> [ASC|DESC], ... [SKIP n] [LIMIT m]`` — translated to
@@ -156,6 +158,9 @@ class Cond:
     left: PropRef
     op: str
     right: Any  # literal or PropRef
+    #: ``NOT <cond>`` — compiled as Spark's ``~``, which preserves
+    #: openCypher's three-valued logic (NOT null is null)
+    negated: bool = False
 
 
 @dataclass
@@ -171,6 +176,17 @@ class PatternCond:
     #: which endpoint ``var`` occupies: "out" ``(v)-[]->()``, "in"
     #: ``(v)<-[]-()``, or "undirected" ``(v)-[]-()``
     direction: str = "out"
+
+
+@dataclass
+class WholeVar:
+    """``RETURN n`` — a whole pattern variable as a RETURN/WITH item.
+    Projects the entity as ONE struct column (id + label + properties for
+    nodes; id + src + dst + rel_type + properties for relationships),
+    the tabular analogue of Neo4j returning the node/relationship
+    object."""
+
+    var: str
 
 
 @dataclass
@@ -452,7 +468,17 @@ class _Parser:
         """Disjunction of conjunctions (OR of ANDs — enough for B4)."""
         disj: list[list[Cond]] = [[]]
         while True:
-            if self._at_word_ci("NOT") or self.at("punct", "("):
+            negated = False
+            if self._at_word_ci("NOT") and not (
+                self.peek(1) is not None and self.peek(1).text == "("
+            ):
+                # general negation of a single condition: NOT n.a = 1,
+                # NOT n.x IN [...], NOT n.s CONTAINS 'x' — three-valued
+                # (~null is null). NOT followed by "(" stays the pattern
+                # predicate form below.
+                self.next()
+                negated = True
+            elif self._at_word_ci("NOT") or self.at("punct", "("):
                 disj[-1].append(self.parse_pattern_predicate())
                 if self.at("kw", "AND"):
                     self.next()
@@ -506,6 +532,8 @@ class _Parser:
                         "=~ requires a string regex literal on the right"
                     )
                 disj[-1].append(Cond(left, op, right))
+            if negated:
+                disj[-1][-1].negated = True
             if self.at("kw", "AND"):
                 self.next()
                 continue
@@ -780,6 +808,15 @@ class _Parser:
                 raise CypherSyntaxError(f"{fn} requires a property argument")
             self.expect("punct", ")")
             return AggCall(fn, arg, distinct)
+        if (
+            not allow_bare
+            and tok is not None
+            and tok.kind == "word"
+            and (self.peek(1) is None or self.peek(1).text != ".")
+        ):
+            # RETURN n — the whole pattern variable (in a WITH-scoped row,
+            # allow_bare instead resolves bare words as projected aliases)
+            return WholeVar(self.next().text)
         return self.parse_prop_ref(allow_bare)
 
     def parse_return(self, allow_bare: bool = False) -> tuple[bool, list[ReturnItem]]:
@@ -978,6 +1015,22 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         ):
             return (left / right).cast("long")
         return left / right
+    if isinstance(expr, WholeVar):
+        var_props = getattr(colmap, "var_props", None)
+        if var_props is None or expr.var not in var_props:
+            raise CypherSyntaxError(
+                f"whole-variable item {expr.var!r} is not supported in "
+                "this clause position (pattern variable not in scope)"
+            )
+        kind = getattr(colmap, "var_kinds", {}).get(expr.var, "node")
+        meta = ["label"] if kind == "node" else ["src", "dst", "rel_type"]
+        fields = [colmap(PropRef(expr.var, None)).alias("id")]
+        fields += [colmap(PropRef(expr.var, m)).alias(m) for m in meta]
+        fields += [
+            colmap(PropRef(expr.var, p)).alias(p)
+            for p in sorted(var_props[expr.var])
+        ]
+        return F.struct(*fields)
     if isinstance(expr, CaseExpr):
         col: Column | None = None
         have = set(df.columns)
@@ -1036,6 +1089,8 @@ def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
         )
     if isinstance(ref, CaseExpr):
         raise CypherSyntaxError("a CASE RETURN/WITH item needs an AS alias")
+    if isinstance(ref, WholeVar):
+        return ref.var
     if not isinstance(ref, (PropRef, BareRef, AggCall, FuncCall)):
         raise CypherSyntaxError("a literal RETURN/WITH item needs an AS alias")
     if isinstance(ref, FuncCall):
@@ -1184,6 +1239,8 @@ def _where_to_column(
                 one = null_ops[cond.op](colmap(cond.left))
             else:
                 one = ops[cond.op](colmap(cond.left), right)
+            if cond.negated:
+                one = ~one  # three-valued: NOT null stays null
             cc = one if cc is None else (cc & one)
         out = cc if out is None else (out | cc)
     assert out is not None
@@ -1325,13 +1382,16 @@ def _optional_match(
 
     vertex_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
     colmap.var_props = {base.var: vertex_props}
+    colmap.var_kinds = {base.var: "node"}
     if other.var is not None:
         colmap.var_props[other.var] = vertex_props
+        colmap.var_kinds[other.var] = "node"
     if opt.var is not None:
         colmap.var_props[opt.var] = [
             c for c in graph.edges.columns
             if c not in ("id", "src", "dst", "rel_type")
         ]
+        colmap.var_kinds[opt.var] = "edge"
     return df, colmap
 
 
@@ -1452,6 +1512,9 @@ def _match_chain(graph: PropertyGraph, pats: list[NodePat | EdgePat]):
             if c[len(v) + 1:] not in internal
         ]
         for v, cols in varmap.items()
+    }
+    colmap.var_kinds = {
+        v: "node" if f"{v}_label" in known else "edge" for v in varmap
     }
     return acc, colmap
 
@@ -1729,6 +1792,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         colmap.var_props = {
             var: [c for c in graph.vertices.columns if c not in ("id", "label")]
         }
+        colmap.var_kinds = {var: "node"}
 
     elif pat.hops is not None:
         if pat.props or pat.src.props or pat.dst.props:
@@ -1777,12 +1841,14 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         colmap.var_props = {
             v: vertex_props for v in (pat.src.var, pat.dst.var) if v is not None
         }
+        colmap.var_kinds = {v: "node" for v in colmap.var_props}
         if pat.var is not None:
             colmap.var_props[pat.var] = [
                 c
                 for c in graph.edges.columns
                 if c not in ("id", "src", "dst", "rel_type")
             ]
+            colmap.var_kinds[pat.var] = "edge"
 
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
@@ -2055,6 +2121,7 @@ def cypher_write(
     cond = disj[0][0]
     if (
         cond.op != "="
+        or cond.negated
         or cond.left.var != target.var
         or not isinstance(cond.right, tuple)
     ):

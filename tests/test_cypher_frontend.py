@@ -1264,3 +1264,83 @@ def test_keys_out_of_scope_raises(fixture_graph):
             fixture_graph,
             "MATCH (n:User) WITH n.name AS name RETURN keys(name) AS k",
         )
+
+
+# -- round 4: general NOT and whole-variable RETURN --------------------------
+
+
+def test_not_negates_single_conditions(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT n.born = 1984 RETURN n.name AS name",
+    )
+    assert [r["name"] for r in df.collect()] == ["Bob"]
+
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT n.name CONTAINS 'e' AND NOT n.born = 1983 "
+        "RETURN n.name AS name",
+    )
+    # Alice/Eve contain 'e'; Bob is 1983 -> nobody
+    assert df2.count() == 0
+
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT n.name IN ['Alice', 'Bob'] "
+        "RETURN n.name AS name",
+    )
+    assert [r["name"] for r in df3.collect()] == ["Eve"]
+
+
+def test_not_on_missing_property_is_three_valued(fixture_graph):
+    # NOT (null = 1) is null: the row never passes (openCypher 3VL)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT n.nickname = 'x' RETURN n.name AS name",
+    )
+    assert df.count() == 0
+    # but NOT n.nickname IS NOT NULL == IS NULL: all rows pass
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT n.nickname IS NOT NULL RETURN n.name AS name",
+    )
+    assert df2.count() == 3
+
+
+def test_not_never_silently_drops_in_set_key(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="must be"):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MATCH (p) WHERE NOT p.name = r.name "
+            "SET p.trust = r.trust",
+            {"rows": [{"name": "Alice", "trust": False}]},
+        )
+
+
+def test_return_whole_node_variable(fixture_graph):
+    df = cypher_read(
+        fixture_graph, "MATCH (n:User) WHERE n.name = 'Bob' RETURN n"
+    )
+    assert df.columns == ["n"]
+    row = df.collect()[0]["n"]
+    assert row["label"] == "User"
+    assert (row["name"], row["born"], row["height"], row["trust"]) == (
+        "Bob", 1983, 1.81, True,
+    )
+
+
+def test_return_whole_edge_and_nodes(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) RETURN a, e, b ORDER BY a LIMIT 1",
+    )
+    row = df.collect()[0]
+    assert row["e"]["rel_type"] == "KNOWS"
+    assert row["e"]["since"] in (2001, 2002)
+    assert row["e"]["src"] == row["a"]["id"]
+    assert row["e"]["dst"] == row["b"]["id"]
+
+
+def test_whole_variable_unknown_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="not supported in this|unknown"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN m")
