@@ -86,7 +86,8 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"MATCH", "RETURN", "WHERE", "UNWIND", "AS", "CREATE", "SET", "AND", "OR",
-             "TRUE", "FALSE", "NULL", "ID", "WITH", "MERGE", "DETACH", "DELETE"}
+             "TRUE", "FALSE", "NULL", "ID", "WITH", "MERGE", "DETACH", "DELETE",
+             "REMOVE"}
 
 
 @dataclass
@@ -480,6 +481,35 @@ class _Parser:
                 negated = True
             elif self._at_word_ci("NOT") or self.at("punct", "("):
                 disj[-1].append(self.parse_pattern_predicate())
+                if self.at("kw", "AND"):
+                    self.next()
+                    continue
+                if self.at("kw", "OR"):
+                    self.next()
+                    disj.append([])
+                    continue
+                return disj
+            if (
+                self._at_word_ci("EXISTS")
+                and self.peek(1) is not None
+                and self.peek(1).text == "("
+            ):
+                # exists(n.prop) == n.prop IS NOT NULL (classic Neo4j);
+                # exists((v)-[:T]->()) == the pattern existential
+                self.next()
+                self.expect("punct", "(")
+                if self.at("punct", "("):
+                    pc = self.parse_pattern_predicate()
+                    self.expect("punct", ")")
+                    if negated:
+                        pc.negated = not pc.negated
+                    disj[-1].append(pc)
+                else:
+                    ref = self.parse_prop_ref(allow_bare)
+                    self.expect("punct", ")")
+                    disj[-1].append(
+                        Cond(ref, "IS NOT NULL", None, negated=negated)
+                    )
                 if self.at("kw", "AND"):
                     self.next()
                     continue
@@ -1935,14 +1965,15 @@ def cypher_write(
     ``params[name]`` is the list of row dicts the reference would send as
     one UNWIND batch.
 
-    One non-UNWIND statement is also accepted: the bare interactive delete
+    Non-UNWIND statements are also accepted: the bare interactive writes
     ``MATCH (n[:L]) [WHERE ...] [DETACH] DELETE n`` (Neo4j's most common
-    ad-hoc cleanup), which needs no parameter batch — the match set comes
-    from the WHERE predicate, not a key list.
+    ad-hoc cleanup), ``... SET n.p = <literal>, ...``, and
+    ``... REMOVE n.p, ...`` — no parameter batch needed; the match set
+    comes from the WHERE predicate, not a key list.
     """
     p = _Parser(_tokenize(query))
     if p.at("kw", "MATCH"):
-        return _bare_delete(graph, p)
+        return _bare_write(graph, p)
     p.expect("kw", "UNWIND")
     params = params or {}
     if p.at("punct", "$"):  # $rows — modern; {rows} legacy
@@ -2154,23 +2185,81 @@ def cypher_write(
     return graph.update_nodes(spark.createDataFrame(data), key)
 
 
-def _bare_delete(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
-    """``MATCH (n[:L]) [WHERE ...] [DETACH] DELETE n`` — the predicate-
-    addressed interactive delete. Compiles to a filtered id projection fed
-    to :meth:`PropertyGraph.delete_nodes`, so plain DELETE keeps Neo4j's
-    still-has-relationships refusal and DETACH cascades to incident edges.
+def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
+    """Predicate-addressed interactive writes (no UNWIND batch):
+
+    - ``MATCH (n[:L]) [WHERE ...] [DETACH] DELETE n`` — filtered id
+      projection fed to :meth:`PropertyGraph.delete_nodes`, so plain
+      DELETE keeps Neo4j's still-has-relationships refusal and DETACH
+      cascades to incident edges.
+    - ``MATCH (n[:L]) [WHERE ...] SET n.p = <literal>, ...`` — ONE
+      conditional projection over the vertex frame (no join, no shuffle:
+      the match set is a predicate over the same rows being updated);
+      ``SET n.p = null`` removes the property, per Neo4j.
+    - ``MATCH (n[:L]) [WHERE ...] REMOVE n.p, ...`` — sugar for SET-null.
     """
     p.expect("kw", "MATCH")
     target = p.parse_node()
     if not isinstance(target, NodePat) or target.props:
         raise CypherSyntaxError(
-            "bare DELETE matches a plain node pattern; use WHERE for "
-            "property predicates"
+            "bare DELETE/SET/REMOVE matches a plain node pattern; use "
+            "WHERE for property predicates"
         )
     disj = None
     if p.at("kw", "WHERE"):
         p.next()
         disj = p.parse_where()
+
+    def colmap(ref: PropRef) -> Column:
+        if ref.var != target.var:
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return F.col("id" if ref.prop is None else ref.prop)
+
+    if p.at("kw", "SET") or p.at("kw", "REMOVE"):
+        removing = p.next().text.upper() == "REMOVE"
+        values: dict[str, Any] = {}
+        while True:
+            ref = p.parse_prop_ref()
+            if ref.var != target.var or ref.prop is None:
+                raise CypherSyntaxError(
+                    f"SET/REMOVE target must be {target.var!r}.<property>"
+                )
+            if removing:
+                values[ref.prop] = None
+            else:
+                p.expect("op", "=")
+                values[ref.prop] = p.parse_value(None)
+            if p.at("punct", ","):
+                p.next()
+                continue
+            break
+        p.expect_end()
+        v = graph.vertices
+        have = set(v.columns)
+        matched = F.lit(True)
+        if target.label is not None:
+            matched = F.col("label") == target.label
+        if disj is not None:
+            # 3VL: a null predicate does not match, as in MATCH..WHERE
+            matched = matched & F.coalesce(
+                _where_to_column(disj, colmap, have), F.lit(False)
+            )
+        out: list[Column] = []
+        for c in v.columns:
+            if c in values:
+                out.append(
+                    F.when(matched, F.lit(values[c])).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                out.append(F.col(c))
+        for prop, val in values.items():
+            # a brand-new property column: matched rows take the value,
+            # everyone else reads null (B5 missing-property semantics).
+            # REMOVE of a property that never existed is a no-op.
+            if prop not in have and val is not None:
+                out.append(F.when(matched, F.lit(val)).alias(prop))
+        return PropertyGraph(v.select(*out), graph.edges)
+
     detach = False
     if p.at("kw", "DETACH"):
         detach = True
@@ -2182,12 +2271,6 @@ def _bare_delete(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     p.expect_end()
 
     df = graph.nodes(target.label)
-
-    def colmap(ref: PropRef) -> Column:
-        if ref.var != target.var:
-            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
-        return F.col("id" if ref.prop is None else ref.prop)
-
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
     return graph.delete_nodes(df.select("id"), detach=detach)

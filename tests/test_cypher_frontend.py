@@ -1344,3 +1344,77 @@ def test_return_whole_edge_and_nodes(fixture_graph):
 def test_whole_variable_unknown_raises(fixture_graph):
     with pytest.raises(CypherSyntaxError, match="not supported in this|unknown"):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN m")
+
+
+# -- round 4: bare SET/REMOVE and exists() ----------------------------------
+
+
+def test_bare_set_updates_matched_rows_only(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.born = 1984 SET n.cohort = 'c84', n.trust = false",
+    )
+    rows = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert rows["Alice"]["cohort"] == "c84" and rows["Alice"]["trust"] is False
+    assert rows["Eve"]["cohort"] == "c84"
+    assert rows["Bob"]["cohort"] is None          # unmatched: new prop null
+    assert rows["Bob"]["trust"] is True           # unmatched: old value kept
+    # original graph untouched (immutable value semantics)
+    assert "cohort" not in fixture_graph.vertices.columns
+
+
+def test_bare_set_null_removes_and_remove_is_sugar(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph, "MATCH (n:User) WHERE n.name = 'Bob' SET n.height = null"
+    )
+    rows = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert rows["Bob"]["height"] is None
+    assert rows["Alice"]["height"] == 1.72
+
+    g3 = cypher_write(
+        fixture_graph, "MATCH (n:User) WHERE n.name = 'Bob' REMOVE n.height"
+    )
+    rows3 = {r["name"]: r for r in g3.nodes("User").collect()}
+    assert rows3["Bob"]["height"] is None
+    assert rows3["Alice"]["height"] == 1.72
+    # REMOVE of a never-created property is a no-op, not a new column
+    g4 = cypher_write(fixture_graph, "MATCH (n:User) REMOVE n.ghost")
+    assert "ghost" not in g4.vertices.columns
+
+
+def test_bare_set_without_where_hits_label_only(fixture_graph):
+    g2 = cypher_write(fixture_graph, "MATCH (n:User) SET n.seen = 1")
+    assert g2.nodes("User").filter("seen = 1").count() == 3
+
+
+def test_exists_property_and_pattern(spark, fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MATCH (p) WHERE p.name = r.name SET p.nick = r.nick",
+        {"rows": [{"name": "Alice", "nick": "Al"}]},
+    )
+    df = cypher_read(
+        g2, "MATCH (n:User) WHERE exists(n.nick) RETURN n.name AS name"
+    )
+    assert [r["name"] for r in df.collect()] == ["Alice"]
+    df2 = cypher_read(
+        g2, "MATCH (n:User) WHERE NOT exists(n.nick) RETURN n.name AS name"
+    )
+    assert {r["name"] for r in df2.collect()} == {"Bob", "Eve"}
+    # exists on a never-created property: false everywhere, NOT -> all
+    df3 = cypher_read(
+        g2, "MATCH (n:User) WHERE NOT exists(n.ghost) RETURN n.name AS name"
+    )
+    assert df3.count() == 3
+    # pattern form
+    df4 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE exists((n)-[:KNOWS]->()) RETURN n.name AS name",
+    )
+    assert {r["name"] for r in df4.collect()} == {"Alice", "Bob"}
+    df5 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT exists((n)-[:KNOWS]->()) "
+        "RETURN n.name AS name",
+    )
+    assert {r["name"] for r in df5.collect()} == {"Eve"}
