@@ -180,6 +180,13 @@ class PatternCond:
 
 
 @dataclass
+class Star:
+    """``RETURN *`` — expanded to one whole-variable item per in-scope
+    pattern variable (or per projected name after a WITH horizon) in
+    sorted order, before projection."""
+
+
+@dataclass
 class WholeVar:
     """``RETURN n`` — a whole pattern variable as a RETURN/WITH item.
     Projects the entity as ONE struct column (id + label + properties for
@@ -856,12 +863,17 @@ class _Parser:
             distinct = True
         items: list[ReturnItem] = []
         while True:
-            expr = self.parse_return_expr(allow_bare)
-            alias = None
-            if self.at("kw", "AS"):
+            if self.at("punct", "*"):
+                # RETURN * — expanded against the clause scope later
                 self.next()
-                alias = self.expect("word").text
-            items.append(ReturnItem(expr, alias))
+                items.append(ReturnItem(Star(), None))
+            else:
+                expr = self.parse_return_expr(allow_bare)
+                alias = None
+                if self.at("kw", "AS"):
+                    self.next()
+                    alias = self.expect("word").text
+                items.append(ReturnItem(expr, alias))
             if self.at("punct", ","):
                 self.next()
                 continue
@@ -1650,7 +1662,38 @@ def _bare_colmap(names: set[str]):
             "references after WITH must use the WITH output names"
         )
 
+    colmap.star_names = set(names)
     return colmap
+
+
+def _expand_star(items: list[ReturnItem], colmap, clause: str) -> list[ReturnItem]:
+    """Expand ``*`` items against the clause scope: whole-variable items in
+    a pattern scope (sorted; synthetic ``__``-prefixed variables hidden),
+    bare projected names after a WITH horizon."""
+    if not any(isinstance(i.expr, Star) for i in items):
+        return items
+    out: list[ReturnItem] = []
+    for i in items:
+        if not isinstance(i.expr, Star):
+            out.append(i)
+            continue
+        var_props = getattr(colmap, "var_props", None)
+        if var_props is not None:
+            names = sorted(
+                v for v in var_props if v is not None and not v.startswith("__")
+            )
+            if not names:
+                raise CypherSyntaxError(f"{clause} * found no named variables")
+            out.extend(ReturnItem(WholeVar(v), None) for v in names)
+            continue
+        star_names = getattr(colmap, "star_names", None)
+        if star_names:
+            out.extend(ReturnItem(BareRef(n), None) for n in sorted(star_names))
+            continue
+        raise CypherSyntaxError(
+            f"{clause} * is not supported in this clause position"
+        )
+    return out
 
 
 def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
@@ -1884,6 +1927,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
 
     for w_distinct, w_items, w_order, w_skip, w_limit, w_disj in stages:
+        w_items = _expand_star(w_items, colmap, "WITH")
         df = _apply_projection(df, colmap, w_distinct, w_items)
         w_names = {_out_name(i) for i in w_items}
         colmap = _bare_colmap(w_names)
@@ -1898,6 +1942,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         if w_disj is not None:
             df = df.filter(_where_to_column(w_disj, colmap))
 
+    items = _expand_star(items, colmap, "RETURN")
     df = _apply_projection(df, colmap, distinct, items)
     if order:
         df = df.orderBy(*_order_columns(order, items, "RETURN"))

@@ -1418,3 +1418,33 @@ def test_exists_property_and_pattern(spark, fixture_graph):
         "RETURN n.name AS name",
     )
     assert {r["name"] for r in df5.collect()} == {"Eve"}
+
+
+def test_return_star(fixture_graph):
+    df = cypher_read(
+        fixture_graph, "MATCH (n:User) WHERE n.name = 'Eve' RETURN *"
+    )
+    assert df.columns == ["n"]
+    assert df.collect()[0]["n"]["name"] == "Eve"
+
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) RETURN * ORDER BY e LIMIT 1",
+    )
+    assert df2.columns == ["a", "b", "e"]
+
+    # after a WITH horizon, * expands to the projected names
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.name AS name, n.born AS born "
+        "RETURN * ORDER BY name LIMIT 1",
+    )
+    assert df3.columns == ["born", "name"]
+    assert df3.collect()[0]["name"] == "Alice"
+
+    # star plus an extra item
+    df4 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Bob' RETURN *, n.born AS born",
+    )
+    assert df4.columns == ["n", "born"]
