@@ -2083,3 +2083,35 @@ ORACLE["g38_cypher_undirected"] = """
     SELECT name, CAST(deg AS BIGINT) AS deg,
            CASE WHEN deg >= 60 THEN 'hub' ELSE 'leaf' END AS klass
     FROM deg ORDER BY deg DESC, name"""
+
+
+# G39 — the round-4 interactive write/predicate verbs end-to-end under an
+# oracle: a bare predicate-addressed SET (ONE conditional projection over
+# the vertex frame — no join, no shuffle), then a read mixing exists()
+# (flag present), general NOT over an anchored =~ regex, and coalesce
+# over the property only matched rows carry. The memoized tpch graph is
+# untouched: cypher_write returns a NEW immutable PropertyGraph.
+def g39_cypher_bare_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = cypher_write(
+        g, "MATCH (n:Nation) WHERE n.name =~ 'NATION_1[0-9]' SET n.flag = 1"
+    )
+    return cypher_read(
+        g2,
+        "MATCH (n:Nation) "
+        "WHERE exists(n.flag) OR NOT n.name =~ 'NATION_[0-9]' "
+        "RETURN n.name AS name, coalesce(n.flag, 0) AS flag ORDER BY name",
+    )
+
+
+QUERIES["g39_cypher_bare_set"] = g39_cypher_bare_set
+ORACLE["g39_cypher_bare_set"] = """
+    SELECT n_name AS name,
+           CASE WHEN regexp_full_match(n_name, 'NATION_1[0-9]')
+                THEN 1 ELSE 0 END AS flag
+    FROM nation
+    WHERE regexp_full_match(n_name, 'NATION_1[0-9]')
+       OR NOT regexp_full_match(n_name, 'NATION_[0-9]')
+    ORDER BY name"""
