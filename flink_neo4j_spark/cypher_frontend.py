@@ -42,7 +42,14 @@ a NEW PropertyGraph (graphs are immutable values here).
 
   multi-clause ``MATCH ... MATCH ...`` chains unify on shared node
   variables (name-based joins; clauses sharing no variable are rejected
-  rather than silently cross-joined).
+  rather than silently cross-joined). Single-pattern chains
+  ``(a)-[e1]->(b)-[e2]->(c)`` and comma-separated parts ``MATCH (a)-[]->(b),
+  (b)-[]->(c)`` desugar to the same machinery, with openCypher's
+  relationship isomorphism (pairwise-distinct edges) enforced WITHIN each
+  MATCH clause. Inline property maps ``(n:L {k: v})`` / ``-[e:T {k: v}]->``
+  desugar to WHERE equality conjuncts in every read clause (incl. the
+  OPTIONAL MATCH optional side). Bare boolean references are predicates
+  (``WHERE n.trust``, ``WHERE NOT n.flag``) with three-valued semantics.
 
 This is intentionally a SUBSET: unbounded path expansion and path values
 are served by the native DataFrame surface. Unsupported syntax raises
@@ -376,6 +383,39 @@ class _Parser:
         src = self.parse_node(unwind_var)
         if not (self.at("arrow", "-[") or self.at("arrow", "<-[")):
             return src
+        pat, _ = self._parse_one_hop(src, unwind_var)
+        return pat
+
+    def parse_pattern_seq(
+        self, unwind_var: str | None = None
+    ) -> list[NodePat | EdgePat]:
+        """Comma-separated pattern parts, each a possibly multi-hop chain:
+        ``(a)-[e1]->(b)-[e2]->(c), (b)-[:T]-(d)``. Returned as a flat list
+        of single-hop patterns — chain continuation REUSES the shared
+        NodePat object, so the multi-clause unification machinery joins the
+        segments on its variable name exactly like ``MATCH ... MATCH ...``
+        (anonymous continuation nodes get a synthetic variable later)."""
+        out: list[NodePat | EdgePat] = []
+        while True:
+            src = self.parse_node(unwind_var)
+            if not (self.at("arrow", "-[") or self.at("arrow", "<-[")):
+                out.append(src)
+            else:
+                while self.at("arrow", "-[") or self.at("arrow", "<-["):
+                    pat, src = self._parse_one_hop(src, unwind_var)
+                    out.append(pat)
+            if self.at("punct", ","):
+                self.next()
+                continue
+            return out
+
+    def _parse_one_hop(
+        self, src: NodePat, unwind_var: str | None
+    ) -> tuple[EdgePat, NodePat]:
+        """One edge segment continuing from ``src``. Returns the normalized
+        (outgoing-form) EdgePat plus the SURFACE destination node — the
+        chain continuation point, which after an incoming-arrow swap is the
+        pattern's src."""
         incoming = self.at("arrow", "<-[")
         self.next()
         evar = rtype = None
@@ -405,6 +445,7 @@ class _Parser:
         else:
             raise CypherSyntaxError("expected ]-> or ]- to close the pattern")
         dst = self.parse_node(unwind_var)
+        surface_dst = dst
         if incoming:
             # normalize to the outgoing form: (a)<-[e]-(b) == (b)-[e]->(a).
             # Every downstream stage (expand, chains, OPTIONAL MATCH,
@@ -420,7 +461,7 @@ class _Parser:
                 "undirected variable-length patterns are not supported; "
                 "use two directed MATCH clauses"
             )
-        return EdgePat(evar, rtype, src, dst, props, hops, undirected)
+        return EdgePat(evar, rtype, src, dst, props, hops, undirected), surface_dst
 
     # expressions -----------------------------------------------------------
 
@@ -561,6 +602,13 @@ class _Parser:
                 else:
                     self.expect("kw", "NULL")
                     disj[-1].append(Cond(left, "IS NULL", None))
+            elif not self.at("op"):
+                # bare boolean reference as a predicate: ``WHERE n.trust``
+                # / ``WHERE x = 1 OR NOT n.flag`` — openCypher truthiness.
+                # Compiled as ``col = true`` so three-valued logic holds: a
+                # null (or missing) property never passes, and NOT of it
+                # stays null.
+                disj[-1].append(Cond(left, "TRUTHY", None))
             else:
                 op = self.expect("op").text
                 right = self.parse_operand(unwind_var)
@@ -835,10 +883,17 @@ class _Parser:
                 and self.peek(1) is not None
                 and self.peek(1).text == ")"
             ):
-                # count(n) counts matched rows; count(DISTINCT n) counts
-                # distinct matched NODES, i.e. distinct internal ids
+                # count(n) counts NON-NULL bindings of n (distinct from
+                # count(*) under OPTIONAL MATCH, where a failed optional
+                # pattern null-extends n); count(DISTINCT n) counts
+                # distinct matched entities — both over the internal id
                 var = self.next().text
-                arg = PropRef(var, None) if distinct else None
+                if fn not in ("COUNT", "COLLECT"):
+                    raise CypherSyntaxError(
+                        f"{fn} over a whole pattern variable is not "
+                        "supported; aggregate a property"
+                    )
+                arg = PropRef(var, None)
             else:
                 arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
@@ -1277,6 +1332,8 @@ def _where_to_column(
                 )
             elif cond.op in string_ops:
                 one = string_ops[cond.op](colmap(cond.left), right)
+            elif cond.op == "TRUTHY":
+                one = colmap(cond.left) == F.lit(True)
             elif cond.op in null_ops:
                 one = null_ops[cond.op](colmap(cond.left))
             else:
@@ -1565,6 +1622,90 @@ def _out_name(item: ReturnItem) -> str:
     return item.alias or _default_name(item.expr)
 
 
+def _desugar_inline_props(
+    pats: list["NodePat | EdgePat"], taken: set[str]
+) -> list[Cond]:
+    """Inline property maps in MATCH — ``(n:L {k: v})`` / ``-[e:T {s:
+    2001}]->`` — desugared to equality conditions on the owning variable
+    (openCypher: the map is an implicit conjunct of the clause's WHERE, so
+    a null-valued entry never matches, exactly like ``n.k = null``).
+    Anonymous elements carrying a map get a synthetic dunder variable so
+    the ordinary colmap machinery resolves the conditions; ``taken``
+    guards against (pathological) user variables with the same spelling.
+    The caller must AND the result into EVERY disjunct of the clause's
+    WHERE — property maps distribute over OR."""
+    conds: list[Cond] = []
+    counter = 0
+
+    def varname(el) -> str:
+        nonlocal counter
+        if el.var is None:
+            while f"__p{counter}" in taken:
+                counter += 1
+            el.var = f"__p{counter}"
+            taken.add(el.var)
+        return el.var
+
+    for pat in pats:
+        for nd in [pat] if isinstance(pat, NodePat) else [pat.src, pat.dst]:
+            for k, v in (nd.props or {}).items():
+                conds.append(Cond(PropRef(varname(nd), k), "=", v))
+            nd.props = {}
+        if isinstance(pat, EdgePat) and pat.props:
+            if pat.hops is not None:
+                raise CypherSyntaxError(
+                    "inline property maps are not supported on "
+                    "variable-length relationships"
+                )
+            for k, v in pat.props.items():
+                conds.append(Cond(PropRef(varname(pat), k), "=", v))
+            pat.props = {}
+    return conds
+
+
+def _and_into(
+    disj: list[list[Cond]] | None, conds: list[Cond]
+) -> list[list[Cond]] | None:
+    """AND ``conds`` into every disjunct of an OR-of-ANDs WHERE (the
+    inline-property-map merge — maps distribute over OR)."""
+    if not conds:
+        return disj
+    if disj is None:
+        return [list(conds)]
+    for conj in disj:
+        conj.extend(conds)
+    return disj
+
+
+def _assign_anon_vars(pats: list["NodePat | EdgePat"], taken: set[str]) -> None:
+    """Chain execution keys every join on variable names, so anonymous
+    elements get synthetic dunder names pre-translation. A chain's shared
+    continuation NodePat is one object, so it is named exactly once and
+    both adjacent segments unify on it."""
+    counter = 0
+    for pat in pats:
+        els = [pat] if isinstance(pat, NodePat) else [pat.src, pat.dst, pat]
+        for el in els:
+            if el.var is None:
+                while f"__a{counter}" in taken:
+                    counter += 1
+                el.var = f"__a{counter}"
+                taken.add(el.var)
+
+
+def _pattern_vars(pats: list["NodePat | EdgePat"]) -> set[str]:
+    out: set[str] = set()
+    for pat in pats:
+        if isinstance(pat, NodePat):
+            if pat.var:
+                out.add(pat.var)
+        else:
+            for v in (pat.var, pat.src.var, pat.dst.var):
+                if v:
+                    out.add(v)
+    return out
+
+
 def _shortest_path(graph: PropertyGraph, pat: EdgePat, pathvar: str):
     """``p = shortestPath((a:L1)-[:T*lo..hi]->(b:L2))`` — minimum hop
     count per (a, b) pair within the bound, via iterative frontier BFS
@@ -1734,18 +1875,41 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 "(a)-[:T*lo..hi]->(b)"
             )
     else:
-        pat = p.parse_pattern()
+        seq = p.parse_pattern_seq()
+        pat = seq[0]
     disj = None
     if p.at("kw", "WHERE"):
         p.next()
         disj = p.parse_where()
-    chain_pats, chain_disjs = [pat], ([disj] if disj is not None else [])
+    if sp_var is not None:
+        seq = [pat]
+    # inline property maps desugar to WHERE conjuncts per clause (ANDed
+    # into every disjunct — maps distribute over OR); synthetic variables
+    # must avoid every user variable across all clauses, so collect first
+    chain_pats, chain_disjs = list(seq), ([disj] if disj is not None else [])
+    #: per-MATCH-clause pattern groups — openCypher's relationship
+    #: isomorphism (distinct edges) holds WITHIN one MATCH clause, not
+    #: across clauses
+    groups: list[list[NodePat | EdgePat]] = [list(seq)]
     while p.at("kw", "MATCH"):  # multi-clause MATCH chain
         p.next()
-        chain_pats.append(p.parse_pattern())
+        g = p.parse_pattern_seq()
+        chain_pats.extend(g)
+        groups.append(g)
         if p.at("kw", "WHERE"):
             p.next()
             chain_disjs.append(p.parse_where())
+    taken = _pattern_vars(chain_pats)
+    prop_conds = _desugar_inline_props(chain_pats, taken)
+    if len(chain_pats) == 1:
+        disj = _and_into(disj, prop_conds)
+        if chain_disjs:
+            chain_disjs[0] = disj
+        elif disj is not None:
+            chain_disjs.append(disj)
+    elif prop_conds:
+        # chains filter post-join, so the maps become one extra conjunct
+        chain_disjs.append([list(prop_conds)])
     opt_pat = opt_disj = None
     if p._at_word_ci("OPTIONAL"):
         if len(chain_pats) > 1:
@@ -1758,6 +1922,21 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         if p.at("kw", "WHERE"):
             p.next()
             opt_disj = p.parse_where()
+        if isinstance(opt_pat, EdgePat):
+            # optional-side inline maps filter the optional side pre-join
+            # (same contract as the optional WHERE). A map on the BOUND
+            # endpoint would need a null-extended post-join filter the
+            # left-join shape can't express — rejected, not mis-answered.
+            for nd in (opt_pat.src, opt_pat.dst):
+                if nd.var == pat.var and nd.props:
+                    raise CypherSyntaxError(
+                        "inline property map on the bound variable of "
+                        "OPTIONAL MATCH is not supported; filter it in "
+                        "the base WHERE"
+                    )
+        opt_disj = _and_into(
+            opt_disj, _desugar_inline_props([opt_pat], taken)
+        )
     # WITH pipeline stages: projection [ORDER BY/LIMIT] [WHERE], each
     # re-scoping the row to its output names (openCypher clause order).
     stages: list[tuple] = []
@@ -1784,29 +1963,31 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             )
         df, colmap = _shortest_path(graph, pat, sp_var)
     elif len(chain_pats) > 1:
-        for cp in chain_pats:
-            if (isinstance(cp, EdgePat) and (cp.props or cp.src.props or cp.dst.props)) or (
-                isinstance(cp, NodePat) and cp.props
-            ):
-                raise CypherSyntaxError(
-                    "inline property match not supported in MATCH; use WHERE"
-                )
+        _assign_anon_vars(chain_pats, taken)
         df, colmap = _match_chain(graph, chain_pats)
+        # openCypher relationship isomorphism: edges bound WITHIN one
+        # MATCH clause are pairwise distinct (never across clauses) —
+        # the single-pattern analogue of _varlength_paths' hop filters
+        for g in groups:
+            evars = [cp.var for cp in g if isinstance(cp, EdgePat)]
+            for i in range(len(evars)):
+                for j in range(i + 1, len(evars)):
+                    df = df.filter(
+                        F.col(f"{evars[i]}_id") != F.col(f"{evars[j]}_id")
+                    )
         # each clause's WHERE is a conjunct over the joined pattern (all
         # clauses are inner joins, so post-join filtering is equivalent)
         for d in chain_disjs:
             df = df.filter(_where_to_column(d, colmap, set(df.columns)))
         disj = None
     elif opt_pat is not None:
-        if not isinstance(pat, NodePat) or pat.props:
+        if not isinstance(pat, NodePat):
             raise CypherSyntaxError(
                 "OPTIONAL MATCH requires a plain MATCH (n[:Label]) base pattern"
             )
         df, colmap = _optional_match(graph, pat, opt_pat, opt_disj, disj)
         disj = None  # base WHERE already applied pre-join inside the helper
     elif isinstance(pat, NodePat):
-        if pat.props:
-            raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
         var = pat.var
         df = graph.nodes(pat.label)
         if disj is not None and any(
@@ -1868,8 +2049,6 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         colmap.var_kinds = {var: "node"}
 
     elif pat.hops is not None:
-        if pat.props or pat.src.props or pat.dst.props:
-            raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
         df = _varlength_paths(graph, pat)
         names = {pat.src.var: "a_", pat.dst.var: "b_"}
 
@@ -1880,8 +2059,6 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
 
     else:
-        if pat.props or pat.src.props or pat.dst.props:
-            raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
         df = graph.expand(pat.src.label, pat.rel_type, pat.dst.label)
         if pat.undirected:
             # (a)-[e]-(b): union the reversed orientation (pattern src

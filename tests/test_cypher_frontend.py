@@ -1448,3 +1448,131 @@ def test_return_star(fixture_graph):
         "MATCH (n:User) WHERE n.name = 'Bob' RETURN *, n.born AS born",
     )
     assert df4.columns == ["n", "born"]
+
+
+def test_inline_property_maps(fixture_graph):
+    # openCypher: (n:L {k: v}) == (n:L) WHERE n.k = v — on nodes (named or
+    # anonymous), relationships, and OPTIONAL MATCH's optional side
+    df = cypher_read(
+        fixture_graph, "MATCH (n:User {name:'Alice'}) RETURN n.height AS h"
+    )
+    assert [r["h"] for r in df.collect()] == [1.72]
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User {born:1984, trust:true}) RETURN n.name AS name",
+    )
+    assert [r["name"] for r in df2.collect()] == ["Alice"]
+    df3 = cypher_read(
+        fixture_graph, "MATCH (:User {name:'Eve'}) RETURN count(*) AS c"
+    )
+    assert df3.collect()[0]["c"] == 1
+    df4 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS {since:2001}]->(b) RETURN b.name AS name",
+    )
+    assert [r["name"] for r in df4.collect()] == ["Bob"]
+    # map combines (ANDs) with an explicit WHERE disjunction
+    df5 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User {born:1984}) WHERE n.trust OR n.height < 1.65 "
+        "RETURN n.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in df5.collect()] == ["Alice", "Eve"]
+    # optional side: unmatched map null-extends, never drops the base row
+    df6 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) OPTIONAL MATCH (a)-[e:KNOWS {since:2001}]->(b) "
+        "RETURN a.name AS name, count(b) AS c ORDER BY name",
+    )
+    assert [tuple(r) for r in df6.collect()] == [
+        ("Alice", 1), ("Bob", 0), ("Eve", 0),
+    ]
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User)-[:KNOWS*1..2 {since:2001}]->(b) RETURN b.name",
+        )
+
+
+def test_bare_boolean_predicates(fixture_graph):
+    # WHERE n.trust — openCypher truthiness, three-valued (missing/null
+    # properties never pass, in either polarity)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.trust RETURN n.name AS name ORDER BY name",
+    )
+    assert [r["name"] for r in df.collect()] == ["Alice", "Bob"]
+    df2 = cypher_read(
+        fixture_graph, "MATCH (n:User) WHERE NOT n.trust RETURN n.name AS name"
+    )
+    assert [r["name"] for r in df2.collect()] == ["Eve"]
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Eve' OR NOT n.trust "
+        "RETURN n.name AS name",
+    )
+    assert [r["name"] for r in df3.collect()] == ["Eve"]
+    assert (
+        cypher_read(
+            fixture_graph, "MATCH (n:User) WHERE n.ghost RETURN n.name"
+        ).count()
+        == 0
+    )
+    assert (
+        cypher_read(
+            fixture_graph, "MATCH (n:User) WHERE NOT n.ghost RETURN n.name"
+        ).count()
+        == 0
+    )
+
+
+def test_single_pattern_chains(fixture_graph):
+    # (a)-[]->(b)-[]->(c) in ONE pattern — desugared to the multi-clause
+    # join machinery, with relationship isomorphism WITHIN the clause
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS]->(b)-[:KNOWS]->(c) "
+        "RETURN a.name AS an, c.name AS cn ORDER BY an",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Alice"), ("Bob", "Bob"),
+    ]
+    # (a)-->(b)<--(c): both edges between Alice and Bob bind b's in-edges;
+    # the only candidates re-use one edge twice, so isomorphism empties it
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS]->(b)<-[:KNOWS]-(c) "
+        "RETURN a.name AS an, c.name AS cn",
+    )
+    assert df2.count() == 0
+    # comma-separated parts share variables exactly like MATCH ... MATCH
+    # (isomorphism applies within the whole clause)
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User {name:'Alice'})-[:KNOWS]->(b), (b)-[:KNOWS]->(c) "
+        "RETURN b.name AS bn, c.name AS cn",
+    )
+    assert [tuple(r) for r in df3.collect()] == [("Bob", "Alice")]
+    # across clauses isomorphism does NOT apply: the same edge may bind
+    df4 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User {name:'Alice'})-[e:KNOWS]->(b) "
+        "MATCH (a)-[f:KNOWS]->(c) "
+        "RETURN b.name AS bn, c.name AS cn",
+    )
+    assert [tuple(r) for r in df4.collect()] == [("Bob", "Bob")]
+
+
+def test_count_var_counts_non_null_bindings(fixture_graph):
+    # count(b) under OPTIONAL MATCH counts matched bindings, count(*) rows
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) OPTIONAL MATCH (a)-[e:KNOWS]->(b) "
+        "RETURN a.name AS name, count(b) AS cb, count(*) AS cr "
+        "ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", 1, 1), ("Bob", 1, 1), ("Eve", 0, 1),
+    ]
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN sum(n) AS s")
