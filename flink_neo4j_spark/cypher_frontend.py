@@ -261,6 +261,20 @@ class ReturnItem:
 #: property may still be named `count`)
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT"}
 
+#: openCypher scalar functions: name -> (min_args, max_args); recognized
+#: contextually (word followed by "("), translated in _scalar_fn_column.
+#: max_args None = variadic.
+_FN_ARITY = {
+    "toLower": (1, 1), "toUpper": (1, 1), "trim": (1, 1), "ltrim": (1, 1),
+    "rtrim": (1, 1), "reverse": (1, 1), "toInteger": (1, 1),
+    "toFloat": (1, 1), "toString": (1, 1), "toBoolean": (1, 1),
+    "abs": (1, 1), "sign": (1, 1), "sqrt": (1, 1), "exp": (1, 1),
+    "ceil": (1, 1), "floor": (1, 1), "round": (1, 2), "head": (1, 1),
+    "last": (1, 1), "size": (1, 1), "left": (2, 2), "right": (2, 2),
+    "split": (2, 2), "substring": (2, 3), "replace": (3, 3),
+    "coalesce": (1, None),
+}
+
 #: hard ceiling on variable-length path expansion: each extra hop is one
 #: more edge join in the unioned plan, and path counts can grow
 #: combinatorially — the bound keeps the operator cluster-safe by
@@ -478,28 +492,39 @@ class _Parser:
         self.expect("punct", ".")
         return PropRef(var, self.expect("word").text)
 
-    def _parse_fn_arg(self, allow_bare: bool):
-        """One scalar-function operand: a property/bare reference or a
-        literal (``coalesce(n.nickname, 'anon')``)."""
-        tok = self.peek()
-        if tok is None:
-            raise CypherSyntaxError("unexpected end of query")
-        is_ref = (tok.kind == "kw" and tok.text == "ID") or (
-            tok.kind == "word"
-            and self.peek(1) is not None
-            and (
-                self.peek(1).text == "."
-                or (allow_bare and self.peek(1).text in (",", ")"))
+    def _parse_scalar_arg(self, allow_bare: bool):
+        """One scalar-function argument: a full RETURN-expression (refs,
+        literals, arithmetic, nested function calls — ``head(split(n.name,
+        ' '))``), but never an aggregate."""
+        node = self.parse_return_expr(allow_bare)
+        if isinstance(node, AggCall):
+            raise CypherSyntaxError(
+                "aggregates inside scalar functions are not supported; "
+                "compute the aggregate in a WITH stage first"
             )
+        return node
+
+    def _at_scalar_fn(self) -> bool:
+        tok = self.peek()
+        return (
+            tok is not None
+            and tok.kind == "word"
+            and (
+                tok.text in _FN_ARITY
+                or tok.text in ("labels", "type", "keys", "properties", "length")
+            )
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
         )
-        if is_ref:
-            return self.parse_prop_ref(allow_bare)
-        return self.parse_value(None)
 
     def parse_operand(self, unwind_var: str | None):
         tok = self.peek()
         if tok is None:
             raise CypherSyntaxError("unexpected end of query")
+        if unwind_var is None and self._at_scalar_fn():
+            # scalar functions as comparison operands (read context only;
+            # write templates keep the literal/param contract)
+            return self._parse_primary_expr()
         is_ref = (tok.kind == "kw" and tok.text == "ID") or (
             tok.kind == "word"
             and tok.text != unwind_var
@@ -566,7 +591,10 @@ class _Parser:
                     disj.append([])
                     continue
                 return disj
-            left = self.parse_prop_ref(allow_bare)
+            if self._at_scalar_fn():
+                left = self._parse_primary_expr(allow_bare)
+            else:
+                left = self.parse_prop_ref(allow_bare)
             if self._at_word_ci("IN"):
                 self.next()
                 self.expect("punct", "[")
@@ -835,30 +863,26 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
-            and tok.text == "coalesce"
-            and self.peek(1) is not None
-            and self.peek(1).text == "("
-        ):
-            self.next()
-            self.expect("punct", "(")
-            args = [self._parse_fn_arg(allow_bare)]
-            while self.at("punct", ","):
-                self.next()
-                args.append(self._parse_fn_arg(allow_bare))
-            self.expect("punct", ")")
-            return FuncCall("coalesce", args[0], tuple(args[1:]))
-        if (
-            tok is not None
-            and tok.kind == "word"
-            and (tok.text in _SCALAR_FNS or tok.text == "size")
+            and tok.text in _FN_ARITY
             and self.peek(1) is not None
             and self.peek(1).text == "("
         ):
             fn = self.next().text
             self.expect("punct", "(")
-            arg = self.parse_prop_ref(allow_bare)
+            lo, hi = _FN_ARITY[fn]
+            args = []
+            if not self.at("punct", ")"):
+                args.append(self._parse_scalar_arg(allow_bare))
+                while self.at("punct", ","):
+                    self.next()
+                    args.append(self._parse_scalar_arg(allow_bare))
             self.expect("punct", ")")
-            return FuncCall(fn, arg)
+            if len(args) < lo or (hi is not None and len(args) > hi):
+                span = str(lo) if hi == lo else f"{lo}..{hi or 'n'}"
+                raise CypherSyntaxError(
+                    f"{fn}() takes {span} argument(s), got {len(args)}"
+                )
+            return FuncCall(fn, args[0], tuple(args[1:]))
         if (
             tok is not None
             and tok.kind == "word"
@@ -1002,8 +1026,27 @@ class _Parser:
 # -- translation: reads ----------------------------------------------------
 
 
-#: openCypher scalar string functions -> Spark Column functions.
-_SCALAR_FNS = {"toLower": F.lower, "toUpper": F.upper, "trim": F.trim}
+#: single-column openCypher scalar functions -> Spark translations.
+#: Multi-arg forms (round/left/right/split/substring/replace) and the
+#: type-dispatching ones (size/coalesce/graph accessors) live in
+#: _scalar_fn_column's body. Casts use try_cast where Cypher returns null
+#: on unconvertible input (toInteger('x') is null, never an error —
+#: Spark's default ANSI cast would throw). ceil/floor/round return Float
+#: in Cypher regardless of input, sign() returns Integer.
+_SCALAR_FNS = {
+    "toLower": F.lower, "toUpper": F.upper, "trim": F.trim,
+    "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
+    "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp,
+    "sign": lambda c: F.signum(c).cast("long"),
+    "toInteger": lambda c: c.try_cast("long"),
+    "toFloat": lambda c: c.try_cast("double"),
+    "toString": lambda c: c.cast("string"),
+    "toBoolean": lambda c: c.try_cast("boolean"),
+    "ceil": lambda c: F.ceil(c).cast("double"),
+    "floor": lambda c: F.floor(c).cast("double"),
+    "head": lambda c: F.try_element_at(c, F.lit(1)),
+    "last": lambda c: F.try_element_at(c, F.lit(-1)),
+}
 
 
 def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
@@ -1014,12 +1057,11 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
     write ever created ``nickname`` — Neo4j reads null, so the operand
     becomes a null literal rather than an analysis error) and ``size``'s
     type dispatch (list length for arrays, character length for strings,
-    per openCypher)."""
+    per openCypher). Arguments are full expressions (nested calls,
+    arithmetic) resolved through _expr_column."""
 
     def resolve(a) -> Column:
-        if isinstance(a, (PropRef, BareRef)):
-            return _resolve_ref(a, colmap, df)
-        return F.lit(a)
+        return _expr_column(a, colmap, df)
 
     if call.fn in ("keys", "properties"):
         # keys(n): the property names present (non-null) on the row, sorted
@@ -1055,10 +1097,39 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         return F.coalesce(*[resolve(a) for a in (call.arg, *call.extra)])
     if call.fn == "size":
         col = resolve(call.arg)
-        name = _plain_name(col)
-        dtype = dict(df.dtypes).get(name) if name else None
-        return F.size(col) if dtype and dtype.startswith("array") else F.length(col)
-    return _SCALAR_FNS[call.fn](resolve(call.arg))
+        # analysis-only probe (no job) — computed args (size(split(...)))
+        # dispatch on their resolved type, not just plain column names
+        dtype = df.select(col.alias("__sz")).schema[0].dataType.simpleString()
+        return F.size(col) if dtype.startswith("array") else F.length(col)
+    args = [resolve(a) for a in (call.arg, *call.extra)]
+    if call.fn == "round":
+        if len(args) == 1:
+            return F.round(args[0], 0).cast("double")
+        if not isinstance(call.extra[0], int):
+            raise CypherSyntaxError(
+                "round() precision must be an integer literal"
+            )
+        return F.round(args[0], call.extra[0]).cast("double")
+    if call.fn == "left":
+        return F.left(args[0], args[1])
+    if call.fn == "right":
+        return F.right(args[0], args[1])
+    if call.fn == "split":
+        # Cypher splits on a LITERAL delimiter; Spark's split takes a
+        # regex, so the literal is escaped (non-literal delimiters would
+        # need runtime escaping — rejected, not mis-answered)
+        if not isinstance(call.extra[0], str):
+            raise CypherSyntaxError(
+                "split() delimiter must be a string literal"
+            )
+        return F.split(args[0], re.escape(call.extra[0]))
+    if call.fn == "substring":
+        # Cypher substring(s, start[, length]) is 0-based; Spark is 1-based
+        length = args[2] if len(args) > 2 else F.length(args[0])
+        return F.substring(args[0], args[1] + 1, length)
+    if call.fn == "replace":
+        return F.replace(args[0], args[1], args[2])
+    return _SCALAR_FNS[call.fn](args[0])
 
 
 def _is_integral(expr, colmap, df: DataFrame) -> bool:
@@ -1073,8 +1144,10 @@ def _is_integral(expr, colmap, df: DataFrame) -> bool:
             expr.right, colmap, df
         )
     if isinstance(expr, FuncCall):
-        if expr.fn == "size":
-            return True  # length/size are integers
+        if expr.fn in ("size", "toInteger", "sign"):
+            return True  # integer-valued by definition
+        if expr.fn == "abs":
+            return _is_integral(expr.arg, colmap, df)
         if expr.fn == "coalesce":
             # integral iff every operand is (Cypher's integer-division
             # rule must survive the canonical coalesce-default pattern)
@@ -1132,7 +1205,7 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         col: Column | None = None
         have = set(df.columns)
         for disj, res in expr.whens:
-            pred = _where_to_column(disj, colmap, have)
+            pred = _where_to_column(disj, colmap, have, df)
             rescol = _expr_column(res, colmap, df)
             col = F.when(pred, rescol) if col is None else col.when(pred, rescol)
         if expr.default is not None:
@@ -1275,7 +1348,10 @@ def _resolve_ref(ref, colmap, df: DataFrame) -> Column:
 
 
 def _where_to_column(
-    disj: list[list[Cond]], colmap, have: set[str] | None = None
+    disj: list[list[Cond]],
+    colmap,
+    have: set[str] | None = None,
+    df: DataFrame | None = None,
 ) -> Column:
     ops = {
         "=": lambda c, v: c == v,
@@ -1301,6 +1377,18 @@ def _where_to_column(
     def missing(ref) -> bool:
         return have is not None and _ref_is_missing(ref, colmap, have)
 
+    def opcol(x) -> Column:
+        # computed operands (scalar functions, arithmetic, CASE) need the
+        # frame for type dispatch; WHERE positions without one keep the
+        # plain-reference contract
+        if isinstance(x, (PropRef, BareRef)):
+            return colmap(x)
+        if df is None:
+            raise CypherSyntaxError(
+                "computed operands are not supported in this WHERE position"
+            )
+        return _expr_column(x, colmap, df)
+
     out: Column | None = None
     for conj in disj:
         cc: Column | None = None
@@ -1311,8 +1399,10 @@ def _where_to_column(
                     "a single-MATCH node query"
                 )
             right = (
-                colmap(cond.right)
-                if isinstance(cond.right, (PropRef, BareRef))
+                opcol(cond.right)
+                if isinstance(
+                    cond.right, (PropRef, BareRef, FuncCall, BinOp, CaseExpr)
+                )
                 else cond.right
             )
             if cond.op in null_ops and missing(cond.left):
@@ -1326,18 +1416,18 @@ def _where_to_column(
             elif cond.op == "IN":
                 # empty list literal: openCypher `x IN []` is never true
                 one = (
-                    colmap(cond.left).isin(*cond.right)
+                    opcol(cond.left).isin(*cond.right)
                     if cond.right
                     else F.lit(False)
                 )
             elif cond.op in string_ops:
-                one = string_ops[cond.op](colmap(cond.left), right)
+                one = string_ops[cond.op](opcol(cond.left), right)
             elif cond.op == "TRUTHY":
-                one = colmap(cond.left) == F.lit(True)
+                one = opcol(cond.left) == F.lit(True)
             elif cond.op in null_ops:
-                one = null_ops[cond.op](colmap(cond.left))
+                one = null_ops[cond.op](opcol(cond.left))
             else:
-                one = ops[cond.op](colmap(cond.left), right)
+                one = ops[cond.op](opcol(cond.left), right)
             if cond.negated:
                 one = ~one  # three-valued: NOT null stays null
             cc = one if cc is None else (cc & one)
@@ -1443,7 +1533,7 @@ def _optional_match(
 
     if base_disj is not None:
         base_df = base_df.filter(
-            _where_to_column(base_disj, base_colmap, set(base_df.columns))
+            _where_to_column(base_disj, base_colmap, set(base_df.columns), base_df)
         )
 
     e = graph.edges
@@ -1467,7 +1557,7 @@ def _optional_match(
 
     if opt_disj is not None:
         opt_side = opt_side.filter(
-            _where_to_column(opt_disj, opt_colmap, set(opt_side.columns))
+            _where_to_column(opt_disj, opt_colmap, set(opt_side.columns), opt_side)
         )
 
     df = base_df.join(
@@ -1978,7 +2068,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # each clause's WHERE is a conjunct over the joined pattern (all
         # clauses are inner joins, so post-join filtering is equivalent)
         for d in chain_disjs:
-            df = df.filter(_where_to_column(d, colmap, set(df.columns)))
+            df = df.filter(_where_to_column(d, colmap, set(df.columns), df))
         disj = None
     elif opt_pat is not None:
         if not isinstance(pat, NodePat):
@@ -2101,7 +2191,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             colmap.var_kinds[pat.var] = "edge"
 
     if disj is not None:
-        df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
+        df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
 
     for w_distinct, w_items, w_order, w_skip, w_limit, w_disj in stages:
         w_items = _expand_star(w_items, colmap, "WITH")
@@ -2117,7 +2207,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         if w_limit is not None:
             df = df.limit(w_limit)
         if w_disj is not None:
-            df = df.filter(_where_to_column(w_disj, colmap))
+            df = df.filter(_where_to_column(w_disj, colmap, None, df))
 
     items = _expand_star(items, colmap, "RETURN")
     df = _apply_projection(df, colmap, distinct, items)

@@ -629,7 +629,9 @@ def test_unknown_function_rejected(fixture_graph):
     from flink_neo4j_spark.cypher_frontend import CypherSyntaxError, cypher_read
 
     with _pytest.raises(CypherSyntaxError):
-        cypher_read(fixture_graph, "MATCH (n:User) RETURN reverse(n.name) AS r")
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN frobnicate(n.name) AS r"
+        )
 
 
 def test_is_null_predicates(spark, fixture_graph):
@@ -1576,3 +1578,72 @@ def test_count_var_counts_non_null_bindings(fixture_graph):
     ]
     with pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN sum(n) AS s")
+
+
+def test_scalar_function_breadth(fixture_graph):
+    # string/number/list functions with nested-expression arguments, in
+    # RETURN and WHERE positions
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "toUpper(substring(n.name, 0, 1)) AS initial, "
+        "size(n.name) AS sz, abs(n.born - 1984) AS drift, "
+        "round(n.height, 1) AS h1, toInteger(n.height) AS hint "
+        "ORDER BY name",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "A", 5, 0, 1.7, 1),
+        ("Bob", "B", 3, 1, 1.8, 1),
+        ("Eve", "E", 3, 0, 1.6, 1),
+    ]
+    # split/head/last; Cypher split is a literal (non-regex) delimiter
+    r = cypher_read(
+        fixture_graph,
+        "MATCH (n:User {name:'Alice'}) RETURN split(n.name, 'l') AS parts, "
+        "head(split(n.name, 'l')) AS h, last(split(n.name, 'l')) AS l",
+    ).collect()[0]
+    assert (list(r["parts"]), r["h"], r["l"]) == (["A", "ice"], "A", "ice")
+    # left/right/replace/reverse
+    r2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User {name:'Alice'}) RETURN left(n.name, 2) AS l, "
+        "right(n.name, 2) AS r, replace(n.name, 'e', '3') AS rep, "
+        "reverse(n.name) AS rev",
+    ).collect()[0]
+    assert tuple(r2) == ("Al", "ce", "Alic3", "ecilA")
+    # toInteger on unparseable input is null, never a runtime error
+    # (Spark's default ANSI cast would throw — try_cast contract)
+    assert [
+        r["bad"]
+        for r in cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN toInteger(n.name) AS bad"
+        ).collect()
+    ] == [None, None, None]
+    # WHERE positions: function on the left, function as right operand
+    assert [
+        r["name"]
+        for r in cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE toLower(n.name) = 'alice' "
+            "RETURN n.name AS name",
+        ).collect()
+    ] == ["Alice"]
+    assert [
+        r["name"]
+        for r in cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.born = toInteger('1983') "
+            "RETURN n.name AS name",
+        ).collect()
+    ] == ["Bob"]
+    # arity errors are loud and typed
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN substring(n.name) AS x")
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN round(n.height, 'x') AS x"
+        )
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN size(count(n)) AS x"
+        )
