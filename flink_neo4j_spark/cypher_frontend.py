@@ -1943,6 +1943,29 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     left join (Cypher semantics: a failed optional pattern yields nulls,
     never drops the base row).
     """
+    if p.at("kw", "UNWIND"):
+        # standalone UNWIND: a literal list as the row source —
+        # ``UNWIND [1, 2, 3] AS x RETURN x * 2 AS y``. Planned as a
+        # one-row local relation exploded driver-side (no scan).
+        p.next()
+        p.expect("punct", "[")
+        vals: list[Any] = []
+        if not p.at("punct", "]"):
+            while True:
+                vals.append(p.parse_value(None))
+                if p.at("punct", ","):
+                    p.next()
+                    continue
+                break
+        p.expect("punct", "]")
+        p.expect("kw", "AS")
+        alias = p.expect("word").text
+        spark = graph.vertices.sparkSession
+        if vals:
+            df = spark.range(1).select(F.explode(F.lit(vals)).alias(alias))
+        else:
+            df = spark.range(0).select(F.lit(None).alias(alias))
+        return _finish_read(df, _bare_colmap({alias}), p, bare=True)
     p.expect("kw", "MATCH")
     sp_var = None
     if (
@@ -2027,24 +2050,6 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         opt_disj = _and_into(
             opt_disj, _desugar_inline_props([opt_pat], taken)
         )
-    # WITH pipeline stages: projection [ORDER BY/LIMIT] [WHERE], each
-    # re-scoping the row to its output names (openCypher clause order).
-    stages: list[tuple] = []
-    while p.at("kw", "WITH"):
-        p.next()
-        w_distinct, w_items = p.parse_return(allow_bare=bool(stages))
-        w_order, w_skip, w_limit = p.parse_tail(
-            require_end=False, allow_bare=bool(stages)
-        )
-        w_disj = None
-        if p.at("kw", "WHERE"):
-            p.next()
-            w_disj = p.parse_where(allow_bare=True)
-        stages.append((w_distinct, w_items, w_order, w_skip, w_limit, w_disj))
-    p.expect("kw", "RETURN")
-    distinct, items = p.parse_return(allow_bare=bool(stages))
-    order, skip, limit = p.parse_tail(require_end=False, allow_bare=bool(stages))
-
     if sp_var is not None:
         if len(chain_pats) > 1 or opt_pat is not None:
             raise CypherSyntaxError(
@@ -2193,22 +2198,65 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
 
-    for w_distinct, w_items, w_order, w_skip, w_limit, w_disj in stages:
+    return _finish_read(df, colmap, p, bare=False)
+
+
+def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
+    """Shared tail of every read form: ``[WITH ... | UNWIND x AS y]*
+    RETURN items [ORDER BY ...] [SKIP n] [LIMIT m]`` — parsed and executed
+    stage by stage (openCypher clause order ``WITH items [ORDER BY/LIMIT]
+    [WHERE]``). ``bare`` is True when the incoming row scope is named
+    scalar columns (a standalone UNWIND source) rather than pattern
+    variables; every WITH horizon flips the scope to bare."""
+    while p.at("kw", "WITH") or p.at("kw", "UNWIND"):
+        if p.at("kw", "UNWIND"):
+            # pipeline UNWIND: explode a projected list into one row per
+            # element, keeping the other columns (openCypher: null and
+            # empty lists produce no rows — exactly Spark's explode).
+            # Pattern scopes must project the list through WITH first
+            # (pattern variables end at the horizon).
+            if not bare:
+                raise CypherSyntaxError(
+                    "UNWIND over a pattern scope needs a preceding WITH "
+                    "(project the list first: WITH n.tags AS tags "
+                    "UNWIND tags AS tag)"
+                )
+            p.next()
+            src = p.parse_return_expr(allow_bare=True)
+            if isinstance(src, AggCall):
+                raise CypherSyntaxError(
+                    "UNWIND over an aggregate needs a WITH stage first"
+                )
+            p.expect("kw", "AS")
+            alias = p.expect("word").text
+            df = df.withColumn(alias, F.explode(_expr_column(src, colmap, df)))
+            names = set(getattr(colmap, "star_names", set())) | {alias}
+            colmap = _bare_colmap(names)
+            continue
+        p.next()
+        w_distinct, w_items = p.parse_return(allow_bare=bare)
+        w_order, w_skip, w_limit = p.parse_tail(
+            require_end=False, allow_bare=bare
+        )
+        w_disj = None
+        if p.at("kw", "WHERE"):
+            p.next()
+            w_disj = p.parse_where(allow_bare=True)
         w_items = _expand_star(w_items, colmap, "WITH")
         df = _apply_projection(df, colmap, w_distinct, w_items)
-        w_names = {_out_name(i) for i in w_items}
-        colmap = _bare_colmap(w_names)
+        colmap = _bare_colmap({_out_name(i) for i in w_items})
         if w_order:
-            df = df.orderBy(
-                *_order_columns(w_order, w_items, "WITH")
-            )
+            df = df.orderBy(*_order_columns(w_order, w_items, "WITH"))
         if w_skip is not None:
             df = df.offset(w_skip)
         if w_limit is not None:
             df = df.limit(w_limit)
         if w_disj is not None:
             df = df.filter(_where_to_column(w_disj, colmap, None, df))
-
+        bare = True
+    p.expect("kw", "RETURN")
+    distinct, items = p.parse_return(allow_bare=bare)
+    order, skip, limit = p.parse_tail(require_end=False, allow_bare=bare)
     items = _expand_star(items, colmap, "RETURN")
     df = _apply_projection(df, colmap, distinct, items)
     if order:

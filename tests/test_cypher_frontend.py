@@ -1647,3 +1647,30 @@ def test_scalar_function_breadth(fixture_graph):
         cypher_read(
             fixture_graph, "MATCH (n:User) RETURN size(count(n)) AS x"
         )
+
+
+def test_unwind_read_forms(fixture_graph):
+    # standalone literal-list UNWIND (no scan), arithmetic downstream
+    df = cypher_read(
+        fixture_graph, "UNWIND [1, 2, 3] AS x RETURN x * 2 AS y ORDER BY y"
+    )
+    assert [r["y"] for r in df.collect()] == [2, 4, 6]
+    assert cypher_read(fixture_graph, "UNWIND [] AS x RETURN x").count() == 0
+    # pipeline UNWIND after a WITH horizon: collect -> explode roundtrip
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH collect(n.name) AS names "
+        "UNWIND names AS nm RETURN nm ORDER BY nm",
+    )
+    assert [r["nm"] for r in df2.collect()] == ["Alice", "Bob", "Eve"]
+    # UNWIND keeps the other projected columns
+    df3 = cypher_read(
+        fixture_graph,
+        "MATCH (n:User {name:'Alice'}) WITH n.name AS name, "
+        "split(n.name, 'l') AS parts UNWIND parts AS part "
+        "RETURN name, part ORDER BY part",
+    )
+    assert [tuple(r) for r in df3.collect()] == [("Alice", "A"), ("Alice", "ice")]
+    # pattern scopes must project through WITH first — loud, typed error
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "MATCH (n:User) UNWIND n.tags AS t RETURN t")
