@@ -2115,3 +2115,91 @@ ORACLE["g39_cypher_bare_set"] = """
     WHERE regexp_full_match(n_name, 'NATION_1[0-9]')
        OR NOT regexp_full_match(n_name, 'NATION_[0-9]')
     ORDER BY name"""
+
+
+# G40 — the round-4 single-pattern chain + inline-map surface end-to-end:
+# one MATCH pattern with two hops and an anchor map on the middle node.
+# Desugars to the multi-clause join machinery: two equi-joins on vertex
+# ids with the name filter pushed to the nation scan (Catalyst broadcasts
+# the 1-row nation side into both joins); the within-clause relationship
+# isomorphism filter compares two always-distinct id spaces, so it costs
+# one comparison and removes nothing. Scale shape: join fan-out bounded
+# by FK cardinality, no shuffle beyond the count aggregate.
+def g40_cypher_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation {name:'NATION_7'})"
+        "-[:IN_REGION]->(r:Region) "
+        "RETURN r.name AS region, count(c) AS customers",
+    )
+
+
+QUERIES["g40_cypher_chain"] = g40_cypher_chain
+ORACLE["g40_cypher_chain"] = """
+    SELECT r.r_name AS region, CAST(count(*) AS BIGINT) AS customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY r.r_name"""
+
+
+# G41 — the round-4 scalar-function + pipeline-UNWIND surface: a function
+# call on the WHERE left side (toLower ... CONTAINS), list-producing
+# split() projected through WITH, exploded by UNWIND (sibling column
+# kept), then size() downstream of the horizon. Executes as one scan ->
+# filter -> project -> generate(explode) -> project: no shuffle at all.
+def g41_cypher_fn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) WHERE toLower(n.name) CONTAINS '1' "
+        "WITH n.name AS name, split(n.name, '_') AS parts "
+        "UNWIND parts AS part "
+        "RETURN name, part, size(part) AS len ORDER BY name, part",
+    )
+
+
+QUERIES["g41_cypher_fn_pipeline"] = g41_cypher_fn_pipeline
+ORACLE["g41_cypher_fn_pipeline"] = """
+    SELECT name, part, CAST(length(part) AS BIGINT) AS len
+    FROM (
+        SELECT n_name AS name,
+               unnest(string_split(n_name, '_')) AS part
+        FROM nation
+        WHERE lower(n_name) LIKE '%1%'
+    )
+    ORDER BY name, part"""
+
+
+# G42 — OPTIONAL MATCH with an inline relationship map on the optional
+# side, the bound variable as the INCOMING endpoint, and count(c) over
+# the null-extended binding (0 where no w=3 customer exists — the exact
+# semantics the round-4 count(var) fix certifies). Plan: nation scan
+# LEFT JOIN (edges w=3 ⨝ customers), then the count aggregate; the
+# optional-side filter is applied pre-join, so the join input shrinks
+# 7x before any shuffle.
+def g42_cypher_optional_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) OPTIONAL MATCH (c:Customer)-[e:IN_NATION {w:3}]->(n) "
+        "RETURN n.name AS name, count(c) AS c3 ORDER BY name",
+    )
+
+
+QUERIES["g42_cypher_optional_map"] = g42_cypher_optional_map
+ORACLE["g42_cypher_optional_map"] = """
+    SELECT n.n_name AS name,
+           CAST((SELECT count(*) FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                    AND c.c_custkey % 7 = 3) AS BIGINT) AS c3
+    FROM nation n
+    ORDER BY name"""
