@@ -2560,15 +2560,22 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     """
     p.expect("kw", "MATCH")
     target = p.parse_node()
-    if not isinstance(target, NodePat) or target.props:
+    if not isinstance(target, NodePat):
         raise CypherSyntaxError(
-            "bare DELETE/SET/REMOVE matches a plain node pattern; use "
-            "WHERE for property predicates"
+            "bare DELETE/SET/REMOVE matches a plain node pattern"
+        )
+    if target.props and target.var is None:
+        raise CypherSyntaxError(
+            "a bare-write pattern with a property map needs a variable "
+            "(the SET/DELETE clause must reference it)"
         )
     disj = None
     if p.at("kw", "WHERE"):
         p.next()
         disj = p.parse_where()
+    # inline map — same desugar contract as reads: (n:L {k: v}) SET ...
+    # is (n:L) WHERE n.k = v SET ...
+    disj = _and_into(disj, _desugar_inline_props([target], {target.var}))
 
     def colmap(ref: PropRef) -> Column:
         if ref.var != target.var:

@@ -1674,3 +1674,20 @@ def test_unwind_read_forms(fixture_graph):
     # pattern scopes must project through WITH first — loud, typed error
     with pytest.raises(CypherSyntaxError):
         cypher_read(fixture_graph, "MATCH (n:User) UNWIND n.tags AS t RETURN t")
+
+
+def test_bare_write_inline_map(spark, fixture_graph):
+    # (n:L {k: v}) in bare SET/REMOVE/DELETE — same desugar as reads
+    g2 = cypher_write(
+        fixture_graph, "MATCH (n:User {name:'Alice'}) SET n.vip = true"
+    )
+    rows = {r["name"]: r["vip"] for r in g2.nodes("User").collect()}
+    assert rows == {"Alice": True, "Bob": None, "Eve": None}
+    g3 = cypher_write(g2, "MATCH (n:User {born:1984}) REMOVE n.vip")
+    assert {r["vip"] for r in g3.nodes("User").collect()} == {None}
+    g4 = cypher_write(
+        fixture_graph, "MATCH (n:User {name:'Eve'}) DETACH DELETE n"
+    )
+    assert {r["name"] for r in g4.nodes("User").collect()} == {"Alice", "Bob"}
+    with pytest.raises(CypherSyntaxError):
+        cypher_write(fixture_graph, "MATCH (:User {name:'Eve'}) SET n.x = 1")
