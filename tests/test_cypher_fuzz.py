@@ -30,23 +30,63 @@ VALID_QUERIES = [
     "MATCH (a:User)-[e:KNOWS]-(b:User) WHERE b.name =~ '[AB].*' "
     "RETURN a.name AS x, CASE WHEN e.since > 2001 THEN 'new' ELSE 'old' "
     "END AS k ORDER BY x",
+    "MATCH (a:User {name:'Alice'})-[:KNOWS]->(b)-[:KNOWS]->(c), (c)-[:KNOWS]->(d) "
+    "RETURN d.name AS dn",
+    "MATCH (n:User) WHERE toLower(n.name) CONTAINS 'a' "
+    "WITH n.name AS name, split(n.name, '_') AS parts UNWIND parts AS part "
+    "RETURN name, part, size(part) AS len ORDER BY name",
+    "UNWIND [1, 2, 3] AS x RETURN x * 2 AS y ORDER BY y",
+    "MATCH (n:User) RETURN toUpper(substring(n.name, 0, 1)) AS ini, "
+    "round(n.height, 1) AS h, coalesce(n.nick, replace(n.name, 'e', '3')) AS d",
 ]
 
 
 def _parse_only(query: str) -> None:
     """Drive the read grammar without a graph: tokenise and run the parser
-    entry points used by cypher_read (pattern, WHERE, RETURN, tail)."""
+    entry points used by cypher_read (UNWIND source or pattern seq, WHERE,
+    WITH/UNWIND stages, RETURN, tail) — the same clause order _read_single
+    and _finish_read use, minus translation."""
     from flink_neo4j_spark.cypher_frontend import _Parser, _tokenize
 
     p = _Parser(_tokenize(query))
-    p.expect("kw", "MATCH")
-    p.parse_pattern()
-    if p.at("kw", "WHERE"):
+    if p.at("kw", "UNWIND"):
         p.next()
-        p.parse_where()
+        p.expect("punct", "[")
+        if not p.at("punct", "]"):
+            while True:
+                p.parse_value(None)
+                if p.at("punct", ","):
+                    p.next()
+                    continue
+                break
+        p.expect("punct", "]")
+        p.expect("kw", "AS")
+        p.expect("word")
+        bare = True
+    else:
+        p.expect("kw", "MATCH")
+        p.parse_pattern_seq()
+        if p.at("kw", "WHERE"):
+            p.next()
+            p.parse_where()
+        bare = False
+    while p.at("kw", "WITH") or p.at("kw", "UNWIND"):
+        if p.at("kw", "UNWIND"):
+            p.next()
+            p.parse_return_expr(allow_bare=True)
+            p.expect("kw", "AS")
+            p.expect("word")
+            continue
+        p.next()
+        p.parse_return(allow_bare=bare)
+        p.parse_tail(require_end=False, allow_bare=bare)
+        if p.at("kw", "WHERE"):
+            p.next()
+            p.parse_where(allow_bare=True)
+        bare = True
     p.expect("kw", "RETURN")
-    p.parse_return()
-    p.parse_tail(require_end=True)
+    p.parse_return(allow_bare=bare)
+    p.parse_tail(require_end=True, allow_bare=bare)
 
 
 @settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -72,8 +112,11 @@ _TOKEN_SOUP = st.lists(
             "KNOWS", "name", "born", "(", ")", "[", "]", "{", "}", ":", ",",
             ".", "*", "=", "<>", "<", ">=", "+", "-", "/", "%", "$", "-[",
             "]->", "'x'", "1", "2.5", "-3", "1..2",
-            # round-4 surface: directions, CASE, regex
+            # round-4 surface: directions, CASE, regex, inline maps,
+            # chains, UNWIND, scalar functions
             "<-[", "]-", "CASE", "WHEN", "THEN", "ELSE", "END", "=~",
+            "UNWIND", "AS", "substring", "split", "replace", "round",
+            "toInteger", "head", "left", "EXISTS", "OPTIONAL",
         ]
     ),
     min_size=0,
