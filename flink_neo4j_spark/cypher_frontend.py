@@ -2649,40 +2649,63 @@ def cypher_create_graph(spark, query: str) -> PropertyGraph:
     (B9 — `Neo4jFormatTest.java:14-19`)."""
     p = _Parser(_tokenize(query))
     p.expect("kw", "CREATE")
+    pats = p.parse_pattern_seq()
+    if p.peek() is not None:
+        raise CypherSyntaxError(f"unexpected token {p.peek().text!r}")
+
+    # Cypher CREATE declaration rules: a named node is declared at its
+    # FIRST occurrence (possibly inline in an edge or chain); later
+    # occurrences are references and must not re-declare a label or
+    # property map. Anonymous nodes are each a fresh node — identity is
+    # per pattern object, so `CREATE (:A {x:1}), (:B {y:2})` creates two
+    # nodes (never id-colliding) and chain continuations reuse theirs.
     nodes: list[NodePat] = []
-    edges: list[EdgePat] = []
-    while True:
-        pat = p.parse_pattern()
-        if isinstance(pat, EdgePat) and pat.undirected:
+    index: dict[int, int] = {}  # id(NodePat object) -> node index
+    byvar: dict[str, NodePat] = {}
+
+    def declare(nd: NodePat) -> NodePat:
+        if nd.var is not None:
+            prev = byvar.get(nd.var)
+            if prev is not None and prev is not nd:
+                if nd.props or nd.label:
+                    raise CypherSyntaxError(
+                        f"variable {nd.var!r} already declared; a "
+                        "reference cannot carry a label or property map"
+                    )
+                return prev
+            byvar[nd.var] = nd
+        if id(nd) not in index:
+            index[id(nd)] = len(nodes)
+            nodes.append(nd)
+        return nd
+
+    edges: list[tuple[NodePat, NodePat, EdgePat]] = []
+    for pat in pats:
+        if isinstance(pat, NodePat):
+            declare(pat)
+            continue
+        if pat.undirected:
             raise CypherSyntaxError(
                 "CREATE requires a direction (-[:T]-> or <-[:T]-)"
             )
-        (nodes if isinstance(pat, NodePat) else edges).append(pat)
-        if p.at("punct", ","):
-            p.next()
-            continue
-        if p.peek() is not None:
-            raise CypherSyntaxError(f"unexpected token {p.peek().text!r}")
-        break
+        if pat.hops is not None:
+            raise CypherSyntaxError(
+                "CREATE cannot use a variable-length pattern"
+            )
+        edges.append((declare(pat.src), declare(pat.dst), pat))
 
-    ids = {n.var: i for i, n in enumerate(nodes)}
     vcols = sorted({k for n in nodes for k in n.props})
     vrows = [
-        {"id": ids[n.var], "label": n.label or "Node",
+        {"id": i, "label": n.label or "Node",
          **{c: n.props.get(c) for c in vcols}}
-        for n in nodes
+        for i, n in enumerate(nodes)
     ]
-    ecols = sorted({k for e in edges for k in e.props})
-    erows = []
-    for i, e in enumerate(edges):
-        if e.src.var not in ids or e.dst.var not in ids:
-            raise CypherSyntaxError(
-                f"edge references unknown node variable {e.src.var!r}/{e.dst.var!r}"
-            )
-        erows.append(
-            {"id": i, "src": ids[e.src.var], "dst": ids[e.dst.var],
-             "rel_type": e.rel_type or "REL", **{c: e.props.get(c) for c in ecols}}
-        )
+    ecols = sorted({k for _, _, e in edges for k in e.props})
+    erows = [
+        {"id": i, "src": index[id(s)], "dst": index[id(d)],
+         "rel_type": e.rel_type or "REL", **{c: e.props.get(c) for c in ecols}}
+        for i, (s, d, e) in enumerate(edges)
+    ]
     v = spark.createDataFrame(vrows)
     e = (
         spark.createDataFrame(erows)

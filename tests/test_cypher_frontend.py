@@ -1691,3 +1691,24 @@ def test_bare_write_inline_map(spark, fixture_graph):
     assert {r["name"] for r in g4.nodes("User").collect()} == {"Alice", "Bob"}
     with pytest.raises(CypherSyntaxError):
         cypher_write(fixture_graph, "MATCH (:User {name:'Eve'}) SET n.x = 1")
+
+
+def test_create_inline_declaration_and_chains(spark):
+    # CREATE declares a named node at its first occurrence — inline in an
+    # edge chain included; anonymous nodes are each fresh (distinct ids)
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A'})-[:KNOWS {since:1}]->"
+        "(b:User {name:'B'})-[:KNOWS {since:2}]->(c:User {name:'C'})",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (x:User)-[e:KNOWS]->(y:User) "
+        "RETURN x.name AS xn, e.since AS s, y.name AS yn ORDER BY s",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("A", 1, "B"), ("B", 2, "C")]
+    g2 = cypher_create_graph(spark, "CREATE (:A {x:1}), (:B {y:2}), ()-[:T]->()")
+    assert g2.vertices.count() == 4
+    assert sorted(r["id"] for r in g2.vertices.collect()) == [0, 1, 2, 3]
+    with pytest.raises(CypherSyntaxError):
+        cypher_create_graph(spark, "CREATE (a:User {x:1}), (a:User {x:2})")
