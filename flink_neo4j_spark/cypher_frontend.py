@@ -286,9 +286,15 @@ MAX_VAR_HOPS = 6
 
 
 class _Parser:
-    def __init__(self, tokens: list[_Tok]):
+    def __init__(
+        self, tokens: list[_Tok], params: dict[str, Any] | None = None
+    ):
         self.toks = tokens
         self.i = 0
+        #: query parameters ($name) — resolved to their literal values at
+        #: parse time, so a parameterized query plans exactly like its
+        #: literal twin and values can never act as syntax (no injection)
+        self.params = params
 
     def peek(self, k: int = 0) -> _Tok | None:
         return self.toks[self.i + k] if self.i + k < len(self.toks) else None
@@ -325,6 +331,11 @@ class _Parser:
 
     def parse_value(self, unwind_var: str | None):
         tok = self.next()
+        if tok.kind == "punct" and tok.text == "$":
+            name = self.expect("word").text
+            if self.params is None or name not in self.params:
+                raise CypherSyntaxError(f"missing parameter ${name}")
+            return self.params[name]
         if tok.kind == "string":
             return tok.text[1:-1].replace("\\'", "'")
         if tok.kind == "number":
@@ -597,16 +608,22 @@ class _Parser:
                 left = self.parse_prop_ref(allow_bare)
             if self._at_word_ci("IN"):
                 self.next()
-                self.expect("punct", "[")
-                vals: list[Any] = []
-                if not self.at("punct", "]"):
-                    while True:
-                        vals.append(self.parse_value(unwind_var))
-                        if self.at("punct", ","):
-                            self.next()
-                            continue
-                        break
-                self.expect("punct", "]")
+                if self.at("punct", "$"):
+                    # IN $param — the parameterized membership idiom
+                    vals = self.parse_value(unwind_var)
+                    if not isinstance(vals, list):
+                        raise CypherSyntaxError("IN $param requires a list value")
+                else:
+                    self.expect("punct", "[")
+                    vals: list[Any] = []
+                    if not self.at("punct", "]"):
+                        while True:
+                            vals.append(self.parse_value(unwind_var))
+                            if self.at("punct", ","):
+                                self.next()
+                                continue
+                            break
+                    self.expect("punct", "]")
                 disj[-1].append(Cond(left, "IN", vals))
             elif self._at_word_ci("STARTS") or self._at_word_ci("ENDS"):
                 kw = self.next().text.upper()
@@ -763,6 +780,7 @@ class _Parser:
             return float(tok.text) if "." in tok.text else int(tok.text)
         if tok is not None and (
             tok.kind == "string"
+            or (tok.kind == "punct" and tok.text == "$")
             or (tok.kind == "kw" and tok.text in ("TRUE", "FALSE", "NULL"))
         ):
             return self.parse_value(None)
@@ -1948,16 +1966,21 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # ``UNWIND [1, 2, 3] AS x RETURN x * 2 AS y``. Planned as a
         # one-row local relation exploded driver-side (no scan).
         p.next()
-        p.expect("punct", "[")
-        vals: list[Any] = []
-        if not p.at("punct", "]"):
-            while True:
-                vals.append(p.parse_value(None))
-                if p.at("punct", ","):
-                    p.next()
-                    continue
-                break
-        p.expect("punct", "]")
+        if p.at("punct", "$"):
+            vals = p.parse_value(None)
+            if not isinstance(vals, list):
+                raise CypherSyntaxError("UNWIND $param requires a list value")
+        else:
+            p.expect("punct", "[")
+            vals: list[Any] = []
+            if not p.at("punct", "]"):
+                while True:
+                    vals.append(p.parse_value(None))
+                    if p.at("punct", ","):
+                        p.next()
+                        continue
+                    break
+            p.expect("punct", "]")
         p.expect("kw", "AS")
         alias = p.expect("word").text
         spark = graph.vertices.sparkSession
@@ -2271,7 +2294,11 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     return df
 
 
-def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
+def cypher_read(
+    graph: PropertyGraph,
+    query: str,
+    params: dict[str, Any] | None = None,
+) -> DataFrame:
     """Execute a read-only query — one single-query (see
     :func:`_read_single` for the clause surface) or several combined with
     ``UNION`` / ``UNION ALL``.
@@ -2281,8 +2308,15 @@ def cypher_read(graph: PropertyGraph, query: str) -> DataFrame:
     ``distinct()`` over the union — for an all-UNION chain Spark collapses
     the repeated dedups into one aggregate). ``unionByName`` keeps the
     match positional-independent, mirroring Cypher's by-name semantics.
+
+    ``params`` resolves ``$name`` references (WHERE operands, inline
+    maps, IN lists, UNWIND sources, RETURN literals) to their values at
+    parse time — a parameterized query plans exactly like its literal
+    twin, and values can never act as syntax (the reference ships
+    parameters the same way: `Neo4jOutputFormat` sends them out-of-band
+    next to the statement, never spliced into it).
     """
-    p = _Parser(_tokenize(query))
+    p = _Parser(_tokenize(query), params)
     df = _read_single(graph, p)
     while p._at_word_ci("UNION"):
         p.next()
@@ -2331,7 +2365,7 @@ def cypher_write(
     ``... REMOVE n.p, ...`` — no parameter batch needed; the match set
     comes from the WHERE predicate, not a key list.
     """
-    p = _Parser(_tokenize(query))
+    p = _Parser(_tokenize(query), params)
     if p.at("kw", "MATCH"):
         return _bare_write(graph, p)
     p.expect("kw", "UNWIND")

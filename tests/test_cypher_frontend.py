@@ -1712,3 +1712,65 @@ def test_create_inline_declaration_and_chains(spark):
     assert sorted(r["id"] for r in g2.vertices.collect()) == [0, 1, 2, 3]
     with pytest.raises(CypherSyntaxError):
         cypher_create_graph(spark, "CREATE (a:User {x:1}), (a:User {x:2})")
+
+
+def test_query_parameters(fixture_graph):
+    # $name resolution in WHERE operands, inline maps, IN lists, UNWIND
+    # sources, RETURN literals, and bare-write SET values — resolved at
+    # parse time, so values can never act as syntax
+    assert [
+        r["b"]
+        for r in cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.name = $name RETURN n.born AS b",
+            {"name": "Alice"},
+        ).collect()
+    ] == [1984]
+    assert [
+        r["b"]
+        for r in cypher_read(
+            fixture_graph,
+            "MATCH (n:User {name: $name}) RETURN n.born AS b",
+            {"name": "Bob"},
+        ).collect()
+    ] == [1983]
+    assert [
+        r["nm"]
+        for r in cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.name IN $names "
+            "RETURN n.name AS nm ORDER BY nm",
+            {"names": ["Alice", "Eve"]},
+        ).collect()
+    ] == ["Alice", "Eve"]
+    assert [
+        r["y"]
+        for r in cypher_read(
+            fixture_graph,
+            "UNWIND $xs AS x RETURN x + 1 AS y ORDER BY y",
+            {"xs": [1, 2]},
+        ).collect()
+    ] == [2, 3]
+    # a would-be-injection value is data, not syntax
+    assert (
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.name = $name RETURN n.name AS nm",
+            {"name": "' OR 1=1 RETURN n.name //"},
+        ).count()
+        == 0
+    )
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User {name: $who}) SET n.vip = true",
+        {"who": "Eve"},
+    )
+    assert {
+        (r["name"], r["vip"]) for r in g2.nodes("User").collect()
+    } == {("Alice", None), ("Bob", None), ("Eve", True)}
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.name = $nope RETURN n.name",
+            {},
+        )
