@@ -995,16 +995,20 @@ class _Parser:
                 # `ORDER BY count(*)` — an expression that must match a
                 # projected item (resolved in _order_columns)
                 tok = self.peek()
-                if (
+                if self._at_scalar_fn():
+                    # ORDER BY toLower(name) — a computed sort key over
+                    # the projected output names (hence allow_bare)
+                    key: "str | PropRef | AggCall" = self._parse_primary_expr(
+                        allow_bare=True
+                    )
+                elif (
                     tok is not None
                     and tok.kind == "word"
                     and tok.text.upper() in _AGG_FNS
                     and self.peek(1) is not None
                     and self.peek(1).text == "("
                 ):
-                    key: "str | PropRef | AggCall" = self._parse_primary_expr(
-                        allow_bare
-                    )
+                    key = self._parse_primary_expr(allow_bare)
                 else:
                     word = self.expect("word").text
                     key = word
@@ -1239,15 +1243,36 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
     return F.lit(expr)
 
 
-def _order_columns(order: list[tuple], items: list[ReturnItem], clause: str) -> list[Column]:
+def _order_columns(
+    order: list[tuple],
+    items: list[ReturnItem],
+    clause: str,
+    df: DataFrame | None = None,
+) -> list[Column]:
     """Resolve ORDER BY keys against a projection: a string key is a
     projected alias/default name; a PropRef/AggCall key (``ORDER BY
     n.prop`` / ``ORDER BY count(*)``) must equal a projected item's
     expression and sorts by that item's output column (Neo4j's
-    sort-by-projected-expression idiom)."""
+    sort-by-projected-expression idiom). A scalar-function key (``ORDER
+    BY toLower(name)``) sorts by its projected twin when one exists, else
+    computes the expression over the projected frame's output names."""
     names = {_out_name(i) for i in items}
     cols: list[Column] = []
     for key, asc in order:
+        if isinstance(key, (FuncCall, BinOp, CaseExpr)):
+            match = next((i for i in items if i.expr == key), None)
+            if match is not None:
+                name = _out_name(match)
+                cols.append(F.col(name).asc() if asc else F.col(name).desc())
+                continue
+            if df is None:
+                raise CypherSyntaxError(
+                    f"computed ORDER BY keys are not supported in this "
+                    f"{clause} position"
+                )
+            col = _expr_column(key, _bare_colmap(names), df)
+            cols.append(col.asc() if asc else col.desc())
+            continue
         if isinstance(key, (PropRef, AggCall)):
             match = next((i for i in items if i.expr == key), None)
             if match is None:
@@ -2269,7 +2294,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
         df = _apply_projection(df, colmap, w_distinct, w_items)
         colmap = _bare_colmap({_out_name(i) for i in w_items})
         if w_order:
-            df = df.orderBy(*_order_columns(w_order, w_items, "WITH"))
+            df = df.orderBy(*_order_columns(w_order, w_items, "WITH", df))
         if w_skip is not None:
             df = df.offset(w_skip)
         if w_limit is not None:
@@ -2283,7 +2308,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     items = _expand_star(items, colmap, "RETURN")
     df = _apply_projection(df, colmap, distinct, items)
     if order:
-        df = df.orderBy(*_order_columns(order, items, "RETURN"))
+        df = df.orderBy(*_order_columns(order, items, "RETURN", df))
     if skip is not None:
         # openCypher SKIP: drop the first n rows of the (ordered) result —
         # Catalyst plans Offset; without an ORDER BY the dropped prefix is

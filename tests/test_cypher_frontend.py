@@ -1774,3 +1774,40 @@ def test_query_parameters(fixture_graph):
             "MATCH (n:User) WHERE n.name = $nope RETURN n.name",
             {},
         )
+
+
+def test_computed_order_by(spark):
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'alpha', born:1984}), "
+        "(b:User {name:'Bravo', born:1983}), "
+        "(c:User {name:'charlie', born:1985})",
+    )
+    # computed key over the projected output name (case-insensitive sort)
+    assert [
+        r["name"]
+        for r in cypher_read(
+            g, "MATCH (n:User) RETURN n.name AS name ORDER BY toLower(name)"
+        ).collect()
+    ] == ["alpha", "Bravo", "charlie"]
+    assert [
+        r["name"]
+        for r in cypher_read(
+            g,
+            "MATCH (n:User) RETURN n.name AS name "
+            "ORDER BY size(name) DESC, name",
+        ).collect()
+    ] == ["charlie", "Bravo", "alpha"]
+    # arithmetic inside the key; WITH position too
+    assert [
+        r["name"]
+        for r in cypher_read(
+            g,
+            "MATCH (n:User) WITH n.name AS name ORDER BY toUpper(name) DESC "
+            "LIMIT 2 RETURN name",
+        ).collect()
+    ] == ["charlie", "Bravo"]
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            g, "MATCH (n:User) RETURN n.name AS name ORDER BY frob(name)"
+        )
