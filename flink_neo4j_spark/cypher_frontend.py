@@ -233,9 +233,11 @@ class FuncCall:
 
 @dataclass
 class AggCall:
-    fn: str  # COUNT / SUM / AVG / MIN / MAX / COLLECT
+    fn: str  # COUNT / SUM / AVG / MIN / MAX / COLLECT / STDEV(P) / PERCENTILE*
     arg: PropRef | None  # None => count(*) or count(var)
     distinct: bool = False  # count(DISTINCT x) / collect(DISTINCT x) / ...
+    #: extra literal arguments (the percentile for percentileCont/Disc)
+    extra: tuple = ()
 
 
 @dataclass
@@ -259,7 +261,8 @@ class ReturnItem:
 
 #: aggregate function names recognized contextually (NOT keywords, so a
 #: property may still be named `count`)
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT", "STDEV",
+            "STDEVP", "PERCENTILECONT", "PERCENTILEDISC"}
 
 #: openCypher scalar functions: name -> (min_args, max_args); recognized
 #: contextually (word followed by "("), translated in _scalar_fn_column.
@@ -940,8 +943,32 @@ class _Parser:
                 arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
                 raise CypherSyntaxError(f"{fn} requires a property argument")
+            extra: tuple = ()
+            if self.at("punct", ","):
+                # percentileCont(n.x, 0.5) — the percentile is a literal
+                self.next()
+                pval = self.parse_value(None)
+                if fn not in ("PERCENTILECONT", "PERCENTILEDISC"):
+                    raise CypherSyntaxError(
+                        f"{fn} takes a single argument"
+                    )
+                if not isinstance(pval, (int, float)) or isinstance(
+                    pval, bool
+                ) or not (0 <= pval <= 1):
+                    raise CypherSyntaxError(
+                        "percentile must be a number in [0, 1]"
+                    )
+                extra = (pval,)
+            if fn in ("PERCENTILECONT", "PERCENTILEDISC") and not extra:
+                raise CypherSyntaxError(
+                    f"{fn} requires a percentile argument: {fn}(n.x, 0.5)"
+                )
+            if fn in ("STDEV", "STDEVP", "PERCENTILECONT", "PERCENTILEDISC") and distinct:
+                raise CypherSyntaxError(
+                    f"DISTINCT is not supported inside {fn}"
+                )
             self.expect("punct", ")")
-            return AggCall(fn, arg, distinct)
+            return AggCall(fn, arg, distinct, extra)
         if (
             not allow_bare
             and tok is not None
@@ -1332,6 +1359,9 @@ _AGG_FN_MAP = {
     "MIN": F.min,
     "MAX": F.max,
     "COLLECT": lambda c: F.array_sort(F.collect_list(c)),
+    # Neo4j stdev() is the sample form, stdevp() the population form
+    "STDEV": F.stddev_samp,
+    "STDEVP": F.stddev_pop,
 }
 
 #: DISTINCT inside an aggregate (count(DISTINCT x), collect(DISTINCT x),
@@ -1351,10 +1381,18 @@ _AGG_FN_DISTINCT_MAP = {
 def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
     if call.arg is None:
         return F.count(F.lit(1))
-    fns = _AGG_FN_DISTINCT_MAP if call.distinct else _AGG_FN_MAP
     # _resolve_ref: aggregating a property no write ever created
     # aggregates nulls (count 0 / sum null), not an analysis error
-    return fns[call.fn](_resolve_ref(call.arg, colmap, df))
+    col = _resolve_ref(call.arg, colmap, df)
+    if call.fn == "PERCENTILECONT":
+        # exact linear-interpolated percentile (Neo4j percentileCont)
+        return F.percentile(col, F.lit(call.extra[0]))
+    if call.fn == "PERCENTILEDISC":
+        # nearest actual value (Neo4j percentileDisc): percentile_approx
+        # at maximum accuracy is exact and returns a data element
+        return F.percentile_approx(col, F.lit(call.extra[0]), F.lit(2147483647))
+    fns = _AGG_FN_DISTINCT_MAP if call.distinct else _AGG_FN_MAP
+    return fns[call.fn](col)
 
 
 #: a colmap output that is a bare column reference (every node/edge colmap

@@ -1811,3 +1811,25 @@ def test_computed_order_by(spark):
         cypher_read(
             g, "MATCH (n:User) RETURN n.name AS name ORDER BY frob(name)"
         )
+
+
+def test_statistical_aggregates(spark):
+    g = cypher_create_graph(
+        spark, "CREATE (a:U {x:1}), (b:U {x:2}), (c:U {x:3}), (d:U {x:4})"
+    )
+    r = cypher_read(
+        g,
+        "MATCH (n:U) RETURN percentileCont(n.x, 0.5) AS med, "
+        "percentileDisc(n.x, 0.5) AS dmed, stdev(n.x) AS sd, "
+        "stdevp(n.x) AS sdp",
+    ).collect()[0]
+    assert r["med"] == 2.5           # linear interpolation between 2 and 3
+    assert r["dmed"] == 2            # an actual data value
+    assert round(r["sd"], 6) == round((5 / 3) ** 0.5, 6)   # sample
+    assert round(r["sdp"], 6) == round(1.25 ** 0.5, 6)     # population
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(g, "MATCH (n:U) RETURN percentileCont(n.x) AS m")
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(g, "MATCH (n:U) RETURN percentileCont(n.x, 1.5) AS m")
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(g, "MATCH (n:U) RETURN sum(n.x, 0.5) AS s")
