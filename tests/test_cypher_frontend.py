@@ -1833,3 +1833,27 @@ def test_statistical_aggregates(spark):
         cypher_read(g, "MATCH (n:U) RETURN percentileCont(n.x, 1.5) AS m")
     with pytest.raises(CypherSyntaxError):
         cypher_read(g, "MATCH (n:U) RETURN sum(n.x, 0.5) AS s")
+
+
+def test_parameterized_plan_equals_literal(fixture_graph):
+    # the $param contract: parse-time literal resolution means the
+    # parameterized query produces the IDENTICAL optimized plan as its
+    # literal twin — same pushdown, same broadcast decisions
+    lit = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Alice' RETURN n.born AS b",
+    )
+    par = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = $who RETURN n.born AS b",
+        {"who": "Alice"},
+    )
+    import re as _re
+
+    def norm(df):
+        # expression IDs (#12L) are allocation-order counters, not plan
+        # structure — normalize before comparing
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+", "#x", plan)
+
+    assert norm(lit) == norm(par)
