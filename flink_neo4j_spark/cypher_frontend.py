@@ -2046,6 +2046,28 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             p.expect("punct", "]")
         p.expect("kw", "AS")
         alias = p.expect("word").text
+        # homogeneity check at parse time — a mixed list would otherwise
+        # surface as a Spark cast error at execution (array literals are
+        # monomorphic); int+float promote to float, as in Cypher
+        kinds = set()
+        for v in vals:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                kinds.add("boolean")
+            elif isinstance(v, (int, float)):
+                kinds.add("number")
+            elif isinstance(v, str):
+                kinds.add("string")
+            else:
+                kinds.add(type(v).__name__)
+        if len(kinds) > 1:
+            raise CypherSyntaxError(
+                "UNWIND list must be homogeneous; got mixed "
+                + "/".join(sorted(kinds))
+            )
+        if kinds == {"number"} and any(isinstance(v, float) for v in vals):
+            vals = [None if v is None else float(v) for v in vals]
         spark = graph.vertices.sparkSession
         if vals:
             df = spark.range(1).select(F.explode(F.lit(vals)).alias(alias))

@@ -1857,3 +1857,23 @@ def test_parameterized_plan_equals_literal(fixture_graph):
         return _re.sub(r"#\d+", "#x", plan)
 
     assert norm(lit) == norm(par)
+
+
+def test_unwind_list_homogeneity(fixture_graph):
+    # mixed-type lists are a typed parse error, not a runtime cast crash;
+    # int+float promote to float; null ELEMENTS yield null rows (only a
+    # null/empty LIST produces no rows, per openCypher)
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "UNWIND [1, 'a'] AS x RETURN x")
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(fixture_graph, "UNWIND $xs AS x RETURN x", {"xs": [1, "a"]})
+    assert [
+        r["x"]
+        for r in cypher_read(
+            fixture_graph, "UNWIND [1, 2.5] AS x RETURN x ORDER BY x"
+        ).collect()
+    ] == [1.0, 2.5]
+    rows = cypher_read(
+        fixture_graph, "UNWIND [1, null, 3] AS x RETURN x"
+    ).collect()
+    assert sorted((r["x"] for r in rows), key=lambda v: (v is None, v)) == [1, 3, None]
