@@ -6,6 +6,16 @@ Timing discipline: one warm-up of a tiny query to JIT/codegen-prime the
 session, then each query timed end-to-end (plan + execute + collect). The
 metric value is the total wall time of the full query set — lower is better.
 
+``--top-check`` runs the N (default 10) heaviest queries from the last
+recorded ``BENCH_LOCAL_sf{sf}.json`` TWICE, each pass in its own fresh
+subprocess (fresh JVM, fresh session memos), and writes both timings to
+``BENCH_TOPCHECK_sf{sf}.json``, flagging any query whose two measurements
+spread by more than 1.5x. This is the round-4 lesson (g20 jumped 2.3x
+between rounds with no code change): a single measurement of a heavy
+query is not evidence — two consecutive solo runs either reproduce a
+regression or expose it as session noise in-round, before a verdict has
+to guess.
+
 ``--with-oracle`` additionally times every DuckDB oracle in the SAME
 process run, immediately after the engine pass (Spark session stopped
 first, so neither engine competes for cores), and writes both payloads to
@@ -26,7 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_engine(sf_dir: str) -> dict:
+def run_engine(sf_dir: str, names: list[str] | None = None) -> dict:
     from flink_neo4j_spark.registry import all_queries
     from flink_neo4j_spark.session import get_spark
 
@@ -34,6 +44,8 @@ def run_engine(sf_dir: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
+    if names is not None:
+        queries = {n: queries[n] for n in names if n in queries}
     # Warm-up: run the ENTIRE query set once, untimed, at the smallest scale
     # factor. Each query's first execution pays one-time JVM costs that are
     # plan-shaped, not data-sized — Janino whole-stage-codegen compilation
@@ -93,9 +105,63 @@ def _sf_of(sf_dir: str):
     return float(sf) if sf.replace(".", "", 1).isdigit() else sf
 
 
+def run_topcheck(sf_dir: str, top_n: int = 10) -> dict:
+    """Two fresh-subprocess passes over the heaviest queries; flag spread."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    bench_path = os.path.join(root, f"BENCH_LOCAL_{sfname}.json")
+    with open(bench_path) as fh:
+        last = json.load(fh)
+    heaviest = sorted(last["queries"], key=last["queries"].get, reverse=True)
+    names = sorted(heaviest[:top_n])  # bench order (sorted) within each pass
+
+    passes: list[dict[str, float]] = []
+    for i in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--top-pass", ",".join(names)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            check=True,
+        )
+        passes.append(json.loads(out.stdout.strip().splitlines()[-1])["queries"])
+        print(f"  top-check pass {i + 1}: {passes[-1]}", file=sys.stderr)
+
+    flagged = {}
+    for n in names:
+        a, b = passes[0][n], passes[1][n]
+        spread = round(max(a, b) / max(min(a, b), 1e-9), 3)
+        if spread > 1.5:
+            flagged[n] = {"pass1": a, "pass2": b, "spread": spread}
+    payload = {
+        "sf": _sf_of(sf_dir),
+        "names": names,
+        "pass1": passes[0],
+        "pass2": passes[1],
+        "flagged_spread_gt_1.5x": flagged,
+        "prior_bench": {n: last["queries"][n] for n in names},
+    }
+    topcheck_path = os.path.join(root, f"BENCH_TOPCHECK_{sfname}.json")
+    with open(topcheck_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(f"top-check -> {topcheck_path}; flagged: {list(flagged)}", file=sys.stderr)
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     with_oracle = "--with-oracle" in sys.argv[1:]
+
+    if "--top-check" in sys.argv[1:]:
+        run_topcheck(sf_dir)
+        return
+    if "--top-pass" in sys.argv[1:]:
+        names = sys.argv[sys.argv.index("--top-pass") + 1].split(",")
+        print(json.dumps(run_engine(sf_dir, names=names)))
+        return
 
     payload = run_engine(sf_dir)
     print(json.dumps(payload))
