@@ -2484,9 +2484,21 @@ def cypher_write(
         return graph.create_nodes(batch, node.label)
 
     if p.at("kw", "MERGE"):
-        # UNWIND $rows AS r MERGE (n:L {k: r.k}) [SET n.a = r.a, ...] —
-        # the idempotent upsert the sink generates (unwind_merge_template);
-        # SET applies on match AND create, as in Cypher.
+        # UNWIND $rows AS r MERGE (n:L {k: r.k})
+        #   [ON CREATE SET n.a = ..., ...] [ON MATCH SET n.b = ..., ...]
+        #   [SET n.c = ..., ...]
+        # — the idempotent upsert the sink generates
+        # (unwind_merge_template). Plain SET applies on match AND create,
+        # as in Cypher; ON CREATE SET fires only for rows that insert a new
+        # vertex, ON MATCH SET only for rows that matched an existing one —
+        # Neo4j's canonical conditional-upsert idiom. The two arms may set
+        # the SAME property to DIFFERENT values (ON CREATE SET n.v = 'new'
+        # ON MATCH SET n.v = 'seen'): each arm's values travel in their own
+        # batch column (`__oc_*` / `__om_*`), mapped per-arm by
+        # :meth:`PropertyGraph.merge_nodes`. Assigning one property twice
+        # WITHIN reach of a single arm (e.g. in plain SET and again in
+        # ON MATCH SET) is rejected loudly rather than silently picking a
+        # winner.
         p.next()
         node = p.parse_node(unwind_var=uvar)
         if node.label is None:
@@ -2496,31 +2508,87 @@ def cypher_write(
                 "MERGE pattern needs exactly one key property"
             )
         ((key, key_val),) = node.props.items()
-        updates: dict[str, Any] = {}
-        if p.at("kw", "SET"):
-            p.next()
+
+        def _set_items() -> dict[str, Any]:
+            items: dict[str, Any] = {}
             while True:
                 ref = p.parse_prop_ref()
                 if ref.var != node.var:
                     raise CypherSyntaxError(f"SET target must be {node.var!r}")
+                if ref.prop == key:
+                    raise CypherSyntaxError(
+                        f"cannot SET the MERGE key property {key!r}"
+                    )
+                if ref.prop in items:
+                    raise CypherSyntaxError(
+                        f"property {ref.prop!r} assigned twice in one SET"
+                    )
                 p.expect("op", "=")
-                updates[ref.prop] = p.parse_value(unwind_var=uvar)
+                items[ref.prop] = p.parse_value(unwind_var=uvar)
                 if p.at("punct", ","):
                     p.next()
                     continue
                 break
+            return items
+
+        both: dict[str, Any] = {}
+        arm_create: dict[str, Any] = {}
+        arm_match: dict[str, Any] = {}
+        while True:
+            if p.at("word") and p.peek().text.upper() == "ON":
+                p.next()
+                arm_tok = p.next()
+                if arm_tok.kind != "kw" or arm_tok.text not in ("CREATE", "MATCH"):
+                    raise CypherSyntaxError(
+                        f"expected CREATE or MATCH after ON, got {arm_tok.text!r}"
+                    )
+                p.expect("kw", "SET")
+                arm = arm_create if arm_tok.text == "CREATE" else arm_match
+                if arm:
+                    raise CypherSyntaxError(
+                        f"duplicate ON {arm_tok.text} SET clause"
+                    )
+                arm.update(_set_items())
+            elif p.at("kw", "SET"):
+                if both:
+                    raise CypherSyntaxError("duplicate SET clause")
+                p.next()
+                both.update(_set_items())
+            else:
+                break
+        for arm in (arm_create, arm_match):
+            for prop in arm:
+                if prop in both:
+                    raise CypherSyntaxError(
+                        f"property {prop!r} assigned in both SET and an "
+                        "ON CREATE/ON MATCH arm"
+                    )
         p.expect_end()
         spark = graph.vertices.sparkSession
         data = [
             {
                 key: _resolve(key_val, row),
-                **{c: _resolve(v, row) for c, v in updates.items()},
+                **{c: _resolve(v, row) for c, v in both.items()},
+                **{f"__oc_{c}": _resolve(v, row) for c, v in arm_create.items()},
+                **{f"__om_{c}": _resolve(v, row) for c, v in arm_match.items()},
             }
             for row in rows
         ]
         if not data:
             return graph
-        return graph.merge_nodes(spark.createDataFrame(data), node.label, key)
+        if not arm_create and not arm_match:
+            return graph.merge_nodes(
+                spark.createDataFrame(data), node.label, key
+            )
+        create_map = {c: c for c in both} | {c: f"__oc_{c}" for c in arm_create}
+        match_map = {c: c for c in both} | {c: f"__om_{c}" for c in arm_match}
+        return graph.merge_nodes(
+            spark.createDataFrame(data),
+            node.label,
+            key,
+            on_create=create_map,
+            on_match=match_map,
+        )
 
     p.expect("kw", "MATCH")
     target = p.parse_node(unwind_var=uvar)

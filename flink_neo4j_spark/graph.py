@@ -232,27 +232,82 @@ class PropertyGraph:
         return PropertyGraph(joined.select(*out_cols), self.edges)
 
     def merge_nodes(
-        self, batch: DataFrame, label: str, key: str
+        self,
+        batch: DataFrame,
+        label: str,
+        key: str,
+        on_create: "dict[str, str] | list[str] | None" = None,
+        on_match: "dict[str, str] | list[str] | None" = None,
     ) -> "PropertyGraph":
         """MERGE upsert — ``UNWIND $rows AS r MERGE (n:Label {key: r.key})
         SET n.prop = r.prop`` (the idempotent write form the sink generates
         via ``unwind_merge_template``; retry-safe per SURVEY.md §7 #3).
 
         Rows whose ``key`` matches an existing ``label`` vertex update in
-        place (SET applies on match AND on create, as in Cypher); the rest
-        append as new vertices with ids allocated as in
+        place; the rest append as new vertices with ids allocated as in
         :meth:`create_nodes`. Both arms broadcast the (small) batch; the
         base vertex table never shuffles.
+
+        ``on_create`` / ``on_match`` (Cypher ``MERGE … ON CREATE SET /
+        ON MATCH SET``) say which vertex properties each arm sets and which
+        batch column carries each value: a dict maps vertex property →
+        batch column (so the SAME property can take DIFFERENT values per
+        arm — the ``ON CREATE SET n.v = 1 ON MATCH SET n.v = 2`` counter
+        idiom — by pointing the two arms at two batch columns); a list is
+        shorthand for the identity mapping. Default (both ``None``) =
+        every non-key batch column applies on both arms — the plain
+        trailing ``SET`` form. Neo4j's null contract holds per-arm: an
+        ``on_match`` column carrying null REMOVES the property on matched
+        rows.
         """
         if key not in self.vertices.columns:
             raise ValueError(
                 f"merge key {key!r} not a vertex property; cannot match"
             )
-        upd_cols = [c for c in batch.columns if c != key]
+
+        def _norm(spec) -> dict[str, str] | None:
+            if spec is None:
+                return None
+            if isinstance(spec, dict):
+                return dict(spec)
+            return {c: c for c in spec}
+
+        match_map = _norm(on_match)
+        create_map = _norm(on_create)
+        if match_map is None and create_map is None:
+            match_map = {c: c for c in batch.columns if c != key}
+            create_map = dict(match_map)
+        else:
+            match_map = match_map or {}
+            create_map = create_map or {}
+        for m in (match_map, create_map):
+            for prop, src in m.items():
+                if src not in batch.columns:
+                    raise ValueError(f"batch column {src!r} (for {prop!r}) missing")
+                if prop == key:
+                    raise ValueError(
+                        f"SET on the merge key {key!r} is not supported"
+                    )
+
+        inserts = batch.join(
+            self.vertices.filter(F.col("label") == F.lit(label)).select(
+                F.col(key).alias("_k")
+            ),
+            batch[key] == F.col("_k"),
+            "left_anti",
+        ).select(
+            key, *[F.col(src).alias(prop) for prop, src in create_map.items()]
+        )
+
+        if not match_map:
+            # ON CREATE SET only: matched vertices are untouched — skip the
+            # no-op update join entirely and go straight to the insert arm.
+            return self.create_nodes(inserts, label)
+
         renamed = batch.select(
             F.col(key).alias(f"_u_{key}"),
             F.lit(True).alias("_u__matched"),
-            *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+            *[F.col(src).alias(f"_u_{prop}") for prop, src in match_map.items()],
         )
         cond = (self.vertices[key] == F.col(f"_u_{key}")) & (
             self.vertices["label"] == F.lit(label)
@@ -261,23 +316,16 @@ class PropertyGraph:
         matched = F.coalesce(F.col("_u__matched"), F.lit(False))
         out_cols: list[Column] = []
         for c in self.vertices.columns:
-            if c in upd_cols:
+            if c in match_map:
                 out_cols.append(
                     F.when(matched, F.col(f"_u_{c}")).otherwise(F.col(c)).alias(c)
                 )
             else:
                 out_cols.append(F.col(c))
-        for c in upd_cols:
+        for c in match_map:
             if c not in self.vertices.columns:
                 out_cols.append(F.col(f"_u_{c}").alias(c))
         updated = PropertyGraph(joined.select(*out_cols), self.edges)
-        inserts = batch.join(
-            self.vertices.filter(F.col("label") == F.lit(label)).select(
-                F.col(key).alias("_k")
-            ),
-            batch[key] == F.col("_k"),
-            "left_anti",
-        )
         return updated.create_nodes(inserts, label)
 
     def delete_nodes(

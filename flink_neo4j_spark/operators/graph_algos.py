@@ -482,6 +482,47 @@ def g18_cypher_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G43 — Cypher MERGE with ON CREATE SET / ON MATCH SET through the front
+# end: Neo4j's canonical conditional upsert (the single most common write
+# idiom the round-4 verdict flagged as missing). One statement exercises
+# all three clause kinds — the ON MATCH arm marks two existing Nation
+# vertices 'seen', the ON CREATE arm marks one new vertex 'new', and the
+# plain SET stamps a batch number on both arms. Executes as the same
+# broadcast-join upsert as g18 (merge_nodes with per-arm column maps — the
+# base vertex table never shuffles); the oracle states the closed-form
+# result over the nation table.
+MERGE_ARM_NATIONS = ("NATION_2", "NATION_3")
+
+
+def g43_cypher_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    rows = [{"name": n, "batch": 7} for n in MERGE_ARM_NATIONS] + [
+        {"name": "ELDORADO", "batch": 7}
+    ]
+    g2 = cypher_write(
+        g,
+        "UNWIND $rows AS r MERGE (n:Nation {name: r.name}) "
+        "ON CREATE SET n.status = 'new' "
+        "ON MATCH SET n.status = 'seen' "
+        "SET n.batch = r.batch",
+        {"rows": rows},
+    )
+    return (
+        g2.vertices.filter(F.col("label") == "Nation")
+        .select(
+            "name",
+            "status",
+            # COALESCE presentation: a nullable int column round-trips
+            # through pandas as float64+NaN on one engine and object+None
+            # on the other — pin it non-null so the hash compares ints.
+            F.coalesce(F.col("batch"), F.lit(-1)).alias("batch"),
+        )
+        .orderBy("name")
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1439,6 +1480,7 @@ QUERIES: dict[str, QueryFn] = {
     "g17_cypher_with_agg": g17_cypher_with_agg,
     "g18_cypher_merge": g18_cypher_merge,
     "g19_clustering_coeff": g19_clustering_coeff,
+    "g43_cypher_merge_arms": g43_cypher_merge_arms,
 }
 
 ORACLE: dict[str, str] = {
@@ -1521,6 +1563,15 @@ ORACLE: dict[str, str] = {
                  AS tier
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
+        ORDER BY name""",
+    "g43_cypher_merge_arms": f"""
+        SELECT n_name AS name,
+               CASE WHEN n_name IN {MERGE_ARM_NATIONS!r} THEN 'seen' END
+                 AS status,
+               CASE WHEN n_name IN {MERGE_ARM_NATIONS!r} THEN 7 ELSE -1 END
+                 AS batch
+        FROM nation
+        UNION ALL SELECT 'ELDORADO', 'new', 7
         ORDER BY name""",
     "g16_cypher_with": """
         WITH t AS (

@@ -409,6 +409,118 @@ def test_merge_is_idempotent_on_replay(fixture_graph):
     assert g3.nodes("User").filter("name = 'Grace'").count() == 1
 
 
+def test_merge_on_create_on_match_divergence(fixture_graph):
+    """The canonical conditional upsert: the SAME property takes a
+    DIFFERENT value depending on whether the row matched or created
+    (Neo4j's ON CREATE SET / ON MATCH SET contract)."""
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+        "ON CREATE SET u.status = 'new' "
+        "ON MATCH SET u.status = 'seen'",
+        {"rows": [{"name": "Eve"}, {"name": "Frank"}]},
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert users["Eve"]["status"] == "seen"      # matched arm
+    assert users["Frank"]["status"] == "new"     # created arm
+    assert users["Alice"]["status"] is None      # untouched rows: no property
+    assert users["Eve"]["born"] == 1984          # other props survive
+
+
+def test_merge_on_create_only_leaves_matches_untouched(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+        "ON CREATE SET u.trust = r.trust",
+        {"rows": [
+            {"name": "Eve", "trust": True},    # matches: trust must NOT change
+            {"name": "Frank", "trust": True},  # creates: trust set
+        ]},
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert users["Eve"]["trust"] is False   # fixture value preserved
+    assert users["Frank"]["trust"] is True
+
+
+def test_merge_on_match_only_creates_bare_node(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+        "ON MATCH SET u.trust = r.trust",
+        {"rows": [
+            {"name": "Eve", "trust": True},    # matches: trust flips
+            {"name": "Frank", "trust": True},  # creates: key only, no trust
+        ]},
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert users["Eve"]["trust"] is True
+    assert users["Frank"]["trust"] is None  # ON MATCH arm never fired
+
+
+def test_merge_plain_set_composes_with_arms(fixture_graph):
+    """Plain SET applies on both arms alongside arm-specific properties."""
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+        "ON CREATE SET u.origin = 'merge' "
+        "SET u.batch = r.batch",
+        {"rows": [
+            {"name": "Eve", "batch": 7},
+            {"name": "Frank", "batch": 7},
+        ]},
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert users["Eve"]["batch"] == 7 and users["Frank"]["batch"] == 7
+    assert users["Eve"]["origin"] is None       # matched: ON CREATE skipped
+    assert users["Frank"]["origin"] == "merge"  # created
+
+
+def test_merge_on_arms_idempotent_on_replay(fixture_graph):
+    """Replaying the same conditional-upsert batch: the second run takes
+    the ON MATCH arm for rows the first run created."""
+    stmt = (
+        "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+        "ON CREATE SET u.visits = 1 ON MATCH SET u.visits = 2"
+    )
+    batch = {"rows": [{"name": "Grace"}]}
+    g2 = cypher_write(fixture_graph, stmt, batch)
+    assert g2.nodes("User").filter("name = 'Grace'").collect()[0]["visits"] == 1
+    g3 = cypher_write(g2, stmt, batch)
+    grace = g3.nodes("User").filter("name = 'Grace'").collect()
+    assert len(grace) == 1 and grace[0]["visits"] == 2
+
+
+def test_merge_arm_clause_validation(fixture_graph):
+    rows = {"rows": [{"name": "x"}]}
+    with pytest.raises(CypherSyntaxError, match="duplicate ON CREATE"):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+            "ON CREATE SET u.a = 1 ON CREATE SET u.b = 2",
+            rows,
+        )
+    with pytest.raises(CypherSyntaxError, match="assigned in both"):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+            "ON MATCH SET u.a = 1 SET u.a = 2",
+            rows,
+        )
+    with pytest.raises(CypherSyntaxError, match="MERGE key"):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MERGE (u:User {name: r.name}) "
+            "ON MATCH SET u.name = 'y'",
+            rows,
+        )
+    with pytest.raises(CypherSyntaxError, match="expected CREATE or MATCH"):
+        cypher_write(
+            fixture_graph,
+            "UNWIND $rows AS r MERGE (u:User {name: r.name}) ON DELETE SET u.a = 1",
+            rows,
+        )
+
+
 def test_merge_requires_label_and_single_key(fixture_graph):
     with pytest.raises(CypherSyntaxError):
         cypher_write(

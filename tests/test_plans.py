@@ -983,6 +983,16 @@ PLAN_BUDGETS = {
     "d18_match_spans": (1, 6),
     "g15_also_bought": (1, 8),
     "g22_kcore": (1, 6),
+    # round 5: the two remaining un-budgeted top-5 cost centers. Measured
+    # 0/10 and 0/14 (both read the memoized localCheckpointed projections;
+    # g34's exchange count includes its two justified 1-row broadcast
+    # nested-loop sides). The round-4 "g20 regressed 2.3x" flag resolved
+    # as measurement noise: two fresh-subprocess solo runs (bench.py
+    # --top-check) put g20 at 2.48 s / 3.77 s vs round 3's 2.32 s, with
+    # the second pass inflated machine-wide by concurrent load — the
+    # round-4 5.26 s was a loaded-session outlier, not a plan change.
+    "g20_node_similarity": (1, 12),
+    "g34_copurchase_pmi": (1, 16),
 }
 
 
