@@ -1138,8 +1138,9 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         return F.to_json(F.struct(*[c.alias(p) for p, c in cols]))
     if call.fn == "labels":
         # single-label vertex model (SURVEY §1.1): labels(n) is the
-        # one-element list [n.label], matching Neo4j's list return shape
-        return F.array(resolve(call.arg))
+        # one-element list [n.label], matching Neo4j's list return shape;
+        # array_compact collapses a REMOVEd (null) label to Neo4j's []
+        return F.array_compact(F.array(resolve(call.arg)))
     if call.fn == "type":
         return resolve(call.arg)
     if call.fn == "coalesce":
@@ -2772,17 +2773,55 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     if p.at("kw", "SET") or p.at("kw", "REMOVE"):
         removing = p.next().text.upper() == "REMOVE"
         values: dict[str, Any] = {}
+        set_label: str | None = None
+        remove_label: str | None = None
         while True:
-            ref = p.parse_prop_ref()
-            if ref.var != target.var or ref.prop is None:
-                raise CypherSyntaxError(
-                    f"SET/REMOVE target must be {target.var!r}.<property>"
-                )
-            if removing:
-                values[ref.prop] = None
+            # `n:Label` item — label mutation (SET n:Archived / REMOVE
+            # n:Archived). Under the single-label vertex model (SURVEY
+            # §1.1) SET REPLACES the vertex's label (Neo4j would add a
+            # second one — multi-label is out of model, so one label per
+            # SET, loudly); REMOVE null-outs the label only where the
+            # vertex currently carries it, and labels(n) then reads [].
+            if (
+                p.at("word")
+                and p.peek(1) is not None
+                and p.peek(1).kind == "punct"
+                and p.peek(1).text == ":"
+            ):
+                lvar = p.next().text
+                p.next()  # ':'
+                lbl = p.expect("word").text
+                if lvar != target.var:
+                    raise CypherSyntaxError(
+                        f"SET/REMOVE target must be {target.var!r}"
+                    )
+                if removing:
+                    if remove_label is not None:
+                        raise CypherSyntaxError(
+                            "one label per REMOVE (single-label model)"
+                        )
+                    remove_label = lbl
+                else:
+                    if set_label is not None:
+                        raise CypherSyntaxError(
+                            "one label per SET (single-label model)"
+                        )
+                    set_label = lbl
             else:
-                p.expect("op", "=")
-                values[ref.prop] = p.parse_value(None)
+                ref = p.parse_prop_ref()
+                if ref.var != target.var or ref.prop is None:
+                    raise CypherSyntaxError(
+                        f"SET/REMOVE target must be {target.var!r}.<property>"
+                    )
+                if ref.prop == "label":
+                    raise CypherSyntaxError(
+                        "the label is set with SET n:Label, not as a property"
+                    )
+                if removing:
+                    values[ref.prop] = None
+                else:
+                    p.expect("op", "=")
+                    values[ref.prop] = p.parse_value(None)
             if p.at("punct", ","):
                 p.next()
                 continue
@@ -2803,6 +2842,21 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
             if c in values:
                 out.append(
                     F.when(matched, F.lit(values[c])).otherwise(F.col(c)).alias(c)
+                )
+            elif c == "label" and set_label is not None:
+                out.append(
+                    F.when(matched, F.lit(set_label))
+                    .otherwise(F.col("label"))
+                    .alias("label")
+                )
+            elif c == "label" and remove_label is not None:
+                out.append(
+                    F.when(
+                        matched & (F.col("label") == remove_label),
+                        F.lit(None).cast("string"),
+                    )
+                    .otherwise(F.col("label"))
+                    .alias("label")
                 )
             else:
                 out.append(F.col(c))

@@ -523,6 +523,39 @@ def g43_cypher_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G44 — Cypher label mutation: ``SET n:Label`` / ``REMOVE n:Label``
+# through the front end. Under the single-label vertex model (SURVEY
+# §1.1) SET replaces the vertex's label and REMOVE null-outs it where the
+# vertex currently carries it — both ONE conditional projection over the
+# vertex frame (no join, no shuffle). The read-back exercises Neo4j's
+# labels() contract end-to-end: relabeled vertex reads its new label,
+# label-REMOVEd vertex reads the empty list.
+LABEL_SET_NATIONS = ("NATION_2", "NATION_3")
+
+
+def g44_cypher_label_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    a, b = LABEL_SET_NATIONS
+    g2 = cypher_write(
+        g,
+        f"MATCH (n:Nation) WHERE n.name = '{a}' OR n.name = '{b}' "
+        "SET n:ArchivedNation",
+    )
+    g3 = cypher_write(
+        g2,
+        f"MATCH (n:ArchivedNation) WHERE n.name = '{b}' "
+        "REMOVE n:ArchivedNation",
+    )
+    return cypher_read(
+        g3,
+        f"MATCH (n) WHERE n.name = 'NATION_1' OR n.name = '{a}' "
+        f"OR n.name = '{b}' "
+        "RETURN n.name AS name, labels(n) AS labels ORDER BY name",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1481,6 +1514,7 @@ QUERIES: dict[str, QueryFn] = {
     "g18_cypher_merge": g18_cypher_merge,
     "g19_clustering_coeff": g19_clustering_coeff,
     "g43_cypher_merge_arms": g43_cypher_merge_arms,
+    "g44_cypher_label_set": g44_cypher_label_set,
 }
 
 ORACLE: dict[str, str] = {
@@ -1563,6 +1597,17 @@ ORACLE: dict[str, str] = {
                  AS tier
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
+        ORDER BY name""",
+    "g44_cypher_label_set": f"""
+        SELECT n_name AS name,
+               CASE WHEN n_name = '{LABEL_SET_NATIONS[0]}'
+                      THEN ['ArchivedNation']
+                    WHEN n_name = '{LABEL_SET_NATIONS[1]}'
+                      THEN CAST([] AS VARCHAR[])
+                    ELSE ['Nation'] END AS labels
+        FROM nation
+        WHERE n_name IN ('NATION_1', '{LABEL_SET_NATIONS[0]}',
+                         '{LABEL_SET_NATIONS[1]}')
         ORDER BY name""",
     "g43_cypher_merge_arms": f"""
         SELECT n_name AS name,

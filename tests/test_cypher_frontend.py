@@ -409,6 +409,63 @@ def test_merge_is_idempotent_on_replay(fixture_graph):
     assert g3.nodes("User").filter("name = 'Grace'").count() == 1
 
 
+def test_set_label_relabels_matched_rows(fixture_graph):
+    """SET n:Label replaces the vertex label (single-label model) for
+    matched rows only; labels() reads the new value back."""
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.trust = true SET n:TrustedUser",
+    )
+    assert g2.nodes("TrustedUser").count() == 2      # Alice, Bob
+    assert g2.nodes("User").count() == 1             # Eve keeps User
+    rows = cypher_read(
+        g2, "MATCH (n:TrustedUser) RETURN n.name AS name, labels(n) AS l",
+    ).collect()
+    assert all(r["l"] == ["TrustedUser"] for r in rows)
+
+
+def test_set_label_composes_with_property_set(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Eve' SET n:Suspended, n.active = false",
+    )
+    eve = g2.nodes("Suspended").collect()
+    assert len(eve) == 1 and eve[0]["active"] is False
+    # non-matched rows: label and new property untouched
+    alice = g2.nodes("User").filter("name = 'Alice'").collect()[0]
+    assert alice["active"] is None
+
+
+def test_remove_label_nulls_only_carriers(fixture_graph):
+    """REMOVE n:Label null-outs the label only where the vertex carries
+    it; labels() then reads Neo4j's empty list."""
+    g2 = cypher_write(
+        fixture_graph, "MATCH (n) WHERE n.name = 'Eve' REMOVE n:User"
+    )
+    assert g2.nodes("User").count() == 2
+    bare = g2.vertices.filter("label IS NULL").collect()
+    assert len(bare) == 1 and bare[0]["name"] == "Eve"
+    rows = cypher_read(
+        g2, "MATCH (n) WHERE n.name = 'Eve' RETURN labels(n) AS l"
+    ).collect()
+    assert rows[0]["l"] == []
+    # REMOVE of a label the match set does not carry is a no-op
+    g3 = cypher_write(
+        fixture_graph, "MATCH (n) WHERE n.name = 'Alice' REMOVE n:Ghost"
+    )
+    assert g3.nodes("User").count() == 3
+
+
+def test_label_mutation_validation(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="one label per SET"):
+        cypher_write(fixture_graph, "MATCH (n:User) SET n:A, n:B")
+    with pytest.raises(CypherSyntaxError, match="SET n:Label"):
+        cypher_write(fixture_graph, "MATCH (n:User) SET n.label = 'A'")
+    with pytest.raises(CypherSyntaxError):
+        # label mutation must target the matched variable
+        cypher_write(fixture_graph, "MATCH (n:User) SET m:A")
+
+
 def test_merge_on_create_on_match_divergence(fixture_graph):
     """The canonical conditional upsert: the SAME property takes a
     DIFFERENT value depending on whether the row matched or created
