@@ -85,7 +85,7 @@ _TOKEN_RE = re.compile(
   | (?P<arrow><-\[|-\[|\]->|\]-)
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<op><>|<=|>=|=~|=|<|>|\+|-|/|%)
-  | (?P<punct>[(){}:,.\$*\[\]])
+  | (?P<punct>[(){}:,.\$*\[\]|])
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
 """,
@@ -254,6 +254,19 @@ class BinOp:
 
 
 @dataclass
+class ListComp:
+    """List comprehension ``[x IN <list> [WHERE <pred>] [| <expr>]]`` —
+    compiled to Spark's higher-order ``filter``/``transform`` (JVM
+    lambdas, zero Python). ``pred`` is a parse_where disjunction over the
+    loop variable (bare) and outer scope; ``expr`` None = identity."""
+
+    var: str
+    source: Any
+    pred: Any = None
+    expr: Any = None
+
+
+@dataclass
 class ReturnItem:
     expr: PropRef | AggCall
     alias: str | None
@@ -275,7 +288,7 @@ _FN_ARITY = {
     "ceil": (1, 1), "floor": (1, 1), "round": (1, 2), "head": (1, 1),
     "last": (1, 1), "size": (1, 1), "left": (2, 2), "right": (2, 2),
     "split": (2, 2), "substring": (2, 3), "replace": (3, 3),
-    "coalesce": (1, None),
+    "coalesce": (1, None), "range": (2, 3),
 }
 
 #: hard ceiling on variable-length path expansion: each extra hop is one
@@ -605,7 +618,20 @@ class _Parser:
                     disj.append([])
                     continue
                 return disj
-            if self._at_scalar_fn():
+            if unwind_var is None:
+                # read context: a full arithmetic expression may appear on
+                # either side of the comparison (``WHERE x % 3 = 0``,
+                # ``WHERE y > x * 10`` inside comprehensions). Arithmetic
+                # parsing never consumes comparison ops or AND/OR, so the
+                # condition structure is unchanged; aggregates stay
+                # rejected (filter on a WITH alias instead).
+                left = self.parse_return_expr(allow_bare)
+                if isinstance(left, AggCall):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed in WHERE; compute the "
+                        "aggregate in a WITH stage and filter on its alias"
+                    )
+            elif self._at_scalar_fn():
                 left = self._parse_primary_expr(allow_bare)
             else:
                 left = self.parse_prop_ref(allow_bare)
@@ -659,7 +685,16 @@ class _Parser:
                 disj[-1].append(Cond(left, "TRUTHY", None))
             else:
                 op = self.expect("op").text
-                right = self.parse_operand(unwind_var)
+                if unwind_var is None:
+                    right = self.parse_return_expr(allow_bare)
+                    if isinstance(right, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed in WHERE; compute "
+                            "the aggregate in a WITH stage and filter on "
+                            "its alias"
+                        )
+                else:
+                    right = self.parse_operand(unwind_var)
                 if op == "=~" and not isinstance(right, str):
                     raise CypherSyntaxError(
                         "=~ requires a string regex literal on the right"
@@ -777,6 +812,8 @@ class _Parser:
             node = self.parse_return_expr(allow_bare)
             self.expect("punct", ")")
             return node
+        if self.at("punct", "["):
+            return self._parse_list_expr(allow_bare)
         tok = self.peek()
         if tok is not None and tok.kind == "number":
             self.next()
@@ -788,6 +825,64 @@ class _Parser:
         ):
             return self.parse_value(None)
         return self._parse_primary_expr(allow_bare)
+
+    def _parse_list_expr(self, allow_bare: bool):
+        """``[`` in expression position: either a list comprehension
+        ``[x IN <expr> [WHERE pred] [| expr]]`` (lookahead: word IN) or a
+        literal list ``[1, 2, 3]`` (homogeneous scalars, as in UNWIND)."""
+        self.expect("punct", "[")
+        if (
+            self.at("word")
+            and self.peek(1) is not None
+            and self.peek(1).kind == "word"
+            and self.peek(1).text.upper() == "IN"
+        ):
+            var = self.next().text
+            self.next()  # IN
+            source = self.parse_return_expr(allow_bare)
+            if isinstance(source, AggCall):
+                raise CypherSyntaxError(
+                    "comprehension over an aggregate needs a WITH stage first"
+                )
+            pred = None
+            if self.at("kw", "WHERE"):
+                self.next()
+                pred = self.parse_where(allow_bare=True)
+            mapped = None
+            if self.at("punct", "|"):
+                self.next()
+                mapped = self.parse_return_expr(allow_bare=True)
+                if isinstance(mapped, AggCall):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed inside a comprehension"
+                    )
+            self.expect("punct", "]")
+            return ListComp(var, source, pred, mapped)
+        vals: list[Any] = []
+        if not self.at("punct", "]"):
+            while True:
+                vals.append(self.parse_value(None))
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+        self.expect("punct", "]")
+        kinds = {
+            "boolean" if isinstance(v, bool)
+            else "number" if isinstance(v, (int, float))
+            else "string" if isinstance(v, str)
+            else type(v).__name__
+            for v in vals
+            if v is not None
+        }
+        if len(kinds) > 1:
+            raise CypherSyntaxError(
+                "list literal must be homogeneous; got mixed "
+                + "/".join(sorted(kinds))
+            )
+        if kinds == {"number"} and any(isinstance(v, float) for v in vals):
+            vals = [None if v is None else float(v) for v in vals]
+        return vals
 
     def parse_case(self, allow_bare: bool = False) -> CaseExpr:
         """``CASE [x] WHEN ... THEN ... [ELSE ...] END`` — the generic form
@@ -1148,9 +1243,34 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
     if call.fn == "size":
         col = resolve(call.arg)
         # analysis-only probe (no job) — computed args (size(split(...)))
-        # dispatch on their resolved type, not just plain column names
-        dtype = df.select(col.alias("__sz")).schema[0].dataType.simpleString()
+        # dispatch on their resolved type, not just plain column names.
+        # Inside a comprehension lambda the arg column itself cannot be
+        # analyzed against df (lambda variables are scope-local), so the
+        # colmap supplies a same-typed probe twin built on real columns.
+        probe_map = getattr(colmap, "probe", None)
+        probe_col = (
+            _expr_column(call.arg, probe_map, df) if probe_map is not None else col
+        )
+        dtype = (
+            df.select(probe_col.alias("__sz")).schema[0].dataType.simpleString()
+        )
         return F.size(col) if dtype.startswith("array") else F.length(col)
+    if call.fn == "range":
+        # Cypher range(lo, hi[, step]): INCLUSIVE bounds, default step 1,
+        # empty when the step points away from hi. Compiles to Spark's
+        # sequence() guarded by the direction check (sequence raises on a
+        # mismatched direction where Cypher returns []); literal step 0
+        # is rejected at compile time like Neo4j's runtime error.
+        if len(call.extra) > 1 and isinstance(call.extra[1], (int, float)):
+            if call.extra[1] == 0:
+                raise CypherSyntaxError("range() step must be non-zero")
+        args = [resolve(a).cast("long") for a in (call.arg, *call.extra)]
+        lo, hi = args[0], args[1]
+        step = args[2] if len(args) > 2 else F.lit(1).cast("long")
+        nonempty = ((step > 0) & (hi >= lo)) | ((step < 0) & (hi <= lo))
+        return F.when(nonempty, F.sequence(lo, hi, step)).otherwise(
+            F.lit([]).cast("array<bigint>")
+        )
     args = [resolve(a) for a in (call.arg, *call.extra)]
     if call.fn == "round":
         if len(args) == 1:
@@ -1261,6 +1381,59 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         if expr.default is not None:
             col = col.otherwise(_expr_column(expr.default, colmap, df))
         return col
+    if isinstance(expr, ListComp):
+        # [x IN src WHERE pred | mapped] → filter/transform higher-order
+        # functions: the lambdas run inside codegen'd JVM expressions (no
+        # Python, no explode/re-group shuffle). Loop-variable references
+        # resolve to the lambda argument; everything else falls through to
+        # the enclosing scope's colmap, so outer columns are usable inside
+        # the comprehension (Cypher closure semantics).
+        src = _expr_column(expr.source, colmap, df)
+
+        def _sub_colmap(arg_col):
+            def sub(ref):
+                if isinstance(ref, BareRef) and ref.name == expr.var:
+                    return arg_col
+                if isinstance(ref, PropRef) and ref.var == expr.var:
+                    if ref.prop is None:
+                        return arg_col
+                    raise CypherSyntaxError(
+                        f"comprehension variable {expr.var!r} is a scalar; "
+                        f"it has no property {ref.prop!r}"
+                    )
+                return colmap(ref)
+
+            def probe(ref):
+                # type-probe twin: the loop variable as the source's first
+                # element — same dtype, but resolvable against df (lambda
+                # arguments are not); used only by size()'s type dispatch
+                if (isinstance(ref, BareRef) and ref.name == expr.var) or (
+                    isinstance(ref, PropRef)
+                    and ref.var == expr.var
+                    and ref.prop is None
+                ):
+                    return F.try_element_at(src, F.lit(1))
+                return colmap(ref)
+
+            probe.lambda_vars = (expr.var,)
+            sub.probe = probe
+            sub.lambda_vars = (expr.var,)
+            return sub
+
+        out = src
+        if expr.pred is not None:
+            out = F.filter(
+                out,
+                lambda c: F.coalesce(
+                    _where_to_column(expr.pred, _sub_colmap(c), None, df),
+                    F.lit(False),
+                ),
+            )
+        if expr.expr is not None:
+            out = F.transform(
+                out, lambda c: _expr_column(expr.expr, _sub_colmap(c), df)
+            )
+        return out
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
     if isinstance(expr, (PropRef, BareRef)):
@@ -1416,6 +1589,11 @@ def _ref_is_missing(ref, colmap, have: set[str]) -> bool:
     names themselves and raise first, so they never reach this check."""
     if not isinstance(ref, (PropRef, BareRef)):
         return False
+    lam = getattr(colmap, "lambda_vars", ())
+    if (isinstance(ref, BareRef) and ref.name in lam) or (
+        isinstance(ref, PropRef) and ref.var in lam
+    ):
+        return False  # comprehension loop variable — always bound
     name = _plain_name(colmap(ref))
     return name is not None and name not in have
 
@@ -2030,6 +2208,48 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # ``UNWIND [1, 2, 3] AS x RETURN x * 2 AS y``. Planned as a
         # one-row local relation exploded driver-side (no scan).
         p.next()
+        if (
+            p.at("word")
+            and p.peek().text == "range"
+            and p.peek(1) is not None
+            and p.peek(1).text == "("
+        ):
+            # UNWIND range(lo, hi[, step]) AS x — THE Cypher batch-row
+            # generator (`UNWIND range(1, n)`). Compiled to spark.range:
+            # a distributed, lazily-generated row source (splits across
+            # executors) — never a driver-side literal array, so
+            # range(1, 10^9) behaves like any other scan at scale.
+            p.next()
+            p.expect("punct", "(")
+            rargs: list[int] = []
+            while True:
+                v = p.parse_value(None)
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise CypherSyntaxError(
+                        "range() bounds in UNWIND must be integer "
+                        "literals or integer parameters"
+                    )
+                rargs.append(v)
+                if p.at("punct", ","):
+                    p.next()
+                    continue
+                break
+            p.expect("punct", ")")
+            if len(rargs) not in (2, 3):
+                raise CypherSyntaxError("range() takes 2 or 3 arguments")
+            lo, hi = rargs[0], rargs[1]
+            step = rargs[2] if len(rargs) > 2 else 1
+            if step == 0:
+                raise CypherSyntaxError("range() step must be non-zero")
+            p.expect("kw", "AS")
+            alias = p.expect("word").text
+            spark = graph.vertices.sparkSession
+            # inclusive hi → exclusive end, stepping toward the bound;
+            # a step pointing away yields the empty relation, as in Cypher
+            df = spark.range(lo, hi + (1 if step > 0 else -1), step).select(
+                F.col("id").alias(alias)
+            )
+            return _finish_read(df, _bare_colmap({alias}), p, bare=True)
         if p.at("punct", "$"):
             vals = p.parse_value(None)
             if not isinstance(vals, list):

@@ -556,6 +556,49 @@ def g44_cypher_label_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G45 — Cypher range() as an UNWIND row source feeding an aggregate:
+# ``UNWIND range(1, n)`` is THE Cypher batch-generation idiom (seed rows,
+# synthetic ids, retry fan-out). The front end compiles a standalone
+# range source to ``spark.range`` — a distributed, lazily-generated
+# relation that splits across executors (never a driver-side literal
+# array), so range(1, 10^9) scales like any scan; the WITH stage and
+# aggregate run as ordinary projections over it.
+RANGE_AGG_N = 5000
+
+
+def g45_cypher_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        f"UNWIND range(1, {RANGE_AGG_N}) AS x "
+        "WITH x * x AS sq "
+        "RETURN count(*) AS n, sum(sq) AS sum_sq",
+    )
+
+
+# G46 — Cypher list comprehension ``[w IN list WHERE pred | expr]`` over a
+# per-row split: compiles to Spark's higher-order filter/transform (JVM
+# lambda expressions inside codegen — zero Python, zero explode/re-group
+# shuffle), with size()'s type dispatch resolved through a same-typed
+# probe twin because lambda variables cannot be analyzed against the
+# frame. The oracle states the identical pipeline with DuckDB's
+# list_filter/list_transform lambdas.
+def g46_cypher_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer) "
+        "WITH c.name AS name, "
+        "[w IN split(c.name, '0') WHERE size(w) > 1 | toLower(w)] AS segs "
+        "RETURN name, segs, size(segs) AS nsegs "
+        "ORDER BY name LIMIT 50",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1515,6 +1558,8 @@ QUERIES: dict[str, QueryFn] = {
     "g19_clustering_coeff": g19_clustering_coeff,
     "g43_cypher_merge_arms": g43_cypher_merge_arms,
     "g44_cypher_label_set": g44_cypher_label_set,
+    "g45_cypher_range_agg": g45_cypher_range_agg,
+    "g46_cypher_comprehension": g46_cypher_comprehension,
 }
 
 ORACLE: dict[str, str] = {
@@ -1598,6 +1643,19 @@ ORACLE: dict[str, str] = {
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
         ORDER BY name""",
+    "g45_cypher_range_agg": f"""
+        SELECT COUNT(*) AS n, CAST(SUM(x * x) AS BIGINT) AS sum_sq
+        FROM generate_series(1, {RANGE_AGG_N}) t(x)""",
+    "g46_cypher_comprehension": """
+        SELECT c_name AS name,
+               list_transform(
+                 list_filter(string_split(c_name, '0'),
+                             w -> length(w) > 1),
+                 w -> lower(w)) AS segs,
+               CAST(len(list_filter(string_split(c_name, '0'),
+                                    w -> length(w) > 1)) AS BIGINT) AS nsegs
+        FROM customer
+        ORDER BY name LIMIT 50""",
     "g44_cypher_label_set": f"""
         SELECT n_name AS name,
                CASE WHEN n_name = '{LABEL_SET_NATIONS[0]}'

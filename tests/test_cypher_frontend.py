@@ -409,6 +409,124 @@ def test_merge_is_idempotent_on_replay(fixture_graph):
     assert g3.nodes("User").filter("name = 'Grace'").count() == 1
 
 
+def test_unwind_range_inclusive_and_steps(fixture_graph):
+    read = lambda q: [r[0] for r in cypher_read(fixture_graph, q).collect()]
+    assert read("UNWIND range(1, 5) AS x RETURN x") == [1, 2, 3, 4, 5]
+    assert read("UNWIND range(5, 1, -2) AS x RETURN x") == [5, 3, 1]
+    assert read("UNWIND range(0, 10, 3) AS x RETURN x") == [0, 3, 6, 9]
+    # step pointing away from the bound: empty, as in Cypher
+    assert read("UNWIND range(2, 1) AS x RETURN x") == []
+    assert read("UNWIND range(1, 2, -1) AS x RETURN x") == []
+    with pytest.raises(CypherSyntaxError, match="non-zero"):
+        cypher_read(fixture_graph, "UNWIND range(1, 5, 0) AS x RETURN x")
+
+
+def test_unwind_range_plans_as_spark_range(fixture_graph):
+    """The standalone range source must be a distributed Range relation,
+    not a driver-materialized literal array."""
+    df = cypher_read(fixture_graph, "UNWIND range(1, 1000000) AS x RETURN x")
+    assert "Range" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_as_scalar_function(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND range(1, 3) AS x RETURN x, [y IN range(1, x)] AS prefix "
+        "ORDER BY x",
+    ).collect()
+    assert [r["prefix"] for r in rows] == [[1], [1, 2], [1, 2, 3]]
+
+
+def test_pipeline_unwind_range_over_column(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [2, 3] AS n UNWIND range(1, n) AS i RETURN n, i",
+    ).collect()
+    assert [(r["n"], r["i"]) for r in rows] == [
+        (2, 1), (2, 2), (3, 1), (3, 2), (3, 3)
+    ]
+
+
+def test_comprehension_filter_and_map(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS one "
+        "RETURN [y IN [1, 2, 3, 4] WHERE y > 2 | y * 10] AS ys",
+    ).collect()
+    assert rows[0]["ys"] == [30, 40]
+
+
+def test_comprehension_identity_and_filter_only(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND range(1, 3) AS x WITH collect(x) AS xs "
+        "RETURN [y IN xs] AS same, [y IN xs WHERE y <> 2] AS kept",
+    ).collect()
+    assert rows[0]["same"] == [1, 2, 3]
+    assert rows[0]["kept"] == [1, 3]
+
+
+def test_comprehension_closes_over_outer_scope(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1, 2, 3] AS x "
+        "RETURN x, [y IN [10, 20, 30] WHERE y > x * 10 | y] AS bigger "
+        "ORDER BY x",
+    ).collect()
+    assert [r["bigger"] for r in rows] == [[20, 30], [30], []]
+
+
+def test_comprehension_size_dispatch_inside_lambda(fixture_graph):
+    """size() on the loop variable cannot be analyzed against the frame
+    (lambda variables are scope-local) — the probe-twin dispatch must
+    still pick array-vs-string correctly."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[w IN split(n.name, 'o') WHERE size(w) > 1 | toUpper(w)] AS ws "
+        "ORDER BY name",
+    ).collect()
+    assert [r["ws"] for r in rows] == [["ALICE"], [], ["EVE"]]
+
+
+def test_arithmetic_where_operands(fixture_graph):
+    """Full arithmetic on either side of a WHERE comparison (read
+    contexts): the modulo-bucket idiom and expression-vs-expression."""
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND range(1, 10) AS x WITH x WHERE x % 3 = 0 "
+        "RETURN sum(x) AS s",
+    ).collect()
+    assert rows[0]["s"] == 18  # 3 + 6 + 9
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.born + 1 > 1984 "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve"]
+    with pytest.raises(CypherSyntaxError, match="aggregates are not allowed"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE count(*) > 1 RETURN n.name",
+        )
+
+
+def test_comprehension_variable_has_no_properties(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="no property"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS one RETURN [y IN [1, 2] | y.prop] AS ys",
+        ).collect()
+
+
+def test_list_literal_expression_homogeneity(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="homogeneous"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS one RETURN [y IN [1, 'a'] | y] AS ys",
+        )
+
+
 def test_set_label_relabels_matched_rows(fixture_graph):
     """SET n:Label replaces the vertex label (single-label model) for
     matched rows only; labels() reads the new value back."""
