@@ -1033,7 +1033,11 @@ class _Parser:
                         f"{fn} over a whole pattern variable is not "
                         "supported; aggregate a property"
                     )
-                arg = PropRef(var, None)
+                # count(n): non-null internal-id bindings. collect(n):
+                # the SAME full struct RETURN n projects (id + meta +
+                # properties) — never the bare engine-internal id list,
+                # mirroring Neo4j's collect of node maps.
+                arg = WholeVar(var) if fn == "COLLECT" else PropRef(var, None)
             else:
                 arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
@@ -1116,27 +1120,22 @@ class _Parser:
                 # sort-by-projected-expression idioms `ORDER BY n.prop` /
                 # `ORDER BY count(*)` — an expression that must match a
                 # projected item (resolved in _order_columns)
-                tok = self.peek()
-                if self._at_scalar_fn():
-                    # ORDER BY toLower(name) — a computed sort key over
-                    # the projected output names (hence allow_bare)
-                    key: "str | PropRef | AggCall" = self._parse_primary_expr(
-                        allow_bare=True
-                    )
-                elif (
-                    tok is not None
-                    and tok.kind == "word"
-                    and tok.text.upper() in _AGG_FNS
-                    and self.peek(1) is not None
-                    and self.peek(1).text == "("
+                # full expression parse: alias words, n.prop, aggregates,
+                # scalar fns, AND arithmetic (``ORDER BY born - 1``) all
+                # come out of the one grammar; a bare word collapses back
+                # to the string-alias form _order_columns resolves first
+                key: "str | PropRef | AggCall" = self.parse_return_expr(
+                    allow_bare=True
+                )
+                if isinstance(key, BareRef):
+                    key = key.name
+                if not isinstance(
+                    key, (str, PropRef, AggCall, FuncCall, BinOp, CaseExpr)
                 ):
-                    key = self._parse_primary_expr(allow_bare)
-                else:
-                    word = self.expect("word").text
-                    key = word
-                    if self.at("punct", "."):
-                        self.next()
-                        key = PropRef(word, self.expect("word").text)
+                    raise CypherSyntaxError(
+                        "ORDER BY key must be a column, expression, or "
+                        "aggregate — not a literal"
+                    )
                 asc = True
                 if self._at_word_ci("ASC"):
                     self.next()
@@ -1516,6 +1515,8 @@ def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
             return "count"
         if isinstance(ref.arg, BareRef):
             return f"{ref.fn.lower()}_{ref.arg.name}"
+        if isinstance(ref.arg, WholeVar):
+            return f"{ref.fn.lower()}_{ref.arg.var}"
         return f"{ref.fn.lower()}_{ref.arg.var}_{ref.arg.prop or 'id'}"
     if isinstance(ref, BareRef):
         return ref.name
@@ -1555,6 +1556,15 @@ _AGG_FN_DISTINCT_MAP = {
 def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
     if call.arg is None:
         return F.count(F.lit(1))
+    if isinstance(call.arg, WholeVar):
+        # collect(n): the whole-variable struct, null where the binding
+        # itself is null (failed OPTIONAL MATCH) so collect skips it like
+        # Neo4j — a struct of null fields is not itself null, hence the
+        # explicit id-null gate.
+        idcol = colmap(PropRef(call.arg.var, None))
+        col = F.when(idcol.isNotNull(), _expr_column(call.arg, colmap, df))
+        fns = _AGG_FN_DISTINCT_MAP if call.distinct else _AGG_FN_MAP
+        return fns[call.fn](col)
     # _resolve_ref: aggregating a property no write ever created
     # aggregates nulls (count 0 / sum null), not an analysis error
     col = _resolve_ref(call.arg, colmap, df)
@@ -1683,7 +1693,29 @@ def _where_to_column(
             elif cond.op in string_ops:
                 one = string_ops[cond.op](opcol(cond.left), right)
             elif cond.op == "TRUTHY":
-                one = opcol(cond.left) == F.lit(True)
+                c = opcol(cond.left)
+                if df is not None:
+                    # Neo4j raises a type error on a non-boolean bare
+                    # predicate (WHERE n.count); Spark's implicit cast
+                    # would silently match value-1 rows instead — probe
+                    # the operand dtype (analysis only, no job) and keep
+                    # the raises-rather-than-mis-answers contract. Lambda
+                    # variables (comprehension WHERE) cannot be analyzed
+                    # against the frame — skip the probe there.
+                    try:
+                        dtype = (
+                            df.select(c.alias("__t"))
+                            .schema[0]
+                            .dataType.simpleString()
+                        )
+                    except Exception:
+                        dtype = None
+                    if dtype is not None and dtype != "boolean":
+                        raise CypherSyntaxError(
+                            "bare predicate must be boolean; got "
+                            f"{dtype} — write an explicit comparison"
+                        )
+                one = c == F.lit(True)
             elif cond.op in null_ops:
                 one = null_ops[cond.op](opcol(cond.left))
             else:

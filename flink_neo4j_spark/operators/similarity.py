@@ -494,21 +494,45 @@ def s10_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("nfp").cast("decimal(38,0)") * F.col("nfp")
         ).alias("s2"),
+        F.max(F.abs(F.col("nfp"))).alias("nfp_max"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
     # Variance numerator n·Σx² − (Σx)² held EXACTLY in decimal(38,0)
-    # (~1e23 at this scale, ~1e36 headroom at n=1e9 rows): the naive
-    # E[x²]−E[x]² float subtraction on values centered at ~1e9 with a
-    # ~10-unit spread cancels ~7% of sigma (measured 1408 vs exact 1318
-    # at sf0.01) and can even go ≤0 → NaN z. One double rounding happens
-    # only AFTER the exact subtraction, so sigma is correct to ulp.
+    # (~1e23 at this scale): the naive E[x²]−E[x]² float subtraction on
+    # values centered at ~1e9 with a ~10-unit spread cancels ~7% of sigma
+    # (measured 1408 vs exact 1318 at sf0.01) and can even go ≤0 → NaN z.
+    # One double rounding happens only AFTER the exact subtraction, so
+    # sigma is correct to ulp.
+    #
+    # HARD BOUND: both n·Σx² and (Σx)² are ≤ (n·max|nfp|)², so the exact
+    # path requires 2·(log10 n + log10 max|nfp|) < 38 — at nfp≈1e9
+    # (NORM_SCALE × unit-ish norms) that is n ≲ 1e10 rows. Past it Spark
+    # decimal overflow yields a silent null sigma (null z), so the bound
+    # is enforced with a runtime assertion rather than trusted: the guard
+    # is folded into the variance expression (a pruned check column would
+    # never evaluate) and raises loudly instead of mis-answering; shrink
+    # NORM_SCALE to trade precision for headroom at larger n.
     var_num = (
         F.col("s2") * F.col("n").cast("decimal(38,0)")
         - F.col("s1").cast("decimal(38,0)") * F.col("s1").cast("decimal(38,0)")
     )
+    guard_ok = (
+        F.log10(F.col("n").cast("double"))
+        + F.log10(F.greatest(F.col("nfp_max").cast("double"), F.lit(1.0)))
+    ) * 2 < F.lit(37.9)
+    guard_zero = F.coalesce(
+        F.assert_true(
+            guard_ok,
+            F.lit(
+                "s10_norm_outliers: n*max(nfp)^2 exceeds decimal(38,0) — "
+                "shrink NORM_SCALE"
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     var = var_num.cast("double") / (
         F.col("n").cast("double") * F.col("n").cast("double")
-    )
+    ) + guard_zero
     # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB ROUND keeps the sign,
     # Spark drops it; a signed zero flips the driver's value hash).
     z = F.round((F.col("nfp") - mu) / F.sqrt(var), 2) + F.lit(0.0)

@@ -777,10 +777,16 @@ def _admit_chunk(pdf, k: int, last_ord: int, last_n: int, user_id):
     day-sorted) chunk; the state carry can only apply to the FIRST day
     run — every later run follows a smaller day inside the same chunk,
     which resets its counter, exactly the contract of the sequential
-    per-day loop this replaces. Day ordinals are days-since-epoch
-    (consistent within a run; state is not carried across engine
-    versions). Module-level so the cross-chunk carry semantics are
-    unit-testable without a streaming harness."""
+    per-day loop this replaces. Day ordinals are days-since-epoch — NOTE
+    this changed from ``datetime.date.toordinal()`` (round-4 vectorized
+    rewrite): restored checkpoint state written by the old kernel would be
+    silently misinterpreted (ordinal bases differ by 719162, so the carry
+    never matches and the quota resets). Harmless for the availableNow
+    topologies this ships (state lives and dies within one run); anyone
+    enabling long-lived checkpointed state must bump the checkpoint dir —
+    the state schema carries no version field to detect it (Spark's
+    applyInPandasWithState schema-compat check won't catch a unit change
+    inside an unchanged int64 column)."""
     import numpy as np
     import pandas as pd
 

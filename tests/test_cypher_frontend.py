@@ -489,6 +489,64 @@ def test_comprehension_size_dispatch_inside_lambda(fixture_graph):
     assert [r["ws"] for r in rows] == [["ALICE"], [], ["EVE"]]
 
 
+def test_order_by_arithmetic_key(fixture_graph):
+    """ORDER BY born - 1: an arithmetic sort key over projected output
+    names (the SURVEY X182 claim, now parsed through the full expression
+    grammar)."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, n.born AS born "
+        "ORDER BY born - 1 DESC, name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve", "Bob"]
+    with pytest.raises(CypherSyntaxError, match="not a literal"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN n.name AS name ORDER BY 1",
+        )
+
+
+def test_collect_whole_variable_returns_structs(fixture_graph):
+    """collect(n) collects the same full struct RETURN n projects —
+    never the engine-internal id list."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.trust = true RETURN collect(n) AS users",
+    ).collect()
+    users = rows[0]["users"]
+    assert sorted(u["name"] for u in users) == ["Alice", "Bob"]
+    assert all(u["label"] == "User" for u in users)
+    assert all(u["born"] is not None for u in users)
+
+
+def test_collect_whole_variable_skips_failed_optional(fixture_graph):
+    """Under OPTIONAL MATCH null-extension, collect(n) skips the null
+    bindings (a struct of null fields must not be collected)."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) OPTIONAL MATCH (a)-[:KNOWS]->(b:User) "
+        "RETURN collect(b) AS known",
+    ).collect()
+    known = rows[0]["known"]
+    # fixture edges: Alice->Bob, Bob->Alice; Eve has no outgoing KNOWS —
+    # her null-extended binding must be skipped (2 structs, never 3)
+    assert sorted(u["name"] for u in known) == ["Alice", "Bob"]
+    assert all(u["id"] is not None for u in known)
+
+
+def test_bare_truthiness_requires_boolean(fixture_graph):
+    assert (
+        cypher_read(
+            fixture_graph, "MATCH (n:User) WHERE n.trust RETURN n.name"
+        ).count()
+        == 2
+    )
+    with pytest.raises(CypherSyntaxError, match="must be boolean"):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) WHERE n.born RETURN n.name"
+        )
+
+
 def test_arithmetic_where_operands(fixture_graph):
     """Full arithmetic on either side of a WHERE comparison (read
     contexts): the modulo-bucket idiom and expression-vs-expression."""
