@@ -426,10 +426,13 @@ def s7_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries d(d+1)/2 rows PER PARTITION, never anything proportional to N.
 # At 100 TB this is exactly how a driver-side-free covariance is built; the
 # fp-rounding discipline (half-nudge + signed-zero collapse) matches s5.
-def s9_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gram_partials(e: DataFrame) -> DataFrame:
+    """Per-partition upper-triangle Gram partials over an ``emb`` column:
+    each task's state AND emission are exactly d(d+1)/2 rows, independent
+    of how many input rows the partition holds — the hot-partition bound
+    `tests/test_dedup_guards.py` pins (a skewed split can concentrate
+    rows, never state)."""
     import numpy as np
-
-    e = _emb(spark, sf_dir).select("emb")
 
     def gram(batches):
         acc = np.zeros((DIM, DIM))
@@ -443,7 +446,11 @@ def s9_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              "partial": acc[iu]}
         )
 
-    parts = e.mapInPandas(gram, schema="i long, j long, partial double")
+    return e.select("emb").mapInPandas(gram, schema="i long, j long, partial double")
+
+
+def s9_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _gram_partials(_emb(spark, sf_dir))
     return (
         parts.groupBy("i", "j")
         .agg(

@@ -79,10 +79,20 @@ class BoltTransport:
 
     def run(self, statement, rows=None, params=None):
         # exercised against a protocol stub in tests/test_bolt_transport.py
-        # (the driver package isn't installed here); live-server behavior
+        # + golden call fixtures in tests/fixtures/wire_fixtures.json (the
+        # driver package isn't installed here); live-server behavior
         # additionally depends on the real neo4j wire protocol.
+        merged: dict[str, Any] = dict(params or {})
+        if rows is not None:
+            # same parameter-name contract as HttpTransport: the UNWIND
+            # batch parameter is named by the statement itself
+            # (`Neo4jOutputFormat.java:129-136`) — and reads ship NO batch
+            # parameter at all, matching the reference's read path.
+            from flink_neo4j_spark.sources.cypher import extract_parameter_name
+
+            merged[extract_parameter_name(statement)] = rows
         with self._driver.session(database=self._database) as session:
-            result = session.run(statement, rows=rows or [], **(params or {}))
+            result = session.run(statement, **merged)
             return [dict(record) for record in result]
 
     def close(self) -> None:

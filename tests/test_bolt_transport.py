@@ -105,6 +105,77 @@ def test_bolt_run_read_and_write(fake_neo4j):
     assert driver.closed
 
 
+def test_bolt_read_sends_no_batch_parameter(fake_neo4j):
+    """Reads must ship NO UNWIND batch parameter (the reference's read
+    path sends none); the batch parameter appears only when rows are
+    given, under the statement's own parameter name."""
+    from flink_neo4j_spark.sources.transport import BoltTransport
+
+    t = BoltTransport("bolt://example:7687")
+    t.run("MATCH (n:User) RETURN n.name")
+    (driver,) = fake_neo4j
+    assert driver.log[-1]["params"] == {}
+    t.run(
+        "UNWIND $batch AS r CREATE (n:User {name: r.name})",
+        rows=[{"name": "Zed"}],
+    )
+    assert driver.log[-1]["params"] == {"batch": [{"name": "Zed"}]}
+
+
+# -- golden call fixtures (wire_fixtures.json `bolt_fixtures`) ------------
+#
+# The HTTP transport pins byte-exact request bodies; Bolt's equivalent
+# contract is the driver CALL shape — session.run kwargs and database
+# routing — plus record->dict decoding and error propagation. Same
+# statement set as the HTTP fixtures so the two transports stay in parity.
+
+import json as _json
+import os as _os
+
+with open(
+    _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "fixtures",
+        "wire_fixtures.json",
+    )
+) as _fh:
+    BOLT_FIXTURES: dict = _json.load(_fh)["bolt_fixtures"]
+
+
+class _FakeNeo4jError(Exception):
+    def __init__(self, code, message="boom"):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+
+
+@pytest.mark.parametrize("name", sorted(BOLT_FIXTURES))
+def test_bolt_golden_call(fake_neo4j, monkeypatch, name):
+    from flink_neo4j_spark.sources.transport import BoltTransport
+
+    fx = BOLT_FIXTURES[name]
+
+    def scripted_run(self, statement, **params):
+        self.log.append(
+            {"statement": statement, "params": params, "db": self.database}
+        )
+        if "raise_code" in fx:
+            raise _FakeNeo4jError(fx["raise_code"])
+        return [_FakeRecord(r) for r in fx["records"]]
+
+    monkeypatch.setattr(_FakeSession, "run", scripted_run)
+    t = BoltTransport("bolt://example:7687", database="neo4j")
+    (driver,) = fake_neo4j
+    if "expect_error" in fx:
+        with pytest.raises(Exception, match=fx["expect_error"]):
+            t.run(fx["statement"], rows=fx["rows"], params=fx["params"])
+    else:
+        rows = t.run(fx["statement"], rows=fx["rows"], params=fx["params"])
+        assert rows == fx["expect_rows"]
+    assert driver.log[-1] == fx["expect_call"]
+    t.close()
+    assert driver.closed
+
+
 def test_bolt_import_error_without_driver(monkeypatch):
     import builtins
 

@@ -59,7 +59,111 @@ def test_d5_guard_off_keeps_pairs(spark, synth_dir):
     assert len(clone_pairs) == 10  # C(5,2)
 
 
-def test_duckdb_tokenizer_matches_spark_on_whitespace_runs(spark):
+def test_s9_gram_state_bound_and_layout_independence(spark, tmp_path):
+    """s9's per-partition GEMM: (a) every task emits exactly d(d+1)/2
+    partial rows no matter how many input rows it holds (a hot/skewed
+    partition concentrates ROWS, never state or shuffle volume), and
+    (b) the summed Gram is identical across partition layouts and equals
+    the numpy reference."""
+    import numpy as np
+
+    from flink_neo4j_spark.operators import similarity
+
+    n, d = 40, similarity.DIM
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((n, d))
+    rows = [(int(i), 0, [float(x) for x in X[i]]) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    tri = d * (d + 1) // 2
+    e1 = spark.read.parquet(str(tmp_path / "embeddings.parquet")).selectExpr(
+        "CAST(embedding AS ARRAY<DOUBLE>) AS emb"
+    )
+    # (a) skewed layout: everything in ONE partition of a 7-way split
+    # still emits exactly tri rows per non-empty partition
+    skewed = e1.repartition(7)
+    parts = similarity._gram_partials(skewed).collect()
+    n_nonempty = 7  # round-robin: every partition holds rows for n=40
+    assert len(parts) == n_nonempty * tri
+
+    # (b) layout independence + numpy parity of the final query
+    results = []
+    for nparts in (1, 7):
+        df = (
+            spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+            .repartition(nparts)
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / f"sf_{nparts}" / "embeddings.parquet"))
+        out = similarity.s9_gram_matrix(spark, str(tmp_path / f"sf_{nparts}"))
+        results.append({(r.i, r.j): r.g for r in out.collect()})
+    assert results[0] == results[1]
+    G = X.T @ X
+    iu = np.triu_indices(d)
+    want = {
+        (int(i), int(j)): round(float(G[i, j]) + 5e-10, 4) + 0.0
+        for i, j in zip(*iu)
+    }
+    assert results[0] == want
+
+
+def test_d17_hot_term_excluded_before_join(spark, tmp_path, monkeypatch):
+    """d17's df window: a boilerplate term present in EVERY document must
+    be excluded BEFORE the posting-list self-join (never generating its
+    O(df^2) pair fragments), and the surviving pair set + quantized
+    cosines must match the integer-formula reference over the windowed
+    vocabulary."""
+    import math
+
+    monkeypatch.setattr(dedup, "SPARSE_MAXDF_FRAC", 0.5)
+    monkeypatch.setattr(dedup, "SPARSE_MAXDF_ABS", 10)
+    monkeypatch.setattr(dedup, "SPARSE_COS", 0.2)
+
+    n_docs = 30
+    texts = {}
+    for i in range(n_docs):
+        texts[i] = f"boilerplate header unique{i} filler{i}"
+    texts[0] += " zebra quokka narrow bridge"
+    texts[1] += " zebra quokka narrow bridge"
+    texts[2] += " crimson harbor lantern night"
+    texts[3] += " crimson harbor lantern night"
+
+    def write(docs: dict, dest: str):
+        spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(tmp_path / dest / "documents.parquet"))
+
+    write(texts, "with_hot")
+    stripped = {
+        i: t.replace("boilerplate header ", "") for i, t in texts.items()
+    }
+    write(stripped, "without_hot")
+
+    got = {
+        (r.a_id, r.b_id): r.cos
+        for r in dedup.d17_sparse_cosine(spark, str(tmp_path / "with_hot")).collect()
+    }
+    # behavioral exclusion proof: stripping the boilerplate terms from the
+    # corpus changes nothing — they never reached the join
+    got_stripped = {
+        (r.a_id, r.b_id): r.cos
+        for r in dedup.d17_sparse_cosine(
+            spark, str(tmp_path / "without_hot")
+        ).collect()
+    }
+    assert got == got_stripped
+    assert set(got) == {(0, 1), (2, 3)}
+
+    # integer-formula parity on the surviving slice: shared terms have
+    # tf=1, df=2; per-doc vocab inside the window is the 4 shared terms
+    # plus the two unique df=1 terms (dropped by SPARSE_MIN_DF)
+    wq = round((1.0 + math.log(1.0)) * math.log(n_docs / 2) * dedup.SPARSE_SCALE)
+    dot = 4 * wq * wq
+    n2 = 4 * wq * wq
+    cos = round(dot / (math.sqrt(n2) * math.sqrt(n2)), 4) + 0.0
+    assert got[(0, 1)] == cos == 1.0
+    assert got[(2, 3)] == cos
     """Oracle-parity guard: normalization collapsing 'a, b' to 'a  b' must
     tokenize identically in both engines (no empty-string tokens)."""
     import duckdb
