@@ -267,6 +267,39 @@ class ListComp:
 
 
 @dataclass
+class ReduceExpr:
+    """``reduce(acc = init, x IN list | expr)`` — Cypher's list fold,
+    compiled to Spark's higher-order ``aggregate`` (JVM lambda, zero
+    Python). The init expression doubles as the accumulator's type-probe
+    twin for size() dispatch inside the lambda."""
+
+    acc: str
+    init: Any
+    var: str
+    source: Any
+    expr: Any
+
+
+@dataclass
+class IndexExpr:
+    """``list[i]`` — Cypher 0-based element access; negative indices count
+    from the end; out-of-range reads null (try_element_at)."""
+
+    base: Any
+    index: Any
+
+
+@dataclass
+class SliceExpr:
+    """``list[from..to]`` — Cypher half-open 0-based slice; either bound
+    optional, negative bounds count from the end, out-of-range clamps."""
+
+    base: Any
+    lo: Any  # None = 0
+    hi: Any  # None = size
+
+
+@dataclass
 class ReturnItem:
     expr: PropRef | AggCall
     alias: str | None
@@ -807,6 +840,30 @@ class _Parser:
         return BinOp(op, left, right)
 
     def _parse_arith_factor(self, allow_bare: bool):
+        node = self._parse_arith_atom(allow_bare)
+        # postfix subscripts: list[i] / list[from..to] — chainable
+        # (m[0][1]) and legal on any list-valued expression
+        while self.at("punct", "[") and not isinstance(node, (int, float, str, bool)):
+            self.next()
+            lo = None
+            if not (self.at("punct", ".") or self.at("punct", "]")):
+                lo = self.parse_return_expr(allow_bare)
+            if self.at("punct", "."):
+                self.next()
+                self.expect("punct", ".")
+                hi = None
+                if not self.at("punct", "]"):
+                    hi = self.parse_return_expr(allow_bare)
+                self.expect("punct", "]")
+                node = SliceExpr(node, lo, hi)
+            else:
+                if lo is None:
+                    raise CypherSyntaxError("empty [] subscript")
+                self.expect("punct", "]")
+                node = IndexExpr(node, lo)
+        return node
+
+    def _parse_arith_atom(self, allow_bare: bool):
         if self.at("punct", "("):
             self.next()
             node = self.parse_return_expr(allow_bare)
@@ -931,6 +988,35 @@ class _Parser:
         if tok is not None and tok.kind == "word" and tok.text.upper() == "CASE":
             self.next()
             return self.parse_case(allow_bare)
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text == "reduce"
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            # reduce(acc = init, x IN list | expr) — the Cypher list fold
+            self.next()
+            self.expect("punct", "(")
+            acc = self.expect("word").text
+            self.expect("op", "=")
+            init = self.parse_return_expr(allow_bare)
+            self.expect("punct", ",")
+            var = self.expect("word").text
+            if not self._at_word_ci("IN"):
+                raise CypherSyntaxError("expected IN in reduce()")
+            self.next()
+            source = self.parse_return_expr(allow_bare)
+            self.expect("punct", "|")
+            body = self.parse_return_expr(allow_bare=True)
+            self.expect("punct", ")")
+            for part, what in ((init, "init"), (source, "list"), (body, "body")):
+                if isinstance(part, AggCall):
+                    raise CypherSyntaxError(
+                        f"aggregates are not allowed in a reduce() {what}; "
+                        "compute them in a WITH stage first"
+                    )
+            return ReduceExpr(acc, init, var, source, body)
         # length(p) — the path-length accessor for shortestPath variables;
         # modeled as PropRef(p, "length") so the shortestPath colmap
         # resolves it and every other context rejects the unknown variable.
@@ -1332,6 +1418,45 @@ def _is_integral(expr, colmap, df: DataFrame) -> bool:
     return False
 
 
+def _lambda_colmap(outer, bindings: dict, probes: dict):
+    """colmap for a higher-order-function lambda body: ``bindings`` maps
+    lambda variable names to their (scope-local, unanalyzable) argument
+    Columns, ``probes`` to df-resolvable same-typed twins used only for
+    size()'s type dispatch. Everything else falls through to the
+    enclosing scope's colmap (Cypher closure semantics)."""
+
+    def _name(ref):
+        if isinstance(ref, BareRef):
+            return ref.name
+        if isinstance(ref, PropRef):
+            return ref.var
+        return None
+
+    def sub(ref):
+        name = _name(ref)
+        if name in bindings:
+            if isinstance(ref, PropRef) and ref.prop is not None:
+                raise CypherSyntaxError(
+                    f"lambda variable {name!r} is a scalar; it has no "
+                    f"property {ref.prop!r}"
+                )
+            return bindings[name]
+        return outer(ref)
+
+    def probe(ref):
+        name = _name(ref)
+        if name in probes and not (
+            isinstance(ref, PropRef) and ref.prop is not None
+        ):
+            return probes[name]
+        return outer(ref)
+
+    probe.lambda_vars = tuple(bindings)
+    sub.probe = probe
+    sub.lambda_vars = tuple(bindings)
+    return sub
+
+
 def _expr_column(expr, colmap, df: DataFrame) -> Column:
     """RETURN/WITH expression → Column: refs, literals, scalar functions,
     and arithmetic. openCypher's integer division truncates (``1 / 2 = 0``)
@@ -1388,51 +1513,72 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         # the enclosing scope's colmap, so outer columns are usable inside
         # the comprehension (Cypher closure semantics).
         src = _expr_column(expr.source, colmap, df)
-
-        def _sub_colmap(arg_col):
-            def sub(ref):
-                if isinstance(ref, BareRef) and ref.name == expr.var:
-                    return arg_col
-                if isinstance(ref, PropRef) and ref.var == expr.var:
-                    if ref.prop is None:
-                        return arg_col
-                    raise CypherSyntaxError(
-                        f"comprehension variable {expr.var!r} is a scalar; "
-                        f"it has no property {ref.prop!r}"
-                    )
-                return colmap(ref)
-
-            def probe(ref):
-                # type-probe twin: the loop variable as the source's first
-                # element — same dtype, but resolvable against df (lambda
-                # arguments are not); used only by size()'s type dispatch
-                if (isinstance(ref, BareRef) and ref.name == expr.var) or (
-                    isinstance(ref, PropRef)
-                    and ref.var == expr.var
-                    and ref.prop is None
-                ):
-                    return F.try_element_at(src, F.lit(1))
-                return colmap(ref)
-
-            probe.lambda_vars = (expr.var,)
-            sub.probe = probe
-            sub.lambda_vars = (expr.var,)
-            return sub
-
+        probe_elem = F.try_element_at(src, F.lit(1))
+        sub_of = lambda c: _lambda_colmap(  # noqa: E731
+            colmap, {expr.var: c}, {expr.var: probe_elem}
+        )
         out = src
         if expr.pred is not None:
             out = F.filter(
                 out,
                 lambda c: F.coalesce(
-                    _where_to_column(expr.pred, _sub_colmap(c), None, df),
+                    _where_to_column(expr.pred, sub_of(c), None, df),
                     F.lit(False),
                 ),
             )
         if expr.expr is not None:
             out = F.transform(
-                out, lambda c: _expr_column(expr.expr, _sub_colmap(c), df)
+                out, lambda c: _expr_column(expr.expr, sub_of(c), df)
             )
         return out
+    if isinstance(expr, ReduceExpr):
+        # reduce(acc = init, x IN src | body) → Spark aggregate(): one
+        # JVM fold, no Python. The merge lambda's type probes: the init
+        # expression stands in for the accumulator, the source's first
+        # element for the loop variable. Spark requires the body's type
+        # to match init's (it raises an analysis error otherwise — loud,
+        # matching the contract; Cypher would coerce int→float).
+        src = _expr_column(expr.source, colmap, df)
+        init = _expr_column(expr.init, colmap, df)
+        probe_elem = F.try_element_at(src, F.lit(1))
+
+        def merge(acc, x):
+            sub = _lambda_colmap(
+                colmap,
+                {expr.acc: acc, expr.var: x},
+                {expr.acc: init, expr.var: probe_elem},
+            )
+            return _expr_column(expr.expr, sub, df)
+
+        return F.aggregate(src, init, merge)
+    if isinstance(expr, IndexExpr):
+        # list[i]: 0-based, negative-from-end, null when out of range —
+        # try_element_at is 1-based with native negative support
+        src = _expr_column(expr.base, colmap, df)
+        if isinstance(expr.index, int):
+            i = expr.index
+            return F.try_element_at(src, F.lit(i + 1 if i >= 0 else i))
+        idx = _expr_column(expr.index, colmap, df).cast("int")
+        return F.when(
+            idx >= 0, F.try_element_at(src, idx + F.lit(1))
+        ).otherwise(F.try_element_at(src, idx))
+    if isinstance(expr, SliceExpr):
+        # list[from..to]: half-open, 0-based, negative-from-end, clamped
+        # to the list bounds (Neo4j's contract) — pure column arithmetic
+        # over size(), one JVM slice()
+        src = _expr_column(expr.base, colmap, df)
+        size = F.size(src)
+
+        def norm(bound, default):
+            if bound is None:
+                return default
+            b = _expr_column(bound, colmap, df).cast("int")
+            b = F.when(b >= 0, b).otherwise(size + b)
+            return F.greatest(F.lit(0), F.least(size, b))
+
+        lo = norm(expr.lo, F.lit(0))
+        hi = norm(expr.hi, size)
+        return F.slice(src, lo + F.lit(1), F.greatest(F.lit(0), hi - lo))
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
     if isinstance(expr, (PropRef, BareRef)):

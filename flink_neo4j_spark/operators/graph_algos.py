@@ -599,6 +599,28 @@ def g46_cypher_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G47 — Cypher list operators end-to-end: collect() a per-nation customer
+# list, then index it (names[0]), slice it (names[0..3]), and fold it
+# (reduce(acc = 0, x IN names | acc + size(x))) — all compiled to JVM
+# array expressions (try_element_at / slice / aggregate), zero Python and
+# zero extra shuffle beyond the one collect_list aggregation. The oracle
+# states the identical pipeline with DuckDB's 1-based list ops and
+# list_sum/list_transform fold.
+def g47_cypher_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WITH n.name AS nation, collect(c.name) AS names "
+        "RETURN nation, size(names) AS n_cust, names[0] AS first_c, "
+        "names[0..3] AS top3, "
+        "reduce(acc = 0, x IN names | acc + size(x)) AS total_chars "
+        "ORDER BY nation",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1560,6 +1582,7 @@ QUERIES: dict[str, QueryFn] = {
     "g44_cypher_label_set": g44_cypher_label_set,
     "g45_cypher_range_agg": g45_cypher_range_agg,
     "g46_cypher_comprehension": g46_cypher_comprehension,
+    "g47_cypher_list_ops": g47_cypher_list_ops,
 }
 
 ORACLE: dict[str, str] = {
@@ -1643,6 +1666,16 @@ ORACLE: dict[str, str] = {
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
         ORDER BY name""",
+    "g47_cypher_list_ops": """
+        WITH t AS (
+          SELECT n_name AS nation, list_sort(list(c_name)) AS names
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT nation, CAST(len(names) AS BIGINT) AS n_cust,
+               names[1] AS first_c, names[1:3] AS top3,
+               CAST(list_sum(list_transform(names, x -> length(x)))
+                    AS BIGINT) AS total_chars
+        FROM t ORDER BY nation""",
     "g45_cypher_range_agg": f"""
         SELECT COUNT(*) AS n, CAST(SUM(x * x) AS BIGINT) AS sum_sq
         FROM generate_series(1, {RANGE_AGG_N}) t(x)""",

@@ -585,6 +585,60 @@ def test_list_literal_expression_homogeneity(fixture_graph):
         )
 
 
+def test_reduce_folds_list(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o RETURN reduce(acc = 0, x IN [1, 2, 3, 4] | acc + x) AS s",
+    ).collect()
+    assert rows[0]["s"] == 10
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH collect(n.name) AS names "
+        "RETURN reduce(acc = 0, x IN names | acc + size(x)) AS chars",
+    ).collect()
+    assert rows[0]["chars"] == len("Alice") + len("Bob") + len("Eve")
+    with pytest.raises(CypherSyntaxError, match="aggregates are not allowed"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN reduce(acc = 0, x IN collect(n.born) | acc + x) AS s",
+        )
+
+
+def test_list_indexing_semantics(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o RETURN [10, 20, 30][1] AS second, "
+        "[10, 20, 30][-1] AS last_e, [10, 20, 30][5] AS oob",
+    ).collect()
+    r = rows[0]
+    assert (r["second"], r["last_e"], r["oob"]) == (20, 30, None)
+
+
+def test_list_slicing_semantics(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o RETURN [10, 20, 30, 40][1..3] AS mid, "
+        "[10, 20, 30, 40][..2] AS head2, [10, 20, 30, 40][2..] AS tail2, "
+        "[10, 20, 30, 40][0..-1] AS drop_last, [10, 20][5..9] AS clamped",
+    ).collect()
+    r = rows[0]
+    assert r["mid"] == [20, 30]
+    assert r["head2"] == [10, 20]
+    assert r["tail2"] == [30, 40]
+    assert r["drop_last"] == [10, 20, 30]
+    assert r["clamped"] == []
+
+
+def test_subscripts_chain_and_compose(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1, 2, 3] AS x WITH collect(x) AS xs "
+        "RETURN xs[1..][0] AS chained, range(1, 10)[2..4] AS r24",
+    ).collect()
+    assert rows[0]["chained"] == 2
+    assert rows[0]["r24"] == [3, 4]
+
+
 def test_set_label_relabels_matched_rows(fixture_graph):
     """SET n:Label replaces the vertex label (single-label model) for
     matched rows only; labels() reads the new value back."""
