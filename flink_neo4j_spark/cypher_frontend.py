@@ -453,11 +453,17 @@ class _Parser:
             )
         return (lo, hi)
 
-    def parse_pattern(self, unwind_var: str | None = None) -> NodePat | EdgePat:
+    def parse_pattern(
+        self,
+        unwind_var: str | None = None,
+        undirected_hops_ok: bool = False,
+    ) -> NodePat | EdgePat:
         src = self.parse_node(unwind_var)
         if not (self.at("arrow", "-[") or self.at("arrow", "<-[")):
             return src
-        pat, _ = self._parse_one_hop(src, unwind_var)
+        pat, _ = self._parse_one_hop(
+            src, unwind_var, undirected_hops_ok=undirected_hops_ok
+        )
         return pat
 
     def parse_pattern_seq(
@@ -484,7 +490,10 @@ class _Parser:
             return out
 
     def _parse_one_hop(
-        self, src: NodePat, unwind_var: str | None
+        self,
+        src: NodePat,
+        unwind_var: str | None,
+        undirected_hops_ok: bool = False,
     ) -> tuple[EdgePat, NodePat]:
         """One edge segment continuing from ``src``. Returns the normalized
         (outgoing-form) EdgePat plus the SURFACE destination node — the
@@ -530,7 +539,10 @@ class _Parser:
             raise CypherSyntaxError(
                 "variable-length patterns cannot bind a relationship variable"
             )
-        if undirected and hops is not None:
+        if undirected and hops is not None and not undirected_hops_ok:
+            # shortestPath/allShortestPaths BFS over the symmetrized edge
+            # list handles undirected hops natively; the general
+            # var-length path-enumeration expansion does not
             raise CypherSyntaxError(
                 "undirected variable-length patterns are not supported; "
                 "use two directed MATCH clauses"
@@ -2234,36 +2246,60 @@ def _pattern_vars(pats: list["NodePat | EdgePat"]) -> set[str]:
     return out
 
 
-def _shortest_path(graph: PropertyGraph, pat: EdgePat, pathvar: str):
-    """``p = shortestPath((a:L1)-[:T*lo..hi]->(b:L2))`` — minimum hop
-    count per (a, b) pair within the bound, via iterative frontier BFS
-    with min-distance aggregation (NOT the path-enumeration union
-    ``_varlength_paths`` uses: shortestPath needs one row per pair, and
-    min-dist state is |V|·|sources| where path enumeration is
-    exponential on dense graphs). Each round is one equi-join + one
-    partial-agg min — the g6/g13 plan shape. ``length(p)`` resolves to
-    the hop count. WHERE predicates apply after translation; at scale a
-    source-selective query should prefilter the anchor label (the
-    frontier starts from every a-label node)."""
+def _shortest_path(
+    graph: PropertyGraph, pat: EdgePat, pathvar: str, all_paths: bool = False
+):
+    """``p = shortestPath((a:L1)-[:T*lo..hi]->(b:L2))`` and its
+    ``allShortestPaths`` sibling — level-synchronous frontier BFS with
+    shortest-path COUNTING (NOT the path-enumeration union
+    ``_varlength_paths`` uses: per-pair state is one (dist, count) row —
+    |V|·|sources| — where path enumeration is exponential on dense
+    graphs). Each round expands only the NEW frontier (anti-join against
+    settled pairs), so a pair's count is finalized exactly at its BFS
+    level: count(v, k) = Σ count(u, k-1) over predecessors u — the
+    textbook #shortest-paths recurrence (the σ of Brandes' betweenness).
+
+    shortestPath returns ONE row per (a, b) pair; allShortestPaths
+    multiplies each pair by its path count (one row per distinct
+    shortest path, matching Neo4j's row semantics) via an explode over
+    ``sequence(1, count)`` — counts stay bounded because ties only
+    accumulate within the hop bound. ``length(p)`` resolves to the hop
+    count in both forms. Undirected patterns BFS over the symmetrized
+    edge list. The one driver-side scalar per round is the frontier
+    count (the g22 early-exit discipline). WHERE predicates apply after
+    translation; at scale a source-selective query should prefilter the
+    anchor label (the frontier starts from every a-label node)."""
     lo, hi = pat.hops
     e = graph.edges
     if pat.rel_type is not None:
         e = e.filter(F.col("rel_type") == pat.rel_type)
     e = e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+    if pat.undirected:
+        e = e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
     vcols = graph.vertices.columns
     a_nodes = graph.nodes(pat.src.label)
     dist = a_nodes.select(
-        F.col("id").alias("__a"), F.col("id").alias("__v"), F.lit(0).alias("__len")
-    )
+        F.col("id").alias("__a"),
+        F.col("id").alias("__v"),
+        F.lit(0).alias("__len"),
+        F.lit(1).cast("long").alias("__cnt"),
+    ).localCheckpoint()
+    frontier = dist
     for i in range(hi):
-        nxt = dist.join(e, F.col("__v") == F.col("__s")).select(
-            "__a", F.col("__d").alias("__v"), (F.col("__len") + 1).alias("__len")
+        nxt = (
+            frontier.join(e, F.col("__v") == F.col("__s"))
+            .groupBy("__a", F.col("__d").alias("__v"))
+            .agg(F.sum("__cnt").alias("__cnt"))
+            .withColumn("__len", F.lit(i + 1))
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("__a", "__v")
-            .agg(F.min("__len").alias("__len"))
-        )
+        frontier = nxt.join(
+            dist.select("__a", "__v"), ["__a", "__v"], "left_anti"
+        ).localCheckpoint()
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier.select(*dist.columns))
         if (i + 1) % 3 == 0 or i == hi - 1:
             dist = dist.localCheckpoint()
     paths = dist.filter(F.col("__len") >= max(lo, 1))
@@ -2277,6 +2313,12 @@ def _shortest_path(graph: PropertyGraph, pat: EdgePat, pathvar: str):
         .withColumnRenamed("__len", "__path_len")
         .drop("__a", "__v")
     )
+    if all_paths:
+        df = df.withColumn(
+            "__path_no", F.explode(F.sequence(F.lit(1), F.col("__cnt")))
+        ).drop("__path_no", "__cnt")
+    else:
+        df = df.drop("__cnt")
     names = {pat.src.var: "a_", pat.dst.var: "b_"}
 
     def colmap(ref: PropRef) -> Column:
@@ -2475,19 +2517,20 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         return _finish_read(df, _bare_colmap({alias}), p, bare=True)
     p.expect("kw", "MATCH")
     sp_var = None
+    sp_all = False
     if (
         p.at("word")
         and p.peek(1) is not None
         and p.peek(1).text == "="
         and p.peek(2) is not None
         and p.peek(2).kind == "word"
-        and p.peek(2).text == "shortestPath"
+        and p.peek(2).text in ("shortestPath", "allShortestPaths")
     ):
         sp_var = p.next().text
         p.next()  # =
-        p.next()  # shortestPath
+        sp_all = p.next().text == "allShortestPaths"
         p.expect("punct", "(")
-        pat = p.parse_pattern()
+        pat = p.parse_pattern(undirected_hops_ok=True)
         p.expect("punct", ")")
         if not isinstance(pat, EdgePat) or pat.hops is None:
             raise CypherSyntaxError(
@@ -2563,7 +2606,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 "shortestPath cannot combine with MATCH chains or "
                 "OPTIONAL MATCH"
             )
-        df, colmap = _shortest_path(graph, pat, sp_var)
+        df, colmap = _shortest_path(graph, pat, sp_var, all_paths=sp_all)
     elif len(chain_pats) > 1:
         _assign_anon_vars(chain_pats, taken)
         df, colmap = _match_chain(graph, chain_pats)

@@ -621,6 +621,27 @@ def g47_cypher_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G48 — Cypher allShortestPaths through the front end: one row PER
+# DISTINCT shortest path (Neo4j's row semantics), via level-synchronous
+# frontier BFS carrying the textbook #shortest-paths recurrence
+# (count(v,k) = Σ count(u,k-1) — Brandes' σ) and an explode over the
+# final counts. The undirected 2-hop supplier—nation—customer pattern has
+# exactly one path per same-nation pair, so the oracle is the closed-form
+# nationkey join — certifying both the path-count explode (no silent
+# duplication) and the undirected symmetrized BFS; tie multiplicity is
+# pinned by the diamond-fixture unit tests.
+def g48_cypher_all_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = allShortestPaths((s:Supplier)-[:IN_NATION*2..2]-(c:Customer)) "
+        "RETURN s.name AS sup, c.name AS cust, length(p) AS hops "
+        "ORDER BY sup, cust",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1583,6 +1604,7 @@ QUERIES: dict[str, QueryFn] = {
     "g45_cypher_range_agg": g45_cypher_range_agg,
     "g46_cypher_comprehension": g46_cypher_comprehension,
     "g47_cypher_list_ops": g47_cypher_list_ops,
+    "g48_cypher_all_shortest": g48_cypher_all_shortest,
 }
 
 ORACLE: dict[str, str] = {
@@ -1666,6 +1688,10 @@ ORACLE: dict[str, str] = {
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
         ORDER BY name""",
+    "g48_cypher_all_shortest": """
+        SELECT s.s_name AS sup, c.c_name AS cust, 2 AS hops
+        FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+        ORDER BY sup, cust""",
     "g47_cypher_list_ops": """
         WITH t AS (
           SELECT n_name AS nation, list_sort(list(c_name)) AS names

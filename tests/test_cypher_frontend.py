@@ -639,6 +639,62 @@ def test_subscripts_chain_and_compose(fixture_graph):
     assert rows[0]["r24"] == [3, 4]
 
 
+@pytest.fixture()
+def diamond_graph(spark):
+    """A->B1->D, A->B2->D: two tie shortest paths A..D, plus a longer
+    A->C->B1->D detour that must not count."""
+    return cypher_create_graph(
+        spark,
+        "CREATE (a:N {name: 'A'}), (b1:N {name: 'B1'}), (b2:N {name: 'B2'}),"
+        " (c:N {name: 'C'}), (d:N {name: 'D'}),"
+        " (a)-[:E]->(b1), (a)-[:E]->(b2), (b1)-[:E]->(d), (b2)-[:E]->(d),"
+        " (a)-[:E]->(c), (c)-[:E]->(b1)",
+    )
+
+
+def test_all_shortest_paths_returns_one_row_per_tie(diamond_graph):
+    one = cypher_read(
+        diamond_graph,
+        "MATCH p = shortestPath((a:N)-[:E*1..4]->(b:N)) "
+        "WHERE a.name = 'A' AND b.name = 'D' RETURN length(p) AS l",
+    ).collect()
+    assert [r["l"] for r in one] == [2]
+    ties = cypher_read(
+        diamond_graph,
+        "MATCH p = allShortestPaths((a:N)-[:E*1..4]->(b:N)) "
+        "WHERE a.name = 'A' AND b.name = 'D' RETURN length(p) AS l",
+    ).collect()
+    # two distinct 2-hop paths; the 3-hop detour contributes nothing
+    assert [r["l"] for r in ties] == [2, 2]
+
+
+def test_all_shortest_paths_count_aggregation(diamond_graph):
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = allShortestPaths((a:N)-[:E*1..4]->(b:N)) "
+        "WHERE a.name = 'A' "
+        "RETURN b.name AS bn, length(p) AS l, count(*) AS n ORDER BY bn",
+    ).collect()
+    got = {(r["bn"], r["l"], r["n"]) for r in rows}
+    assert got == {("B1", 1, 1), ("B2", 1, 1), ("C", 1, 1), ("D", 2, 2)}
+
+
+def test_shortest_path_undirected_pattern(diamond_graph):
+    """Undirected bounded patterns are legal inside (all)shortestPath
+    (symmetrized BFS) while the general var-length expansion still
+    rejects them loudly."""
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = shortestPath((a:N)-[:E*1..2]-(b:N)) "
+        "WHERE a.name = 'B1' AND b.name = 'B2' RETURN length(p) AS l",
+    ).collect()
+    assert [r["l"] for r in rows] == [2]  # B1-(A or D)-B2, undirected
+    with pytest.raises(CypherSyntaxError, match="undirected variable-length"):
+        cypher_read(
+            diamond_graph, "MATCH (a:N)-[:E*1..2]-(b:N) RETURN a.name"
+        )
+
+
 def test_set_label_relabels_matched_rows(fixture_graph):
     """SET n:Label replaces the vertex label (single-label model) for
     matched rows only; labels() reads the new value back."""
