@@ -2895,6 +2895,8 @@ def cypher_write(
     p = _Parser(_tokenize(query), params)
     if p.at("kw", "MATCH"):
         return _bare_write(graph, p)
+    if p.at("word") and p.peek().text.upper() == "FOREACH":
+        return _foreach_write(graph, p)
     p.expect("kw", "UNWIND")
     params = params or {}
     if p.at("punct", "$"):  # $rows — modern; {rows} legacy
@@ -3172,6 +3174,120 @@ def cypher_write(
     if target.label is not None:
         raise CypherSyntaxError("labeled MATCH in update not supported (B8 is unlabeled)")
     return graph.update_nodes(spark.createDataFrame(data), key)
+
+
+def _foreach_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
+    """``FOREACH (x IN range(lo, hi[, step]) | CREATE (:L {k: <expr(x)>,
+    ...}))`` (and literal-list / ``$param``-list sources) — Neo4j's batch
+    row-generation idiom. The range source compiles to ``spark.range``,
+    so the batch is a DISTRIBUTED lazily-generated relation and property
+    expressions are JVM column arithmetic over it: ``FOREACH (i IN
+    range(1, 10^9) | CREATE ...)`` inserts a billion vertices without a
+    driver-side list. Only the CREATE body is supported — FOREACH's
+    SET/MERGE/DELETE bodies raise loudly (use the UNWIND..MATCH forms)."""
+    p.next()  # FOREACH
+    p.expect("punct", "(")
+    var = p.expect("word").text
+    if not p._at_word_ci("IN"):
+        raise CypherSyntaxError("expected IN in FOREACH")
+    p.next()
+    spark = graph.vertices.sparkSession
+    if p.at("word") and p.peek().text == "range":
+        p.next()
+        p.expect("punct", "(")
+        rargs: list[int] = []
+        while True:
+            v = p.parse_value(None)
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise CypherSyntaxError(
+                    "FOREACH range() bounds must be integer literals or "
+                    "integer parameters"
+                )
+            rargs.append(v)
+            if p.at("punct", ","):
+                p.next()
+                continue
+            break
+        p.expect("punct", ")")
+        if len(rargs) not in (2, 3):
+            raise CypherSyntaxError("range() takes 2 or 3 arguments")
+        lo, hi = rargs[0], rargs[1]
+        step = rargs[2] if len(rargs) > 2 else 1
+        if step == 0:
+            raise CypherSyntaxError("range() step must be non-zero")
+        src = spark.range(lo, hi + (1 if step > 0 else -1), step).select(
+            F.col("id").alias("__x")
+        )
+    else:
+        if p.at("punct", "$"):
+            vals = p.parse_value(None)
+            if not isinstance(vals, list):
+                raise CypherSyntaxError("FOREACH $param requires a list value")
+        else:
+            p.expect("punct", "[")
+            vals = []
+            if not p.at("punct", "]"):
+                while True:
+                    vals.append(p.parse_value(None))
+                    if p.at("punct", ","):
+                        p.next()
+                        continue
+                    break
+            p.expect("punct", "]")
+        if not vals:
+            # empty source: FOREACH over nothing is a no-op, as in Cypher
+            src = None
+        else:
+            src = spark.createDataFrame([(v,) for v in vals], ["__x"])
+    p.expect("punct", "|")
+    if not p.at("kw", "CREATE"):
+        raise CypherSyntaxError(
+            "only CREATE is supported inside FOREACH; use UNWIND..MATCH "
+            "forms for SET/MERGE/DELETE"
+        )
+    p.next()
+    # node pattern with EXPRESSION-valued properties over the loop var:
+    # ( [v] :Label { k: <expr>, ... } )
+    p.expect("punct", "(")
+    if p.at("word") and p.peek(1) is not None and p.peek(1).text == ":":
+        p.next()  # optional node variable, unused
+    p.expect("punct", ":")
+    label = p.expect("word").text
+    props: list[tuple[str, Any]] = []
+    if p.at("punct", "{"):
+        p.next()
+        while True:
+            key = p.expect("word").text
+            p.expect("punct", ":")
+            expr = p.parse_return_expr(allow_bare=True)
+            if isinstance(expr, AggCall):
+                raise CypherSyntaxError("aggregates not allowed in FOREACH")
+            props.append((key, expr))
+            if p.at("punct", ","):
+                p.next()
+                continue
+            break
+        p.expect("punct", "}")
+    p.expect("punct", ")")
+    p.expect("punct", ")")
+    p.expect_end()
+    if not props:
+        raise CypherSyntaxError("FOREACH CREATE needs at least one property")
+    if src is None:
+        return graph
+
+    def colmap(ref) -> Column:
+        name = ref.name if isinstance(ref, BareRef) else getattr(ref, "var", None)
+        if name == var and not (isinstance(ref, PropRef) and ref.prop is not None):
+            return F.col("__x")
+        raise CypherSyntaxError(
+            f"only the FOREACH variable {var!r} is in scope; got {ref!r}"
+        )
+
+    batch = src.select(
+        *[_expr_column(e, colmap, src).alias(k) for k, e in props]
+    )
+    return graph.create_nodes(batch, label)
 
 
 def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:

@@ -642,6 +642,32 @@ def g48_cypher_all_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G49 — Cypher FOREACH batch generation: ``FOREACH (i IN range(1, n) |
+# CREATE (:Batch {...}))`` — the Neo4j idiom for synthetic row/fixture
+# generation. The front end compiles the range source to spark.range and
+# the property expressions to JVM column arithmetic over it, so the
+# insert batch is a distributed lazily-generated relation (a billion-row
+# FOREACH never materializes driver-side); the read-back aggregate
+# certifies ids/properties landed for every element exactly once.
+FOREACH_N = 2000
+
+
+def g49_cypher_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = cypher_write(
+        g,
+        f"FOREACH (i IN range(1, {FOREACH_N}) | "
+        "CREATE (:Batch {n: i, sq: i * i}))",
+    )
+    return cypher_read(
+        g2,
+        "MATCH (b:Batch) RETURN count(*) AS n, sum(b.n) AS total, "
+        "sum(b.sq) AS sum_sq",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1605,6 +1631,7 @@ QUERIES: dict[str, QueryFn] = {
     "g46_cypher_comprehension": g46_cypher_comprehension,
     "g47_cypher_list_ops": g47_cypher_list_ops,
     "g48_cypher_all_shortest": g48_cypher_all_shortest,
+    "g49_cypher_foreach": g49_cypher_foreach,
 }
 
 ORACLE: dict[str, str] = {
@@ -1688,6 +1715,10 @@ ORACLE: dict[str, str] = {
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
         ORDER BY name""",
+    "g49_cypher_foreach": f"""
+        SELECT COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS total,
+               CAST(SUM(i * i) AS BIGINT) AS sum_sq
+        FROM generate_series(1, {FOREACH_N}) t(i)""",
     "g48_cypher_all_shortest": """
         SELECT s.s_name AS sup, c.c_name AS cust, 2 AS hops
         FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey

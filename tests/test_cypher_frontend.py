@@ -695,6 +695,43 @@ def test_shortest_path_undirected_pattern(diamond_graph):
         )
 
 
+def test_foreach_range_create(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "FOREACH (i IN range(1, 5) | CREATE (:Item {n: i, sq: i * i}))",
+    )
+    rows = g2.nodes("Item").orderBy("n").collect()
+    assert [(r["n"], r["sq"]) for r in rows] == [
+        (1, 1), (2, 4), (3, 9), (4, 16), (5, 25)
+    ]
+    # fresh dense ids above the existing max
+    old_max = max(r["id"] for r in fixture_graph.vertices.collect())
+    assert sorted(r["id"] for r in rows) == list(
+        range(old_max + 1, old_max + 6)
+    )
+
+
+def test_foreach_literal_list_and_scalar_fns(fixture_graph):
+    g2 = cypher_write(
+        fixture_graph,
+        "FOREACH (v IN ['a', 'b'] | CREATE (:Tag {t: toUpper(v)}))",
+    )
+    assert sorted(r["t"] for r in g2.nodes("Tag").collect()) == ["A", "B"]
+    # empty source: no-op
+    g3 = cypher_write(fixture_graph, "FOREACH (v IN [] | CREATE (:G {t: v}))")
+    assert g3.vertices.filter("label = 'G'").count() == 0
+
+
+def test_foreach_rejects_non_create_bodies(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="only CREATE"):
+        cypher_write(fixture_graph, "FOREACH (i IN range(1, 3) | SET n.x = i)")
+    with pytest.raises(CypherSyntaxError, match="in scope"):
+        cypher_write(
+            fixture_graph,
+            "FOREACH (i IN range(1, 3) | CREATE (:X {n: j}))",
+        )
+
+
 def test_set_label_relabels_matched_rows(fixture_graph):
     """SET n:Label replaces the vertex label (single-label model) for
     matched rows only; labels() reads the new value back."""
