@@ -38,6 +38,23 @@ VALID_QUERIES = [
     "UNWIND [1, 2, 3] AS x RETURN x * 2 AS y ORDER BY y",
     "MATCH (n:User) RETURN toUpper(substring(n.name, 0, 1)) AS ini, "
     "round(n.height, 1) AS h, coalesce(n.nick, replace(n.name, 'e', '3')) AS d",
+    # round-5 surface: range / comprehensions / reduce / subscripts /
+    # arithmetic WHERE / allShortestPaths
+    "UNWIND range(1, 100) AS x WITH x * x AS sq RETURN count(*) AS n, "
+    "sum(sq) AS s",
+    "UNWIND range(10, 1, -3) AS x WITH x WHERE x % 2 = 0 RETURN x",
+    "MATCH (n:User) RETURN n.name AS name, "
+    "[w IN split(n.name, 'o') WHERE size(w) > 1 | toUpper(w)] AS ws "
+    "ORDER BY name",
+    "UNWIND [1, 2, 3] AS x RETURN [y IN range(1, x) | y * 10] AS ys, "
+    "reduce(acc = 0, y IN [1, 2, 3] | acc + y) AS folded",
+    "UNWIND [1] AS o RETURN [10, 20, 30][1] AS i, [10, 20, 30][-1] AS l, "
+    "[10, 20, 30, 40][1..3] AS m, [10, 20][..1] AS h2, range(1, 9)[2..] AS t",
+    "MATCH (n:User) WHERE n.born + 1 > 1984 * 1 "
+    "RETURN n.name AS name ORDER BY name",
+    "MATCH p = allShortestPaths((a:User)-[:KNOWS*1..3]-(b:User)) "
+    "WHERE a.name = 'Alice' RETURN b.name AS bn, length(p) AS l, "
+    "count(*) AS paths ORDER BY bn",
 ]
 
 
@@ -51,21 +68,45 @@ def _parse_only(query: str) -> None:
     p = _Parser(_tokenize(query))
     if p.at("kw", "UNWIND"):
         p.next()
-        p.expect("punct", "[")
-        if not p.at("punct", "]"):
+        if p.at("word") and p.peek().text == "range":
+            p.next()
+            p.expect("punct", "(")
             while True:
                 p.parse_value(None)
                 if p.at("punct", ","):
                     p.next()
                     continue
                 break
-        p.expect("punct", "]")
+            p.expect("punct", ")")
+        else:
+            p.expect("punct", "[")
+            if not p.at("punct", "]"):
+                while True:
+                    p.parse_value(None)
+                    if p.at("punct", ","):
+                        p.next()
+                        continue
+                    break
+            p.expect("punct", "]")
         p.expect("kw", "AS")
         p.expect("word")
         bare = True
     else:
         p.expect("kw", "MATCH")
-        p.parse_pattern_seq()
+        if (
+            p.at("word")
+            and p.peek(1) is not None
+            and p.peek(1).text == "="
+            and p.peek(2) is not None
+            and p.peek(2).kind == "word"
+            and p.peek(2).text in ("shortestPath", "allShortestPaths")
+        ):
+            p.next(), p.next(), p.next()
+            p.expect("punct", "(")
+            p.parse_pattern(undirected_hops_ok=True)
+            p.expect("punct", ")")
+        else:
+            p.parse_pattern_seq()
         if p.at("kw", "WHERE"):
             p.next()
             p.parse_where()
@@ -117,6 +158,9 @@ _TOKEN_SOUP = st.lists(
             "<-[", "]-", "CASE", "WHEN", "THEN", "ELSE", "END", "=~",
             "UNWIND", "AS", "substring", "split", "replace", "round",
             "toInteger", "head", "left", "EXISTS", "OPTIONAL",
+            # round-5 surface: list expressions, folds, subscripts, paths
+            "range", "reduce", "|", "..", "allShortestPaths", "acc",
+            "[1..3]", "[0]", "[-1]",
         ]
     ),
     min_size=0,
