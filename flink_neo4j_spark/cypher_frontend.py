@@ -637,24 +637,38 @@ class _Parser:
             if (
                 self._at_word_ci("EXISTS")
                 and self.peek(1) is not None
-                and self.peek(1).text == "("
+                and self.peek(1).text in ("(", "{")
             ):
                 # exists(n.prop) == n.prop IS NOT NULL (classic Neo4j);
-                # exists((v)-[:T]->()) == the pattern existential
+                # exists((v)-[:T]->()) == the pattern existential;
+                # EXISTS { (v)-[:T]->(:L) } == the modern (Neo4j 5)
+                # existential-subquery block, sugar for the same
+                # semi/anti-join pattern predicate (an optional leading
+                # MATCH keyword inside the block is accepted)
                 self.next()
-                self.expect("punct", "(")
-                if self.at("punct", "("):
+                if self.at("punct", "{"):
+                    self.next()
+                    if self.at("kw", "MATCH"):
+                        self.next()
                     pc = self.parse_pattern_predicate()
-                    self.expect("punct", ")")
+                    self.expect("punct", "}")
                     if negated:
                         pc.negated = not pc.negated
                     disj[-1].append(pc)
                 else:
-                    ref = self.parse_prop_ref(allow_bare)
-                    self.expect("punct", ")")
-                    disj[-1].append(
-                        Cond(ref, "IS NOT NULL", None, negated=negated)
-                    )
+                    self.expect("punct", "(")
+                    if self.at("punct", "("):
+                        pc = self.parse_pattern_predicate()
+                        self.expect("punct", ")")
+                        if negated:
+                            pc.negated = not pc.negated
+                        disj[-1].append(pc)
+                    else:
+                        ref = self.parse_prop_ref(allow_bare)
+                        self.expect("punct", ")")
+                        disj[-1].append(
+                            Cond(ref, "IS NOT NULL", None, negated=negated)
+                        )
                 if self.at("kw", "AND"):
                     self.next()
                     continue

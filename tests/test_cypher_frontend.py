@@ -695,6 +695,24 @@ def test_shortest_path_undirected_pattern(diamond_graph):
         )
 
 
+def test_exists_block_subquery(fixture_graph):
+    """Neo4j 5 existential-subquery blocks: EXISTS { (n)-[:T]->() } and
+    NOT EXISTS { MATCH ... } — sugar for the pattern-predicate
+    semi/anti-joins."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE EXISTS { (n)-[:KNOWS]->() } "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Bob"]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT EXISTS { MATCH (n)-[:KNOWS]->(:User) } "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Eve"]
+
+
 def test_foreach_range_create(fixture_graph):
     g2 = cypher_write(
         fixture_graph,
