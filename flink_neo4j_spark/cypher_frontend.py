@@ -267,6 +267,25 @@ class ListComp:
 
 
 @dataclass
+class CountPattern:
+    """``COUNT { (v)-[:T]->(:L) }`` — Neo4j 5's count subquery (the
+    per-row degree idiom). Bound pre-projection as ONE left-joined
+    partial-aggregated edge count per distinct subquery (never a per-match
+    row explosion); reuses the pattern-predicate AST."""
+
+    pattern: "PatternCond"
+
+
+@dataclass
+class RawCol:
+    """Internal marker: a projection expression already bound to a real
+    column of the working frame (pattern-count joins); resolves as a bare
+    F.col, bypassing the scope colmap."""
+
+    name: str
+
+
+@dataclass
 class ReduceExpr:
     """``reduce(acc = init, x IN list | expr)`` — Cypher's list fold,
     compiled to Spark's higher-order ``aggregate`` (JVM lambda, zero
@@ -1017,6 +1036,27 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
+            and tok.text.upper() == "COUNT"
+            and self.peek(1) is not None
+            and self.peek(1).text == "{"
+        ):
+            # COUNT { (v)-[:T]->(:L) } — Neo4j 5 count subquery (an
+            # optional leading MATCH inside the block is accepted)
+            self.next()
+            self.expect("punct", "{")
+            if self.at("kw", "MATCH"):
+                self.next()
+            pc = self.parse_pattern_predicate()
+            self.expect("punct", "}")
+            if pc.negated:
+                raise CypherSyntaxError(
+                    "NOT inside COUNT { } is not meaningful; compare the "
+                    "count instead"
+                )
+            return CountPattern(pc)
+        if (
+            tok is not None
+            and tok.kind == "word"
             and tok.text == "reduce"
             and self.peek(1) is not None
             and self.peek(1).text == "("
@@ -1605,6 +1645,13 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         lo = norm(expr.lo, F.lit(0))
         hi = norm(expr.hi, size)
         return F.slice(src, lo + F.lit(1), F.greatest(F.lit(0), hi - lo))
+    if isinstance(expr, RawCol):
+        return F.col(expr.name)
+    if isinstance(expr, CountPattern):
+        raise CypherSyntaxError(
+            "COUNT { } subqueries are only supported in the RETURN/WITH "
+            "items of a single-MATCH node query"
+        )
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
     if isinstance(expr, (PropRef, BareRef)):
@@ -2350,6 +2397,82 @@ def _shortest_path(
     return df, colmap
 
 
+def _bind_pattern_counts(
+    df: DataFrame, colmap, items: list[ReturnItem]
+) -> DataFrame:
+    """Bind every ``COUNT { pattern }`` subquery in ``items`` to a real
+    column: one partial-aggregated edge count per distinct subquery,
+    left-joined on the bound variable's id (coalesced to 0 — a node with
+    no matches counts zero, per Cypher). The count side is (node, count)
+    — ONE row per node, so the join never multiplies rows, and at scale
+    it is the same shuffle a degree computation costs anyway. Mutates the
+    item exprs in place (CountPattern → RawCol) and returns the joined
+    frame."""
+    ctx = getattr(colmap, "pattern_count_ctx", None)
+    bound: dict[tuple, str] = {}
+    state = {"df": df, "n": 0}
+
+    def bind(cp: CountPattern) -> RawCol:
+        if ctx is None:
+            raise CypherSyntaxError(
+                "COUNT { } subqueries are only supported in the "
+                "RETURN/WITH items of a single-MATCH node query"
+            )
+        graph, var = ctx
+        pc = cp.pattern
+        if pc.var != var:
+            raise CypherSyntaxError(f"unknown variable {pc.var!r}")
+        key = (pc.rel_type, pc.dst_label, pc.direction)
+        if key in bound:
+            return RawCol(bound[key])
+        name = f"__pcnt_{state['n']}"
+        state["n"] += 1
+        edges = graph.edges
+        if pc.rel_type is not None:
+            edges = edges.filter(F.col("rel_type") == pc.rel_type)
+
+        def counted(bound_end: str) -> DataFrame:
+            other = "dst" if bound_end == "src" else "src"
+            e = edges
+            if pc.dst_label is not None:
+                lbl = graph.nodes(pc.dst_label).select(
+                    F.col("id").alias("__pc_l")
+                )
+                e = e.join(lbl, F.col(other) == F.col("__pc_l"), "left_semi")
+            return e.select(F.col(bound_end).alias("__pc_id"))
+
+        if pc.direction == "out":
+            ep = counted("src")
+        elif pc.direction == "in":
+            ep = counted("dst")
+        else:
+            ep = counted("src").unionByName(counted("dst"))
+        cnt = ep.groupBy("__pc_id").agg(F.count("*").alias(name))
+        state["df"] = (
+            state["df"]
+            .join(cnt, F.col("id") == F.col("__pc_id"), "left")
+            .drop("__pc_id")
+            .withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+        )
+        bound[key] = name
+        return RawCol(name)
+
+    def rewrite(expr):
+        if isinstance(expr, CountPattern):
+            return bind(expr)
+        if isinstance(expr, BinOp):
+            return BinOp(expr.op, rewrite(expr.left), rewrite(expr.right))
+        if isinstance(expr, FuncCall):
+            return FuncCall(
+                expr.fn, rewrite(expr.arg), tuple(rewrite(a) for a in expr.extra)
+            )
+        return expr
+
+    for i in items:
+        i.expr = rewrite(i.expr)
+    return state["df"]
+
+
 def _apply_projection(
     df: DataFrame, colmap, distinct: bool, items: list[ReturnItem]
 ) -> DataFrame:
@@ -2706,6 +2829,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             var: [c for c in graph.vertices.columns if c not in ("id", "label")]
         }
         colmap.var_kinds = {var: "node"}
+        colmap.pattern_count_ctx = (graph, var)
 
     elif pat.hops is not None:
         df = _varlength_paths(graph, pat)
@@ -2807,6 +2931,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             p.next()
             w_disj = p.parse_where(allow_bare=True)
         w_items = _expand_star(w_items, colmap, "WITH")
+        df = _bind_pattern_counts(df, colmap, w_items)
         df = _apply_projection(df, colmap, w_distinct, w_items)
         colmap = _bare_colmap({_out_name(i) for i in w_items})
         if w_order:
@@ -2822,6 +2947,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     distinct, items = p.parse_return(allow_bare=bare)
     order, skip, limit = p.parse_tail(require_end=False, allow_bare=bare)
     items = _expand_star(items, colmap, "RETURN")
+    df = _bind_pattern_counts(df, colmap, items)
     df = _apply_projection(df, colmap, distinct, items)
     if order:
         df = df.orderBy(*_order_columns(order, items, "RETURN", df))

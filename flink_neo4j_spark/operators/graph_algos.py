@@ -668,6 +668,26 @@ def g49_cypher_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G50 — Cypher COUNT { } count subqueries (Neo4j 5): per-row pattern
+# counts — the degree-report idiom every graph user types. Each DISTINCT
+# subquery binds as ONE partial-aggregated edge count left-joined on the
+# node id (coalesced to 0 for no-match nodes), so the plan is
+# degree-computation-shaped: no per-match row explosion, one shuffle per
+# distinct subquery, and repeated subqueries share their join.
+def g50_cypher_count_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) RETURN n.name AS nation, "
+        "COUNT { (n)<-[:IN_NATION]-(:Customer) } AS customers, "
+        "COUNT { (n)<-[:IN_NATION]-(:Supplier) } AS suppliers, "
+        "COUNT { (n)-[:IN_REGION]->() } AS regions "
+        "ORDER BY nation",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1632,6 +1652,7 @@ QUERIES: dict[str, QueryFn] = {
     "g47_cypher_list_ops": g47_cypher_list_ops,
     "g48_cypher_all_shortest": g48_cypher_all_shortest,
     "g49_cypher_foreach": g49_cypher_foreach,
+    "g50_cypher_count_subquery": g50_cypher_count_subquery,
 }
 
 ORACLE: dict[str, str] = {
@@ -1715,6 +1736,14 @@ ORACLE: dict[str, str] = {
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
         ORDER BY name""",
+    "g50_cypher_count_subquery": """
+        SELECT n_name AS nation,
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_nationkey = n_nationkey) AS BIGINT) AS customers,
+               CAST((SELECT COUNT(*) FROM supplier
+                     WHERE s_nationkey = n_nationkey) AS BIGINT) AS suppliers,
+               CAST(1 AS BIGINT) AS regions
+        FROM nation ORDER BY nation""",
     "g49_cypher_foreach": f"""
         SELECT COUNT(*) AS n, CAST(SUM(i) AS BIGINT) AS total,
                CAST(SUM(i * i) AS BIGINT) AS sum_sq

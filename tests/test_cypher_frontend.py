@@ -713,6 +713,47 @@ def test_exists_block_subquery(fixture_graph):
     assert [r["name"] for r in rows] == ["Eve"]
 
 
+def test_count_subquery_per_row_degrees(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "COUNT { (n)-[:KNOWS]->() } AS outdeg, "
+        "COUNT { (n)<-[:KNOWS]-() } AS indeg ORDER BY name",
+    ).collect()
+    # fixture edges: Alice->Bob, Bob->Alice
+    assert [(r["name"], r["outdeg"], r["indeg"]) for r in rows] == [
+        ("Alice", 1, 1), ("Bob", 1, 1), ("Eve", 0, 0)
+    ]
+
+
+def test_count_subquery_in_with_and_arithmetic(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.name AS name, "
+        "COUNT { (n)-[:KNOWS]-() } AS deg WHERE deg >= 1 "
+        "RETURN name, deg ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["deg"]) for r in rows] == [("Alice", 2), ("Bob", 2)]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "COUNT { (n)-[:KNOWS]->(:User) } + 10 AS shifted ORDER BY name",
+    ).collect()
+    assert [r["shifted"] for r in rows] == [11, 11, 10]
+
+
+def test_count_subquery_scope_validation(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="COUNT"):
+        cypher_read(
+            fixture_graph, "UNWIND [1] AS x RETURN COUNT { (x)-[:T]->() } AS c"
+        )
+    with pytest.raises(CypherSyntaxError, match="NOT inside COUNT"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN COUNT { NOT (n)-[:KNOWS]->() } AS c",
+        )
+
+
 def test_foreach_range_create(fixture_graph):
     g2 = cypher_write(
         fixture_graph,
