@@ -3193,7 +3193,7 @@ def cypher_write(
                 "two-node MATCH must be followed by MERGE or CREATE"
             )
         p.next()
-        pat = p.parse_pattern()
+        pat = p.parse_pattern(unwind_var=uvar)
         if not isinstance(pat, EdgePat) or pat.hops is not None:
             raise CypherSyntaxError(
                 "relationship write needs a single-hop edge pattern"
@@ -3204,9 +3204,9 @@ def cypher_write(
             )
         if pat.rel_type is None:
             raise CypherSyntaxError("relationship write requires a type")
-        if pat.props or pat.var is not None:
+        if pat.var is not None:
             raise CypherSyntaxError(
-                "relationship write supports an anonymous, property-free edge"
+                "relationship write supports an anonymous edge (no variable)"
             )
         # the parser normalizes (a)<-[:T]-(b) to src=b, dst=a, so the
         # stored direction always follows pat.src -> pat.dst; the two
@@ -3227,8 +3227,20 @@ def cypher_write(
         p.expect_end()
         ((akey, aval),) = src_node.props.items()
         ((bkey, bval),) = dst_node.props.items()
+        for ep in pat.props:
+            if ep in ("__a", "__b", "src", "dst", "id", "rel_type"):
+                raise CypherSyntaxError(
+                    f"reserved edge property name {ep!r}"
+                )
         data = [
-            {"__a": _resolve(aval, row), "__b": _resolve(bval, row)}
+            {
+                "__a": _resolve(aval, row),
+                "__b": _resolve(bval, row),
+                # edge property map — values per row (r.w) or literals;
+                # for MERGE these join the match key (Cypher semantics),
+                # for CREATE they are simply written
+                **{ep: _resolve(v, row) for ep, v in pat.props.items()},
+            }
             for row in rows
         ]
         if not data:

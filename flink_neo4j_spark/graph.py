@@ -392,10 +392,11 @@ class PropertyGraph:
         b = self.vertices.filter(F.col("label") == dst_label).select(
             F.col(dst_key).alias("__bk"), F.col("id").alias("dst")
         )
+        extra = [c for c in batch.columns if c not in (src_col, dst_col)]
         return (
             batch.join(a, batch[src_col] == F.col("__ak"))
             .join(b, batch[dst_col] == F.col("__bk"))
-            .select("src", "dst")
+            .select("src", "dst", *extra)
         )
 
     def create_relationships(
@@ -410,12 +411,12 @@ class PropertyGraph:
         materialized dense offsets, :func:`_allocate_ids` — no collect, and
         stable across repeated actions on the returned graph). CREATE
         semantics: every batch row inserts, duplicates included, as in
-        Cypher."""
+        Cypher. Property columns on ``endpoints`` beyond (src, dst) become
+        edge properties (schema widens by name; existing edges read
+        null)."""
         base = self.edges.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
         new = _allocate_ids(
-            endpoints.select("src", "dst").withColumn(
-                "rel_type", F.lit(rel_type)
-            ),
+            endpoints.withColumn("rel_type", F.lit(rel_type)),
             base,
         )
         merged = self.edges.unionByName(new, allowMissingColumns=True)
@@ -431,12 +432,28 @@ class PropertyGraph:
         idempotent (retry-safe, the sink's at-least-once story — re-running
         the same batch is a no-op). One distinct + one anti-join against
         the existing edge set keyed on the endpoint pair, then the same
-        id-allocation path as :meth:`create_relationships`."""
-        wanted = endpoints.select("src", "dst").distinct()
-        existing = self.edges.filter(
-            F.col("rel_type") == rel_type
-        ).select("src", "dst")
-        missing = wanted.join(existing, ["src", "dst"], "left_anti")
+        id-allocation path as :meth:`create_relationships`.
+
+        Property columns on ``endpoints`` participate in the MERGE match
+        key, as in Cypher — ``MERGE (a)-[:T {w: 5}]->(b)`` matches only an
+        existing edge whose ``w`` equals 5 (null-safe; an existing edge
+        lacking the column reads null and only matches a null want) and
+        creates the edge with the properties otherwise."""
+        props = [c for c in endpoints.columns if c not in ("src", "dst")]
+        wanted = endpoints.select("src", "dst", *props).distinct()
+        have = set(self.edges.columns)
+        existing = self.edges.filter(F.col("rel_type") == rel_type).select(
+            F.col("src").alias("__es"),
+            F.col("dst").alias("__ed"),
+            *[
+                (F.col(c) if c in have else F.lit(None)).alias(f"__ep_{c}")
+                for c in props
+            ],
+        )
+        cond = (F.col("src") == F.col("__es")) & (F.col("dst") == F.col("__ed"))
+        for c in props:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__ep_{c}"))
+        missing = wanted.join(existing, cond, "left_anti")
         return self.create_relationships(missing, rel_type)
 
     # -- connector round-trip (SURVEY §7 step 5) --------------------------

@@ -688,6 +688,38 @@ def g50_cypher_count_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# G51 — relationship writes WITH property maps through the front end:
+# ``UNWIND $rows AS r MATCH (a:L {k: r.a}), (b:L {k: r.b})
+# MERGE (a)-[:T {w: r.w}]->(b)`` — the weighted-edge upsert every graph
+# loader performs. Properties join the MERGE match key (Cypher: a
+# same-endpoints edge with a DIFFERENT property value is a new edge;
+# an identical row replays as a no-op), and CREATE simply writes them.
+# The batch stays a broadcast-joined endpoint resolution; edge schema
+# widens by name.
+def g51_cypher_rel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    rows = [
+        {"src": "NATION_0", "dst": "NATION_1", "w": 3},
+        {"src": "NATION_1", "dst": "NATION_2", "w": 5},
+        # duplicate row: MERGE dedups on (endpoints, props)
+        {"src": "NATION_0", "dst": "NATION_1", "w": 3},
+    ]
+    g2 = cypher_write(
+        g,
+        "UNWIND $rows AS r "
+        "MATCH (a:Nation {name: r.src}), (b:Nation {name: r.dst}) "
+        "MERGE (a)-[:TRADES {w: r.w}]->(b)",
+        {"rows": rows},
+    )
+    return cypher_read(
+        g2,
+        "MATCH (a:Nation)-[e:TRADES]->(b:Nation) "
+        "RETURN a.name AS src, b.name AS dst, e.w AS w ORDER BY src, dst",
+    )
+
+
 # G13 — single-source WEIGHTED shortest path (Bellman-Ford relaxation as
 # DataFrame join/agg rounds): like g6's BFS but each hop adds the edge
 # property `w` instead of 1, and the per-round re-minimization is over path
@@ -1653,6 +1685,7 @@ QUERIES: dict[str, QueryFn] = {
     "g48_cypher_all_shortest": g48_cypher_all_shortest,
     "g49_cypher_foreach": g49_cypher_foreach,
     "g50_cypher_count_subquery": g50_cypher_count_subquery,
+    "g51_cypher_rel_props": g51_cypher_rel_props,
 }
 
 ORACLE: dict[str, str] = {
@@ -1736,6 +1769,11 @@ ORACLE: dict[str, str] = {
         FROM nation
         UNION ALL SELECT 'ATLANTIS', 'gold'
         ORDER BY name""",
+    "g51_cypher_rel_props": """
+        SELECT * FROM (
+          SELECT 'NATION_0' AS src, 'NATION_1' AS dst, 3 AS w
+          UNION ALL SELECT 'NATION_1', 'NATION_2', 5)
+        ORDER BY src, dst""",
     "g50_cypher_count_subquery": """
         SELECT n_name AS nation,
                CAST((SELECT COUNT(*) FROM customer

@@ -50,6 +50,30 @@ def test_create_inserts_duplicates_with_fresh_ids(spark, fixture_graph):
     assert g2.edges.select("id").distinct().count() == 2
 
 
+def test_merge_with_properties_joins_match_key(spark, fixture_graph):
+    """Edge property maps: MERGE matches on (endpoints, props) — replay
+    of an identical row is a no-op, a different property value inserts a
+    NEW edge (Cypher semantics); CREATE writes props unconditionally."""
+    from flink_neo4j_spark.cypher_frontend import cypher_write
+
+    stmt = (
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), "
+        "(b:User {name: r.dst}) MERGE (a)-[:LIKES {w: r.w}]->(b)"
+    )
+    rows = {"rows": [{"src": "alice", "dst": "bob", "w": 5}]}
+    g2 = cypher_write(fixture_graph, stmt, rows)
+    assert g2.edges.filter("rel_type = 'LIKES'").count() == 1
+    g3 = cypher_write(g2, stmt, rows)  # identical replay: no-op
+    assert g3.edges.filter("rel_type = 'LIKES'").count() == 1
+    g4 = cypher_write(
+        g3, stmt, {"rows": [{"src": "alice", "dst": "bob", "w": 9}]}
+    )
+    ws = sorted(
+        r["w"] for r in g4.edges.filter("rel_type = 'LIKES'").collect()
+    )
+    assert ws == [5, 9]
+
+
 def test_rejects_malformed_relationship_writes(spark, fixture_graph):
     bad = [
         # unlabeled endpoint
