@@ -3530,7 +3530,16 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                     values[ref.prop] = None
                 else:
                     p.expect("op", "=")
-                    values[ref.prop] = p.parse_value(None)
+                    # full expressions over the matched node's own
+                    # properties — the counter idiom ``SET n.visits =
+                    # n.visits + 1`` and computed updates ``SET n.name =
+                    # toUpper(n.name)``; literals keep the old fast path
+                    val = p.parse_return_expr()
+                    if isinstance(val, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed in SET values"
+                        )
+                    values[ref.prop] = val
             if p.at("punct", ","):
                 p.next()
                 continue
@@ -3546,11 +3555,26 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
             matched = matched & F.coalesce(
                 _where_to_column(disj, colmap, have), F.lit(False)
             )
+        def _valcol(val) -> Column:
+            # AST values compile over the SAME projection input, so an
+            # expression reads the node's pre-update property values
+            # (Cypher: all SET right-hand sides evaluate before any
+            # assignment applies)
+            if isinstance(
+                val,
+                (
+                    PropRef, BareRef, BinOp, FuncCall, CaseExpr,
+                    ListComp, ReduceExpr, IndexExpr, SliceExpr,
+                ),
+            ):
+                return _expr_column(val, colmap, v)
+            return F.lit(val)
+
         out: list[Column] = []
         for c in v.columns:
             if c in values:
                 out.append(
-                    F.when(matched, F.lit(values[c])).otherwise(F.col(c)).alias(c)
+                    F.when(matched, _valcol(values[c])).otherwise(F.col(c)).alias(c)
                 )
             elif c == "label" and set_label is not None:
                 out.append(
@@ -3574,7 +3598,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
             # everyone else reads null (B5 missing-property semantics).
             # REMOVE of a property that never existed is a no-op.
             if prop not in have and val is not None:
-                out.append(F.when(matched, F.lit(val)).alias(prop))
+                out.append(F.when(matched, _valcol(val)).alias(prop))
         return PropertyGraph(v.select(*out), graph.edges)
 
     detach = False

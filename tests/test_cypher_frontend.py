@@ -838,6 +838,25 @@ def test_remove_label_nulls_only_carriers(fixture_graph):
     assert g3.nodes("User").count() == 3
 
 
+def test_bare_set_expression_values(fixture_graph):
+    """SET right-hand sides are full expressions over the node's own
+    (pre-update) properties — the counter and computed-update idioms."""
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Eve' "
+        "SET n.born = n.born + 1, n.shout = toUpper(n.name)",
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert users["Eve"]["born"] == 1985
+    assert users["Eve"]["shout"] == "EVE"
+    assert users["Alice"]["born"] == 1984      # unmatched rows untouched
+    assert users["Alice"]["shout"] is None
+    with pytest.raises(CypherSyntaxError, match="aggregates"):
+        cypher_write(
+            fixture_graph, "MATCH (n:User) SET n.c = count(*)"
+        )
+
+
 def test_label_mutation_validation(fixture_graph):
     with pytest.raises(CypherSyntaxError, match="one label per SET"):
         cypher_write(fixture_graph, "MATCH (n:User) SET n:A, n:B")
