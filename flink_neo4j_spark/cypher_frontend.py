@@ -3516,6 +3516,59 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                             "one label per SET (single-label model)"
                         )
                     set_label = lbl
+            elif (
+                not removing
+                and p.at("word")
+                and p.peek(1) is not None
+                and p.peek(1).kind == "op"
+                and p.peek(1).text == "+"
+                and p.peek(2) is not None
+                and p.peek(2).kind == "op"
+                and p.peek(2).text == "="
+            ):
+                # SET n += {k: v, ...} / SET n += $props — Cypher's map
+                # merge: listed properties overwrite (null removes, per
+                # the SET-null contract), everything else is untouched —
+                # exactly a multi-property SET, so it folds into the same
+                # values dict / single conditional projection.
+                mvar = p.next().text
+                p.next()  # +
+                p.next()  # =
+                if mvar != target.var:
+                    raise CypherSyntaxError(
+                        f"SET/REMOVE target must be {target.var!r}"
+                    )
+                if p.at("punct", "$"):
+                    m = p.parse_value(None)
+                    if not isinstance(m, dict):
+                        raise CypherSyntaxError(
+                            "SET += $param requires a map value"
+                        )
+                    entries = list(m.items())
+                else:
+                    p.expect("punct", "{")
+                    entries = []
+                    while True:
+                        k = p.expect("word").text
+                        p.expect("punct", ":")
+                        val = p.parse_return_expr()
+                        if isinstance(val, AggCall):
+                            raise CypherSyntaxError(
+                                "aggregates are not allowed in SET values"
+                            )
+                        entries.append((k, val))
+                        if p.at("punct", ","):
+                            p.next()
+                            continue
+                        break
+                    p.expect("punct", "}")
+                for k, val in entries:
+                    if k == "label":
+                        raise CypherSyntaxError(
+                            "the label is set with SET n:Label, not as a "
+                            "property"
+                        )
+                    values[k] = val
             else:
                 ref = p.parse_prop_ref()
                 if ref.var != target.var or ref.prop is None:

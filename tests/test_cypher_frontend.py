@@ -857,6 +857,34 @@ def test_bare_set_expression_values(fixture_graph):
         )
 
 
+def test_set_map_merge(fixture_graph):
+    """SET n += {map} / += $param: listed properties overwrite (null
+    removes), others untouched — folds into the one conditional
+    projection."""
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User {name: 'Eve'}) "
+        "SET n += {born: n.born + 1, vip: true}",
+    )
+    users = {r["name"]: r for r in g2.nodes("User").collect()}
+    assert users["Eve"]["born"] == 1985 and users["Eve"]["vip"] is True
+    assert users["Eve"]["height"] == 1.62          # untouched property
+    assert users["Alice"]["vip"] is None           # unmatched row
+    g3 = cypher_write(
+        g2,
+        "MATCH (n:User {name: 'Eve'}) SET n += $p",
+        {"p": {"vip": None, "score": 7}},
+    )
+    eve = g3.nodes("User").filter("name = 'Eve'").collect()[0]
+    assert eve["vip"] is None and eve["score"] == 7
+    with pytest.raises(CypherSyntaxError, match="map value"):
+        cypher_write(
+            fixture_graph,
+            "MATCH (n:User) SET n += $p",
+            {"p": [1, 2]},
+        )
+
+
 def test_label_mutation_validation(fixture_graph):
     with pytest.raises(CypherSyntaxError, match="one label per SET"):
         cypher_write(fixture_graph, "MATCH (n:User) SET n:A, n:B")
