@@ -40,9 +40,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # round 5: _shortest_path REWRITTEN (min-dist re-aggregation ->
+    # frontier BFS with shortest-path counting + early exit) for
+    # allShortestPaths; result-identical for the single-path form by
+    # construction and driver-sim-verified, but a full algorithm rewrite
+    # re-certifies.
+    "g31_cypher_shortest_path",
+    # round 5: merge_nodes rewritten to per-arm property->column maps
+    # (ON CREATE/ON MATCH support); the default both-arms path is
+    # equivalent but the implementation changed.
+    "g18_cypher_merge",
+    "g35_cypher_rel_merge",
+    # round 5: labels() now array_compact's the list (empty after REMOVE)
+    "g37_cypher_scalar_fns",
+    # round 5: bare-write SET values parse through the full expression
+    # grammar + label mutation items + map merge share its clause loop.
+    "g39_cypher_bare_set",
+)
 # Round-4 tier-A entries (s10, w14, d18) all earned green rows in
-# CORRECTNESS_r04.json, so they drop back to tier C here.
+# CORRECTNESS_r04.json, so they drop back to tier C here. Parse-layer
+# upgrades that produce identical ASTs for previously-valid queries
+# (the WHERE arithmetic-operand generalization, ORDER BY key grammar)
+# do NOT re-enter tier A: every g-query was re-verified against its
+# oracle in fresh driver-sim runs after each such change this round.
 
 #: Round-5 pinned backlog (the judge's round-4 ask #1): the 29 q-series
 #: relational shapes that have NEVER had a driver CORRECTNESS row because
