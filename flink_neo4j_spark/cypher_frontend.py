@@ -1484,6 +1484,98 @@ def _is_integral(expr, colmap, df: DataFrame) -> bool:
     return False
 
 
+def _dtype_of(col: Column, df: DataFrame) -> str | None:
+    """Spark dtype string of ``col`` against ``df``: plain-name lookup when
+    the Column is a bare reference, else a driver-side analysis of a
+    one-column projection (resolves the expression tree, executes
+    nothing). None when the Column cannot be analyzed against this frame
+    (e.g. a higher-order-function lambda argument)."""
+    name = _plain_name(col)
+    if name is not None:
+        dtype = dict(df.dtypes).get(name)
+        if dtype is not None:
+            return dtype
+    try:
+        return df.select(col).schema[0].dataType.simpleString()
+    except Exception:
+        return None
+
+
+#: scalar functions whose result type is known statically — enough for
+#: `+`'s concat-vs-arithmetic dispatch without analyzing the frame
+_STRING_FNS = frozenset({
+    "toLower", "toUpper", "trim", "ltrim", "rtrim", "toString", "left",
+    "right", "substring", "replace", "type",
+})
+_ARRAY_FNS = frozenset({"split", "range", "keys", "labels"})
+_NUMERIC_FNS = frozenset({
+    "toInteger", "toFloat", "abs", "sign", "sqrt", "exp", "ceil", "floor",
+    "round", "size", "length", "id",
+})
+
+
+def _operand_kind(expr, colmap, df: DataFrame) -> str | None:
+    """Coarse static type of a ``+`` operand — "string" / "array" /
+    "numeric" / "other" / None (unknown). Drives Cypher's overloaded
+    ``+``: concatenation when either side is a string or a list,
+    arithmetic otherwise. Conservative: unknown falls through to
+    arithmetic, where a genuinely mis-typed operand still fails loudly in
+    Spark's analyzer."""
+    if isinstance(expr, bool):
+        return "other"
+    if isinstance(expr, (int, float)):
+        return "numeric"
+    if isinstance(expr, str):
+        return "string"
+    if isinstance(expr, list):
+        return "array"
+    if isinstance(expr, (ListComp, SliceExpr)):
+        return "array"
+    if isinstance(expr, BinOp):
+        if expr.op == "+":
+            return _operand_kind(expr.left, colmap, df) or _operand_kind(
+                expr.right, colmap, df
+            )
+        return "numeric"
+    if isinstance(expr, FuncCall):
+        if expr.fn in _STRING_FNS:
+            return "string"
+        if expr.fn in _ARRAY_FNS:
+            return "array"
+        if expr.fn in _NUMERIC_FNS:
+            return "numeric"
+        if expr.fn in ("coalesce", "head", "last", "reverse"):
+            for a in (expr.arg, *getattr(expr, "extra", ())):
+                k = _operand_kind(a, colmap, df)
+                if k is not None:
+                    # head/last yield an ELEMENT of their list operand —
+                    # kind unknowable without element types; only pass
+                    # through non-array kinds (reverse preserves its kind)
+                    if expr.fn in ("head", "last") and k == "array":
+                        return None
+                    return k
+            return None
+        return None
+    if isinstance(expr, (PropRef, BareRef)):
+        try:
+            probe = getattr(colmap, "probe", colmap)
+            col = probe(expr)
+        except Exception:
+            return None
+        dtype = _dtype_of(col, df)
+        if dtype is None:
+            return None
+        if dtype == "string":
+            return "string"
+        if dtype.startswith("array"):
+            return "array"
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                     "double") or dtype.startswith("decimal"):
+            return "numeric"
+        return "other"
+    return None
+
+
 def _lambda_colmap(outer, bindings: dict, probes: dict):
     """colmap for a higher-order-function lambda body: ``bindings`` maps
     lambda variable names to their (scope-local, unanalyzable) argument
@@ -1532,6 +1624,30 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
     if isinstance(expr, BinOp):
         left = _expr_column(expr.left, colmap, df)
         right = _expr_column(expr.right, colmap, df)
+        kl = _operand_kind(expr.left, colmap, df)
+        kr = _operand_kind(expr.right, colmap, df)
+        if "string" in (kl, kr) or "array" in (kl, kr):
+            if expr.op != "+":
+                # Cypher defines only + on strings/lists; -,*,/,% on them
+                # is a type error in Neo4j — raise OUR error, not Spark's
+                raise CypherSyntaxError(
+                    f"operator {expr.op!r} is not defined on "
+                    "string or list operands"
+                )
+            if "array" in (kl, kr):
+                # list + list concatenates; list + element appends,
+                # element + list prepends (Neo4j's list +)
+                if kl == "array" and kr == "array":
+                    return F.concat(left, right)
+                if kl == "array":
+                    return F.concat(left, F.array(right))
+                return F.concat(F.array(left), right)
+            # string concatenation; a non-string side is stringified
+            # (Neo4j: 'a' + 1 = 'a1', 1.5 + 'a' = '1.5a')
+            return F.concat(
+                left if kl == "string" else left.cast("string"),
+                right if kr == "string" else right.cast("string"),
+            )
         if expr.op == "+":
             return left + right
         if expr.op == "-":

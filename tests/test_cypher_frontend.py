@@ -2475,3 +2475,59 @@ def test_unwind_list_homogeneity(fixture_graph):
         fixture_graph, "UNWIND [1, null, 3] AS x RETURN x"
     ).collect()
     assert sorted((r["x"] for r in rows), key=lambda v: (v is None, v)) == [1, 3, None]
+
+
+def test_plus_concatenates_strings(fixture_graph):
+    # Cypher's overloaded +: string concatenation when either operand is a
+    # string, the other side stringified (Neo4j: 'a' + 1 = 'a1')
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name + '!' AS bang, "
+        "'Hi ' + n.name AS hi, n.name + n.born AS tag, "
+        "n.born + n.name AS gat ORDER BY bang",
+    )
+    rows = df.collect()
+    assert [r["bang"] for r in rows] == ["Alice!", "Bob!", "Eve!"]
+    assert rows[0]["hi"] == "Hi Alice"
+    assert rows[0]["tag"] == "Alice1984"
+    assert rows[0]["gat"] == "1984Alice"
+
+
+def test_plus_concatenates_lists(fixture_graph):
+    # list + list concatenates, element + list prepends, list + element
+    # appends — inside comprehensions the lambda element type resolves
+    # through the probe twin
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Alice' "
+        "WITH split(n.name, 'l') AS parts "
+        "RETURN parts + ['z'] AS app, 'z' + parts AS pre, "
+        "[w IN parts | w + '.'] AS dotted",
+    )
+    row = df.collect()[0]
+    assert row["app"] == ["A", "ice", "z"]
+    assert row["pre"] == ["z", "A", "ice"]
+    assert row["dotted"] == ["A.", "ice."]
+
+
+def test_plus_arithmetic_unchanged(fixture_graph):
+    # numeric + stays arithmetic; integer division still truncates
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Alice' "
+        "RETURN n.born + 1 AS np, n.born / 10 AS dv",
+    )
+    row = df.collect()[0]
+    assert (row["np"], row["dv"]) == (1985, 198)
+
+
+def test_non_plus_on_strings_raises(fixture_graph):
+    # Neo4j: -,*,/,% are type errors on strings/lists — OUR error, not a
+    # raw Spark analysis exception
+    with pytest.raises(CypherSyntaxError, match="not defined on string"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN n.name - '!' AS x")
+    with pytest.raises(CypherSyntaxError, match="not defined on string"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WITH split(n.name, 'l') AS p RETURN p * 2 AS x",
+        )
