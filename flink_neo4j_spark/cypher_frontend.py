@@ -205,6 +205,18 @@ class WholeVar:
 
 
 @dataclass
+class MapProj:
+    """``n {.name, .born}`` / ``n {.*}`` — a Cypher map projection as a
+    RETURN/WITH item: the selected properties of a pattern variable (or a
+    whole variable carried through WITH) as one struct column. ``.*``
+    selects every property (meta fields excluded). A projected property
+    no write ever created reads null, like any other property access."""
+
+    var: str
+    props: tuple  # property names, or ("*",) for .*
+
+
+@dataclass
 class CaseExpr:
     """``CASE WHEN <pred> THEN <expr> [...] [ELSE <expr>] END`` in a
     RETURN/WITH item (the simple form ``CASE x WHEN v THEN ...`` is
@@ -1221,6 +1233,39 @@ class _Parser:
             self.expect("punct", ")")
             return AggCall(fn, arg, distinct, extra)
         if (
+            tok is not None
+            and tok.kind == "word"
+            and self.peek(1) is not None
+            and self.peek(1).text == "{"
+        ):
+            # n {.name, .born} / n {.*} — Cypher map projection (literal
+            # keys and variable entries are rejected, not mis-parsed)
+            var = self.next().text
+            self.expect("punct", "{")
+            props: list[str] = []
+            while True:
+                if not self.at("punct", "."):
+                    raise CypherSyntaxError(
+                        "map projection entries must be .prop or .* "
+                        "(computed entries are not supported)"
+                    )
+                self.next()
+                if self.at("punct", "*"):
+                    self.next()
+                    props.append("*")
+                else:
+                    props.append(self.expect("word").text)
+                if self.at("punct", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("punct", "}")
+            if "*" in props and len(props) > 1:
+                raise CypherSyntaxError(
+                    ".* selects every property; combine it with nothing"
+                )
+            return MapProj(var, tuple(props))
+        if (
             not allow_bare
             and tok is not None
             and tok.kind == "word"
@@ -1677,6 +1722,29 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             for p in sorted(var_props[expr.var])
         ]
         return F.struct(*fields)
+    if isinstance(expr, MapProj):
+        var_props = getattr(colmap, "var_props", None)
+        structs = getattr(colmap, "structs", {})
+        if var_props is not None and expr.var in var_props:
+            avail = sorted(var_props[expr.var])
+        elif expr.var in structs:
+            meta = {"id", "label", "src", "dst", "rel_type"}
+            avail = [f for f in structs[expr.var] if f not in meta]
+        else:
+            raise CypherSyntaxError(
+                f"map projection over unknown variable {expr.var!r}"
+            )
+        props = avail if expr.props == ("*",) else list(expr.props)
+        if not props:
+            raise CypherSyntaxError(
+                f"map projection over {expr.var!r} selects no properties"
+            )
+        return F.struct(
+            *[
+                _resolve_ref(PropRef(expr.var, p), colmap, df).alias(p)
+                for p in props
+            ]
+        )
     if isinstance(expr, CaseExpr):
         col: Column | None = None
         have = set(df.columns)
@@ -1797,19 +1865,56 @@ def _order_columns(
         if isinstance(key, (FuncCall, BinOp, CaseExpr)):
             match = next((i for i in items if i.expr == key), None)
             if match is not None:
-                name = _out_name(match)
-                cols.append(F.col(name).asc() if asc else F.col(name).desc())
+                cols.append(_order_dir(F.col(_out_name(match)), asc))
                 continue
             if df is None:
                 raise CypherSyntaxError(
                     f"computed ORDER BY keys are not supported in this "
                     f"{clause} position"
                 )
-            col = _expr_column(key, _bare_colmap(names), df)
-            cols.append(col.asc() if asc else col.desc())
+            col = _expr_column(key, _bare_colmap(names, _struct_outputs(df)), df)
+            cols.append(_order_dir(col, asc))
             continue
         if isinstance(key, (PropRef, AggCall)):
             match = next((i for i in items if i.expr == key), None)
+            if match is None and isinstance(key, PropRef) and df is not None:
+                # ORDER BY n.prop where the projection carries the WHOLE
+                # variable (``WITH n ORDER BY n.born``) — sorts by the
+                # struct field; a field no write ever created sorts as
+                # null (Cypher's missing-property contract)
+                base = next(
+                    (
+                        i
+                        for i in items
+                        if (
+                            isinstance(i.expr, (WholeVar, MapProj))
+                            and i.expr.var == key.var
+                        )
+                        or _out_name(i) == key.var
+                    ),
+                    None,
+                )
+                if base is not None:
+                    fields = _struct_outputs(df).get(_out_name(base))
+                    if fields is not None:
+                        if key.prop not in fields and isinstance(
+                            base.expr, MapProj
+                        ):
+                            # a map projection DROPPED the sort property —
+                            # sorting by null here would silently diverge
+                            # from Neo4j (which still sees the variable)
+                            raise CypherSyntaxError(
+                                f"ORDER BY {key.var}.{key.prop}: add "
+                                f".{key.prop} to the map projection (the "
+                                "projected map does not carry it)"
+                            )
+                        col = (
+                            F.col(_out_name(base)).getField(key.prop)
+                            if key.prop in fields
+                            else F.lit(None)
+                        )
+                        cols.append(_order_dir(col, asc))
+                        continue
             if match is None:
                 desc = (
                     f"{key.var}.{key.prop}"
@@ -1826,8 +1931,84 @@ def _order_columns(
                     f"ORDER BY {key!r} must reference a {clause} column"
                 )
             name = key
-        cols.append(F.col(name).asc() if asc else F.col(name).desc())
+        cols.append(_order_dir(F.col(name), asc))
     return cols
+
+
+def _order_dir(col: Column, asc: bool) -> Column:
+    """Cypher ORDER BY direction: null sorts as the LARGEST value (asc →
+    nulls last, desc → nulls first) — Neo4j's contract; Spark's bare
+    asc()/desc() default the other way around."""
+    return col.asc_nulls_last() if asc else col.desc_nulls_first()
+
+
+def _order_specs(order: list[tuple], items: list[ReturnItem]) -> list[tuple]:
+    """Rewrite a WITH stage's ORDER BY keys into specs resolvable AGAINST
+    THE STAGE'S OUTPUT scope — the row-order metadata a later ``collect()``
+    consumes (Neo4j: collect after ``WITH ... ORDER BY`` observes the
+    sorted row order; Spark's groupBy does not, so collect must re-sort by
+    these keys). A key matching a projected item becomes that item's
+    output name; ``ORDER BY n.prop`` over a carried whole variable becomes
+    a struct-field ref; computed keys already read output names."""
+    specs: list[tuple] = []
+    for key, asc in order:
+        if isinstance(key, str):
+            specs.append((BareRef(key), asc))
+            continue
+        match = next((i for i in items if i.expr == key), None)
+        if match is not None:
+            specs.append((BareRef(_out_name(match)), asc))
+            continue
+        if isinstance(key, PropRef):
+            base = next(
+                (
+                    i
+                    for i in items
+                    if (
+                        isinstance(i.expr, (WholeVar, MapProj))
+                        and i.expr.var == key.var
+                    )
+                    or _out_name(i) == key.var
+                ),
+                None,
+            )
+            if base is not None:
+                specs.append((PropRef(_out_name(base), key.prop), asc))
+                continue
+        specs.append((key, asc))
+    return specs
+
+
+def _remap_specs(
+    specs: list[tuple], items: list[ReturnItem]
+) -> list[tuple] | None:
+    """Carry row-order metadata across a plain (non-aggregating,
+    non-DISTINCT) WITH projection: each key must survive into the new
+    scope — as a projected item (renamed to its output name) or as a
+    property of a carried struct. Any key falling out of scope drops the
+    metadata entirely (order no longer provable — collect falls back to
+    the sorted-by-value determinism contract, never a silent wrong
+    order)."""
+    out: list[tuple] = []
+    for ast, asc in specs:
+        match = next((i for i in items if i.expr == ast), None)
+        if match is not None:
+            out.append((BareRef(_out_name(match)), asc))
+            continue
+        if isinstance(ast, PropRef):
+            base = next(
+                (
+                    i
+                    for i in items
+                    if isinstance(i.expr, BareRef) and i.expr.name == ast.var
+                ),
+                None,
+            )
+            if base is not None:
+                out.append((PropRef(_out_name(base), ast.prop), asc))
+                continue
+        return None
+    return out
 
 
 def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
@@ -1837,7 +2018,7 @@ def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
         )
     if isinstance(ref, CaseExpr):
         raise CypherSyntaxError("a CASE RETURN/WITH item needs an AS alias")
-    if isinstance(ref, WholeVar):
+    if isinstance(ref, (WholeVar, MapProj)):
         return ref.var
     if not isinstance(ref, (PropRef, BareRef, AggCall, FuncCall)):
         raise CypherSyntaxError("a literal RETURN/WITH item needs an AS alias")
@@ -1888,9 +2069,59 @@ _AGG_FN_DISTINCT_MAP = {
 }
 
 
+def _ordered_collect(
+    value: Column, specs: list[tuple], colmap, df: DataFrame, distinct: bool
+) -> Column:
+    """collect() under a preceding ``WITH ... ORDER BY``: Neo4j's list
+    follows the sorted row order, but Spark's groupBy forgets it — so the
+    keys ride along in a struct and an ``array_sort`` comparator restores
+    them post-aggregation (pure JVM; no extra shuffle). Null keys sort
+    largest (Neo4j), null VALUES are skipped (Cypher collect), and the
+    value itself is the final tiebreaker so the result stays a
+    layout-independent VALUE even when keys tie."""
+    keys = [(_expr_column(ast, colmap, df), asc) for ast, asc in specs]
+    fields = [k.alias(f"__k{i}") for i, (k, _) in enumerate(keys)]
+    fields.append(value.alias("__v"))
+    arr = F.collect_list(F.when(value.isNotNull(), F.struct(*fields)))
+
+    def cmp(left: Column, right: Column) -> Column:
+        lv, rv = left["__v"], right["__v"]
+        res = (
+            F.when(lv < rv, F.lit(-1)).when(lv > rv, F.lit(1)).otherwise(F.lit(0))
+        )
+        for i in range(len(keys) - 1, -1, -1):
+            asc = keys[i][1]
+            lk, rk = left[f"__k{i}"], right[f"__k{i}"]
+            res = (
+                F.when(lk.isNull() & rk.isNull(), res)
+                .when(lk.isNull(), F.lit(1 if asc else -1))
+                .when(rk.isNull(), F.lit(-1 if asc else 1))
+                .when(lk < rk, F.lit(-1 if asc else 1))
+                .when(lk > rk, F.lit(1 if asc else -1))
+                .otherwise(res)
+            )
+        return res
+
+    out = F.transform(F.array_sort(arr, cmp), lambda x: x["__v"])
+    # collect(DISTINCT x) after ORDER BY: duplicates are adjacent in the
+    # sorted list, and array_distinct keeps first occurrences — so the
+    # distinct list stays in key order
+    return F.array_distinct(out) if distinct else out
+
+
 def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
     if call.arg is None:
         return F.count(F.lit(1))
+    row_order = getattr(colmap, "row_order", None)
+    if call.fn == "COLLECT" and row_order:
+        if isinstance(call.arg, WholeVar):
+            idcol = colmap(PropRef(call.arg.var, None))
+            value = F.when(
+                idcol.isNotNull(), _expr_column(call.arg, colmap, df)
+            )
+        else:
+            value = _resolve_ref(call.arg, colmap, df)
+        return _ordered_collect(value, row_order, colmap, df, call.distinct)
     if isinstance(call.arg, WholeVar):
         # collect(n): the whole-variable struct, null where the binding
         # itself is null (failed OPTIONAL MATCH) so collect skips it like
@@ -2612,22 +2843,56 @@ def _apply_projection(
     return df
 
 
-def _bare_colmap(names: set[str]):
+def _bare_colmap(
+    names: set[str], structs: dict[str, tuple[str, ...]] | None = None
+):
     """colmap over a WITH stage's output: the row is named scalar columns,
     so only bare alias references resolve — pattern variables are out of
-    scope past the WITH horizon (Cypher's scoping rule)."""
+    scope past the WITH horizon (Cypher's scoping rule). ``structs`` maps
+    struct-typed output names (a whole variable carried through WITH, a
+    map projection) to their field names: ``n.born`` after ``WITH n``
+    resolves to the struct field, and a field no write ever created reads
+    null (the same missing-property contract as pattern scopes / Cypher's
+    map access on a missing key)."""
+    structs = structs or {}
 
     def colmap(ref) -> Column:
         if isinstance(ref, BareRef):
             if ref.name not in names:
                 raise CypherSyntaxError(f"unknown name {ref.name!r} after WITH")
             return F.col(ref.name)
+        if isinstance(ref, PropRef) and ref.var in structs:
+            if ref.prop is None:
+                # id(n) / the whole-variable null gate: the struct's id
+                # field (only a carried whole variable has one)
+                if "id" not in structs[ref.var]:
+                    raise CypherSyntaxError(
+                        f"{ref.var!r} is not a node or relationship "
+                        "variable in this scope"
+                    )
+                return F.col(ref.var).getField("id")
+            if ref.prop in structs[ref.var]:
+                return F.col(ref.var).getField(ref.prop)
+            return F.lit(None)
         raise CypherSyntaxError(
             "references after WITH must use the WITH output names"
         )
 
     colmap.star_names = set(names)
+    colmap.structs = dict(structs)
     return colmap
+
+
+def _struct_outputs(df: DataFrame) -> dict[str, tuple[str, ...]]:
+    """Struct-typed columns of a projected frame → their field names (the
+    dot-access scope ``_bare_colmap`` serves after a WITH horizon)."""
+    from pyspark.sql.types import StructType
+
+    return {
+        f.name: tuple(f.dataType.names)
+        for f in df.schema.fields
+        if isinstance(f.dataType, StructType)
+    }
 
 
 def _expand_star(items: list[ReturnItem], colmap, clause: str) -> list[ReturnItem]:
@@ -2652,7 +2917,11 @@ def _expand_star(items: list[ReturnItem], colmap, clause: str) -> list[ReturnIte
             continue
         star_names = getattr(colmap, "star_names", None)
         if star_names:
-            out.extend(ReturnItem(BareRef(n), None) for n in sorted(star_names))
+            out.extend(
+                ReturnItem(BareRef(n), None)
+                for n in sorted(star_names)
+                if not n.startswith("__")
+            )
             continue
         raise CypherSyntaxError(
             f"{clause} * is not supported in this clause position"
@@ -3035,7 +3304,15 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             alias = p.expect("word").text
             df = df.withColumn(alias, F.explode(_expr_column(src, colmap, df)))
             names = set(getattr(colmap, "star_names", set())) | {alias}
-            colmap = _bare_colmap(names)
+            # struct scopes survive the explode (their columns do); any
+            # row-order metadata does NOT (element order within a row is
+            # not covered by the WITH-stage keys)
+            structs = {
+                k: v
+                for k, v in getattr(colmap, "structs", {}).items()
+                if k != alias
+            }
+            colmap = _bare_colmap(names, structs)
             continue
         p.next()
         w_distinct, w_items = p.parse_return(allow_bare=bare)
@@ -3048,10 +3325,40 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             w_disj = p.parse_where(allow_bare=True)
         w_items = _expand_star(w_items, colmap, "WITH")
         df = _bind_pattern_counts(df, colmap, w_items)
-        df = _apply_projection(df, colmap, w_distinct, w_items)
-        colmap = _bare_colmap({_out_name(i) for i in w_items})
+        prev_specs = getattr(colmap, "row_order", None)
+        carry_items = list(w_items)
+        next_specs = None
+        if (
+            not w_order
+            and prev_specs
+            and not w_distinct
+            and not any(isinstance(i.expr, AggCall) for i in w_items)
+        ):
+            # Neo4j: row order persists through a plain projection. Remap
+            # each key to the new scope; keys falling out of the
+            # projection ride along as hidden __ord columns (dropped
+            # implicitly at the next aggregate/RETURN projection).
+            next_specs = _remap_specs(prev_specs, w_items)
+            if next_specs is None:
+                carry_items = w_items + [
+                    ReturnItem(ast, f"__ord{i}")
+                    for i, (ast, _) in enumerate(prev_specs)
+                ]
+                next_specs = [
+                    (BareRef(f"__ord{i}"), asc)
+                    for i, (_, asc) in enumerate(prev_specs)
+                ]
+        df = _apply_projection(df, colmap, w_distinct, carry_items)
+        colmap = _bare_colmap(
+            {_out_name(i) for i in carry_items}, _struct_outputs(df)
+        )
         if w_order:
             df = df.orderBy(*_order_columns(w_order, w_items, "WITH", df))
+            # row-order metadata: a later collect() observes this sort
+            # (Neo4j's ordered-collect idiom) — see _ordered_collect
+            colmap.row_order = _order_specs(w_order, w_items)
+        elif next_specs:
+            colmap.row_order = next_specs
         if w_skip is not None:
             df = df.offset(w_skip)
         if w_limit is not None:

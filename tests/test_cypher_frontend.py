@@ -2531,3 +2531,105 @@ def test_non_plus_on_strings_raises(fixture_graph):
             fixture_graph,
             "MATCH (n:User) WITH split(n.name, 'l') AS p RETURN p * 2 AS x",
         )
+
+
+def test_whole_var_scope_after_with(fixture_graph):
+    # WITH n carries the node as a struct; n.prop resolves to a struct
+    # field past the horizon, a never-written property reads null
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n WHERE n.born = 1984 "
+        "RETURN n.name AS nm, n.nickname AS nick ORDER BY nm",
+    )
+    rows = df.collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Eve"]
+    assert [r["nick"] for r in rows] == [None, None]
+
+
+def test_ordered_collect_follows_with_order(fixture_graph):
+    # THE Cypher ordered-collect idiom: collect() observes the preceding
+    # WITH ... ORDER BY row order (Neo4j semantics; plain collect stays
+    # sorted-by-value for layout independence)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n ORDER BY n.born DESC, n.name "
+        "RETURN collect(n.name) AS names",
+    )
+    assert df.collect()[0]["names"] == ["Alice", "Eve", "Bob"]
+    # grouped variant: per-group lists each follow the key order
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n ORDER BY n.name DESC "
+        "RETURN n.born AS b, collect(n.name) AS names ORDER BY b",
+    )
+    rows = df.collect()
+    assert rows[0]["b"] == 1983 and rows[0]["names"] == ["Bob"]
+    assert rows[1]["b"] == 1984 and rows[1]["names"] == ["Eve", "Alice"]
+
+
+def test_ordered_collect_survives_projection(fixture_graph):
+    # row order persists through plain WITH projections (hidden __ord
+    # carry), through LIMIT, and into collect(DISTINCT ...)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n ORDER BY n.born DESC, n.name "
+        "WITH n.name AS nm RETURN collect(nm) AS names",
+    )
+    assert df.collect()[0]["names"] == ["Alice", "Eve", "Bob"]
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n ORDER BY n.born DESC "
+        "RETURN collect(DISTINCT n.born) AS borns",
+    )
+    assert df.collect()[0]["borns"] == [1984, 1983]
+
+
+def test_plain_collect_still_value_sorted(fixture_graph):
+    # without an ORDER BY horizon the determinism contract holds: the
+    # list is sorted by value, independent of partition layout
+    df = cypher_read(fixture_graph, "MATCH (n:User) RETURN collect(n.name) AS names")
+    assert df.collect()[0]["names"] == ["Alice", "Bob", "Eve"]
+
+
+def test_map_projection(fixture_graph):
+    # n {.name, .born} — selected properties as one struct; .* selects
+    # every property; a never-written property reads null
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n {.name, .born} AS card ORDER BY n.name",
+    )
+    rows = df.collect()
+    assert rows[0]["card"].asDict() == {"name": "Alice", "born": 1984}
+    df = cypher_read(fixture_graph, "MATCH (n:User) RETURN n {.*} AS card")
+    assert set(df.schema["card"].dataType.names) == {
+        "born", "height", "name", "trust",
+    }
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Eve' RETURN n {.name, .nick} AS card",
+    )
+    assert df.collect()[0]["card"].asDict() == {"name": "Eve", "nick": None}
+
+
+def test_map_projection_after_with_and_on_edges(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n WHERE n.born = 1983 "
+        "RETURN n {.name, .born} AS card",
+    )
+    assert df.collect()[0]["card"].asDict() == {"name": "Bob", "born": 1983}
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a)-[e:KNOWS]->(b) RETURN e {.*} AS props, e.since AS s "
+        "ORDER BY s",
+    )
+    assert [r["props"].asDict() for r in df.collect()] == [
+        {"since": 2001}, {"since": 2002},
+    ]
+
+
+def test_map_projection_rejections(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="computed entries"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN n {name: 1} AS x")
+    with pytest.raises(CypherSyntaxError, match="unknown variable"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN z {.name} AS x")
