@@ -205,6 +205,15 @@ class WholeVar:
 
 
 @dataclass
+class ListExpr:
+    """A list constructor with expression elements — ``[n.name, 'x']`` —
+    compiled to one JVM ``array()``. Pure-literal lists stay plain Python
+    lists (the UNWIND/IN machinery consumes those directly)."""
+
+    items: tuple
+
+
+@dataclass
 class MapProj:
     """``n {.name, .born}`` / ``n {.*}`` — a Cypher map projection as a
     RETURN/WITH item: the selected properties of a pattern variable (or a
@@ -353,6 +362,10 @@ _FN_ARITY = {
     "last": (1, 1), "size": (1, 1), "left": (2, 2), "right": (2, 2),
     "split": (2, 2), "substring": (2, 3), "replace": (3, 3),
     "coalesce": (1, None), "range": (2, 3),
+    # temporal constructors: a NO-argument date()/datetime() is "now" in
+    # Neo4j — nondeterministic, rejected by the min-arity (determinism is
+    # the engine contract); pass the clock in as a parameter instead
+    "date": (1, 1), "datetime": (1, 1),
 }
 
 #: hard ceiling on variable-length path expansion: each extra hop is one
@@ -975,12 +988,24 @@ class _Parser:
         vals: list[Any] = []
         if not self.at("punct", "]"):
             while True:
-                vals.append(self.parse_value(None))
+                vals.append(self.parse_return_expr(allow_bare))
                 if self.at("punct", ","):
                     self.next()
                     continue
                 break
         self.expect("punct", "]")
+        if any(
+            not (v is None or isinstance(v, (int, float, str, bool)))
+            for v in vals
+        ):
+            # an element is an EXPRESSION (ref, function, arithmetic):
+            # a list constructor, compiled to F.array — `[n.name, 'x']`
+            for v in vals:
+                if isinstance(v, AggCall):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed inside a list literal"
+                    )
+            return ListExpr(tuple(vals))
         kinds = {
             "boolean" if isinstance(v, bool)
             else "number" if isinstance(v, (int, float))
@@ -1382,6 +1407,12 @@ _SCALAR_FNS = {
     "toFloat": lambda c: c.try_cast("double"),
     "toString": lambda c: c.cast("string"),
     "toBoolean": lambda c: c.try_cast("boolean"),
+    # Cypher temporal constructors from ISO strings (date('2024-01-15'),
+    # datetime('2024-01-15T10:30:00')); unparseable input is null via
+    # try_cast, mirroring the other conversion functions. date(datetime)
+    # truncates to the calendar date, as in Neo4j.
+    "date": lambda c: c.try_cast("date"),
+    "datetime": lambda c: c.try_cast("timestamp"),
     "ceil": lambda c: F.ceil(c).cast("double"),
     "floor": lambda c: F.floor(c).cast("double"),
     "head": lambda c: F.try_element_at(c, F.lit(1)),
@@ -1574,7 +1605,7 @@ def _operand_kind(expr, colmap, df: DataFrame) -> str | None:
         return "string"
     if isinstance(expr, list):
         return "array"
-    if isinstance(expr, (ListComp, SliceExpr)):
+    if isinstance(expr, (ListComp, SliceExpr, ListExpr)):
         return "array"
     if isinstance(expr, BinOp):
         if expr.op == "+":
@@ -1722,6 +1753,8 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             for p in sorted(var_props[expr.var])
         ]
         return F.struct(*fields)
+    if isinstance(expr, ListExpr):
+        return F.array(*[_expr_column(e, colmap, df) for e in expr.items])
     if isinstance(expr, MapProj):
         var_props = getattr(colmap, "var_props", None)
         structs = getattr(colmap, "structs", {})
@@ -1872,7 +1905,9 @@ def _order_columns(
                     f"computed ORDER BY keys are not supported in this "
                     f"{clause} position"
                 )
-            col = _expr_column(key, _bare_colmap(names, _struct_outputs(df)), df)
+            col = _expr_column(
+                key, _bare_colmap(names, _struct_outputs(df), df), df
+            )
             cols.append(_order_dir(col, asc))
             continue
         if isinstance(key, (PropRef, AggCall)):
@@ -1977,6 +2012,14 @@ def _order_specs(order: list[tuple], items: list[ReturnItem]) -> list[tuple]:
                 continue
         specs.append((key, asc))
     return specs
+
+
+def _specs_columns(specs: list[tuple], colmap, df: DataFrame) -> list[Column]:
+    """Materialize row-order specs as sort Columns against the current
+    scope — the physical form of a deferred WITH ... ORDER BY."""
+    return [
+        _order_dir(_expr_column(ast, colmap, df), asc) for ast, asc in specs
+    ]
 
 
 def _remap_specs(
@@ -2843,8 +2886,32 @@ def _apply_projection(
     return df
 
 
+#: Neo4j temporal-component accessors (``d.year`` on a date/datetime
+#: value). dayOfWeek is ISO (Monday=1) like Neo4j — Spark's weekday() is
+#: 0-based Monday. Time-of-day parts only apply to datetimes.
+_TEMPORAL_ACCESSORS = {
+    "year": F.year,
+    "quarter": F.quarter,
+    "month": F.month,
+    "week": F.weekofyear,
+    "day": F.day,
+    "ordinalDay": F.dayofyear,
+    "dayOfWeek": lambda c: F.weekday(c) + F.lit(1),
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "epochSeconds": F.unix_timestamp,
+    "epochMillis": F.unix_millis,
+}
+_DATE_PARTS = frozenset(
+    {"year", "quarter", "month", "week", "day", "ordinalDay", "dayOfWeek"}
+)
+
+
 def _bare_colmap(
-    names: set[str], structs: dict[str, tuple[str, ...]] | None = None
+    names: set[str],
+    structs: dict[str, tuple[str, ...]] | None = None,
+    frame: DataFrame | None = None,
 ):
     """colmap over a WITH stage's output: the row is named scalar columns,
     so only bare alias references resolve — pattern variables are out of
@@ -2874,6 +2941,25 @@ def _bare_colmap(
             if ref.prop in structs[ref.var]:
                 return F.col(ref.var).getField(ref.prop)
             return F.lit(None)
+        if (
+            isinstance(ref, PropRef)
+            and ref.var in names
+            and frame is not None
+            and ref.prop in _TEMPORAL_ACCESSORS
+        ):
+            # d.year / d.month / ... — temporal-component access on a
+            # projected date/datetime column (Neo4j accessor semantics);
+            # time-of-day parts require a datetime
+            dtype = _dtype_of(F.col(ref.var), frame) or ""
+            if dtype.startswith("timestamp") or (
+                dtype == "date" and ref.prop in _DATE_PARTS
+            ):
+                return _TEMPORAL_ACCESSORS[ref.prop](F.col(ref.var))
+            if dtype == "date":
+                raise CypherSyntaxError(
+                    f"{ref.prop!r} is a time component; {ref.var!r} is a "
+                    "date (no time of day)"
+                )
         raise CypherSyntaxError(
             "references after WITH must use the WITH output names"
         )
@@ -2945,6 +3031,15 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     left join (Cypher semantics: a failed optional pattern yields nulls,
     never drops the base row).
     """
+    if p.at("kw", "RETURN") or p.at("kw", "WITH"):
+        # standalone RETURN / WITH ... RETURN — expression evaluation over
+        # one empty row (``RETURN 1 + 1 AS x``, ``WITH date($d) AS d
+        # RETURN d.year``): the calculator / connectivity-probe idiom
+        # every Neo4j client supports. One local row, no scan.
+        spark = graph.vertices.sparkSession
+        return _finish_read(
+            spark.range(1).drop("id"), _bare_colmap(set()), p, bare=True
+        )
     if p.at("kw", "UNWIND"):
         # standalone UNWIND: a literal list as the row source —
         # ``UNWIND [1, 2, 3] AS x RETURN x * 2 AS y``. Planned as a
@@ -2991,7 +3086,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             df = spark.range(lo, hi + (1 if step > 0 else -1), step).select(
                 F.col("id").alias(alias)
             )
-            return _finish_read(df, _bare_colmap({alias}), p, bare=True)
+            return _finish_read(
+            df, _bare_colmap({alias}, None, df), p, bare=True
+        )
         if p.at("punct", "$"):
             vals = p.parse_value(None)
             if not isinstance(vals, list):
@@ -3036,7 +3133,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             df = spark.range(1).select(F.explode(F.lit(vals)).alias(alias))
         else:
             df = spark.range(0).select(F.lit(None).alias(alias))
-        return _finish_read(df, _bare_colmap({alias}), p, bare=True)
+        return _finish_read(
+            df, _bare_colmap({alias}, None, df), p, bare=True
+        )
     p.expect("kw", "MATCH")
     sp_var = None
     sp_all = False
@@ -3302,6 +3401,12 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 )
             p.expect("kw", "AS")
             alias = p.expect("word").text
+            pend = getattr(colmap, "row_order", None)
+            if pend:
+                # a pending (deferred) sort must materialize before the
+                # explode: UNWIND preserves row order in Neo4j, and the
+                # exploded rows are no longer coverable by the keys
+                df = df.orderBy(*_specs_columns(pend, colmap, df))
             df = df.withColumn(alias, F.explode(_expr_column(src, colmap, df)))
             names = set(getattr(colmap, "star_names", set())) | {alias}
             # struct scopes survive the explode (their columns do); any
@@ -3312,7 +3417,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 for k, v in getattr(colmap, "structs", {}).items()
                 if k != alias
             }
-            colmap = _bare_colmap(names, structs)
+            colmap = _bare_colmap(names, structs, df)
             continue
         p.next()
         w_distinct, w_items = p.parse_return(allow_bare=bare)
@@ -3350,19 +3455,30 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 ]
         df = _apply_projection(df, colmap, w_distinct, carry_items)
         colmap = _bare_colmap(
-            {_out_name(i) for i in carry_items}, _struct_outputs(df)
+            {_out_name(i) for i in carry_items}, _struct_outputs(df), df
         )
         if w_order:
-            df = df.orderBy(*_order_columns(w_order, w_items, "WITH", df))
-            # row-order metadata: a later collect() observes this sort
-            # (Neo4j's ordered-collect idiom) — see _ordered_collect
+            # row-order metadata, NOT a physical sort: a later collect()
+            # re-sorts per group from these keys (_ordered_collect), so
+            # the global sort only materializes where row order is
+            # OBSERVABLE — SKIP/LIMIT here, UNWIND, or a plain final
+            # RETURN. At scale this turns Cypher's ordered-collect idiom
+            # into one hash aggregate instead of a total sort + aggregate
+            # (Catalyst cannot elide the sort itself: collect_list is
+            # order-sensitive to it). Keys are still VALIDATED eagerly —
+            # a bad ORDER BY raises here, deferred or not.
+            _order_columns(w_order, w_items, "WITH", df)
             colmap.row_order = _order_specs(w_order, w_items)
         elif next_specs:
             colmap.row_order = next_specs
-        if w_skip is not None:
-            df = df.offset(w_skip)
-        if w_limit is not None:
-            df = df.limit(w_limit)
+        if w_skip is not None or w_limit is not None:
+            pend = getattr(colmap, "row_order", None)
+            if pend:
+                df = df.orderBy(*_specs_columns(pend, colmap, df))
+            if w_skip is not None:
+                df = df.offset(w_skip)
+            if w_limit is not None:
+                df = df.limit(w_limit)
         if w_disj is not None:
             df = df.filter(_where_to_column(w_disj, colmap, None, df))
         bare = True
@@ -3371,7 +3487,29 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     order, skip, limit = p.parse_tail(require_end=False, allow_bare=bare)
     items = _expand_star(items, colmap, "RETURN")
     df = _bind_pattern_counts(df, colmap, items)
-    df = _apply_projection(df, colmap, distinct, items)
+    pending = getattr(colmap, "row_order", None)
+    if (
+        pending
+        and not order
+        and not distinct
+        and not any(isinstance(i.expr, AggCall) for i in items)
+    ):
+        # plain final RETURN after a WITH ... ORDER BY: the deferred sort
+        # defines the result order. Sort after the projection when every
+        # key survives into it (narrower sort input), else before (a
+        # Project preserves row order).
+        remapped = _remap_specs(pending, items)
+        if remapped is None:
+            df = df.orderBy(*_specs_columns(pending, colmap, df))
+            df = _apply_projection(df, colmap, distinct, items)
+        else:
+            df = _apply_projection(df, colmap, distinct, items)
+            post = _bare_colmap(
+                {_out_name(i) for i in items}, _struct_outputs(df), df
+            )
+            df = df.orderBy(*_specs_columns(remapped, post, df))
+    else:
+        df = _apply_projection(df, colmap, distinct, items)
     if order:
         df = df.orderBy(*_order_columns(order, items, "RETURN", df))
     if skip is not None:

@@ -2514,3 +2514,114 @@ ORACLE["g42_cypher_optional_map"] = """
                     AND c.c_custkey % 7 = 3) AS BIGINT) AS c3
     FROM nation n
     ORDER BY name"""
+
+
+# G52 — Cypher's overloaded `+` through the front end: string
+# concatenation (either side stringified) and list append — the
+# display-name / token-assembly idioms every Cypher user types. Compiled
+# to JVM concat() with a STATIC operand-kind dispatch (no runtime
+# branching, no Python); the whole projection stays inside whole-stage
+# codegen over the one customer⋈nation broadcast join.
+def g52_cypher_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WITH c.name + '@' + n.name AS addr, "
+        "split(c.name, '#') + [n.name] AS toks "
+        "RETURN addr, toks, size(toks) AS ntoks "
+        "ORDER BY addr LIMIT 40",
+    )
+
+
+QUERIES["g52_cypher_concat"] = g52_cypher_concat
+ORACLE["g52_cypher_concat"] = """
+    SELECT c_name || '@' || n_name AS addr,
+           list_append(string_split(c_name, '#'), n_name) AS toks,
+           CAST(len(string_split(c_name, '#')) + 1 AS BIGINT) AS ntoks
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY addr LIMIT 40"""
+
+
+# G53 — THE Cypher ordered-collect idiom: ``WITH n, c ORDER BY ...
+# RETURN collect(...)`` — the per-group member list follows the declared
+# row order (Neo4j semantics), not the engine's partition order. The
+# front end carries the ORDER keys into the collect struct and re-sorts
+# per group with an array_sort comparator, so the GLOBAL sort the WITH
+# clause declares is semantically redundant for the aggregate — and
+# Catalyst's EliminateSorts removes it from the physical plan: at 100 TB
+# this runs as ONE hash aggregate, not sort + aggregate.
+def g53_cypher_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WITH n, c ORDER BY c.name DESC "
+        "WITH n.name AS nation, collect(c.name) AS members "
+        "RETURN nation, members[0..5] AS top5, size(members) AS n_cust "
+        "ORDER BY nation",
+    )
+
+
+QUERIES["g53_cypher_ordered_collect"] = g53_cypher_ordered_collect
+ORACLE["g53_cypher_ordered_collect"] = """
+    WITH t AS (
+      SELECT n_name AS nation, list(c_name ORDER BY c_name DESC) AS members
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT nation, members[1:5] AS top5,
+           CAST(len(members) AS BIGINT) AS n_cust
+    FROM t ORDER BY nation"""
+
+
+# G54 — Cypher temporal surface: date() constructor from ISO strings
+# (unparseable → null via try_cast, like the other conversions), date
+# comparison predicates, and component accessors (.year/.quarter/
+# .ordinalDay/.dayOfWeek — ISO Monday=1, Neo4j's numbering, NOT Spark's
+# Sunday-based dayofweek). The date list arrives as a query parameter —
+# a deterministic 13-day grid — and every accessor compiles to the JVM
+# date functions, so the whole pipeline is codegen over one in-memory
+# relation.
+TEMPORAL_GRID_N = 80
+
+
+def _temporal_grid() -> list[str]:
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    return [
+        (base + datetime.timedelta(days=13 * i)).isoformat()
+        for i in range(TEMPORAL_GRID_N)
+    ]
+
+
+def g54_cypher_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "UNWIND $dates AS s WITH date(s) AS d "
+        "WHERE d >= date('1995-06-01') "
+        "RETURN d.year AS y, d.quarter AS q, count(*) AS n, "
+        "min(d.ordinalDay) AS first_doy, max(d.dayOfWeek) AS max_dow "
+        "ORDER BY y, q",
+        {"dates": _temporal_grid()},
+    )
+
+
+QUERIES["g54_cypher_temporal"] = g54_cypher_temporal
+ORACLE["g54_cypher_temporal"] = f"""
+    WITH grid AS (
+      SELECT DATE '1995-01-01' + INTERVAL (13 * i) DAY AS d
+      FROM generate_series(0, {TEMPORAL_GRID_N - 1}) t(i))
+    SELECT CAST(year(d) AS BIGINT) AS y, CAST(quarter(d) AS BIGINT) AS q,
+           COUNT(*) AS n,
+           CAST(MIN(dayofyear(d)) AS BIGINT) AS first_doy,
+           CAST(MAX(isodow(d)) AS BIGINT) AS max_dow
+    FROM grid WHERE d >= DATE '1995-06-01'
+    GROUP BY y, q ORDER BY y, q"""

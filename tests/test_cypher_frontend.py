@@ -2633,3 +2633,51 @@ def test_map_projection_rejections(fixture_graph):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN n {name: 1} AS x")
     with pytest.raises(CypherSyntaxError, match="unknown variable"):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN z {.name} AS x")
+
+
+def test_standalone_return(fixture_graph):
+    # RETURN without MATCH: one-row expression evaluation (the client
+    # calculator / connectivity-probe idiom)
+    df = cypher_read(fixture_graph, "RETURN 1 + 1 AS x, toUpper('hi') AS s")
+    assert df.collect() == [(2, "HI")]
+    df = cypher_read(
+        fixture_graph, "WITH date('2024-01-15') AS d RETURN d.year AS y"
+    )
+    assert df.collect()[0]["y"] == 2024
+
+
+def test_temporal_constructors_and_accessors(fixture_graph):
+    import datetime
+
+    df = cypher_read(
+        fixture_graph,
+        "UNWIND ['1995-03-07', 'bogus'] AS s WITH date(s) AS d "
+        "RETURN d, d.year AS y, d.month AS m, d.day AS day, "
+        "d.dayOfWeek AS dow ORDER BY d",
+    )
+    rows = df.collect()
+    # 1995-03-07 was a Tuesday: ISO dayOfWeek = 2 (Neo4j, not Spark's
+    # Sunday-based dayofweek); unparseable input is null via try_cast
+    assert tuple(rows[0]) == (datetime.date(1995, 3, 7), 1995, 3, 7, 2)
+    assert tuple(rows[1]) == (None, None, None, None, None)
+    df = cypher_read(
+        fixture_graph,
+        "UNWIND ['1995-03-07T10:30:15'] AS s WITH datetime(s) AS t "
+        "RETURN t.hour AS h, t.minute AS mi, t.second AS sec",
+    )
+    assert tuple(df.collect()[0]) == (10, 30, 15)
+
+
+def test_temporal_predicates_and_rejections(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "UNWIND ['1995-03-07', '1996-12-31'] AS s WITH date(s) AS d "
+        "WHERE d >= date('1996-01-01') RETURN d",
+    )
+    assert len(df.collect()) == 1
+    # time-of-day component on a date is a loud error (Neo4j type error)
+    with pytest.raises(CypherSyntaxError, match="time component"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND ['1995-03-07'] AS s WITH date(s) AS d RETURN d.hour AS h",
+        )
