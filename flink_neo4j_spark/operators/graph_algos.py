@@ -2625,3 +2625,137 @@ ORACLE["g54_cypher_temporal"] = f"""
            CAST(MAX(isodow(d)) AS BIGINT) AS max_dow
     FROM grid WHERE d >= DATE '1995-06-01'
     GROUP BY y, q ORDER BY y, q"""
+
+
+# -- strongly connected components ----------------------------------------
+#
+# The standard distributed "coloring" SCC (Orzan / FW-BW family): repeat
+# {forward min-label propagation to fixpoint → roots (color == own id) →
+# backward reachability restricted to the root's color partition = that
+# root's SCC → peel}. Correct for arbitrary digraphs (the restriction of
+# the backward sweep to ONE color partition is what the naive
+# "forward-color × backward-color pair" heuristic gets wrong); each phase
+# is a bounded sequence of equi-joins — no path enumeration, state is one
+# row per active vertex.
+SCC_CHECKPOINT_EVERY = 8
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_iters: int, max_rounds: int
+) -> DataFrame:
+    """(src, dst) digraph → (vid, scc) with scc = min vertex id of the
+    component. ``max_iters`` bounds each propagation fixpoint (≥ the
+    diameter of the largest component's condensation neighborhood);
+    ``max_rounds`` bounds peel rounds (≥ the longest root-dependency
+    chain). Raises rather than mis-answering when the bounds are too
+    small for the graph — the same conscious-ceiling contract as
+    MAX_VAR_HOPS.
+
+    Scale shape: per-iteration cost is one shuffle join on vid; fixed
+    iteration counts keep the loop action-free between localCheckpoint
+    lineage barriers (one driver-side emptiness scalar per PEEL round,
+    not per propagation step)."""
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).localCheckpoint()
+    active = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned: DataFrame | None = None
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        # forward min-label: color(v) = min{u : u →* v} within the active
+        # subgraph (fixed-iteration loop — no per-step action)
+        e = (
+            edges.join(active.withColumnRenamed("vid", "src"), "src")
+            .join(active.withColumnRenamed("vid", "dst"), "dst")
+            .localCheckpoint()
+        )
+        color = active.withColumn("color", F.col("vid"))
+        for i in range(max_iters):
+            msgs = (
+                e.join(color, e.src == color.vid)
+                .select(F.col("dst").alias("vid"), "color")
+            )
+            color = (
+                color.unionByName(msgs)
+                .groupBy("vid")
+                .agg(F.min("color").alias("color"))
+            )
+            if (i + 1) % SCC_CHECKPOINT_EVERY == 0:
+                color = color.localCheckpoint()
+        color = color.localCheckpoint()
+        # backward sweep from each root, restricted to the root's color
+        # partition: reached = that root's SCC
+        mark = color.filter(F.col("color") == F.col("vid")).select(
+            "vid", F.col("vid").alias("scc")
+        )
+        for i in range(max_iters):
+            msgs = (
+                e.join(mark, e.dst == mark.vid)
+                .select(F.col("src").alias("vid"), "scc")
+                .join(color, "vid")
+                .filter(F.col("color") == F.col("scc"))
+                .select("vid", "scc")
+            )
+            mark = (
+                mark.unionByName(msgs)
+                .groupBy("vid")
+                .agg(F.min("scc").alias("scc"))
+            )
+            if (i + 1) % SCC_CHECKPOINT_EVERY == 0:
+                mark = mark.localCheckpoint()
+        mark = mark.localCheckpoint()
+        assigned = (
+            mark if assigned is None else assigned.unionByName(mark)
+        ).localCheckpoint()
+        active = active.join(mark, "vid", "left_anti").localCheckpoint()
+    if not active.isEmpty():
+        raise ValueError(
+            "strongly_connected_components did not converge within "
+            f"max_rounds={max_rounds}; raise the bound for this graph"
+        )
+    return assigned
+
+
+# G55 — SCC over a deterministic digraph with non-trivial structure:
+# 128 directed 8-cycles (the SCCs) plus one-way bridges pairing even
+# group 2k into 2k+1. The bridges make forward-reachability STRICTLY
+# coarser than SCC membership (a bridged pair shares one color
+# partition), so the query certifies exactly the part the backward sweep
+# exists for — and the peel order (bridge sources first, targets in
+# round 2). The fixture builds from spark.range (distributed, no
+# driver-side array); the oracle is the closed form scc(i) = ⌊i/8⌋·8.
+SCC_GROUPS = 128
+SCC_CYCLE_LEN = 8
+
+
+def g55_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = SCC_GROUPS * SCC_CYCLE_LEN
+    ids = spark.range(n)
+    cycles = ids.selectExpr(
+        "id AS src",
+        f"CAST(id DIV {SCC_CYCLE_LEN} AS LONG) * {SCC_CYCLE_LEN} "
+        f"+ (id % {SCC_CYCLE_LEN} + 1) % {SCC_CYCLE_LEN} AS dst",
+    )
+    bridges = spark.range(SCC_GROUPS // 2).selectExpr(
+        f"id * 2 * {SCC_CYCLE_LEN} AS src",
+        f"(id * 2 + 1) * {SCC_CYCLE_LEN} AS dst",
+    )
+    edges = cycles.unionByName(bridges)
+    scc = strongly_connected_components(
+        edges, max_iters=SCC_CYCLE_LEN + 2, max_rounds=3
+    )
+    return scc.orderBy("vid")
+
+
+QUERIES["g55_scc_components"] = g55_scc_components
+ORACLE["g55_scc_components"] = f"""
+    SELECT CAST(i AS BIGINT) AS vid,
+           CAST((i // {SCC_CYCLE_LEN}) * {SCC_CYCLE_LEN} AS BIGINT) AS scc
+    FROM generate_series(0, {SCC_GROUPS * SCC_CYCLE_LEN - 1}) t(i)
+    ORDER BY vid"""

@@ -1470,3 +1470,107 @@ ORACLE["t23_dsir_weights"] = f"""
              AS dsir_logw
     FROM toks JOIN model USING (b)
     GROUP BY doc_id ORDER BY doc_id"""
+
+
+# T24 — BM25 relevance scoring against a fixed query-term set: the
+# classic retrieval/quality-ranking primitive a training-data pipeline
+# uses to mine topical documents. Okapi BM25 with the Lucene idf form
+# ln(1 + (N − df + 0.5)/(df + 0.5)).
+#
+# Scale shape: per-term tf is size(filter(tokens, …)) — a JVM
+# higher-order expression over the one tokenize pass, NO explode and NO
+# per-term shuffle; the corpus statistics (N, Σdl, per-term df) reduce to
+# ONE 1-row aggregate that broadcast-joins back, so the whole query is
+# two scans of the memoized token projection + one broadcast. The stats
+# are exact int64 sums (avgdl materializes as dl·N/Σdl inside the score),
+# so the ranking is layout-independent; both engines evaluate the same
+# literal expression tree left-to-right → bit-identical doubles.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "hash", "join", "stream")
+BM25_TOP = 25
+
+
+def t24_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = documents_for_compute(spark, sf_dir).selectExpr(
+        "doc_id", f"{TOKENS} AS toks"
+    )
+    per = d.selectExpr(
+        "doc_id",
+        "size(toks) AS dl",
+        *[
+            f"size(filter(toks, x -> x = '{t}')) AS tf_{i}"
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = per.join(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}")
+        norm = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * F.col("dl")
+            * F.col("n_docs")
+            / F.col("sum_dl")
+        )
+        part = idf * tf * F.lit(BM25_K1 + 1.0) / norm
+        score = part if score is None else score + part
+    return (
+        scored.withColumn("bm25_raw", score)
+        .orderBy(F.col("bm25_raw").desc(), "doc_id")
+        .limit(BM25_TOP)
+        .selectExpr("doc_id", "ROUND(bm25_raw, 4) + 0.0 AS bm25")
+    )
+
+
+QUERIES["t24_bm25_scoring"] = t24_bm25_scoring
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {BM25_K1 + 1.0}"
+        f" / (tf_{i} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}"
+        f" * dl * n_docs / sum_dl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH per AS MATERIALIZED (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents)
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM per
+    )
+    SELECT doc_id, ROUND({parts}, 4) + 0.0 AS bm25
+    FROM per CROSS JOIN st
+    ORDER BY {parts} DESC, doc_id LIMIT {BM25_TOP}"""
+
+
+ORACLE["t24_bm25_scoring"] = _bm25_oracle()

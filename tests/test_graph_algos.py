@@ -60,3 +60,49 @@ def test_pagerank_mass_and_ordering(spark, tmp_path, monkeypatch):
     assert ranks[2] == ranks[3]
     assert ranks[0] > ranks[2] and ranks[1] > ranks[2]
     assert abs(sum(ranks.values()) - 1.0) < 0.05  # dangling-free graph keeps mass
+
+
+class TestStronglyConnectedComponents:
+    """General-digraph SCC: the coloring algorithm's correctness hinges on
+    the backward sweep being restricted to one color partition — these
+    fixtures include the exact shapes that break the naive alternatives
+    (forward-color alone, or fwd×bwd color pairs)."""
+
+    def _scc(self, spark, pairs, max_iters=8, max_rounds=6):
+        from flink_neo4j_spark.operators.graph_algos import (
+            strongly_connected_components,
+        )
+
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        out = strongly_connected_components(edges, max_iters, max_rounds)
+        return {r["vid"]: r["scc"] for r in out.collect()}
+
+    def test_two_cycles_with_bridge(self, spark):
+        # 0→1→2→0 and 3→4→3, one-way bridge 0→3: forward colors put all
+        # five vertices in partition 0, but the SCCs must split
+        got = self._scc(
+            spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (0, 3)]
+        )
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+    def test_tail_chain_singletons(self, spark):
+        # cycle 0↔1 with tail 1→2→3: tail vertices are singleton SCCs,
+        # peeled over successive rounds
+        got = self._scc(spark, [(0, 1), (1, 0), (1, 2), (2, 3)])
+        assert got == {0: 0, 1: 0, 2: 2, 3: 3}
+
+    def test_diamond_shared_min_ancestor_descendant(self, spark):
+        # 0→7, 0→8, 7→1, 8→1: vertices 7 and 8 share the min ancestor (0)
+        # AND the min descendant (1) yet are NOT one SCC — the case the
+        # fwd×bwd color-pair heuristic misclassifies
+        got = self._scc(spark, [(0, 7), (0, 8), (7, 1), (8, 1)])
+        assert got == {0: 0, 1: 1, 7: 7, 8: 8}
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="did not converge"):
+            self._scc(
+                spark, [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4)],
+                max_rounds=2,
+            )
