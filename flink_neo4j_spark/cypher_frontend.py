@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from dataclasses import replace as dc_replace
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -202,6 +203,18 @@ class WholeVar:
     object."""
 
     var: str
+
+
+@dataclass
+class FieldAccess:
+    """Postfix ``.name`` on a computed expression — ``date(s).year``,
+    ``duration.between(a, b).days``, nested struct access ``m.a.b``.
+    Dispatches at compile time on the base dtype: temporal component on
+    date/timestamp, struct field (missing → null, the map-access
+    contract) on structs; anything else raises."""
+
+    base: Any
+    name: str
 
 
 @dataclass
@@ -812,6 +825,31 @@ class _Parser:
                 self.next()
                 disj.append([])
                 continue
+            if self._at_word_ci("XOR"):
+                # a [AND …] XOR b [AND …]: desugared into the DNF the
+                # rest of the machinery speaks — (A ∧ ¬b₁) ∨ … ∨ (¬aᵢ ∧ B)
+                # (¬ of a conjunction distributes into one negated-cond
+                # disjunct each). Three-valued logic survives the identity
+                # (null XOR x is null on both forms). Neo4j precedence
+                # AND < XOR < OR holds; chained/OR-mixed XOR is rejected
+                # loudly rather than mis-grouped.
+                self.next()
+                rest = self.parse_where(unwind_var, allow_bare)
+                if len(rest) > 1:
+                    raise CypherSyntaxError(
+                        "chained XOR / XOR mixed with OR is not supported; "
+                        "rewrite with AND/OR/NOT"
+                    )
+                lhs, rhs = disj.pop(), rest[0]
+
+                def _neg(c):
+                    return dc_replace(c, negated=not c.negated)
+
+                disj.extend(
+                    [lhs + [_neg(b)] for b in rhs]
+                    + [[_neg(a)] + rhs for a in lhs]
+                )
+                return disj
             return disj
 
     def parse_pattern_predicate(self) -> PatternCond:
@@ -911,9 +949,20 @@ class _Parser:
 
     def _parse_arith_factor(self, allow_bare: bool):
         node = self._parse_arith_atom(allow_bare)
-        # postfix subscripts: list[i] / list[from..to] — chainable
-        # (m[0][1]) and legal on any list-valued expression
-        while self.at("punct", "[") and not isinstance(node, (int, float, str, bool)):
+        # postfix accessors — chainable and legal on any computed
+        # expression: subscripts list[i] / list[from..to], and .field
+        # (temporal components on date(x), nested struct fields)
+        while (
+            self.at("punct", "[")
+            and not isinstance(node, (int, float, str, bool))
+        ) or (
+            self.at("punct", ".")
+            and isinstance(node, (FuncCall, FieldAccess, IndexExpr, PropRef))
+        ):
+            if self.at("punct", "."):
+                self.next()
+                node = FieldAccess(node, self.expect("word").text)
+                continue
             self.next()
             lo = None
             if not (self.at("punct", ".") or self.at("punct", "]")):
@@ -1165,6 +1214,31 @@ class _Parser:
             return FuncCall(
                 fn, PropRef(var, "label" if fn == "labels" else "rel_type")
             )
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text == "duration"
+            and self.peek(1) is not None
+            and self.peek(1).text == "."
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).text == "("
+        ):
+            # duration.between(a, b) / duration.inDays / duration.inSeconds
+            # — the Cypher temporal-difference constructors
+            sub = self.peek(2).text
+            if sub not in ("between", "inDays", "inSeconds"):
+                raise CypherSyntaxError(
+                    f"unknown duration function duration.{sub}"
+                )
+            self.next(), self.next(), self.next()
+            self.expect("punct", "(")
+            a = self.parse_return_expr(allow_bare)
+            self.expect("punct", ",")
+            b = self.parse_return_expr(allow_bare)
+            self.expect("punct", ")")
+            return FuncCall(f"duration.{sub}", a, (b,))
         if (
             tok is not None
             and tok.kind == "word"
@@ -1434,6 +1508,43 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
     def resolve(a) -> Column:
         return _expr_column(a, colmap, df)
 
+    if call.fn.startswith("duration."):
+        # duration.between / duration.inDays / duration.inSeconds — the
+        # Cypher temporal-difference constructors, as component structs
+        # consumed by .months/.days/.seconds accessors. between() carries
+        # Neo4j's calendar semantics (whole months first, then leftover
+        # days: Jan 31 → Mar 10 is P1M10D) and is DATE-level — timestamp
+        # operands are rejected toward inSeconds rather than silently
+        # mis-rounding time-of-day carry.
+        a, b = resolve(call.arg), resolve(call.extra[0])
+        sub = call.fn.split(".", 1)[1]
+        if sub == "inDays":
+            return F.struct(F.datediff(b, a).cast("long").alias("days"))
+        if sub == "inSeconds":
+            return F.struct(
+                (F.unix_timestamp(b) - F.unix_timestamp(a)).alias("seconds")
+            )
+        from pyspark.sql.types import DateType
+
+        for side in (a, b):
+            if not isinstance(_datatype_of(side, df), DateType):
+                raise CypherSyntaxError(
+                    "duration.between supports date operands; use "
+                    "duration.inSeconds for datetimes"
+                )
+        # whole calendar months with Neo4j's contract: the largest m such
+        # that a + m months does not pass b (toward-zero for negatives).
+        # months_between's /31-day fraction UNDERCOUNTS clamp cases
+        # (Jan 30 → Feb 28 is a whole month, 0.935 by fraction) — one
+        # conditional add_months probe corrects it exactly.
+        m0 = F.months_between(b, a).cast("long")
+        months = (
+            F.when((m0 >= 0) & (F.add_months(a, m0 + 1) <= b), m0 + 1)
+            .when((m0 <= 0) & (F.add_months(a, m0 - 1) >= b), m0 - 1)
+            .otherwise(m0)
+        )
+        days = F.datediff(b, F.add_months(a, months)).cast("long")
+        return F.struct(months.alias("months"), days.alias("days"))
     if call.fn in ("keys", "properties"):
         # keys(n): the property names present (non-null) on the row, sorted
         # for determinism (Neo4j leaves order unspecified). properties(n):
@@ -1560,21 +1671,27 @@ def _is_integral(expr, colmap, df: DataFrame) -> bool:
     return False
 
 
-def _dtype_of(col: Column, df: DataFrame) -> str | None:
-    """Spark dtype string of ``col`` against ``df``: plain-name lookup when
-    the Column is a bare reference, else a driver-side analysis of a
-    one-column projection (resolves the expression tree, executes
+def _datatype_of(col: Column, df: DataFrame):
+    """Spark DataType of ``col`` against ``df`` via a driver-side analysis
+    of a one-column projection (resolves the expression tree, executes
     nothing). None when the Column cannot be analyzed against this frame
     (e.g. a higher-order-function lambda argument)."""
+    try:
+        return df.select(col).schema[0].dataType
+    except Exception:
+        return None
+
+
+def _dtype_of(col: Column, df: DataFrame) -> str | None:
+    """Spark dtype string of ``col`` against ``df``: plain-name lookup when
+    the Column is a bare reference, else an analysis probe."""
     name = _plain_name(col)
     if name is not None:
         dtype = dict(df.dtypes).get(name)
         if dtype is not None:
             return dtype
-    try:
-        return df.select(col).schema[0].dataType.simpleString()
-    except Exception:
-        return None
+    dt = _datatype_of(col, df)
+    return dt.simpleString() if dt is not None else None
 
 
 #: scalar functions whose result type is known statically — enough for
@@ -1753,6 +1870,30 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             for p in sorted(var_props[expr.var])
         ]
         return F.struct(*fields)
+    if isinstance(expr, FieldAccess):
+        from pyspark.sql.types import DateType, StructType, TimestampType
+
+        base = _expr_column(expr.base, colmap, df)
+        dt = _datatype_of(base, df)
+        if isinstance(dt, StructType):
+            if expr.name in dt.names:
+                return base.getField(expr.name)
+            return F.lit(None)  # map-access-on-missing-key reads null
+        if expr.name in _TEMPORAL_ACCESSORS and dt is not None:
+            is_ts = isinstance(dt, TimestampType) or dt.typeName().startswith(
+                "timestamp"
+            )
+            if is_ts or isinstance(dt, DateType):
+                if isinstance(dt, DateType) and expr.name not in _DATE_PARTS:
+                    raise CypherSyntaxError(
+                        f"{expr.name!r} is a time component; the operand "
+                        "is a date (no time of day)"
+                    )
+                return _TEMPORAL_ACCESSORS[expr.name](base)
+        raise CypherSyntaxError(
+            f".{expr.name} is not an accessor of this expression's type"
+            + (f" ({dt.simpleString()})" if dt is not None else "")
+        )
     if isinstance(expr, ListExpr):
         return F.array(*[_expr_column(e, colmap, df) for e in expr.items])
     if isinstance(expr, MapProj):
@@ -2280,7 +2421,12 @@ def _where_to_column(
             right = (
                 opcol(cond.right)
                 if isinstance(
-                    cond.right, (PropRef, BareRef, FuncCall, BinOp, CaseExpr)
+                    cond.right,
+                    (
+                        PropRef, BareRef, FuncCall, BinOp, CaseExpr,
+                        FieldAccess, IndexExpr, SliceExpr, ListComp,
+                        ReduceExpr,
+                    ),
                 )
                 else cond.right
             )
@@ -3040,6 +3186,24 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         return _finish_read(
             spark.range(1).drop("id"), _bare_colmap(set()), p, bare=True
         )
+    if p._at_word_ci("CALL") and p.peek(1) is not None and p.peek(1).text == "{":
+        # CALL { <query> [UNION <query>]* } <pipeline> — the Neo4j 5
+        # subquery block. Its headline use is POST-UNION processing
+        # (aggregate/sort over a union — inexpressible with a bare UNION
+        # chain); the inner chain compiles exactly like a top-level read
+        # and its output columns become a bare scope for the tail
+        # pipeline. Correlated (importing ``WITH``) forms are rejected at
+        # the inner parse (unknown variable), not mis-answered.
+        p.next()
+        p.next()
+        df = _read_union(graph, p)
+        p.expect("punct", "}")
+        return _finish_read(
+            df,
+            _bare_colmap(set(df.columns), _struct_outputs(df), df),
+            p,
+            bare=True,
+        )
     if p.at("kw", "UNWIND"):
         # standalone UNWIND: a literal list as the row source —
         # ``UNWIND [1, 2, 3] AS x RETURN x * 2 AS y``. Planned as a
@@ -3545,6 +3709,15 @@ def cypher_read(
     next to the statement, never spliced into it).
     """
     p = _Parser(_tokenize(query), params)
+    df = _read_union(graph, p)
+    if p.peek() is not None:
+        raise CypherSyntaxError(f"unexpected token {p.peek().text!r}")
+    return df
+
+
+def _read_union(graph: PropertyGraph, p: "_Parser") -> DataFrame:
+    """A single-query chain combined with ``UNION`` / ``UNION ALL`` —
+    the shared body of a top-level read and a ``CALL { … }`` block."""
     df = _read_single(graph, p)
     while p._at_word_ci("UNION"):
         p.next()
@@ -3561,8 +3734,6 @@ def cypher_read(
         df = df.unionByName(rhs)
         if dedup:
             df = df.distinct()
-    if p.peek() is not None:
-        raise CypherSyntaxError(f"unexpected token {p.peek().text!r}")
     return df
 
 
@@ -4045,6 +4216,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
         values: dict[str, Any] = {}
         set_label: str | None = None
         remove_label: str | None = None
+        replace_props = False
         while True:
             # `n:Label` item — label mutation (SET n:Archived / REMOVE
             # n:Archived). Under the single-label vertex model (SURVEY
@@ -4082,18 +4254,33 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                 and p.at("word")
                 and p.peek(1) is not None
                 and p.peek(1).kind == "op"
-                and p.peek(1).text == "+"
-                and p.peek(2) is not None
-                and p.peek(2).kind == "op"
-                and p.peek(2).text == "="
+                and (
+                    (
+                        p.peek(1).text == "+"
+                        and p.peek(2) is not None
+                        and p.peek(2).kind == "op"
+                        and p.peek(2).text == "="
+                    )
+                    or (
+                        p.peek(1).text == "="
+                        and p.peek(2) is not None
+                        and p.peek(2).text in ("{", "$")
+                    )
+                )
             ):
                 # SET n += {k: v, ...} / SET n += $props — Cypher's map
                 # merge: listed properties overwrite (null removes, per
                 # the SET-null contract), everything else is untouched —
                 # exactly a multi-property SET, so it folds into the same
                 # values dict / single conditional projection.
+                # SET n = {map} / SET n = $props — property REPLACEMENT:
+                # additionally every user property NOT listed is removed
+                # (nulled) on the matched rows, same single projection.
                 mvar = p.next().text
-                p.next()  # +
+                if p.peek().text == "+":
+                    p.next()  # +
+                else:
+                    replace_props = True
                 p.next()  # =
                 if mvar != target.var:
                     raise CypherSyntaxError(
@@ -4179,6 +4366,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                 (
                     PropRef, BareRef, BinOp, FuncCall, CaseExpr,
                     ListComp, ReduceExpr, IndexExpr, SliceExpr,
+                    FieldAccess, ListExpr,
                 ),
             ):
                 return _expr_column(val, colmap, v)
@@ -4204,6 +4392,12 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                     )
                     .otherwise(F.col("label"))
                     .alias("label")
+                )
+            elif replace_props and c not in ("id", "label"):
+                # SET n = {map}: unlisted user properties are REMOVED on
+                # the matched rows (nulled; type preserved elsewhere)
+                out.append(
+                    F.when(matched, F.lit(None)).otherwise(F.col(c)).alias(c)
                 )
             else:
                 out.append(F.col(c))

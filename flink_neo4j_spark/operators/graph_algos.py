@@ -2759,3 +2759,36 @@ ORACLE["g55_scc_components"] = f"""
            CAST((i // {SCC_CYCLE_LEN}) * {SCC_CYCLE_LEN} AS BIGINT) AS scc
     FROM generate_series(0, {SCC_GROUPS * SCC_CYCLE_LEN - 1}) t(i)
     ORDER BY vid"""
+
+
+# G56 — CALL { } subquery block (Neo4j 5): POST-UNION processing — the
+# per-label entity census every graph operator runs, inexpressible with
+# a bare UNION chain (Cypher UNION cannot be aggregated over). The inner
+# chain compiles exactly like a top-level read (two label-pruned scans,
+# by-name union), and the tail aggregation is one hash aggregate over
+# it; UNION's set semantics dedup collapses into the same shuffle.
+def g56_cypher_call_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "CALL { "
+        "MATCH (c:Customer) RETURN 'customer' AS kind, c.name AS name "
+        "UNION ALL "
+        "MATCH (s:Supplier) RETURN 'supplier' AS kind, s.name AS name "
+        "UNION ALL "
+        "MATCH (n:Nation) RETURN 'nation' AS kind, n.name AS name "
+        "} "
+        "RETURN kind, count(*) AS n, min(name) AS first_name "
+        "ORDER BY kind",
+    )
+
+
+QUERIES["g56_cypher_call_union"] = g56_cypher_call_union
+ORACLE["g56_cypher_call_union"] = """
+    SELECT kind, COUNT(*) AS n, MIN(name) AS first_name FROM (
+      SELECT 'customer' AS kind, c_name AS name FROM customer
+      UNION ALL SELECT 'supplier', s_name FROM supplier
+      UNION ALL SELECT 'nation', n_name FROM nation)
+    GROUP BY kind ORDER BY kind"""

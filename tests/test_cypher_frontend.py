@@ -2681,3 +2681,109 @@ def test_temporal_predicates_and_rejections(fixture_graph):
             fixture_graph,
             "UNWIND ['1995-03-07'] AS s WITH date(s) AS d RETURN d.hour AS h",
         )
+
+
+def test_field_access_on_expressions(fixture_graph):
+    # postfix .field on computed expressions: temporal components on
+    # date(x), chained from a property cast
+    df = cypher_read(
+        fixture_graph,
+        "RETURN date('2024-01-15').year AS y, "
+        "date('2024-01-15').dayOfWeek AS dow",
+    )
+    assert tuple(df.collect()[0]) == (2024, 1)  # a Monday, ISO 1
+    with pytest.raises(CypherSyntaxError, match="not an accessor"):
+        cypher_read(fixture_graph, "RETURN date('2024-01-15').bogus AS x")
+
+
+def test_duration_functions(fixture_graph):
+    # duration.between: whole calendar months first (clamp-aware:
+    # Jan 31 + 1M = Feb 28), then leftover days — Neo4j's semantics
+    df = cypher_read(
+        fixture_graph,
+        "RETURN duration.between(date('1995-01-31'), date('1995-03-10')) AS d, "
+        "duration.between(date('1995-01-30'), date('1995-02-28')).months AS cm, "
+        "duration.inDays(date('1995-01-01'), date('1996-01-01')).days AS days, "
+        "duration.inSeconds(datetime('1995-01-01T00:00:00'), "
+        "datetime('1995-01-01T01:30:05')).seconds AS s",
+    )
+    row = df.collect()[0]
+    assert row["d"].asDict() == {"months": 1, "days": 10}
+    assert row["cm"] == 1  # the /31-fraction undercount case, corrected
+    assert (row["days"], row["s"]) == (365, 5405)
+    with pytest.raises(CypherSyntaxError, match="date operands"):
+        cypher_read(
+            fixture_graph,
+            "RETURN duration.between(datetime('1995-01-01T00:00:00'), "
+            "datetime('1995-01-02T00:00:00')).days AS d",
+        )
+
+
+def test_xor_predicates(fixture_graph):
+    # trust XOR born=1984 over Alice(T,T)/Bob(T,F)/Eve(F,T); AND binds
+    # tighter, OR looser; null XOR x is null (row never passes)
+    names = lambda q: [r[0] for r in cypher_read(fixture_graph, q).collect()]
+    assert names(
+        "MATCH (n:User) WHERE n.trust XOR n.born = 1984 "
+        "RETURN n.name ORDER BY n.name"
+    ) == ["Bob", "Eve"]
+    assert names(
+        "MATCH (n:User) WHERE n.name = 'Bob' OR n.trust XOR n.born = 1984 "
+        "RETURN n.name ORDER BY n.name"
+    ) == ["Bob", "Eve"]
+    assert names(
+        "MATCH (n:User) WHERE n.nickname = 'x' XOR n.trust RETURN n.name"
+    ) == []
+    with pytest.raises(CypherSyntaxError, match="chained XOR"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE n.trust XOR n.trust XOR n.trust RETURN n.name",
+        )
+
+
+def test_set_replace_map(spark, fixture_graph):
+    from flink_neo4j_spark.cypher_frontend import cypher_write
+
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.name = 'Alice' "
+        "SET n = {name: 'ALICE', city: 'Oslo'}",
+    )
+    rows = {
+        r["nm"]: r
+        for r in cypher_read(
+            g2,
+            "MATCH (n:User) RETURN n.name AS nm, n.born AS b, "
+            "n.trust AS t, n.city AS c",
+        ).collect()
+    }
+    # replacement nulls every unlisted property on the matched row only
+    assert rows["ALICE"]["b"] is None and rows["ALICE"]["t"] is None
+    assert rows["ALICE"]["c"] == "Oslo"
+    assert rows["Bob"]["b"] == 1983 and rows["Bob"]["c"] is None
+    with pytest.raises(CypherSyntaxError, match="label"):
+        cypher_write(fixture_graph, "MATCH (n:User) SET n = {label: 'X'}")
+
+
+def test_call_subquery_blocks(fixture_graph):
+    # CALL { ... UNION ... } <pipeline>: post-union processing — the form
+    # a bare UNION chain cannot express
+    df = cypher_read(
+        fixture_graph,
+        "CALL { MATCH (u:User) WHERE u.trust RETURN u.name AS name "
+        "UNION MATCH (u:User) WHERE u.born = 1984 RETURN u.name AS name } "
+        "RETURN count(*) AS n",
+    )
+    assert df.collect()[0]["n"] == 3  # Alice+Bob (trust) ∪ Alice+Eve (1984)
+    df = cypher_read(
+        fixture_graph,
+        "CALL { MATCH (u:User) RETURN u UNION ALL MATCH (u:User) RETURN u } "
+        "WITH u ORDER BY u.name RETURN collect(u.born) AS borns",
+    )
+    assert df.collect()[0]["borns"] == [1984, 1984, 1983, 1983, 1984, 1984]
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) CALL { MATCH (m:User) RETURN m.name AS x } "
+            "RETURN n.name, x",
+        )
