@@ -2641,13 +2641,18 @@ SCC_CHECKPOINT_EVERY = 8
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_iters: int, max_rounds: int
+    edges: DataFrame,
+    max_iters: int,
+    max_rounds: int,
+    back_iters: int | None = None,
 ) -> DataFrame:
     """(src, dst) digraph → (vid, scc) with scc = min vertex id of the
     component. ``max_iters`` bounds each propagation fixpoint (≥ the
     diameter of the largest component's condensation neighborhood);
     ``max_rounds`` bounds peel rounds (≥ the longest root-dependency
-    chain). Raises rather than mis-answering when the bounds are too
+    chain); ``back_iters`` optionally bounds the backward sweep separately
+    (≤ the largest SCC's internal diameter, usually smaller than the
+    forward bound which also spans cross-component color flow). Raises rather than mis-answering when the bounds are too
     small for the graph — the same conscious-ceiling contract as
     MAX_VAR_HOPS.
 
@@ -2664,17 +2669,20 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint()
     )
-    assigned: DataFrame | None = None
-    for _ in range(max_rounds):
+    marks: list[DataFrame] = []
+    e = edges
+    for rnd in range(max_rounds):
         if active.isEmpty():
             break
         # forward min-label: color(v) = min{u : u →* v} within the active
-        # subgraph (fixed-iteration loop — no per-step action)
-        e = (
-            edges.join(active.withColumnRenamed("vid", "src"), "src")
-            .join(active.withColumnRenamed("vid", "dst"), "dst")
-            .localCheckpoint()
-        )
+        # subgraph (fixed-iteration loop — no per-step action). Round 1
+        # reuses the full edge set as-is (nothing assigned yet).
+        if rnd > 0:
+            e = (
+                e.join(active.withColumnRenamed("vid", "src"), "src")
+                .join(active.withColumnRenamed("vid", "dst"), "dst")
+                .localCheckpoint()
+            )
         color = active.withColumn("color", F.col("vid"))
         for i in range(max_iters):
             msgs = (
@@ -2694,7 +2702,7 @@ def strongly_connected_components(
         mark = color.filter(F.col("color") == F.col("vid")).select(
             "vid", F.col("vid").alias("scc")
         )
-        for i in range(max_iters):
+        for i in range(back_iters if back_iters is not None else max_iters):
             msgs = (
                 e.join(mark, e.dst == mark.vid)
                 .select(F.col("src").alias("vid"), "scc")
@@ -2710,28 +2718,30 @@ def strongly_connected_components(
             if (i + 1) % SCC_CHECKPOINT_EVERY == 0:
                 mark = mark.localCheckpoint()
         mark = mark.localCheckpoint()
-        assigned = (
-            mark if assigned is None else assigned.unionByName(mark)
-        ).localCheckpoint()
+        marks.append(mark)
         active = active.join(mark, "vid", "left_anti").localCheckpoint()
     if not active.isEmpty():
         raise ValueError(
             "strongly_connected_components did not converge within "
             f"max_rounds={max_rounds}; raise the bound for this graph"
         )
+    assigned = marks[0]
+    for m in marks[1:]:
+        assigned = assigned.unionByName(m)
     return assigned
 
 
 # G55 — SCC over a deterministic digraph with non-trivial structure:
-# 128 directed 8-cycles (the SCCs) plus one-way bridges pairing even
+# 64 directed 4-cycles (the SCCs) plus one-way bridges pairing even
 # group 2k into 2k+1. The bridges make forward-reachability STRICTLY
 # coarser than SCC membership (a bridged pair shares one color
 # partition), so the query certifies exactly the part the backward sweep
 # exists for — and the peel order (bridge sources first, targets in
 # round 2). The fixture builds from spark.range (distributed, no
-# driver-side array); the oracle is the closed form scc(i) = ⌊i/8⌋·8.
-SCC_GROUPS = 128
-SCC_CYCLE_LEN = 8
+# driver-side array); the oracle is the closed form
+# scc(i) = ⌊i/CYCLE_LEN⌋·CYCLE_LEN.
+SCC_GROUPS = 64
+SCC_CYCLE_LEN = 4
 
 
 def g55_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2748,7 +2758,8 @@ def g55_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cycles.unionByName(bridges)
     scc = strongly_connected_components(
-        edges, max_iters=SCC_CYCLE_LEN + 2, max_rounds=3
+        edges, max_iters=SCC_CYCLE_LEN + 1, max_rounds=3,
+        back_iters=SCC_CYCLE_LEN - 1,
     )
     return scc.orderBy("vid")
 
