@@ -311,6 +311,31 @@ class CountPattern:
 
 
 @dataclass
+class PatternComp:
+    """``[(v)-[e:T]->(m[:L]) [WHERE cond] | expr]`` — Cypher pattern
+    comprehension: the inline one-to-many projection idiom (per-row list
+    of values off the adjacent matches). Bound pre-projection as ONE
+    left-joined per-node collected list over the matched edges — the
+    outer frame never row-multiplies — with no-match rows reading ``[]``
+    per Cypher. The list is value-sorted (nulls kept, like Neo4j's
+    pattern comprehension and unlike collect()) so the result is a
+    layout-independent VALUE; Neo4j leaves the order unspecified, so the
+    sorted list is a valid member of its semantics. The inner scope is
+    the pattern's own variables only (edge + far endpoint) — outer
+    references raise, like COUNT { }."""
+
+    var: str
+    edge_var: str | None
+    rel_type: str | None
+    #: "out" ``(v)-[]->(m)``, "in" ``(v)<-[]-(m)``, or "undirected"
+    direction: str
+    dst_var: str | None
+    dst_label: str | None
+    pred: Any  # parsed WHERE disjunction over the inner scope, or None
+    expr: Any  # the mapped projection (required: ``| expr``)
+
+
+@dataclass
 class RawCol:
     """Internal marker: a projection expression already bound to a real
     column of the working frame (pattern-count joins); resolves as a bare
@@ -852,6 +877,73 @@ class _Parser:
                 return disj
             return disj
 
+    def _parse_pattern_comp(self) -> PatternComp:
+        """Body of a pattern comprehension, after the opening ``[`` (the
+        caller's lookahead already saw ``( word )`` + arrow). The far
+        endpoint may bind a variable and/or a label; the projection
+        ``| expr`` is mandatory (Neo4j grammar)."""
+        self.expect("punct", "(")
+        var = self.expect("word").text
+        self.expect("punct", ")")
+        incoming = self.at("arrow", "<-[")
+        if incoming:
+            self.next()
+        else:
+            self.expect("arrow", "-[")
+        edge_var = None
+        if self.at("word"):
+            edge_var = self.next().text
+        rel_type = None
+        if self.at("punct", ":"):
+            self.next()
+            rel_type = self.expect("word").text
+        if incoming:
+            if not self.at("arrow", "]-"):
+                raise CypherSyntaxError(
+                    "incoming pattern comprehension must close with ]-"
+                )
+            self.next()
+            direction = "in"
+        elif self.at("arrow", "]->"):
+            self.next()
+            direction = "out"
+        elif self.at("arrow", "]-"):
+            self.next()
+            direction = "undirected"
+        else:
+            raise CypherSyntaxError(
+                "expected ]-> or ]- in the pattern comprehension"
+            )
+        self.expect("punct", "(")
+        dst_var = None
+        dst_label = None
+        if self.at("word"):
+            dst_var = self.next().text
+        if self.at("punct", ":"):
+            self.next()
+            dst_label = self.expect("word").text
+        self.expect("punct", ")")
+        pred = None
+        if self.at("kw", "WHERE"):
+            self.next()
+            pred = self.parse_where(allow_bare=True)
+        if not self.at("punct", "|"):
+            raise CypherSyntaxError(
+                "pattern comprehension requires a projection: "
+                "[(v)-[:T]->(m) | expr]"
+            )
+        self.next()
+        mapped = self.parse_return_expr(allow_bare=True)
+        if isinstance(mapped, AggCall):
+            raise CypherSyntaxError(
+                "aggregates are not allowed inside a pattern comprehension"
+            )
+        self.expect("punct", "]")
+        return PatternComp(
+            var, edge_var, rel_type, direction, dst_var, dst_label,
+            pred, mapped,
+        )
+
     def parse_pattern_predicate(self) -> PatternCond:
         """``[NOT] (v)-[:TYPE]->(target)``, ``(v)<-[:TYPE]-(target)``, or
         ``(v)-[:TYPE]-(target)`` where target is ``()`` (any) or
@@ -1003,10 +1095,24 @@ class _Parser:
         return self._parse_primary_expr(allow_bare)
 
     def _parse_list_expr(self, allow_bare: bool):
-        """``[`` in expression position: either a list comprehension
-        ``[x IN <expr> [WHERE pred] [| expr]]`` (lookahead: word IN) or a
-        literal list ``[1, 2, 3]`` (homogeneous scalars, as in UNWIND)."""
+        """``[`` in expression position: a pattern comprehension
+        ``[(v)-[e:T]->(m) [WHERE pred] | expr]`` (lookahead: ``( word )``
+        then an arrow token — unambiguous, arithmetic after ``(v)`` never
+        lexes as an arrow), a list comprehension ``[x IN <expr> [WHERE
+        pred] [| expr]]`` (lookahead: word IN), or a literal list
+        ``[1, 2, 3]`` (homogeneous scalars, as in UNWIND)."""
         self.expect("punct", "[")
+        if (
+            self.at("punct", "(")
+            and self.peek(1) is not None
+            and self.peek(1).kind == "word"
+            and self.peek(2) is not None
+            and self.peek(2).kind == "punct"
+            and self.peek(2).text == ")"
+            and self.peek(3) is not None
+            and self.peek(3).kind == "arrow"
+        ):
+            return self._parse_pattern_comp()
         if (
             self.at("word")
             and self.peek(1) is not None
@@ -1302,6 +1408,12 @@ class _Parser:
                 # mirroring Neo4j's collect of node maps.
                 arg = WholeVar(var) if fn == "COLLECT" else PropRef(var, None)
             else:
+                if self.at("punct", "["):
+                    raise CypherSyntaxError(
+                        f"a list expression inside {fn}() is not "
+                        "supported; compute it in a WITH stage first "
+                        "and aggregate the alias"
+                    )
                 arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
                 raise CypherSyntaxError(f"{fn} requires a property argument")
@@ -2010,6 +2122,12 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             "COUNT { } subqueries are only supported in the RETURN/WITH "
             "items of a single-MATCH node query"
         )
+    if isinstance(expr, PatternComp):
+        raise CypherSyntaxError(
+            "pattern comprehensions are only supported in the RETURN/WITH "
+            "items of a single-MATCH node query; compute the list in a "
+            "WITH stage first"
+        )
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
     if isinstance(expr, (PropRef, BareRef)):
@@ -2425,7 +2543,7 @@ def _where_to_column(
                     (
                         PropRef, BareRef, FuncCall, BinOp, CaseExpr,
                         FieldAccess, IndexExpr, SliceExpr, ListComp,
-                        ReduceExpr,
+                        ReduceExpr, CountPattern, PatternComp,
                     ),
                 )
                 else cond.right
@@ -2933,17 +3051,18 @@ def _shortest_path(
     return df, colmap
 
 
-def _bind_pattern_counts(
+def _bind_pattern_subqueries(
     df: DataFrame, colmap, items: list[ReturnItem]
 ) -> DataFrame:
-    """Bind every ``COUNT { pattern }`` subquery in ``items`` to a real
-    column: one partial-aggregated edge count per distinct subquery,
-    left-joined on the bound variable's id (coalesced to 0 — a node with
-    no matches counts zero, per Cypher). The count side is (node, count)
-    — ONE row per node, so the join never multiplies rows, and at scale
-    it is the same shuffle a degree computation costs anyway. Mutates the
-    item exprs in place (CountPattern → RawCol) and returns the joined
-    frame."""
+    """Bind every ``COUNT { pattern }`` subquery and ``[pattern | expr]``
+    pattern comprehension in ``items`` to a real column: one
+    partial-aggregated per-node row (count, or collected value list) per
+    distinct subquery, left-joined on the bound variable's id (coalesced
+    to 0 / ``[]`` — a node with no matches counts zero / reads an empty
+    list, per Cypher). The subquery side is ONE row per node, so the join
+    never multiplies rows, and at scale it is the same shuffle a degree
+    computation costs anyway. Mutates the item exprs in place
+    (CountPattern/PatternComp → RawCol) and returns the joined frame."""
     ctx = getattr(colmap, "pattern_count_ctx", None)
     bound: dict[tuple, str] = {}
     state = {"df": df, "n": 0}
@@ -2993,9 +3112,129 @@ def _bind_pattern_counts(
         bound[key] = name
         return RawCol(name)
 
+    def bind_comp(pc: PatternComp) -> RawCol:
+        if ctx is None:
+            raise CypherSyntaxError(
+                "pattern comprehensions are only supported in the "
+                "RETURN/WITH items of a single-MATCH node query"
+            )
+        graph, var = ctx
+        if pc.var != var:
+            raise CypherSyntaxError(f"unknown variable {pc.var!r}")
+        key = (
+            "comp", pc.rel_type, pc.direction, pc.edge_var, pc.dst_var,
+            pc.dst_label, repr(pc.pred), repr(pc.expr),
+        )
+        if key in bound:
+            return RawCol(bound[key])
+        name = f"__pcomp_{state['n']}"
+        state["n"] += 1
+        edges = graph.edges
+        if pc.rel_type is not None:
+            edges = edges.filter(F.col("rel_type") == pc.rel_type)
+        # the far-endpoint node join is only needed when the comprehension
+        # can observe the node (a label restriction or a bound variable);
+        # `[(v)-[e:T]->() | e.w]` stays a pure edge-table aggregate
+        needs_nodes = pc.dst_label is not None or pc.dst_var is not None
+
+        def side(bound_end: str) -> DataFrame:
+            other = "dst" if bound_end == "src" else "src"
+            e = edges.select(
+                F.col(bound_end).alias("__pc_id"),
+                F.col(other).alias("__pc_other"),
+                *[
+                    F.col(c).alias(f"__pce_{c}")
+                    for c in graph.edges.columns
+                ],
+            )
+            if not needs_nodes:
+                return e
+            nodes = (
+                graph.nodes(pc.dst_label)
+                if pc.dst_label is not None
+                else graph.vertices
+            )
+            n = nodes.select(
+                *[
+                    F.col(c).alias(f"__pcn_{c}")
+                    for c in graph.vertices.columns
+                ]
+            )
+            return e.join(n, F.col("__pc_other") == F.col("__pcn_id"))
+
+        def inner_colmap(ref) -> Column:
+            v = ref.var if isinstance(ref, PropRef) else getattr(ref, "name", None)
+            prop = ref.prop if isinstance(ref, PropRef) else None
+            if pc.edge_var is not None and v == pc.edge_var:
+                if prop is None:
+                    raise CypherSyntaxError(
+                        "project a property inside a pattern "
+                        f"comprehension (e.g. {v}.prop), not the bare "
+                        "variable"
+                    )
+                return F.col(f"__pce_{prop}")
+            if pc.dst_var is not None and v == pc.dst_var:
+                if prop is None:
+                    raise CypherSyntaxError(
+                        "project a property inside a pattern "
+                        f"comprehension (e.g. {v}.prop), not the bare "
+                        "variable"
+                    )
+                return F.col(f"__pcn_{prop}")
+            scope = ", ".join(
+                x for x in (pc.edge_var, pc.dst_var) if x is not None
+            )
+            raise CypherSyntaxError(
+                "a pattern comprehension may only reference its own "
+                f"pattern variables ({scope or 'none bound'}); got {v!r}"
+            )
+
+        if pc.direction == "out":
+            side_df = side("src")
+        elif pc.direction == "in":
+            side_df = side("dst")
+        else:
+            side_df = side("src").unionByName(side("dst"))
+        if pc.pred is not None:
+            side_df = side_df.filter(
+                _where_to_column(
+                    pc.pred, inner_colmap, set(side_df.columns), side_df
+                )
+            )
+        val = _expr_column(pc.expr, inner_colmap, side_df)
+        # collect via a struct wrapper so null projected values SURVIVE
+        # (Neo4j keeps them in a pattern comprehension; bare collect_list
+        # would silently drop them), then unwrap — one hash aggregate
+        lists = (
+            side_df.select(F.col("__pc_id"), val.alias("__pc_val"))
+            .groupBy("__pc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pc_val").alias("v")))
+                    ),
+                    lambda x: x["v"],
+                ).alias(name)
+            )
+        )
+        dtype = lists.schema[name].dataType.simpleString()
+        state["df"] = (
+            state["df"]
+            .join(lists, F.col("id") == F.col("__pc_id"), "left")
+            .drop("__pc_id")
+            .withColumn(
+                name,
+                F.coalesce(F.col(name), F.array().cast(dtype)),
+            )
+        )
+        bound[key] = name
+        return RawCol(name)
+
     def rewrite(expr):
         if isinstance(expr, CountPattern):
             return bind(expr)
+        if isinstance(expr, PatternComp):
+            return bind_comp(expr)
         if isinstance(expr, BinOp):
             return BinOp(expr.op, rewrite(expr.left), rewrite(expr.right))
         if isinstance(expr, FuncCall):
@@ -3593,7 +3832,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             p.next()
             w_disj = p.parse_where(allow_bare=True)
         w_items = _expand_star(w_items, colmap, "WITH")
-        df = _bind_pattern_counts(df, colmap, w_items)
+        df = _bind_pattern_subqueries(df, colmap, w_items)
         prev_specs = getattr(colmap, "row_order", None)
         carry_items = list(w_items)
         next_specs = None
@@ -3650,7 +3889,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     distinct, items = p.parse_return(allow_bare=bare)
     order, skip, limit = p.parse_tail(require_end=False, allow_bare=bare)
     items = _expand_star(items, colmap, "RETURN")
-    df = _bind_pattern_counts(df, colmap, items)
+    df = _bind_pattern_subqueries(df, colmap, items)
     pending = getattr(colmap, "row_order", None)
     if (
         pending

@@ -2803,3 +2803,38 @@ ORACLE["g56_cypher_call_union"] = """
       UNION ALL SELECT 'supplier', s_name FROM supplier
       UNION ALL SELECT 'nation', n_name FROM nation)
     GROUP BY kind ORDER BY kind"""
+
+
+# G57 — pattern comprehensions through the front end: the inline
+# one-to-many projection (per-nation member-name list off incoming
+# IN_NATION edges, filtered on an edge property, endpoint
+# label-restricted) plus the size()-of-comprehension counting idiom.
+# Each comprehension binds pre-projection as ONE left-joined per-node
+# collected list / count — the nation frame never row-multiplies, and at
+# scale each costs the same shuffle as a degree computation.
+def g57_cypher_pattern_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) RETURN n.name AS nation, "
+        "[(n)<-[e:IN_NATION]-(c:Customer) WHERE e.w = 0 | c.name] "
+        "AS members, "
+        "toInteger(size([(n)<-[:IN_NATION]-(s:Supplier) | s.name])) "
+        "AS suppliers "
+        "ORDER BY nation",
+    )
+
+
+QUERIES["g57_cypher_pattern_comp"] = g57_cypher_pattern_comp
+# edge property w on customer edges is c_custkey % 7 (tpch_graph);
+# list_sort(list(x)) matches the engine's value-sorted comprehension list
+ORACLE["g57_cypher_pattern_comp"] = """
+    SELECT n_name AS nation,
+           COALESCE((SELECT list_sort(list(c_name)) FROM customer
+                     WHERE c_nationkey = n_nationkey
+                       AND c_custkey % 7 = 0), []) AS members,
+           CAST((SELECT COUNT(*) FROM supplier
+                 WHERE s_nationkey = n_nationkey) AS BIGINT) AS suppliers
+    FROM nation ORDER BY nation"""

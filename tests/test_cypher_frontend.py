@@ -754,6 +754,128 @@ def test_count_subquery_scope_validation(fixture_graph):
         )
 
 
+def test_pattern_comprehension_basic(fixture_graph):
+    # the inline one-to-many projection: per-user friend-name list;
+    # no-match rows read [] (not null), per Cypher
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[(n)-[:KNOWS]->(f) | f.name] AS friends ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["friends"]) for r in rows] == [
+        ("Alice", ["Bob"]), ("Bob", ["Alice"]), ("Eve", []),
+    ]
+
+
+def test_pattern_comprehension_where_and_edge_var(fixture_graph):
+    # inner WHERE filters the matched pattern, not the outer row; the
+    # edge variable's properties are in scope
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[(n)-[e:KNOWS]->(f) WHERE e.since > 2001 | f.name] AS late, "
+        "[(n)-[e:KNOWS]->() | e.since] AS years ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["late"], r["years"]) for r in rows] == [
+        ("Alice", [], [2001]), ("Bob", ["Alice"], [2002]), ("Eve", [], []),
+    ]
+
+
+def test_pattern_comprehension_directions(fixture_graph):
+    # incoming and undirected orientations; undirected matches each
+    # relationship once per orientation (Alice-KNOWS-Bob both ways = two
+    # matches), exactly Neo4j's row semantics
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[(n)<-[:KNOWS]-(f) | f.name] AS inn, "
+        "[(n)-[:KNOWS]-(f) | f.name] AS und ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["inn"], r["und"]) for r in rows] == [
+        ("Alice", ["Bob"], ["Bob", "Bob"]),
+        ("Bob", ["Alice"], ["Alice", "Alice"]),
+        ("Eve", [], []),
+    ]
+
+
+def test_pattern_comprehension_null_values_survive(fixture_graph):
+    # Neo4j keeps null projected values in the list (unlike collect());
+    # `nickname` was never written, so every match projects null
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[(n)-[:KNOWS]->(f) | f.nickname] AS nicks ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["nicks"]) for r in rows] == [
+        ("Alice", [None]), ("Bob", [None]), ("Eve", []),
+    ]
+
+
+def test_pattern_comprehension_size_with_unwind(fixture_graph):
+    # size() over a comprehension (the counting idiom), a WITH-stage
+    # comprehension filtered on the list, and UNWIND of the list
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "size([(n)-[:KNOWS]-(f) | f.name]) AS deg ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["deg"]) for r in rows] == [
+        ("Alice", 2), ("Bob", 2), ("Eve", 0),
+    ]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.name AS name, "
+        "[(n)-[:KNOWS]->(f) | f.born] AS bs WHERE size(bs) > 0 "
+        "UNWIND bs AS b RETURN name, b ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["b"]) for r in rows] == [
+        ("Alice", 1983), ("Bob", 1984),
+    ]
+
+
+def test_pattern_comprehension_expression_and_label(fixture_graph):
+    # arithmetic over the inner scope; a label on the far endpoint
+    # restricts the matches (no :Org nodes exist -> every list is [])
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[(n)-[:KNOWS]->(f) | f.born + 1] AS next, "
+        "[(n)-[:KNOWS]->(m:Org) | m.name] AS orgs ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["next"], r["orgs"]) for r in rows] == [
+        ("Alice", [1984], []), ("Bob", [1985], []), ("Eve", [], []),
+    ]
+
+
+def test_pattern_comprehension_validation(fixture_graph):
+    # outer-scope references inside the comprehension raise
+    with pytest.raises(CypherSyntaxError, match="own pattern variables"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN [(n)-[:KNOWS]->(f) | n.name] AS bad",
+        )
+    # the projection is mandatory (Neo4j grammar)
+    with pytest.raises(CypherSyntaxError, match="requires a projection"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN [(n)-[:KNOWS]->(f)] AS bad",
+        )
+    # bare whole-variable projection is rejected (project a property)
+    with pytest.raises(CypherSyntaxError, match="project a property"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN [(n)-[:KNOWS]->(f) | f] AS bad",
+        )
+    # comprehensions are RETURN/WITH-item-only: WHERE position raises
+    with pytest.raises(CypherSyntaxError, match="pattern comprehensions"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) "
+            "WHERE [(n)-[:KNOWS]->(f) | f.name] = ['Bob'] "
+            "RETURN n.name",
+        )
+
+
 def test_foreach_range_create(fixture_graph):
     g2 = cypher_write(
         fixture_graph,
