@@ -185,6 +185,13 @@ class PatternCond:
     #: which endpoint ``var`` occupies: "out" ``(v)-[]->()``, "in"
     #: ``(v)<-[]-()``, or "undirected" ``(v)-[]-()``
     direction: str = "out"
+    #: block forms only (``EXISTS { }`` / ``COUNT { }``): an edge/far-node
+    #: variable binding plus an inner WHERE over them. The shorthand
+    #: ``(v)-[:T]->()`` never sets these, so its semi-join fast path is
+    #: untouched.
+    edge_var: str | None = None
+    dst_var: str | None = None
+    pred: Any = None
 
 
 @dataclass
@@ -732,7 +739,7 @@ class _Parser:
                     self.next()
                     if self.at("kw", "MATCH"):
                         self.next()
-                    pc = self.parse_pattern_predicate()
+                    pc = self.parse_pattern_predicate(block=True)
                     self.expect("punct", "}")
                     if negated:
                         pc.negated = not pc.negated
@@ -944,11 +951,14 @@ class _Parser:
             pred, mapped,
         )
 
-    def parse_pattern_predicate(self) -> PatternCond:
+    def parse_pattern_predicate(self, block: bool = False) -> PatternCond:
         """``[NOT] (v)-[:TYPE]->(target)``, ``(v)<-[:TYPE]-(target)``, or
         ``(v)-[:TYPE]-(target)`` where target is ``()`` (any) or
         ``(:Label)`` — Cypher's existential subquery shorthand in all
-        three orientations."""
+        three orientations. ``block=True`` (the ``EXISTS { }`` /
+        ``COUNT { }`` forms) additionally accepts an edge variable
+        ``-[e:T]->``, a far-endpoint variable ``(m[:L])``, and a trailing
+        inner ``WHERE`` over those variables."""
         negated = False
         if self._at_word_ci("NOT"):
             self.next()
@@ -961,6 +971,9 @@ class _Parser:
             self.next()
         else:
             self.expect("arrow", "-[")
+        edge_var = None
+        if block and self.at("word"):
+            edge_var = self.next().text
         rel_type = None
         if self.at("punct", ":"):
             self.next()
@@ -983,12 +996,22 @@ class _Parser:
                 "expected ]-> or ]- to close the pattern predicate"
             )
         self.expect("punct", "(")
+        dst_var = None
         dst_label = None
+        if block and self.at("word"):
+            dst_var = self.next().text
         if self.at("punct", ":"):
             self.next()
             dst_label = self.expect("word").text
         self.expect("punct", ")")
-        return PatternCond(var, rel_type, dst_label, negated, direction)
+        pred = None
+        if block and self.at("kw", "WHERE"):
+            self.next()
+            pred = self.parse_where(allow_bare=True)
+        return PatternCond(
+            var, rel_type, dst_label, negated, direction,
+            edge_var=edge_var, dst_var=dst_var, pred=pred,
+        )
 
     def _at_word_ci(self, upper_text: str) -> bool:
         tok = self.peek()
@@ -1238,7 +1261,7 @@ class _Parser:
             self.expect("punct", "{")
             if self.at("kw", "MATCH"):
                 self.next()
-            pc = self.parse_pattern_predicate()
+            pc = self.parse_pattern_predicate(block=True)
             self.expect("punct", "}")
             if pc.negated:
                 raise CypherSyntaxError(
@@ -3051,6 +3074,38 @@ def _shortest_path(
     return df, colmap
 
 
+def _pattern_scope_colmap(what: str, edge_var, dst_var, eprefix, nprefix):
+    """Colmap for the INNER scope of a pattern subquery (EXISTS/COUNT
+    block WHERE, pattern-comprehension WHERE/projection): the pattern's
+    own edge/far-endpoint variables only — outer-scope references raise
+    loudly rather than silently correlating."""
+
+    def icolmap(ref) -> Column:
+        v = ref.var if isinstance(ref, PropRef) else getattr(ref, "name", None)
+        prop = ref.prop if isinstance(ref, PropRef) else None
+        if edge_var is not None and v == edge_var:
+            if prop is None:
+                raise CypherSyntaxError(
+                    f"project a property inside {what} (e.g. {v}.prop), "
+                    "not the bare variable"
+                )
+            return F.col(f"{eprefix}{prop}")
+        if dst_var is not None and v == dst_var:
+            if prop is None:
+                raise CypherSyntaxError(
+                    f"project a property inside {what} (e.g. {v}.prop), "
+                    "not the bare variable"
+                )
+            return F.col(f"{nprefix}{prop}")
+        scope = ", ".join(x for x in (edge_var, dst_var) if x is not None)
+        raise CypherSyntaxError(
+            f"{what} may only reference its own pattern variables "
+            f"({scope or 'none bound'}); got {v!r}"
+        )
+
+    return icolmap
+
+
 def _bind_pattern_subqueries(
     df: DataFrame, colmap, items: list[ReturnItem]
 ) -> DataFrame:
@@ -3077,7 +3132,10 @@ def _bind_pattern_subqueries(
         pc = cp.pattern
         if pc.var != var:
             raise CypherSyntaxError(f"unknown variable {pc.var!r}")
-        key = (pc.rel_type, pc.dst_label, pc.direction)
+        key = (
+            pc.rel_type, pc.dst_label, pc.direction,
+            pc.edge_var, pc.dst_var, repr(pc.pred),
+        )
         if key in bound:
             return RawCol(bound[key])
         name = f"__pcnt_{state['n']}"
@@ -3088,13 +3146,50 @@ def _bind_pattern_subqueries(
 
         def counted(bound_end: str) -> DataFrame:
             other = "dst" if bound_end == "src" else "src"
-            e = edges
-            if pc.dst_label is not None:
-                lbl = graph.nodes(pc.dst_label).select(
-                    F.col("id").alias("__pc_l")
+            if pc.pred is None:
+                # unfiltered form: label restriction as a pure semi-join
+                e = edges
+                if pc.dst_label is not None:
+                    lbl = graph.nodes(pc.dst_label).select(
+                        F.col("id").alias("__pc_l")
+                    )
+                    e = e.join(
+                        lbl, F.col(other) == F.col("__pc_l"), "left_semi"
+                    )
+                return e.select(F.col(bound_end).alias("__pc_id"))
+            # inner-WHERE form (COUNT { (v)-[e:T]->(m:L) WHERE … }):
+            # prefix the edge (and, when observable, far-node) columns,
+            # filter, then project the bound endpoint — still one row per
+            # match, never a row multiplication of the outer frame
+            e = edges.select(
+                F.col(bound_end).alias("__pc_id"),
+                F.col(other).alias("__pc_other"),
+                *[
+                    F.col(c).alias(f"__pce_{c}")
+                    for c in graph.edges.columns
+                ],
+            )
+            if pc.dst_label is not None or pc.dst_var is not None:
+                nodes = (
+                    graph.nodes(pc.dst_label)
+                    if pc.dst_label is not None
+                    else graph.vertices
                 )
-                e = e.join(lbl, F.col(other) == F.col("__pc_l"), "left_semi")
-            return e.select(F.col(bound_end).alias("__pc_id"))
+                n = nodes.select(
+                    *[
+                        F.col(c).alias(f"__pcn_{c}")
+                        for c in graph.vertices.columns
+                    ]
+                )
+                e = e.join(n, F.col("__pc_other") == F.col("__pcn_id"))
+            icolmap = _pattern_scope_colmap(
+                "a COUNT { } subquery", pc.edge_var, pc.dst_var,
+                "__pce_", "__pcn_",
+            )
+            e = e.filter(
+                _where_to_column(pc.pred, icolmap, set(e.columns), e)
+            )
+            return e.select("__pc_id")
 
         if pc.direction == "out":
             ep = counted("src")
@@ -3162,32 +3257,10 @@ def _bind_pattern_subqueries(
             )
             return e.join(n, F.col("__pc_other") == F.col("__pcn_id"))
 
-        def inner_colmap(ref) -> Column:
-            v = ref.var if isinstance(ref, PropRef) else getattr(ref, "name", None)
-            prop = ref.prop if isinstance(ref, PropRef) else None
-            if pc.edge_var is not None and v == pc.edge_var:
-                if prop is None:
-                    raise CypherSyntaxError(
-                        "project a property inside a pattern "
-                        f"comprehension (e.g. {v}.prop), not the bare "
-                        "variable"
-                    )
-                return F.col(f"__pce_{prop}")
-            if pc.dst_var is not None and v == pc.dst_var:
-                if prop is None:
-                    raise CypherSyntaxError(
-                        "project a property inside a pattern "
-                        f"comprehension (e.g. {v}.prop), not the bare "
-                        "variable"
-                    )
-                return F.col(f"__pcn_{prop}")
-            scope = ", ".join(
-                x for x in (pc.edge_var, pc.dst_var) if x is not None
-            )
-            raise CypherSyntaxError(
-                "a pattern comprehension may only reference its own "
-                f"pattern variables ({scope or 'none bound'}); got {v!r}"
-            )
+        inner_colmap = _pattern_scope_colmap(
+            "a pattern comprehension", pc.edge_var, pc.dst_var,
+            "__pce_", "__pcn_",
+        )
 
         if pc.direction == "out":
             side_df = side("src")
@@ -3685,15 +3758,54 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                     # any) constrains the OTHER endpoint — a semi-join so
                     # per-node match multiplicity never materializes
                     other_end = "dst" if bound_end == "src" else "src"
-                    e = edges
-                    if pc.dst_label is not None:
-                        lbl = graph.nodes(pc.dst_label).select(
-                            F.col("id").alias("__pp_l")
+                    if pc.pred is None:
+                        e = edges
+                        if pc.dst_label is not None:
+                            lbl = graph.nodes(pc.dst_label).select(
+                                F.col("id").alias("__pp_l")
+                            )
+                            e = e.join(
+                                lbl,
+                                F.col(other_end) == F.col("__pp_l"),
+                                "left_semi",
+                            )
+                        return e.select(F.col(bound_end).alias("__pp_id"))
+                    # EXISTS { … WHERE … } block form: prefix the edge
+                    # (and, when observable, far-node) columns, apply the
+                    # inner WHERE, then project the bound endpoint — the
+                    # final semi/anti-join still never materializes match
+                    # multiplicity on the outer frame
+                    e = edges.select(
+                        F.col(bound_end).alias("__pp_id"),
+                        F.col(other_end).alias("__pp_other"),
+                        *[
+                            F.col(c).alias(f"__ppe_{c}")
+                            for c in graph.edges.columns
+                        ],
+                    )
+                    if pc.dst_label is not None or pc.dst_var is not None:
+                        nodes = (
+                            graph.nodes(pc.dst_label)
+                            if pc.dst_label is not None
+                            else graph.vertices
+                        )
+                        nn = nodes.select(
+                            *[
+                                F.col(c).alias(f"__ppn_{c}")
+                                for c in graph.vertices.columns
+                            ]
                         )
                         e = e.join(
-                            lbl, F.col(other_end) == F.col("__pp_l"), "left_semi"
+                            nn, F.col("__pp_other") == F.col("__ppn_id")
                         )
-                    return e.select(F.col(bound_end).alias("__pp_id"))
+                    icolmap = _pattern_scope_colmap(
+                        "an EXISTS { } subquery", pc.edge_var, pc.dst_var,
+                        "__ppe_", "__ppn_",
+                    )
+                    e = e.filter(
+                        _where_to_column(pc.pred, icolmap, set(e.columns), e)
+                    )
+                    return e.select("__pp_id")
 
                 if pc.direction == "out":
                     ep = _qualifying("src")

@@ -754,6 +754,64 @@ def test_count_subquery_scope_validation(fixture_graph):
         )
 
 
+def test_exists_block_inner_where(fixture_graph):
+    # Neo4j 5: EXISTS { (n)-[e:T]->(m) WHERE <cond over e/m> } — the
+    # filtered existential; compiles to the same semi/anti-join with the
+    # condition applied to the qualifying set (never row-multiplying)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "WHERE EXISTS { (n)-[e:KNOWS]->(f) WHERE e.since > 2001 } "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Bob"]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "WHERE EXISTS { MATCH (n)-[e:KNOWS]->(f) WHERE f.born < 1984 } "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice"]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "WHERE NOT EXISTS { (n)-[e:KNOWS]->() WHERE e.since > 2001 } "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve"]
+
+
+def test_count_block_inner_where(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "COUNT { (n)-[e:KNOWS]-(f) WHERE f.trust } AS trusted, "
+        "COUNT { (n)-[e:KNOWS]->() WHERE e.since >= 2002 } AS late "
+        "ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["trusted"], r["late"]) for r in rows] == [
+        ("Alice", 2, 0), ("Bob", 2, 1), ("Eve", 0, 0),
+    ]
+
+
+def test_pattern_block_inner_where_scope_validation(fixture_graph):
+    # outer-scope references inside a block's WHERE raise loudly rather
+    # than silently correlating
+    with pytest.raises(CypherSyntaxError, match="own pattern variables"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE EXISTS "
+            "{ (n)-[e:KNOWS]->(f) WHERE f.born > n.born } "
+            "RETURN n.name",
+        )
+    with pytest.raises(CypherSyntaxError, match="own pattern variables"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN n.name, "
+            "COUNT { (n)-[e:KNOWS]->(f) WHERE n.trust } AS c",
+        )
+
+
 def test_pattern_comprehension_basic(fixture_graph):
     # the inline one-to-many projection: per-user friend-name list;
     # no-match rows read [] (not null), per Cypher
