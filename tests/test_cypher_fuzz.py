@@ -55,6 +55,15 @@ VALID_QUERIES = [
     "MATCH p = allShortestPaths((a:User)-[:KNOWS*1..3]-(b:User)) "
     "WHERE a.name = 'Alice' RETURN b.name AS bn, length(p) AS l, "
     "count(*) AS paths ORDER BY bn",
+    # round-5 surface: pattern comprehensions + filtered EXISTS/COUNT
+    # blocks
+    "MATCH (n:User) RETURN n.name AS name, "
+    "[(n)-[e:KNOWS]->(f) WHERE e.since > 2001 | f.name] AS late, "
+    "size([(n)<-[:KNOWS]-(f) | f.born]) AS deg ORDER BY name",
+    "MATCH (n:User) WHERE EXISTS { (n)-[e:KNOWS]->(f) WHERE f.born < 1984 "
+    "} RETURN n.name AS name",
+    "MATCH (n:User) RETURN n.name AS name, "
+    "COUNT { (n)-[e:KNOWS]-(f) WHERE f.trust } AS trusted ORDER BY name",
 ]
 
 
