@@ -2143,13 +2143,13 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
     if isinstance(expr, CountPattern):
         raise CypherSyntaxError(
             "COUNT { } subqueries are only supported in the RETURN/WITH "
-            "items of a single-MATCH node query"
+            "items and WHERE of a single-MATCH node query"
         )
     if isinstance(expr, PatternComp):
         raise CypherSyntaxError(
             "pattern comprehensions are only supported in the RETURN/WITH "
-            "items of a single-MATCH node query; compute the list in a "
-            "WITH stage first"
+            "items and WHERE of a single-MATCH node query; compute the "
+            "list in a WITH stage first"
         )
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
@@ -2571,6 +2571,11 @@ def _where_to_column(
                 )
                 else cond.right
             )
+            if isinstance(right, list) and cond.op != "IN":
+                # list-literal comparison against a list-valued column
+                # (``WHERE xs = ['a', 'b']``): an array literal, so the
+                # comparison stays a JVM expression
+                right = F.array(*[F.lit(v) for v in right])
             if cond.op in null_ops and missing(cond.left):
                 one = F.lit(cond.op == "IS NULL")
             elif cond.op not in null_ops and (
@@ -3107,17 +3112,23 @@ def _pattern_scope_colmap(what: str, edge_var, dst_var, eprefix, nprefix):
 
 
 def _bind_pattern_subqueries(
-    df: DataFrame, colmap, items: list[ReturnItem]
+    df: DataFrame,
+    colmap,
+    items: list[ReturnItem] | None,
+    where_disj: list[list[Cond]] | None = None,
 ) -> DataFrame:
     """Bind every ``COUNT { pattern }`` subquery and ``[pattern | expr]``
-    pattern comprehension in ``items`` to a real column: one
+    pattern comprehension in ``items`` (or, when ``items`` is None, in
+    the operands of ``where_disj``'s conditions) to a real column: one
     partial-aggregated per-node row (count, or collected value list) per
     distinct subquery, left-joined on the bound variable's id (coalesced
     to 0 / ``[]`` — a node with no matches counts zero / reads an empty
     list, per Cypher). The subquery side is ONE row per node, so the join
     never multiplies rows, and at scale it is the same shuffle a degree
-    computation costs anyway. Mutates the item exprs in place
-    (CountPattern/PatternComp → RawCol) and returns the joined frame."""
+    computation costs anyway. Mutates the exprs in place
+    (CountPattern/PatternComp → RawCol) and returns the joined frame; the
+    bound helper columns ride along until the next projection drops
+    them."""
     ctx = getattr(colmap, "pattern_count_ctx", None)
     bound: dict[tuple, str] = {}
     state = {"df": df, "n": 0}
@@ -3126,7 +3137,7 @@ def _bind_pattern_subqueries(
         if ctx is None:
             raise CypherSyntaxError(
                 "COUNT { } subqueries are only supported in the "
-                "RETURN/WITH items of a single-MATCH node query"
+                "RETURN/WITH items and WHERE of a single-MATCH node query"
             )
         graph, var = ctx
         pc = cp.pattern
@@ -3211,7 +3222,7 @@ def _bind_pattern_subqueries(
         if ctx is None:
             raise CypherSyntaxError(
                 "pattern comprehensions are only supported in the "
-                "RETURN/WITH items of a single-MATCH node query"
+                "RETURN/WITH items and WHERE of a single-MATCH node query"
             )
         graph, var = ctx
         if pc.var != var:
@@ -3316,8 +3327,21 @@ def _bind_pattern_subqueries(
             )
         return expr
 
-    for i in items:
-        i.expr = rewrite(i.expr)
+    if items is not None:
+        for i in items:
+            i.expr = rewrite(i.expr)
+        return state["df"]
+    # WHERE-position binding (the Neo4j 5 degree-filter idiom
+    # ``WHERE COUNT { (n)-[:T]->() } >= 2`` and size-of-comprehension
+    # filters): rewrite every cond operand in place. Pattern PREDICATES
+    # (semi/anti-joins) were already consumed by the caller; literal
+    # operands pass through rewrite unchanged.
+    for conj in where_disj:
+        for cond in conj:
+            if isinstance(cond, PatternCond):
+                continue
+            cond.left = rewrite(cond.left)
+            cond.right = rewrite(cond.right)
     return state["df"]
 
 
@@ -3883,6 +3907,20 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             colmap.var_kinds[pat.var] = "edge"
 
     if disj is not None:
+        # WHERE-position COUNT { } / pattern-comprehension operands bind
+        # first (adds per-node helper columns via left joins); queries
+        # outside the supported scope raise the same typed error the
+        # projection path raises
+        if any(
+            isinstance(c.left, (CountPattern, PatternComp))
+            or isinstance(c.right, (CountPattern, PatternComp))
+            or isinstance(c.left, (BinOp, FuncCall))
+            or isinstance(c.right, (BinOp, FuncCall))
+            for conj in disj
+            for c in conj
+            if not isinstance(c, PatternCond)
+        ):
+            df = _bind_pattern_subqueries(df, colmap, None, disj)
         df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
 
     return _finish_read(df, colmap, p, bare=False)

@@ -794,6 +794,55 @@ def test_count_block_inner_where(fixture_graph):
     ]
 
 
+def test_count_block_in_where_position(fixture_graph):
+    # Neo4j 5's degree-filter idiom: WHERE COUNT { … } >= k (the modern
+    # replacement for size((n)-->())); binds the same left-joined
+    # per-node count before the filter
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE COUNT { (n)-[:KNOWS]-() } >= 2 "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Bob"]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "WHERE COUNT { (n)-[e:KNOWS]->() WHERE e.since > 2001 } = 1 "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Bob"]
+    # composes with OR and plain conditions; arithmetic over the count
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE COUNT { (n)-[:KNOWS]->() } = 0 "
+        "OR n.born = 1983 RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Bob", "Eve"]
+
+
+def test_comprehension_size_in_where_position(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE size([(n)-[:KNOWS]->(f) | f.name]) > 0 "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Bob"]
+    # helper columns never leak into the projection
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE COUNT { (n)-[:KNOWS]->() } >= 1 "
+        "RETURN * ORDER BY n.name",
+    )
+    assert df.columns == ["n"]
+    # still node-scope only: edge patterns raise the typed error
+    with pytest.raises(CypherSyntaxError, match="single-MATCH node query"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User)-[e:KNOWS]->(b:User) "
+            "WHERE COUNT { (a)-[:KNOWS]->() } > 0 RETURN a.name",
+        )
+
+
 def test_pattern_block_inner_where_scope_validation(fixture_graph):
     # outer-scope references inside a block's WHERE raise loudly rather
     # than silently correlating
@@ -924,14 +973,14 @@ def test_pattern_comprehension_validation(fixture_graph):
             fixture_graph,
             "MATCH (n:User) RETURN [(n)-[:KNOWS]->(f) | f] AS bad",
         )
-    # comprehensions are RETURN/WITH-item-only: WHERE position raises
-    with pytest.raises(CypherSyntaxError, match="pattern comprehensions"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) "
-            "WHERE [(n)-[:KNOWS]->(f) | f.name] = ['Bob'] "
-            "RETURN n.name",
-        )
+    # WHERE-position comprehension: list-equality filter binds and runs
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "WHERE [(n)-[:KNOWS]->(f) | f.name] = ['Bob'] "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice"]
 
 
 def test_foreach_range_create(fixture_graph):

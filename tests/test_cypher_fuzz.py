@@ -64,6 +64,9 @@ VALID_QUERIES = [
     "} RETURN n.name AS name",
     "MATCH (n:User) RETURN n.name AS name, "
     "COUNT { (n)-[e:KNOWS]-(f) WHERE f.trust } AS trusted ORDER BY name",
+    "MATCH (n:User) WHERE COUNT { (n)-[:KNOWS]-() } >= 2 "
+    "OR size([(n)-[:KNOWS]->(f) | f.name]) = 0 "
+    "RETURN n.name AS name ORDER BY name",
 ]
 
 
