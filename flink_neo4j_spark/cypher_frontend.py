@@ -343,6 +343,17 @@ class PatternComp:
 
 
 @dataclass
+class MapLit:
+    """``{name: n.name, age: n.born + 1}`` — a literal map in expression
+    position (Neo4j's inline record-construction idiom). Compiled to ONE
+    ``struct()`` with the keys as field names — the same modeling as
+    whole-variable and map-projection results (Cypher maps are
+    heterogeneous; Spark's map type is not), zero shuffle."""
+
+    entries: tuple  # ((key, expr), ...)
+
+
+@dataclass
 class RawCol:
     """Internal marker: a projection expression already bound to a real
     column of the working frame (pattern-count joins); resolves as a bare
@@ -790,7 +801,8 @@ class _Parser:
                     vals = self.parse_value(unwind_var)
                     if not isinstance(vals, list):
                         raise CypherSyntaxError("IN $param requires a list value")
-                else:
+                    disj[-1].append(Cond(left, "IN", vals))
+                elif self.at("punct", "["):
                     self.expect("punct", "[")
                     vals: list[Any] = []
                     if not self.at("punct", "]"):
@@ -801,7 +813,23 @@ class _Parser:
                                 continue
                             break
                     self.expect("punct", "]")
-                disj[-1].append(Cond(left, "IN", vals))
+                    disj[-1].append(Cond(left, "IN", vals))
+                elif unwind_var is None:
+                    # IN <expression> — membership in a list-valued
+                    # expression (``x IN split(s, ',')``, ``y IN n.tags``):
+                    # compiles to array_contains, 3VL-preserving
+                    expr = self.parse_return_expr(allow_bare)
+                    if isinstance(expr, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed in WHERE; compute "
+                            "the aggregate in a WITH stage and filter on "
+                            "its alias"
+                        )
+                    disj[-1].append(Cond(left, "IN_EXPR", expr))
+                else:
+                    raise CypherSyntaxError(
+                        "IN requires a list literal or $param here"
+                    )
             elif self._at_word_ci("STARTS") or self._at_word_ci("ENDS"):
                 kw = self.next().text.upper()
                 self.expect("kw", "WITH")
@@ -1105,6 +1133,41 @@ class _Parser:
             return node
         if self.at("punct", "["):
             return self._parse_list_expr(allow_bare)
+        if self.at("punct", "{"):
+            # literal map {k: expr, ...} in expression position (map
+            # PROJECTIONS n {.k} parse after their variable, not here)
+            self.next()
+            entries: list[tuple[str, Any]] = []
+            if not self.at("punct", "}"):
+                while True:
+                    ktok = self.peek()
+                    if ktok is None or ktok.kind not in ("word", "string"):
+                        raise CypherSyntaxError(
+                            "map literal keys must be identifiers or "
+                            "strings"
+                        )
+                    self.next()
+                    key = (
+                        ktok.text[1:-1].replace("\\'", "'")
+                        if ktok.kind == "string"
+                        else ktok.text
+                    )
+                    self.expect("punct", ":")
+                    val = self.parse_return_expr(allow_bare)
+                    if isinstance(val, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed inside a map "
+                            "literal; compute them in a WITH stage first"
+                        )
+                    entries.append((key, val))
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("punct", "}")
+            if len({k for k, _ in entries}) != len(entries):
+                raise CypherSyntaxError("duplicate key in map literal")
+            return MapLit(tuple(entries))
         tok = self.peek()
         if tok is not None and tok.kind == "number":
             self.next()
@@ -1643,6 +1706,40 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
     def resolve(a) -> Column:
         return _expr_column(a, colmap, df)
 
+    if call.fn in ("date", "datetime") and isinstance(call.arg, MapLit):
+        # Neo4j's component map constructors: date({year, month, day}) /
+        # datetime({year … second}) — year required, month/day default 1,
+        # time parts default 0. Compiles to make_date/make_timestamp
+        # (session UTC); out-of-range components raise at runtime under
+        # ANSI, matching Neo4j's invalid-component error rather than
+        # silently nulling.
+        comp_order = (
+            ("year", "month", "day")
+            if call.fn == "date"
+            else ("year", "month", "day", "hour", "minute", "second")
+        )
+        entries = dict(call.arg.entries)
+        unknown = set(entries) - set(comp_order)
+        if unknown:
+            raise CypherSyntaxError(
+                f"{call.fn}() map constructor got unsupported "
+                f"component(s): {', '.join(sorted(unknown))}"
+            )
+        if "year" not in entries:
+            raise CypherSyntaxError(
+                f"{call.fn}() map constructor requires a year component"
+            )
+        defaults = {"month": 1, "day": 1, "hour": 0, "minute": 0, "second": 0}
+        comps = [
+            resolve(entries[k]).cast("int")
+            if k in entries
+            else F.lit(defaults[k])
+            for k in comp_order
+        ]
+        if call.fn == "date":
+            return F.make_date(*comps)
+        return F.make_timestamp(*comps[:5], comps[5].cast("decimal(16,6)"))
+
     if call.fn.startswith("duration."):
         # duration.between / duration.inDays / duration.inSeconds — the
         # Cypher temporal-difference constructors, as component structs
@@ -2140,6 +2237,18 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         return F.slice(src, lo + F.lit(1), F.greatest(F.lit(0), hi - lo))
     if isinstance(expr, RawCol):
         return F.col(expr.name)
+    if isinstance(expr, MapLit):
+        if not expr.entries:
+            raise CypherSyntaxError(
+                "empty map literals are not supported; give the map at "
+                "least one key"
+            )
+        return F.struct(
+            *[
+                _expr_column(v, colmap, df).alias(k)
+                for k, v in expr.entries
+            ]
+        )
     if isinstance(expr, CountPattern):
         raise CypherSyntaxError(
             "COUNT { } subqueries are only supported in the RETURN/WITH "
@@ -2591,6 +2700,10 @@ def _where_to_column(
                     if cond.right
                     else F.lit(False)
                 )
+            elif cond.op == "IN_EXPR":
+                # membership in a list-valued expression: null list or
+                # null element stays null (3VL), like Cypher's IN
+                one = F.array_contains(right, opcol(cond.left))
             elif cond.op in string_ops:
                 one = string_ops[cond.op](opcol(cond.left), right)
             elif cond.op == "TRUTHY":

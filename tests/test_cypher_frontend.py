@@ -861,6 +861,90 @@ def test_pattern_block_inner_where_scope_validation(fixture_graph):
         )
 
 
+def test_map_literal_expression(fixture_graph):
+    # {k: expr, ...} in expression position compiles to one struct
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "{name: n.name, next: n.born + 1} AS rec ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["rec"]["name"], r["rec"]["next"]) for r in rows] == [
+        ("Alice", "Alice", 1985), ("Bob", "Bob", 1984), ("Eve", "Eve", 1985),
+    ]
+    # carried through WITH, fields read back via struct access; string keys
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH {name: n.name, b: n.born} AS rec "
+        "RETURN rec.name AS nm, rec.b AS b ORDER BY nm",
+    ).collect()
+    assert [(r["nm"], r["b"]) for r in rows] == [
+        ("Alice", 1984), ("Bob", 1983), ("Eve", 1984),
+    ]
+    rows = cypher_read(fixture_graph, "RETURN {a: 1, b: 'x'} AS m").collect()
+    assert rows[0]["m"]["a"] == 1 and rows[0]["m"]["b"] == "x"
+
+
+def test_map_literal_validation(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="empty map"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN {} AS m")
+    with pytest.raises(CypherSyntaxError, match="duplicate key"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN {a: 1, a: 2} AS m")
+    with pytest.raises(CypherSyntaxError, match="aggregates"):
+        cypher_read(fixture_graph, "MATCH (n:User) RETURN {a: count(*)} AS m")
+
+
+def test_temporal_map_constructors(fixture_graph):
+    # Neo4j's component-map constructors: year required, month/day
+    # default 1, time parts default 0; components are full expressions
+    rows = cypher_read(
+        fixture_graph,
+        "RETURN date({year: 2020, month: 3, day: 15}) AS d, "
+        "date({year: 2020}) AS jan1, "
+        "datetime({year: 2020, month: 3, day: 15, hour: 10, minute: 30, "
+        "second: 45}) AS t, date({year: 2020, month: 6}).month AS m",
+    ).collect()
+    r = rows[0]
+    assert str(r["d"]) == "2020-03-15"
+    assert str(r["jan1"]) == "2020-01-01"
+    assert str(r["t"]).startswith("2020-03-15 10:30:45")
+    assert r["m"] == 6
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "date({year: n.born, month: 2, day: 1}) AS feb ORDER BY name",
+    ).collect()
+    assert [str(r["feb"]) for r in rows] == [
+        "1984-02-01", "1983-02-01", "1984-02-01",
+    ]
+    with pytest.raises(CypherSyntaxError, match="unsupported component"):
+        cypher_read(fixture_graph, "RETURN date({year: 2020, tz: 'x'}) AS d")
+    with pytest.raises(CypherSyntaxError, match="requires a year"):
+        cypher_read(fixture_graph, "RETURN date({month: 3}) AS d")
+
+
+def test_in_over_expression(fixture_graph):
+    # membership in a list-valued expression -> array_contains
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE 'A' IN split(toUpper(n.name), 'LICE') "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice"]
+    # 3VL: membership in a missing property is null -> no match
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE 'a' IN n.missing RETURN n.name AS name",
+    ).collect()
+    assert rows == []
+    # NOT x IN <expr> keeps three-valued semantics (null never passes)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE NOT 'Z' IN split(n.name, 'x') "
+        "RETURN count(*) AS c",
+    ).collect()
+    assert rows[0]["c"] == 3
+
+
 def test_pattern_comprehension_basic(fixture_graph):
     # the inline one-to-many projection: per-user friend-name list;
     # no-match rows read [] (not null), per Cypher

@@ -67,6 +67,9 @@ VALID_QUERIES = [
     "MATCH (n:User) WHERE COUNT { (n)-[:KNOWS]-() } >= 2 "
     "OR size([(n)-[:KNOWS]->(f) | f.name]) = 0 "
     "RETURN n.name AS name ORDER BY name",
+    "MATCH (n:User) WHERE 'a' IN split(n.name, 'x') "
+    "RETURN n.name AS name, {name: n.name, next: n.born + 1} AS rec "
+    "ORDER BY name",
 ]
 
 
