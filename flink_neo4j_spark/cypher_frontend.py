@@ -69,7 +69,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_neo4j_spark.graph import PropertyGraph
+from flink_neo4j_spark.graph import PropertyGraph, rel_type_cond
 
 __all__ = ["CypherSyntaxError", "cypher_read", "cypher_write", "cypher_create_graph"]
 
@@ -566,6 +566,19 @@ class _Parser:
         )
         return pat
 
+    def _parse_rel_type_alts(self) -> str | tuple[str, ...]:
+        """``:T`` or Cypher's multi-type alternation ``:A|B|C`` — a single
+        name stays a plain string (the write paths require one type); the
+        alternation form returns a dedup'd tuple and compiles to ONE
+        ``isin`` filter on the edge scan."""
+        first = self.expect("word").text
+        alts = [first]
+        while self.at("punct", "|"):
+            self.next()
+            alts.append(self.expect("word").text)
+        uniq = tuple(dict.fromkeys(alts))
+        return uniq[0] if len(uniq) == 1 else uniq
+
     def parse_pattern_seq(
         self, unwind_var: str | None = None
     ) -> list[NodePat | EdgePat]:
@@ -606,7 +619,7 @@ class _Parser:
             evar = self.next().text
         if self.at("punct", ":"):
             self.next()
-            rtype = self.expect("word").text
+            rtype = self._parse_rel_type_alts()
         hops = self.parse_hops()
         props = self.parse_props(unwind_var)
         undirected = False
@@ -876,6 +889,31 @@ class _Parser:
                         "=~ requires a string regex literal on the right"
                     )
                 disj[-1].append(Cond(left, op, right))
+                # Cypher chained comparisons: a < b <= c desugars to
+                # a < b AND b <= c (the shared operand's AST is reused,
+                # not re-evaluated differently)
+                chain_ops = ("<", "<=", ">", ">=", "=", "<>")
+                while (
+                    unwind_var is None
+                    and op in chain_ops
+                    and self.at("op")
+                    and self.peek().text in chain_ops
+                ):
+                    if negated:
+                        raise CypherSyntaxError(
+                            "NOT over a chained comparison is ambiguous; "
+                            "parenthesize or split with AND"
+                        )
+                    mid = right
+                    op = self.next().text
+                    right = self.parse_return_expr(allow_bare)
+                    if isinstance(right, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed in WHERE; compute "
+                            "the aggregate in a WITH stage and filter on "
+                            "its alias"
+                        )
+                    disj[-1].append(Cond(mid, op, right))
             if negated:
                 disj[-1][-1].negated = True
             if self.at("kw", "AND"):
@@ -931,7 +969,7 @@ class _Parser:
         rel_type = None
         if self.at("punct", ":"):
             self.next()
-            rel_type = self.expect("word").text
+            rel_type = self._parse_rel_type_alts()
         if incoming:
             if not self.at("arrow", "]-"):
                 raise CypherSyntaxError(
@@ -1005,7 +1043,7 @@ class _Parser:
         rel_type = None
         if self.at("punct", ":"):
             self.next()
-            rel_type = self.expect("word").text
+            rel_type = self._parse_rel_type_alts()
         if incoming:
             if not self.at("arrow", "]-"):
                 raise CypherSyntaxError(
@@ -2755,7 +2793,7 @@ def _varlength_paths(graph: PropertyGraph, pat: EdgePat) -> DataFrame:
     lo, hi = pat.hops
     e = graph.edges
     if pat.rel_type is not None:
-        e = e.filter(F.col("rel_type") == pat.rel_type)
+        e = e.filter(rel_type_cond(pat.rel_type))
     e = e.select("id", "src", "dst")
     a = graph.nodes(pat.src.label).select(
         *[F.col(c).alias(f"a_{c}") for c in graph.vertices.columns]
@@ -2844,7 +2882,7 @@ def _optional_match(
 
     e = graph.edges
     if opt.rel_type is not None:
-        e = e.filter(F.col("rel_type") == opt.rel_type)
+        e = e.filter(rel_type_cond(opt.rel_type))
     e = e.select(*[F.col(c).alias(f"__e_{c}") for c in graph.edges.columns])
     other_df = graph.nodes(other.label).select(
         *[F.col(c).alias(f"__o_{c}") for c in graph.vertices.columns]
@@ -3128,7 +3166,7 @@ def _shortest_path(
     lo, hi = pat.hops
     e = graph.edges
     if pat.rel_type is not None:
-        e = e.filter(F.col("rel_type") == pat.rel_type)
+        e = e.filter(rel_type_cond(pat.rel_type))
     e = e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
     if pat.undirected:
         e = e.unionByName(
@@ -3266,7 +3304,7 @@ def _bind_pattern_subqueries(
         state["n"] += 1
         edges = graph.edges
         if pc.rel_type is not None:
-            edges = edges.filter(F.col("rel_type") == pc.rel_type)
+            edges = edges.filter(rel_type_cond(pc.rel_type))
 
         def counted(bound_end: str) -> DataFrame:
             other = "dst" if bound_end == "src" else "src"
@@ -3350,7 +3388,7 @@ def _bind_pattern_subqueries(
         state["n"] += 1
         edges = graph.edges
         if pc.rel_type is not None:
-            edges = edges.filter(F.col("rel_type") == pc.rel_type)
+            edges = edges.filter(rel_type_cond(pc.rel_type))
         # the far-endpoint node join is only needed when the comprehension
         # can observe the node (a label restriction or a bound variable);
         # `[(v)-[e:T]->() | e.w]` stays a pure edge-table aggregate
@@ -3888,7 +3926,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                     raise CypherSyntaxError(f"unknown variable {pc.var!r}")
                 edges = graph.edges
                 if pc.rel_type is not None:
-                    edges = edges.filter(F.col("rel_type") == pc.rel_type)
+                    edges = edges.filter(rel_type_cond(pc.rel_type))
 
                 def _qualifying(bound_end: str, pc=pc, edges=edges) -> DataFrame:
                     # ids qualifying at `bound_end`; the target label (if
@@ -4438,6 +4476,11 @@ def cypher_write(
             )
         if pat.rel_type is None:
             raise CypherSyntaxError("relationship write requires a type")
+        if isinstance(pat.rel_type, tuple):
+            raise CypherSyntaxError(
+                "a relationship write needs exactly ONE type; "
+                "[:A|B] alternation is read-only syntax"
+            )
         if pat.var is not None:
             raise CypherSyntaxError(
                 "relationship write supports an anonymous edge (no variable)"
@@ -4985,6 +5028,12 @@ def cypher_create_graph(spark, query: str) -> PropertyGraph:
         for i, n in enumerate(nodes)
     ]
     ecols = sorted({k for _, _, e in edges for k in e.props})
+    for _, _, e in edges:
+        if isinstance(e.rel_type, tuple):
+            raise CypherSyntaxError(
+                "CREATE needs exactly ONE relationship type; "
+                "[:A|B] alternation is read-only syntax"
+            )
     erows = [
         {"id": i, "src": index[id(s)], "dst": index[id(d)],
          "rel_type": e.rel_type or "REL", **{c: e.props.get(c) for c in ecols}}

@@ -25,6 +25,15 @@ VERTEX_REQUIRED = ("id", "label")
 EDGE_REQUIRED = ("id", "src", "dst", "rel_type")
 
 
+def rel_type_cond(rel_type) -> Column:
+    """Filter predicate for an edge-type restriction: a single type name,
+    or a tuple of alternatives (Cypher's ``[:A|B]`` multi-type pattern —
+    still one pushdown-eligible IN filter, no union of scans)."""
+    if isinstance(rel_type, tuple):
+        return F.col("rel_type").isin(*rel_type)
+    return F.col("rel_type") == rel_type
+
+
 def _allocate_ids(new: DataFrame, base: DataFrame) -> DataFrame:
     """Assign dense ids ``max(id)+1 .. max(id)+count`` to a write batch and
     MATERIALIZE the assignment.
@@ -141,7 +150,7 @@ class PropertyGraph:
         """
         e = self.edges
         if rel_type is not None:
-            e = e.filter(F.col("rel_type") == rel_type)
+            e = e.filter(rel_type_cond(rel_type))
         out = e
         if src_label is not None:
             src_ids = self.vertices.filter(F.col("label") == src_label).select("id")
@@ -170,7 +179,7 @@ class PropertyGraph:
             *[F.col(c).alias(f"{dst_prefix}{c}") for c in self.vertices.columns]
         )
         e = self.edges if rel_type is None else self.edges.filter(
-            F.col("rel_type") == rel_type
+            rel_type_cond(rel_type)
         )
         return (
             e.join(a, e.src == F.col(f"{src_prefix}id"))

@@ -861,6 +861,82 @@ def test_pattern_block_inner_where_scope_validation(fixture_graph):
         )
 
 
+def test_chained_comparisons(fixture_graph):
+    # a < b <= c desugars to a < b AND b <= c within the conjunction
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE 1983 < n.born <= 1984 "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Eve"]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE 1.6 < n.height < 1.8 OR n.name = 'Bob' "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Bob", "Eve"]
+    with pytest.raises(CypherSyntaxError, match="chained comparison"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE NOT 1983 < n.born < 1990 RETURN n.name",
+        )
+
+
+def test_multi_rel_type_patterns(spark):
+    # [:A|B] alternation: one isin filter on the edge scan, supported in
+    # every read pattern position; write positions reject it loudly
+    g = cypher_create_graph(
+        spark,
+        "CREATE (alice:User {name:'Alice'}), (bob:User {name:'Bob'}), "
+        "(carol:User {name:'Carol'}), "
+        "(alice)-[:KNOWS {since: 2001}]->(bob), "
+        "(bob)-[:LIKES {since: 2003}]->(carol), "
+        "(alice)-[:BLOCKS {since: 2004}]->(carol)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (a:User)-[e:KNOWS|LIKES]->(b:User) "
+        "RETURN a.name AS a, b.name AS b ORDER BY a",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Carol"),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "COUNT { (n)-[:KNOWS|LIKES|BLOCKS]->() } AS deg, "
+        "[(n)-[e:KNOWS|BLOCKS]->(m) | m.name] AS ms ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["deg"], r["ms"]) for r in rows] == [
+        ("Alice", 2, ["Bob", "Carol"]), ("Bob", 1, []), ("Carol", 0, []),
+    ]
+    # var-length + pattern-predicate positions; duplicate alternatives
+    # collapse to the single-type form
+    rows = cypher_read(
+        g,
+        "MATCH (a:User)-[:KNOWS|LIKES*1..2]->(b:User) "
+        "WHERE a.name = 'Alice' RETURN b.name AS b ORDER BY b",
+    ).collect()
+    assert [r["b"] for r in rows] == ["Bob", "Carol"]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WHERE (n)-[:KNOWS|BLOCKS]->() "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice"]
+    with pytest.raises(CypherSyntaxError, match="ONE type"):
+        cypher_write(
+            g,
+            "UNWIND $rows AS r MATCH (a:User {name: r.a}), "
+            "(b:User {name: r.b}) MERGE (a)-[:A|B]->(b)",
+            {"rows": [{"a": "Alice", "b": "Bob"}]},
+        )
+    with pytest.raises(CypherSyntaxError, match="ONE relationship type"):
+        cypher_create_graph(
+            spark, "CREATE (x:T {k: 1})-[:A|B]->(y:T {k: 2})"
+        )
+
+
 def test_map_literal_expression(fixture_graph):
     # {k: expr, ...} in expression position compiles to one struct
     rows = cypher_read(

@@ -70,6 +70,8 @@ VALID_QUERIES = [
     "MATCH (n:User) WHERE 'a' IN split(n.name, 'x') "
     "RETURN n.name AS name, {name: n.name, next: n.born + 1} AS rec "
     "ORDER BY name",
+    "MATCH (a:User)-[e:KNOWS|LIKES]->(b:User) "
+    "RETURN a.name AS x, b.name AS y ORDER BY x",
 ]
 
 
