@@ -993,6 +993,12 @@ PLAN_BUDGETS = {
     # round-4 5.26 s was a loaded-session outlier, not a plan change.
     "g20_node_similarity": (1, 12),
     "g34_copurchase_pmi": (1, 16),
+    # round 5: the remaining un-budgeted members of the current top-5
+    # cost centers (BENCH_LOCAL_sf0.1.json). Measured 0/2 (g55 — the
+    # optimized SCC peel loop reads localCheckpointed subgraphs) and 0/8
+    # (d14 — six of the eight are broadcasts of the band tables).
+    "g55_scc_components": (1, 4),
+    "d14_simhash_hamming": (1, 10),
 }
 
 
