@@ -2832,42 +2832,23 @@ def _varlength_paths(graph: PropertyGraph, pat: EdgePat) -> DataFrame:
 def _optional_match(
     graph: PropertyGraph,
     base: NodePat,
-    opt: NodePat | EdgePat,
-    opt_disj: list[list[Cond]] | None,
+    opt_clauses: list[tuple["NodePat | EdgePat", "list[list[Cond]] | None"]],
     base_disj: list[list[Cond]] | None,
 ):
-    """``MATCH (a[:L]) [WHERE ...] OPTIONAL MATCH (a)-[e:T]->(b[:L2])
-    [WHERE ...]`` -> base LEFT JOIN optional-side, null-extended.
+    """``MATCH (a[:L]) [WHERE ...] (OPTIONAL MATCH (a)-[e:T]->(b[:L2])
+    [WHERE ...])+`` -> base LEFT JOIN each optional side, null-extended.
 
-    The bound variable may be either endpoint. The optional WHERE filters
-    the optional side before the join; the base WHERE filters the base
-    side before the join (both are semantics-preserving pre-join pushdowns
-    in Cypher, because each references only its own side's variables).
-    Plan shape: one left equi-join; the optional side's endpoint join
-    broadcasts when the label restricts it to a dimension-sized set.
+    The bound variable may be either endpoint of each clause. Each
+    optional WHERE filters ITS side before its join; the base WHERE
+    filters the base side before any join (all semantics-preserving
+    pre-join pushdowns in Cypher, because each references only its own
+    side's variables). Stacked clauses multiply per Neo4j: every
+    OPTIONAL MATCH left-joins independently, so a base row with m and n
+    matches in two clauses yields m*n rows (1 where a side is empty).
+    Plan shape: one left equi-join per clause; each optional side's
+    endpoint join broadcasts when its label restricts it to a
+    dimension-sized set.
     """
-    if not isinstance(opt, EdgePat) or opt.hops is not None:
-        raise CypherSyntaxError(
-            "OPTIONAL MATCH supports a single-hop edge pattern (a)-[e]->(b)"
-        )
-    if opt.undirected:
-        raise CypherSyntaxError(
-            "undirected OPTIONAL MATCH is not supported; use a directed "
-            "pattern (incoming \"<-[...]-\"  is supported)"
-        )
-    if opt.props or opt.src.props or opt.dst.props:
-        raise CypherSyntaxError("inline property match not supported in MATCH; use WHERE")
-    if base.var == opt.src.var:
-        bound_end, other = "src", opt.dst
-    elif base.var == opt.dst.var:
-        bound_end, other = "dst", opt.src
-    else:
-        raise CypherSyntaxError(
-            f"OPTIONAL MATCH pattern must reference the bound variable {base.var!r}"
-        )
-    if other.label is None and other.var is None:
-        raise CypherSyntaxError("optional pattern's free endpoint needs a variable")
-
     base_df = graph.nodes(base.label)
 
     def base_colmap(ref: PropRef) -> Column:
@@ -2880,51 +2861,92 @@ def _optional_match(
             _where_to_column(base_disj, base_colmap, set(base_df.columns), base_df)
         )
 
-    e = graph.edges
-    if opt.rel_type is not None:
-        e = e.filter(rel_type_cond(opt.rel_type))
-    e = e.select(*[F.col(c).alias(f"__e_{c}") for c in graph.edges.columns])
-    other_df = graph.nodes(other.label).select(
-        *[F.col(c).alias(f"__o_{c}") for c in graph.vertices.columns]
-    )
-    free_end = "dst" if bound_end == "src" else "src"
-    opt_side = e.join(other_df, F.col(f"__e_{free_end}") == F.col("__o_id"))
-
-    def opt_colmap(ref: PropRef) -> Column:
-        if ref.var == opt.var:
-            return F.col(f"__e_{ref.prop or 'id'}")
-        if ref.var == other.var:
-            return F.col(f"__o_{ref.prop or 'id'}")
-        raise CypherSyntaxError(
-            f"OPTIONAL MATCH WHERE may only reference {opt.var!r}/{other.var!r}"
+    vertex_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
+    edge_props = [
+        c for c in graph.edges.columns
+        if c not in ("id", "src", "dst", "rel_type")
+    ]
+    #: var -> (prefix, kind) for every optional-clause variable
+    prefixes: dict[str, tuple[str, str]] = {}
+    df = base_df
+    for i, (opt, opt_disj) in enumerate(opt_clauses):
+        if not isinstance(opt, EdgePat) or opt.hops is not None:
+            raise CypherSyntaxError(
+                "OPTIONAL MATCH supports a single-hop edge pattern (a)-[e]->(b)"
+            )
+        if opt.undirected:
+            raise CypherSyntaxError(
+                "undirected OPTIONAL MATCH is not supported; use a directed "
+                "pattern (incoming \"<-[...]-\"  is supported)"
+            )
+        if opt.props or opt.src.props or opt.dst.props:
+            raise CypherSyntaxError(
+                "inline property match not supported in MATCH; use WHERE"
+            )
+        if base.var == opt.src.var:
+            bound_end, other = "src", opt.dst
+        elif base.var == opt.dst.var:
+            bound_end, other = "dst", opt.src
+        else:
+            raise CypherSyntaxError(
+                f"OPTIONAL MATCH pattern must reference the bound variable {base.var!r}"
+            )
+        if other.label is None and other.var is None:
+            raise CypherSyntaxError("optional pattern's free endpoint needs a variable")
+        for v in (opt.var, other.var):
+            if v is None:
+                continue
+            if v == base.var or v in prefixes:
+                raise CypherSyntaxError(
+                    f"variable {v!r} is already bound; a repeated variable "
+                    "across OPTIONAL MATCH clauses is not supported"
+                )
+        ep, op = f"__e{i}_", f"__o{i}_"
+        e = graph.edges
+        if opt.rel_type is not None:
+            e = e.filter(rel_type_cond(opt.rel_type))
+        e = e.select(*[F.col(c).alias(f"{ep}{c}") for c in graph.edges.columns])
+        other_df = graph.nodes(other.label).select(
+            *[F.col(c).alias(f"{op}{c}") for c in graph.vertices.columns]
         )
+        free_end = "dst" if bound_end == "src" else "src"
+        opt_side = e.join(other_df, F.col(f"{ep}{free_end}") == F.col(f"{op}id"))
 
-    if opt_disj is not None:
-        opt_side = opt_side.filter(
-            _where_to_column(opt_disj, opt_colmap, set(opt_side.columns), opt_side)
+        def opt_colmap(ref, opt=opt, other=other, ep=ep, op=op) -> Column:
+            if ref.var == opt.var:
+                return F.col(f"{ep}{ref.prop or 'id'}")
+            if ref.var == other.var:
+                return F.col(f"{op}{ref.prop or 'id'}")
+            raise CypherSyntaxError(
+                f"OPTIONAL MATCH WHERE may only reference {opt.var!r}/{other.var!r}"
+            )
+
+        if opt_disj is not None:
+            opt_side = opt_side.filter(
+                _where_to_column(opt_disj, opt_colmap, set(opt_side.columns), opt_side)
+            )
+
+        df = df.join(
+            opt_side, base_df["id"] == F.col(f"{ep}{bound_end}"), "left"
         )
-
-    df = base_df.join(
-        opt_side, base_df["id"] == F.col(f"__e_{bound_end}"), "left"
-    )
+        if other.var is not None:
+            prefixes[other.var] = (op, "node")
+        if opt.var is not None:
+            prefixes[opt.var] = (ep, "edge")
 
     def colmap(ref: PropRef) -> Column:
         if ref.var == base.var:
             return base_df["id"] if ref.prop is None else F.col(ref.prop)
-        return opt_colmap(ref)
+        hit = prefixes.get(ref.var)
+        if hit is None:
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return F.col(f"{hit[0]}{ref.prop or 'id'}")
 
-    vertex_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
     colmap.var_props = {base.var: vertex_props}
     colmap.var_kinds = {base.var: "node"}
-    if other.var is not None:
-        colmap.var_props[other.var] = vertex_props
-        colmap.var_kinds[other.var] = "node"
-    if opt.var is not None:
-        colmap.var_props[opt.var] = [
-            c for c in graph.edges.columns
-            if c not in ("id", "src", "dst", "rel_type")
-        ]
-        colmap.var_kinds[opt.var] = "edge"
+    for v, (_, kind) in prefixes.items():
+        colmap.var_props[v] = vertex_props if kind == "node" else edge_props
+        colmap.var_kinds[v] = kind
     return df, colmap
 
 
@@ -3845,8 +3867,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     elif prop_conds:
         # chains filter post-join, so the maps become one extra conjunct
         chain_disjs.append([list(prop_conds)])
-    opt_pat = opt_disj = None
-    if p._at_word_ci("OPTIONAL"):
+    opt_clauses: list = []
+    while p._at_word_ci("OPTIONAL"):
         if len(chain_pats) > 1:
             raise CypherSyntaxError(
                 "OPTIONAL MATCH after a multi-clause MATCH chain not supported"
@@ -3854,6 +3876,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         p.next()
         p.expect("kw", "MATCH")
         opt_pat = p.parse_pattern()
+        opt_disj = None
         if p.at("kw", "WHERE"):
             p.next()
             opt_disj = p.parse_where()
@@ -3872,8 +3895,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         opt_disj = _and_into(
             opt_disj, _desugar_inline_props([opt_pat], taken)
         )
+        opt_clauses.append((opt_pat, opt_disj))
     if sp_var is not None:
-        if len(chain_pats) > 1 or opt_pat is not None:
+        if len(chain_pats) > 1 or opt_clauses:
             raise CypherSyntaxError(
                 "shortestPath cannot combine with MATCH chains or "
                 "OPTIONAL MATCH"
@@ -3897,12 +3921,12 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         for d in chain_disjs:
             df = df.filter(_where_to_column(d, colmap, set(df.columns), df))
         disj = None
-    elif opt_pat is not None:
+    elif opt_clauses:
         if not isinstance(pat, NodePat):
             raise CypherSyntaxError(
                 "OPTIONAL MATCH requires a plain MATCH (n[:Label]) base pattern"
             )
-        df, colmap = _optional_match(graph, pat, opt_pat, opt_disj, disj)
+        df, colmap = _optional_match(graph, pat, opt_clauses, disj)
         disj = None  # base WHERE already applied pre-join inside the helper
     elif isinstance(pat, NodePat):
         var = pat.var

@@ -861,6 +861,50 @@ def test_pattern_block_inner_where_scope_validation(fixture_graph):
         )
 
 
+def test_stacked_optional_match(spark):
+    # multiple OPTIONAL MATCH clauses: each left-joins independently and
+    # null-extends on its own (Neo4j row semantics)
+    g = cypher_create_graph(
+        spark,
+        "CREATE (alice:User {name:'Alice'}), (bob:User {name:'Bob'}), "
+        "(eve:User {name:'Eve'}), (acme:Org {name:'Acme'}), "
+        "(alice)-[:KNOWS {since: 2001}]->(bob), "
+        "(bob)-[:KNOWS {since: 2002}]->(alice), "
+        "(alice)-[:WORKS_AT {since: 2010}]->(acme)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "OPTIONAL MATCH (n)-[w:WORKS_AT]->(o:Org) "
+        "RETURN n.name AS name, f.name AS friend, o.name AS org "
+        "ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["friend"], r["org"]) for r in rows] == [
+        ("Alice", "Bob", "Acme"), ("Bob", "Alice", None),
+        ("Eve", None, None),
+    ]
+    # per-clause WHERE filters its own side pre-join; count(var) counts
+    # non-null bindings across the joined result
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) "
+        "OPTIONAL MATCH (n)-[e:KNOWS]->(f) WHERE e.since > 2001 "
+        "OPTIONAL MATCH (n)<-[e2:KNOWS]-(b) "
+        "RETURN n.name AS name, count(f) AS late, count(b) AS inn "
+        "ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["late"], r["inn"]) for r in rows] == [
+        ("Alice", 0, 1), ("Bob", 1, 1), ("Eve", 0, 0),
+    ]
+    # a variable repeated across clauses would need unification -> loud
+    with pytest.raises(CypherSyntaxError, match="already bound"):
+        cypher_read(
+            g,
+            "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+            "OPTIONAL MATCH (n)<-[e2:KNOWS]-(f) RETURN n.name",
+        )
+
+
 def test_chained_comparisons(fixture_graph):
     # a < b <= c desugars to a < b AND b <= c within the conjunction
     rows = cypher_read(
