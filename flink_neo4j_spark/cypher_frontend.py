@@ -1373,6 +1373,29 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
+            and tok.text.upper() == "EXISTS"
+            and self.peek(1) is not None
+            and self.peek(1).text == "{"
+        ):
+            # EXISTS { pattern [WHERE …] } as a boolean EXPRESSION in
+            # RETURN/WITH items (Neo4j 5) — desugared to the count
+            # subquery's per-node bind compared against zero, so it
+            # shares COUNT { }'s one-left-join plan shape
+            self.next()
+            self.expect("punct", "{")
+            if self.at("kw", "MATCH"):
+                self.next()
+            pc = self.parse_pattern_predicate(block=True)
+            self.expect("punct", "}")
+            if pc.negated:
+                raise CypherSyntaxError(
+                    "NOT inside EXISTS { } is not supported in expression "
+                    "position; compare with = false instead"
+                )
+            return BinOp(">", CountPattern(pc), 0)
+        if (
+            tok is not None
+            and tok.kind == "word"
             and tok.text == "reduce"
             and self.peek(1) is not None
             and self.peek(1).text == "("

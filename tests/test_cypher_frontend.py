@@ -794,6 +794,21 @@ def test_count_block_inner_where(fixture_graph):
     ]
 
 
+def test_exists_block_as_expression(fixture_graph):
+    # Neo4j 5: EXISTS { } as a boolean expression in RETURN/WITH items,
+    # desugared to the count subquery's bind compared against zero
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "EXISTS { (n)-[:KNOWS]->() } AS has_out, "
+        "EXISTS { (n)-[e:KNOWS]->() WHERE e.since > 2001 } AS has_late "
+        "ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["has_out"], r["has_late"]) for r in rows] == [
+        ("Alice", True, False), ("Bob", True, True), ("Eve", False, False),
+    ]
+
+
 def test_count_block_in_where_position(fixture_graph):
     # Neo4j 5's degree-filter idiom: WHERE COUNT { … } >= k (the modern
     # replacement for size((n)-->())); binds the same left-joined
