@@ -2142,6 +2142,14 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             return left * right
         if expr.op == "%":
             return left % right
+        if expr.op in (">", ">=", "<", "<=", "=", "<>"):
+            # comparison in expression position (today only the EXISTS {}
+            # boolean-expression desugar produces these) — a boolean column
+            return {
+                ">": left > right, ">=": left >= right,
+                "<": left < right, "<=": left <= right,
+                "=": left == right, "<>": left != right,
+            }[expr.op]
         if _is_integral(expr.left, colmap, df) and _is_integral(
             expr.right, colmap, df
         ):
