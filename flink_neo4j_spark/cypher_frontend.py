@@ -1495,6 +1495,35 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
+            and tok.text in ("date", "datetime")
+            and self.peek(1) is not None
+            and self.peek(1).text == "."
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).text == "("
+        ):
+            # date.truncate('month', d) / datetime.truncate('hour', dt) —
+            # Neo4j's calendar-bucketing constructors
+            base, sub = tok.text, self.peek(2).text
+            if sub != "truncate":
+                raise CypherSyntaxError(
+                    f"unknown temporal function {base}.{sub}"
+                )
+            self.next(), self.next(), self.next()
+            self.expect("punct", "(")
+            unit = self.parse_value(None)
+            if not isinstance(unit, str):
+                raise CypherSyntaxError(
+                    f"{base}.truncate unit must be a string literal"
+                )
+            self.expect("punct", ",")
+            a = self.parse_return_expr(allow_bare)
+            self.expect("punct", ")")
+            return FuncCall(f"{base}.truncate", a, (unit,))
+        if (
+            tok is not None
+            and tok.kind == "word"
             and tok.text in _FN_ARITY
             and self.peek(1) is not None
             and self.peek(1).text == "("
@@ -1702,20 +1731,27 @@ class _Parser:
                     self.next()
                     continue
                 break
+        def int_or_param(what: str) -> int:
+            # SKIP/LIMIT take a literal integer or a $param resolved at
+            # parse time (the pagination idiom every client parameterizes)
+            if self.at("punct", "$"):
+                val = self.parse_value(None)
+                if isinstance(val, bool) or not isinstance(val, int):
+                    raise CypherSyntaxError(f"{what} must be an integer")
+                return val
+            tok = self.expect("number")
+            if "." in tok.text:
+                raise CypherSyntaxError(f"{what} must be an integer")
+            return int(tok.text)
+
         skip = None
         if self._at_word_ci("SKIP"):
             self.next()
-            tok = self.expect("number")
-            if "." in tok.text:
-                raise CypherSyntaxError("SKIP must be an integer")
-            skip = int(tok.text)
+            skip = int_or_param("SKIP")
         limit = None
         if self._at_word_ci("LIMIT"):
             self.next()
-            tok = self.expect("number")
-            if "." in tok.text:
-                raise CypherSyntaxError("LIMIT must be an integer")
-            limit = int(tok.text)
+            limit = int_or_param("LIMIT")
         if require_end and self.peek() is not None:
             raise CypherSyntaxError(f"unexpected token {self.peek().text!r}")
         return order, skip, limit
@@ -1800,6 +1836,31 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         if call.fn == "date":
             return F.make_date(*comps)
         return F.make_timestamp(*comps[:5], comps[5].cast("decimal(16,6)"))
+
+    if call.fn in ("date.truncate", "datetime.truncate"):
+        # calendar bucketing; units follow Neo4j's names (week truncates
+        # to the ISO Monday on both engines). date.truncate keeps DATE,
+        # datetime.truncate keeps TIMESTAMP; sub-day units on a plain
+        # date are rejected like the temporal accessors.
+        unit = call.extra[0].lower()
+        a = resolve(call.arg)
+        if call.fn == "date.truncate":
+            fmts = {"year": "year", "quarter": "quarter",
+                    "month": "month", "week": "week"}
+            if unit == "day":
+                return a.cast("date")
+            if unit not in fmts:
+                raise CypherSyntaxError(
+                    f"date.truncate does not support unit {unit!r}"
+                )
+            return F.trunc(a, fmts[unit])
+        units = {"year", "quarter", "month", "week", "day", "hour",
+                 "minute", "second"}
+        if unit not in units:
+            raise CypherSyntaxError(
+                f"datetime.truncate does not support unit {unit!r}"
+            )
+        return F.date_trunc(unit, a)
 
     if call.fn.startswith("duration."):
         # duration.between / duration.inDays / duration.inSeconds — the

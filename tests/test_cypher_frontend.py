@@ -1057,6 +1057,44 @@ def test_temporal_map_constructors(fixture_graph):
         cypher_read(fixture_graph, "RETURN date({month: 3}) AS d")
 
 
+def test_temporal_truncate(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "RETURN date.truncate('month', date('2024-03-17')) AS m, "
+        "date.truncate('week', date('2024-03-17')) AS w, "
+        "datetime.truncate('hour', datetime('2024-03-17T10:42:31')) AS h, "
+        "date.truncate('quarter', date('2024-05-02')).month AS qm",
+    ).collect()
+    r = rows[0]
+    assert str(r["m"]) == "2024-03-01"
+    assert str(r["w"]) == "2024-03-11"  # ISO Monday
+    assert str(r["h"]).startswith("2024-03-17 10:00:00")
+    assert r["qm"] == 4
+    with pytest.raises(CypherSyntaxError, match="does not support unit"):
+        cypher_read(
+            fixture_graph,
+            "RETURN date.truncate('hour', date('2024-03-17')) AS x",
+        )
+    with pytest.raises(CypherSyntaxError, match="unknown temporal"):
+        cypher_read(fixture_graph, "RETURN date.frob(1) AS x")
+
+
+def test_skip_limit_parameters(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name ORDER BY name "
+        "SKIP $s LIMIT $l",
+        {"s": 1, "l": 1},
+    ).collect()
+    assert [r["name"] for r in rows] == ["Bob"]
+    with pytest.raises(CypherSyntaxError, match="LIMIT must be an integer"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN n.name LIMIT $f",
+            {"f": 1.5},
+        )
+
+
 def test_in_over_expression(fixture_graph):
     # membership in a list-valued expression -> array_contains
     rows = cypher_read(
