@@ -85,7 +85,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<arrow><-\[|-\[|\]->|\]-)
   | (?P<number>-?\d+\.\d+|-?\d+)
-  | (?P<op><>|<=|>=|=~|=|<|>|\+|-|/|%)
+  | (?P<op><>|<=|>=|=~|=|<|>|\+|-|/|%|\^)
   | (?P<punct>[(){}:,.\$*\[\]|])
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -1110,13 +1110,22 @@ class _Parser:
         return node
 
     def _parse_arith_term(self, allow_bare: bool):
-        node = self._parse_arith_factor(allow_bare)
+        node = self._parse_arith_power(allow_bare)
         while (
             self.at("op", "/") or self.at("op", "%") or self.at("punct", "*")
         ):
             op = self.next().text
-            right = self._parse_arith_factor(allow_bare)
+            right = self._parse_arith_power(allow_bare)
             node = self._binop(op, node, right)
+        return node
+
+    def _parse_arith_power(self, allow_bare: bool):
+        # ^ binds tighter than * and is RIGHT-associative (2^3^2 = 512),
+        # per Cypher
+        node = self._parse_arith_factor(allow_bare)
+        if self.at("op", "^"):
+            self.next()
+            return self._binop("^", node, self._parse_arith_power(allow_bare))
         return node
 
     @staticmethod
@@ -2203,6 +2212,9 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             return left * right
         if expr.op == "%":
             return left % right
+        if expr.op == "^":
+            # Cypher exponentiation always yields a FLOAT (2^2 = 4.0)
+            return F.pow(left, right)
         if expr.op in (">", ">=", "<", "<=", "=", "<>"):
             # comparison in expression position (today only the EXISTS {}
             # boolean-expression desugar produces these) — a boolean column

@@ -1057,6 +1057,23 @@ def test_temporal_map_constructors(fixture_graph):
         cypher_read(fixture_graph, "RETURN date({month: 3}) AS d")
 
 
+def test_exponent_operator(fixture_graph):
+    # ^ binds tighter than *, is right-associative, and yields FLOAT
+    rows = cypher_read(
+        fixture_graph,
+        "RETURN 2 ^ 3 AS a, 2 ^ 3 ^ 2 AS b, 2 * 3 ^ 2 AS c, "
+        "(1 + 1) ^ 3 AS d",
+    ).collect()
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (8.0, 512.0, 18.0, 8.0)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.born ^ 2 > 1000000 "
+        "RETURN count(*) AS c",
+    ).collect()
+    assert rows[0]["c"] == 3
+
+
 def test_temporal_truncate(fixture_graph):
     rows = cypher_read(
         fixture_graph,
