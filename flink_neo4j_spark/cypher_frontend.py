@@ -3916,6 +3916,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     p.expect("kw", "MATCH")
     sp_var = None
     sp_all = False
+    path_var = None
     if (
         p.at("word")
         and p.peek(1) is not None
@@ -3935,6 +3936,26 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 "shortestPath requires a bounded variable-length pattern "
                 "(a)-[:T*lo..hi]->(b)"
             )
+    elif (
+        p.at("word")
+        and p.peek(1) is not None
+        and p.peek(1).text == "="
+        and p.peek(2) is not None
+        and p.peek(2).kind == "punct"
+        and p.peek(2).text == "("
+    ):
+        # MATCH p = (a)-[:T*lo..hi]->(b): a named path over a plain
+        # variable-length pattern; length(p) reads the per-chain length.
+        # nodes(p)/relationships(p) are not supported (loud error).
+        path_var = p.next().text
+        p.next()  # =
+        pat = p.parse_pattern(undirected_hops_ok=False)
+        if not isinstance(pat, EdgePat) or pat.hops is None:
+            raise CypherSyntaxError(
+                "a path variable requires a variable-length pattern "
+                "(a)-[:T*lo..hi]->(b) or shortestPath()/allShortestPaths()"
+            )
+        seq = [pat]
     else:
         seq = p.parse_pattern_seq()
         pat = seq[0]
@@ -4138,6 +4159,13 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         names = {pat.src.var: "a_", pat.dst.var: "b_"}
 
         def colmap(ref: PropRef) -> Column:
+            if path_var is not None and ref.var == path_var:
+                if ref.prop == "length":
+                    return F.col("__path_len")
+                raise CypherSyntaxError(
+                    f"only length({path_var}) is supported on a path "
+                    "variable; bind the endpoints for their properties"
+                )
             prefix = names.get(ref.var)
             if prefix is None:
                 raise CypherSyntaxError(f"unknown variable {ref.var!r}")

@@ -1057,6 +1057,37 @@ def test_temporal_map_constructors(fixture_graph):
         cypher_read(fixture_graph, "RETURN date({month: 3}) AS d")
 
 
+def test_path_variable_varlength(spark):
+    # MATCH p = (a)-[:T*lo..hi]->(b): length(p) reads the per-chain hop
+    # count, usable in RETURN and WHERE
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A'}), (b:User {name:'B'}), "
+        "(c:User {name:'C'}), (a)-[:KNOWS]->(b), (b)-[:KNOWS]->(c)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH p = (a:User)-[:KNOWS*1..2]->(b:User) "
+        "RETURN a.name AS a, b.name AS b, length(p) AS l ORDER BY a, b",
+    ).collect()
+    assert [(r["a"], r["b"], r["l"]) for r in rows] == [
+        ("A", "B", 1), ("A", "C", 2), ("B", "C", 1),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH p = (a:User)-[:KNOWS*1..2]->(b:User) "
+        "WHERE length(p) = 2 RETURN a.name AS a, b.name AS b",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("A", "C")]
+    # single-hop patterns and whole-path projection stay loud
+    with pytest.raises(CypherSyntaxError, match="variable-length"):
+        cypher_read(g, "MATCH p = (a:User)-[:KNOWS]->(b:User) RETURN a.name")
+    with pytest.raises(CypherSyntaxError, match="not supported"):
+        cypher_read(
+            g, "MATCH p = (a:User)-[:KNOWS*1..2]->(b:User) RETURN p"
+        )
+
+
 def test_exponent_operator(fixture_graph):
     # ^ binds tighter than *, is right-associative, and yields FLOAT
     rows = cypher_read(
