@@ -4230,6 +4230,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             df = _bind_pattern_subqueries(df, colmap, None, disj)
         df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
 
+    colmap.stage_graph = graph
     return _finish_read(df, colmap, p, bare=False)
 
 
@@ -4240,7 +4241,143 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     [WHERE]``). ``bare`` is True when the incoming row scope is named
     scalar columns (a standalone UNWIND source) rather than pattern
     variables; every WITH horizon flips the scope to bare."""
-    while p.at("kw", "WITH") or p.at("kw", "UNWIND"):
+    graph = getattr(colmap, "stage_graph", None)
+    wopt_n = 0
+    while (
+        p.at("kw", "WITH")
+        or p.at("kw", "UNWIND")
+        or (p._at_word_ci("OPTIONAL") and bare)
+    ):
+        if p._at_word_ci("OPTIONAL"):
+            # pipeline OPTIONAL MATCH: re-expand off a WITH-carried node
+            # (``MATCH … WITH n, … OPTIONAL MATCH (n)-[e:T]->(m) …``) —
+            # one left equi-join on the carried struct's id, exactly the
+            # first-stage OPTIONAL MATCH shape
+            if graph is None:
+                raise CypherSyntaxError(
+                    "OPTIONAL MATCH after WITH requires a graph scope"
+                )
+            p.next()
+            p.expect("kw", "MATCH")
+            opt = p.parse_pattern()
+            if p.at("arrow", "-[") or p.at("arrow", "<-["):
+                raise CypherSyntaxError(
+                    "OPTIONAL MATCH supports a single-hop edge pattern "
+                    "(a)-[e]->(b); chain a second OPTIONAL MATCH instead"
+                )
+            opt_disj = None
+            if p.at("kw", "WHERE"):
+                p.next()
+                opt_disj = p.parse_where(allow_bare=True)
+            if not isinstance(opt, EdgePat) or opt.hops is not None:
+                raise CypherSyntaxError(
+                    "OPTIONAL MATCH supports a single-hop edge pattern "
+                    "(a)-[e]->(b)"
+                )
+            if opt.undirected:
+                raise CypherSyntaxError(
+                    "undirected OPTIONAL MATCH is not supported; use a "
+                    "directed pattern"
+                )
+            if opt.props or opt.src.props or opt.dst.props:
+                raise CypherSyntaxError(
+                    "inline property match not supported in MATCH; use WHERE"
+                )
+            structs = dict(getattr(colmap, "structs", {}))
+            names = set(getattr(colmap, "star_names", set()))
+            bound_is_src = (
+                opt.src.var in structs and "id" in structs[opt.src.var]
+            )
+            bound_is_dst = (
+                opt.dst.var in structs and "id" in structs[opt.dst.var]
+            )
+            if bound_is_src == bound_is_dst:
+                raise CypherSyntaxError(
+                    "OPTIONAL MATCH after WITH must bind exactly one "
+                    "endpoint to a carried node (WITH n OPTIONAL MATCH "
+                    "(n)-[e:T]->(m))"
+                )
+            bound_end = "src" if bound_is_src else "dst"
+            bound_var = opt.src.var if bound_is_src else opt.dst.var
+            other = opt.dst if bound_is_src else opt.src
+            if other.label is None and other.var is None:
+                raise CypherSyntaxError(
+                    "optional pattern's free endpoint needs a variable"
+                )
+            for v in (opt.var, other.var):
+                if v is not None and (v in structs or v in names):
+                    raise CypherSyntaxError(
+                        f"variable {v!r} is already bound in this scope"
+                    )
+            ep, op = f"__we{wopt_n}_", f"__wo{wopt_n}_"
+            wopt_n += 1
+            e = graph.edges
+            if opt.rel_type is not None:
+                e = e.filter(rel_type_cond(opt.rel_type))
+            e = e.select(
+                *[F.col(c).alias(f"{ep}{c}") for c in graph.edges.columns]
+            )
+            other_df = graph.nodes(other.label).select(
+                *[F.col(c).alias(f"{op}{c}") for c in graph.vertices.columns]
+            )
+            free_end = "dst" if bound_end == "src" else "src"
+            opt_side = e.join(
+                other_df, F.col(f"{ep}{free_end}") == F.col(f"{op}id")
+            )
+            if opt_disj is not None:
+                icolmap = _pattern_scope_colmap(
+                    "an OPTIONAL MATCH WHERE", opt.var, other.var, ep, op
+                )
+                opt_side = opt_side.filter(
+                    _where_to_column(
+                        opt_disj, icolmap, set(opt_side.columns), opt_side
+                    )
+                )
+            df = df.join(
+                opt_side,
+                F.col(bound_var)["id"] == F.col(f"{ep}{bound_end}"),
+                "left",
+            )
+            prev_colmap = colmap
+            vertex_props = [
+                c for c in graph.vertices.columns if c not in ("id", "label")
+            ]
+            edge_props = [
+                c for c in graph.edges.columns
+                if c not in ("id", "src", "dst", "rel_type")
+            ]
+            added = {}
+            if other.var is not None:
+                added[other.var] = (op, "node")
+            if opt.var is not None:
+                added[opt.var] = (ep, "edge")
+
+            def colmap(ref, prev_colmap=prev_colmap, added=added):
+                v = (
+                    ref.var
+                    if isinstance(ref, PropRef)
+                    else getattr(ref, "name", None)
+                )
+                hit = added.get(v)
+                if hit is not None:
+                    prop = ref.prop if isinstance(ref, PropRef) else None
+                    return F.col(f"{hit[0]}{prop or 'id'}")
+                return prev_colmap(ref)
+
+            colmap.structs = structs
+            colmap.star_names = names | set(added)
+            colmap.stage_graph = graph
+            colmap.var_props = dict(getattr(prev_colmap, "var_props", {}))
+            colmap.var_kinds = dict(getattr(prev_colmap, "var_kinds", {}))
+            for v, (_, kind) in added.items():
+                colmap.var_props[v] = (
+                    vertex_props if kind == "node" else edge_props
+                )
+                colmap.var_kinds[v] = kind
+            pend = getattr(prev_colmap, "row_order", None)
+            if pend:
+                colmap.row_order = pend
+            continue
         if p.at("kw", "UNWIND"):
             # pipeline UNWIND: explode a projected list into one row per
             # element, keeping the other columns (openCypher: null and
@@ -4278,6 +4415,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 if k != alias
             }
             colmap = _bare_colmap(names, structs, df)
+            colmap.stage_graph = graph
             continue
         p.next()
         w_distinct, w_items = p.parse_return(allow_bare=bare)
@@ -4317,6 +4455,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
         colmap = _bare_colmap(
             {_out_name(i) for i in carry_items}, _struct_outputs(df), df
         )
+        colmap.stage_graph = graph
         if w_order:
             # row-order metadata, NOT a physical sort: a later collect()
             # re-sorts per group from these keys (_ordered_collect), so

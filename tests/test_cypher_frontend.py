@@ -1057,6 +1057,63 @@ def test_temporal_map_constructors(fixture_graph):
         cypher_read(fixture_graph, "RETURN date({month: 3}) AS d")
 
 
+def test_optional_match_after_with(spark):
+    # pipeline OPTIONAL MATCH: re-expansion off a WITH-carried node — one
+    # left equi-join on the carried struct's id
+    g = cypher_create_graph(
+        spark,
+        "CREATE (alice:User {name:'Alice', born:1984}), "
+        "(bob:User {name:'Bob', born:1983}), "
+        "(eve:User {name:'Eve', born:1984}), (acme:Org {name:'Acme'}), "
+        "(alice)-[:KNOWS {since:2001}]->(bob), "
+        "(bob)-[:KNOWS {since:2002}]->(alice), "
+        "(alice)-[:WORKS_AT {since:2010}]->(acme)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n WHERE n.born = 1984 "
+        "OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "RETURN n.name AS name, f.name AS friend ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["friend"]) for r in rows] == [
+        ("Alice", "Bob"), ("Eve", None),
+    ]
+    # aggregation after; inner WHERE filters the optional side pre-join;
+    # a further WITH stage reads the new variables
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n "
+        "OPTIONAL MATCH (n)-[e:KNOWS]->(f) WHERE e.since > 2001 "
+        "WITH n.name AS name, count(f) AS late "
+        "RETURN name, late ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["late"]) for r in rows] == [
+        ("Alice", 0), ("Bob", 1), ("Eve", 0),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n OPTIONAL MATCH (n)-[w:WORKS_AT]->(o:Org) "
+        "RETURN n.name AS name, o.name AS org ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["org"]) for r in rows] == [
+        ("Alice", "Acme"), ("Bob", None), ("Eve", None),
+    ]
+    # the bound endpoint must be a carried NODE, not a scalar output
+    with pytest.raises(CypherSyntaxError, match="carried node"):
+        cypher_read(
+            g,
+            "MATCH (n:User) WITH n.name AS name "
+            "OPTIONAL MATCH (name)-[e:KNOWS]->(f) RETURN name",
+        )
+    with pytest.raises(CypherSyntaxError, match="single-hop"):
+        cypher_read(
+            g,
+            "MATCH (n:User) WITH n "
+            "OPTIONAL MATCH (n)-[e:KNOWS]->(x)-[e2:KNOWS]->(m) "
+            "RETURN n.name",
+        )
+
+
 def test_path_variable_varlength(spark):
     # MATCH p = (a)-[:T*lo..hi]->(b): length(p) reads the per-chain hop
     # count, usable in RETURN and WHERE
