@@ -4246,18 +4246,20 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     while (
         p.at("kw", "WITH")
         or p.at("kw", "UNWIND")
-        or (p._at_word_ci("OPTIONAL") and bare)
+        or ((p._at_word_ci("OPTIONAL") or p.at("kw", "MATCH")) and bare)
     ):
-        if p._at_word_ci("OPTIONAL"):
-            # pipeline OPTIONAL MATCH: re-expand off a WITH-carried node
-            # (``MATCH … WITH n, … OPTIONAL MATCH (n)-[e:T]->(m) …``) —
-            # one left equi-join on the carried struct's id, exactly the
-            # first-stage OPTIONAL MATCH shape
+        if p._at_word_ci("OPTIONAL") or p.at("kw", "MATCH"):
+            # pipeline [OPTIONAL] MATCH: re-expand off a WITH-carried node
+            # (``MATCH … WITH n, … [OPTIONAL] MATCH (n)-[e:T]->(m) …``) —
+            # one equi-join on the carried struct's id (left for OPTIONAL,
+            # inner for plain MATCH), exactly the first-stage shape
+            optional = p._at_word_ci("OPTIONAL")
             if graph is None:
                 raise CypherSyntaxError(
-                    "OPTIONAL MATCH after WITH requires a graph scope"
+                    "MATCH after WITH requires a graph scope"
                 )
-            p.next()
+            if optional:
+                p.next()
             p.expect("kw", "MATCH")
             opt = p.parse_pattern()
             if p.at("arrow", "-[") or p.at("arrow", "<-["):
@@ -4293,9 +4295,8 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             )
             if bound_is_src == bound_is_dst:
                 raise CypherSyntaxError(
-                    "OPTIONAL MATCH after WITH must bind exactly one "
-                    "endpoint to a carried node (WITH n OPTIONAL MATCH "
-                    "(n)-[e:T]->(m))"
+                    "MATCH after WITH must bind exactly one endpoint to "
+                    "a carried node (WITH n MATCH (n)-[e:T]->(m))"
                 )
             bound_end = "src" if bound_is_src else "dst"
             bound_var = opt.src.var if bound_is_src else opt.dst.var
@@ -4336,7 +4337,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             df = df.join(
                 opt_side,
                 F.col(bound_var)["id"] == F.col(f"{ep}{bound_end}"),
-                "left",
+                "left" if optional else "inner",
             )
             prev_colmap = colmap
             vertex_props = [

@@ -1114,6 +1114,33 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_plain_match_after_with(spark):
+    # pipeline MATCH (non-optional): inner-join re-expansion off a
+    # carried node — non-matching rows drop, per Cypher
+    g = cypher_create_graph(
+        spark,
+        "CREATE (alice:User {name:'Alice', born:1984}), "
+        "(bob:User {name:'Bob', born:1983}), (eve:User {name:'Eve'}), "
+        "(alice)-[:KNOWS {since:2001}]->(bob), "
+        "(bob)-[:KNOWS {since:2002}]->(alice)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n WHERE n.born >= 1983 "
+        "MATCH (n)-[e:KNOWS]->(f) "
+        "RETURN n.name AS name, f.name AS friend ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["friend"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Alice"),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n MATCH (n)-[e:KNOWS]->(f) "
+        "WHERE e.since > 2001 RETURN n.name AS name, f.name AS friend",
+    ).collect()
+    assert [(r["name"], r["friend"]) for r in rows] == [("Bob", "Alice")]
+
+
 def test_path_variable_varlength(spark):
     # MATCH p = (a)-[:T*lo..hi]->(b): length(p) reads the per-chain hop
     # count, usable in RETURN and WHERE
