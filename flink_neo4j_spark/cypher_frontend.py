@@ -4339,43 +4339,47 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 F.col(bound_var)["id"] == F.col(f"{ep}{bound_end}"),
                 "left" if optional else "inner",
             )
-            prev_colmap = colmap
-            vertex_props = [
+            # materialize each new variable as ONE null-gated struct
+            # column (a failed OPTIONAL binding is a NULL variable, not a
+            # struct of nulls) — the scope then IS a plain WITH-carry
+            # scope, so _bare_colmap serves m.prop/collect(m)/id(m) with
+            # the same semantics as a carried node, no special casing
+            vertex_props = sorted(
                 c for c in graph.vertices.columns if c not in ("id", "label")
-            ]
-            edge_props = [
+            )
+            edge_props = sorted(
                 c for c in graph.edges.columns
                 if c not in ("id", "src", "dst", "rel_type")
-            ]
+            )
             added = {}
             if other.var is not None:
                 added[other.var] = (op, "node")
             if opt.var is not None:
                 added[opt.var] = (ep, "edge")
-
-            def colmap(ref, prev_colmap=prev_colmap, added=added):
-                v = (
-                    ref.var
-                    if isinstance(ref, PropRef)
-                    else getattr(ref, "name", None)
+            for v, (pref, kind) in added.items():
+                meta = (
+                    ["label"] if kind == "node" else ["src", "dst", "rel_type"]
                 )
-                hit = added.get(v)
-                if hit is not None:
-                    prop = ref.prop if isinstance(ref, PropRef) else None
-                    return F.col(f"{hit[0]}{prop or 'id'}")
-                return prev_colmap(ref)
-
-            colmap.structs = structs
-            colmap.star_names = names | set(added)
+                props = vertex_props if kind == "node" else edge_props
+                idc = F.col(f"{pref}id")
+                st = F.struct(
+                    idc.alias("id"),
+                    *[F.col(f"{pref}{m}").alias(m) for m in meta],
+                    *[F.col(f"{pref}{p}").alias(p) for p in props],
+                )
+                df = df.withColumn(v, F.when(idc.isNotNull(), st))
+            df = df.drop(
+                *[
+                    c
+                    for c in df.columns
+                    if c.startswith(ep) or c.startswith(op)
+                ]
+            )
+            pend = getattr(colmap, "row_order", None)
+            colmap = _bare_colmap(
+                names | set(added), _struct_outputs(df), df
+            )
             colmap.stage_graph = graph
-            colmap.var_props = dict(getattr(prev_colmap, "var_props", {}))
-            colmap.var_kinds = dict(getattr(prev_colmap, "var_kinds", {}))
-            for v, (_, kind) in added.items():
-                colmap.var_props[v] = (
-                    vertex_props if kind == "node" else edge_props
-                )
-                colmap.var_kinds[v] = kind
-            pend = getattr(prev_colmap, "row_order", None)
             if pend:
                 colmap.row_order = pend
             continue

@@ -1098,6 +1098,25 @@ def test_optional_match_after_with(spark):
     assert [(r["name"], r["org"]) for r in rows] == [
         ("Alice", "Acme"), ("Bob", None), ("Eve", None),
     ]
+    # stage variables are full node/edge structs (null-gated on a failed
+    # optional binding), so whole-variable projection, collect, property
+    # access, id() and type() all behave like a carried node
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n OPTIONAL MATCH (n)-[e:KNOWS]->(m) "
+        "RETURN n.name AS name, m AS other, m.name AS mn, "
+        "type(e) AS t ORDER BY name",
+    ).collect()
+    byname = {r["name"]: r for r in rows}
+    assert byname["Alice"]["other"]["name"] == "Bob"
+    assert byname["Alice"]["mn"] == "Bob" and byname["Alice"]["t"] == "KNOWS"
+    assert byname["Eve"]["other"] is None and byname["Eve"]["t"] is None
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n OPTIONAL MATCH (n)-[e:KNOWS]->(m) "
+        "RETURN n.name AS name, collect(m) AS ms ORDER BY name",
+    ).collect()
+    assert [len(r["ms"]) for r in rows] == [1, 1, 0]
     # the bound endpoint must be a carried NODE, not a scalar output
     with pytest.raises(CypherSyntaxError, match="carried node"):
         cypher_read(
