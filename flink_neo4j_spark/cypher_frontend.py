@@ -4073,72 +4073,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             for pc in pattern_conds:
                 if pc.var != var:
                     raise CypherSyntaxError(f"unknown variable {pc.var!r}")
-                edges = graph.edges
-                if pc.rel_type is not None:
-                    edges = edges.filter(rel_type_cond(pc.rel_type))
-
-                def _qualifying(bound_end: str, pc=pc, edges=edges) -> DataFrame:
-                    # ids qualifying at `bound_end`; the target label (if
-                    # any) constrains the OTHER endpoint — a semi-join so
-                    # per-node match multiplicity never materializes
-                    other_end = "dst" if bound_end == "src" else "src"
-                    if pc.pred is None:
-                        e = edges
-                        if pc.dst_label is not None:
-                            lbl = graph.nodes(pc.dst_label).select(
-                                F.col("id").alias("__pp_l")
-                            )
-                            e = e.join(
-                                lbl,
-                                F.col(other_end) == F.col("__pp_l"),
-                                "left_semi",
-                            )
-                        return e.select(F.col(bound_end).alias("__pp_id"))
-                    # EXISTS { … WHERE … } block form: prefix the edge
-                    # (and, when observable, far-node) columns, apply the
-                    # inner WHERE, then project the bound endpoint — the
-                    # final semi/anti-join still never materializes match
-                    # multiplicity on the outer frame
-                    e = edges.select(
-                        F.col(bound_end).alias("__pp_id"),
-                        F.col(other_end).alias("__pp_other"),
-                        *[
-                            F.col(c).alias(f"__ppe_{c}")
-                            for c in graph.edges.columns
-                        ],
-                    )
-                    if pc.dst_label is not None or pc.dst_var is not None:
-                        nodes = (
-                            graph.nodes(pc.dst_label)
-                            if pc.dst_label is not None
-                            else graph.vertices
-                        )
-                        nn = nodes.select(
-                            *[
-                                F.col(c).alias(f"__ppn_{c}")
-                                for c in graph.vertices.columns
-                            ]
-                        )
-                        e = e.join(
-                            nn, F.col("__pp_other") == F.col("__ppn_id")
-                        )
-                    icolmap = _pattern_scope_colmap(
-                        "an EXISTS { } subquery", pc.edge_var, pc.dst_var,
-                        "__ppe_", "__ppn_",
-                    )
-                    e = e.filter(
-                        _where_to_column(pc.pred, icolmap, set(e.columns), e)
-                    )
-                    return e.select("__pp_id")
-
-                if pc.direction == "out":
-                    ep = _qualifying("src")
-                elif pc.direction == "in":
-                    ep = _qualifying("dst")
-                else:  # undirected: qualifying at either endpoint
-                    ep = _qualifying("src").unionByName(_qualifying("dst"))
                 df = df.join(
-                    ep,
+                    _pattern_qualifying_ids(graph, pc),
                     F.col("id") == F.col("__pp_id"),
                     "left_anti" if pc.negated else "left_semi",
                 )
@@ -4232,6 +4168,57 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
 
     colmap.stage_graph = graph
     return _finish_read(df, colmap, p, bare=False)
+
+
+def _pattern_qualifying_ids(graph: PropertyGraph, pc: PatternCond) -> DataFrame:
+    """ids satisfying one pattern predicate at its bound end(s) — the
+    semi/anti-join side (``__pp_id``). The target label (if any)
+    constrains the OTHER endpoint as a semi-join, and the block form's
+    inner WHERE filters a column-prefixed edge(+far-node) frame — per-node
+    match multiplicity never materializes either way."""
+    edges = graph.edges
+    if pc.rel_type is not None:
+        edges = edges.filter(rel_type_cond(pc.rel_type))
+
+    def qualifying(bound_end: str) -> DataFrame:
+        other_end = "dst" if bound_end == "src" else "src"
+        if pc.pred is None:
+            e = edges
+            if pc.dst_label is not None:
+                lbl = graph.nodes(pc.dst_label).select(
+                    F.col("id").alias("__pp_l")
+                )
+                e = e.join(
+                    lbl, F.col(other_end) == F.col("__pp_l"), "left_semi"
+                )
+            return e.select(F.col(bound_end).alias("__pp_id"))
+        e = edges.select(
+            F.col(bound_end).alias("__pp_id"),
+            F.col(other_end).alias("__pp_other"),
+            *[F.col(c).alias(f"__ppe_{c}") for c in graph.edges.columns],
+        )
+        if pc.dst_label is not None or pc.dst_var is not None:
+            nodes = (
+                graph.nodes(pc.dst_label)
+                if pc.dst_label is not None
+                else graph.vertices
+            )
+            nn = nodes.select(
+                *[F.col(c).alias(f"__ppn_{c}") for c in graph.vertices.columns]
+            )
+            e = e.join(nn, F.col("__pp_other") == F.col("__ppn_id"))
+        icolmap = _pattern_scope_colmap(
+            "an EXISTS { } subquery", pc.edge_var, pc.dst_var,
+            "__ppe_", "__ppn_",
+        )
+        e = e.filter(_where_to_column(pc.pred, icolmap, set(e.columns), e))
+        return e.select("__pp_id")
+
+    if pc.direction == "out":
+        return qualifying("src")
+    if pc.direction == "in":
+        return qualifying("dst")
+    return qualifying("src").unionByName(qualifying("dst"))
 
 
 def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
@@ -4484,7 +4471,42 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             if w_limit is not None:
                 df = df.limit(w_limit)
         if w_disj is not None:
-            df = df.filter(_where_to_column(w_disj, colmap, None, df))
+            # stage-WHERE pattern predicates (``WITH n, count(x) AS c
+            # WHERE c > 1 AND (n)-[:T]->()`` / EXISTS blocks): semi/anti-
+            # join on the carried node struct's id, exactly the
+            # first-scope compile
+            pcs = [
+                c for conj in w_disj for c in conj
+                if isinstance(c, PatternCond)
+            ]
+            if pcs:
+                if graph is None:
+                    raise CypherSyntaxError(
+                        "pattern predicates after WITH require a graph "
+                        "scope"
+                    )
+                if len(w_disj) > 1:
+                    raise CypherSyntaxError(
+                        "pattern predicates cannot be OR-combined"
+                    )
+                structs = getattr(colmap, "structs", {})
+                for pc in pcs:
+                    if pc.var not in structs or "id" not in structs[pc.var]:
+                        raise CypherSyntaxError(
+                            f"pattern predicate on {pc.var!r} requires a "
+                            "carried node (WITH n … WHERE (n)-[:T]->())"
+                        )
+                    df = df.join(
+                        _pattern_qualifying_ids(graph, pc),
+                        F.col(pc.var)["id"] == F.col("__pp_id"),
+                        "left_anti" if pc.negated else "left_semi",
+                    )
+                rest = [
+                    c for c in w_disj[0] if not isinstance(c, PatternCond)
+                ]
+                w_disj = [rest] if rest else None
+            if w_disj is not None:
+                df = df.filter(_where_to_column(w_disj, colmap, None, df))
         bare = True
     p.expect("kw", "RETURN")
     distinct, items = p.parse_return(allow_bare=bare)

@@ -1133,6 +1133,43 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_stage_where_pattern_predicates(spark):
+    # pattern predicates in a WITH-stage WHERE: semi/anti-join on the
+    # carried node struct's id (the HAVING-plus-existence idiom)
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A', born:1984}), "
+        "(b:User {name:'B', born:1983}), (c:User {name:'C', born:1984}), "
+        "(a)-[:KNOWS {since:2001}]->(b), (b)-[:KNOWS {since:2002}]->(a)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n WHERE (n)-[:KNOWS]->() "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["A", "B"]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n, n.born AS b "
+        "WHERE b = 1984 AND NOT (n)-[:KNOWS]->() "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["C"]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n "
+        "WHERE EXISTS { (n)-[e:KNOWS]->(f) WHERE e.since > 2001 } "
+        "RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["B"]
+    with pytest.raises(CypherSyntaxError, match="carried node"):
+        cypher_read(
+            g,
+            "MATCH (n:User) WITH n.name AS name "
+            "WHERE (name)-[:KNOWS]->() RETURN name",
+        )
+
+
 def test_plain_match_after_with(spark):
     # pipeline MATCH (non-optional): inner-join re-expansion off a
     # carried node — non-matching rows drop, per Cypher
