@@ -3407,21 +3407,33 @@ def _bind_pattern_subqueries(
     bound helper columns ride along until the next projection drops
     them."""
     ctx = getattr(colmap, "pattern_count_ctx", None)
+    stage_graph = getattr(colmap, "stage_graph", None)
+    scope_structs = getattr(colmap, "structs", {})
     bound: dict[tuple, str] = {}
     state = {"df": df, "n": 0}
 
+    def resolve_ctx(v: str, what: str):
+        """(graph, outer-id column) for the subquery's bound variable —
+        the pattern scope's plain ``id``, or a WITH-carried node struct's
+        id field (post-WITH degree/adjacency subqueries)."""
+        if ctx is not None and v == ctx[1]:
+            return ctx[0], F.col("id")
+        if (
+            stage_graph is not None
+            and v in scope_structs
+            and "id" in scope_structs[v]
+        ):
+            return stage_graph, F.col(v)["id"]
+        raise CypherSyntaxError(
+            f"{what} are only supported over a MATCHed node or a "
+            f"WITH-carried node; {v!r} is neither in this scope"
+        )
+
     def bind(cp: CountPattern) -> RawCol:
-        if ctx is None:
-            raise CypherSyntaxError(
-                "COUNT { } subqueries are only supported in the "
-                "RETURN/WITH items and WHERE of a single-MATCH node query"
-            )
-        graph, var = ctx
         pc = cp.pattern
-        if pc.var != var:
-            raise CypherSyntaxError(f"unknown variable {pc.var!r}")
+        graph, outer_id = resolve_ctx(pc.var, "COUNT { } subqueries")
         key = (
-            pc.rel_type, pc.dst_label, pc.direction,
+            pc.var, pc.rel_type, pc.dst_label, pc.direction,
             pc.edge_var, pc.dst_var, repr(pc.pred),
         )
         if key in bound:
@@ -3488,7 +3500,7 @@ def _bind_pattern_subqueries(
         cnt = ep.groupBy("__pc_id").agg(F.count("*").alias(name))
         state["df"] = (
             state["df"]
-            .join(cnt, F.col("id") == F.col("__pc_id"), "left")
+            .join(cnt, outer_id == F.col("__pc_id"), "left")
             .drop("__pc_id")
             .withColumn(name, F.coalesce(F.col(name), F.lit(0)))
         )
@@ -3496,17 +3508,10 @@ def _bind_pattern_subqueries(
         return RawCol(name)
 
     def bind_comp(pc: PatternComp) -> RawCol:
-        if ctx is None:
-            raise CypherSyntaxError(
-                "pattern comprehensions are only supported in the "
-                "RETURN/WITH items and WHERE of a single-MATCH node query"
-            )
-        graph, var = ctx
-        if pc.var != var:
-            raise CypherSyntaxError(f"unknown variable {pc.var!r}")
+        graph, outer_id = resolve_ctx(pc.var, "pattern comprehensions")
         key = (
-            "comp", pc.rel_type, pc.direction, pc.edge_var, pc.dst_var,
-            pc.dst_label, repr(pc.pred), repr(pc.expr),
+            "comp", pc.var, pc.rel_type, pc.direction, pc.edge_var,
+            pc.dst_var, pc.dst_label, repr(pc.pred), repr(pc.expr),
         )
         if key in bound:
             return RawCol(bound[key])
@@ -3581,7 +3586,7 @@ def _bind_pattern_subqueries(
         dtype = lists.schema[name].dataType.simpleString()
         state["df"] = (
             state["df"]
-            .join(lists, F.col("id") == F.col("__pc_id"), "left")
+            .join(lists, outer_id == F.col("__pc_id"), "left")
             .drop("__pc_id")
             .withColumn(
                 name,
@@ -4471,6 +4476,19 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             if w_limit is not None:
                 df = df.limit(w_limit)
         if w_disj is not None:
+            # stage-WHERE COUNT { } / comprehension operands bind first
+            # (the post-WITH degree-filter idiom), same as the
+            # first-scope WHERE site
+            if any(
+                isinstance(c.left, (CountPattern, PatternComp, BinOp, FuncCall))
+                or isinstance(
+                    c.right, (CountPattern, PatternComp, BinOp, FuncCall)
+                )
+                for conj in w_disj
+                for c in conj
+                if not isinstance(c, PatternCond)
+            ):
+                df = _bind_pattern_subqueries(df, colmap, None, w_disj)
             # stage-WHERE pattern predicates (``WITH n, count(x) AS c
             # WHERE c > 1 AND (n)-[:T]->()`` / EXISTS blocks): semi/anti-
             # join on the carried node struct's id, exactly the

@@ -849,8 +849,8 @@ def test_comprehension_size_in_where_position(fixture_graph):
         "RETURN * ORDER BY n.name",
     )
     assert df.columns == ["n"]
-    # still node-scope only: edge patterns raise the typed error
-    with pytest.raises(CypherSyntaxError, match="single-MATCH node query"):
+    # still node/carried scope only: edge patterns raise the typed error
+    with pytest.raises(CypherSyntaxError, match="neither in this scope"):
         cypher_read(
             fixture_graph,
             "MATCH (a:User)-[e:KNOWS]->(b:User) "
@@ -1130,6 +1130,50 @@ def test_optional_match_after_with(spark):
             "MATCH (n:User) WITH n "
             "OPTIONAL MATCH (n)-[e:KNOWS]->(x)-[e2:KNOWS]->(m) "
             "RETURN n.name",
+        )
+
+
+def test_count_and_comprehension_after_with(spark):
+    # COUNT { } / pattern comprehensions bind over WITH-carried nodes
+    # too (joined on the struct's id); distinct carried variables bind
+    # independently even for identical pattern shapes
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A'}), (b:User {name:'B'}), "
+        "(c:User {name:'C'}), "
+        "(a)-[:KNOWS {since:2001}]->(b), (b)-[:KNOWS {since:2002}]->(a), "
+        "(a)-[:KNOWS {since:2003}]->(c)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n, n.name AS nm "
+        "RETURN nm, COUNT { (n)-[:KNOWS]->() } AS deg, "
+        "[(n)-[:KNOWS]->(f) | f.name] AS fs ORDER BY nm",
+    ).collect()
+    assert [(r["nm"], r["deg"], r["fs"]) for r in rows] == [
+        ("A", 2, ["B", "C"]), ("B", 1, ["A"]), ("C", 0, []),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n "
+        "WHERE COUNT { (n)-[:KNOWS]->() } >= 2 RETURN n.name AS nm",
+    ).collect()
+    assert [r["nm"] for r in rows] == ["A"]
+    rows = cypher_read(
+        g,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) WITH a, b "
+        "RETURN a.name AS an, COUNT { (a)-[:KNOWS]->() } AS ad, "
+        "COUNT { (b)-[:KNOWS]->() } AS bd ORDER BY an, bd",
+    ).collect()
+    assert [(r["an"], r["ad"], r["bd"]) for r in rows] == [
+        ("A", 2, 0), ("A", 2, 1), ("B", 1, 2),
+    ]
+    # scalar outputs are not bindable scopes
+    with pytest.raises(CypherSyntaxError, match="neither in this scope"):
+        cypher_read(
+            g,
+            "MATCH (n:User) WITH n.name AS nm "
+            "RETURN nm, COUNT { (nm)-[:KNOWS]->() } AS d",
         )
 
 
