@@ -4395,6 +4395,12 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 )
             p.expect("kw", "AS")
             alias = p.expect("word").text
+            # UNWIND over a pattern comprehension off a carried node
+            # (``WITH n UNWIND [(n)-[:T]->(m) | m.x] AS v``): bind the
+            # per-node list first, then explode it like any list source
+            pseudo = [ReturnItem(src, alias)]
+            df = _bind_pattern_subqueries(df, colmap, pseudo)
+            src = pseudo[0].expr
             pend = getattr(colmap, "row_order", None)
             if pend:
                 # a pending (deferred) sort must materialize before the

@@ -1133,6 +1133,23 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_unwind_pattern_comprehension(spark):
+    # WITH n UNWIND [(n)-[:T]->(m) | m.x] AS v — the bind-then-explode
+    # composition off a carried node
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A'}), (b:User {name:'B'}), "
+        "(c:User {name:'C'}), (a)-[:KNOWS]->(b), (a)-[:KNOWS]->(c)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n "
+        "UNWIND [(n)-[:KNOWS]->(m) | m.name] AS v "
+        "RETURN n.name AS name, v ORDER BY name, v",
+    ).collect()
+    assert [(r["name"], r["v"]) for r in rows] == [("A", "B"), ("A", "C")]
+
+
 def test_count_and_comprehension_after_with(spark):
     # COUNT { } / pattern comprehensions bind over WITH-carried nodes
     # too (joined on the struct's id); distinct carried variables bind
