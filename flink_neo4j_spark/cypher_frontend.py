@@ -1916,12 +1916,19 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         # JSON string (sorted fields, nulls omitted — matching keys()).
         ref = call.arg
         var_props = getattr(colmap, "var_props", None)
-        if var_props is None or ref.var not in var_props:
+        structs = getattr(colmap, "structs", {})
+        if var_props is not None and ref.var in var_props:
+            props = sorted(var_props[ref.var])
+        elif ref.var in structs:
+            # WITH-carried node/edge struct: its property fields minus
+            # the meta columns — same inventory a pattern scope serves
+            meta = {"id", "label", "src", "dst", "rel_type"}
+            props = sorted(f for f in structs[ref.var] if f not in meta)
+        else:
             raise CypherSyntaxError(
                 f"{call.fn}({ref.var}) is not supported in this clause "
                 "position (pattern variable not in scope)"
             )
-        props = sorted(var_props[ref.var])
         cols = [(p, colmap(PropRef(ref.var, p))) for p in props]
         if call.fn == "keys":
             if not cols:

@@ -1133,6 +1133,34 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_keys_properties_on_carried_structs(spark):
+    # keys()/properties() work on WITH-carried node/edge structs with
+    # the same non-null-present inventory as pattern scopes
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A', born:1984}), (b:User {name:'B'}), "
+        "(a)-[:KNOWS {since:2001}]->(b)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n "
+        "RETURN n.name AS nm, keys(n) AS ks, properties(n) AS ps "
+        "ORDER BY nm",
+    ).collect()
+    assert [(r["nm"], r["ks"], r["ps"]) for r in rows] == [
+        ("A", ["born", "name"], '{"born":1984,"name":"A"}'),
+        ("B", ["name"], '{"name":"B"}'),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n OPTIONAL MATCH (n)-[e:KNOWS]->(m) "
+        "RETURN n.name AS nm, keys(e) AS ek ORDER BY nm",
+    ).collect()
+    assert [(r["nm"], r["ek"]) for r in rows] == [
+        ("A", ["since"]), ("B", []),
+    ]
+
+
 def test_unwind_pattern_comprehension(spark):
     # WITH n UNWIND [(n)-[:T]->(m) | m.x] AS v — the bind-then-explode
     # composition off a carried node
