@@ -1133,6 +1133,44 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_round5_feature_interactions(spark):
+    # cross-feature sanity: multi-type patterns inside comprehensions
+    # and blocks, map literals over stage variables, truncate over
+    # carried props, chained comparisons with ^, pipeline stages chained
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'A', born:1984, d:'2024-03-17'}), "
+        "(b:User {name:'B', born:1983}), (c:Org {name:'C'}), "
+        "(a)-[:KNOWS {since:2001}]->(b), (a)-[:WORKS_AT {since:2010}]->(c)",
+    )
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) RETURN n.name AS nm, "
+        "[(n)-[e:KNOWS|WORKS_AT]->(m) | e.since] AS ys, "
+        "COUNT { (n)-[:KNOWS|WORKS_AT]->() } AS deg ORDER BY nm",
+    ).collect()
+    assert [(r["nm"], r["ys"], r["deg"]) for r in rows] == [
+        ("A", [2001, 2010], 2), ("B", [], 0),
+    ]
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WITH n OPTIONAL MATCH (n)-[e:KNOWS]->(m) "
+        "RETURN {who: n.name, friend: m.name, "
+        "month: date.truncate('month', date(n.d))} AS rec "
+        "ORDER BY rec.who",
+    ).collect()
+    assert rows[0]["rec"]["who"] == "A"
+    assert rows[0]["rec"]["friend"] == "B"
+    assert str(rows[0]["rec"]["month"]) == "2024-03-01"
+    assert rows[1]["rec"]["friend"] is None
+    rows = cypher_read(
+        g,
+        "MATCH (n:User) WHERE 1900 < n.born <= 45 ^ 2 "
+        "RETURN count(*) AS c",
+    ).collect()
+    assert rows[0]["c"] == 2  # 45^2 = 2025
+
+
 def test_keys_properties_on_carried_structs(spark):
     # keys()/properties() work on WITH-carried node/edge structs with
     # the same non-null-present inventory as pattern scopes
