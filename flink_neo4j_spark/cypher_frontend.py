@@ -2341,13 +2341,16 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         # JVM fold, no Python. The merge lambda's type probes: the init
         # expression stands in for the accumulator, the source's first
         # element for the loop variable. Spark requires the body's type
-        # to match init's (it raises an analysis error otherwise — loud,
-        # matching the contract; Cypher would coerce int→float).
+        # to equal the accumulator's; Cypher coerces int↔float — a probe
+        # twin detects the numeric-widening case and casts the narrow
+        # side to double (``reduce(acc = 0, x IN … | acc + x ^ 2)``),
+        # and any other mismatch raises OUR typed error instead of a raw
+        # analysis exception.
         src = _expr_column(expr.source, colmap, df)
         init = _expr_column(expr.init, colmap, df)
         probe_elem = F.try_element_at(src, F.lit(1))
 
-        def merge(acc, x):
+        def merge(acc, x, init=None):
             sub = _lambda_colmap(
                 colmap,
                 {expr.acc: acc, expr.var: x},
@@ -2355,7 +2358,36 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
             )
             return _expr_column(expr.expr, sub, df)
 
-        return F.aggregate(src, init, merge)
+        ints = {"tinyint", "smallint", "int", "bigint"}
+        widen_body = False
+        try:
+            init_t = (
+                df.select(init.alias("__t")).schema[0].dataType.simpleString()
+            )
+            body_t = (
+                df.select(merge(init, probe_elem, init=init).alias("__t"))
+                .schema[0]
+                .dataType.simpleString()
+            )
+        except Exception:
+            init_t = body_t = None
+        if init_t is not None and body_t is not None and init_t != body_t:
+            if init_t in ints and body_t == "double":
+                init = init.cast("double")
+            elif init_t == "double" and body_t in ints:
+                widen_body = True
+            else:
+                raise CypherSyntaxError(
+                    f"reduce() body type {body_t} does not match the "
+                    f"accumulator's {init_t}; make the init and body the "
+                    "same type"
+                )
+
+        def merge2(acc, x):
+            out = merge(acc, x, init=init)
+            return out.cast("double") if widen_body else out
+
+        return F.aggregate(src, init, merge2)
     if isinstance(expr, IndexExpr):
         # list[i]: 0-based, negative-from-end, null when out of range —
         # try_element_at is 1-based with native negative support

@@ -1133,6 +1133,21 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_reduce_numeric_widening(fixture_graph):
+    # Cypher coerces int<->float across the fold; Spark requires exact
+    # accumulator/body type equality, so the probe twin widens the
+    # narrow side to double
+    rows = cypher_read(
+        fixture_graph,
+        "RETURN reduce(acc = 0, x IN range(1, 5) | acc + x ^ 2) AS a, "
+        "reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS b, "
+        "reduce(acc = 0.5, x IN [1, 2] | acc + x) AS c, "
+        "reduce(acc = 'x', x IN [1, 2] | acc + x) AS d",
+    ).collect()
+    r = rows[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (55.0, 6, 3.5, "x12")
+
+
 def test_round5_feature_interactions(spark):
     # cross-feature sanity: multi-type patterns inside comprehensions
     # and blocks, map literals over stage variables, truncate over
