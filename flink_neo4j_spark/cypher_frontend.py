@@ -497,6 +497,22 @@ class _Parser:
             self.expect("punct", ".")
             key = self.expect("word").text
             return ("__param__", key)
+        if tok.kind == "punct" and tok.text == "{":
+            # literal map value {k: <literal>, ...} — the inline-batch
+            # idiom ``UNWIND [{a: 1}, {a: 2}] AS row`` (same dict shape
+            # as a $param row)
+            out: dict[str, Any] = {}
+            if not self.at("punct", "}"):
+                while True:
+                    k = self.expect("word").text
+                    self.expect("punct", ":")
+                    out[k] = self.parse_value(unwind_var)
+                    if self.at("punct", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("punct", "}")
+            return out
         raise CypherSyntaxError(f"unsupported value: {tok.text!r}")
 
     def parse_props(self, unwind_var: str | None) -> dict[str, Any]:
@@ -2883,7 +2899,23 @@ def _where_to_column(
                 )
             elif cond.op == "IN_EXPR":
                 # membership in a list-valued expression: null list or
-                # null element stays null (3VL), like Cypher's IN
+                # null element stays null (3VL), like Cypher's IN. A
+                # non-list operand is a Neo4j type error — probe and
+                # raise typed (use CONTAINS for substring tests)
+                if df is not None:
+                    try:
+                        rt = (
+                            df.select(right.alias("__t"))
+                            .schema[0]
+                            .dataType.simpleString()
+                        )
+                    except Exception:
+                        rt = None
+                    if rt is not None and not rt.startswith("array"):
+                        raise CypherSyntaxError(
+                            f"IN requires a list operand; got {rt} — "
+                            "use CONTAINS for substring tests"
+                        )
                 one = F.array_contains(right, opcol(cond.left))
             elif cond.op in string_ops:
                 one = string_ops[cond.op](opcol(cond.left), right)
@@ -3940,6 +3972,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 kinds.add("number")
             elif isinstance(v, str):
                 kinds.add("string")
+            elif isinstance(v, dict):
+                kinds.add("map")
             else:
                 kinds.add(type(v).__name__)
         if len(kinds) > 1:
@@ -3947,9 +3981,36 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 "UNWIND list must be homogeneous; got mixed "
                 + "/".join(sorted(kinds))
             )
+        spark = graph.vertices.sparkSession
+        if kinds == {"map"}:
+            # list of literal maps — the inline-batch idiom ``UNWIND
+            # [{a: 1}, {a: 2}] AS r`` (same row shape as UNWIND $rows);
+            # each map becomes one struct row, missing keys read null,
+            # null list elements produce no rows (Cypher)
+            allkeys = sorted({k for v in vals if v is not None for k in v})
+            rows = [
+                {k: v.get(k) for k in allkeys}
+                for v in vals
+                if v is not None
+            ]
+            try:
+                flat = spark.createDataFrame(rows)
+            except Exception:
+                raise CypherSyntaxError(
+                    "UNWIND map-list values must be type-consistent "
+                    "per key (and no key may be null in every map)"
+                ) from None
+            df = flat.select(
+                F.struct(*[F.col(k) for k in allkeys]).alias(alias)
+            )
+            return _finish_read(
+                df,
+                _bare_colmap({alias}, _struct_outputs(df), df),
+                p,
+                bare=True,
+            )
         if kinds == {"number"} and any(isinstance(v, float) for v in vals):
             vals = [None if v is None else float(v) for v in vals]
-        spark = graph.vertices.sparkSession
         if vals:
             df = spark.range(1).select(F.explode(F.lit(vals)).alias(alias))
         else:

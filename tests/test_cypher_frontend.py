@@ -1133,6 +1133,34 @@ def test_optional_match_after_with(spark):
         )
 
 
+def test_unwind_literal_map_list(fixture_graph):
+    # inline-batch idiom: UNWIND [{a: 1}, {a: 2}] AS r — each map a
+    # struct row, missing keys read null, same shape as UNWIND $rows
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [{a: 1, b: 'x'}, {a: 2, b: 'y'}] AS r "
+        "RETURN r.a AS a, r.b AS b ORDER BY a",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [{a: 1}, {b: 2}] AS r RETURN r.a AS a, r.b AS b ORDER BY a",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, None), (None, 2)]
+    with pytest.raises(CypherSyntaxError, match="homogeneous"):
+        cypher_read(fixture_graph, "UNWIND [{a: 1}, 2] AS r RETURN r")
+
+
+def test_in_over_non_list_raises_typed(fixture_graph):
+    # Neo4j raises a type error for IN over a non-list; we probe the
+    # operand and raise typed instead of a raw analysis exception
+    with pytest.raises(CypherSyntaxError, match="requires a list operand"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WHERE 'a' IN n.name RETURN n.name",
+        )
+
+
 def test_reduce_numeric_widening(fixture_graph):
     # Cypher coerces int<->float across the fold; Spark requires exact
     # accumulator/body type equality, so the probe twin widens the
