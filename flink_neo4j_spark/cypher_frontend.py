@@ -2334,6 +2334,11 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         # the enclosing scope's colmap, so outer columns are usable inside
         # the comprehension (Cypher closure semantics).
         src = _expr_column(expr.source, colmap, df)
+        # Cypher: a comprehension over a null (or missing-property) list
+        # is null — an UNTYPED null source can't even type the lambda,
+        # so short-circuit it instead of failing analysis
+        if _dtype_of(src, df) == "void":
+            return F.lit(None)
         probe_elem = F.try_element_at(src, F.lit(1))
         sub_of = lambda c: _lambda_colmap(  # noqa: E731
             colmap, {expr.var: c}, {expr.var: probe_elem}
@@ -4672,6 +4677,31 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     return df
 
 
+def _typed_analysis_errors(fn):
+    """API-boundary guard: Spark ANALYSIS errors from unsupported type
+    combinations (size() of a map, toInteger() of a struct, subscripting
+    with a non-integer, …) surface as OUR typed error — the loud-error
+    contract — instead of a raw AnalysisException. Runtime errors (ANSI
+    cast failures during execution) still fail the job loudly at the
+    action; they never mis-answer."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return fn(*args, **kwargs)
+        except AnalysisException as e:
+            raise CypherSyntaxError(
+                "unsupported type combination in query: "
+                + str(e).splitlines()[0][:220]
+            ) from e
+
+    return wrapped
+
+
+@_typed_analysis_errors
 def cypher_read(
     graph: PropertyGraph,
     query: str,
@@ -4732,6 +4762,7 @@ def _resolve(value: Any, row: dict[str, Any]) -> Any:
     return value
 
 
+@_typed_analysis_errors
 def cypher_write(
     graph: PropertyGraph,
     query: str,
@@ -5416,6 +5447,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     return graph.delete_nodes(df.select("id"), detach=detach)
 
 
+@_typed_analysis_errors
 def cypher_create_graph(spark, query: str) -> PropertyGraph:
     """Execute a fixture-construction ``CREATE (v:L {..}), ..,
     (v1)-[:T {..}]->(v2)`` statement into a fresh PropertyGraph

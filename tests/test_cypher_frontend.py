@@ -1151,6 +1151,25 @@ def test_unwind_literal_map_list(fixture_graph):
         cypher_read(fixture_graph, "UNWIND [{a: 1}, 2] AS r RETURN r")
 
 
+def test_analysis_errors_surface_typed(fixture_graph):
+    # unsupported type combinations raise OUR typed error at the API
+    # boundary, never a raw AnalysisException
+    for bad in (
+        "RETURN size({a: 1}) AS s",
+        "RETURN toInteger({a: 1}) AS x",
+        "RETURN [1, 2][{a: 1}] AS x",
+    ):
+        with pytest.raises(CypherSyntaxError, match="type combination"):
+            cypher_read(fixture_graph, bad)
+    # a comprehension over a missing property reads null, per the
+    # missing-property contract
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN [x IN n.missing | x] AS xs LIMIT 1",
+    ).collect()
+    assert rows[0]["xs"] is None
+
+
 def test_in_over_non_list_raises_typed(fixture_graph):
     # Neo4j raises a type error for IN over a non-list; we probe the
     # operand and raise typed instead of a raw analysis exception
