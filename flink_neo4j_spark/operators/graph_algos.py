@@ -529,7 +529,9 @@ def g43_cypher_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vertex currently carries it — both ONE conditional projection over the
 # vertex frame (no join, no shuffle). The read-back exercises Neo4j's
 # labels() contract end-to-end: relabeled vertex reads its new label,
-# label-REMOVEd vertex reads the empty list.
+# label-REMOVEd vertex reads the empty list. The conformance projection
+# joins the label list to a string (g30 pattern: the driver's
+# canonicalizer cannot hash array cells).
 LABEL_SET_NATIONS = ("NATION_2", "NATION_3")
 
 
@@ -548,12 +550,13 @@ def g44_cypher_label_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"MATCH (n:ArchivedNation) WHERE n.name = '{b}' "
         "REMOVE n:ArchivedNation",
     )
-    return cypher_read(
+    df = cypher_read(
         g3,
         f"MATCH (n) WHERE n.name = 'NATION_1' OR n.name = '{a}' "
         f"OR n.name = '{b}' "
         "RETURN n.name AS name, labels(n) AS labels ORDER BY name",
     )
+    return df.select("name", F.array_join("labels", "|").alias("labels"))
 
 
 # G45 — Cypher range() as an UNWIND row source feeding an aggregate:
@@ -589,7 +592,7 @@ def g46_cypher_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.cypher_frontend import cypher_read
 
     g = tpch_graph(spark, sf_dir)
-    return cypher_read(
+    df = cypher_read(
         g,
         "MATCH (c:Customer) "
         "WITH c.name AS name, "
@@ -597,6 +600,8 @@ def g46_cypher_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN name, segs, size(segs) AS nsegs "
         "ORDER BY name LIMIT 50",
     )
+    # g30 pattern: the driver's canonicalizer cannot hash array cells
+    return df.select("name", F.array_join("segs", "|").alias("segs"), "nsegs")
 
 
 # G47 — Cypher list operators end-to-end: collect() a per-nation customer
@@ -610,7 +615,7 @@ def g47_cypher_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.cypher_frontend import cypher_read
 
     g = tpch_graph(spark, sf_dir)
-    return cypher_read(
+    df = cypher_read(
         g,
         "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
         "WITH n.name AS nation, collect(c.name) AS names "
@@ -618,6 +623,11 @@ def g47_cypher_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "names[0..3] AS top3, "
         "reduce(acc = 0, x IN names | acc + size(x)) AS total_chars "
         "ORDER BY nation",
+    )
+    # g30 pattern: the driver's canonicalizer cannot hash array cells
+    return df.select(
+        "nation", "n_cust", "first_c",
+        F.array_join("top3", "|").alias("top3"), "total_chars",
     )
 
 
@@ -1796,7 +1806,8 @@ ORACLE: dict[str, str] = {
           FROM customer JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name)
         SELECT nation, CAST(len(names) AS BIGINT) AS n_cust,
-               names[1] AS first_c, names[1:3] AS top3,
+               names[1] AS first_c,
+               COALESCE(array_to_string(names[1:3], '|'), '') AS top3,
                CAST(list_sum(list_transform(names, x -> length(x)))
                     AS BIGINT) AS total_chars
         FROM t ORDER BY nation""",
@@ -1805,10 +1816,11 @@ ORACLE: dict[str, str] = {
         FROM generate_series(1, {RANGE_AGG_N}) t(x)""",
     "g46_cypher_comprehension": """
         SELECT c_name AS name,
-               list_transform(
-                 list_filter(string_split(c_name, '0'),
-                             w -> length(w) > 1),
-                 w -> lower(w)) AS segs,
+               COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(string_split(c_name, '0'),
+                               w -> length(w) > 1),
+                   w -> lower(w)), '|'), '') AS segs,
                CAST(len(list_filter(string_split(c_name, '0'),
                                     w -> length(w) > 1)) AS BIGINT) AS nsegs
         FROM customer
@@ -1816,10 +1828,10 @@ ORACLE: dict[str, str] = {
     "g44_cypher_label_set": f"""
         SELECT n_name AS name,
                CASE WHEN n_name = '{LABEL_SET_NATIONS[0]}'
-                      THEN ['ArchivedNation']
+                      THEN 'ArchivedNation'
                     WHEN n_name = '{LABEL_SET_NATIONS[1]}'
-                      THEN CAST([] AS VARCHAR[])
-                    ELSE ['Nation'] END AS labels
+                      THEN ''
+                    ELSE 'Nation' END AS labels
         FROM nation
         WHERE n_name IN ('NATION_1', '{LABEL_SET_NATIONS[0]}',
                          '{LABEL_SET_NATIONS[1]}')
@@ -2526,7 +2538,7 @@ def g52_cypher_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.cypher_frontend import cypher_read
 
     g = tpch_graph(spark, sf_dir)
-    return cypher_read(
+    df = cypher_read(
         g,
         "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
         "WITH c.name + '@' + n.name AS addr, "
@@ -2534,12 +2546,16 @@ def g52_cypher_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN addr, toks, size(toks) AS ntoks "
         "ORDER BY addr LIMIT 40",
     )
+    # g30 pattern: the driver's canonicalizer cannot hash array cells
+    return df.select("addr", F.array_join("toks", "|").alias("toks"), "ntoks")
 
 
 QUERIES["g52_cypher_concat"] = g52_cypher_concat
 ORACLE["g52_cypher_concat"] = """
     SELECT c_name || '@' || n_name AS addr,
-           list_append(string_split(c_name, '#'), n_name) AS toks,
+           COALESCE(array_to_string(
+             list_append(string_split(c_name, '#'), n_name), '|'),
+             '') AS toks,
            CAST(len(string_split(c_name, '#')) + 1 AS BIGINT) AS ntoks
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     ORDER BY addr LIMIT 40"""
@@ -2557,13 +2573,17 @@ def g53_cypher_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.cypher_frontend import cypher_read
 
     g = tpch_graph(spark, sf_dir)
-    return cypher_read(
+    df = cypher_read(
         g,
         "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
         "WITH n, c ORDER BY c.name DESC "
         "WITH n.name AS nation, collect(c.name) AS members "
         "RETURN nation, members[0..5] AS top5, size(members) AS n_cust "
         "ORDER BY nation",
+    )
+    # g30 pattern: the driver's canonicalizer cannot hash array cells
+    return df.select(
+        "nation", F.array_join("top5", "|").alias("top5"), "n_cust"
     )
 
 
@@ -2573,7 +2593,7 @@ ORACLE["g53_cypher_ordered_collect"] = """
       SELECT n_name AS nation, list(c_name ORDER BY c_name DESC) AS members
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name)
-    SELECT nation, members[1:5] AS top5,
+    SELECT nation, COALESCE(array_to_string(members[1:5], '|'), '') AS top5,
            CAST(len(members) AS BIGINT) AS n_cust
     FROM t ORDER BY nation"""
 
@@ -2816,7 +2836,7 @@ def g57_cypher_pattern_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_neo4j_spark.cypher_frontend import cypher_read
 
     g = tpch_graph(spark, sf_dir)
-    return cypher_read(
+    df = cypher_read(
         g,
         "MATCH (n:Nation) RETURN n.name AS nation, "
         "[(n)<-[e:IN_NATION]-(c:Customer) WHERE e.w = 0 | c.name] "
@@ -2825,6 +2845,10 @@ def g57_cypher_pattern_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS suppliers "
         "ORDER BY nation",
     )
+    # g30 pattern: the driver's canonicalizer cannot hash array cells
+    return df.select(
+        "nation", F.array_join("members", "|").alias("members"), "suppliers"
+    )
 
 
 QUERIES["g57_cypher_pattern_comp"] = g57_cypher_pattern_comp
@@ -2832,9 +2856,10 @@ QUERIES["g57_cypher_pattern_comp"] = g57_cypher_pattern_comp
 # list_sort(list(x)) matches the engine's value-sorted comprehension list
 ORACLE["g57_cypher_pattern_comp"] = """
     SELECT n_name AS nation,
-           COALESCE((SELECT list_sort(list(c_name)) FROM customer
-                     WHERE c_nationkey = n_nationkey
-                       AND c_custkey % 7 = 0), []) AS members,
+           COALESCE(array_to_string(
+             (SELECT list_sort(list(c_name)) FROM customer
+              WHERE c_nationkey = n_nationkey
+                AND c_custkey % 7 = 0), '|'), '') AS members,
            CAST((SELECT COUNT(*) FROM supplier
                  WHERE s_nationkey = n_nationkey) AS BIGINT) AS suppliers
     FROM nation ORDER BY nation"""

@@ -106,6 +106,22 @@ def assert_matches_oracle(df, con, sql):
     the SAME pandas materialization + repr canonicalization as the
     driver's hash check (``fetchdf``, not ``fetchall`` — see
     :func:`canon_cell` for why the dtype path matters)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    # Driver-canonicalizer contract (round-5 lesson: six locally-green
+    # queries ERR'd at the driver): the driver's _canon feeds every result
+    # column through pandas sort_values, which cannot hash array/map/struct
+    # cells. No oracle-checked query may return one — flatten with
+    # array_join / to_json in BOTH the query and its oracle.
+    nested = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"oracle-checked result has nested-typed columns {nested}: the "
+        "conformance driver's canonicalizer cannot hash these — flatten "
+        "them (array_join / to_json) in the query and its oracle"
+    )
     spdf = df.toPandas()
     odf = con.execute(sql).fetchdf()
     cols = sorted(spdf.columns)
