@@ -1984,13 +1984,23 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         # empty when the step points away from hi. Compiles to Spark's
         # sequence() guarded by the direction check (sequence raises on a
         # mismatched direction where Cypher returns []); literal step 0
-        # is rejected at compile time like Neo4j's runtime error.
+        # is rejected at compile time like Neo4j's runtime error, and a
+        # NON-literal step is guarded at runtime (a dynamic zero must
+        # raise like Neo4j, not silently return [] — the loud-error
+        # contract). A null step still nulls through to [] like before.
         if len(call.extra) > 1 and isinstance(call.extra[1], (int, float)):
             if call.extra[1] == 0:
                 raise CypherSyntaxError("range() step must be non-zero")
         args = [resolve(a).cast("long") for a in (call.arg, *call.extra)]
         lo, hi = args[0], args[1]
         step = args[2] if len(args) > 2 else F.lit(1).cast("long")
+        if len(args) > 2 and not isinstance(call.extra[1], (int, float)):
+            step = F.when(
+                step == 0,
+                F.assert_true(
+                    F.lit(False), F.lit("range() step must be non-zero")
+                ).cast("long"),
+            ).otherwise(step)
         nonempty = ((step > 0) & (hi >= lo)) | ((step < 0) & (hi <= lo))
         return F.when(nonempty, F.sequence(lo, hi, step)).otherwise(
             F.lit([]).cast("array<bigint>")
@@ -3991,12 +4001,16 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             # list of literal maps — the inline-batch idiom ``UNWIND
             # [{a: 1}, {a: 2}] AS r`` (same row shape as UNWIND $rows);
             # each map becomes one struct row, missing keys read null,
-            # null list elements produce no rows (Cypher)
+            # and a null list element yields one row with a null value
+            # (openCypher — matching the scalar literal-list path, where
+            # explode keeps null array elements)
             allkeys = sorted({k for v in vals if v is not None for k in v})
             rows = [
-                {k: v.get(k) for k in allkeys}
+                {
+                    "__isnull__": v is None,
+                    **{k: (None if v is None else v.get(k)) for k in allkeys},
+                }
                 for v in vals
-                if v is not None
             ]
             try:
                 flat = spark.createDataFrame(rows)
@@ -4006,7 +4020,10 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                     "per key (and no key may be null in every map)"
                 ) from None
             df = flat.select(
-                F.struct(*[F.col(k) for k in allkeys]).alias(alias)
+                F.when(
+                    ~F.col("__isnull__"),
+                    F.struct(*[F.col(k) for k in allkeys]),
+                ).alias(alias)
             )
             return _finish_read(
                 df,
@@ -4646,15 +4663,27 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     if (
         pending
         and not order
-        and not distinct
         and not any(isinstance(i.expr, AggCall) for i in items)
     ):
-        # plain final RETURN after a WITH ... ORDER BY: the deferred sort
+        # final RETURN after a WITH ... ORDER BY: the deferred sort
         # defines the result order. Sort after the projection when every
         # key survives into it (narrower sort input), else before (a
-        # Project preserves row order).
+        # Project preserves row order). DISTINCT is order-OBSERVABLE
+        # (Neo4j: ``WITH v ORDER BY v DESC RETURN DISTINCT v LIMIT 2``
+        # returns the top values in order) and ``.distinct()`` destroys
+        # row order, so the sort must re-apply AFTER the dedup — possible
+        # only when every sort key survives the projection; a key that
+        # falls out of scope would make the post-dedup order unprovable,
+        # so that combination raises rather than mis-answering.
         remapped = _remap_specs(pending, items)
         if remapped is None:
+            if distinct:
+                raise CypherSyntaxError(
+                    "RETURN DISTINCT after WITH ... ORDER BY requires "
+                    "every ORDER BY key to appear among the RETURN items "
+                    "(DISTINCT re-sorts after dedup; a dropped key would "
+                    "leave the declared order unrecoverable)"
+                )
             df = df.orderBy(*_specs_columns(pending, colmap, df))
             df = _apply_projection(df, colmap, distinct, items)
         else:

@@ -2672,9 +2672,14 @@ def strongly_connected_components(
     ``max_rounds`` bounds peel rounds (≥ the longest root-dependency
     chain); ``back_iters`` optionally bounds the backward sweep separately
     (≤ the largest SCC's internal diameter, usually smaller than the
-    forward bound which also spans cross-component color flow). Raises rather than mis-answering when the bounds are too
-    small for the graph — the same conscious-ceiling contract as
-    MAX_VAR_HOPS.
+    forward bound which also spans cross-component color flow). Raises
+    rather than mis-answering when ANY bound is too small for the graph
+    (the same conscious-ceiling contract as MAX_VAR_HOPS): ``max_rounds``
+    exhaustion leaves unpeeled vertices (checked directly), and each
+    propagation fixpoint is PROVEN converged by one extra step that must
+    change nothing — all fixpoint proofs are deferred into a single
+    end-of-call action, so the loop itself stays one driver scalar per
+    peel round.
 
     Scale shape: per-iteration cost is one shuffle join on vid; fixed
     iteration counts keep the loop action-free between localCheckpoint
@@ -2690,6 +2695,7 @@ def strongly_connected_components(
         .localCheckpoint()
     )
     marks: list[DataFrame] = []
+    fixpoint_checks: list[DataFrame] = []
     e = edges
     for rnd in range(max_rounds):
         if active.isEmpty():
@@ -2738,12 +2744,71 @@ def strongly_connected_components(
             if (i + 1) % SCC_CHECKPOINT_EVERY == 0:
                 mark = mark.localCheckpoint()
         mark = mark.localCheckpoint()
+        # fixpoint proof, deferred: both phases converge iff the round's
+        # edge set is CLOSED under them — forward min-label fixpoint ⟺ no
+        # edge lowers its dst's color (color(dst) ≤ color(src) everywhere),
+        # backward completeness ⟺ no same-color edge leads from an
+        # unmarked src into a marked dst (induction from the root: a
+        # violation-free closure marks the whole SCC). ONE edge-join tree
+        # per round over checkpointed inputs, evaluated with the others in
+        # a single end-of-call action — far cheaper than re-running a
+        # propagation step per phase.
+        state = color.join(mark, "vid", "left")
+        fixpoint_checks.append(
+            e.join(
+                state.select(
+                    F.col("vid").alias("src"),
+                    F.col("color").alias("c_src"),
+                    F.col("scc").alias("m_src"),
+                ),
+                "src",
+            )
+            .join(
+                state.select(
+                    F.col("vid").alias("dst"),
+                    F.col("color").alias("c_dst"),
+                    F.col("scc").alias("m_dst"),
+                ),
+                "dst",
+            )
+            .filter(
+                (F.col("c_dst") > F.col("c_src"))
+                | (
+                    F.col("m_dst").isNotNull()
+                    & (F.col("c_src") == F.col("c_dst"))
+                    & F.col("m_src").isNull()
+                )
+            )
+            .select(
+                F.when(
+                    F.col("c_dst") > F.col("c_src"),
+                    F.lit(f"forward round {rnd}: max_iters"),
+                )
+                .otherwise(F.lit(f"backward round {rnd}: back_iters"))
+                .alias("why")
+            )
+            .limit(1)
+        )
         marks.append(mark)
         active = active.join(mark, "vid", "left_anti").localCheckpoint()
     if not active.isEmpty():
         raise ValueError(
             "strongly_connected_components did not converge within "
             f"max_rounds={max_rounds}; raise the bound for this graph"
+        )
+    violations = fixpoint_checks[0]
+    for v in fixpoint_checks[1:]:
+        violations = violations.unionByName(v)
+    # plain collect, NOT limit(1): every branch is already limit(1)-capped
+    # (≤1 row each), and an outer limit over an all-empty union would
+    # trigger CollectLimit's incremental partition-scan waves — several
+    # sequential jobs on the happy path instead of one.
+    bad = violations.collect() if fixpoint_checks else []
+    if bad:
+        raise ValueError(
+            "strongly_connected_components propagation did not reach its "
+            f"fixpoint ({bad[0]['why']} too small); raise the bound for "
+            "this graph"
         )
     assigned = marks[0]
     for m in marks[1:]:

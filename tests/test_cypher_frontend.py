@@ -353,6 +353,34 @@ def test_with_distinct(fixture_graph):
     assert [r["born"] for r in rows] == [1983, 1984]
 
 
+def test_return_distinct_preserves_deferred_order(fixture_graph):
+    """DISTINCT is order-observable: ``WITH v ORDER BY v DESC RETURN
+    DISTINCT v LIMIT k`` returns the top-k distinct values IN ORDER
+    (Neo4j), so the deferred sort re-applies after the dedup."""
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1, 3, 2, 3, 1] AS v WITH v ORDER BY v DESC "
+        "RETURN DISTINCT v LIMIT 2",
+    ).collect()
+    assert [r["v"] for r in rows] == [3, 2]
+    # ascending + SKIP over the deduped ordered stream
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [5, 1, 3, 1, 5] AS v WITH v ORDER BY v "
+        "RETURN DISTINCT v SKIP 1",
+    ).collect()
+    assert [r["v"] for r in rows] == [3, 5]
+    # a sort key that does not survive the projection would leave the
+    # post-dedup order unrecoverable: typed error, never a silent
+    # arbitrary order
+    with pytest.raises(CypherSyntaxError, match="DISTINCT"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1, 3, 2] AS v WITH v, v * 2 AS w ORDER BY w "
+            "RETURN DISTINCT v LIMIT 2",
+        )
+
+
 def test_with_chained_stages(fixture_graph):
     rows = cypher_read(
         fixture_graph,
@@ -419,6 +447,24 @@ def test_unwind_range_inclusive_and_steps(fixture_graph):
     assert read("UNWIND range(1, 2, -1) AS x RETURN x") == []
     with pytest.raises(CypherSyntaxError, match="non-zero"):
         cypher_read(fixture_graph, "UNWIND range(1, 5, 0) AS x RETURN x")
+
+
+def test_range_dynamic_zero_step_raises_at_runtime(fixture_graph):
+    """A NON-literal step evaluating to 0 must raise like Neo4j, not
+    silently return [] — the loud-error contract holds at runtime."""
+    from pyspark.errors import PySparkException
+
+    df = cypher_read(
+        fixture_graph, "UNWIND [0] AS s UNWIND range(1, 5, s) AS x RETURN x"
+    )
+    with pytest.raises(PySparkException, match="non-zero"):
+        df.collect()
+    # a nonzero dynamic step still evaluates normally
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [2] AS s UNWIND range(1, 7, s) AS x RETURN x ORDER BY x",
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 3, 5, 7]
 
 
 def test_unwind_range_plans_as_spark_range(fixture_graph):
@@ -1149,6 +1195,13 @@ def test_unwind_literal_map_list(fixture_graph):
     assert [(r["a"], r["b"]) for r in rows] == [(1, None), (None, 2)]
     with pytest.raises(CypherSyntaxError, match="homogeneous"):
         cypher_read(fixture_graph, "UNWIND [{a: 1}, 2] AS r RETURN r")
+    # a null list element yields one row with a null value (openCypher),
+    # matching the scalar literal-list path — not zero rows
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [{a: 1}, null, {a: 2}] AS r RETURN r.a AS a ORDER BY a",
+    ).collect()
+    assert [r["a"] for r in rows] == [1, 2, None]
 
 
 def test_analysis_errors_surface_typed(fixture_graph):

@@ -106,3 +106,39 @@ class TestStronglyConnectedComponents:
                 spark, [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4)],
                 max_rounds=2,
             )
+
+    def test_undersized_back_iters_raises(self, spark):
+        # a 4-cycle needs 3 backward steps; back_iters=1 would silently
+        # mark only {root, one predecessor} and peel the rest as fake
+        # singletons — the fixpoint proof must catch it
+        import pytest
+
+        from flink_neo4j_spark.operators.graph_algos import (
+            strongly_connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+        )
+        with pytest.raises(ValueError, match="fixpoint.*back_iters"):
+            strongly_connected_components(
+                edges, max_iters=6, max_rounds=4, back_iters=1
+            ).collect()
+
+    def test_undersized_max_iters_raises(self, spark):
+        # forward propagation on a long cycle cannot reach its min-label
+        # fixpoint in 2 steps; either the fixpoint proof or the peel
+        # residual must raise — never a silent wrong answer
+        import pytest
+
+        from flink_neo4j_spark.operators.graph_algos import (
+            strongly_connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+        )
+        with pytest.raises(ValueError, match="fixpoint|did not converge"):
+            strongly_connected_components(
+                edges, max_iters=2, max_rounds=6
+            ).collect()
