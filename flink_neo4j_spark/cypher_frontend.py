@@ -1447,13 +1447,15 @@ class _Parser:
                         "compute them in a WITH stage first"
                     )
             return ReduceExpr(acc, init, var, source, body)
-        # length(p) — the path-length accessor for shortestPath variables;
-        # modeled as PropRef(p, "length") so the shortestPath colmap
-        # resolves it and every other context rejects the unknown variable.
+        # length(p) / nodes(p) / relationships(p) — the path accessors
+        # for named-path variables; modeled as PropRef(p, sentinel) so
+        # the path-aware colmaps resolve them and every other context
+        # rejects the unknown variable. The accessor sentinels are
+        # dunder-prefixed so they can never collide with a real property.
         if (
             tok is not None
             and tok.kind == "word"
-            and tok.text == "length"
+            and tok.text in ("length", "nodes", "relationships")
             and self.peek(1) is not None
             and self.peek(1).text == "("
             and self.peek(2) is not None
@@ -1461,11 +1463,16 @@ class _Parser:
             and self.peek(3) is not None
             and self.peek(3).text == ")"
         ):
-            self.next()
+            fn = self.next().text
             self.next()
             var = self.next().text
             self.next()
-            return PropRef(var, "length")
+            prop = {
+                "length": "length",
+                "nodes": "__nodes",
+                "relationships": "__rels",
+            }[fn]
+            return PropRef(var, prop)
         # labels(n) / type(r) — graph-model accessors over a bare pattern
         # variable; rewritten at parse time into refs on the model's
         # label / rel_type columns so the normal colmap machinery resolves
@@ -2970,7 +2977,9 @@ def _where_to_column(
     return out
 
 
-def _varlength_paths(graph: PropertyGraph, pat: EdgePat) -> DataFrame:
+def _varlength_paths(
+    graph: PropertyGraph, pat: EdgePat, carry_paths: bool = False
+) -> DataFrame:
     """``(a)-[:T*lo..hi]->(b)`` as a union of fixed-length edge-join chains.
 
     One chain per path length L: ``e1.src = a.id``, ``e_{k+1}.src =
@@ -2979,6 +2988,10 @@ def _varlength_paths(graph: PropertyGraph, pat: EdgePat) -> DataFrame:
     path) is enforced with pairwise edge-id inequality filters, exact for
     the bounded hop counts this front end admits (MAX_VAR_HOPS). Row
     multiplicity = number of distinct paths, matching Cypher.
+
+    ``carry_paths`` adds ``__path_nodes`` / ``__path_rels`` id arrays for
+    ``nodes(p)`` / ``relationships(p)`` on a named path — free here: the
+    hop columns already exist per chain, the arrays are pure projection.
     """
     lo, hi = pat.hops
     e = graph.edges
@@ -3010,10 +3023,22 @@ def _varlength_paths(graph: PropertyGraph, pat: EdgePat) -> DataFrame:
             for j in range(i + 1, length):
                 chain = chain.filter(F.col(f"__h{i}_id") != F.col(f"__h{j}_id"))
         chain = chain.join(b, F.col(f"__h{length - 1}_dst") == F.col("b_id"))
+        extra = []
+        if carry_paths:
+            extra = [
+                F.array(
+                    F.col("a_id"),
+                    *[F.col(f"__h{k}_dst") for k in range(length)],
+                ).alias("__path_nodes"),
+                F.array(
+                    *[F.col(f"__h{k}_id") for k in range(length)]
+                ).alias("__path_rels"),
+            ]
         chain = chain.select(
             *[f"a_{c}" for c in graph.vertices.columns],
             *[f"b_{c}" for c in graph.vertices.columns],
             F.lit(length).alias("__path_len"),
+            *extra,
         )
         out = chain if out is None else out.unionByName(chain)
     return out
@@ -3353,7 +3378,11 @@ def _pattern_vars(pats: list["NodePat | EdgePat"]) -> set[str]:
 
 
 def _shortest_path(
-    graph: PropertyGraph, pat: EdgePat, pathvar: str, all_paths: bool = False
+    graph: PropertyGraph,
+    pat: EdgePat,
+    pathvar: str,
+    all_paths: bool = False,
+    carry_paths: bool = False,
 ):
     """``p = shortestPath((a:L1)-[:T*lo..hi]->(b:L2))`` and its
     ``allShortestPaths`` sibling — level-synchronous frontier BFS with
@@ -3375,31 +3404,67 @@ def _shortest_path(
     count (the g22 early-exit discipline). WHERE predicates apply after
     translation; at scale a source-selective query should prefilter the
     anchor label (the frontier starts from every a-label node)."""
+    if all_paths and carry_paths:
+        raise CypherSyntaxError(
+            "nodes()/relationships() over allShortestPaths would enumerate "
+            "every tied path; bind shortestPath for a representative path"
+        )
     lo, hi = pat.hops
     e = graph.edges
     if pat.rel_type is not None:
         e = e.filter(rel_type_cond(pat.rel_type))
-    e = e.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+    ecols = [F.col("src").alias("__s"), F.col("dst").alias("__d")]
+    if carry_paths:
+        ecols.append(F.col("id").alias("__eid"))
+    e = e.select(*ecols)
     if pat.undirected:
-        e = e.unionByName(
-            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-        )
+        rcols = [F.col("__d").alias("__s"), F.col("__s").alias("__d")]
+        if carry_paths:
+            rcols.append(F.col("__eid"))
+        e = e.unionByName(e.select(*rcols))
     vcols = graph.vertices.columns
     a_nodes = graph.nodes(pat.src.label)
-    dist = a_nodes.select(
+    init_cols = [
         F.col("id").alias("__a"),
         F.col("id").alias("__v"),
         F.lit(0).alias("__len"),
         F.lit(1).cast("long").alias("__cnt"),
-    ).localCheckpoint()
+    ]
+    if carry_paths:
+        # representative-path state: ONE deterministic path per settled
+        # pair (the lexicographically-least node-id sequence, edge ids as
+        # tiebreak) — arrays of ≤ hi+1 ids per row, so the BFS state stays
+        # O(|pairs| · hops), never the tied-path product
+        init_cols.append(F.array(F.col("id")).alias("__nodes"))
+        init_cols.append(F.array().cast("array<bigint>").alias("__rels"))
+    dist = a_nodes.select(*init_cols).localCheckpoint()
     frontier = dist
     for i in range(hi):
+        aggs = [F.sum("__cnt").alias("__cnt")]
+        if carry_paths:
+            aggs.append(
+                F.min(
+                    F.struct(
+                        F.concat("__nodes", F.array(F.col("__d"))).alias("n"),
+                        F.concat("__rels", F.array(F.col("__eid"))).alias("r"),
+                    )
+                ).alias("__rep")
+            )
         nxt = (
             frontier.join(e, F.col("__v") == F.col("__s"))
             .groupBy("__a", F.col("__d").alias("__v"))
-            .agg(F.sum("__cnt").alias("__cnt"))
+            .agg(*aggs)
             .withColumn("__len", F.lit(i + 1))
         )
+        if carry_paths:
+            nxt = nxt.select(
+                "__a",
+                "__v",
+                "__len",
+                "__cnt",
+                F.col("__rep")["n"].alias("__nodes"),
+                F.col("__rep")["r"].alias("__rels"),
+            )
         frontier = nxt.join(
             dist.select("__a", "__v"), ["__a", "__v"], "left_anti"
         ).localCheckpoint()
@@ -3429,11 +3494,16 @@ def _shortest_path(
 
     def colmap(ref: PropRef) -> Column:
         if ref.var == pathvar:
-            if ref.prop != "length":
-                raise CypherSyntaxError(
-                    f"only length({pathvar}) is defined for a path variable"
-                )
-            return F.col("__path_len")
+            if ref.prop == "length":
+                return F.col("__path_len")
+            if carry_paths and ref.prop == "__nodes":
+                return F.col("__nodes")
+            if carry_paths and ref.prop == "__rels":
+                return F.col("__rels")
+            raise CypherSyntaxError(
+                f"only length({pathvar}), nodes({pathvar}) and "
+                f"relationships({pathvar}) are defined for a path variable"
+            )
         prefix = names.get(ref.var)
         if prefix is None:
             raise CypherSyntaxError(f"unknown variable {ref.var!r}")
@@ -3865,6 +3935,25 @@ def _expand_star(items: list[ReturnItem], colmap, clause: str) -> list[ReturnIte
     return out
 
 
+def _path_accessors_ahead(p: "_Parser", var: str) -> bool:
+    """Token lookahead: does the remaining query read ``nodes(var)`` or
+    ``relationships(var)``? Decides whether the path compile must carry
+    id arrays — carrying them unconditionally would widen the BFS /
+    chain state for every named-path query that never asks."""
+    toks = p.toks
+    for k in range(p.i, len(toks) - 3):
+        if (
+            toks[k].kind == "word"
+            and toks[k].text in ("nodes", "relationships")
+            and toks[k + 1].text == "("
+            and toks[k + 2].kind == "word"
+            and toks[k + 2].text == var
+            and toks[k + 3].text == ")"
+        ):
+            return True
+    return False
+
+
 def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     """One single-query (MATCH ... RETURN ...) starting at the parser's
     current position; trailing tokens (e.g. a following UNION) are left
@@ -4072,8 +4161,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         and p.peek(2).text == "("
     ):
         # MATCH p = (a)-[:T*lo..hi]->(b): a named path over a plain
-        # variable-length pattern; length(p) reads the per-chain length.
-        # nodes(p)/relationships(p) are not supported (loud error).
+        # variable-length pattern; length(p) reads the per-chain length,
+        # nodes(p)/relationships(p) read the per-chain id arrays.
         path_var = p.next().text
         p.next()  # =
         pat = p.parse_pattern(undirected_hops_ok=False)
@@ -4154,7 +4243,13 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 "shortestPath cannot combine with MATCH chains or "
                 "OPTIONAL MATCH"
             )
-        df, colmap = _shortest_path(graph, pat, sp_var, all_paths=sp_all)
+        df, colmap = _shortest_path(
+            graph,
+            pat,
+            sp_var,
+            all_paths=sp_all,
+            carry_paths=_path_accessors_ahead(p, sp_var),
+        )
     elif len(chain_pats) > 1:
         _assign_anon_vars(chain_pats, taken)
         df, colmap = _match_chain(graph, chain_pats)
@@ -4218,15 +4313,21 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         colmap.pattern_count_ctx = (graph, var)
 
     elif pat.hops is not None:
-        df = _varlength_paths(graph, pat)
+        carry_vl = path_var is not None and _path_accessors_ahead(p, path_var)
+        df = _varlength_paths(graph, pat, carry_paths=carry_vl)
         names = {pat.src.var: "a_", pat.dst.var: "b_"}
 
         def colmap(ref: PropRef) -> Column:
             if path_var is not None and ref.var == path_var:
                 if ref.prop == "length":
                     return F.col("__path_len")
+                if carry_vl and ref.prop == "__nodes":
+                    return F.col("__path_nodes")
+                if carry_vl and ref.prop == "__rels":
+                    return F.col("__path_rels")
                 raise CypherSyntaxError(
-                    f"only length({path_var}) is supported on a path "
+                    f"only length({path_var}), nodes({path_var}) and "
+                    f"relationships({path_var}) are supported on a path "
                     "variable; bind the endpoints for their properties"
                 )
             prefix = names.get(ref.var)

@@ -2528,6 +2528,56 @@ ORACLE["g42_cypher_optional_map"] = """
     ORDER BY name"""
 
 
+# G58 — path accessors through the front end: ``MATCH p =
+# shortestPath(...)`` then ``nodes(p)`` / ``relationships(p)`` — the
+# first thing a Neo4j user asks of a bound path. The counting BFS
+# carries ONE deterministic representative per settled pair (the
+# lexicographically-least node-id sequence — Neo4j promises "some"
+# shortest path; we pin which, so the result is a value), only when the
+# query actually reads an accessor (token lookahead), so length-only
+# paths pay nothing. supplier→nation→region is single-path, making the
+# closed-form join an exact oracle for both id arrays (edge ids equal
+# the source node's id in tpch_graph's FK modeling). Arrays flatten to
+# strings (g30 pattern: the driver's canonicalizer cannot hash arrays).
+def g58_cypher_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    df = cypher_read(
+        g,
+        "MATCH p = shortestPath("
+        "(s:Supplier)-[:IN_NATION|IN_REGION*1..2]->(r:Region)) "
+        "WHERE r.name = 'ASIA' "
+        "RETURN s.name AS sup, length(p) AS hops, nodes(p) AS path_nodes, "
+        "relationships(p) AS path_rels ORDER BY sup",
+    )
+    return df.select(
+        "sup",
+        "hops",
+        F.array_join(
+            F.col("path_nodes").cast("array<string>"), "|"
+        ).alias("path_nodes"),
+        F.array_join(
+            F.col("path_rels").cast("array<string>"), "|"
+        ).alias("path_rels"),
+    )
+
+
+QUERIES["g58_cypher_path_nodes"] = g58_cypher_path_nodes
+ORACLE["g58_cypher_path_nodes"] = f"""
+    SELECT s_name AS sup, 2 AS hops,
+           CAST(s_suppkey + {SUPPLIER_BASE} AS VARCHAR) || '|' ||
+           CAST(s_nationkey + {NATION_BASE} AS VARCHAR) || '|' ||
+           CAST(r_regionkey + {REGION_BASE} AS VARCHAR) AS path_nodes,
+           CAST(s_suppkey + {SUPPLIER_BASE} AS VARCHAR) || '|' ||
+           CAST(s_nationkey + {NATION_BASE} AS VARCHAR) AS path_rels
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    ORDER BY sup"""
+
+
 # G52 — Cypher's overloaded `+` through the front end: string
 # concatenation (either side stringified) and list append — the
 # display-name / token-assembly idioms every Cypher user types. Compiled

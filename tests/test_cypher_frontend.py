@@ -741,6 +741,75 @@ def test_shortest_path_undirected_pattern(diamond_graph):
         )
 
 
+def test_path_accessors_on_shortest_path(diamond_graph):
+    """nodes(p)/relationships(p) off a bound shortestPath read the id
+    arrays of ONE deterministic representative — the lexicographically
+    least node-id sequence among ties (Neo4j promises "some" shortest
+    path; pinning which makes the result a value)."""
+    names = {
+        r["id"]: r["name"] for r in diamond_graph.vertices.collect()
+    }
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = shortestPath((a:N)-[:E*1..4]->(b:N)) "
+        "WHERE a.name = 'A' AND b.name = 'D' "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS l",
+    ).collect()
+    assert len(rows) == 1
+    (row,) = rows
+    assert row["l"] == 2 and len(row["ns"]) == 3 and len(row["rs"]) == 2
+    # representative = min node-id sequence; endpoints pinned
+    assert names[row["ns"][0]] == "A" and names[row["ns"][2]] == "D"
+    mid = sorted(vid for vid, n in names.items() if n in ("B1", "B2"))[0]
+    assert row["ns"][1] == mid
+    # edge ids must trace the same chain: (A->mid, mid->D)
+    eidx = {
+        (r["src"], r["dst"]): r["id"]
+        for r in diamond_graph.edges.collect()
+    }
+    assert row["rs"] == [
+        eidx[(row["ns"][0], row["ns"][1])],
+        eidx[(row["ns"][1], row["ns"][2])],
+    ]
+
+
+def test_path_accessors_on_varlength_path(diamond_graph):
+    """On a plain named var-length path the accessors enumerate per
+    chain: two distinct 2-hop A..D paths, each with its own id arrays."""
+    names = {
+        r["id"]: r["name"] for r in diamond_graph.vertices.collect()
+    }
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = (a:N)-[:E*2..2]->(b:N) "
+        "WHERE a.name = 'A' AND b.name = 'D' "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs",
+    ).collect()
+    mids = sorted(names[r["ns"][1]] for r in rows)
+    assert mids == ["B1", "B2"]
+    for r in rows:
+        assert len(r["ns"]) == 3 and len(r["rs"]) == 2
+
+
+def test_path_accessors_all_shortest_raises(diamond_graph):
+    with pytest.raises(CypherSyntaxError, match="allShortestPaths"):
+        cypher_read(
+            diamond_graph,
+            "MATCH p = allShortestPaths((a:N)-[:E*1..4]->(b:N)) "
+            "RETURN nodes(p) AS ns",
+        )
+
+
+def test_path_accessor_lookahead_keeps_length_only_narrow(diamond_graph):
+    # a length-only path query must not carry the id arrays
+    df = cypher_read(
+        diamond_graph,
+        "MATCH p = shortestPath((a:N)-[:E*1..4]->(b:N)) "
+        "RETURN a.name AS an, length(p) AS l",
+    )
+    assert df.columns == ["an", "l"]
+
+
 def test_exists_block_subquery(fixture_graph):
     """Neo4j 5 existential-subquery blocks: EXISTS { (n)-[:T]->() } and
     NOT EXISTS { MATCH ... } — sugar for the pattern-predicate
