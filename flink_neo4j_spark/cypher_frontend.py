@@ -69,7 +69,12 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_neo4j_spark.graph import PropertyGraph, rel_type_cond
+from flink_neo4j_spark.graph import (
+    EXTRA_LABELS,
+    PropertyGraph,
+    label_cond,
+    rel_type_cond,
+)
 
 __all__ = ["CypherSyntaxError", "cypher_read", "cypher_write", "cypher_create_graph"]
 
@@ -1945,7 +1950,7 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         elif ref.var in structs:
             # WITH-carried node/edge struct: its property fields minus
             # the meta columns — same inventory a pattern scope serves
-            meta = {"id", "label", "src", "dst", "rel_type"}
+            meta = {"id", "label", EXTRA_LABELS, "src", "dst", "rel_type"}
             props = sorted(f for f in structs[ref.var] if f not in meta)
         else:
             raise CypherSyntaxError(
@@ -1963,10 +1968,27 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
             return F.lit("{}")
         return F.to_json(F.struct(*[c.alias(p) for p, c in cols]))
     if call.fn == "labels":
-        # single-label vertex model (SURVEY §1.1): labels(n) is the
-        # one-element list [n.label], matching Neo4j's list return shape;
-        # array_compact collapses a REMOVEd (null) label to Neo4j's []
-        return F.array_compact(F.array(resolve(call.arg)))
+        # primary + extra-label model (SURVEY §1.1): labels(n) reads the
+        # primary label then any SET-added extras, in addition order;
+        # array_compact collapses a REMOVEd (null) primary so a fully
+        # unlabeled vertex reads Neo4j's []. Graphs that were never
+        # label-mutated have no extras column and read the one-element
+        # list as before.
+        prim = F.array(resolve(call.arg))
+        if isinstance(call.arg, PropRef):
+            try:
+                extra = resolve(PropRef(call.arg.var, EXTRA_LABELS))
+                df.select(extra)  # analysis probe: column exists?
+            except Exception:
+                extra = None
+            if extra is not None:
+                return F.array_compact(
+                    F.concat(
+                        prim,
+                        F.coalesce(extra, F.array().cast("array<string>")),
+                    )
+                )
+        return F.array_compact(prim)
     if call.fn == "type":
         return resolve(call.arg)
     if call.fn == "coalesce":
@@ -2279,6 +2301,16 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         meta = ["label"] if kind == "node" else ["src", "dst", "rel_type"]
         fields = [colmap(PropRef(expr.var, None)).alias("id")]
         fields += [colmap(PropRef(expr.var, m)).alias(m) for m in meta]
+        if kind == "node" and df is not None:
+            # carry the extra-label set so labels(n) stays correct after
+            # the WITH horizon (multi-label model); absent on graphs that
+            # were never label-mutated
+            try:
+                xc = colmap(PropRef(expr.var, EXTRA_LABELS))
+                df.select(xc)  # analysis probe: column exists?
+                fields.append(xc.alias(EXTRA_LABELS))
+            except Exception:
+                pass
         fields += [
             colmap(PropRef(expr.var, p)).alias(p)
             for p in sorted(var_props[expr.var])
@@ -2316,7 +2348,7 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         if var_props is not None and expr.var in var_props:
             avail = sorted(var_props[expr.var])
         elif expr.var in structs:
-            meta = {"id", "label", "src", "dst", "rel_type"}
+            meta = {"id", "label", EXTRA_LABELS, "src", "dst", "rel_type"}
             avail = [f for f in structs[expr.var] if f not in meta]
         else:
             raise CypherSyntaxError(
@@ -3076,7 +3108,8 @@ def _optional_match(
             _where_to_column(base_disj, base_colmap, set(base_df.columns), base_df)
         )
 
-    vertex_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
+    vertex_props = [c for c in graph.vertices.columns
+                 if c not in ("id", "label", EXTRA_LABELS)]
     edge_props = [
         c for c in graph.edges.columns
         if c not in ("id", "src", "dst", "rel_type")
@@ -3274,7 +3307,7 @@ def _match_chain(graph: PropertyGraph, pats: list[NodePat | EdgePat]):
             )
         return F.col(name)
 
-    internal = {"id", "label", "src", "dst", "rel_type"}
+    internal = {"id", "label", EXTRA_LABELS, "src", "dst", "rel_type"}
     colmap.var_props = {
         v: [
             c[len(v) + 1:]
@@ -4307,7 +4340,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             return F.col("id" if ref.prop is None else ref.prop)
 
         colmap.var_props = {
-            var: [c for c in graph.vertices.columns if c not in ("id", "label")]
+            var: [c for c in graph.vertices.columns
+                 if c not in ("id", "label", EXTRA_LABELS)]
         }
         colmap.var_kinds = {var: "node"}
         colmap.pattern_count_ctx = (graph, var)
@@ -4363,7 +4397,8 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
 
         vertex_props = [
-            c for c in graph.vertices.columns if c not in ("id", "label")
+            c for c in graph.vertices.columns
+                 if c not in ("id", "label", EXTRA_LABELS)
         ]
         colmap.var_props = {
             v: vertex_props for v in (pat.src.var, pat.dst.var) if v is not None
@@ -4560,7 +4595,8 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             # scope, so _bare_colmap serves m.prop/collect(m)/id(m) with
             # the same semantics as a carried node, no special casing
             vertex_props = sorted(
-                c for c in graph.vertices.columns if c not in ("id", "label")
+                c for c in graph.vertices.columns
+                 if c not in ("id", "label", EXTRA_LABELS)
             )
             edge_props = sorted(
                 c for c in graph.edges.columns
@@ -4575,6 +4611,8 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 meta = (
                     ["label"] if kind == "node" else ["src", "dst", "rel_type"]
                 )
+                if kind == "node" and EXTRA_LABELS in graph.vertices.columns:
+                    meta = meta + [EXTRA_LABELS]
                 props = vertex_props if kind == "node" else edge_props
                 idc = F.col(f"{pref}id")
                 st = F.struct(
@@ -5163,7 +5201,7 @@ def cypher_write(
         spark = graph.vertices.sparkSession
         batch = spark.createDataFrame(data)
         ids = (
-            graph.vertices.filter(F.col("label") == target.label)
+            graph.vertices.filter(label_cond(graph.vertices, target.label))
             .join(batch, graph.vertices[key] == batch["__k"], "left_semi")
             .select("id")
         )
@@ -5366,16 +5404,17 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     if p.at("kw", "SET") or p.at("kw", "REMOVE"):
         removing = p.next().text.upper() == "REMOVE"
         values: dict[str, Any] = {}
-        set_label: str | None = None
-        remove_label: str | None = None
+        set_labels: list[str] = []
+        remove_labels: list[str] = []
         replace_props = False
         while True:
-            # `n:Label` item — label mutation (SET n:Archived / REMOVE
-            # n:Archived). Under the single-label vertex model (SURVEY
-            # §1.1) SET REPLACES the vertex's label (Neo4j would add a
-            # second one — multi-label is out of model, so one label per
-            # SET, loudly); REMOVE null-outs the label only where the
-            # vertex currently carries it, and labels(n) then reads [].
+            # `n:Label[:Label2...]` item — label mutation (SET n:Archived
+            # / REMOVE n:Archived). Multi-label model (SURVEY §1.1):
+            # SET ADDS the label (Neo4j semantics) — the vertex keeps its
+            # primary ``label`` and grows the ``extra_labels`` set;
+            # REMOVE drops the label wherever it appears (nulls the
+            # primary, removes from extras), and labels(n) then reads
+            # whatever remains — [] when nothing does.
             if (
                 p.at("word")
                 and p.peek(1) is not None
@@ -5383,24 +5422,14 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                 and p.peek(1).text == ":"
             ):
                 lvar = p.next().text
-                p.next()  # ':'
-                lbl = p.expect("word").text
                 if lvar != target.var:
                     raise CypherSyntaxError(
                         f"SET/REMOVE target must be {target.var!r}"
                     )
-                if removing:
-                    if remove_label is not None:
-                        raise CypherSyntaxError(
-                            "one label per REMOVE (single-label model)"
-                        )
-                    remove_label = lbl
-                else:
-                    if set_label is not None:
-                        raise CypherSyntaxError(
-                            "one label per SET (single-label model)"
-                        )
-                    set_label = lbl
+                while p.at("punct", ":"):
+                    p.next()  # ':'
+                    lbl = p.expect("word").text
+                    (remove_labels if removing else set_labels).append(lbl)
             elif (
                 not removing
                 and p.at("word")
@@ -5502,7 +5531,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
         have = set(v.columns)
         matched = F.lit(True)
         if target.label is not None:
-            matched = F.col("label") == target.label
+            matched = label_cond(v, target.label)
         if disj is not None:
             # 3VL: a null predicate does not match, as in MATCH..WHERE
             matched = matched & F.coalesce(
@@ -5524,28 +5553,67 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                 return _expr_column(val, colmap, v)
             return F.lit(val)
 
+        empty_arr = F.array().cast("array<string>")
+        extras_in = (
+            F.col(EXTRA_LABELS) if EXTRA_LABELS in have
+            else F.lit(None).cast("array<string>")
+        )
+
+        def _label_out() -> Column:
+            # REMOVE nulls the primary where it names it; SET never
+            # touches the primary (additive model — extras carry growth)
+            col = F.col("label")
+            if remove_labels:
+                col = F.when(
+                    matched & col.isin(*remove_labels),
+                    F.lit(None).cast("string"),
+                ).otherwise(col)
+            return col.alias("label")
+
+        def _extras_out() -> Column:
+            # SET appends each label not already carried (primary or
+            # extras); REMOVE drops from the extras set. Both arms
+            # evaluate against the PRE-update state, like SET values.
+            col = extras_in
+            if set_labels:
+                additions = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                ~F.coalesce(
+                                    (F.col("label") == F.lit(lbl))
+                                    | F.array_contains(extras_in, lbl),
+                                    F.lit(False),
+                                ),
+                                F.lit(lbl),
+                            )
+                            for lbl in set_labels
+                        ]
+                    )
+                )
+                col = F.when(
+                    matched,
+                    F.concat(F.coalesce(extras_in, empty_arr), additions),
+                ).otherwise(col)
+            if remove_labels:
+                base = col
+                cleaned = F.coalesce(base, empty_arr)
+                for lbl in remove_labels:
+                    cleaned = F.array_remove(cleaned, lbl)
+                col = F.when(matched, cleaned).otherwise(base)
+            return col.alias(EXTRA_LABELS)
+
         out: list[Column] = []
         for c in v.columns:
             if c in values:
                 out.append(
                     F.when(matched, _valcol(values[c])).otherwise(F.col(c)).alias(c)
                 )
-            elif c == "label" and set_label is not None:
-                out.append(
-                    F.when(matched, F.lit(set_label))
-                    .otherwise(F.col("label"))
-                    .alias("label")
-                )
-            elif c == "label" and remove_label is not None:
-                out.append(
-                    F.when(
-                        matched & (F.col("label") == remove_label),
-                        F.lit(None).cast("string"),
-                    )
-                    .otherwise(F.col("label"))
-                    .alias("label")
-                )
-            elif replace_props and c not in ("id", "label"):
+            elif c == "label" and (set_labels or remove_labels):
+                out.append(_label_out())
+            elif c == EXTRA_LABELS and (set_labels or remove_labels):
+                out.append(_extras_out())
+            elif replace_props and c not in ("id", "label", EXTRA_LABELS):
                 # SET n = {map}: unlisted user properties are REMOVED on
                 # the matched rows (nulled; type preserved elsewhere)
                 out.append(
@@ -5553,6 +5621,8 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                 )
             else:
                 out.append(F.col(c))
+        if EXTRA_LABELS not in have and (set_labels or remove_labels):
+            out.append(_extras_out())
         for prop, val in values.items():
             # a brand-new property column: matched rows take the value,
             # everyone else reads null (B5 missing-property semantics).

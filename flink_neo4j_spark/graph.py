@@ -24,6 +24,29 @@ from pyspark.sql import functions as F
 VERTEX_REQUIRED = ("id", "label")
 EDGE_REQUIRED = ("id", "src", "dst", "rel_type")
 
+#: Optional vertex column carrying labels ADDED after construction
+#: (``SET n:L``). The model is primary-label + extra-label set: loaders
+#: produce single-label vertices (``label`` stays the partition/pruning
+#: column — the 100 TB label index), and Cypher's additive label
+#: mutations grow this array instead of overwriting the primary. A
+#: vertex "has" label L when L is its primary OR in its extras;
+#: ``labels(n)`` reads primary-then-extras in addition order.
+EXTRA_LABELS = "extra_labels"
+
+
+def label_cond(df: DataFrame, label: str) -> Column:
+    """Label-membership predicate honoring the multi-label model.
+
+    Single-label graphs (no ``extra_labels`` column — every loader's
+    output, and the common case) keep the plain equality, which pushes
+    down to a partition-pruned parquet scan. Only graphs that have been
+    label-mutated pay the extra array membership check (3VL: a null
+    primary or null extras contributes null, which filters out)."""
+    cond = F.col("label") == label
+    if EXTRA_LABELS in df.columns:
+        cond = cond | F.array_contains(F.col(EXTRA_LABELS), label)
+    return cond
+
 
 def rel_type_cond(rel_type) -> Column:
     """Filter predicate for an edge-type restriction: a single type name,
@@ -129,7 +152,7 @@ class PropertyGraph:
         """
         df = self.vertices
         if label is not None:
-            df = df.filter(F.col("label") == label)
+            df = df.filter(label_cond(self.vertices, label))
         if props:
             df = df.select("id", *props)
         return df
@@ -153,10 +176,14 @@ class PropertyGraph:
             e = e.filter(rel_type_cond(rel_type))
         out = e
         if src_label is not None:
-            src_ids = self.vertices.filter(F.col("label") == src_label).select("id")
+            src_ids = self.vertices.filter(
+                label_cond(self.vertices, src_label)
+            ).select("id")
             out = out.join(F.broadcast(src_ids).withColumnRenamed("id", "src"), "src")
         if dst_label is not None:
-            dst_ids = self.vertices.filter(F.col("label") == dst_label).select("id")
+            dst_ids = self.vertices.filter(
+                label_cond(self.vertices, dst_label)
+            ).select("id")
             out = out.join(F.broadcast(dst_ids).withColumnRenamed("id", "dst"), "dst")
         cols = ["id", "src", "dst"] + (list(props) if props else [])
         return out.select(*cols) if props else out
@@ -299,7 +326,7 @@ class PropertyGraph:
                     )
 
         inserts = batch.join(
-            self.vertices.filter(F.col("label") == F.lit(label)).select(
+            self.vertices.filter(label_cond(self.vertices, label)).select(
                 F.col(key).alias("_k")
             ),
             batch[key] == F.col("_k"),
@@ -318,9 +345,12 @@ class PropertyGraph:
             F.lit(True).alias("_u__matched"),
             *[F.col(src).alias(f"_u_{prop}") for prop, src in match_map.items()],
         )
-        cond = (self.vertices[key] == F.col(f"_u_{key}")) & (
-            self.vertices["label"] == F.lit(label)
-        )
+        lbl_ok = self.vertices["label"] == F.lit(label)
+        if EXTRA_LABELS in self.vertices.columns:
+            lbl_ok = lbl_ok | F.array_contains(
+                self.vertices[EXTRA_LABELS], label
+            )
+        cond = (self.vertices[key] == F.col(f"_u_{key}")) & lbl_ok
         joined = self.vertices.join(F.broadcast(renamed), cond, "left")
         matched = F.coalesce(F.col("_u__matched"), F.lit(False))
         out_cols: list[Column] = []
@@ -395,10 +425,10 @@ class PropertyGraph:
         (the batch side broadcasts when small, as UNWIND batches are); rows
         whose endpoints do not BOTH exist drop out, mirroring Cypher MATCH
         semantics (no implicit node creation)."""
-        a = self.vertices.filter(F.col("label") == src_label).select(
+        a = self.vertices.filter(label_cond(self.vertices, src_label)).select(
             F.col(src_key).alias("__ak"), F.col("id").alias("src")
         )
-        b = self.vertices.filter(F.col("label") == dst_label).select(
+        b = self.vertices.filter(label_cond(self.vertices, dst_label)).select(
             F.col(dst_key).alias("__bk"), F.col("id").alias("dst")
         )
         extra = [c for c in batch.columns if c not in (src_col, dst_col)]
@@ -482,7 +512,14 @@ class PropertyGraph:
             validate_identifier(r[0])
             for r in self.vertices.select("label").distinct().collect()
         ]
-        vprops = [c for c in self.vertices.columns if c != "label"]
+        # extra labels are part of the label set, not a property — the
+        # wire export writes the primary label per batch stream (Cypher
+        # cannot parameterize labels; multi-label export would need one
+        # SET-label pass per extra, out of the reference's write model)
+        vprops = [
+            c for c in self.vertices.columns
+            if c not in ("label", EXTRA_LABELS)
+        ]
         for label in labels:
             write_cypher(
                 self.vertices.filter(F.col("label") == label).select(*vprops),

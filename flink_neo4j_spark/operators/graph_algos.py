@@ -524,14 +524,16 @@ def g43_cypher_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # G44 — Cypher label mutation: ``SET n:Label`` / ``REMOVE n:Label``
-# through the front end. Under the single-label vertex model (SURVEY
-# §1.1) SET replaces the vertex's label and REMOVE null-outs it where the
-# vertex currently carries it — both ONE conditional projection over the
-# vertex frame (no join, no shuffle). The read-back exercises Neo4j's
-# labels() contract end-to-end: relabeled vertex reads its new label,
-# label-REMOVEd vertex reads the empty list. The conformance projection
-# joins the label list to a string (g30 pattern: the driver's
-# canonicalizer cannot hash array cells).
+# through the front end. Multi-label model (SURVEY §1.1): SET ADDS the
+# label (Neo4j semantics — the primary ``label`` column is untouched and
+# the addition lands in the ``extra_labels`` set), REMOVE drops it
+# wherever it appears — both ONE conditional projection over the vertex
+# frame (no join, no shuffle). The read-back exercises Neo4j's labels()
+# contract end-to-end: a SET vertex reads BOTH labels in addition order,
+# and the REMOVE target (matched via its ADDED label) reads its original
+# primary only. The conformance projection joins the label list to a
+# string (g30 pattern: the driver's canonicalizer cannot hash array
+# cells).
 LABEL_SET_NATIONS = ("NATION_2", "NATION_3")
 
 
@@ -1828,9 +1830,7 @@ ORACLE: dict[str, str] = {
     "g44_cypher_label_set": f"""
         SELECT n_name AS name,
                CASE WHEN n_name = '{LABEL_SET_NATIONS[0]}'
-                      THEN 'ArchivedNation'
-                    WHEN n_name = '{LABEL_SET_NATIONS[1]}'
-                      THEN ''
+                      THEN 'Nation|ArchivedNation'
                     ELSE 'Nation' END AS labels
         FROM nation
         WHERE n_name IN ('NATION_1', '{LABEL_SET_NATIONS[0]}',
@@ -2526,6 +2526,40 @@ ORACLE["g42_cypher_optional_map"] = """
                     AND c.c_custkey % 7 = 3) AS BIGINT) AS c3
     FROM nation n
     ORDER BY name"""
+
+
+# G59 — multi-label semantics end-to-end: ``SET n:Zone:Area`` adds TWO
+# labels in one clause; matching then works through ANY carried label
+# (``MATCH (n:Zone)`` finds every region via its added label); REMOVE of
+# the PRIMARY label (matched via an extra) leaves the vertex reachable
+# and labeled by its remaining set; and a replayed SET of an
+# already-carried label is a no-op (set semantics, no duplicates). The
+# oracle is the closed form over ``region``; labels flatten to a string
+# in addition order (g30 pattern).
+def g59_cypher_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = cypher_write(g, "MATCH (n:Region) SET n:Zone:Area")
+    g3 = cypher_write(
+        g2, "MATCH (n:Zone) WHERE n.name = 'ASIA' REMOVE n:Region"
+    )
+    # replay: every :Area vertex already carries :Zone — must not dup
+    g4 = cypher_write(g3, "MATCH (n:Area) SET n:Zone")
+    df = cypher_read(
+        g4,
+        "MATCH (n:Zone) RETURN n.name AS name, labels(n) AS labels "
+        "ORDER BY name",
+    )
+    return df.select("name", F.array_join("labels", "|").alias("labels"))
+
+
+QUERIES["g59_cypher_multilabel"] = g59_cypher_multilabel
+ORACLE["g59_cypher_multilabel"] = """
+    SELECT r_name AS name,
+           CASE WHEN r_name = 'ASIA' THEN 'Zone|Area'
+                ELSE 'Region|Zone|Area' END AS labels
+    FROM region ORDER BY name"""
 
 
 # G58 — path accessors through the front end: ``MATCH p =

@@ -1776,19 +1776,55 @@ def test_foreach_rejects_non_create_bodies(fixture_graph):
         )
 
 
-def test_set_label_relabels_matched_rows(fixture_graph):
-    """SET n:Label replaces the vertex label (single-label model) for
-    matched rows only; labels() reads the new value back."""
+def test_set_label_adds_to_matched_rows(fixture_graph):
+    """SET n:Label ADDS the label (Neo4j multi-label semantics) for
+    matched rows only: the primary label stays, labels() reads both in
+    addition order, and matching works through either."""
     g2 = cypher_write(
         fixture_graph,
         "MATCH (n:User) WHERE n.trust = true SET n:TrustedUser",
     )
     assert g2.nodes("TrustedUser").count() == 2      # Alice, Bob
-    assert g2.nodes("User").count() == 1             # Eve keeps User
+    assert g2.nodes("User").count() == 3             # everyone keeps User
     rows = cypher_read(
         g2, "MATCH (n:TrustedUser) RETURN n.name AS name, labels(n) AS l",
     ).collect()
-    assert all(r["l"] == ["TrustedUser"] for r in rows)
+    assert all(r["l"] == ["User", "TrustedUser"] for r in rows)
+
+
+def test_multilabel_set_remove_roundtrip(fixture_graph):
+    """Chained SET n:A:B adds both; REMOVE of the primary (matched via
+    an added label) leaves the rest; replaying a SET of a carried label
+    is a no-op (set semantics)."""
+    g2 = cypher_write(fixture_graph, "MATCH (n:User) SET n:Person:Human")
+    rows = cypher_read(
+        g2, "MATCH (n:Person) RETURN n.name AS name, labels(n) AS l"
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["l"] == ["User", "Person", "Human"] for r in rows)
+    # replayed SET of an already-carried label: no duplicate
+    g3 = cypher_write(g2, "MATCH (n:Human) SET n:Person")
+    rows = cypher_read(
+        g3, "MATCH (n:Person) RETURN labels(n) AS l"
+    ).collect()
+    assert all(r["l"] == ["User", "Person", "Human"] for r in rows)
+    # REMOVE the PRIMARY label, matched through an extra: the vertex
+    # stays reachable by its remaining labels
+    g4 = cypher_write(
+        g3, "MATCH (n:Person) WHERE n.name = 'Eve' REMOVE n:User"
+    )
+    assert g4.nodes("User").count() == 2
+    assert g4.nodes("Person").count() == 3
+    rows = cypher_read(
+        g4, "MATCH (n:Person) WHERE n.name = 'Eve' RETURN labels(n) AS l"
+    ).collect()
+    assert rows[0]["l"] == ["Person", "Human"]
+    # REMOVE an extra label too: back to the primary only
+    g5 = cypher_write(g4, "MATCH (n:Human) REMOVE n:Person:Human")
+    rows = cypher_read(
+        g5, "MATCH (n) WHERE n.name = 'Alice' RETURN labels(n) AS l"
+    ).collect()
+    assert rows[0]["l"] == ["User"]
 
 
 def test_set_label_composes_with_property_set(fixture_graph):
@@ -1871,8 +1907,9 @@ def test_set_map_merge(fixture_graph):
 
 
 def test_label_mutation_validation(fixture_graph):
-    with pytest.raises(CypherSyntaxError, match="one label per SET"):
-        cypher_write(fixture_graph, "MATCH (n:User) SET n:A, n:B")
+    # comma-separated label items both apply (additive multi-label)
+    g2 = cypher_write(fixture_graph, "MATCH (n:User) SET n:A, n:B")
+    assert g2.nodes("A").count() == 3 and g2.nodes("B").count() == 3
     with pytest.raises(CypherSyntaxError, match="SET n:Label"):
         cypher_write(fixture_graph, "MATCH (n:User) SET n.label = 'A'")
     with pytest.raises(CypherSyntaxError):
