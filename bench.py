@@ -10,11 +10,18 @@ metric value is the total wall time of the full query set — lower is better.
 recorded ``BENCH_LOCAL_sf{sf}.json`` TWICE, each pass in its own fresh
 subprocess (fresh JVM, fresh session memos), and writes both timings to
 ``BENCH_TOPCHECK_sf{sf}.json``, flagging any query whose two measurements
-spread by more than 1.5x. This is the round-4 lesson (g20 jumped 2.3x
-between rounds with no code change): a single measurement of a heavy
-query is not evidence — two consecutive solo runs either reproduce a
-regression or expose it as session noise in-round, before a verdict has
-to guess.
+spread by more than 1.5x AND any whose better pass disagrees with the
+committed bench figure by more than 1.5x (the round-5 lesson: g15's two
+passes agreed with each other at ~5s while the committed number said
+3.4s — pass-vs-pass alone cannot catch that). Each pass warms the subset
+once untimed at the TARGET sf first, because the full bench's earlier
+queries build the target-SF session memos (shared graph projections)
+that a subset run would otherwise charge to its first query — the exact
+mechanism behind both the round-4 g20 and round-5 g15 spreads. This is
+the round-4 lesson (g20 jumped 2.3x between rounds with no code change):
+a single measurement of a heavy query is not evidence — two consecutive
+solo runs either reproduce a regression or expose it as session noise
+in-round, before a verdict has to guess.
 
 ``--with-oracle`` additionally times every DuckDB oracle in the SAME
 process run, immediately after the engine pass (Spark session stopped
@@ -36,7 +43,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_engine(sf_dir: str, names: list[str] | None = None) -> dict:
+def run_engine(
+    sf_dir: str, names: list[str] | None = None, warm_target: bool = False
+) -> dict:
     from flink_neo4j_spark.registry import all_queries
     from flink_neo4j_spark.session import get_spark
 
@@ -73,6 +82,23 @@ def run_engine(sf_dir: str, names: list[str] | None = None) -> dict:
     spark.range(32 * 1000).repartition(32).mapInPandas(
         _warm_pool, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    if warm_target and sf_dir != warm_dir:
+        # subset runs (--top-pass) time queries WITHOUT the rest of the
+        # registry running first, so target-SF session memos (e.g. the
+        # shared co-purchase projection g14/g15/g19 all build) that the
+        # full bench's earlier queries warm would be charged to the first
+        # subset query — exactly the g15 5.5s-vs-3.4s topcheck spread of
+        # round 5 (and g20's in round 4). One untimed target-SF pass puts
+        # the subset on the same steady-state footing as the full bench.
+        for name in sorted(queries):
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:
+                print(f"  target-warm {name} failed: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}
@@ -130,17 +156,30 @@ def run_topcheck(sf_dir: str, top_n: int = 10) -> dict:
         print(f"  top-check pass {i + 1}: {passes[-1]}", file=sys.stderr)
 
     flagged = {}
+    vs_committed = {}
     for n in names:
         a, b = passes[0][n], passes[1][n]
         spread = round(max(a, b) / max(min(a, b), 1e-9), 3)
         if spread > 1.5:
             flagged[n] = {"pass1": a, "pass2": b, "spread": spread}
+        # round-5 lesson: pass1-vs-pass2 agreement alone cannot catch a
+        # committed number that BOTH passes disagree with — compare the
+        # better solo pass against the committed bench figure too
+        committed = last["queries"][n]
+        ratio = round(min(a, b) / max(committed, 1e-9), 3)
+        if ratio > 1.5 or ratio < 1 / 1.5:
+            vs_committed[n] = {
+                "best_pass": min(a, b),
+                "committed": committed,
+                "ratio": ratio,
+            }
     payload = {
         "sf": _sf_of(sf_dir),
         "names": names,
         "pass1": passes[0],
         "pass2": passes[1],
         "flagged_spread_gt_1.5x": flagged,
+        "flagged_vs_committed_gt_1.5x": vs_committed,
         "prior_bench": {n: last["queries"][n] for n in names},
     }
     topcheck_path = os.path.join(root, f"BENCH_TOPCHECK_{sfname}.json")
@@ -160,7 +199,7 @@ def main() -> None:
         return
     if "--top-pass" in sys.argv[1:]:
         names = sys.argv[sys.argv.index("--top-pass") + 1].split(",")
-        print(json.dumps(run_engine(sf_dir, names=names)))
+        print(json.dumps(run_engine(sf_dir, names=names, warm_target=True)))
         return
 
     payload = run_engine(sf_dir)

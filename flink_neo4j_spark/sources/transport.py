@@ -92,8 +92,23 @@ class BoltTransport:
 
             merged[extract_parameter_name(statement)] = rows
         with self._driver.session(database=self._database) as session:
-            result = session.run(statement, **merged)
-            return [dict(record) for record in result]
+            try:
+                result = session.run(statement, **merged)
+                return [dict(record) for record in result]
+            except Exception as exc:
+                # error-path parity with HttpTransport: a server-side
+                # Cypher/driver failure (Neo4j errors carry a status
+                # ``code`` like ``Neo.ClientError.*``) surfaces as the
+                # SAME typed IOError the HTTP transport raises for a
+                # non-empty ``errors`` array — callers handle one failure
+                # shape for both transports. Non-Neo4j exceptions
+                # (programming errors) propagate unchanged.
+                code = getattr(exc, "code", None)
+                if code is not None:
+                    raise IOError(
+                        f"Cypher transaction failed: [{code}] {exc}"
+                    ) from exc
+                raise
 
     def close(self) -> None:
         self._driver.close()

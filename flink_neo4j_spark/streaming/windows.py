@@ -87,6 +87,24 @@ def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
+#: Per-topology streaming progress of the LAST completed run, keyed by the
+#: runner's sink name: the raw ``recentProgress`` dicts Spark reports
+#: (micro-batch count, state operators, rows per batch). This is the
+#: w-family's structural freeze surface — ``tests/test_stream_budgets.py``
+#: pins micro-batch counts and state-operator topology per query, so a
+#: refactor that silently adds a micro-batch or a state store fails a
+#: budget test instead of showing up as an unexplained wall-time drift
+#: (round-5's w1 1.12→1.84 s flag).
+LAST_RUN_PROGRESS: dict[str, list] = {}
+
+
+def _capture_progress(name: str, q) -> None:
+    try:
+        LAST_RUN_PROGRESS[name] = [dict(p) for p in q.recentProgress]
+    except Exception:
+        LAST_RUN_PROGRESS[name] = []
+
+
 def _start_with_state_partitions(spark: SparkSession, start_fn):
     """Start a streaming query with the state-sized shuffle-partition conf,
     restoring the batch setting afterwards (the value is captured at query
@@ -131,6 +149,7 @@ def _run_complete_to_parquet(
     try:
         q.awaitTermination()
     finally:
+        _capture_progress(name, q)
         q.stop()
     return spark.read.parquet(out_dir)
 
@@ -206,6 +225,7 @@ def _run_append_to_parquet(
     try:
         q.awaitTermination()
     finally:
+        _capture_progress(name, q)
         q.stop()
     return spark.read.parquet(out_dir)
 
@@ -688,6 +708,7 @@ def run_cdc_upsert_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.awaitTermination()
     finally:
+        _capture_progress("cdc", q)
         q.stop()
     cur = _current()
     assert cur is not None, "CDC sink produced no snapshot"

@@ -166,7 +166,10 @@ def test_bolt_golden_call(fake_neo4j, monkeypatch, name):
     t = BoltTransport("bolt://example:7687", database="neo4j")
     (driver,) = fake_neo4j
     if "expect_error" in fx:
-        with pytest.raises(Exception, match=fx["expect_error"]):
+        # coded driver failures must surface as the SAME typed IOError
+        # the HTTP transport raises (error-path parity across transports)
+        exc_type = IOError if "raise_code" in fx else Exception
+        with pytest.raises(exc_type, match=fx["expect_error"]):
             t.run(fx["statement"], rows=fx["rows"], params=fx["params"])
     else:
         rows = t.run(fx["statement"], rows=fx["rows"], params=fx["params"])
