@@ -745,231 +745,301 @@ class _Parser:
     def parse_where(
         self, unwind_var: str | None = None, allow_bare: bool = False
     ) -> list[list[Cond]]:
-        """Disjunction of conjunctions (OR of ANDs — enough for B4)."""
-        disj: list[list[Cond]] = [[]]
-        while True:
-            negated = False
-            if self._at_word_ci("NOT") and not (
-                self.peek(1) is not None and self.peek(1).text == "("
-            ):
-                # general negation of a single condition: NOT n.a = 1,
-                # NOT n.x IN [...], NOT n.s CONTAINS 'x' — three-valued
-                # (~null is null). NOT followed by "(" stays the pattern
-                # predicate form below.
-                self.next()
-                negated = True
-            elif self._at_word_ci("NOT") or self.at("punct", "("):
-                disj[-1].append(self.parse_pattern_predicate())
-                if self.at("kw", "AND"):
+        """Boolean WHERE grammar -> disjunctive normal form.
+
+        Precedence (Neo4j): OR < XOR < AND < NOT < factor. Parenthesized
+        boolean groups recurse and DISTRIBUTE into the DNF the rest of
+        the machinery speaks (``(a OR b) AND c`` -> ``a∧c ∨ b∧c``);
+        NOT over a group / XOR applies De Morgan (Kleene 3VL preserves
+        both laws, so null propagation is unchanged by the rewrite). The
+        DNF size is capped — a pathological nest raises loudly instead
+        of exploding."""
+        return self._parse_where_or(unwind_var, allow_bare)
+
+    _DNF_CAP = 128
+
+    def _dnf_guard(self, dnf: list[list[Cond]]) -> list[list[Cond]]:
+        if len(dnf) > self._DNF_CAP:
+            raise CypherSyntaxError(
+                "WHERE clause is too complex to normalize (DNF exceeds "
+                f"{self._DNF_CAP} branches); simplify the boolean nesting"
+            )
+        return dnf
+
+    def _parse_where_or(self, unwind_var, allow_bare) -> list[list[Cond]]:
+        branches = self._parse_where_xor(unwind_var, allow_bare)
+        while self.at("kw", "OR"):
+            self.next()
+            branches = branches + self._parse_where_xor(unwind_var, allow_bare)
+        return self._dnf_guard(branches)
+
+    def _parse_where_xor(self, unwind_var, allow_bare) -> list[list[Cond]]:
+        left = self._parse_where_and(unwind_var, allow_bare)
+        while self._at_word_ci("XOR"):
+            # a XOR b = (A ∧ ¬B) ∨ (¬A ∧ B) over DNFs — left-associative,
+            # so chained XOR folds naturally; 3VL survives the identity
+            # (null XOR x is null on both forms).
+            self.next()
+            right = self._parse_where_and(unwind_var, allow_bare)
+            ln = self._negate_dnf(left)
+            rn = self._negate_dnf(right)
+            left = self._dnf_guard(
+                [a + b for a in left for b in rn]
+                + [a + b for a in ln for b in right]
+            )
+        return left
+
+    def _parse_where_and(self, unwind_var, allow_bare) -> list[list[Cond]]:
+        cur = self._parse_where_factor(unwind_var, allow_bare)
+        while self.at("kw", "AND"):
+            self.next()
+            nxt = self._parse_where_factor(unwind_var, allow_bare)
+            # DNF product: (A1 ∨ A2) ∧ (B1 ∨ B2) = ∨ (Ai ∧ Bj)
+            cur = self._dnf_guard([a + b for a in cur for b in nxt])
+        return cur
+
+    @staticmethod
+    def _negate_cond(c: Cond) -> Cond:
+        return dc_replace(c, negated=not c.negated)
+
+    def _negate_dnf(self, dnf: list[list[Cond]]) -> list[list[Cond]]:
+        """De Morgan over a DNF: ¬(C1 ∨ …) = ∧ ¬Ci; ¬(c1 ∧ c2) = ¬c1 ∨ ¬c2
+        — the product re-normalizes to DNF. Valid in Kleene 3VL, so null
+        propagation matches Neo4j's NOT."""
+        result: list[list[Cond]] = [[]]
+        for conj in dnf:
+            result = self._dnf_guard(
+                [r + [self._negate_cond(c)] for r in result for c in conj]
+            )
+        return result
+
+    def _parse_where_factor(
+        self, unwind_var, allow_bare
+    ) -> list[list[Cond]]:
+        """One boolean factor as a DNF: NOT factor, a parenthesized
+        group, a pattern predicate, an EXISTS form, or a single
+        condition. ``(`` is three-way ambiguous — pattern predicate
+        ``(n)-[:T]->()``, value grouping ``(n.born + 1) > 1984``, or a
+        boolean group ``(a OR b)`` — disambiguated by backtracking in
+        that order (token position is the only parser state)."""
+        if self._at_word_ci("NOT"):
+            save = self.i
+            self.next()
+            if self.at("punct", "(") or self._at_word_ci("NOT"):
+                try:
+                    pc = self.parse_pattern_predicate()
+                    pc.negated = not pc.negated
+                    return [[pc]]
+                except CypherSyntaxError:
+                    self.i = save
                     self.next()
-                    continue
-                if self.at("kw", "OR"):
-                    self.next()
-                    disj.append([])
-                    continue
-                return disj
-            if (
-                self._at_word_ci("EXISTS")
-                and self.peek(1) is not None
-                and self.peek(1).text in ("(", "{")
-            ):
-                # exists(n.prop) == n.prop IS NOT NULL (classic Neo4j);
-                # exists((v)-[:T]->()) == the pattern existential;
-                # EXISTS { (v)-[:T]->(:L) } == the modern (Neo4j 5)
-                # existential-subquery block, sugar for the same
-                # semi/anti-join pattern predicate (an optional leading
-                # MATCH keyword inside the block is accepted)
-                self.next()
-                if self.at("punct", "{"):
-                    self.next()
-                    if self.at("kw", "MATCH"):
-                        self.next()
-                    pc = self.parse_pattern_predicate(block=True)
-                    self.expect("punct", "}")
-                    if negated:
-                        pc.negated = not pc.negated
-                    disj[-1].append(pc)
-                else:
-                    self.expect("punct", "(")
-                    if self.at("punct", "("):
-                        pc = self.parse_pattern_predicate()
-                        self.expect("punct", ")")
-                        if negated:
-                            pc.negated = not pc.negated
-                        disj[-1].append(pc)
-                    else:
-                        ref = self.parse_prop_ref(allow_bare)
-                        self.expect("punct", ")")
-                        disj[-1].append(
-                            Cond(ref, "IS NOT NULL", None, negated=negated)
-                        )
-                if self.at("kw", "AND"):
-                    self.next()
-                    continue
-                if self.at("kw", "OR"):
-                    self.next()
-                    disj.append([])
-                    continue
-                return disj
-            if unwind_var is None:
-                # read context: a full arithmetic expression may appear on
-                # either side of the comparison (``WHERE x % 3 = 0``,
-                # ``WHERE y > x * 10`` inside comprehensions). Arithmetic
-                # parsing never consumes comparison ops or AND/OR, so the
-                # condition structure is unchanged; aggregates stay
-                # rejected (filter on a WITH alias instead).
-                left = self.parse_return_expr(allow_bare)
-                if isinstance(left, AggCall):
-                    raise CypherSyntaxError(
-                        "aggregates are not allowed in WHERE; compute the "
-                        "aggregate in a WITH stage and filter on its alias"
+                # NOT over a single condition that starts with a value
+                # paren, or over a boolean group
+                try:
+                    save2 = self.i
+                    conds = self._parse_single_cond(
+                        unwind_var, allow_bare, negated=True
                     )
-            elif self._at_scalar_fn():
-                left = self._parse_primary_expr(allow_bare)
-            else:
-                left = self.parse_prop_ref(allow_bare)
-            if self._at_word_ci("IN"):
-                self.next()
-                if self.at("punct", "$"):
-                    # IN $param — the parameterized membership idiom
-                    vals = self.parse_value(unwind_var)
-                    if not isinstance(vals, list):
-                        raise CypherSyntaxError("IN $param requires a list value")
-                    disj[-1].append(Cond(left, "IN", vals))
-                elif self.at("punct", "["):
-                    self.expect("punct", "[")
-                    vals: list[Any] = []
-                    if not self.at("punct", "]"):
-                        while True:
-                            vals.append(self.parse_value(unwind_var))
-                            if self.at("punct", ","):
-                                self.next()
-                                continue
-                            break
-                    self.expect("punct", "]")
-                    disj[-1].append(Cond(left, "IN", vals))
-                elif unwind_var is None:
-                    # IN <expression> — membership in a list-valued
-                    # expression (``x IN split(s, ',')``, ``y IN n.tags``):
-                    # compiles to array_contains, 3VL-preserving
-                    expr = self.parse_return_expr(allow_bare)
-                    if isinstance(expr, AggCall):
-                        raise CypherSyntaxError(
-                            "aggregates are not allowed in WHERE; compute "
-                            "the aggregate in a WITH stage and filter on "
-                            "its alias"
-                        )
-                    disj[-1].append(Cond(left, "IN_EXPR", expr))
-                else:
-                    raise CypherSyntaxError(
-                        "IN requires a list literal or $param here"
+                    return [conds]
+                except CypherSyntaxError:
+                    self.i = save2
+                self.expect("punct", "(")
+                grp = self._parse_where_or(unwind_var, allow_bare)
+                self.expect("punct", ")")
+                return self._negate_dnf(grp)
+            if self._at_exists():
+                return [[self._parse_exists_cond(allow_bare, negated=True)]]
+            return [
+                self._parse_single_cond(unwind_var, allow_bare, negated=True)
+            ]
+        if self.at("punct", "("):
+            save = self.i
+            try:
+                return [[self.parse_pattern_predicate()]]
+            except CypherSyntaxError:
+                self.i = save
+            try:
+                return [
+                    self._parse_single_cond(
+                        unwind_var, allow_bare, negated=False
                     )
-            elif self._at_word_ci("STARTS") or self._at_word_ci("ENDS"):
-                kw = self.next().text.upper()
-                self.expect("kw", "WITH")
-                disj[-1].append(
-                    Cond(left, f"{kw} WITH", self.parse_value(unwind_var))
-                )
-            elif self._at_word_ci("CONTAINS"):
+                ]
+            except CypherSyntaxError:
+                self.i = save
+            self.expect("punct", "(")
+            grp = self._parse_where_or(unwind_var, allow_bare)
+            self.expect("punct", ")")
+            return grp
+        if self._at_exists():
+            return [[self._parse_exists_cond(allow_bare, negated=False)]]
+        return [self._parse_single_cond(unwind_var, allow_bare, negated=False)]
+
+    def _at_exists(self) -> bool:
+        return self._at_word_ci("EXISTS") and (
+            self.peek(1) is not None and self.peek(1).text in ("(", "{")
+        )
+
+    def _parse_exists_cond(self, allow_bare: bool, negated: bool) -> Cond:
+        """exists(n.prop) == n.prop IS NOT NULL (classic Neo4j);
+        exists((v)-[:T]->()) == the pattern existential;
+        EXISTS { (v)-[:T]->(:L) } == the modern (Neo4j 5)
+        existential-subquery block, sugar for the same semi/anti-join
+        pattern predicate (an optional leading MATCH keyword inside the
+        block is accepted)."""
+        self.next()
+        if self.at("punct", "{"):
+            self.next()
+            if self.at("kw", "MATCH"):
                 self.next()
-                disj[-1].append(
-                    Cond(left, "CONTAINS", self.parse_value(unwind_var))
-                )
-            elif self._at_word_ci("IS"):
-                # n.prop IS [NOT] NULL — Neo4j's missing-property predicate
-                # (B5: absent properties read as null)
-                self.next()
-                if self._at_word_ci("NOT"):
-                    self.next()
-                    self.expect("kw", "NULL")
-                    disj[-1].append(Cond(left, "IS NOT NULL", None))
-                else:
-                    self.expect("kw", "NULL")
-                    disj[-1].append(Cond(left, "IS NULL", None))
-            elif not self.at("op"):
-                # bare boolean reference as a predicate: ``WHERE n.trust``
-                # / ``WHERE x = 1 OR NOT n.flag`` — openCypher truthiness.
-                # Compiled as ``col = true`` so three-valued logic holds: a
-                # null (or missing) property never passes, and NOT of it
-                # stays null.
-                disj[-1].append(Cond(left, "TRUTHY", None))
-            else:
-                op = self.expect("op").text
-                if unwind_var is None:
-                    right = self.parse_return_expr(allow_bare)
-                    if isinstance(right, AggCall):
-                        raise CypherSyntaxError(
-                            "aggregates are not allowed in WHERE; compute "
-                            "the aggregate in a WITH stage and filter on "
-                            "its alias"
-                        )
-                else:
-                    right = self.parse_operand(unwind_var)
-                if op == "=~" and not isinstance(right, str):
-                    raise CypherSyntaxError(
-                        "=~ requires a string regex literal on the right"
-                    )
-                disj[-1].append(Cond(left, op, right))
-                # Cypher chained comparisons: a < b <= c desugars to
-                # a < b AND b <= c (the shared operand's AST is reused,
-                # not re-evaluated differently)
-                chain_ops = ("<", "<=", ">", ">=", "=", "<>")
-                while (
-                    unwind_var is None
-                    and op in chain_ops
-                    and self.at("op")
-                    and self.peek().text in chain_ops
-                ):
-                    if negated:
-                        raise CypherSyntaxError(
-                            "NOT over a chained comparison is ambiguous; "
-                            "parenthesize or split with AND"
-                        )
-                    mid = right
-                    op = self.next().text
-                    right = self.parse_return_expr(allow_bare)
-                    if isinstance(right, AggCall):
-                        raise CypherSyntaxError(
-                            "aggregates are not allowed in WHERE; compute "
-                            "the aggregate in a WITH stage and filter on "
-                            "its alias"
-                        )
-                    disj[-1].append(Cond(mid, op, right))
+            pc = self.parse_pattern_predicate(block=True)
+            self.expect("punct", "}")
             if negated:
-                disj[-1][-1].negated = True
-            if self.at("kw", "AND"):
-                self.next()
-                continue
-            if self.at("kw", "OR"):
-                self.next()
-                disj.append([])
-                continue
-            if self._at_word_ci("XOR"):
-                # a [AND …] XOR b [AND …]: desugared into the DNF the
-                # rest of the machinery speaks — (A ∧ ¬b₁) ∨ … ∨ (¬aᵢ ∧ B)
-                # (¬ of a conjunction distributes into one negated-cond
-                # disjunct each). Three-valued logic survives the identity
-                # (null XOR x is null on both forms). Neo4j precedence
-                # AND < XOR < OR holds; chained/OR-mixed XOR is rejected
-                # loudly rather than mis-grouped.
-                self.next()
-                rest = self.parse_where(unwind_var, allow_bare)
-                if len(rest) > 1:
-                    raise CypherSyntaxError(
-                        "chained XOR / XOR mixed with OR is not supported; "
-                        "rewrite with AND/OR/NOT"
-                    )
-                lhs, rhs = disj.pop(), rest[0]
+                pc.negated = not pc.negated
+            return pc
+        self.expect("punct", "(")
+        if self.at("punct", "("):
+            pc = self.parse_pattern_predicate()
+            self.expect("punct", ")")
+            if negated:
+                pc.negated = not pc.negated
+            return pc
+        ref = self.parse_prop_ref(allow_bare)
+        self.expect("punct", ")")
+        return Cond(ref, "IS NOT NULL", None, negated=negated)
 
-                def _neg(c):
-                    return dc_replace(c, negated=not c.negated)
-
-                disj.extend(
-                    [lhs + [_neg(b)] for b in rhs]
-                    + [[_neg(a)] + rhs for a in lhs]
+    def _parse_single_cond(
+        self, unwind_var, allow_bare: bool, negated: bool
+    ) -> list[Cond]:
+        """One comparison/predicate condition (chained comparisons may
+        expand to several ANDed conds). Returns the conjunct list."""
+        out: list[Cond] = []
+        if unwind_var is None:
+            # read context: a full arithmetic expression may appear on
+            # either side of the comparison (``WHERE x % 3 = 0``,
+            # ``WHERE y > x * 10`` inside comprehensions). Arithmetic
+            # parsing never consumes comparison ops or AND/OR, so the
+            # condition structure is unchanged; aggregates stay
+            # rejected (filter on a WITH alias instead).
+            left = self.parse_return_expr(allow_bare)
+            if isinstance(left, AggCall):
+                raise CypherSyntaxError(
+                    "aggregates are not allowed in WHERE; compute the "
+                    "aggregate in a WITH stage and filter on its alias"
                 )
-                return disj
-            return disj
+        elif self._at_scalar_fn():
+            left = self._parse_primary_expr(allow_bare)
+        else:
+            left = self.parse_prop_ref(allow_bare)
+        if self._at_word_ci("IN"):
+            self.next()
+            if self.at("punct", "$"):
+                # IN $param — the parameterized membership idiom
+                vals = self.parse_value(unwind_var)
+                if not isinstance(vals, list):
+                    raise CypherSyntaxError("IN $param requires a list value")
+                out.append(Cond(left, "IN", vals))
+            elif self.at("punct", "["):
+                self.expect("punct", "[")
+                vals: list[Any] = []
+                if not self.at("punct", "]"):
+                    while True:
+                        vals.append(self.parse_value(unwind_var))
+                        if self.at("punct", ","):
+                            self.next()
+                            continue
+                        break
+                self.expect("punct", "]")
+                out.append(Cond(left, "IN", vals))
+            elif unwind_var is None:
+                # IN <expression> — membership in a list-valued
+                # expression (``x IN split(s, ',')``, ``y IN n.tags``):
+                # compiles to array_contains, 3VL-preserving
+                expr = self.parse_return_expr(allow_bare)
+                if isinstance(expr, AggCall):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed in WHERE; compute "
+                        "the aggregate in a WITH stage and filter on "
+                        "its alias"
+                    )
+                out.append(Cond(left, "IN_EXPR", expr))
+            else:
+                raise CypherSyntaxError(
+                    "IN requires a list literal or $param here"
+                )
+        elif self._at_word_ci("STARTS") or self._at_word_ci("ENDS"):
+            kw = self.next().text.upper()
+            self.expect("kw", "WITH")
+            out.append(
+                Cond(left, f"{kw} WITH", self.parse_value(unwind_var))
+            )
+        elif self._at_word_ci("CONTAINS"):
+            self.next()
+            out.append(
+                Cond(left, "CONTAINS", self.parse_value(unwind_var))
+            )
+        elif self._at_word_ci("IS"):
+            # n.prop IS [NOT] NULL — Neo4j's missing-property predicate
+            # (B5: absent properties read as null)
+            self.next()
+            if self._at_word_ci("NOT"):
+                self.next()
+                self.expect("kw", "NULL")
+                out.append(Cond(left, "IS NOT NULL", None))
+            else:
+                self.expect("kw", "NULL")
+                out.append(Cond(left, "IS NULL", None))
+        elif not self.at("op"):
+            # bare boolean reference as a predicate: ``WHERE n.trust``
+            # / ``WHERE x = 1 OR NOT n.flag`` — openCypher truthiness.
+            # Compiled as ``col = true`` so three-valued logic holds: a
+            # null (or missing) property never passes, and NOT of it
+            # stays null.
+            out.append(Cond(left, "TRUTHY", None))
+        else:
+            op = self.expect("op").text
+            if unwind_var is None:
+                right = self.parse_return_expr(allow_bare)
+                if isinstance(right, AggCall):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed in WHERE; compute "
+                        "the aggregate in a WITH stage and filter on "
+                        "its alias"
+                    )
+            else:
+                right = self.parse_operand(unwind_var)
+            if op == "=~" and not isinstance(right, str):
+                raise CypherSyntaxError(
+                    "=~ requires a string regex literal on the right"
+                )
+            out.append(Cond(left, op, right))
+            # Cypher chained comparisons: a < b <= c desugars to
+            # a < b AND b <= c (the shared operand's AST is reused,
+            # not re-evaluated differently)
+            chain_ops = ("<", "<=", ">", ">=", "=", "<>")
+            while (
+                unwind_var is None
+                and op in chain_ops
+                and self.at("op")
+                and self.peek().text in chain_ops
+            ):
+                if negated:
+                    raise CypherSyntaxError(
+                        "NOT over a chained comparison is ambiguous; "
+                        "parenthesize or split with AND"
+                    )
+                mid = right
+                op = self.next().text
+                right = self.parse_return_expr(allow_bare)
+                if isinstance(right, AggCall):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed in WHERE; compute "
+                        "the aggregate in a WITH stage and filter on "
+                        "its alias"
+                    )
+                out.append(Cond(mid, op, right))
+        if negated:
+            out[-1] = dc_replace(out[-1], negated=not out[-1].negated)
+        return out
 
     def _parse_pattern_comp(self) -> PatternComp:
         """Body of a pattern comprehension, after the opening ``[`` (the

@@ -3756,11 +3756,24 @@ def test_xor_predicates(fixture_graph):
     assert names(
         "MATCH (n:User) WHERE n.nickname = 'x' XOR n.trust RETURN n.name"
     ) == []
-    with pytest.raises(CypherSyntaxError, match="chained XOR"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) WHERE n.trust XOR n.trust XOR n.trust RETURN n.name",
-        )
+    # chained XOR folds left-associatively: t^t^t == t
+    assert names(
+        "MATCH (n:User) WHERE n.trust XOR n.trust XOR n.trust "
+        "RETURN n.name ORDER BY n.name"
+    ) == ["Alice", "Bob"]
+    # parenthesized boolean groups distribute into the DNF
+    assert names(
+        "MATCH (n:User) WHERE (n.name = 'Alice' OR n.name = 'Bob') "
+        "AND n.born = 1984 RETURN n.name ORDER BY n.name"
+    ) == ["Alice"]
+    assert names(
+        "MATCH (n:User) WHERE NOT (n.name = 'Alice' OR n.name = 'Bob') "
+        "RETURN n.name"
+    ) == ["Eve"]
+    assert names(
+        "MATCH (n:User) WHERE NOT (n.trust XOR n.born = 1984) "
+        "RETURN n.name ORDER BY n.name"
+    ) == ["Alice"]  # ¬(T^T)=T for Alice; Bob/Eve ¬(T)=F; 3VL keeps nulls out
 
 
 def test_set_replace_map(spark, fixture_graph):

@@ -72,6 +72,50 @@ VALID_QUERIES = [
     "ORDER BY name",
     "MATCH (a:User)-[e:KNOWS|LIKES]->(b:User) "
     "RETURN a.name AS x, b.name AS y ORDER BY x",
+    # round-5/6 surface: XOR chains (Neo4j precedence), exponentiation,
+    # chained comparisons, overloaded + (string/list concat)
+    "MATCH (n:User) WHERE n.trust XOR n.born > 1983 "
+    "RETURN n.name AS name ORDER BY name",
+    "MATCH (n:User) WHERE (n.trust XOR n.born > 1983) AND n.name <> 'x' "
+    "RETURN n.name AS name ORDER BY name",
+    "UNWIND [1, 2, 3] AS x WITH x WHERE 1 < x <= 3 "
+    "RETURN x ^ 2 AS sq, 2 ^ x AS p2 ORDER BY sq",
+    "MATCH (c:User) WITH c.name + '@' + 'host' AS addr, "
+    "split(c.name, '#') + ['tail'] AS toks "
+    "RETURN addr, toks, size(toks) AS n ORDER BY addr",
+    # map projections + map literals + temporal component maps
+    "MATCH (n:User) RETURN n {.name, .born} AS proj, "
+    "{a: 1, b: [1, 2], c: {d: n.name}} AS lit ORDER BY proj",
+    "UNWIND ['2024-02-29', 'nope'] AS s "
+    "RETURN date(s) AS d, date({year: 2024, month: 2, day: 29}) AS built, "
+    "datetime.truncate('month', datetime('2024-02-29T12:30:00')) AS tr",
+    "UNWIND ['2024-01-01'] AS s WITH date(s) AS d "
+    "RETURN d.year AS y, d.quarter AS q, d.ordinalDay AS doy, "
+    "d.dayOfWeek AS dow, duration.inDays(d, date('2024-03-01')) AS dur",
+    # ordered collect + slices + DISTINCT-after-deferred-sort
+    "MATCH (c:User)-[e:KNOWS]->(n:User) WITH n, c ORDER BY c.name DESC "
+    "WITH n.name AS nation, collect(c.name) AS members "
+    "RETURN nation, members[0..5] AS top5, size(members) AS n_c "
+    "ORDER BY nation",
+    "UNWIND [1, 3, 2, 3] AS v WITH v ORDER BY v DESC "
+    "RETURN DISTINCT v LIMIT 2",
+    # named paths + accessors (nodes/relationships carry arrays)
+    "MATCH p = shortestPath((a:User)-[:KNOWS*1..3]->(b:User)) "
+    "WHERE b.name = 'Dave' RETURN a.name AS an, length(p) AS l, "
+    "nodes(p) AS ns, relationships(p) AS rs ORDER BY an",
+    "MATCH p = (a:User)-[:KNOWS*2..2]->(b:User) "
+    "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS l",
+    "MATCH p = (a:User)-[:KNOWS*1..2]->(b:User) "
+    "WHERE a.name = 'Alice' RETURN length(p) AS l ORDER BY l",
+    # reduce() over collect, postfix field access, IN over list exprs
+    "MATCH (c:User)-[e:KNOWS]->(n:User) "
+    "WITH n.name AS g, collect(c.name) AS names "
+    "WHERE 'Alice' IN names OR size(names) >= 0 "
+    "RETURN g, names[0] AS first_c, "
+    "reduce(acc = 0, x IN names | acc + size(x)) AS chars ORDER BY g",
+    # pattern comprehension inside size() inside arithmetic
+    "MATCH (n:User) WHERE size([(n)-[:KNOWS]->(f) | f.name]) * 2 >= 2 "
+    "RETURN n.name AS name ORDER BY name",
 ]
 
 
@@ -122,6 +166,17 @@ def _parse_only(query: str) -> None:
             p.expect("punct", "(")
             p.parse_pattern(undirected_hops_ok=True)
             p.expect("punct", ")")
+        elif (
+            p.at("word")
+            and p.peek(1) is not None
+            and p.peek(1).text == "="
+            and p.peek(2) is not None
+            and p.peek(2).kind == "punct"
+            and p.peek(2).text == "("
+        ):
+            # named plain var-length path: MATCH p = (a)-[:T*lo..hi]->(b)
+            p.next(), p.next()
+            p.parse_pattern()
         else:
             p.parse_pattern_seq()
         if p.at("kw", "WHERE"):
