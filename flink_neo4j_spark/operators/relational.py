@@ -2448,3 +2448,309 @@ ORACLE["q64_brand_margin"] = """
                 FROM lineitem GROUP BY l_partkey) f
           JOIN part ON l_partkey = p_partkey)
     GROUP BY p_brand ORDER BY p_brand"""
+
+
+# Q65 — TPC-H Q3 (shipping priority): the classic 3-way join + top-k —
+# segment-filtered customers x not-yet-shipped orders x post-date
+# lineitems, revenue per order, top 10. Completes the repo's TPC-H
+# coverage push (Q1/2/6..21 landed rounds 1-5; Q3/4/12/16/17/22 land
+# here, adapted only where the generator's schema lacks a column).
+# Plan: both date filters push to the scans, the customer side reduces
+# to a broadcast semi-side, revenue accumulates in integer cents
+# (layout-independent), and the top-10 is TakeOrdered — no global sort.
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-01"
+
+
+def q65_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_DATE
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_DATE
+    ).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.round(F.sum("cents") / 100.0, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+QUERIES["q65_shipping_priority"] = q65_shipping_priority
+ORACLE["q65_shipping_priority"] = f"""
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < DATE '{Q3_DATE}'
+      AND l_shipdate > DATE '{Q3_DATE}'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10"""
+
+
+# Q66 — TPC-H Q4 (order priority checking), adapted: the generator has no
+# l_commitdate/l_receiptdate, so "late" = a lineitem shipped more than 30
+# days after its order date — the same correlated-EXISTS-with-inequality
+# shape. Plan: the EXISTS is ONE left-semi join on the order key with the
+# inequality in the join condition (never a row-multiplying inner join +
+# distinct), then a tiny hash aggregate over the 5 priorities.
+Q4_DATE_LO = "1997-01-01"
+Q4_DATE_HI = "1997-04-01"
+Q4_LATE_DAYS = 30
+
+
+def q66_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_DATE_LO)
+        & (F.col("o_orderdate") < Q4_DATE_HI)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (
+            l.l_shipdate
+            > F.date_add(o.o_orderdate.cast("date"), Q4_LATE_DAYS).cast(
+                "timestamp"
+            )
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q66_order_priority"] = q66_order_priority
+ORACLE["q66_order_priority"] = f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '{Q4_DATE_LO}'
+      AND o_orderdate < DATE '{Q4_DATE_HI}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > CAST(o_orderdate AS DATE)
+                           + INTERVAL {Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+
+# Q67 — TPC-H Q12 (shipping modes / priority split), adapted: the
+# generator has no l_shipmode, so lineitems classify by l_returnflag —
+# the query's real shape survives intact: one fact-dim join, then per
+# class a CONDITIONAL count pair (urgent/high vs other priorities) in a
+# single hash aggregate (two CASE-sums, one pass — never two scans).
+Q12_DATE_LO = "1997-01-01"
+Q12_DATE_HI = "1998-01-01"
+
+
+def q67_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q12_DATE_LO)
+        & (F.col("l_shipdate") < Q12_DATE_HI)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["q67_returnflag_priority"] = q67_returnflag_priority
+ORACLE["q67_returnflag_priority"] = f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '{Q12_DATE_LO}'
+      AND l_shipdate < DATE '{Q12_DATE_HI}'
+      AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+# Q68 — TPC-H Q16 (parts/supplier relationship), adapted: no partsupp
+# table, so the part-supplier association is the DISTINCT
+# (l_partkey, l_suppkey) pairs observed in lineitem; the "customer
+# complaints" supplier exclusion becomes the negative-balance suppliers
+# (same anti-join shape). Plan: dedup the association once (partial-agg
+# distinct), anti-join the tiny excluded-supplier set (broadcast), join
+# the filtered part dim (broadcast), then ONE count-distinct aggregate
+# per (brand, size) — supplier multiplicity never re-explodes.
+Q16_EXCLUDED_BRAND = "Brand#45"
+Q16_SIZES = (1, 3, 9, 14, 19, 23, 36, 45)
+
+
+def q68_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        assoc.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+QUERIES["q68_parts_supplier"] = q68_parts_supplier
+ORACLE["q68_parts_supplier"] = f"""
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) assoc
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+      AND p_size IN {Q16_SIZES!r}
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
+
+# Q69 — TPC-H Q17 (small-quantity-order revenue), adapted: brand filter
+# only (no p_container). "Below half the part's average quantity" is
+# evaluated EXACTLY: quantities are integral, so qty < 0.5·avg(qty) ⟺
+# 2·qty·cnt < Σqty in int64 — no float threshold can flip a boundary row
+# between engines or layouts. Plan: one partial-agg per part (cnt, Σqty),
+# joined back to the brand-filtered lineitems; revenue accumulates in
+# cents and divides once at presentation (the weekly-revenue /7).
+Q17_BRAND = "Brand#23"
+
+
+def q69_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+        .select(
+            "l_partkey",
+            F.round("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt"), F.sum("qty").alias("sum_qty")
+    )
+    small = l.join(per_part, "l_partkey").filter(
+        2 * F.col("qty") * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(F.sum("cents") / 100.0 / 7.0, 2).alias("avg_weekly_revenue")
+    )
+
+
+QUERIES["q69_small_qty_revenue"] = q69_small_qty_revenue
+ORACLE["q69_small_qty_revenue"] = f"""
+    WITH l AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = '{Q17_BRAND}'),
+    pp AS (
+      SELECT l_partkey, COUNT(*) AS cnt, SUM(qty) AS sum_qty
+      FROM l GROUP BY l_partkey)
+    SELECT ROUND(SUM(cents) / 100.0 / 7.0, 2) AS avg_weekly_revenue
+    FROM l JOIN pp USING (l_partkey)
+    WHERE 2 * qty * cnt < sum_qty"""
+
+
+# Q70 — TPC-H Q22 (global sales opportunity), adapted: the generator has
+# no c_phone (country code becomes c_nationkey) and every customer has
+# SOME order, so "no orders" becomes "no order since a cutoff" — the
+# dormant-high-balance-customer report, same shape: scalar average
+# subquery + anti-join + per-code rollup. The above-average test is
+# exact (cents·count vs Σcents integer cross-multiply); balances roll up
+# in cents and divide once.
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_CUTOFF = "1999-01-01"
+
+
+def q70_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*Q22_NATIONS)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    stats = c.filter(F.col("bal_cents") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum("bal_cents").alias("sum_pos")
+    )
+    rich = c.join(F.broadcast(stats)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= Q22_CUTOFF
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        rich.join(recent, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+QUERIES["q70_sales_opportunity"] = q70_sales_opportunity
+ORACLE["q70_sales_opportunity"] = f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_nationkey IN {Q22_NATIONS!r}),
+    s AS (SELECT COUNT(*) AS n_pos, SUM(bal_cents) AS sum_pos
+          FROM c WHERE bal_cents > 0)
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           ROUND(SUM(bal_cents) / 100.0, 2) AS totacctbal
+    FROM c, s
+    WHERE bal_cents * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '{Q22_CUTOFF}')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode"""
