@@ -427,6 +427,8 @@ _FN_ARITY = {
     # Neo4j — nondeterministic, rejected by the min-arity (determinism is
     # the engine contract); pass the clock in as a parameter instead
     "date": (1, 1), "datetime": (1, 1),
+    # spatial constructor: point({x, y}) / point({longitude, latitude})
+    "point": (1, 1),
 }
 
 #: hard ceiling on variable-length path expansion: each extra hop is one
@@ -1577,6 +1579,37 @@ class _Parser:
         if (
             tok is not None
             and tok.kind == "word"
+            and tok.text == "point"
+            and self.peek(1) is not None
+            and self.peek(1).text == "."
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).text == "("
+        ):
+            # point.distance(a, b) / point.withinBBox(p, ll, ur) — the
+            # Neo4j 5 spatial function namespace
+            sub = self.peek(2).text
+            if sub not in ("distance", "withinBBox"):
+                raise CypherSyntaxError(
+                    f"unknown spatial function point.{sub}"
+                )
+            self.next(), self.next(), self.next()
+            self.expect("punct", "(")
+            args = [self._parse_scalar_arg(allow_bare)]
+            while self.at("punct", ","):
+                self.next()
+                args.append(self._parse_scalar_arg(allow_bare))
+            self.expect("punct", ")")
+            want = 2 if sub == "distance" else 3
+            if len(args) != want:
+                raise CypherSyntaxError(
+                    f"point.{sub}() takes {want} arguments, got {len(args)}"
+                )
+            return FuncCall(f"point.{sub}", args[0], tuple(args[1:]))
+        if (
+            tok is not None
+            and tok.kind == "word"
             and tok.text == "duration"
             and self.peek(1) is not None
             and self.peek(1).text == "."
@@ -1910,6 +1943,61 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
     def resolve(a) -> Column:
         return _expr_column(a, colmap, df)
 
+    if call.fn == "point":
+        # Neo4j's spatial point: a (x, y, crs) struct value. Cartesian
+        # {x, y} or geographic {longitude, latitude} (stored as x=lon,
+        # y=lat with crs='wgs-84', matching Neo4j's p.x == p.longitude).
+        # A struct column — codegen-native, groupable, carryable through
+        # WITH like any value; no UDT, no Python.
+        if not isinstance(call.arg, MapLit):
+            raise CypherSyntaxError(
+                "point() takes a map: point({x: …, y: …}) or "
+                "point({longitude: …, latitude: …})"
+            )
+        entries = dict(call.arg.entries)
+        keys = set(entries)
+        if keys == {"x", "y"}:
+            crs, kx, ky = "cartesian", "x", "y"
+        elif keys == {"longitude", "latitude"}:
+            crs, kx, ky = "wgs-84", "longitude", "latitude"
+        else:
+            raise CypherSyntaxError(
+                "point() map must be exactly {x, y} or "
+                "{longitude, latitude}; got {"
+                + ", ".join(sorted(keys)) + "}"
+            )
+        return F.struct(
+            resolve(entries[kx]).cast("double").alias("x"),
+            resolve(entries[ky]).cast("double").alias("y"),
+            F.lit(crs).alias("crs"),
+        )
+    if call.fn == "point.distance":
+        # cartesian: Euclidean; wgs-84: haversine meters on the
+        # mean-radius sphere (R=6371000 — the oracle states the SAME
+        # formula, so conformance is formula-exact; trig ulp differences
+        # vanish under the ROUND discipline). Mixed-CRS distance is null,
+        # per Neo4j 5 — the when() chain nulls it for free.
+        a, b = resolve(call.arg), resolve(call.extra[0])
+        ax, ay, bx, by = a["x"], a["y"], b["x"], b["y"]
+        euclid = F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+        rad = 3.141592653589793 / 180.0
+        dlat, dlon = (by - ay) * rad, (bx - ax) * rad
+        half_lat, half_lon = F.sin(dlat / 2), F.sin(dlon / 2)
+        h = half_lat * half_lat + (
+            F.cos(ay * rad) * F.cos(by * rad) * half_lon * half_lon
+        )
+        hav = 2.0 * 6371000.0 * F.asin(F.sqrt(h))
+        return F.when(
+            a["crs"] == b["crs"],
+            F.when(a["crs"] == F.lit("wgs-84"), hav).otherwise(euclid),
+        )
+    if call.fn == "point.withinBBox":
+        p = resolve(call.arg)
+        lo, hi = resolve(call.extra[0]), resolve(call.extra[1])
+        return (
+            (p["x"] >= lo["x"]) & (p["x"] <= hi["x"])
+            & (p["y"] >= lo["y"]) & (p["y"] <= hi["y"])
+        )
     if call.fn in ("date", "datetime") and isinstance(call.arg, MapLit):
         # Neo4j's component map constructors: date({year, month, day}) /
         # datetime({year … second}) — year required, month/day default 1,
@@ -2394,6 +2482,12 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         if isinstance(dt, StructType):
             if expr.name in dt.names:
                 return base.getField(expr.name)
+            if "crs" in dt.names and expr.name in ("longitude", "latitude"):
+                # spatial point accessors: p.longitude == p.x, p.latitude
+                # == p.y (Neo4j aliasing on geographic points)
+                return base.getField(
+                    "x" if expr.name == "longitude" else "y"
+                )
             return F.lit(None)  # map-access-on-missing-key reads null
         if expr.name in _TEMPORAL_ACCESSORS and dt is not None:
             is_ts = isinstance(dt, TimestampType) or dt.typeName().startswith(

@@ -2562,6 +2562,48 @@ ORACLE["g59_cypher_multilabel"] = """
     FROM region ORDER BY name"""
 
 
+# G60 — Cypher spatial surface: point({x,y}) / point({longitude,
+# latitude}) constructors, point.distance (Euclidean resp. haversine
+# meters on the mean-radius sphere — the SAME closed formula the oracle
+# states, so conformance is formula-exact) and point.withinBBox — over a
+# distributed range() grid, plus a fixed geographic pair. Points are
+# plain (x, y, crs) struct values: codegen-native, carryable through
+# WITH, no UDT and no Python anywhere.
+def g60_cypher_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "UNWIND range(0, 99) AS i "
+        "WITH point({x: i % 10, y: i / 10}) AS p "
+        "WITH p, point.distance(p, point({x: 0, y: 0})) AS d "
+        "WHERE point.withinBBox(p, point({x: 2, y: 2}), "
+        "point({x: 7, y: 7})) "
+        "WITH count(*) AS n, sum(d) AS s "
+        "RETURN n, round(s, 2) AS total_dist, "
+        "round(point.distance(point({longitude: 2.35, latitude: 48.85}), "
+        "point({longitude: -0.13, latitude: 51.51})) / 1000, 2) "
+        "AS paris_london_km",
+    )
+
+
+QUERIES["g60_cypher_spatial"] = g60_cypher_spatial
+ORACLE["g60_cypher_spatial"] = """
+    WITH grid AS (
+      SELECT i % 10 AS x, i // 10 AS y FROM generate_series(0, 99) t(i)),
+    f AS (
+      SELECT SQRT(CAST(x * x + y * y AS DOUBLE)) AS d FROM grid
+      WHERE x BETWEEN 2 AND 7 AND y BETWEEN 2 AND 7)
+    SELECT COUNT(*) AS n, ROUND(SUM(d), 2) AS total_dist,
+           ROUND(2 * 6371000.0 * ASIN(SQRT(
+             POW(SIN((51.51 - 48.85) * PI() / 180 / 2), 2)
+             + COS(48.85 * PI() / 180) * COS(51.51 * PI() / 180)
+               * POW(SIN((-0.13 - 2.35) * PI() / 180 / 2), 2))) / 1000, 2)
+             AS paris_london_km
+    FROM f"""
+
+
 # G58 — path accessors through the front end: ``MATCH p =
 # shortestPath(...)`` then ``nodes(p)`` / ``relationships(p)`` — the
 # first thing a Neo4j user asks of a bound path. The counting BFS

@@ -3822,3 +3822,75 @@ def test_call_subquery_blocks(fixture_graph):
             "MATCH (n:User) CALL { MATCH (m:User) RETURN m.name AS x } "
             "RETURN n.name, x",
         )
+
+
+def test_point_constructor_and_accessors(fixture_graph):
+    """point({x,y}) / point({longitude,latitude}) build (x, y, crs)
+    struct values; geographic points alias .longitude/.latitude onto
+    .x/.y (Neo4j), and the struct carries through WITH like any value."""
+    row = cypher_read(
+        fixture_graph,
+        "RETURN point({x: 3, y: 4}) AS c, "
+        "point({longitude: 10, latitude: 20}) AS g",
+    ).collect()[0]
+    assert (row["c"]["x"], row["c"]["y"], row["c"]["crs"]) == (3.0, 4.0, "cartesian")
+    assert (row["g"]["x"], row["g"]["y"], row["g"]["crs"]) == (10.0, 20.0, "wgs-84")
+    row = cypher_read(
+        fixture_graph,
+        "WITH point({longitude: 10, latitude: 20}) AS p "
+        "RETURN p.x AS x, p.crs AS crs, "
+        "point({longitude: 10, latitude: 20}).latitude AS lat",
+    ).collect()[0]
+    assert (row["x"], row["crs"], row["lat"]) == (10.0, "wgs-84", 20.0)
+
+
+def test_point_distance_semantics(fixture_graph):
+    """Euclidean for cartesian, haversine meters for wgs-84, null for
+    mixed CRS (Neo4j 5 contract)."""
+    row = cypher_read(
+        fixture_graph,
+        "RETURN point.distance(point({x: 0, y: 0}), point({x: 3, y: 4})) "
+        "AS e, "
+        "point.distance(point({x: 0, y: 0}), "
+        "point({longitude: 0, latitude: 0})) AS mixed, "
+        "round(point.distance(point({longitude: 2.35, latitude: 48.85}), "
+        "point({longitude: -0.13, latitude: 51.51})) / 1000, 0) AS km",
+    ).collect()[0]
+    assert row["e"] == 5.0
+    assert row["mixed"] is None
+    assert row["km"] == 344.0  # Paris-London great circle
+    # distance to self is 0 in both systems
+    row = cypher_read(
+        fixture_graph,
+        "WITH point({longitude: 7, latitude: 7}) AS p "
+        "RETURN point.distance(p, p) AS z",
+    ).collect()[0]
+    assert row["z"] == 0.0
+
+
+def test_point_within_bbox(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [0, 3, 5, 9] AS x "
+        "WITH x, point({x: x, y: x}) AS p "
+        "WHERE point.withinBBox(p, point({x: 2, y: 2}), "
+        "point({x: 5, y: 5})) "
+        "RETURN x ORDER BY x",
+    ).collect()
+    assert [r["x"] for r in rows] == [3, 5]  # bounds inclusive
+
+
+def test_point_validation(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="point\\(\\) map"):
+        cypher_read(fixture_graph, "RETURN point({x: 1, z: 2}) AS p")
+    with pytest.raises(CypherSyntaxError, match="takes a map"):
+        cypher_read(fixture_graph, "RETURN point(1) AS p")
+    with pytest.raises(CypherSyntaxError, match="unknown spatial"):
+        cypher_read(
+            fixture_graph,
+            "RETURN point.area(point({x: 1, y: 1}), point({x: 2, y: 2})) AS a",
+        )
+    with pytest.raises(CypherSyntaxError, match="2 arguments"):
+        cypher_read(
+            fixture_graph, "RETURN point.distance(point({x: 1, y: 1})) AS d"
+        )
