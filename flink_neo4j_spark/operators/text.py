@@ -1574,3 +1574,80 @@ def _bm25_oracle() -> str:
 
 
 ORACLE["t24_bm25_scoring"] = _bm25_oracle()
+
+
+# T25 — sliding-window document chunking: the standard RAG / long-context
+# pretraining step (fixed token windows with overlap so no boundary
+# context is lost). Token positions come from one whitespace split; chunk
+# starts stride by STRIDE with the last window allowed to be short; the
+# chunk count per doc is integer-exact (1 + max(0, ⌈(n-CHUNK)/STRIDE⌉),
+# computed with `div` so both engines agree on every boundary). Plan:
+# split → posexplode over a per-row sequence (output rows bounded by
+# 1 + n/STRIDE per doc — linear, no joins) → slice + array_join, all JVM
+# array expressions inside codegen. At 100 TB this is a pure map stage:
+# no shuffle at all until a downstream consumer groups.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def t25_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    n_chunks = 1 + F.greatest(
+        F.lit(0),
+        F.expr(f"(n - {CHUNK_TOKENS - CHUNK_STRIDE + 1}) div {CHUNK_STRIDE}"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                F.col("toks"),
+                F.col("start") * CHUNK_STRIDE + 1,
+                CHUNK_TOKENS,
+            ).alias("ctoks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ctoks").cast("long").alias("n_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+QUERIES["t25_chunking"] = t25_chunking
+ORACLE["t25_chunking"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    spans AS (
+      SELECT doc_id, toks,
+             1 + GREATEST(0, (n - {CHUNK_TOKENS - CHUNK_STRIDE + 1})
+                             // {CHUNK_STRIDE}) AS n_chunks
+      FROM toks),
+    idx AS (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+      FROM spans),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             toks[CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT) :
+                  CAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS INT)]
+               AS ctoks
+      FROM idx)
+    SELECT doc_id, chunk_id,
+           CAST(len(ctoks) AS BIGINT) AS n_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id"""
