@@ -3054,3 +3054,159 @@ ORACLE["g57_cypher_pattern_comp"] = """
            CAST((SELECT COUNT(*) FROM supplier
                  WHERE s_nationkey = n_nationkey) AS BIGINT) AS suppliers
     FROM nation ORDER BY nation"""
+
+
+# -- betweenness centrality ------------------------------------------------
+#
+# Brandes' algorithm, all sources BATCHED in one dataflow: the forward
+# pass is the same level-synchronous counting BFS as the shortestPath
+# front end (per-(source, v) state carrying (dist, σ) — never path
+# enumeration), and the backward pass accumulates the dependency
+# recurrence δ(s,v) = Σ_{w : succ} σ_sv/σ_sw · (1 + δ(s,w)) one BFS
+# LEVEL at a time (one edge join + one state merge per level, all
+# sources in the same job). State is O(|sources|·|V|) — the inherent
+# cost of exact betweenness; at scale pass a deterministic source sample
+# (the standard Brandes–Pich estimator) and the plan is unchanged.
+BC_CHECKPOINT_EVERY = 3
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_iters: int = 32,
+    undirected: bool = True,
+) -> DataFrame:
+    """(src, dst) graph → (vid, betweenness), endpoints excluded (Brandes).
+
+    ``sources=None`` = exact (every vertex a source); a DataFrame of
+    ``vid`` rows computes the restricted sum (sampled estimator).
+    Undirected graphs symmetrize and halve (each unordered pair counted
+    once). Raises if the forward BFS has not drained within
+    ``max_iters`` levels — the conscious-ceiling contract."""
+    e = edges.select(
+        F.col("src").cast("long").alias("__s"),
+        F.col("dst").cast("long").alias("__d"),
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    e = e.localCheckpoint()
+    verts = (
+        e.select(F.col("__s").alias("vid"))
+        .unionByName(e.select(F.col("__d").alias("vid")))
+        .distinct()
+    )
+    src = verts if sources is None else sources.select(
+        F.col("vid").cast("long")
+    )
+    dist = src.select(
+        F.col("vid").alias("s"),
+        F.col("vid").alias("v"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("double").alias("sigma"),
+    ).localCheckpoint()
+    frontier = dist
+    maxlev = 0
+    for i in range(max_iters):
+        nxt = (
+            frontier.join(e, F.col("v") == F.col("__s"))
+            .groupBy("s", F.col("__d").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("d", F.lit(i + 1))
+        )
+        frontier = nxt.join(
+            dist.select("s", "v"), ["s", "v"], "left_anti"
+        ).localCheckpoint()
+        if frontier.isEmpty():
+            break
+        maxlev = i + 1
+        dist = dist.unionByName(frontier.select(*dist.columns))
+        if (i + 1) % BC_CHECKPOINT_EVERY == 0:
+            dist = dist.localCheckpoint()
+    else:
+        raise ValueError(
+            f"betweenness forward BFS did not drain in max_iters="
+            f"{max_iters} levels; raise the bound for this graph"
+        )
+    delta = dist.withColumn("delta", F.lit(0.0)).localCheckpoint()
+    for lev in range(maxlev, 0, -1):
+        wrows = delta.filter(F.col("d") == lev).select(
+            "s",
+            F.col("v").alias("__w"),
+            F.col("sigma").alias("__sig_w"),
+            F.col("delta").alias("__del_w"),
+        )
+        upd = (
+            e.join(wrows, F.col("__d") == F.col("__w"))
+            .select("s", F.col("__s").alias("v"), "__sig_w", "__del_w")
+            .join(
+                delta.filter(F.col("d") == lev - 1).select(
+                    "s", "v", F.col("sigma").alias("__sig_v")
+                ),
+                ["s", "v"],
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("__sig_v")
+                    / F.col("__sig_w")
+                    * (1.0 + F.col("__del_w"))
+                ).alias("__add")
+            )
+        )
+        delta = (
+            delta.join(upd, ["s", "v"], "left")
+            .withColumn(
+                "delta",
+                F.when(
+                    F.col("d") == lev - 1,
+                    F.col("delta") + F.coalesce(F.col("__add"), F.lit(0.0)),
+                ).otherwise(F.col("delta")),
+            )
+            .drop("__add")
+        )
+        if (maxlev - lev + 1) % BC_CHECKPOINT_EVERY == 0 or lev == 1:
+            delta = delta.localCheckpoint()
+    scale = 0.5 if undirected else 1.0
+    return (
+        delta.filter(F.col("d") > 0)
+        .groupBy(F.col("v").alias("vid"))
+        .agg((F.sum("delta") * scale).alias("betweenness"))
+    )
+
+
+# G61 — betweenness centrality over a perfect binary tree built from
+# spark.range (heap indexing: parent(i) = i div 2): trees make Brandes
+# CLOSED-FORM checkable — removing v splits the tree into its two child
+# subtrees (each (m−1)/2 for subtree size m) and the rest (n−m), and
+# b(v) = ((m−1)/2)² + (m−1)(n−m) counts exactly the unordered pairs
+# whose path crosses v (leaves get 0 from the same formula). The
+# σ-fraction tie splitting the tree cannot exercise is pinned by the
+# diamond unit fixtures in tests/test_graph_algos.py.
+BC_TREE_HEIGHT = 5  # 63 nodes, diameter 10
+
+
+def g61_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 2 ** (BC_TREE_HEIGHT + 1) - 1
+    edges = spark.range(2, n + 1).selectExpr(
+        "id div 2 AS src", "id AS dst"
+    )
+    bc = betweenness_centrality(edges, undirected=True, max_iters=2 * BC_TREE_HEIGHT + 1)
+    return bc.select(
+        "vid", F.round("betweenness", 1).alias("betweenness")
+    ).orderBy("vid")
+
+
+QUERIES["g61_betweenness"] = g61_betweenness
+ORACLE["g61_betweenness"] = f"""
+    WITH v AS (
+      SELECT i AS vid,
+             CAST(POW(2, {BC_TREE_HEIGHT} - FLOOR(LOG2(i)) + 1) - 1
+                  AS BIGINT) AS m
+      FROM generate_series(1, {2 ** (BC_TREE_HEIGHT + 1) - 1}) t(i))
+    SELECT CAST(vid AS BIGINT) AS vid,
+           ROUND(((m - 1) / 2.0) * ((m - 1) / 2.0)
+                 + (m - 1) * ({2 ** (BC_TREE_HEIGHT + 1) - 1} - m), 1)
+             AS betweenness
+    FROM v ORDER BY vid"""

@@ -142,3 +142,65 @@ class TestStronglyConnectedComponents:
             strongly_connected_components(
                 edges, max_iters=2, max_rounds=6
             ).collect()
+
+
+class TestBetweennessCentrality:
+    """Brandes over shapes with known closed forms — the diamond pins the
+    σ-fraction tie splitting the tree conformance oracle (g61) cannot
+    exercise."""
+
+    def _bc(self, spark, pairs, **kw):
+        from flink_neo4j_spark.operators.graph_algos import (
+            betweenness_centrality,
+        )
+
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        out = betweenness_centrality(edges, **kw)
+        return {r["vid"]: round(r["betweenness"], 6) for r in out.collect()}
+
+    def test_path_graph(self, spark):
+        # 0-1-2-3: interior vertices carry the crossing pairs
+        got = self._bc(spark, [(0, 1), (1, 2), (2, 3)])
+        assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+    def test_star_graph(self, spark):
+        # center crosses every leaf pair: C(4,2) = 6
+        got = self._bc(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+        assert got == {0: 6.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+    def test_diamond_tie_split(self, spark):
+        # 0-1-3 / 0-2-3: the (0,3) pair splits σ = 1/2 to each middle,
+        # and the (1,2) pair splits across 0 and 3 — every vertex 0.5
+        got = self._bc(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+        assert got == {0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}
+
+    def test_sampled_sources_restricted_sum(self, spark):
+        # only source 1 on the star: the center is interior to (1,t) for
+        # t in {2,3,4} -> delta 3, halved by the undirected convention
+        from flink_neo4j_spark.operators.graph_algos import (
+            betweenness_centrality,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (0, 4)], "src long, dst long"
+        )
+        srcs = spark.createDataFrame([(1,)], "vid long")
+        got = {
+            r["vid"]: round(r["betweenness"], 6)
+            for r in betweenness_centrality(edges, sources=srcs).collect()
+        }
+        assert got[0] == 1.5
+        assert all(v == 0.0 for k, v in got.items() if k != 0)
+
+    def test_undrained_bfs_raises(self, spark):
+        import pytest
+
+        from flink_neo4j_spark.operators.graph_algos import (
+            betweenness_centrality,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        with pytest.raises(ValueError, match="did not drain"):
+            betweenness_centrality(edges, max_iters=1).collect()
