@@ -66,7 +66,7 @@ from dataclasses import dataclass, field
 from dataclasses import replace as dc_replace
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_neo4j_spark.graph import (
@@ -2133,7 +2133,7 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         # label-mutated have no extras column and read the one-element
         # list as before.
         prim = F.array(resolve(call.arg))
-        if isinstance(call.arg, PropRef):
+        if isinstance(call.arg, PropRef) and _has_extra_labels(df):
             try:
                 extra = resolve(PropRef(call.arg.var, EXTRA_LABELS))
                 df.select(extra)  # analysis probe: column exists?
@@ -2459,7 +2459,7 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         meta = ["label"] if kind == "node" else ["src", "dst", "rel_type"]
         fields = [colmap(PropRef(expr.var, None)).alias("id")]
         fields += [colmap(PropRef(expr.var, m)).alias(m) for m in meta]
-        if kind == "node" and df is not None:
+        if kind == "node" and df is not None and _has_extra_labels(df):
             # carry the extra-label set so labels(n) stays correct after
             # the WITH horizon (multi-label model); absent on graphs that
             # were never label-mutated
@@ -4660,8 +4660,195 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     while (
         p.at("kw", "WITH")
         or p.at("kw", "UNWIND")
-        or ((p._at_word_ci("OPTIONAL") or p.at("kw", "MATCH")) and bare)
+        or (
+            (
+                p._at_word_ci("OPTIONAL")
+                or p.at("kw", "MATCH")
+                or (
+                    p._at_word_ci("CALL")
+                    and p.peek(1) is not None
+                    and p.peek(1).text == "{"
+                )
+            )
+            and bare
+        )
     ):
+        if p._at_word_ci("CALL"):
+            # correlated CALL subquery (Neo4j 5 importing WITH):
+            # ``WITH n CALL { WITH n MATCH (n)-[e:T]->(m[:L]) [WHERE …]
+            # RETURN items ORDER BY … LIMIT k }`` — the per-anchor-row
+            # subquery whose canonical use is TOP-K-PER-KEY: ORDER BY +
+            # LIMIT apply PER anchor (a row_number window over the
+            # anchor's edge endpoint), never globally — and the window
+            # runs on the expansion side BEFORE the join, so the k-cap
+            # prunes the fan-out ahead of the outer row multiplication.
+            # Plain CALL inner-joins (anchors with no inner rows drop,
+            # per Neo4j). Aggregating inner RETURNs are rejected toward
+            # COUNT { } / pattern comprehensions, which already compile
+            # to the non-multiplying left-join forms.
+            if graph is None:
+                raise CypherSyntaxError(
+                    "CALL after WITH requires a graph scope"
+                )
+            p.next()
+            p.next()  # {
+            if not p.at("kw", "WITH"):
+                raise CypherSyntaxError(
+                    "CALL { } mid-pipeline must import its anchor "
+                    "(CALL { WITH n MATCH (n)-[e:T]->(m) … }); the "
+                    "uncorrelated form is only valid at the start of a "
+                    "query"
+                )
+            p.next()
+            ivar = p.expect("word").text
+            structs = dict(getattr(colmap, "structs", {}))
+            names = set(getattr(colmap, "star_names", set()))
+            if ivar not in structs or "id" not in structs[ivar]:
+                raise CypherSyntaxError(
+                    f"CALL imports {ivar!r}, which is not a carried node "
+                    "in scope (WITH n CALL { WITH n … })"
+                )
+            p.expect("kw", "MATCH")
+            cpat = p.parse_pattern()
+            if (
+                not isinstance(cpat, EdgePat)
+                or cpat.hops is not None
+                or cpat.undirected
+            ):
+                raise CypherSyntaxError(
+                    "correlated CALL supports a single-hop directed "
+                    "pattern anchored on the imported node"
+                )
+            if cpat.props or cpat.src.props or cpat.dst.props:
+                raise CypherSyntaxError(
+                    "inline property match not supported in a CALL "
+                    "pattern; use WHERE"
+                )
+            c_is_src = cpat.src.var == ivar
+            c_is_dst = cpat.dst.var == ivar
+            if c_is_src == c_is_dst:
+                raise CypherSyntaxError(
+                    "the imported variable must be exactly one endpoint "
+                    "of the CALL pattern"
+                )
+            c_other = cpat.dst if c_is_src else cpat.src
+            for v in (cpat.var, c_other.var):
+                if v is not None and (v in structs or v in names):
+                    raise CypherSyntaxError(
+                        f"variable {v!r} is already bound in this scope"
+                    )
+            c_disj = None
+            if p.at("kw", "WHERE"):
+                p.next()
+                c_disj = p.parse_where()
+            p.expect("kw", "RETURN")
+            c_distinct, c_items = p.parse_return(allow_bare=False)
+            c_order, c_skip, c_limit = p.parse_tail(
+                require_end=False, allow_bare=False
+            )
+            p.expect("punct", "}")
+            if c_distinct:
+                raise CypherSyntaxError(
+                    "RETURN DISTINCT inside a correlated CALL is not "
+                    "supported"
+                )
+            if c_skip is not None:
+                raise CypherSyntaxError(
+                    "SKIP inside a correlated CALL is not supported"
+                )
+            if c_limit is not None and not c_order:
+                raise CypherSyntaxError(
+                    "LIMIT inside a correlated CALL requires ORDER BY "
+                    "(an unordered per-anchor cut would be "
+                    "nondeterministic)"
+                )
+            if any(isinstance(i.expr, AggCall) for i in c_items):
+                raise CypherSyntaxError(
+                    "aggregates inside a correlated CALL are not "
+                    "supported; use COUNT { } or a pattern comprehension"
+                )
+            ep, op = f"__we{wopt_n}_", f"__wo{wopt_n}_"
+            wopt_n += 1
+            e = graph.edges
+            if cpat.rel_type is not None:
+                e = e.filter(rel_type_cond(cpat.rel_type))
+            e = e.select(
+                *[F.col(c).alias(f"{ep}{c}") for c in graph.edges.columns]
+            )
+            other_df = graph.nodes(c_other.label).select(
+                *[F.col(c).alias(f"{op}{c}") for c in graph.vertices.columns]
+            )
+            bound_end = "src" if c_is_src else "dst"
+            free_end = "dst" if c_is_src else "src"
+            side = e.join(
+                other_df, F.col(f"{ep}{free_end}") == F.col(f"{op}id")
+            )
+            icolmap = _pattern_scope_colmap(
+                "a CALL subquery", cpat.var, c_other.var, ep, op
+            )
+            if c_disj is not None:
+                side = side.filter(
+                    _where_to_column(c_disj, icolmap, set(side.columns), side)
+                )
+            anchor = F.col(f"{ep}{bound_end}")
+            if c_order:
+                alias_map = {
+                    nm: i.expr
+                    for nm, i in zip(
+                        [_out_name(i) for i in c_items], c_items
+                    )
+                }
+                sort_cols = []
+                for key, asc in c_order:
+                    if isinstance(key, str):
+                        if key not in alias_map:
+                            raise CypherSyntaxError(
+                                f"ORDER BY key {key!r} is not a CALL "
+                                "RETURN alias"
+                            )
+                        key = alias_map[key]
+                    sort_cols.append(
+                        _order_dir(_expr_column(key, icolmap, side), asc)
+                    )
+                w = Window.partitionBy(anchor).orderBy(
+                    *sort_cols, F.col(f"{ep}id")
+                )
+                side = side.withColumn("__call_rn", F.row_number().over(w))
+                if c_limit is not None:
+                    side = side.filter(F.col("__call_rn") <= c_limit)
+            out_names = [_out_name(i) for i in c_items]
+            for nm in out_names:
+                if nm in names or nm in structs:
+                    raise CypherSyntaxError(
+                        f"CALL output {nm!r} collides with a variable "
+                        "already in scope; alias it"
+                    )
+            proj = [anchor.alias("__call_anchor")] + [
+                _expr_column(i.expr, icolmap, side).alias(nm)
+                for i, nm in zip(c_items, out_names)
+            ]
+            if c_order:
+                # inner declared order survives into the joined frame as
+                # a sortable column, so a later ORDER BY can restate it
+                proj.append(F.col("__call_rn"))
+            side = side.select(*proj)
+            df = df.join(
+                side,
+                F.col(ivar)["id"] == F.col("__call_anchor"),
+                "inner",
+            ).drop("__call_anchor")
+            if c_order:
+                df = df.drop("__call_rn")
+            pend = getattr(colmap, "row_order", None)
+            colmap = _bare_colmap(
+                names | set(structs) | set(out_names),
+                _struct_outputs(df),
+                df,
+            )
+            colmap.stage_graph = graph
+            if pend:
+                colmap.row_order = pend
+            continue
         if p._at_word_ci("OPTIONAL") or p.at("kw", "MATCH"):
             # pipeline [OPTIONAL] MATCH: re-expand off a WITH-carried node
             # (``MATCH … WITH n, … [OPTIONAL] MATCH (n)-[e:T]->(m) …``) —
@@ -5007,6 +5194,22 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _has_extra_labels(df: DataFrame) -> bool:
+    """Cheap schema scan: does any column (or struct field) carry the
+    multi-label extras? Gates the extra-labels resolution probes so
+    graphs that were never label-mutated — the vast majority — never even
+    attempt the analysis (the failed probe would log a spurious Spark
+    ERROR line per labels() call)."""
+    from pyspark.sql.types import StructType
+
+    for f in df.schema.fields:
+        if f.name == EXTRA_LABELS or f.name.endswith(EXTRA_LABELS):
+            return True
+        if isinstance(f.dataType, StructType) and EXTRA_LABELS in f.dataType.names:
+            return True
+    return False
 
 
 def _typed_analysis_errors(fn):

@@ -3210,3 +3210,34 @@ ORACLE["g61_betweenness"] = f"""
                  + (m - 1) * ({2 ** (BC_TREE_HEIGHT + 1) - 1} - m), 1)
              AS betweenness
     FROM v ORDER BY vid"""
+
+
+# G62 — correlated CALL subquery (Neo4j 5 importing WITH): TOP-K-PER-KEY
+# through the front end — each nation's top-2 customers by name via
+# ``CALL { WITH n MATCH (n)<-[e:IN_NATION]-(c) RETURN … ORDER BY …
+# LIMIT 2 }``. The per-anchor LIMIT compiles to a row_number window over
+# the anchor endpoint ON THE EXPANSION SIDE, so the k-cap prunes the
+# fan-out BEFORE the join back to the outer rows — the scale-correct
+# top-k-per-key plan (the oracle restates it as ROW_NUMBER() <= k).
+def g62_cypher_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) WITH n "
+        "CALL { WITH n MATCH (n)<-[e:IN_NATION]-(c:Customer) "
+        "RETURN c.name AS cust ORDER BY c.name DESC LIMIT 2 } "
+        "RETURN n.name AS nation, cust ORDER BY nation, cust",
+    )
+
+
+QUERIES["g62_cypher_call_topk"] = g62_cypher_call_topk
+ORACLE["g62_cypher_call_topk"] = """
+    SELECT nation, cust FROM (
+      SELECT n_name AS nation, c_name AS cust,
+             ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                                ORDER BY c_name DESC) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    WHERE rn <= 2
+    ORDER BY nation, cust"""

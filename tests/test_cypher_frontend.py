@@ -3894,3 +3894,61 @@ def test_point_validation(fixture_graph):
         cypher_read(
             fixture_graph, "RETURN point.distance(point({x: 1, y: 1})) AS d"
         )
+
+
+def test_correlated_call_topk_per_key(fixture_graph):
+    """CALL { WITH n MATCH … ORDER BY … LIMIT k }: per-anchor top-k —
+    ORDER BY + LIMIT apply per imported row, never globally."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN b.name AS friend ORDER BY b.name LIMIT 1 } "
+        "RETURN a.name AS name, friend ORDER BY name",
+    ).collect()
+    got = {(r["name"], r["friend"]) for r in rows}
+    # fixture KNOWS edges: Alice->Bob (2001), Bob->Alice (2002); Eve has
+    # no outgoing KNOWS and drops entirely (inner-join semantics, Neo4j)
+    assert got == {("Alice", "Bob"), ("Bob", "Alice")}
+
+
+def test_correlated_call_inner_where_and_pipeline(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) WHERE e.since > 2001 "
+        "RETURN b.name AS friend, e.since AS since ORDER BY e.since } "
+        "WITH a, friend, since WHERE since >= 2002 "
+        "RETURN a.name AS name, friend, since ORDER BY name, friend",
+    ).collect()
+    assert [(r["name"], r["friend"], r["since"]) for r in rows] == [
+        ("Bob", "Alice", 2002)
+    ]
+
+
+def test_correlated_call_validations(fixture_graph):
+    cases = [
+        ("CALL { MATCH (m:User) RETURN m.name AS x }", "import"),
+        (
+            "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+            "RETURN b.name AS x LIMIT 2 }",
+            "ORDER BY",
+        ),
+        (
+            "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+            "RETURN count(*) AS c }",
+            "aggregates",
+        ),
+        (
+            "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+            "RETURN b.name AS name }",
+            "collides",
+        ),
+    ]
+    for block, match in cases:
+        with pytest.raises(CypherSyntaxError, match=match):
+            cypher_read(
+                fixture_graph,
+                "MATCH (a:User) WITH a, a.name AS name " + block +
+                " RETURN name",
+            )
