@@ -61,6 +61,7 @@ parsed ambiguously.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from dataclasses import replace as dc_replace
@@ -419,6 +420,10 @@ _FN_ARITY = {
     "rtrim": (1, 1), "reverse": (1, 1), "toInteger": (1, 1),
     "toFloat": (1, 1), "toString": (1, 1), "toBoolean": (1, 1),
     "abs": (1, 1), "sign": (1, 1), "sqrt": (1, 1), "exp": (1, 1),
+    "log": (1, 1), "log10": (1, 1), "sin": (1, 1), "cos": (1, 1),
+    "tan": (1, 1), "asin": (1, 1), "acos": (1, 1), "atan": (1, 1),
+    "atan2": (2, 2), "degrees": (1, 1), "radians": (1, 1),
+    "pi": (0, 0), "e": (0, 0), "isEmpty": (1, 1),
     "ceil": (1, 1), "floor": (1, 1), "round": (1, 2), "head": (1, 1),
     "last": (1, 1), "size": (1, 1), "left": (2, 2), "right": (2, 2),
     "split": (2, 2), "substring": (2, 3), "replace": (3, 3),
@@ -1524,6 +1529,56 @@ class _Parser:
                         "compute them in a WITH stage first"
                     )
             return ReduceExpr(acc, init, var, source, body)
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text.lower() in ("any", "all", "none", "single")
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).kind == "word"
+            and self.peek(3).text.upper() == "IN"
+        ):
+            # any/all/none/single(x IN list WHERE pred) — openCypher's
+            # list quantifier predicates. Desugared onto the ListComp
+            # machinery (JVM filter lambda, zero Python) as a size()
+            # comparison over the filtered list:
+            #   any    -> size([x IN L WHERE p]) > 0
+            #   none   -> size([x IN L WHERE p]) = 0
+            #   single -> size([x IN L WHERE p]) = 1
+            #   all    -> size([x IN L WHERE p]) = size(L)
+            # A null list nulls size() and the comparison — Neo4j's
+            # quantifier-over-null semantics. Element-level three-valued
+            # logic diverges deliberately: a null predicate evaluation
+            # counts as false (the comprehension WHERE contract), where
+            # Neo4j may answer null; the filter-based two-valued read is
+            # the documented engine-wide comprehension semantics.
+            fn = self.next().text.lower()
+            self.expect("punct", "(")
+            var = self.expect("word").text
+            self.next()  # IN
+            source = self.parse_return_expr(allow_bare)
+            if isinstance(source, AggCall):
+                raise CypherSyntaxError(
+                    f"{fn}() over an aggregate needs a WITH stage first"
+                )
+            if not self.at("kw", "WHERE"):
+                raise CypherSyntaxError(
+                    f"{fn}(x IN list WHERE pred) requires a WHERE clause"
+                )
+            self.next()
+            pred = self.parse_where(allow_bare=True)
+            self.expect("punct", ")")
+            filtered = FuncCall("size", ListComp(var, source, pred, None))
+            if fn == "any":
+                return BinOp(">", filtered, 0)
+            if fn == "none":
+                return BinOp("=", filtered, 0)
+            if fn == "single":
+                return BinOp("=", filtered, 1)
+            return BinOp("=", filtered, FuncCall("size", source))
         # length(p) / nodes(p) / relationships(p) — the path accessors
         # for named-path variables; modeled as PropRef(p, sentinel) so
         # the path-aware colmaps resolve them and every other context
@@ -1683,6 +1738,8 @@ class _Parser:
                 raise CypherSyntaxError(
                     f"{fn}() takes {span} argument(s), got {len(args)}"
                 )
+            if not args:  # zero-arg constants: pi() / e()
+                return FuncCall(fn, None)
             return FuncCall(fn, args[0], tuple(args[1:]))
         if (
             tok is not None
@@ -1926,6 +1983,14 @@ _SCALAR_FNS = {
     "floor": lambda c: F.floor(c).cast("double"),
     "head": lambda c: F.try_element_at(c, F.lit(1)),
     "last": lambda c: F.try_element_at(c, F.lit(-1)),
+    # Cypher math surface (all FLOAT-returning, like Neo4j): natural log,
+    # log10, trig + inverses, degree/radian conversion. rand() is
+    # deliberately absent (nondeterminism breaks the engine's
+    # reproducible-answer contract); cot/haversin omitted until their
+    # division-by-zero edge semantics are pinned against Neo4j.
+    "log": F.log, "log10": F.log10, "sin": F.sin, "cos": F.cos,
+    "tan": F.tan, "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "degrees": F.degrees, "radians": F.radians,
 }
 
 
@@ -2166,6 +2231,26 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
             df.select(probe_col.alias("__sz")).schema[0].dataType.simpleString()
         )
         return F.size(col) if dtype.startswith("array") else F.length(col)
+    if call.fn == "isEmpty":
+        # isEmpty(string | list | map) — type-dispatched like size();
+        # null input nulls through (Neo4j: isEmpty(null) = null)
+        col = resolve(call.arg)
+        probe_map = getattr(colmap, "probe", None)
+        probe_col = (
+            _expr_column(call.arg, probe_map, df) if probe_map is not None else col
+        )
+        dtype = (
+            df.select(probe_col.alias("__ie")).schema[0].dataType.simpleString()
+        )
+        n = F.size(col) if dtype.startswith(("array", "map")) else F.length(col)
+        return n == 0
+    if call.fn in ("pi", "e"):
+        return F.lit(math.pi if call.fn == "pi" else math.e)
+    if call.fn == "atan2":
+        return F.atan2(
+            resolve(call.arg).cast("double"),
+            resolve(call.extra[0]).cast("double"),
+        )
     if call.fn == "range":
         # Cypher range(lo, hi[, step]): INCLUSIVE bounds, default step 1,
         # empty when the step points away from hi. Compiles to Spark's

@@ -3241,3 +3241,52 @@ ORACLE["g62_cypher_call_topk"] = """
       FROM customer JOIN nation ON c_nationkey = n_nationkey)
     WHERE rn <= 2
     ORDER BY nation, cust"""
+
+
+# G63 — openCypher list quantifier predicates any/all/none/single(x IN
+# list WHERE pred) plus isEmpty() and the math surface (log10 here),
+# through the front end. Each quantifier desugars onto the SAME JVM
+# higher-order filter lambda the list comprehensions compile to — a
+# size() comparison over the filtered list — so the whole projection is
+# one whole-stage-codegen pass with zero Python and zero extra shuffle:
+# the only exchange in the plan is the broadcast customer⋈nation join.
+# Null semantics: a quantifier over a null list answers null (Neo4j);
+# element-level predicate nulls count as false (the engine's documented
+# two-valued comprehension contract).
+def g63_cypher_quantifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WHERE e.w >= 5 "
+        "WITH c.name AS name, split(c.name, '0') AS segs, "
+        "n.name AS nation, id(c) AS cid "
+        "RETURN name, nation, "
+        "any(x IN segs WHERE size(x) > 2) AS has_long, "
+        "all(x IN segs WHERE size(x) > 0) AS dense, "
+        "none(x IN segs WHERE size(x) = 1) AS no_single, "
+        "single(x IN segs WHERE size(x) > 2) AS one_long, "
+        "isEmpty(segs) AS empty_segs, "
+        "round(log10(cid), 4) AS lg "
+        "ORDER BY name LIMIT 45",
+    )
+
+
+QUERIES["g63_cypher_quantifiers"] = g63_cypher_quantifiers
+ORACLE["g63_cypher_quantifiers"] = f"""
+    WITH t AS (
+      SELECT c_name AS name, n_name AS nation,
+             string_split(c_name, '0') AS segs,
+             c_custkey + {CUSTOMER_BASE} AS cid
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 7 >= 5)
+    SELECT name, nation,
+      len(list_filter(segs, x -> len(x) > 2)) > 0 AS has_long,
+      len(list_filter(segs, x -> len(x) > 0)) = len(segs) AS dense,
+      len(list_filter(segs, x -> len(x) = 1)) = 0 AS no_single,
+      len(list_filter(segs, x -> len(x) > 2)) = 1 AS one_long,
+      len(segs) = 0 AS empty_segs,
+      ROUND(LOG10(cid), 4) AS lg
+    FROM t ORDER BY name LIMIT 45"""

@@ -3952,3 +3952,119 @@ def test_correlated_call_validations(fixture_graph):
                 "MATCH (a:User) WITH a, a.name AS name " + block +
                 " RETURN name",
             )
+
+
+# --- list quantifier predicates + isEmpty + math surface (X220) ---
+
+
+def test_quantifier_predicates_return(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "any(x IN split(n.name, 'e') WHERE size(x) >= 3) AS a, "
+        "all(x IN split(n.name, 'e') WHERE size(x) > 0) AS al, "
+        "none(x IN split(n.name, 'e') WHERE x = 'zz') AS no, "
+        "single(x IN split(n.name, 'e') WHERE size(x) >= 3) AS si "
+        "ORDER BY name",
+    ).collect()
+    got = {r["name"]: (r["a"], r["al"], r["no"], r["si"]) for r in rows}
+    # Alice -> ['Alic', '']: any True, all False (empty seg), none True,
+    # single True; Bob -> ['Bob']: any True... (size 3), single True;
+    # Eve -> ['Ev', '']: any False, single False
+    assert got["Alice"] == (True, False, True, True)
+    assert got["Bob"] == (True, True, True, True)
+    assert got["Eve"] == (False, False, True, False)
+
+
+def test_quantifier_in_where(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE any(x IN split(n.name, 'e') WHERE size(x) >= 3) "
+        "RETURN n.name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Alice", "Bob"]
+
+
+def test_quantifier_null_list(fixture_graph):
+    # quantifier over a missing property (null list) answers null, Neo4j
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "any(x IN n.missing WHERE x > 0) AS a, "
+        "all(x IN n.missing WHERE x > 0) AS al ORDER BY name",
+    ).collect()
+    assert all(r["a"] is None and r["al"] is None for r in rows)
+
+
+def test_quantifier_empty_list_semantics(fixture_graph):
+    # all/none over an empty list are vacuously true; any/single false
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o WITH [x IN [1] WHERE x > 5] AS empty "
+        "RETURN any(x IN empty WHERE x > 0) AS a, "
+        "all(x IN empty WHERE x > 0) AS al, "
+        "none(x IN empty WHERE x > 0) AS no, "
+        "single(x IN empty WHERE x > 0) AS si",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(False, True, True, False)]
+
+
+def test_quantifier_requires_where(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="WHERE"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN any(x IN split(n.name, 'e')) AS a",
+        )
+
+
+def test_is_empty_dispatch(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND ['', 'x'] AS s "
+        "RETURN s, isEmpty(s) AS es, "
+        "isEmpty([y IN [1] WHERE y > 5]) AS el, "
+        "isEmpty([1, 2]) AS enl ORDER BY s",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("", True, True, False), ("x", False, True, False)]
+
+
+def test_is_empty_null(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN isEmpty(n.missing) AS e LIMIT 1",
+    ).collect()
+    assert rows[0]["e"] is None
+
+
+def test_math_functions(fixture_graph):
+    import math as m
+
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o RETURN round(log(e()), 6) AS ln1, "
+        "round(log10(1000), 6) AS l10, round(sin(pi() / 2), 6) AS s1, "
+        "round(cos(0), 6) AS c1, round(tan(0), 6) AS t0, "
+        "round(asin(1), 6) AS as1, round(acos(1), 6) AS ac0, "
+        "round(atan(1) * 4, 6) AS api, round(atan2(1, 1) * 4, 6) AS a2pi, "
+        "round(degrees(pi()), 6) AS deg, round(radians(180), 6) AS rad",
+    ).collect()
+    r = rows[0]
+    assert (r["ln1"], r["l10"], r["s1"], r["c1"], r["t0"]) == (1.0, 3.0, 1.0, 1.0, 0.0)
+    assert (r["as1"], r["ac0"]) == (round(m.pi / 2, 6), 0.0)
+    assert r["api"] == r["a2pi"] == round(m.pi, 6)
+    assert (r["deg"], r["rad"]) == (180.0, round(m.pi, 6))
+
+
+def test_math_log_null_on_nonpositive(fixture_graph):
+    # Spark's log of a non-positive double is null; Neo4j raises — we
+    # null through (documented divergence consistent with try_cast style)
+    rows = cypher_read(
+        fixture_graph, "UNWIND [-1, 0] AS x RETURN x, log(x) AS l ORDER BY x"
+    ).collect()
+    assert all(r["l"] is None for r in rows)
+
+
+def test_zero_arg_constants_arity(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="argument"):
+        cypher_read(fixture_graph, "UNWIND [1] AS o RETURN pi(2) AS p")

@@ -116,6 +116,13 @@ VALID_QUERIES = [
     # pattern comprehension inside size() inside arithmetic
     "MATCH (n:User) WHERE size([(n)-[:KNOWS]->(f) | f.name]) * 2 >= 2 "
     "RETURN n.name AS name ORDER BY name",
+    # list quantifier predicates + isEmpty + math surface (X220)
+    "MATCH (n:User) WHERE any(x IN split(n.name, 'e') WHERE size(x) >= 3) "
+    "RETURN n.name AS name, all(x IN split(n.name, '_') WHERE size(x) > 0) "
+    "AS al, none(x IN split(n.name, 'e') WHERE x = 'q') AS no, "
+    "single(x IN split(n.name, 'e') WHERE size(x) > 1) AS si ORDER BY name",
+    "UNWIND [1] AS o RETURN isEmpty([x IN [1, 2] WHERE x > 5]) AS e, "
+    "round(log10(100) + sin(pi() / 2) + atan2(1, 1) - e(), 6) AS m",
 ]
 
 
