@@ -3290,3 +3290,124 @@ ORACLE["g63_cypher_quantifiers"] = f"""
       len(segs) = 0 AS empty_segs,
       ROUND(LOG10(cid), 4) AS lg
     FROM t ORDER BY name LIMIT 45"""
+
+
+# G64 — graph modularity by community (Neo4j GDS `modularity` metric
+# parity): Q = Σ_c [ e_c/m − (a_c/2m)² ] over an undirected edge list,
+# here the co-purchase projection partitioned by part brand (a
+# closed-form assignment, so the oracle restates the whole computation
+# in SQL — unlike label propagation, whose fixpoint has no SQL twin).
+# Scale shape: two shuffle joins tag each edge endpoint with its
+# community (the assignment is |V|-sized — NEVER broadcast), then two
+# partial-agg rollups (inside-edge count, degree sum) over ~|communities|
+# rows. The per-community contribution uses ONE integer numerator
+# (4·m·e_c − a_c², exact in int64 while 4m² fits — asserted at runtime;
+# decimal headroom is the 100 TB escape hatch) and ONE final division,
+# so the answer is layout-independent by construction. m arrives via a
+# broadcast one-row cross join, not a driver-side collect.
+def modularity_by_community(
+    edges: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """Per-community modularity contributions.
+
+    ``edges``: distinct undirected pairs (u, v) with u < v.
+    ``assign``: (id, comm) — every edge endpoint must be assigned.
+    Returns (comm, e_in, deg_sum, contrib) — Σ contrib is the graph's
+    modularity Q.
+    """
+    au = assign.select(F.col("id").alias("u"), F.col("comm").alias("cu"))
+    av = assign.select(F.col("id").alias("v"), F.col("comm").alias("cv"))
+    tagged = edges.join(au, "u").join(av, "v")
+    e_in = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("comm"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    deg_sum = (
+        deg.join(assign, "id")
+        .groupBy("comm")
+        .agg(F.sum("d").cast("long").alias("deg_sum"))
+    )
+    m = edges.agg(F.count("*").alias("m"))
+    out = (
+        deg_sum.join(e_in, "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "comm",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "deg_sum",
+            "m",
+        )
+    )
+    # int64 headroom guard: the numerator's terms are bounded by 4m² —
+    # raise loudly rather than overflow silently (100 TB contract)
+    guarded_m = F.when(
+        F.col("m") < F.lit(1_500_000_000),
+        F.col("m"),
+    ).otherwise(
+        F.assert_true(
+            F.lit(False), F.lit("modularity: 4m^2 exceeds int64; rescale")
+        ).cast("long")
+    )
+    num = (
+        F.lit(4) * guarded_m * F.col("e_in")
+        - F.col("deg_sum") * F.col("deg_sum")
+    )
+    denom = (F.lit(4.0) * F.col("m") * F.col("m")).cast("double")
+    return out.select(
+        "comm",
+        "e_in",
+        "deg_sum",
+        (F.round(num.cast("double") / denom, 6) + F.lit(0.0)).alias("contrib"),
+    )
+
+
+def g64_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, TRI_MIN_QTY)
+    part = load_table(spark, sf_dir, "part")
+    assign = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("comm")
+    )
+    return (
+        modularity_by_community(edges, assign)
+        .withColumnRenamed("comm", "brand")
+        .orderBy("brand")
+    )
+
+
+QUERIES["g64_modularity"] = g64_modularity
+ORACLE["g64_modularity"] = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v AS id FROM edges)
+      GROUP BY id),
+    mm AS (SELECT COUNT(*) AS m FROM edges),
+    lbl AS (SELECT p_partkey AS id, p_brand AS comm FROM part),
+    ein AS (
+      SELECT lu.comm, COUNT(*) AS e_in
+      FROM edges
+      JOIN lbl lu ON edges.u = lu.id
+      JOIN lbl lv ON edges.v = lv.id AND lu.comm = lv.comm
+      GROUP BY lu.comm),
+    dsum AS (
+      SELECT comm, CAST(SUM(d) AS BIGINT) AS deg_sum
+      FROM deg JOIN lbl USING (id) GROUP BY comm)
+    SELECT dsum.comm AS brand,
+           CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in,
+           deg_sum,
+           ROUND(CAST(4 * m * COALESCE(e_in, 0) - deg_sum * deg_sum
+                      AS DOUBLE) / (4.0 * m * m), 6) + 0.0 AS contrib
+    FROM dsum LEFT JOIN ein ON dsum.comm = ein.comm CROSS JOIN mm
+    ORDER BY brand"""

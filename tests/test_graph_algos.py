@@ -204,3 +204,45 @@ class TestBetweennessCentrality:
         )
         with pytest.raises(ValueError, match="did not drain"):
             betweenness_centrality(edges, max_iters=1).collect()
+
+
+class TestModularity:
+    def test_two_triangles_bridge(self, spark):
+        # two triangles {0,1,2} and {3,4,5} joined by one bridge 2-3:
+        # m=7, e_c=3 each, deg sums 7 each -> Q = 2*(3/7 - (7/14)^2)
+        from flink_neo4j_spark.operators.graph_algos import (
+            modularity_by_community,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+            "u long, v long",
+        )
+        assign = spark.createDataFrame(
+            [(i, "A" if i < 3 else "B") for i in range(6)],
+            "id long, comm string",
+        )
+        rows = {
+            r["comm"]: r for r in modularity_by_community(edges, assign).collect()
+        }
+        assert rows["A"]["e_in"] == 3 and rows["B"]["e_in"] == 3
+        assert rows["A"]["deg_sum"] == 7 and rows["B"]["deg_sum"] == 7
+        # each community's contribution is 6dp-rounded independently
+        assert rows["A"]["contrib"] == rows["B"]["contrib"] == round(
+            3 / 7 - 0.25, 6
+        )
+
+    def test_all_one_community_zero(self, spark):
+        # a single community containing every vertex has Q = 0 exactly
+        from flink_neo4j_spark.operators.graph_algos import (
+            modularity_by_community,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2)], "u long, v long"
+        )
+        assign = spark.createDataFrame(
+            [(i, "all") for i in range(3)], "id long, comm string"
+        )
+        rows = modularity_by_community(edges, assign).collect()
+        assert len(rows) == 1 and rows[0]["contrib"] == 0.0
