@@ -3411,3 +3411,165 @@ ORACLE["g64_modularity"] = """
                       AS DOUBLE) / (4.0 * m * m), 6) + 0.0 AS contrib
     FROM dsum LEFT JOIN ein ON dsum.comm = ein.comm CROSS JOIN mm
     ORDER BY brand"""
+
+
+# G65 — Louvain-style modularity optimization (Neo4j GDS
+# `modularityOptimization` / Louvain level-1 parity): synchronous
+# gain-based community moves over an undirected edge list, starting from
+# singletons. Every gain comparison is an EXACT integer
+# (2m·k_{u,c} − k_u·tot'_c — the ΔQ numerator over the common 2m
+# denominator), ties break on the smaller community id, and a vertex may
+# only move to a SMALLER community id than its current one — the
+# monotone rule that makes synchronous updates oscillation-free AND
+# layout-independent (no float argmax, no partition-order dependence).
+# After each round the exact modularity numerator Σ_c(4m·e_c − a_c²) is
+# rolled up (one driver scalar per round, the SCC discipline) and the
+# best assignment seen wins — so a round that overshoots can never
+# degrade the answer. Scale shape: each round is two shuffle joins on
+# vertex id (E-sized) + two partial aggs; bounded rounds with
+# localCheckpoint lineage barriers; int64 headroom for 4m² asserted like
+# modularity_by_community.
+MODOPT_ROUNDS = 6
+
+
+def modularity_optimization(
+    edges: DataFrame, rounds: int = MODOPT_ROUNDS
+) -> tuple[DataFrame, int, int]:
+    """(u, v) undirected distinct pairs (u < v) → ((id, comm), q_num,
+    4m²): the best-modularity assignment over ``rounds`` synchronous
+    gain rounds; modularity Q = q_num / (4m²) exactly."""
+    edges = edges.select(
+        F.col("u").cast("long"), F.col("v").cast("long")
+    ).localCheckpoint()
+    m = edges.count()
+    if m == 0:
+        raise ValueError("modularity_optimization: empty edge list")
+    if m >= 1_500_000_000:
+        raise ValueError(
+            "modularity_optimization: 4m^2 exceeds int64 headroom; "
+            "partition the graph or rescale first"
+        )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = und.groupBy(F.col("u").alias("id")).agg(
+        F.count("*").cast("long").alias("k")
+    ).localCheckpoint()
+
+    comm = deg.select("id", F.col("id").alias("comm")).localCheckpoint()
+    # singleton start: every e_c = 0, so the exact numerator is −Σ k_u²
+    # in closed form — no stats pass needed
+    best_comm = comm
+    best_q = -int(
+        deg.agg(F.sum(F.col("k") * F.col("k")).alias("s")).collect()[0]["s"]
+    )
+    for _ in range(rounds):
+        tot = (
+            deg.join(comm, "id")
+            .groupBy("comm")
+            .agg(F.sum("k").cast("long").alias("tot"))
+        )
+        # candidate targets: each neighbor's community, plus staying put
+        nbr = (
+            und.join(
+                comm.select(F.col("id").alias("v"), F.col("comm").alias("c")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("id"), "c")
+            .agg(F.count("*").cast("long").alias("k_uc"))
+        )
+        cur = comm.select("id", F.col("comm").alias("cur"))
+        stay = cur.select("id", F.col("cur").alias("c")).withColumn(
+            "k_uc", F.lit(0).cast("long")
+        )
+        cand = (
+            nbr.unionByName(stay)
+            .groupBy("id", "c")
+            .agg(F.max("k_uc").alias("k_uc"))
+            .join(cur, "id")
+            .filter(F.col("c") <= F.col("cur"))  # monotone move rule
+            .join(tot.withColumnRenamed("comm", "c"), "c", "left")
+            .join(deg, "id")
+        )
+        # tot'_c excludes u itself when c is u's current community
+        tot_adj = F.coalesce(F.col("tot"), F.lit(0)) - F.when(
+            F.col("c") == F.col("cur"), F.col("k")
+        ).otherwise(F.lit(0))
+        score = (
+            F.lit(2) * F.lit(m) * F.col("k_uc") - F.col("k") * tot_adj
+        )
+        # argmax by (score, smaller c) as ONE hash aggregate (max_by over
+        # a lexicographic struct) — no per-vertex sort window
+        prev = comm
+        # eager=False: the checkpoint materializes inside the fused stats
+        # action below instead of costing its own job — one driver action
+        # per round total
+        comm = (
+            cand.withColumn("score", score)
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "c", F.struct(F.col("score"), (-F.col("c")).alias("nc"))
+                ).alias("comm")
+            )
+            .localCheckpoint(eager=False)
+        )
+        # fused round stats — ONE driver action for (q_num, moves):
+        # q_num = 4m·(#intra-community edges) − Σ_c (Σ_{u∈c} k_u)²;
+        # the Σe_c term needs no per-community rollup, just the cu==cv
+        # count, and moves=0 means the monotone rule has converged.
+        cu = comm.select(F.col("id").alias("u"), F.col("comm").alias("cu"))
+        cv = comm.select(F.col("id").alias("v"), F.col("comm").alias("cv"))
+        inside = (
+            edges.join(cu, "u")
+            .join(cv, "v")
+            .agg(
+                F.sum(
+                    F.when(F.col("cu") == F.col("cv"), 1).otherwise(0)
+                ).cast("long").alias("e_in")
+            )
+        )
+        sq = (
+            deg.join(comm, "id")
+            .groupBy("comm")
+            .agg(F.sum("k").cast("long").alias("tot"))
+            .agg(F.sum(F.col("tot") * F.col("tot")).alias("sq"))
+        )
+        moves = (
+            comm.join(prev.withColumnRenamed("comm", "pc"), "id")
+            .agg(
+                F.sum(
+                    F.when(F.col("comm") != F.col("pc"), 1).otherwise(0)
+                ).alias("mv")
+            )
+        )
+        row = inside.crossJoin(sq).crossJoin(moves).collect()[0]
+        q = 4 * m * int(row["e_in"]) - int(row["sq"])
+        if q > best_q:
+            best_comm, best_q = comm, q
+        if int(row["mv"]) == 0:
+            break
+    return best_comm, best_q, 4 * m * m
+
+
+def g65_modularity_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design (iterative fixpoint — no SQL twin, the g4
+    class): per-community rollup of the optimized assignment, with the
+    exact global modularity stated as the integer pair (q_num, denom)."""
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MIN_QTY)
+    # 4 rounds: the monotone rule's move count decays geometrically
+    # (measured sf0.1: 9819→3940→1580→552 moves), and best-Q tracking
+    # means the bound only trades the tail of the decay for wall time
+    assign, q_num, denom = modularity_optimization(edges, rounds=4)
+    return (
+        assign.groupBy("comm")
+        .agg(F.count("*").cast("long").alias("members"))
+        .filter(F.col("members") >= 2)
+        .withColumn("q_num", F.lit(q_num))
+        .withColumn("q_denom", F.lit(denom))
+        .orderBy(F.desc("members"), "comm")
+        .limit(50)
+    )
+
+
+QUERIES["g65_modularity_opt"] = g65_modularity_opt

@@ -246,3 +246,65 @@ class TestModularity:
         )
         rows = modularity_by_community(edges, assign).collect()
         assert len(rows) == 1 and rows[0]["contrib"] == 0.0
+
+
+class TestModularityOptimization:
+    def test_two_triangles_bridge_finds_communities(self, spark):
+        from flink_neo4j_spark.operators.graph_algos import (
+            modularity_optimization,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+            "u long, v long",
+        )
+        assign, q_num, denom = modularity_optimization(edges)
+        got = {r["id"]: r["comm"] for r in assign.collect()}
+        assert got[0] == got[1] == got[2]
+        assert got[3] == got[4] == got[5]
+        assert got[0] != got[3]
+        # exact Q = 2*(4*7*3 - 49)/196 = 70/196
+        assert (q_num, denom) == (70, 196)
+
+    def test_monotone_rule_is_layout_independent(self, spark):
+        from flink_neo4j_spark.operators.graph_algos import (
+            modularity_optimization,
+        )
+
+        ring = [(i, (i + 1) % 10) for i in range(9)] + [(0, 9)]
+        edges = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in ring], "u long, v long"
+        )
+        a1, q1, d1 = modularity_optimization(edges.repartition(1))
+        a8, q8, d8 = modularity_optimization(edges.repartition(8))
+        assert (q1, d1) == (q8, d8)
+        assert sorted(map(tuple, a1.collect())) == sorted(
+            map(tuple, a8.collect())
+        )
+
+    def test_improves_over_singletons(self, spark):
+        from flink_neo4j_spark.operators.graph_algos import (
+            modularity_optimization,
+        )
+
+        # singleton assignment has Q = -sum(k_u^2)/4m^2 < 0; any real
+        # merge improves it on a graph with communities
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)],
+            "u long, v long",
+        )
+        _, q_num, denom = modularity_optimization(edges)
+        assert q_num > 0
+        # two disjoint triangles: perfect split Q = 2*(1/2 - 1/4) = 1/2
+        assert q_num / denom == 0.5
+
+    def test_empty_edges_raise(self, spark):
+        import pytest
+
+        from flink_neo4j_spark.operators.graph_algos import (
+            modularity_optimization,
+        )
+
+        edges = spark.createDataFrame([], "u long, v long")
+        with pytest.raises(ValueError, match="empty"):
+            modularity_optimization(edges)
