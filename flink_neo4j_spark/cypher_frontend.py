@@ -383,6 +383,17 @@ class ReduceExpr:
 
 
 @dataclass
+class IsNullExpr:
+    """``expr IS [NOT] NULL`` in expression position (RETURN/WITH items) —
+    the null-flag projection idiom. WHERE keeps its own Cond path (which
+    pushes the predicate into the scan); this node only exists where the
+    result is a projected boolean VALUE."""
+
+    arg: Any
+    negated: bool
+
+
+@dataclass
 class IndexExpr:
     """``list[i]`` — Cypher 0-based element access; negative indices count
     from the end; out-of-range reads null (try_element_at)."""
@@ -427,7 +438,7 @@ _FN_ARITY = {
     "ceil": (1, 1), "floor": (1, 1), "round": (1, 2), "head": (1, 1),
     "last": (1, 1), "size": (1, 1), "left": (2, 2), "right": (2, 2),
     "split": (2, 2), "substring": (2, 3), "replace": (3, 3),
-    "coalesce": (1, None), "range": (2, 3),
+    "coalesce": (1, None), "range": (2, 3), "tail": (1, 1),
     # temporal constructors: a NO-argument date()/datetime() is "now" in
     # Neo4j — nondeterministic, rejected by the min-arity (determinism is
     # the engine contract); pass the clock in as a parameter instead
@@ -1237,6 +1248,11 @@ class _Parser:
 
     def _parse_arith_factor(self, allow_bare: bool):
         node = self._parse_arith_atom(allow_bare)
+        if isinstance(node, AggCall) and self.at("punct", "["):
+            raise CypherSyntaxError(
+                "subscripts over an aggregate are not supported here; "
+                "alias the aggregate in a WITH stage and index the alias"
+            )
         # postfix accessors — chainable and legal on any computed
         # expression: subscripts list[i] / list[from..to], and .field
         # (temporal components on date(x), nested struct fields)
@@ -1667,6 +1683,27 @@ class _Parser:
             and tok.kind == "word"
             and tok.text == "duration"
             and self.peek(1) is not None
+            and self.peek(1).text == "("
+            and self.peek(2) is not None
+            and self.peek(2).text == "{"
+        ):
+            # duration({years, months, weeks, days}) — the calendar-
+            # duration constructor consumed by date ± duration arithmetic
+            self.next()
+            self.expect("punct", "(")
+            m = self._parse_arith_atom(allow_bare)
+            self.expect("punct", ")")
+            if not isinstance(m, MapLit):
+                raise CypherSyntaxError(
+                    "duration() takes a component map, e.g. "
+                    "duration({days: 3})"
+                )
+            return FuncCall("duration", m)
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text == "duration"
+            and self.peek(1) is not None
             and self.peek(1).text == "."
             and self.peek(2) is not None
             and self.peek(2).kind == "word"
@@ -1873,6 +1910,20 @@ class _Parser:
                 items.append(ReturnItem(Star(), None))
             else:
                 expr = self.parse_return_expr(allow_bare)
+                if self._at_word_ci("IS"):
+                    # expr IS [NOT] NULL as a projected boolean value
+                    self.next()
+                    neg = False
+                    if self._at_word_ci("NOT"):
+                        self.next()
+                        neg = True
+                    self.expect("kw", "NULL")
+                    if isinstance(expr, AggCall):
+                        raise CypherSyntaxError(
+                            "IS NULL over an aggregate is never null; "
+                            "test the aliased value in a WITH stage"
+                        )
+                    expr = IsNullExpr(expr, neg)
                 alias = None
                 if self.at("kw", "AS"):
                     self.next()
@@ -2231,6 +2282,41 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
             df.select(probe_col.alias("__sz")).schema[0].dataType.simpleString()
         )
         return F.size(col) if dtype.startswith("array") else F.length(col)
+    if call.fn == "tail":
+        # tail(list): everything after the head; tail(null) = null,
+        # tail([]) = [] (greatest clamps the negative length; slice of a
+        # null list nulls through)
+        col = resolve(call.arg)
+        return F.slice(
+            col, F.lit(2), F.greatest(F.size(col) - 1, F.lit(0))
+        )
+    if call.fn == "duration":
+        # duration({years, months, weeks, days}) → the same (months,
+        # days) component struct duration.between yields, normalized at
+        # compile time (12·years + months, 7·weeks + days). Time
+        # components are rejected loudly: date arithmetic would silently
+        # truncate them, and raising beats mis-answering.
+        ml = call.arg
+        entries = dict(ml.entries)
+        bad = sorted(set(entries) - {"years", "months", "weeks", "days"})
+        if bad:
+            raise CypherSyntaxError(
+                f"duration() supports calendar components "
+                f"years/months/weeks/days; got {bad}"
+            )
+        if not entries:
+            raise CypherSyntaxError("duration() needs at least one component")
+
+        def comp(key: str) -> Column:
+            e = entries.get(key)
+            if e is None:
+                return F.lit(0).cast("long")
+            return _expr_column(e, colmap, df).cast("long")
+
+        return F.struct(
+            (comp("years") * 12 + comp("months")).alias("months"),
+            (comp("weeks") * 7 + comp("days")).alias("days"),
+        )
     if call.fn == "isEmpty":
         # isEmpty(string | list | map) — type-dispatched like size();
         # null input nulls through (Neo4j: isEmpty(null) = null)
@@ -2476,6 +2562,67 @@ def _lambda_colmap(outer, bindings: dict, probes: dict):
     return sub
 
 
+def _dur_fields(dtype: str | None) -> set[str] | None:
+    """Field set when ``dtype`` is a duration component struct (flat,
+    fields ⊆ {months, days, seconds}), else None. Point structs (x, y,
+    crs) and user maps with other keys never qualify."""
+    if dtype is None:
+        return None
+    mo = re.fullmatch(r"struct<([^<>]*)>", dtype)
+    if mo is None:
+        return None
+    fields = {f.split(":", 1)[0] for f in mo.group(1).split(",") if f}
+    if fields and fields <= {"months", "days", "seconds"}:
+        return fields
+    return None
+
+
+def _duration_binop(
+    expr: "BinOp", left: Column, right: Column, df: DataFrame
+) -> Column | None:
+    """``date ± duration`` / ``duration + date`` / ``duration ± duration``
+    — Cypher temporal arithmetic over the (months, days) component
+    structs duration()/duration.between produce. Calendar components
+    apply as add_months + date_add (exactly Neo4j's order: months first,
+    then days). Seconds-bearing durations and timestamp operands raise
+    typed errors rather than silently truncating. Returns None when
+    neither operand is a duration (normal arithmetic proceeds)."""
+    ld, rd = _dtype_of(left, df), _dtype_of(right, df)
+    lf, rf = _dur_fields(ld), _dur_fields(rd)
+    if lf is None and rf is None:
+        return None
+    if lf is not None and rf is not None:
+        if expr.op == "-" or lf != rf:
+            raise CypherSyntaxError(
+                "duration difference/mixed-component arithmetic is not "
+                "supported; normalize components first"
+            )
+        return F.struct(
+            *(
+                (left[f] + right[f]).alias(f)
+                for f in ("months", "days", "seconds")
+                if f in lf
+            )
+        )
+    # exactly one side is a duration: orient date on the left
+    dcol, durcol, durf, dkind = (
+        (left, right, rf, ld) if rf is not None else (right, left, lf, rd)
+    )
+    if rf is None and expr.op == "-":
+        raise CypherSyntaxError("duration - date is not defined")
+    if "seconds" in durf or dkind != "date":
+        raise CypherSyntaxError(
+            "temporal arithmetic supports date ± duration with calendar "
+            "components (months/days); seconds-durations and timestamp "
+            "operands are not supported"
+        )
+    months = durcol["months"] if "months" in durf else F.lit(0)
+    days = durcol["days"] if "days" in durf else F.lit(0)
+    if expr.op == "-":
+        months, days = -months, -days
+    return F.date_add(F.add_months(dcol, months), days.cast("int"))
+
+
 def _expr_column(expr, colmap, df: DataFrame) -> Column:
     """RETURN/WITH expression → Column: refs, literals, scalar functions,
     and arithmetic. openCypher's integer division truncates (``1 / 2 = 0``)
@@ -2485,6 +2632,10 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
     if isinstance(expr, BinOp):
         left = _expr_column(expr.left, colmap, df)
         right = _expr_column(expr.right, colmap, df)
+        if expr.op in ("+", "-") and df is not None:
+            dur = _duration_binop(expr, left, right, df)
+            if dur is not None:
+                return dur
         kl = _operand_kind(expr.left, colmap, df)
         kr = _operand_kind(expr.right, colmap, df)
         if "string" in (kl, kr) or "array" in (kl, kr):
@@ -2624,6 +2775,9 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
         if expr.default is not None:
             col = col.otherwise(_expr_column(expr.default, colmap, df))
         return col
+    if isinstance(expr, IsNullExpr):
+        col = _expr_column(expr.arg, colmap, df)
+        return col.isNotNull() if expr.negated else col.isNull()
     if isinstance(expr, ListComp):
         # [x IN src WHERE pred | mapped] → filter/transform higher-order
         # functions: the lambdas run inside codegen'd JVM expressions (no

@@ -3573,3 +3573,45 @@ def g65_modularity_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["g65_modularity_opt"] = g65_modularity_opt
+
+
+# G66 — Cypher temporal arithmetic + the round-6 expression surface
+# through the front end: duration({...}) constructors applied to dates
+# (add_months month-end clamping exactly like Neo4j/DuckDB), date minus
+# duration, tail(), and IS [NOT] NULL in expression position. The whole
+# projection is codegen-native JVM date arithmetic — zero Python, the
+# only exchange is the broadcast customer⋈nation join the pattern needs.
+def g66_cypher_temporal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WITH c.name AS name, id(c) % 28 AS k "
+        "WITH name, k, date('2024-01-31') + duration({days: k}) AS d1 "
+        "RETURN name, d1, "
+        "date('2024-01-31') + duration({months: 1}) AS clamp, "
+        "d1 - duration({weeks: 1, days: 1}) AS back, "
+        "size(tail(split(name, '0'))) AS nt, "
+        "name IS NOT NULL AS has_name "
+        "ORDER BY name LIMIT 40",
+    )
+
+
+QUERIES["g66_cypher_temporal_arith"] = g66_cypher_temporal_arith
+ORACLE["g66_cypher_temporal_arith"] = f"""
+    WITH t AS (
+      SELECT c_name AS name,
+             (c_custkey + {CUSTOMER_BASE}) % 28 AS k
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    t2 AS (
+      SELECT name, k,
+             CAST(DATE '2024-01-31' + INTERVAL (k) DAY AS DATE) AS d1
+      FROM t)
+    SELECT name, d1,
+           CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE) AS clamp,
+           CAST(d1 - INTERVAL 8 DAY AS DATE) AS back,
+           CAST(len(string_split(name, '0')) - 1 AS BIGINT) AS nt,
+           name IS NOT NULL AS has_name
+    FROM t2 ORDER BY name LIMIT 40"""

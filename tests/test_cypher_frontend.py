@@ -4068,3 +4068,91 @@ def test_math_log_null_on_nonpositive(fixture_graph):
 def test_zero_arg_constants_arity(fixture_graph):
     with pytest.raises(CypherSyntaxError, match="argument"):
         cypher_read(fixture_graph, "UNWIND [1] AS o RETURN pi(2) AS p")
+
+
+# --- tail() / IS NULL expressions / duration arithmetic (X223) ---
+
+
+def test_tail_semantics(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "tail(split(n.name, '')) AS t, size(tail([9])) AS st, "
+        "tail(n.missing) AS tn ORDER BY name LIMIT 1",
+    ).collect()
+    r = rows[0]
+    assert r["st"] == 0 and r["tn"] is None
+    assert r["t"] == list("Alice"[1:]) or r["t"] == list("Alice")[1:]
+
+
+def test_is_null_expression_position(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "n.missing IS NULL AS miss, n.born IS NOT NULL AS has_born, "
+        "coalesce(n.missing, n.born) IS NULL AS both ORDER BY name",
+    ).collect()
+    assert all(
+        r["miss"] is True and r["has_born"] is True and r["both"] is False
+        for r in rows
+    )
+
+
+def test_is_null_on_aggregate_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="aggregate"):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN count(*) IS NULL AS x"
+        )
+
+
+def test_duration_constructor_and_date_arithmetic(fixture_graph):
+    import datetime
+
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o RETURN "
+        "date('2024-01-15') + duration({days: 3}) AS d1, "
+        "date('2024-01-31') + duration({months: 1}) AS clamp, "
+        "date('2024-03-10') - duration({years: 1, days: 9}) AS back, "
+        "duration({weeks: 2}) + date('2024-01-01') AS commuted",
+    ).collect()
+    r = rows[0]
+    assert r["d1"] == datetime.date(2024, 1, 18)
+    assert r["clamp"] == datetime.date(2024, 2, 29)  # month-end clamp
+    assert r["back"] == datetime.date(2023, 3, 1)
+    assert r["commuted"] == datetime.date(2024, 1, 15)
+
+
+def test_duration_plus_duration(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o WITH duration({days: 2}) + "
+        "duration({months: 1, days: 3}) AS d "
+        "RETURN d.months AS m, d.days AS dd",
+    ).collect()
+    assert tuple(rows[0]) == (1, 5)
+
+
+def test_duration_time_components_raise(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="calendar components"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS o RETURN date('2024-01-01') + "
+            "duration({hours: 3}) AS bad",
+        )
+
+
+def test_duration_minus_date_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="not defined"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS o RETURN duration({days: 1}) - "
+            "date('2024-01-01') AS bad",
+        )
+
+
+def test_aggregate_subscript_raises_typed(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="WITH stage"):
+        cypher_read(
+            fixture_graph, "UNWIND [1] AS o RETURN collect(o)[0] AS bad"
+        )

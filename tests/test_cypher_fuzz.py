@@ -123,6 +123,11 @@ VALID_QUERIES = [
     "single(x IN split(n.name, 'e') WHERE size(x) > 1) AS si ORDER BY name",
     "UNWIND [1] AS o RETURN isEmpty([x IN [1, 2] WHERE x > 5]) AS e, "
     "round(log10(100) + sin(pi() / 2) + atan2(1, 1) - e(), 6) AS m",
+    "UNWIND [1] AS o RETURN tail([1, 2, 3]) AS t, "
+    "date('2024-01-31') + duration({months: 1, days: 2}) AS d, "
+    "duration({weeks: 1}) + duration({days: 1}) AS dd",
+    "MATCH (n:User) RETURN n.name AS name, n.nick IS NOT NULL AS hn, "
+    "n.born IS NULL AS nb ORDER BY name",
 ]
 
 
