@@ -4412,9 +4412,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # RETURN d.year``): the calculator / connectivity-probe idiom
         # every Neo4j client supports. One local row, no scan.
         spark = graph.vertices.sparkSession
-        return _finish_read(
-            spark.range(1).drop("id"), _bare_colmap(set()), p, bare=True
-        )
+        cm = _bare_colmap(set())
+        cm.stage_graph = graph
+        return _finish_read(spark.range(1).drop("id"), cm, p, bare=True)
     if p._at_word_ci("CALL") and p.peek(1) is not None and p.peek(1).text == "{":
         # CALL { <query> [UNION <query>]* } <pipeline> — the Neo4j 5
         # subquery block. Its headline use is POST-UNION processing
@@ -4479,9 +4479,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             df = spark.range(lo, hi + (1 if step > 0 else -1), step).select(
                 F.col("id").alias(alias)
             )
-            return _finish_read(
-            df, _bare_colmap({alias}, None, df), p, bare=True
-        )
+            cm = _bare_colmap({alias}, None, df)
+            cm.stage_graph = graph
+            return _finish_read(df, cm, p, bare=True)
         if p.at("punct", "$"):
             vals = p.parse_value(None)
             if not isinstance(vals, list):
@@ -4550,21 +4550,18 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                     F.struct(*[F.col(k) for k in allkeys]),
                 ).alias(alias)
             )
-            return _finish_read(
-                df,
-                _bare_colmap({alias}, _struct_outputs(df), df),
-                p,
-                bare=True,
-            )
+            cm = _bare_colmap({alias}, _struct_outputs(df), df)
+            cm.stage_graph = graph
+            return _finish_read(df, cm, p, bare=True)
         if kinds == {"number"} and any(isinstance(v, float) for v in vals):
             vals = [None if v is None else float(v) for v in vals]
         if vals:
             df = spark.range(1).select(F.explode(F.lit(vals)).alias(alias))
         else:
             df = spark.range(0).select(F.lit(None).alias(alias))
-        return _finish_read(
-            df, _bare_colmap({alias}, None, df), p, bare=True
-        )
+        cm = _bare_colmap({alias}, None, df)
+        cm.stage_graph = graph
+        return _finish_read(df, cm, p, bare=True)
     p.expect("kw", "MATCH")
     sp_var = None
     sp_all = False
@@ -4887,6 +4884,57 @@ def _pattern_qualifying_ids(graph: PropertyGraph, pc: PatternCond) -> DataFrame:
     return qualifying("src").unionByName(qualifying("dst"))
 
 
+def _expr_vars(x, out: set[str]) -> None:
+    """Collect every variable/alias name referenced by expression ``x``
+    (PropRef vars and bare names) into ``out`` — used to validate that an
+    unanchored pipeline-MATCH WHERE actually correlates the new pattern
+    variable with the outer scope."""
+    if isinstance(x, PropRef):
+        out.add(x.var)
+    elif isinstance(x, BareRef):
+        out.add(x.name)
+    elif isinstance(x, (BinOp,)):
+        _expr_vars(x.left, out)
+        _expr_vars(x.right, out)
+    elif isinstance(x, FuncCall):
+        _expr_vars(x.arg, out)
+        for a in x.extra:
+            _expr_vars(a, out)
+    elif isinstance(x, IsNullExpr):
+        _expr_vars(x.arg, out)
+    elif isinstance(x, (IndexExpr, SliceExpr)):
+        _expr_vars(x.base, out)
+        for a in (getattr(x, "index", None), getattr(x, "lo", None),
+                  getattr(x, "hi", None)):
+            _expr_vars(a, out)
+    elif isinstance(x, FieldAccess):
+        _expr_vars(x.base, out)
+    elif isinstance(x, ListComp):
+        _expr_vars(x.source, out)
+    elif isinstance(x, ReduceExpr):
+        _expr_vars(x.init, out)
+        _expr_vars(x.source, out)
+    elif isinstance(x, CaseExpr):
+        for disj, res in x.whens:
+            _disj_vars(disj, out)
+            _expr_vars(res, out)
+        _expr_vars(x.default, out)
+    elif isinstance(x, MapLit):
+        for _, v in x.entries:
+            _expr_vars(v, out)
+    elif isinstance(x, ListExpr):
+        for v in x.items:
+            _expr_vars(v, out)
+
+
+def _disj_vars(disj, out: set[str]) -> None:
+    for conj in disj:
+        for cond in conj:
+            if hasattr(cond, "left"):
+                _expr_vars(cond.left, out)
+                _expr_vars(getattr(cond, "right", None), out)
+
+
 def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     """Shared tail of every read form: ``[WITH ... | UNWIND x AS y]*
     RETURN items [ORDER BY ...] [SKIP n] [LIMIT m]`` — parsed and executed
@@ -5111,6 +5159,84 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             if p.at("kw", "WHERE"):
                 p.next()
                 opt_disj = p.parse_where(allow_bare=True)
+            if isinstance(opt, NodePat) and not optional:
+                # unanchored pipeline MATCH — the parameter-batch lookup
+                # idiom ``UNWIND $ids AS uid MATCH (n:User) WHERE
+                # id(n) = uid``: a fresh node scan joined to the current
+                # rows. The clause REQUIRES a WHERE correlating the new
+                # variable with the outer scope; the plan is a crossJoin
+                # + correlated filter that Catalyst rewrites into an
+                # equi-join when the correlation is an equality — the
+                # scale-correct shape — while an uncorrelated pattern
+                # (a true cartesian) is rejected loudly, matching the
+                # first-stage shared-variable contract.
+                structs = dict(getattr(colmap, "structs", {}))
+                names = set(getattr(colmap, "star_names", set()))
+                if opt.var is None:
+                    raise CypherSyntaxError(
+                        "pipeline MATCH node pattern needs a variable"
+                    )
+                if opt.var in structs or opt.var in names:
+                    raise CypherSyntaxError(
+                        f"variable {opt.var!r} is already bound in this "
+                        "scope"
+                    )
+                if opt.props:
+                    raise CypherSyntaxError(
+                        "inline property match not supported in MATCH; "
+                        "use WHERE"
+                    )
+                refs: set[str] = set()
+                if opt_disj is not None:
+                    _disj_vars(opt_disj, refs)
+                outer = (set(structs) | names) & refs
+                if opt_disj is None or opt.var not in refs or not outer:
+                    raise CypherSyntaxError(
+                        "MATCH with a fresh node pattern after "
+                        "WITH/UNWIND needs a WHERE correlating it to the "
+                        "current rows (e.g. WHERE id(n) = uid) — an "
+                        "unconstrained pattern would be a cartesian "
+                        "product"
+                    )
+                op = f"__wo{wopt_n}_"
+                wopt_n += 1
+                other_df = graph.nodes(opt.label).select(
+                    *[
+                        F.col(c).alias(f"{op}{c}")
+                        for c in graph.vertices.columns
+                    ]
+                )
+                df = df.crossJoin(other_df)
+                vertex_props = sorted(
+                    c for c in graph.vertices.columns
+                    if c not in ("id", "label", EXTRA_LABELS)
+                )
+                meta = ["label"]
+                if EXTRA_LABELS in graph.vertices.columns:
+                    meta = meta + [EXTRA_LABELS]
+                st = F.struct(
+                    F.col(f"{op}id").alias("id"),
+                    *[F.col(f"{op}{m}").alias(m) for m in meta],
+                    *[F.col(f"{op}{pr}").alias(pr) for pr in vertex_props],
+                )
+                df = df.withColumn(opt.var, st).drop(
+                    *[c for c in df.columns if c.startswith(op)]
+                )
+                pend = getattr(colmap, "row_order", None)
+                colmap = _bare_colmap(
+                    names | set(structs) | {opt.var},
+                    _struct_outputs(df),
+                    df,
+                )
+                colmap.stage_graph = graph
+                if pend:
+                    colmap.row_order = pend
+                df = df.filter(
+                    _where_to_column(
+                        opt_disj, colmap, set(df.columns), df
+                    )
+                )
+                continue
             if not isinstance(opt, EdgePat) or opt.hops is not None:
                 raise CypherSyntaxError(
                     "OPTIONAL MATCH supports a single-hop edge pattern "

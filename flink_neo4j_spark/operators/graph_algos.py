@@ -3615,3 +3615,38 @@ ORACLE["g66_cypher_temporal_arith"] = f"""
            CAST(len(string_split(name, '0')) - 1 AS BIGINT) AS nt,
            name IS NOT NULL AS has_name
     FROM t2 ORDER BY name LIMIT 40"""
+
+
+# G67 — the parameter-batch lookup idiom through the front end:
+# ``UNWIND <keys> AS k MATCH (n:Label) WHERE <correlate> = k`` — how
+# every Neo4j client resolves a batch of ids/names in one round trip.
+# The unanchored pipeline MATCH compiles to a crossJoin + correlated
+# filter that Catalyst rewrites into a broadcast equi-join on the
+# correlation key (asserted by the front-end plan test) — the tiny
+# parameter side broadcasts, the node scan stays distributed: the
+# scale-correct lookup shape. An uncorrelated fresh pattern (a true
+# cartesian) raises instead.
+def g67_cypher_param_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "UNWIND ['NATION_3', 'NATION_7', 'NATION_12', 'ATLANTIS'] AS nname "
+        "MATCH (n:Nation) WHERE n.name = nname "
+        "MATCH (c:Customer) WHERE id(c) % 3 = id(n) % 3 "
+        "RETURN nname, count(*) AS n_cust ORDER BY nname",
+    )
+
+
+QUERIES["g67_cypher_param_lookup"] = g67_cypher_param_lookup
+ORACLE["g67_cypher_param_lookup"] = f"""
+    WITH keys AS (
+      SELECT unnest(['NATION_3', 'NATION_7', 'NATION_12', 'ATLANTIS']) AS nname),
+    nat AS (
+      SELECT nname, n_nationkey + {NATION_BASE} AS nid
+      FROM keys JOIN nation ON n_name = nname)
+    SELECT nname, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM nat JOIN customer
+      ON (c_custkey + {CUSTOMER_BASE}) % 3 = nid % 3
+    GROUP BY nname ORDER BY nname"""

@@ -4156,3 +4156,55 @@ def test_aggregate_subscript_raises_typed(fixture_graph):
         cypher_read(
             fixture_graph, "UNWIND [1] AS o RETURN collect(o)[0] AS bad"
         )
+
+
+# --- unanchored pipeline MATCH: UNWIND params MATCH lookup (X224) ---
+
+
+def test_unwind_match_lookup(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1983, 1984] AS y MATCH (n:User) WHERE n.born = y "
+        "RETURN y, n.name AS name ORDER BY y, name",
+    ).collect()
+    assert [(r["y"], r["name"]) for r in rows] == [
+        (1983, "Bob"), (1984, "Alice"), (1984, "Eve")]
+
+
+def test_unwind_match_inner_join_drops_misses(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND ['Alice', 'Zed'] AS nm MATCH (n:User) WHERE n.name = nm "
+        "RETURN nm, id(n) AS nid ORDER BY nm",
+    ).collect()
+    assert [(r["nm"], r["nid"]) for r in rows] == [("Alice", 0)]
+
+
+def test_with_self_join_via_fresh_match(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a.born AS ab, a.name AS an "
+        "MATCH (m:User) WHERE m.born = ab AND m.name <> an "
+        "RETURN an, m.name AS other ORDER BY an",
+    ).collect()
+    assert [(r["an"], r["other"]) for r in rows] == [
+        ("Alice", "Eve"), ("Eve", "Alice")]
+
+
+def test_uncorrelated_fresh_match_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="cartesian"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS o MATCH (n:User) RETURN count(*) AS c",
+        )
+
+
+def test_fresh_match_correlation_becomes_equi_join(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "UNWIND [1983, 1984] AS y MATCH (n:User) WHERE n.born = y "
+        "RETURN y, n.name AS name ORDER BY y, name",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

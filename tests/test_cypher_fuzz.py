@@ -128,6 +128,9 @@ VALID_QUERIES = [
     "duration({weeks: 1}) + duration({days: 1}) AS dd",
     "MATCH (n:User) RETURN n.name AS name, n.nick IS NOT NULL AS hn, "
     "n.born IS NULL AS nb ORDER BY name",
+    # unanchored pipeline MATCH (parameter-batch lookup)
+    "UNWIND [1983, 1984] AS y MATCH (n:User) WHERE n.born = y "
+    "RETURN y, n.name AS name ORDER BY y, name",
 ]
 
 
