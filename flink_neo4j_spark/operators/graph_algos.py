@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import math
 import os
 
 from flink_neo4j_spark.catalog import load_table, session_memo
@@ -3650,3 +3651,161 @@ ORACLE["g67_cypher_param_lookup"] = f"""
     FROM nat JOIN customer
       ON (c_custkey + {CUSTOMER_BASE}) % 3 = nid % 3
     GROUP BY nname ORDER BY nname"""
+
+
+# G68 — deterministic k-neighbor sampling (the GraphSAGE/GNN
+# minibatch-prep primitive): for each vertex, keep at most K neighbors
+# chosen by a DETERMINISTIC multiplicative hash of the neighbor id —
+# reproducible across runs, layouts, and engines (no rand(), the
+# engine-wide determinism contract), stated identically in the DuckDB
+# oracle. Scale shape: ONE row_number window partitioned by vertex over
+# the undirected edge list — the canonical per-key top-k; no self-join,
+# no collect, output ≤ K·|V| rows. The Knuth multiplier hash spreads
+# neighbor ranks uniformly so the sample is unbiased w.r.t. id order.
+SAMPLE_K = 5
+#: Knuth's 2^32 golden-ratio multiplier; mod 2^32 keeps it in int64
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+
+
+def g68_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, TRI_MIN_QTY)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    h = (F.col("v") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
+    return (
+        und.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .filter(F.col("u") % 17 == 0)  # bounded, deterministic output slice
+        .select(
+            F.col("u").alias("part"),
+            F.col("v").alias("nbr"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("part", "rk")
+    )
+
+
+QUERIES["g68_neighbor_sample"] = g68_neighbor_sample
+ORACLE["g68_neighbor_sample"] = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    ranked AS (
+      SELECT u, v, ROW_NUMBER() OVER (
+        PARTITION BY u
+        ORDER BY (v * {_HASH_MULT}) % {_HASH_MOD} ASC, v ASC) AS rk
+      FROM und)
+    SELECT u AS part, v AS nbr, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_K} AND u % 17 = 0
+    ORDER BY part, rk"""
+
+
+# G69 — FastRP node embeddings (Neo4j GDS `fastRP` parity): very sparse
+# random projection + iterated neighbor averaging (Chen et al. 2019).
+# The initial projection is DETERMINISTIC — Spark's murmur3 hash of
+# (vertex id, dimension) picks each entry from {−√s, 0, +√s} with
+# P(nonzero) = 1/s — so the embedding is reproducible across runs
+# without any rand() (the engine determinism contract); float neighbor
+# averages make exact values layout-dependent like every float
+# recurrence (the g4 class → rows-only conformance), but the GEOMETRY
+# (which nodes are close) is stable and test-asserted. Scale shape: the
+# embedding lives as exploded (id, d, val) rows — |V|·dim rows, linear —
+# each iteration is ONE edge join + ONE partial-agg mean + an L2
+# normalize (groupBy + join), never a per-node array rebuild; the final
+# layer sum happens in the same (id, d) keyed frame.
+FASTRP_DIM = 32
+FASTRP_SPARSITY = 4
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dim: int = FASTRP_DIM,
+    weights: tuple[float, ...] = (0.0, 1.0, 0.7),
+) -> DataFrame:
+    """(u, v) undirected pairs → (id, d, val) exploded embeddings;
+    ``weights[t]`` scales iteration t's normalized layer (t=0 is the raw
+    projection layer)."""
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col("u").cast("long"), F.col("v").cast("long")
+    ).localCheckpoint()
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    ids = und.select(F.col("u").alias("id")).distinct()
+    dims = spark.range(dim).select(F.col("id").alias("d"))
+    s = FASTRP_SPARSITY
+    grid = ids.crossJoin(F.broadcast(dims))
+    h1 = F.abs(F.hash(F.col("id"), F.col("d"), F.lit(0xA5)))
+    h2 = F.hash(F.col("id"), F.col("d"), F.lit(0x5A))
+    val = F.when(
+        h1 % s == 0,
+        F.when(h2 % 2 == 0, math.sqrt(s)).otherwise(-math.sqrt(s)),
+    ).otherwise(0.0)
+    x = grid.select("id", "d", val.alias("val")).localCheckpoint()
+
+    def normalize(frame: DataFrame) -> DataFrame:
+        norms = frame.groupBy("id").agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+        )
+        return frame.join(norms, "id").select(
+            "id", "d",
+            F.when(
+                F.col("nrm") > 0, F.col("val") / F.col("nrm")
+            ).otherwise(0.0).alias("val"),
+        )
+
+    acc = normalize(x).select(
+        "id", "d", (F.col("val") * F.lit(weights[0])).alias("val")
+    )
+    for w_t in weights[1:]:
+        msgs = (
+            und.join(
+                x.select(
+                    F.col("id").alias("v"), "d", F.col("val").alias("nv")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("id"), "d")
+            .agg(F.avg("nv").alias("val"))
+        )
+        x = normalize(msgs).localCheckpoint()
+        acc = (
+            acc.join(
+                x.select("id", "d", F.col("val").alias("xv")), ["id", "d"]
+            )
+            .select(
+                "id", "d",
+                (F.col("val") + F.lit(w_t) * F.col("xv")).alias("val"),
+            )
+        )
+    return acc
+
+
+def g69_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design (float recurrence, the g4 class): per-bucket
+    rollup of the embedding table — node counts and coarse norm stats."""
+    edges = _copurchase_edges(spark, sf_dir, KCORE_MIN_QTY)
+    emb = fastrp_embeddings(edges)
+    norms = emb.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    return (
+        norms.groupBy((F.col("id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.round(F.avg("nrm"), 2).alias("avg_norm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["g69_fastrp"] = g69_fastrp

@@ -308,3 +308,64 @@ class TestModularityOptimization:
         edges = spark.createDataFrame([], "u long, v long")
         with pytest.raises(ValueError, match="empty"):
             modularity_optimization(edges)
+
+
+class TestFastRP:
+    def _emb(self, spark, pairs, **kw):
+        from flink_neo4j_spark.operators.graph_algos import fastrp_embeddings
+
+        edges = spark.createDataFrame(pairs, "u long, v long")
+        rows = fastrp_embeddings(edges, **kw).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["id"], {})[r["d"]] = r["val"]
+        import numpy as np
+
+        return {k: np.array([v[d] for d in sorted(v)]) for k, v in out.items()}
+
+    def test_cliques_cluster_in_embedding_space(self, spark):
+        import numpy as np
+
+        # two 4-cliques joined by one bridge: intra-clique cosine must
+        # exceed inter-clique cosine for non-bridge vertices
+        k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        k2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        emb = self._emb(spark, k1 + k2 + [(3, 4)])
+
+        def cos(a, b):
+            return float(
+                emb[a] @ emb[b]
+                / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]) + 1e-12)
+            )
+
+        intra = cos(0, 1)
+        inter = cos(0, 5)
+        assert intra > inter + 0.2, (intra, inter)
+
+    def test_deterministic_across_layouts(self, spark):
+        import numpy as np
+
+        pairs = [(i, (i + 1) % 6) for i in range(5)] + [(0, 5), (1, 3)]
+        pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+        from flink_neo4j_spark.operators.graph_algos import fastrp_embeddings
+
+        e1 = spark.createDataFrame(pairs, "u long, v long").repartition(1)
+        e8 = spark.createDataFrame(pairs, "u long, v long").repartition(8)
+        r1 = {(r["id"], r["d"]): r["val"] for r in fastrp_embeddings(e1).collect()}
+        r8 = {(r["id"], r["d"]): r["val"] for r in fastrp_embeddings(e8).collect()}
+        assert set(r1) == set(r8)
+        # float mean accumulation order may differ across layouts —
+        # values agree to float tolerance, geometry exactly
+        assert all(abs(r1[k] - r8[k]) < 1e-9 for k in r1)
+
+    def test_isolated_projection_layer_only(self, spark):
+        # weights (1, 0): the embedding is the pure normalized projection
+        # — unit norm (or zero for an all-zero row)
+        import numpy as np
+
+        emb = self._emb(
+            spark, [(0, 1), (1, 2)], weights=(1.0, 0.0)
+        )
+        for v, vec in emb.items():
+            n = np.linalg.norm(vec)
+            assert abs(n - 1.0) < 1e-9 or n == 0.0
