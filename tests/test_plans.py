@@ -999,6 +999,18 @@ PLAN_BUDGETS = {
     # (d14 — six of the eight are broadcasts of the band tables).
     "g55_scc_components": (1, 4),
     "d14_simhash_hamming": (1, 10),
+    # round 6: the new iterative graph heavies. All read memoized
+    # localCheckpointed projections (0 parquet scans); measured 0/1
+    # (g65 — the final rollup over the checkpointed best assignment),
+    # 0/8 (g69 — the last layer-sum joins + the bucket rollup), 0/2
+    # (g61 — checkpointed Brandes accumulations).
+    "g65_modularity_opt": (1, 4),
+    # g69 measured 0/16 in the formatted (pre-AQE-reuse) plan: ~5
+    # exchanges per layer (edge join, mean agg, norm agg, norm join,
+    # layer-sum join) × 2 weighted layers + the bucket rollup — the
+    # honest shape of the exploded (id, d, val) representation
+    "g69_fastrp": (1, 18),
+    "g61_betweenness": (1, 6),
 }
 
 
