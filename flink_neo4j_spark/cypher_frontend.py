@@ -707,6 +707,23 @@ class _Parser:
         if self.at("kw", "ID"):
             self.next()
             self.expect("punct", "(")
+            if (
+                self.at("word")
+                and self.peek().text in ("startNode", "endNode")
+                and self.peek(1) is not None
+                and self.peek(1).text == "("
+            ):
+                # id(startNode(e)) / id(endNode(e)) — the endpoint-id
+                # idiom: reads the edge's src/dst column directly (no
+                # vertex join). Bare startNode(e) outside id() stays
+                # rejected — materializing the full node entity needs
+                # the pattern to bind the endpoint instead.
+                which = self.next().text
+                self.next()
+                var = self.expect("word").text
+                self.expect("punct", ")")
+                self.expect("punct", ")")
+                return PropRef(var, "src" if which == "startNode" else "dst")
             var = self.expect("word").text
             self.expect("punct", ")")
             return PropRef(var, None)
@@ -1493,6 +1510,29 @@ class _Parser:
                     "count instead"
                 )
             return CountPattern(pc)
+        if (
+            tok is not None
+            and tok.kind == "word"
+            and tok.text == "exists"
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+            and self.peek(2) is not None
+            and self.peek(2).kind == "word"
+            and self.peek(3) is not None
+            and self.peek(3).text == "."
+        ):
+            # legacy exists(n.prop) (pre-Neo4j-5 property-presence test)
+            # — desugared to the IS NOT NULL expression; the pattern form
+            # exists((n)-[:R]->()) stays rejected toward EXISTS { }
+            self.next()
+            self.expect("punct", "(")
+            ref = self.parse_prop_ref(allow_bare)
+            self.expect("punct", ")")
+            if not isinstance(ref, PropRef) or ref.prop is None:
+                raise CypherSyntaxError(
+                    "exists() takes a property reference (n.prop)"
+                )
+            return IsNullExpr(ref, negated=True)
         if (
             tok is not None
             and tok.kind == "word"

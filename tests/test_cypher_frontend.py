@@ -4208,3 +4208,40 @@ def test_fresh_match_correlation_becomes_equi_join(fixture_graph):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# --- legacy exists(n.prop) + id(startNode/endNode) (X227) ---
+
+
+def test_exists_property(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, exists(n.born) AS hb, "
+        "exists(n.nope) AS hn ORDER BY name",
+    ).collect()
+    assert all(r["hb"] is True and r["hn"] is False for r in rows)
+
+
+def test_exists_in_where(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WHERE exists(n.born) RETURN count(*) AS c",
+    ).collect()
+    assert rows[0]["c"] == 3
+
+
+def test_exists_requires_prop_ref(fixture_graph):
+    with pytest.raises(CypherSyntaxError):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN exists(n.born + 1) AS x"
+        )
+
+
+def test_start_end_node_ids(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "RETURN id(startNode(e)) AS s, id(endNode(e)) AS d, "
+        "id(a) AS ia, id(b) AS ib ORDER BY s",
+    ).collect()
+    assert all(r["s"] == r["ia"] and r["d"] == r["ib"] for r in rows)

@@ -131,6 +131,9 @@ VALID_QUERIES = [
     # unanchored pipeline MATCH (parameter-batch lookup)
     "UNWIND [1983, 1984] AS y MATCH (n:User) WHERE n.born = y "
     "RETURN y, n.name AS name ORDER BY y, name",
+    # legacy exists() + endpoint-id accessors
+    "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE exists(a.born) "
+    "RETURN id(startNode(e)) AS s, id(endNode(e)) AS d ORDER BY s",
 ]
 
 
