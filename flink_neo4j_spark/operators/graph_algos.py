@@ -3809,3 +3809,66 @@ def g69_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["g69_fastrp"] = g69_fastrp
+
+
+# G70 — two-hop composed neighbor sampling (the GraphSAGE layer-2
+# fan-out: sample K1 neighbors of each seed, then K2 neighbors of each
+# of those): the SAME deterministic-hash ranked table (one row_number
+# window over the undirected edge list) is computed once and joined
+# twice — hop 1 filtered to the seed slice, hop 2 keyed on the hop-1
+# node — so the whole 2-hop sample costs one window + two equi-joins,
+# output ≤ |seeds|·K1·K2 rows. At 100 TB this is the minibatch
+# fan-out shape GNN trainers need: no neighborhood explosion, every
+# stage key-partitioned.
+SAMPLE_K2 = 3
+
+
+def g70_two_hop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir, TRI_MIN_QTY)
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    h = (F.col("v") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
+    ranked = (
+        und.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K2)
+        .localCheckpoint()
+    )
+    hop1 = ranked.filter(F.col("u") % 51 == 0).select(
+        F.col("u").alias("seed"),
+        F.col("v").alias("n1"),
+        F.col("rk").cast("long").alias("rk1"),
+    )
+    hop2 = ranked.select(
+        F.col("u").alias("n1"),
+        F.col("v").alias("n2"),
+        F.col("rk").cast("long").alias("rk2"),
+    )
+    return (
+        hop1.join(hop2, "n1")
+        .select("seed", "n1", "rk1", "n2", "rk2")
+        .orderBy("seed", "rk1", "rk2")
+    )
+
+
+QUERIES["g70_two_hop_sample"] = g70_two_hop_sample
+ORACLE["g70_two_hop_sample"] = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    ranked AS (
+      SELECT u, v, CAST(ROW_NUMBER() OVER (
+        PARTITION BY u
+        ORDER BY (v * {_HASH_MULT}) % {_HASH_MOD} ASC, v ASC) AS BIGINT)
+        AS rk
+      FROM und QUALIFY rk <= {SAMPLE_K2})
+    SELECT h1.u AS seed, h1.v AS n1, h1.rk AS rk1, h2.v AS n2, h2.rk AS rk2
+    FROM ranked h1 JOIN ranked h2 ON h1.v = h2.u
+    WHERE h1.u % 51 = 0
+    ORDER BY seed, rk1, rk2"""
