@@ -1376,3 +1376,119 @@ ORACLE["s18_ann_recall"] = f"""
            ROUND(COUNT(*) / {TOP_K}.0, 4) AS recall_at_k
     FROM ({ORACLE['s1_cosine_topk']}) x
     WHERE x.vec_id IN (SELECT vec_id FROM ({ORACLE['s2_lsh_topk']}) y)"""
+
+
+# S19 — IVF-PQ composite ANN (the FAISS IndexIVFPQ shape — THE
+# billion-scale ANN architecture): coarse inverted-file cells prune the
+# candidate set to the N_PROBE nearest cells (s4's pivot assignment),
+# then product-quantized asymmetric-distance (ADC) scoring ranks ONLY
+# the surviving candidates (s13's codes) — so query cost is
+# ~N_PROBE/N_CELLS of the corpus at PQ_M bytes/vector of distance work,
+# the exact memory/compute trade a 100 TB vector store needs. Both
+# stages reuse the proven deterministic tie-breaks (max cell on pivot
+# ties, min code on subspace ties), so the full composite has an exact
+# DuckDB twin. The codebook and query tables are metadata-sized driver
+# collects (PQ_K and 1 rows); the corpus path is one broadcast-pruned
+# join + one Arrow-batched mapInPandas.
+def s19_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    pivots = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("emb").alias("p_emb"))
+    scored = e.crossJoin(F.broadcast(pivots)).withColumn(
+        "pcos", _cosine("emb", "p_emb")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct("pcos", "cell")).alias("m"),
+            F.first("emb").alias("emb"),
+        )
+        .select("vec_id", F.col("m.cell").alias("cell"), "emb")
+    )
+    probe_cells = (
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.col("pcos").desc(), F.col("cell").desc())
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    cb_rows = (
+        e.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").select("emb").collect()
+    )
+    codebook = np.array([r["emb"] for r in cb_rows]).reshape(PQ_K, PQ_M, PQ_SUB)
+    codebook = np.transpose(codebook, (1, 0, 2))  # [M, K, SUB]
+    q_emb = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select("emb").first()["emb"]
+    )
+    qsub = np.array(q_emb).reshape(PQ_M, PQ_SUB)
+    qd = ((qsub[:, None, :] - codebook) ** 2).sum(-1)  # [M, K]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["emb"].tolist()).reshape(-1, PQ_M, PQ_SUB)
+            d = ((x[:, :, None, :] - codebook[None]) ** 2).sum(-1)
+            codes = d.argmin(-1)  # ties -> smallest k, same as the oracle
+            dist = qd[np.arange(PQ_M)[None, :], codes].sum(-1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "dist": np.round(dist, 6)}
+            )
+
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "emb")
+        .mapInPandas(run, schema="vec_id long, dist double")
+        .orderBy("dist", "vec_id")
+        .limit(TOP_K)
+    )
+
+
+QUERIES["s19_ivfpq_topk"] = s19_ivfpq_topk
+ORACLE["s19_ivfpq_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    p AS (SELECT vec_id AS cell, emb AS p_emb FROM e
+          WHERE vec_id BETWEEN 1 AND {N_CELLS}),
+    cscored AS (
+      SELECT e.vec_id, e.emb, p.cell, {_duck_cos("e.emb", "p.p_emb")} AS pcos
+      FROM e CROSS JOIN p),
+    assigned AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT vec_id, emb, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY pcos DESC, cell DESC) AS rn
+        FROM cscored) WHERE rn = 1),
+    probe AS (SELECT cell FROM cscored WHERE vec_id = {QUERY_VEC_ID}
+              ORDER BY pcos DESC, cell DESC LIMIT {N_PROBE}),
+    cand AS (
+      SELECT a.vec_id, a.emb FROM assigned a JOIN probe USING (cell)
+      WHERE a.vec_id != {QUERY_VEC_ID}),
+    cb AS (SELECT vec_id AS k, emb FROM e WHERE vec_id < {PQ_K}),
+    sub AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    dists AS (
+      SELECT x.vec_id, sub.s, c.k,
+             list_sum([ (x.emb[sub.s * {PQ_SUB} + d]
+                         - c.emb[sub.s * {PQ_SUB} + d]) ^ 2
+                        for d in generate_series(1, {PQ_SUB})]) AS d2
+      FROM cand x, sub, cb c),
+    enc AS (
+      SELECT vec_id, s, k AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, k) AS rn
+        FROM dists) WHERE rn = 1),
+    qd AS (
+      SELECT sub.s, c.k,
+             list_sum([ (q.emb[sub.s * {PQ_SUB} + d]
+                         - c.emb[sub.s * {PQ_SUB} + d]) ^ 2
+                        for d in generate_series(1, {PQ_SUB})]) AS d2
+      FROM (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}) q, sub, cb c),
+    adc AS (
+      SELECT enc.vec_id, ROUND(SUM(qd.d2), 6) AS dist
+      FROM enc JOIN qd ON enc.s = qd.s AND enc.code = qd.k
+      GROUP BY enc.vec_id)
+    SELECT vec_id, dist FROM adc
+    ORDER BY dist, vec_id LIMIT {TOP_K}"""
