@@ -4988,18 +4988,24 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
         p.at("kw", "WITH")
         or p.at("kw", "UNWIND")
         or (
-            (
-                p._at_word_ci("OPTIONAL")
-                or p.at("kw", "MATCH")
-                or (
-                    p._at_word_ci("CALL")
-                    and p.peek(1) is not None
-                    and p.peek(1).text == "{"
-                )
+            p._at_word_ci("OPTIONAL")
+            or p.at("kw", "MATCH")
+            or (
+                p._at_word_ci("CALL")
+                and p.peek(1) is not None
+                and p.peek(1).text == "{"
             )
-            and bare
         )
     ):
+        if not bare and not (p.at("kw", "WITH") or p.at("kw", "UNWIND")):
+            # MATCH/CALL directly after a pattern clause (no interposed
+            # WITH) — openCypher allows it; desugar by injecting an
+            # implicit ``WITH *`` so the pattern scope flips to the bare
+            # carried-variable scope every stage form already speaks.
+            # (The first-stage OPTIONAL MATCH special form was consumed
+            # by _read_single before this loop ever runs.)
+            p.toks[p.i:p.i] = [_Tok("kw", "WITH"), _Tok("punct", "*")]
+            continue
         if p._at_word_ci("CALL"):
             # correlated CALL subquery (Neo4j 5 importing WITH):
             # ``WITH n CALL { WITH n MATCH (n)-[e:T]->(m[:L]) [WHERE …]

@@ -4245,3 +4245,38 @@ def test_start_end_node_ids(fixture_graph):
         "id(a) AS ia, id(b) AS ib ORDER BY s",
     ).collect()
     assert all(r["s"] == r["ia"] and r["d"] == r["ib"] for r in rows)
+
+
+# --- implicit WITH * before CALL / pipeline MATCH (X230) ---
+
+
+def test_call_directly_after_match(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) CALL { WITH n MATCH (n)-[e:KNOWS]->(b:User) "
+        "RETURN b.name AS f ORDER BY b.name LIMIT 1 } "
+        "RETURN n.name AS name, f ORDER BY name",
+    ).collect()
+    assert [(r["name"], r["f"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Alice")]
+
+
+def test_optional_match_after_with_star_desugar(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(m:User) "
+        "RETURN n.name AS a, m.name AS b ORDER BY a",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Alice"), ("Eve", None)]
+
+
+def test_fresh_match_after_explicit_with_star(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH * MATCH (m:User) "
+        "WHERE m.born = n.born AND m.name <> n.name "
+        "RETURN n.name AS a, m.name AS b ORDER BY a",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        ("Alice", "Eve"), ("Eve", "Alice")]
