@@ -5561,6 +5561,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     items = _expand_star(items, colmap, "RETURN")
     df = _bind_pattern_subqueries(df, colmap, items)
     pending = getattr(colmap, "row_order", None)
+    pre_scope = None
     if (
         pending
         and not order
@@ -5594,9 +5595,44 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             )
             df = df.orderBy(*_specs_columns(remapped, post, df))
     else:
+        pre_scope = (df, colmap)
         df = _apply_projection(df, colmap, distinct, items)
     if order:
-        df = df.orderBy(*_order_columns(order, items, "RETURN", df))
+        try:
+            df = df.orderBy(*_order_columns(order, items, "RETURN", df))
+        except CypherSyntaxError:
+            # Neo4j: RETURN ... ORDER BY may sort by ANY expression over
+            # variables still in scope, not only projected columns
+            # (``RETURN properties(n) AS p ORDER BY n.name``). Re-project
+            # with hidden __ord columns computed in the PRE-projection
+            # scope, sort, drop. Not reachable for DISTINCT (dedup
+            # destroys hidden keys — Neo4j rejects this too) or
+            # aggregating projections (a non-grouped sort key is
+            # meaningless; the original error stands).
+            if (
+                pre_scope is None
+                or distinct
+                or any(isinstance(i.expr, AggCall) for i in items)
+                or any(isinstance(k, AggCall) for k, _ in order)
+            ):
+                raise
+            pdf, pcolmap = pre_scope
+            pseudo = list(items)
+            specs: list[tuple[str, bool]] = []
+            for i, (k, asc) in enumerate(order):
+                if isinstance(k, str):
+                    match = next(
+                        (it for it in items if _out_name(it) == k), None
+                    )
+                    if match is None:
+                        raise
+                    k = match.expr
+                pseudo.append(ReturnItem(k, f"__ord{i}"))
+                specs.append((f"__ord{i}", asc))
+            df = _apply_projection(pdf, pcolmap, False, pseudo)
+            df = df.orderBy(
+                *[_order_dir(F.col(n), asc) for n, asc in specs]
+            ).drop(*[n for n, _ in specs])
     if skip is not None:
         # openCypher SKIP: drop the first n rows of the (ordered) result —
         # Catalyst plans Offset; without an ORDER BY the dropped prefix is

@@ -2542,11 +2542,14 @@ def test_order_by_property_ref(fixture_graph):
     )
     assert [r["who"] for r in df2.collect()] == ["Eve", "Bob", "Alice"]
 
-    # un-projected ref is rejected loudly
-    with pytest.raises(CypherSyntaxError, match="must reference a RETURN"):
-        cypher_read(
-            fixture_graph, "MATCH (n:User) RETURN n.name ORDER BY n.born"
-        )
+    # un-projected ref sorts by the hidden pre-projection key (round-6:
+    # Neo4j allows ORDER BY over any in-scope expression after RETURN)
+    df_hidden = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name ORDER BY n.born, n.name",
+    )
+    assert [r["n_name"] for r in df_hidden.collect()] == [
+        "Bob", "Alice", "Eve"]
 
     # WITH-stage form
     df3 = cypher_read(
@@ -4280,3 +4283,39 @@ def test_fresh_match_after_explicit_with_star(fixture_graph):
     ).collect()
     assert [(r["a"], r["b"]) for r in rows] == [
         ("Alice", "Eve"), ("Eve", "Alice")]
+
+
+# --- RETURN ... ORDER BY non-projected expressions (X231) ---
+
+
+def test_order_by_unprojected_property(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born AS b ORDER BY n.name DESC",
+    ).collect()
+    assert [r["b"] for r in rows] == [1984, 1983, 1984]  # Eve, Bob, Alice
+
+
+def test_order_by_mixed_hidden_and_alias_keys(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN toUpper(n.name) AS u "
+        "ORDER BY size(n.name) DESC, u",
+    ).collect()
+    assert [r["u"] for r in rows] == ["ALICE", "BOB", "EVE"]
+
+
+def test_order_by_unprojected_with_distinct_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="RETURN column"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN DISTINCT n.born AS b ORDER BY n.name",
+        )
+
+
+def test_order_by_unprojected_with_aggregate_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="RETURN column"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN count(*) AS c ORDER BY n.name",
+        )
