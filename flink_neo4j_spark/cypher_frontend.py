@@ -249,6 +249,9 @@ class MapProj:
 
     var: str
     props: tuple  # property names, or ("*",) for .*
+    #: computed entries ``{.name, yr: n.born + 1}`` — (key, expr) pairs
+    #: evaluated in the enclosing scope (Neo4j's map-projection extras)
+    extras: tuple = ()
 
 
 @dataclass
@@ -1904,18 +1907,36 @@ class _Parser:
             var = self.next().text
             self.expect("punct", "{")
             props: list[str] = []
+            extras: list[tuple[str, Any]] = []
             while True:
-                if not self.at("punct", "."):
-                    raise CypherSyntaxError(
-                        "map projection entries must be .prop or .* "
-                        "(computed entries are not supported)"
-                    )
-                self.next()
-                if self.at("punct", "*"):
+                if self.at("punct", "."):
                     self.next()
-                    props.append("*")
+                    if self.at("punct", "*"):
+                        self.next()
+                        props.append("*")
+                    else:
+                        props.append(self.expect("word").text)
+                elif (
+                    self.at("word")
+                    and self.peek(1) is not None
+                    and self.peek(1).text == ":"
+                ):
+                    # computed entry {key: expr} — Neo4j's map-projection
+                    # extras, evaluated in the enclosing scope
+                    key = self.next().text
+                    self.next()
+                    val = self.parse_return_expr(allow_bare)
+                    if isinstance(val, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed inside a map "
+                            "projection; compute them in a WITH stage first"
+                        )
+                    extras.append((key, val))
                 else:
-                    props.append(self.expect("word").text)
+                    raise CypherSyntaxError(
+                        "map projection entries must be .prop, .*, or "
+                        "key: expr"
+                    )
                 if self.at("punct", ","):
                     self.next()
                     continue
@@ -1925,7 +1946,12 @@ class _Parser:
                 raise CypherSyntaxError(
                     ".* selects every property; combine it with nothing"
                 )
-            return MapProj(var, tuple(props))
+            keys = [k for k, _ in extras]
+            if len(set(keys) | set(p for p in props if p != "*")) != len(
+                keys
+            ) + len([p for p in props if p != "*"]):
+                raise CypherSyntaxError("duplicate key in map projection")
+            return MapProj(var, tuple(props), tuple(extras))
         if (
             not allow_bare
             and tok is not None
@@ -2795,16 +2821,18 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
                 f"map projection over unknown variable {expr.var!r}"
             )
         props = avail if expr.props == ("*",) else list(expr.props)
-        if not props:
+        if not props and not expr.extras:
             raise CypherSyntaxError(
                 f"map projection over {expr.var!r} selects no properties"
             )
-        return F.struct(
-            *[
-                _resolve_ref(PropRef(expr.var, p), colmap, df).alias(p)
-                for p in props
-            ]
-        )
+        fields = [
+            _resolve_ref(PropRef(expr.var, p), colmap, df).alias(p)
+            for p in props
+        ]
+        fields += [
+            _expr_column(e, colmap, df).alias(k) for k, e in expr.extras
+        ]
+        return F.struct(*fields)
     if isinstance(expr, CaseExpr):
         col: Column | None = None
         have = set(df.columns)

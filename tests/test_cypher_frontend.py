@@ -3654,8 +3654,12 @@ def test_map_projection_after_with_and_on_edges(fixture_graph):
 
 
 def test_map_projection_rejections(fixture_graph):
-    with pytest.raises(CypherSyntaxError, match="computed entries"):
-        cypher_read(fixture_graph, "MATCH (n:User) RETURN n {name: 1} AS x")
+    # round 6: computed entries {key: expr} are now SUPPORTED — only the
+    # unknown-variable case still rejects
+    rows = cypher_read(
+        fixture_graph, "MATCH (n:User) RETURN n {name: 1} AS x LIMIT 1"
+    ).collect()
+    assert rows[0]["x"].asDict() == {"name": 1}
     with pytest.raises(CypherSyntaxError, match="unknown variable"):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN z {.name} AS x")
 
@@ -4318,4 +4322,35 @@ def test_order_by_unprojected_with_aggregate_raises(fixture_graph):
         cypher_read(
             fixture_graph,
             "MATCH (n:User) RETURN count(*) AS c ORDER BY n.name",
+        )
+
+
+# --- map-projection computed entries (X232) ---
+
+
+def test_map_projection_computed_entries(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n {.name, yr: n.born + 1, "
+        "ini: toUpper(left(n.name, 1))} AS rec ORDER BY n.name LIMIT 2",
+    ).collect()
+    recs = [r["rec"].asDict() for r in rows]
+    assert recs == [
+        {"name": "Alice", "yr": 1985, "ini": "A"},
+        {"name": "Bob", "yr": 1984, "ini": "B"},
+    ]
+
+
+def test_map_projection_duplicate_key_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="duplicate"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN n {.name, name: 'dup'} AS rec",
+        )
+
+
+def test_map_projection_aggregate_entry_raises(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="aggregate"):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN n {cnt: count(*)} AS rec"
         )
