@@ -1376,3 +1376,94 @@ ORACLE["a21_seasonal_decomp"] = f"""
                  - s_num / (s_den * {SEASONAL_LCM}.0), 4) + 0.0 AS resid
     FROM det JOIN seas USING (dow)
     ORDER BY day"""
+
+
+# A22 — batch gaps-and-islands sessionization: the classic sessionize
+# shape (a new session starts when the gap to the user's previous event
+# exceeds the timeout), answered as the sessions-per-user DISTRIBUTION so
+# the result is a small, layout-independent rollup. Plan: ONE window
+# partitioned by user (lag → gap flag → running SUM = session id — the
+# textbook cumulative-flag trick, a single shuffle on user_id), one
+# session rollup, one distribution rollup — all partial-aggregated. The
+# streaming twin is w2_sessionize; this is its batch restatement with an
+# exact SQL oracle.
+SESSION_GAP_MIN = 30
+
+
+def a22_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # microsecond-exact integer timestamps on BOTH engines: a seconds
+    # cast floors each endpoint before subtracting, while DuckDB's
+    # epoch() subtracts fractional values first — a 1-second off-by-one
+    # on ~half of all durations (hit live on this query's first run)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "user_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "user_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("dur_s"),
+    )
+    per_user = per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("dur_s").cast("long").alias("longest_s"),
+    )
+    return (
+        per_user.groupBy("n_sessions")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("events"),
+            F.max("longest_s").alias("max_session_s"),
+        )
+        .orderBy("n_sessions")
+    )
+
+
+QUERIES["a22_sessionize"] = a22_sessionize
+ORACLE["a22_sessionize"] = f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER
+                    (PARTITION BY user_id ORDER BY us, user_id)
+                    > {SESSION_GAP_MIN * 60 * 1_000_000}
+                  OR LAG(us) OVER
+                    (PARTITION BY user_id ORDER BY us, user_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, user_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS dur_s
+      FROM sess GROUP BY user_id, sid),
+    per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             MAX(dur_s) AS longest_s
+      FROM per_session GROUP BY user_id)
+    SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS events,
+           MAX(longest_s) AS max_session_s
+    FROM per_user GROUP BY n_sessions ORDER BY n_sessions"""
