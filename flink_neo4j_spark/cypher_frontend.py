@@ -26,9 +26,12 @@ the reference exercises (README + tests, SURVEY.md §2.B):
   patterns ``(a)-[e]-(b)`` (union of both orientations, self-loops
   matched once; single-hop MATCH/chains and pattern predicates),
   ``ORDER BY n.prop`` / ``ORDER BY count(*)`` (sort by a projected
-  expression), and bounded variable-length paths ``-[:T*lo..hi]->``
+  expression), and variable-length paths: bounded ``-[:T*lo..hi]->``
   (union of fixed-length edge-join chains with relationship-isomorphism
-  filters; explicit bounds required, capped at ``MAX_VAR_HOPS``);
+  filters, capped at ``MAX_VAR_HOPS``) and UNBOUNDED ``-[:T*]->`` /
+  ``*lo..`` / ``*..hi`` (iterative frontier expansion carrying per-path
+  edge-id arrays — drain-or-raise under ``VAR_UNBOUNDED_MAX_ROUNDS`` /
+  ``VAR_UNBOUNDED_MAX_FRONTIER``);
   ``WITH`` pipeline stages (openCypher clause order ``WITH items
   [ORDER BY/LIMIT] [WHERE]``, chainable) — projection aliases re-scope the
   row, so HAVING-style filters on aggregates, top-k-then-continue, and
@@ -51,8 +54,9 @@ a NEW PropertyGraph (graphs are immutable values here).
   OPTIONAL MATCH optional side). Bare boolean references are predicates
   (``WHERE n.trust``, ``WHERE NOT n.flag``) with three-valued semantics.
 
-This is intentionally a SUBSET: unbounded path expansion and path values
-are served by the native DataFrame surface. Unsupported syntax raises
+This is intentionally a SUBSET: whole path VALUES (beyond the
+length/nodes/relationships accessors) are served by the native DataFrame
+surface. Unsupported syntax raises
 ``CypherSyntaxError`` with the offending token, never a silent wrong
 answer. Like openCypher, MERGE/DETACH/DELETE (any case) are reserved
 words — a property or label spelled `delete` is rejected rather than
@@ -450,11 +454,31 @@ _FN_ARITY = {
     "point": (1, 1),
 }
 
-#: hard ceiling on variable-length path expansion: each extra hop is one
-#: more edge join in the unioned plan, and path counts can grow
+#: hard ceiling on BOUNDED variable-length path expansion: each extra hop
+#: is one more edge join in the unioned plan, and path counts can grow
 #: combinatorially — the bound keeps the operator cluster-safe by
-#: construction (raise consciously, not by data surprise).
+#: construction (raise consciously, not by data surprise). Unbounded forms
+#: (``*`` / ``*lo..``) take the iterative frontier path instead, governed
+#: by the two guards below.
 MAX_VAR_HOPS = 6
+
+#: unbounded expansion guards: relationship isomorphism terminates every
+#: path at ≤|E| hops mathematically, but a graph whose paths outlive the
+#: round ceiling (or whose per-round partial-path frontier outgrows the
+#: row cap) raises LOUDLY instead of grinding toward an OOM — the same
+#: drain-or-raise contract as the SCC peel and the Brandes BFS. Both are
+#: module-level so a test (or an operator that knows its graph) can widen
+#: them consciously.
+VAR_UNBOUNDED_MAX_ROUNDS = 32
+VAR_UNBOUNDED_MAX_FRONTIER = 50_000_000
+
+#: ``nodes(p)``/``relationships(p)`` over allShortestPaths enumerate the
+#: tied paths per pair — bounded state (≤ cap+1 paths per settled pair,
+#: the σ-count already proves the multiplicity); a pair whose tie count
+#: exceeds the cap raises at execution (σ is monotone along the BFS DAG,
+#: so any capped intermediate implies the output pair's own count also
+#: exceeds the cap — the raise can never miss a silent undercount).
+ALL_PATHS_TIE_CAP = 8
 
 
 # -- parser ----------------------------------------------------------------
@@ -570,28 +594,40 @@ class _Parser:
         self.expect("punct", ")")
         return NodePat(var, label, props)
 
-    def parse_hops(self) -> tuple[int, int] | None:
-        """``*lo..hi`` or ``*n`` after the relationship type. Unbounded
-        (bare ``*`` / ``*lo..``) is rejected: an unbounded expansion has no
-        safe distributed plan, so the bound is part of the contract."""
+    def parse_hops(self) -> tuple[int, int | None] | None:
+        """Variable-length spec after the relationship type — the full
+        Neo4j surface: ``*`` (1..∞), ``*n``, ``*lo..hi``, ``*lo..``
+        (lo..∞), ``*..hi`` (1..hi). Unbounded forms return ``hi=None``
+        and compile to the iterative frontier expansion (drain-or-raise —
+        see ``_varlength_paths_unbounded``); bounded forms keep the
+        union-of-chains plan and the MAX_VAR_HOPS ceiling."""
         if not self.at("punct", "*"):
             return None
         self.next()
+        lo = 1
+        if self.at("number"):
+            lo = int(self.expect("number").text)
+            if not self.at("punct", "."):
+                return self._check_hops(lo, lo)
+        elif not self.at("punct", "."):
+            return (1, None)  # bare '*'
+        self.expect("punct", ".")
+        self.expect("punct", ".")
         if not self.at("number"):
-            raise CypherSyntaxError(
-                "variable-length pattern requires explicit bounds: *n or *lo..hi"
-            )
-        lo = int(self.expect("number").text)
-        if not self.at("punct", "."):
-            return (lo, lo)
-        self.expect("punct", ".")
-        self.expect("punct", ".")
+            return self._check_hops(lo, None)  # '*lo..' / '*..'
         hi = int(self.expect("number").text)
-        if lo < 1 or hi < lo:
-            raise CypherSyntaxError(f"invalid variable-length bounds *{lo}..{hi}")
-        if hi > MAX_VAR_HOPS:
+        return self._check_hops(lo, hi)
+
+    def _check_hops(self, lo: int, hi: int | None) -> tuple[int, int | None]:
+        if lo < 1 or (hi is not None and hi < lo):
             raise CypherSyntaxError(
-                f"variable-length upper bound {hi} exceeds MAX_VAR_HOPS={MAX_VAR_HOPS}"
+                f"invalid variable-length bounds *{lo}..{hi}"
+            )
+        if hi is not None and hi > MAX_VAR_HOPS:
+            raise CypherSyntaxError(
+                f"variable-length upper bound {hi} exceeds MAX_VAR_HOPS="
+                f"{MAX_VAR_HOPS}; drop the bound (*{lo}..) for the "
+                "iterative drain-or-raise expansion"
             )
         return (lo, hi)
 
@@ -2250,10 +2286,13 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         a, b = resolve(call.arg), resolve(call.extra[0])
         sub = call.fn.split(".", 1)[1]
         if sub == "inDays":
-            return F.struct(F.datediff(b, a).cast("long").alias("days"))
+            return F.struct(
+                F.datediff(b, a).cast("long").alias("days"), _DUR_TAG_COL()
+            )
         if sub == "inSeconds":
             return F.struct(
-                (F.unix_timestamp(b) - F.unix_timestamp(a)).alias("seconds")
+                (F.unix_timestamp(b) - F.unix_timestamp(a)).alias("seconds"),
+                _DUR_TAG_COL(),
             )
         from pyspark.sql.types import DateType
 
@@ -2275,7 +2314,9 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
             .otherwise(m0)
         )
         days = F.datediff(b, F.add_months(a, months)).cast("long")
-        return F.struct(months.alias("months"), days.alias("days"))
+        return F.struct(
+            months.alias("months"), days.alias("days"), _DUR_TAG_COL()
+        )
     if call.fn in ("keys", "properties"):
         # keys(n): the property names present (non-null) on the row, sorted
         # for determinism (Neo4j leaves order unspecified). properties(n):
@@ -2382,6 +2423,7 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         return F.struct(
             (comp("years") * 12 + comp("months")).alias("months"),
             (comp("weeks") * 7 + comp("days")).alias("days"),
+            _DUR_TAG_COL(),
         )
     if call.fn == "isEmpty":
         # isEmpty(string | list | map) — type-dispatched like size();
@@ -2394,8 +2436,18 @@ def _scalar_fn_column(call: FuncCall, colmap, df: DataFrame) -> Column:
         dtype = (
             df.select(probe_col.alias("__ie")).schema[0].dataType.simpleString()
         )
-        n = F.size(col) if dtype.startswith(("array", "map")) else F.length(col)
-        return n == 0
+        if dtype.startswith(("array", "map")):
+            return F.size(col) == 0
+        if dtype == "string":
+            return F.length(col) == 0
+        if dtype == "void":
+            # isEmpty(null) = null (Neo4j) — a literal null has no type
+            return F.lit(None).cast("boolean")
+        # Neo4j raises a type error on e.g. isEmpty(42); falling through
+        # to length() would implicitly cast and silently answer false
+        raise CypherSyntaxError(
+            f"isEmpty() expects a string, list or map; got {dtype}"
+        )
     if call.fn in ("pi", "e"):
         return F.lit(math.pi if call.fn == "pi" else math.e)
     if call.fn == "atan2":
@@ -2628,18 +2680,33 @@ def _lambda_colmap(outer, bindings: dict, probes: dict):
     return sub
 
 
+#: sentinel field every compiler-produced duration struct carries —
+#: ``_dur_fields`` requires it, so a user map literal / map projection that
+#: happens to spell {days: 2} can never duck-type into duration arithmetic
+#: (Neo4j raises a type error for plain maps; inferring from the field
+#: names alone silently field-wise-summed them).
+DUR_TAG = "__dur"
+
+
+def _DUR_TAG_COL() -> Column:
+    return F.lit(True).alias(DUR_TAG)
+
+
 def _dur_fields(dtype: str | None) -> set[str] | None:
-    """Field set when ``dtype`` is a duration component struct (flat,
-    fields ⊆ {months, days, seconds}), else None. Point structs (x, y,
-    crs) and user maps with other keys never qualify."""
+    """Component field set when ``dtype`` is a compiler-produced duration
+    struct (flat, tagged with ``DUR_TAG``, components ⊆ {months, days,
+    seconds}), else None. Point structs (x, y, crs) and user maps never
+    qualify — only the duration()/duration.* constructors and duration
+    sums emit the tag."""
     if dtype is None:
         return None
     mo = re.fullmatch(r"struct<([^<>]*)>", dtype)
     if mo is None:
         return None
     fields = {f.split(":", 1)[0] for f in mo.group(1).split(",") if f}
-    if fields and fields <= {"months", "days", "seconds"}:
-        return fields
+    comps = fields - {DUR_TAG}
+    if DUR_TAG in fields and comps and comps <= {"months", "days", "seconds"}:
+        return comps
     return None
 
 
@@ -2668,7 +2735,8 @@ def _duration_binop(
                 (left[f] + right[f]).alias(f)
                 for f in ("months", "days", "seconds")
                 if f in lf
-            )
+            ),
+            _DUR_TAG_COL(),
         )
     # exactly one side is a duration: orient date on the left
     dcol, durcol, durf, dkind = (
@@ -3495,8 +3563,13 @@ def _varlength_paths(
     ``carry_paths`` adds ``__path_nodes`` / ``__path_rels`` id arrays for
     ``nodes(p)`` / ``relationships(p)`` on a named path — free here: the
     hop columns already exist per chain, the arrays are pure projection.
+
+    Unbounded specs (``hi=None`` from ``*`` / ``*lo..``) dispatch to the
+    iterative frontier expansion — same output contract, drain-or-raise.
     """
     lo, hi = pat.hops
+    if hi is None:
+        return _varlength_paths_unbounded(graph, pat, lo, carry_paths)
     e = graph.edges
     if pat.rel_type is not None:
         e = e.filter(rel_type_cond(pat.rel_type))
@@ -3545,6 +3618,113 @@ def _varlength_paths(
         )
         out = chain if out is None else out.unionByName(chain)
     return out
+
+
+def _varlength_paths_unbounded(
+    graph: PropertyGraph, pat: EdgePat, lo: int, carry_paths: bool
+) -> DataFrame:
+    """``(a)-[:T*]->(b)`` / ``*lo..`` — the reachability idiom every Neo4j
+    user types — as an ITERATIVE frontier expansion (the g6/g31 frontier
+    machinery applied to path enumeration; round-6 verdict ask #3).
+
+    Semantics match Cypher exactly: one row per distinct path, no edge
+    repeated within a path (relationship isomorphism — which is also the
+    mathematical termination guarantee: a path holds ≤|E| edges). State is
+    one row per LIVE partial path carrying its edge-id array; each round is
+    ONE equi-join of the frontier head against the edge list plus a JVM
+    ``array_contains`` filter — no Python, no driver-side path handling.
+    Lineage truncates with ``localCheckpoint`` per round, and the per-round
+    driver scalar is the frontier count (the SCC/k-core one-scalar
+    discipline), doubling as the loud guard: a frontier past
+    ``VAR_UNBOUNDED_MAX_FRONTIER`` rows or a graph whose paths outlive
+    ``VAR_UNBOUNDED_MAX_ROUNDS`` raises instead of OOMing — dense
+    components make path COUNTS exponential, and that is a property of the
+    query, not the engine; the guard converts it from a data surprise into
+    a conscious limit.
+
+    Output contract is identical to the bounded union-of-chains frame:
+    ``a_*`` / ``b_*`` vertex columns, ``__path_len``, plus
+    ``__path_nodes`` / ``__path_rels`` when ``carry_paths``.
+    """
+    e = graph.edges
+    if pat.rel_type is not None:
+        e = e.filter(rel_type_cond(pat.rel_type))
+    e = e.select("id", "src", "dst")
+    vcols = graph.vertices.columns
+    a_ids = graph.nodes(pat.src.label).select(F.col("id").alias("__a"))
+    first = a_ids.join(e, F.col("__a") == F.col("src")).select(
+        "__a",
+        F.col("dst").alias("__cur"),
+        F.array("id").alias("__rels"),
+        F.array("__a", "dst").alias("__nodes"),
+        F.lit(1).alias("__len"),
+    )
+    frontier = first
+    parts: list[DataFrame] = []
+    drained = False
+    for rnd in range(VAR_UNBOUNDED_MAX_ROUNDS + 1):
+        frontier = frontier.localCheckpoint()
+        n = frontier.count()
+        if n == 0:
+            drained = True
+            break
+        if n > VAR_UNBOUNDED_MAX_FRONTIER:
+            raise RuntimeError(
+                f"unbounded variable-length expansion frontier hit {n} "
+                f"partial paths (cap {VAR_UNBOUNDED_MAX_FRONTIER}) at hop "
+                f"{rnd + 1} — the pattern enumerates exponentially many "
+                "paths on this graph; bound it (*lo..hi) or use "
+                "shortestPath()"
+            )
+        parts.append(frontier)
+        if rnd == VAR_UNBOUNDED_MAX_ROUNDS:
+            break
+        frontier = (
+            frontier.join(e, F.col("__cur") == F.col("src"))
+            .filter(~F.array_contains("__rels", F.col("id")))
+            .select(
+                "__a",
+                F.col("dst").alias("__cur"),
+                F.concat("__rels", F.array("id")).alias("__rels"),
+                F.concat("__nodes", F.array("dst")).alias("__nodes"),
+                (F.col("__len") + 1).alias("__len"),
+            )
+        )
+    if not drained:
+        raise RuntimeError(
+            "unbounded variable-length expansion did not drain within "
+            f"{VAR_UNBOUNDED_MAX_ROUNDS} hops; bound the pattern "
+            "(*lo..hi) or raise VAR_UNBOUNDED_MAX_ROUNDS consciously"
+        )
+    if not parts:  # no a-labeled node has an outgoing edge: empty result
+        parts = [first.limit(0)]
+    paths = parts[0]
+    for part in parts[1:]:
+        paths = paths.unionByName(part)
+    if lo > 1:
+        paths = paths.filter(F.col("__len") >= lo)
+    a = graph.nodes(pat.src.label).select(
+        *[F.col(c).alias(f"a_{c}") for c in vcols]
+    )
+    b = graph.nodes(pat.dst.label).select(
+        *[F.col(c).alias(f"b_{c}") for c in vcols]
+    )
+    extra = (
+        [F.col("__nodes").alias("__path_nodes"),
+         F.col("__rels").alias("__path_rels")]
+        if carry_paths
+        else []
+    )
+    return (
+        paths.join(a, F.col("__a") == F.col("a_id"))
+        .join(b, F.col("__cur") == F.col("b_id"))
+        .select(
+            *[f"a_{c}" for c in vcols],
+            *[f"b_{c}" for c in vcols],
+            F.col("__len").alias("__path_len"),
+            *extra,
+        )
+    )
 
 
 def _optional_match(
@@ -3908,12 +4088,17 @@ def _shortest_path(
     count (the g22 early-exit discipline). WHERE predicates apply after
     translation; at scale a source-selective query should prefilter the
     anchor label (the frontier starts from every a-label node)."""
-    if all_paths and carry_paths:
-        raise CypherSyntaxError(
-            "nodes()/relationships() over allShortestPaths would enumerate "
-            "every tied path; bind shortestPath for a representative path"
-        )
+    carry_rep = carry_paths and not all_paths
+    carry_all = carry_paths and all_paths
     lo, hi = pat.hops
+    # unbounded spec (shortestPath((a)-[:T*]->(b)) — the textbook form):
+    # per-pair BFS state is |pairs| rows regardless of the bound, so the
+    # only change is the round budget — levels stop at the graph diameter
+    # (frontier drains); a diameter past the ceiling raises loudly like
+    # the unbounded enumeration (drain-or-raise).
+    unbounded = hi is None
+    if unbounded:
+        hi = VAR_UNBOUNDED_MAX_ROUNDS
     e = graph.edges
     if pat.rel_type is not None:
         e = e.filter(rel_type_cond(pat.rel_type))
@@ -3934,18 +4119,33 @@ def _shortest_path(
         F.lit(0).alias("__len"),
         F.lit(1).cast("long").alias("__cnt"),
     ]
-    if carry_paths:
+    if carry_rep:
         # representative-path state: ONE deterministic path per settled
         # pair (the lexicographically-least node-id sequence, edge ids as
         # tiebreak) — arrays of ≤ hi+1 ids per row, so the BFS state stays
         # O(|pairs| · hops), never the tied-path product
         init_cols.append(F.array(F.col("id")).alias("__nodes"))
         init_cols.append(F.array().cast("array<bigint>").alias("__rels"))
+    if carry_all:
+        # capped tie-enumeration state (round-6 verdict ask #5): up to
+        # ALL_PATHS_TIE_CAP+1 (n, r) paths per settled pair, canonically
+        # array_sorted so the capped slice is deterministic regardless of
+        # collect_list order — O(|pairs| · cap · hops) state, bounded by
+        # construction; enumeration is EXACT whenever the query returns
+        # (see the σ-monotonicity note on ALL_PATHS_TIE_CAP)
+        init_cols.append(
+            F.array(
+                F.struct(
+                    F.array(F.col("id")).alias("n"),
+                    F.array().cast("array<bigint>").alias("r"),
+                )
+            ).alias("__paths")
+        )
     dist = a_nodes.select(*init_cols).localCheckpoint()
     frontier = dist
     for i in range(hi):
         aggs = [F.sum("__cnt").alias("__cnt")]
-        if carry_paths:
+        if carry_rep:
             aggs.append(
                 F.min(
                     F.struct(
@@ -3954,13 +4154,32 @@ def _shortest_path(
                     )
                 ).alias("__rep")
             )
+        if carry_all:
+            aggs.append(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("__ext"))),
+                    1,
+                    ALL_PATHS_TIE_CAP + 1,
+                ).alias("__paths")
+            )
+        joined = frontier.join(e, F.col("__v") == F.col("__s"))
+        if carry_all:
+            joined = joined.withColumn(
+                "__ext",
+                F.transform(
+                    F.col("__paths"),
+                    lambda pp: F.struct(
+                        F.concat(pp["n"], F.array(F.col("__d"))).alias("n"),
+                        F.concat(pp["r"], F.array(F.col("__eid"))).alias("r"),
+                    ),
+                ),
+            )
         nxt = (
-            frontier.join(e, F.col("__v") == F.col("__s"))
-            .groupBy("__a", F.col("__d").alias("__v"))
+            joined.groupBy("__a", F.col("__d").alias("__v"))
             .agg(*aggs)
             .withColumn("__len", F.lit(i + 1))
         )
-        if carry_paths:
+        if carry_rep:
             nxt = nxt.select(
                 "__a",
                 "__v",
@@ -3969,6 +4188,8 @@ def _shortest_path(
                 F.col("__rep")["n"].alias("__nodes"),
                 F.col("__rep")["r"].alias("__rels"),
             )
+        if carry_all:
+            nxt = nxt.select("__a", "__v", "__len", "__cnt", "__paths")
         frontier = nxt.join(
             dist.select("__a", "__v"), ["__a", "__v"], "left_anti"
         ).localCheckpoint()
@@ -3977,6 +4198,14 @@ def _shortest_path(
         dist = dist.unionByName(frontier.select(*dist.columns))
         if (i + 1) % 3 == 0 or i == hi - 1:
             dist = dist.localCheckpoint()
+    else:
+        if unbounded and not frontier.isEmpty():
+            raise RuntimeError(
+                "unbounded shortestPath BFS did not drain within "
+                f"{VAR_UNBOUNDED_MAX_ROUNDS} levels (graph diameter "
+                "exceeds the ceiling); bound the pattern or raise "
+                "VAR_UNBOUNDED_MAX_ROUNDS consciously"
+            )
     paths = dist.filter(F.col("__len") >= max(lo, 1))
     a = a_nodes.select(*[F.col(c).alias(f"a_{c}") for c in vcols])
     b = graph.nodes(pat.dst.label).select(
@@ -3988,7 +4217,34 @@ def _shortest_path(
         .withColumnRenamed("__len", "__path_len")
         .drop("__a", "__v")
     )
-    if all_paths:
+    if carry_all:
+        # one row PER ENUMERATED PATH — exact whenever the tie cap holds;
+        # a pair with more ties than the cap raises at execution (loud,
+        # never a silent undercount)
+        checked = F.when(
+            F.assert_true(
+                F.col("__cnt") <= ALL_PATHS_TIE_CAP,
+                F.concat(
+                    F.lit(
+                        "allShortestPaths tie enumeration: a pair has "
+                    ),
+                    F.col("__cnt").cast("string"),
+                    F.lit(
+                        f" tied paths (cap {ALL_PATHS_TIE_CAP}); raise "
+                        "ALL_PATHS_TIE_CAP consciously or drop the "
+                        "nodes()/relationships() accessor"
+                    ),
+                ),
+            ).isNull(),
+            F.col("__paths"),
+        )
+        df = (
+            df.withColumn("__p", F.explode(checked))
+            .withColumn("__nodes", F.col("__p")["n"])
+            .withColumn("__rels", F.col("__p")["r"])
+            .drop("__p", "__paths", "__cnt")
+        )
+    elif all_paths:
         df = df.withColumn(
             "__path_no", F.explode(F.sequence(F.lit(1), F.col("__cnt")))
         ).drop("__path_no", "__cnt")
@@ -5260,17 +5516,50 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                         "inline property match not supported in MATCH; "
                         "use WHERE"
                     )
-                refs: set[str] = set()
-                if opt_disj is not None:
-                    _disj_vars(opt_disj, refs)
-                outer = (set(structs) | names) & refs
-                if opt_disj is None or opt.var not in refs or not outer:
+                outer_scope = set(structs) | names
+
+                def _equi_key(cond) -> tuple | None:
+                    # canonical key of a conjunct that is an EQUALITY
+                    # between an expression over ONLY the fresh variable
+                    # and an expression over ONLY outer-scope variables —
+                    # the exact shape Catalyst rewrites from
+                    # crossJoin+filter into an equi-join. Anything weaker
+                    # (correlation inside an OR branch only, a
+                    # non-equality correlation, variables mixed on one
+                    # side) still plans a true nested-loop cartesian.
+                    if (
+                        not isinstance(cond, Cond)
+                        or cond.negated
+                        or cond.op != "="
+                    ):
+                        return None
+                    lv: set[str] = set()
+                    rv: set[str] = set()
+                    _expr_vars(cond.left, lv)
+                    _expr_vars(cond.right, rv)
+                    if lv == {opt.var} and rv and rv <= outer_scope:
+                        return (repr(cond.left), repr(cond.right))
+                    if rv == {opt.var} and lv and lv <= outer_scope:
+                        return (repr(cond.right), repr(cond.left))
+                    return None
+
+                # the correlating equality must be a TOP-LEVEL conjunct:
+                # in DNF that means one canonical equality present in
+                # EVERY branch ('n.born = 1 OR y = 2' has a branch with
+                # none; 'id(n)=uid OR id(n)=uid2' correlates each branch
+                # on a different key — both stay nested-loop cartesians
+                # and are rejected loudly per the scale contract).
+                common: set[tuple] | None = None
+                for conj in opt_disj or []:
+                    keys = {k for k in map(_equi_key, conj) if k is not None}
+                    common = keys if common is None else (common & keys)
+                if not common:
                     raise CypherSyntaxError(
                         "MATCH with a fresh node pattern after "
-                        "WITH/UNWIND needs a WHERE correlating it to the "
-                        "current rows (e.g. WHERE id(n) = uid) — an "
-                        "unconstrained pattern would be a cartesian "
-                        "product"
+                        "WITH/UNWIND needs a WHERE with a top-level "
+                        "equality conjunct correlating it to the current "
+                        "rows (e.g. WHERE id(n) = uid) — anything weaker "
+                        "would be a cartesian product"
                     )
                 op = f"__wo{wopt_n}_"
                 wopt_n += 1
@@ -6220,11 +6509,9 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     - ``MATCH (n[:L]) [WHERE ...] REMOVE n.p, ...`` — sugar for SET-null.
     """
     p.expect("kw", "MATCH")
-    target = p.parse_node()
-    if not isinstance(target, NodePat):
-        raise CypherSyntaxError(
-            "bare DELETE/SET/REMOVE matches a plain node pattern"
-        )
+    target = p.parse_pattern()
+    if isinstance(target, EdgePat):
+        return _bare_edge_write(graph, p, target)
     if target.props and target.var is None:
         raise CypherSyntaxError(
             "a bare-write pattern with a property map needs a variable "
@@ -6487,6 +6774,288 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
     if disj is not None:
         df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
     return graph.delete_nodes(df.select("id"), detach=detach)
+
+
+#: edge columns a SET/REMOVE may never target (structure, not properties)
+_EDGE_RESERVED = ("id", "src", "dst", "rel_type")
+
+
+def _bare_edge_write(graph: PropertyGraph, p: _Parser, pat: EdgePat) -> PropertyGraph:
+    """Relationship-property writes through the front end (round-6 verdict
+    ask #4 — ``MATCH (a)-[e:T]->(b) SET e.w = 1`` previously had no path;
+    edge properties were writable only at CREATE/MERGE):
+
+    - ``MATCH (a[:L1])-[e:T]->(b[:L2]) [WHERE …] SET e.p = <expr>, …``
+    - ``SET e += {map}`` (merge) / ``SET e = {map}`` (replace: unlisted
+      user properties null out, per Neo4j)
+    - ``… REMOVE e.p, …`` — sugar for SET-null
+    - ``… DELETE e`` — one anti-join on edge id (:meth:`delete_edges`)
+
+    Mirrors the bare node SET contract (X176). Two plans:
+
+    - FAST PATH (no endpoint labels, WHERE over the edge variable only):
+      ONE conditional projection over the edge frame — no join, no
+      shuffle, exactly the node-SET shape.
+    - endpoint-constrained (a label or an a/b reference in WHERE): the
+      matched edge-id set comes from the expand frame (two equi-joins
+      Catalyst broadcasts on label-restricted sides), marked back onto
+      the edge frame by ONE equi-join on edge id; the update itself is
+      still a single conditional projection — at 100 TB this is the same
+      shuffle any edge-predicate read costs.
+
+    SET right-hand sides evaluate against the edge's PRE-update
+    properties (``SET e.w = e.w + 1``); endpoint properties in SET
+    values raise loudly (match them in WHERE, or carry values via an
+    UNWIND batch). Relationships have exactly ONE type, so ``SET
+    e:Label`` is rejected (Neo4j errors there too).
+    """
+    if pat.hops is not None:
+        raise CypherSyntaxError(
+            "variable-length patterns cannot be written to; bind a "
+            "single-hop edge variable"
+        )
+    if pat.undirected:
+        raise CypherSyntaxError(
+            "edge writes need a directed pattern (-[e:T]-> or <-[e:T]-)"
+        )
+    evar = pat.var
+    if evar is None:
+        raise CypherSyntaxError("the edge write pattern needs an edge variable")
+    avar, bvar = pat.src.var, pat.dst.var
+    disj = None
+    if p.at("kw", "WHERE"):
+        p.next()
+        disj = p.parse_where()
+    taken = {v for v in (evar, avar, bvar) if v is not None}
+    disj = _and_into(disj, _desugar_inline_props([pat], taken))
+    avar, bvar = pat.src.var, pat.dst.var  # desugar names anonymous endpoints
+
+    refs: set[str] = set()
+    if disj is not None:
+        _disj_vars(disj, refs)
+    unknown = refs - {evar, avar, bvar}
+    if unknown:
+        raise CypherSyntaxError(f"unknown variable {sorted(unknown)[0]!r}")
+
+    # ---- parse the write clause ------------------------------------------
+    if p.at("kw", "DELETE") or p.at("kw", "DETACH"):
+        if p.at("kw", "DETACH"):
+            raise CypherSyntaxError(
+                "DETACH applies to nodes; a relationship DELETE is plain "
+                "DELETE e"
+            )
+        p.next()
+        var = p.expect("word").text
+        if var != evar:
+            raise CypherSyntaxError(f"DELETE target must be {evar!r}")
+        p.expect_end()
+        values: dict[str, Any] | None = None
+        removing = replace_props = False
+    else:
+        if not (p.at("kw", "SET") or p.at("kw", "REMOVE")):
+            raise CypherSyntaxError(
+                "expected SET, REMOVE or DELETE after the edge pattern"
+            )
+        removing = p.next().text.upper() == "REMOVE"
+        values = {}
+        replace_props = False
+        while True:
+            if (
+                p.at("word")
+                and p.peek(1) is not None
+                and p.peek(1).kind == "punct"
+                and p.peek(1).text == ":"
+            ):
+                raise CypherSyntaxError(
+                    "relationships have exactly one type; SET e:Label is "
+                    "not defined (Neo4j errors here too)"
+                )
+            if (
+                not removing
+                and p.at("word")
+                and p.peek(1) is not None
+                and p.peek(1).kind == "op"
+                and (
+                    (
+                        p.peek(1).text == "+"
+                        and p.peek(2) is not None
+                        and p.peek(2).kind == "op"
+                        and p.peek(2).text == "="
+                    )
+                    or (
+                        p.peek(1).text == "="
+                        and p.peek(2) is not None
+                        and p.peek(2).text in ("{", "$")
+                    )
+                )
+            ):
+                # SET e += {map} (merge) / SET e = {map} (replace) — the
+                # node-SET map contract verbatim, minus label keys
+                mvar = p.next().text
+                if p.peek().text == "+":
+                    p.next()
+                else:
+                    replace_props = True
+                p.next()  # =
+                if mvar != evar:
+                    raise CypherSyntaxError(
+                        f"SET/REMOVE target must be {evar!r}"
+                    )
+                if p.at("punct", "$"):
+                    m = p.parse_value(None)
+                    if not isinstance(m, dict):
+                        raise CypherSyntaxError(
+                            "SET += $param requires a map value"
+                        )
+                    entries = list(m.items())
+                else:
+                    p.expect("punct", "{")
+                    entries = []
+                    while True:
+                        k = p.expect("word").text
+                        p.expect("punct", ":")
+                        val = p.parse_return_expr()
+                        if isinstance(val, AggCall):
+                            raise CypherSyntaxError(
+                                "aggregates are not allowed in SET values"
+                            )
+                        entries.append((k, val))
+                        if p.at("punct", ","):
+                            p.next()
+                            continue
+                        break
+                    p.expect("punct", "}")
+                for k, val in entries:
+                    if k in _EDGE_RESERVED:
+                        raise CypherSyntaxError(
+                            f"reserved edge property name {k!r}"
+                        )
+                    values[k] = val
+            else:
+                ref = p.parse_prop_ref()
+                if ref.var != evar or ref.prop is None:
+                    raise CypherSyntaxError(
+                        f"SET/REMOVE target must be {evar!r}.<property>"
+                    )
+                if ref.prop in _EDGE_RESERVED:
+                    raise CypherSyntaxError(
+                        f"reserved edge property name {ref.prop!r}"
+                    )
+                if removing:
+                    values[ref.prop] = None
+                else:
+                    p.expect("op", "=")
+                    val = p.parse_return_expr()
+                    if isinstance(val, AggCall):
+                        raise CypherSyntaxError(
+                            "aggregates are not allowed in SET values"
+                        )
+                    values[ref.prop] = val
+            if p.at("punct", ","):
+                p.next()
+                continue
+            break
+        p.expect_end()
+        # SET values read the edge's own pre-update state only
+        for val in values.values():
+            vrefs: set[str] = set()
+            _expr_vars(val, vrefs)
+            if vrefs - {evar}:
+                raise CypherSyntaxError(
+                    "SET values may reference the edge's own properties "
+                    f"only ({evar!r}); endpoint values need an UNWIND batch"
+                )
+
+    # ---- build the matched predicate --------------------------------------
+    e = graph.edges
+    have = set(e.columns)
+    fast = (
+        pat.src.label is None
+        and pat.dst.label is None
+        and refs <= {evar}
+    )
+
+    def edge_col(ref: PropRef, prefix: str = "") -> Column:
+        return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
+
+    if fast:
+        matched = (
+            rel_type_cond(pat.rel_type)
+            if pat.rel_type is not None
+            else F.lit(True)
+        )
+
+        def fcolmap(ref: PropRef) -> Column:
+            if ref.var != evar:
+                raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+            return edge_col(ref)
+
+        if disj is not None:
+            matched = matched & F.coalesce(
+                _where_to_column(disj, fcolmap, have), F.lit(False)
+            )
+        frame = e
+    else:
+        exp = graph.expand(pat.src.label, pat.rel_type, pat.dst.label)
+
+        def xcolmap(ref: PropRef) -> Column:
+            if ref.var == evar:
+                return edge_col(ref)
+            if avar is not None and ref.var == avar:
+                return edge_col(ref, "a_")
+            if bvar is not None and ref.var == bvar:
+                return edge_col(ref, "b_")
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+
+        if disj is not None:
+            exp = exp.filter(
+                _where_to_column(disj, xcolmap, set(exp.columns), exp)
+            )
+        ids = exp.select(F.col("id").alias("__mid")).distinct()
+        frame = e.join(ids, e["id"] == F.col("__mid"), "left")
+        matched = F.col("__mid").isNotNull()
+
+    if values is None:  # DELETE e
+        doomed = frame.filter(matched).select("id")
+        return graph.delete_edges(doomed)
+
+    def ecolmap(ref: PropRef) -> Column:
+        if ref.var != evar:
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return edge_col(ref)
+
+    def _valcol(val) -> Column:
+        # pre-update reads, like the node SET (all RHS evaluate first)
+        if isinstance(
+            val,
+            (
+                PropRef, BareRef, BinOp, FuncCall, CaseExpr,
+                ListComp, ReduceExpr, IndexExpr, SliceExpr,
+                FieldAccess, ListExpr,
+            ),
+        ):
+            return _expr_column(val, ecolmap, e)
+        return F.lit(val)
+
+    out: list[Column] = []
+    for c in e.columns:
+        if c in values:
+            out.append(
+                F.when(matched, _valcol(values[c])).otherwise(F.col(c)).alias(c)
+            )
+        elif replace_props and c not in _EDGE_RESERVED:
+            out.append(
+                F.when(matched, F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    for prop, val in values.items():
+        # brand-new property column: matched rows take the value, the
+        # rest read null (missing-property semantics); REMOVE of a
+        # property that never existed is a no-op
+        if prop not in have and val is not None:
+            out.append(F.when(matched, _valcol(val)).alias(prop))
+    return PropertyGraph(graph.vertices, frame.select(*out))
 
 
 @_typed_analysis_errors

@@ -3576,9 +3576,12 @@ def modularity_optimization(
 
 
 def g65_modularity_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only by design (iterative fixpoint — no SQL twin, the g4
-    class): per-community rollup of the optimized assignment, with the
-    exact global modularity stated as the integer pair (q_num, denom)."""
+    """Oracle-checked as of round 7 (previously rows-only): the move rule
+    is deterministic, synchronous, and exact-integer, so the whole
+    optimization unrolls as materialized CTEs in DuckDB
+    (:func:`_duck_modopt_sql`) — per-community rollup of the
+    best-assignment, with the exact global modularity stated as the
+    integer pair (q_num, denom)."""
     edges = _copurchase_edges(spark, sf_dir, KCORE_MIN_QTY)
     # 4 rounds: the monotone rule's move count decays geometrically
     # (measured sf0.1: 9819→3940→1580→552 moves), and best-Q tracking
@@ -3596,6 +3599,94 @@ def g65_modularity_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["g65_modularity_opt"] = g65_modularity_opt
+
+
+def _duck_modopt_sql(rounds: int = 4) -> str:
+    """g65's oracle (round-6 verdict ask #2): the Louvain move rule is
+    deterministic, SYNCHRONOUS, and exact-integer, so the whole
+    optimization unrolls as materialized CTEs — one (tot, nbr, cand,
+    score, argmax) block per round, the g22_kcore/g24 unrolled-fixpoint
+    pattern — and the best-Q assignment is picked exactly like the engine
+    (strictly-greater, earliest round wins ties; the singleton start is
+    round 0 with q = −Σk²). AS MATERIALIZED is load-bearing: default
+    inlining re-expands the chain exponentially."""
+    blocks = [
+        f"""
+    li AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_quantity >= {KCORE_MIN_QTY}),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS MATERIALIZED (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS MATERIALIZED (
+      SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY u),
+    mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    c0 AS MATERIALIZED (SELECT id, id AS comm FROM deg),
+    q0 AS MATERIALIZED (
+      SELECT -CAST(SUM(k * k) AS BIGINT) AS q FROM deg)"""
+    ]
+    for r in range(rounds):
+        p, n = f"c{r}", r + 1
+        blocks.append(f"""
+    tot{r} AS MATERIALIZED (
+      SELECT comm, CAST(SUM(k) AS BIGINT) AS tot
+      FROM deg JOIN {p} USING (id) GROUP BY comm),
+    nbr{r} AS MATERIALIZED (
+      SELECT und.u AS id, {p}.comm AS c, CAST(COUNT(*) AS BIGINT) AS k_uc
+      FROM und JOIN {p} ON und.v = {p}.id GROUP BY und.u, {p}.comm),
+    cand{r} AS MATERIALIZED (
+      SELECT x.id, x.c, MAX(x.k_uc) AS k_uc FROM (
+        SELECT id, c, k_uc FROM nbr{r}
+        UNION ALL SELECT id, comm AS c, CAST(0 AS BIGINT) FROM {p}) x
+      GROUP BY x.id, x.c),
+    sc{r} AS MATERIALIZED (
+      SELECT cand{r}.id, cand{r}.c,
+             2 * m * cand{r}.k_uc - deg.k * (
+               COALESCE(t.tot, 0) - CASE WHEN cand{r}.c = cur.comm
+                                         THEN deg.k ELSE 0 END) AS score
+      FROM cand{r}
+      JOIN {p} cur ON cand{r}.id = cur.id
+      LEFT JOIN tot{r} t ON t.comm = cand{r}.c
+      JOIN deg ON deg.id = cand{r}.id
+      CROSS JOIN mm
+      WHERE cand{r}.c <= cur.comm),
+    c{n} AS MATERIALIZED (
+      SELECT id, c AS comm FROM (
+        SELECT id, c, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY score DESC, c ASC) AS rn
+        FROM sc{r}) WHERE rn = 1),
+    q{n} AS MATERIALIZED (
+      SELECT 4 * m * e_in - sq AS q FROM
+        (SELECT CAST(COUNT(*) AS BIGINT) AS e_in FROM edges
+           JOIN c{n} cu ON edges.u = cu.id
+           JOIN c{n} cv ON edges.v = cv.id AND cu.comm = cv.comm),
+        (SELECT CAST(SUM(tot * tot) AS BIGINT) AS sq FROM
+           (SELECT comm, CAST(SUM(k) AS BIGINT) AS tot
+            FROM deg JOIN c{n} USING (id) GROUP BY comm)),
+        mm)""")
+    rnds = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, q FROM q{r}" for r in range(rounds + 1)
+    )
+    asgn = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, id, comm FROM c{r}" for r in range(rounds + 1)
+    )
+    return f"""
+    WITH {",".join(blocks)},
+    rounds AS ({rnds}),
+    best AS (SELECT rnd, q FROM rounds ORDER BY q DESC, rnd ASC LIMIT 1),
+    allassign AS ({asgn})
+    SELECT comm, CAST(COUNT(*) AS BIGINT) AS members,
+           (SELECT q FROM best) AS q_num,
+           (SELECT 4 * m * m FROM mm) AS q_denom
+    FROM allassign JOIN best USING (rnd)
+    GROUP BY comm HAVING COUNT(*) >= 2
+    ORDER BY members DESC, comm LIMIT 50"""
+
+
+ORACLE["g65_modularity_opt"] = _duck_modopt_sql()
 
 
 # G66 — Cypher temporal arithmetic + the round-6 expression surface
@@ -3685,9 +3776,36 @@ ORACLE["g67_cypher_param_lookup"] = f"""
 # no collect, output ≤ K·|V| rows. The Knuth multiplier hash spreads
 # neighbor ranks uniformly so the sample is unbiased w.r.t. id order.
 SAMPLE_K = 5
-#: Knuth's 2^32 golden-ratio multiplier; mod 2^32 keeps it in int64
+#: Knuth's 2^32 golden-ratio multiplier, split hi·2^16 + lo so the hash
+#: computes overflow-safe in int64: a direct v * 2654435761 overflows for
+#: v ≥ ~3.47e9 (partkeys reach ~2e10 at the 100 TB target), and Spark
+#: wraps silently (non-ANSI) while DuckDB raises — a silent cross-engine
+#: divergence. (v mod 2^32)·lo + ((v mod 2^32)·hi mod 2^16)·2^16 stays
+#: below 2^48 at every step and equals (v·2654435761) mod 2^32 exactly.
 _HASH_MULT = 2654435761
+_HASH_MULT_HI = _HASH_MULT >> 16  # 40503
+_HASH_MULT_LO = _HASH_MULT & 0xFFFF  # 31153
 _HASH_MOD = 4294967296
+
+
+def _knuth_hash(col):
+    """(col * 2654435761) mod 2^32 without int64 overflow at any operand
+    magnitude. Mirrored verbatim in the g68/g70 DuckDB oracles."""
+    v32 = F.pmod(col, F.lit(_HASH_MOD))
+    return F.pmod(
+        v32 * F.lit(_HASH_MULT_LO)
+        + F.pmod(v32 * F.lit(_HASH_MULT_HI), F.lit(65536)) * F.lit(65536),
+        F.lit(_HASH_MOD),
+    )
+
+
+#: the same expression in DuckDB SQL (% is fine: inputs are non-negative
+#: after the inner % 2^32 on the positive key domain)
+_KNUTH_HASH_SQL = (
+    f"((v % {_HASH_MOD}) * {_HASH_MULT_LO}"
+    f" + ((v % {_HASH_MOD}) * {_HASH_MULT_HI}) % 65536 * 65536)"
+    f" % {_HASH_MOD}"
+)
 
 
 def g68_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3695,7 +3813,7 @@ def g68_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    h = (F.col("v") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    h = _knuth_hash(F.col("v"))
     w = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
     return (
         und.withColumn("rk", F.row_number().over(w))
@@ -3723,7 +3841,7 @@ ORACLE["g68_neighbor_sample"] = f"""
     ranked AS (
       SELECT u, v, ROW_NUMBER() OVER (
         PARTITION BY u
-        ORDER BY (v * {_HASH_MULT}) % {_HASH_MOD} ASC, v ASC) AS rk
+        ORDER BY {_KNUTH_HASH_SQL} ASC, v ASC) AS rk
       FROM und)
     SELECT u AS part, v AS nbr, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= {SAMPLE_K} AND u % 17 = 0
@@ -3850,7 +3968,7 @@ def g70_two_hop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    h = (F.col("v") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    h = _knuth_hash(F.col("v"))
     w = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
     ranked = (
         und.withColumn("rk", F.row_number().over(w))
@@ -3887,10 +4005,100 @@ ORACLE["g70_two_hop_sample"] = f"""
     ranked AS (
       SELECT u, v, CAST(ROW_NUMBER() OVER (
         PARTITION BY u
-        ORDER BY (v * {_HASH_MULT}) % {_HASH_MOD} ASC, v ASC) AS BIGINT)
+        ORDER BY {_KNUTH_HASH_SQL} ASC, v ASC) AS BIGINT)
         AS rk
       FROM und QUALIFY rk <= {SAMPLE_K2})
     SELECT h1.u AS seed, h1.v AS n1, h1.rk AS rk1, h2.v AS n2, h2.rk AS rk2
     FROM ranked h1 JOIN ranked h2 ON h1.v = h2.u
     WHERE h1.u % 51 = 0
     ORDER BY seed, rk1, rk2"""
+
+
+# G71 — UNBOUNDED variable-length reachability through the front end:
+# ``MATCH (c:Customer)-[*]->(x)`` — the bare-star idiom every migrating
+# Neo4j user types first (the reference ships opaque Cypher strings,
+# Neo4jFormatBase.java:48, so parse-level rejection of `*` was the #1
+# round-6 gap). Compiles to the iterative frontier expansion
+# (_varlength_paths_unbounded): one edge equi-join + a JVM
+# array_contains isomorphism filter per round, localCheckpoint lineage
+# truncation, one frontier-count scalar per round, drain-or-raise past
+# the round/row guards. Cypher row semantics: one row per distinct
+# path (edge-distinct), here 1-hop customer→nation plus 2-hop
+# customer→nation→region. The oracle is a genuine recursive CTE with
+# list-tracked edge ids — the same algorithm stated in SQL.
+def g71_cypher_unbounded_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = (c:Customer)-[*]->(x) "
+        "RETURN id(c) AS c_id, id(x) AS x_id, length(p) AS hops "
+        "ORDER BY c_id, x_id",
+    )
+
+
+QUERIES["g71_cypher_unbounded_paths"] = g71_cypher_unbounded_paths
+ORACLE["g71_cypher_unbounded_paths"] = f"""
+    WITH RECURSIVE e AS (
+      SELECT c_custkey + {CUSTOMER_BASE} AS src,
+             c_nationkey + {NATION_BASE} AS dst,
+             c_custkey + {CUSTOMER_BASE} AS id FROM customer
+      UNION ALL
+      SELECT s_suppkey + {SUPPLIER_BASE}, s_nationkey + {NATION_BASE},
+             s_suppkey + {SUPPLIER_BASE} FROM supplier
+      UNION ALL
+      SELECT n_nationkey + {NATION_BASE}, n_regionkey + {REGION_BASE},
+             n_nationkey + {NATION_BASE} FROM nation),
+    paths AS (
+      SELECT src AS a, dst AS cur, [id] AS rels, 1 AS hops FROM e
+      WHERE src >= {CUSTOMER_BASE} AND src < {SUPPLIER_BASE}
+      UNION ALL
+      SELECT p.a, e.dst, list_append(p.rels, e.id), p.hops + 1
+      FROM paths p JOIN e ON e.src = p.cur
+      WHERE NOT list_contains(p.rels, e.id))
+    SELECT a AS c_id, cur AS x_id, CAST(hops AS BIGINT) AS hops
+    FROM paths ORDER BY c_id, x_id"""
+
+
+# G72 — relationship-property SET/REMOVE through the front end (round-6
+# verdict ask #4): boost IN_NATION edge weights for two nations via
+# ``MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) WHERE … SET e.boosted =
+# e.w + 10`` (the endpoint-constrained plan: matched edge ids from the
+# expand frame, marked back by ONE equi-join on edge id, update as a
+# single conditional projection), then REMOVE the property again for one
+# of them, and read the mutation back. The oracle states the closed-form
+# surviving set: NATION_3's customers with boosted = c_custkey % 7 + 10.
+def g72_cypher_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    g = cypher_write(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WHERE n.name = 'NATION_3' OR n.name = 'NATION_5' "
+        "SET e.boosted = e.w + 10",
+    )
+    g = cypher_write(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WHERE n.name = 'NATION_5' REMOVE e.boosted",
+    )
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[e:IN_NATION]->(n:Nation) "
+        "WHERE e.boosted IS NOT NULL "
+        "RETURN id(c) AS c_id, e.w AS w, e.boosted AS boosted, "
+        "n.name AS nation ORDER BY c_id",
+    )
+
+
+QUERIES["g72_cypher_edge_set"] = g72_cypher_edge_set
+ORACLE["g72_cypher_edge_set"] = f"""
+    SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
+           c_custkey % 7 AS w,
+           c_custkey % 7 + 10 AS boosted,
+           n_name AS nation
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY c_id"""

@@ -41,36 +41,44 @@ from pyspark.sql import DataFrame, SparkSession
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 6: the six round-5 ERR rows — semantically green all along
-    # (the driver's canonicalizer cannot hash array cells); their result
-    # projections now flatten every list column with array_join (the g30
-    # pattern) and the oracles mirror with array_to_string. Re-certify
-    # first: a red row turning green is the round's top hard signal.
-    "g44_cypher_label_set",
-    "g46_cypher_comprehension",
-    "g47_cypher_list_ops",
-    "g52_cypher_concat",
-    "g53_cypher_ordered_collect",
-    "g57_cypher_pattern_comp",
-    # round 6 rotation re-certs (judge's round-5 ask #6): the oldest
-    # green front-end rows (r2-era) ride tier A so the Cypher grammar's
-    # round-5/6 rewrites get fresh driver certification where it
-    # matters, not only local driver-sim runs.
-    "g5_cypher_frontend",
-    "g7_cypher_agg",
-    "g8_cypher_optional",
-    "g9_cypher_varlength",
-    "g10_cypher_relprop",
-    "g12_match_chain",
-    "g16_cypher_with",
-    "g17_cypher_with_agg",
-    "g23_cypher_skip",
-    "g25_cypher_union",
-    "g26_cypher_predicates",
-    "g30_cypher_collect",
+    # round 7 NEW conformance queries (verdict asks #3/#4): certify first.
+    "g71_cypher_unbounded_paths",
+    "g72_cypher_edge_set",
+    # round 7: g65 graduates from rows-only to oracle-checked (verdict
+    # ask #2 — its move rule is deterministic/synchronous with exact
+    # integer gains, so an unrolled materialized-CTE oracle exists)
+    "g65_modularity_opt",
+    # round 7 code-changed queries — their previous green rows no longer
+    # certify the current code:
+    "g68_neighbor_sample",   # overflow-safe split-multiplier hash (advisory
+    "g70_two_hop_sample",    # #2) in BOTH engine and oracle
+    "g54_cypher_temporal",   # duration structs now carry the __dur tag
+    "g66_cypher_temporal_arith",
+    "g63_cypher_quantifiers",  # isEmpty() type-dispatch hardened (advisory #3)
+    "g67_cypher_param_lookup",  # top-level-equality correlation check (#1)
+    "g9_cypher_varlength",   # parse_hops rewritten for unbounded specs
+    "g58_cypher_path_nodes",
+    "g31_cypher_shortest_path",  # _shortest_path: unbounded + tie-enum state
+    "g48_cypher_all_shortest",
+    # round 7 rotation re-certs (verdict ask #6): the oldest r1-green
+    # heavies — shared helpers underneath them kept moving for 5 rounds.
+    "d1_exact_dedup",
+    "d2_minhash_signature",
+    "d3_minhash_near_dup",
+    "d5_ngram_jaccard",
+    "s1_cosine_topk",
+    "s2_lsh_topk",
+    "s4_ivf_topk",
+    "q1_node_scan",
+    "q2_edge_join",
+    "q7_grouped_count",
+    "m1_multimodal_meta",
+    "m2_frame_sample",
+    "t1_token_count",
+    "t3_quality_score",
 )
-# Round-5 tier-A entries (g31, g18, g35, g37, g39) all earned green rows
-# in CORRECTNESS_r05.json, so they drop back to tier C here.
+# Round-6 tier-A entries all earned green rows in CORRECTNESS_r06.json,
+# so they drop back to tier C here.
 
 #: Round-5 pinned backlog (the judge's round-4 ask #1): the 29 q-series
 #: relational shapes that have NEVER had a driver CORRECTNESS row because

@@ -255,11 +255,16 @@ def test_varlength_relationship_isomorphism(fixture_graph):
     assert df.count() == 0
 
 
-def test_varlength_requires_bounds(fixture_graph):
-    with pytest.raises(CypherSyntaxError):
-        cypher_read(fixture_graph, "MATCH (a)-[:KNOWS*]->(b) RETURN id(a)")
-    with pytest.raises(CypherSyntaxError):
+def test_varlength_bound_validation(fixture_graph):
+    # a bounded upper bound past MAX_VAR_HOPS still raises (the
+    # union-of-chains plan grows per hop); bare '*' now compiles to the
+    # iterative drain-or-raise expansion instead of raising at parse
+    with pytest.raises(CypherSyntaxError, match="MAX_VAR_HOPS"):
         cypher_read(fixture_graph, "MATCH (a)-[:KNOWS*1..99]->(b) RETURN id(a)")
+    rows = cypher_read(
+        fixture_graph, "MATCH (a)-[:KNOWS*]->(b) RETURN id(a) AS i ORDER BY i"
+    ).collect()
+    assert len(rows) == 4  # 2 one-hop + 2 round-trip paths
 
 
 def test_match_chain_two_clauses(fixture_graph):
@@ -791,13 +796,18 @@ def test_path_accessors_on_varlength_path(diamond_graph):
         assert len(r["ns"]) == 3 and len(r["rs"]) == 2
 
 
-def test_path_accessors_all_shortest_raises(diamond_graph):
-    with pytest.raises(CypherSyntaxError, match="allShortestPaths"):
-        cypher_read(
-            diamond_graph,
-            "MATCH p = allShortestPaths((a:N)-[:E*1..4]->(b:N)) "
-            "RETURN nodes(p) AS ns",
-        )
+def test_path_accessors_all_shortest_enumerates(diamond_graph):
+    # round-7: accessors over allShortestPaths now ENUMERATE the ties
+    # (capped — see ALL_PATHS_TIE_CAP) instead of raising
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = allShortestPaths((a:N)-[:E*1..4]->(b:N)) "
+        "WHERE a.name = 'A' AND b.name = 'D' "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs",
+    ).collect()
+    got = sorted((tuple(r["ns"]), tuple(r["rs"])) for r in rows)
+    # a=0, b1=1, b2=2, c=3, d=4; edges (a,b1)=0 (a,b2)=1 (b1,d)=2 (b2,d)=3
+    assert got == [((0, 1, 4), (0, 2)), ((0, 2, 4), (1, 3))]
 
 
 def test_path_accessor_lookahead_keeps_length_only_narrow(diamond_graph):
@@ -3737,7 +3747,9 @@ def test_duration_functions(fixture_graph):
         "datetime('1995-01-01T01:30:05')).seconds AS s",
     )
     row = df.collect()[0]
-    assert row["d"].asDict() == {"months": 1, "days": 10}
+    # durations carry the compiler's __dur tag so user maps that happen to
+    # spell {days: 2} can never duck-type into duration arithmetic
+    assert row["d"].asDict() == {"months": 1, "days": 10, "__dur": True}
     assert row["cm"] == 1  # the /31-fraction undercount case, corrected
     assert (row["days"], row["s"]) == (365, 5405)
     with pytest.raises(CypherSyntaxError, match="date operands"):
@@ -4158,6 +4170,76 @@ def test_duration_minus_date_raises(fixture_graph):
         )
 
 
+def test_plain_map_never_ducktypes_as_duration(fixture_graph):
+    # round-6 advisory: {days: 2} is a MAP, not a duration — Neo4j raises
+    # a type error on date + map; before the __dur tag the field-name
+    # duck-typing silently applied duration arithmetic to it
+    with pytest.raises(Exception):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS o RETURN date('2024-01-01') + {days: 2} AS bad",
+        ).collect()
+    # and a map-literal "sum" is no longer a field-wise duration sum
+    with pytest.raises(Exception):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS o RETURN {days: 1} + {days: 2} AS bad",
+        ).collect()
+
+
+def test_isempty_type_errors(fixture_graph):
+    # round-6 advisory: isEmpty(42) must raise like Neo4j, not implicitly
+    # cast through length() and answer false
+    with pytest.raises(CypherSyntaxError, match="isEmpty"):
+        cypher_read(fixture_graph, "UNWIND [1] AS o RETURN isEmpty(42) AS b")
+    with pytest.raises(CypherSyntaxError, match="isEmpty"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1] AS o RETURN isEmpty(date('2024-01-01')) AS b",
+        )
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1] AS o RETURN isEmpty('') AS s, isEmpty([]) AS l, "
+        "isEmpty(null) AS nn, isEmpty('x') AS sx",
+    ).collect()
+    assert tuple(rows[0]) == (True, True, None, False)
+
+
+def test_pipeline_match_requires_toplevel_equality(fixture_graph):
+    # round-6 advisory: correlation hidden inside an OR branch (or a
+    # non-equality correlation) still plans a cartesian — reject loudly
+    with pytest.raises(CypherSyntaxError, match="top-level equality"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1984] AS y MATCH (n:User) "
+            "WHERE n.born = 1 OR y = 2 RETURN n.name",
+        )
+    with pytest.raises(CypherSyntaxError, match="top-level equality"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1984] AS y MATCH (n:User) "
+            "WHERE n.born > y RETURN n.name",
+        )
+    # per-branch DIFFERENT correlation keys are still a nested loop
+    with pytest.raises(CypherSyntaxError, match="top-level equality"):
+        cypher_read(
+            fixture_graph,
+            "UNWIND [1984] AS y MATCH (n:User) "
+            "WHERE n.born = y OR id(n) = y RETURN n.name",
+        )
+    # the legitimate idiom keeps working, including AND-of-(OR) forms
+    # where the equality is a genuine top-level conjunct
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1984] AS y MATCH (n:User) "
+        "WHERE n.born = y AND (n.trust OR n.name = 'Bob') "
+        "RETURN n.name ORDER BY n.name",
+    ).collect()
+    # Alice(trust, born 1984) passes; Eve(born 1984, no trust, not Bob)
+    # and Bob(born != 1984) do not
+    assert [r[0] for r in rows] == ["Alice"]
+
+
 def test_aggregate_subscript_raises_typed(fixture_graph):
     with pytest.raises(CypherSyntaxError, match="WITH stage"):
         cypher_read(
@@ -4354,3 +4436,234 @@ def test_map_projection_aggregate_entry_raises(fixture_graph):
         cypher_read(
             fixture_graph, "MATCH (n:User) RETURN n {cnt: count(*)} AS rec"
         )
+
+
+# --- unbounded variable-length paths (round-7: the bare-star idiom) ---
+
+
+def test_unbounded_varlength_enumerates_edge_distinct_paths(fixture_graph):
+    # alice<->bob 2-cycle: each direction yields a 1-hop path plus the
+    # 2-hop round trip (then stops: both edges used — relationship
+    # isomorphism is the termination rule, exactly Cypher)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH p = (x:User)-[:KNOWS*]->(y) "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a, l",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Bob", 1),
+        ("Alice", "Alice", 2),
+        ("Bob", "Alice", 1),
+        ("Bob", "Bob", 2),
+    ]
+
+
+def test_unbounded_lower_bound_and_sugar(fixture_graph):
+    got = lambda q: [tuple(r) for r in cypher_read(fixture_graph, q).collect()]
+    # *2.. keeps only the round trips
+    assert got(
+        "MATCH (x:User)-[:KNOWS*2..]->(y) "
+        "RETURN x.name AS a, y.name AS b ORDER BY a"
+    ) == [("Alice", "Alice"), ("Bob", "Bob")]
+    # *..1 is 1..1 sugar
+    assert got(
+        "MATCH (x:User)-[:KNOWS*..1]->(y) "
+        "RETURN x.name AS a, y.name AS b ORDER BY a"
+    ) == [("Alice", "Bob"), ("Bob", "Alice")]
+    # zero lower bound stays rejected
+    with pytest.raises(CypherSyntaxError, match="bounds"):
+        cypher_read(
+            fixture_graph, "MATCH (x:User)-[:KNOWS*0..]->(y) RETURN x.name"
+        )
+
+
+def test_unbounded_named_path_accessors(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH p = (x:User)-[:KNOWS*]->(y) WHERE x.name = 'Alice' "
+        "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS nr "
+        "ORDER BY nr",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, 1), (3, 2)]
+
+
+def test_unbounded_shortest_path(fixture_graph):
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User)-[:KNOWS*]->(y)) "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", "Bob", 1), ("Bob", "Alice", 1)]
+
+
+def test_unbounded_nondrain_raises(spark, monkeypatch):
+    # a 6-chain has paths up to length 5; a ceiling of 3 must raise
+    # LOUDLY (drain-or-raise), never silently truncate
+    import flink_neo4j_spark.cypher_frontend as cf
+
+    g = cypher_create_graph(
+        spark,
+        "CREATE (a:N {i:0}), (b:N {i:1}), (c:N {i:2}), (d:N {i:3}), "
+        "(e:N {i:4}), (f:N {i:5}), (a)-[:T]->(b), (b)-[:T]->(c), "
+        "(c)-[:T]->(d), (d)-[:T]->(e), (e)-[:T]->(f)",
+    )
+    monkeypatch.setattr(cf, "VAR_UNBOUNDED_MAX_ROUNDS", 3)
+    with pytest.raises(RuntimeError, match="did not drain"):
+        cypher_read(g, "MATCH (x:N)-[:T*]->(y) RETURN id(x)").collect()
+
+
+def test_unbounded_frontier_cap_raises(fixture_graph, monkeypatch):
+    import flink_neo4j_spark.cypher_frontend as cf
+
+    monkeypatch.setattr(cf, "VAR_UNBOUNDED_MAX_FRONTIER", 1)
+    with pytest.raises(RuntimeError, match="frontier hit"):
+        cypher_read(
+            fixture_graph, "MATCH (x:User)-[:KNOWS*]->(y) RETURN id(x)"
+        ).collect()
+
+
+# --- relationship property SET/REMOVE/DELETE (round-7) ---
+
+
+@pytest.fixture()
+def edge_write_graph(spark):
+    return cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'Alice'}), (b:User {name:'Bob'}), "
+        "(c:Org {name:'Acme'}), "
+        "(a)-[:KNOWS {since: 2001, w: 1}]->(b), "
+        "(b)-[:KNOWS {since: 2002, w: 2}]->(a), "
+        "(a)-[:WORKS_AT {since: 2010}]->(c)",
+    )
+
+
+def _edge_rows(g, q):
+    return sorted(
+        (tuple(r) for r in cypher_read(g, q).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_edge_set_fast_path(edge_write_graph):
+    # no endpoint labels, WHERE over the edge var only -> pure conditional
+    # projection; RHS reads the PRE-update property (e.w + 10)
+    g = cypher_write(
+        edge_write_graph,
+        "MATCH ()-[e:KNOWS]->() WHERE e.since = 2001 "
+        "SET e.w = e.w + 10, e.tag = 'x'",
+    )
+    assert _edge_rows(
+        g, "MATCH (a)-[e:KNOWS]->(b) RETURN e.since AS s, e.w AS w, e.tag AS t"
+    ) == [(2001, 11, "x"), (2002, 2, None)]
+    # untouched rel types keep their schema reading the new column as null
+    assert _edge_rows(
+        g, "MATCH (a)-[e:WORKS_AT]->(b) RETURN e.since AS s, e.tag AS t"
+    ) == [(2010, None)]
+
+
+def test_edge_set_endpoint_constrained(edge_write_graph):
+    g = cypher_write(
+        edge_write_graph,
+        "MATCH (a:User)-[e:WORKS_AT]->(o:Org) WHERE o.name = 'Acme' "
+        "SET e.role = 'eng'",
+    )
+    assert _edge_rows(
+        g, "MATCH (a)-[e:WORKS_AT]->(b) RETURN e.since AS s, e.role AS r"
+    ) == [(2010, "eng")]
+    # KNOWS edges unmatched: read role as null
+    assert _edge_rows(
+        g, "MATCH (a)-[e:KNOWS]->(b) RETURN e.since AS s, e.role AS r"
+    ) == [(2001, None), (2002, None)]
+
+
+def test_edge_set_map_merge_and_replace(edge_write_graph):
+    g = cypher_write(
+        edge_write_graph,
+        "MATCH ()-[e:KNOWS]->() SET e += {w: 99, extra: true}",
+    )
+    assert _edge_rows(
+        g, "MATCH (a)-[e:KNOWS]->(b) RETURN e.w AS w, e.extra AS x, e.since AS s"
+    ) == [(99, True, 2001), (99, True, 2002)]
+    # replace form: unlisted user properties null out on matched rows only
+    g2 = cypher_write(
+        edge_write_graph,
+        "MATCH ()-[e:KNOWS]->() WHERE e.since = 2002 SET e = {w: 5}",
+    )
+    assert _edge_rows(
+        g2, "MATCH (a)-[e:KNOWS]->(b) RETURN e.w AS w, e.since AS s"
+    ) == [(1, 2001), (5, None)]
+
+
+def test_edge_remove_and_inline_props(edge_write_graph):
+    g = cypher_write(
+        edge_write_graph,
+        "MATCH ()-[e:KNOWS {since: 2001}]->() SET e.tag = 'x'",
+    )
+    g = cypher_write(g, "MATCH ()-[e:KNOWS]->() WHERE e.since = 2001 REMOVE e.tag")
+    assert _edge_rows(
+        g, "MATCH (a)-[e:KNOWS]->(b) RETURN e.since AS s, e.tag AS t"
+    ) == [(2001, None), (2002, None)]
+
+
+def test_edge_delete(edge_write_graph):
+    g = cypher_write(
+        edge_write_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE b.name = 'Alice' DELETE e",
+    )
+    assert cypher_read(
+        g, "MATCH (a)-[e:KNOWS]->(b) RETURN count(*) AS n"
+    ).collect()[0][0] == 1
+    # vertices untouched
+    assert cypher_read(g, "MATCH (n) RETURN count(*) AS n").collect()[0][0] == 3
+
+
+def test_edge_write_rejections(edge_write_graph):
+    cases = [
+        ("MATCH ()-[e:KNOWS]->() SET e:Heavy", "exactly one type"),
+        ("MATCH ()-[e:KNOWS]->() SET e.src = 1", "reserved"),
+        ("MATCH ()-[e:KNOWS]->() SET e = {rel_type: 'X'}", "reserved"),
+        ("MATCH (a:User)-[e:KNOWS]->(b) SET e.w = b.since", "own properties"),
+        ("MATCH ()-[e:KNOWS*1..2]->() SET e.w = 1", "variable-length"),
+        ("MATCH ()-[:KNOWS]->() SET e.w = 1", "edge variable"),
+        ("MATCH (a)-[e:KNOWS]-(b) SET e.w = 1", "directed"),
+        ("MATCH (a:User)-[e:KNOWS]->(b) DETACH DELETE e", "DETACH"),
+        ("MATCH (a:User)-[e:KNOWS]->(b) SET e.w = count(*)", "aggregates"),
+    ]
+    for q, pat in cases:
+        with pytest.raises(CypherSyntaxError, match=pat):
+            cypher_write(edge_write_graph, q)
+
+
+# --- allShortestPaths accessors: capped tie enumeration (round-7) ---
+
+
+def test_allshortest_accessors_enumerate_ties_unbounded(diamond_graph):
+    # the UNBOUNDED form over the tie diamond: same enumeration
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = allShortestPaths((x:N)-[:E*]->(y:N)) "
+        "WHERE x.name = 'A' AND y.name = 'D' "
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS l",
+    ).collect()
+    got = sorted((tuple(r["ns"]), tuple(r["rs"]), r["l"]) for r in rows)
+    assert got == [((0, 1, 4), (0, 2), 2), ((0, 2, 4), (1, 3), 2)]
+
+
+def test_allshortest_accessor_cap_raises(diamond_graph, monkeypatch):
+    import flink_neo4j_spark.cypher_frontend as cf
+
+    monkeypatch.setattr(cf, "ALL_PATHS_TIE_CAP", 1)
+    with pytest.raises(Exception, match="tied paths"):
+        cypher_read(
+            diamond_graph,
+            "MATCH p = allShortestPaths((x:N)-[:E*]->(y:N)) "
+            "WHERE x.name = 'A' AND y.name = 'D' RETURN nodes(p) AS ns",
+        ).collect()
+    # without an accessor the same query keeps the cheap count-explode
+    # path and is untouched by the cap
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = allShortestPaths((x:N)-[:E*]->(y:N)) "
+        "WHERE x.name = 'A' AND y.name = 'D' RETURN length(p) AS l",
+    ).collect()
+    assert [r["l"] for r in rows] == [2, 2]

@@ -369,3 +369,42 @@ class TestFastRP:
         for v, vec in emb.items():
             n = np.linalg.norm(vec)
             assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+class TestKnuthHashOverflow:
+    def test_matches_direct_product_at_all_magnitudes(self, spark):
+        # round-6 advisory: v * 2654435761 overflows int64 for v >= ~3.47e9
+        # and Spark wraps silently (non-ANSI) while DuckDB raises. The
+        # split-multiplier form must equal the mathematical
+        # (v * MULT) mod 2^32 at every magnitude, including past the old
+        # overflow point (partkeys reach ~2e10 at the 100 TB target).
+        from flink_neo4j_spark.operators.graph_algos import (
+            _HASH_MOD,
+            _HASH_MULT,
+            _knuth_hash,
+        )
+
+        vals = [0, 1, 7, 2**31 - 1, 3_470_000_000, 2**35 + 17, 2**62 - 3]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r["v"]: r["h"]
+            for r in df.select("v", _knuth_hash(F.col("v")).alias("h")).collect()
+        }
+        assert got == {v: (v * _HASH_MULT) % _HASH_MOD for v in vals}
+
+    def test_oracle_sql_mirror(self):
+        # the DuckDB mirror computes the identical value without raising
+        import duckdb
+
+        from flink_neo4j_spark.operators.graph_algos import (
+            _HASH_MOD,
+            _HASH_MULT,
+            _KNUTH_HASH_SQL,
+        )
+
+        con = duckdb.connect()
+        for v in (0, 1, 2**31 - 1, 3_470_000_000, 2**35 + 17, 2**62 - 3):
+            (got,) = con.execute(
+                f"SELECT {_KNUTH_HASH_SQL} FROM (SELECT CAST({v} AS BIGINT) AS v)"
+            ).fetchone()
+            assert got == (v * _HASH_MULT) % _HASH_MOD, v
