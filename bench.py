@@ -6,9 +6,14 @@ Timing discipline: one warm-up of a tiny query to JIT/codegen-prime the
 session, then each query timed end-to-end (plan + execute + collect). The
 metric value is the total wall time of the full query set — lower is better.
 
-``--top-check`` runs the N (default 10) heaviest queries from the last
-recorded ``BENCH_LOCAL_sf{sf}.json`` TWICE, each pass in its own fresh
-subprocess (fresh JVM, fresh session memos), and writes both timings to
+``--top-check [name,name,...]`` runs the N (default 10) heaviest queries
+from the last recorded ``BENCH_LOCAL_sf{sf}.json`` — plus every query the
+last full bench flagged as drifted vs committed (``BENCH_DRIFT_sf{sf}.json``,
+written by ``--with-oracle``: ANY query >1.5x off with the slower side above
+0.5 s, the round-6 lesson that a top-10 rank cutoff misses sub-second
+drifts like m1) and any explicitly passed names — TWICE, each pass in its
+own fresh subprocess (fresh JVM, fresh session memos), and writes both
+timings to
 ``BENCH_TOPCHECK_sf{sf}.json``, flagging any query whose two measurements
 spread by more than 1.5x AND any whose better pass disagrees with the
 committed bench figure by more than 1.5x (the round-5 lesson: g15's two
@@ -131,8 +136,47 @@ def _sf_of(sf_dir: str):
     return float(sf) if sf.replace(".", "", 1).isdigit() else sf
 
 
-def run_topcheck(sf_dir: str, top_n: int = 10) -> dict:
-    """Two fresh-subprocess passes over the heaviest queries; flag spread."""
+def bench_drift(
+    old: dict, new: dict, sf_dir: str, floor: float = 0.5
+) -> dict:
+    """Per-query drift report between two full-bench payloads: any query
+    whose timing moved >1.5x in either direction AND whose slower side
+    exceeds ``floor`` seconds (sub-half-second queries are JVM-orchestration
+    noise, not plan signal). Round-6 lesson: the top-10-by-wall-time filter
+    missed m1's 1.66x drift at 1.27 s — drift detection must cover the FULL
+    query set, with an absolute floor instead of a rank cutoff."""
+    drifted = {}
+    for n, t_new in new.items():
+        t_old = old.get(n)
+        if t_old is None:
+            continue
+        ratio = t_new / max(t_old, 1e-9)
+        if (ratio > 1.5 or ratio < 1 / 1.5) and max(t_old, t_new) > floor:
+            drifted[n] = {
+                "committed": t_old,
+                "now": t_new,
+                "ratio": round(ratio, 3),
+            }
+    root = os.path.dirname(os.path.abspath(__file__))
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(root, f"BENCH_DRIFT_{sfname}.json")
+    with open(path, "w") as fh:
+        json.dump(drifted, fh, indent=1)
+        fh.write("\n")
+    print(
+        f"drift vs committed ({len(drifted)} flagged) -> {path}: "
+        f"{sorted(drifted)}",
+        file=sys.stderr,
+    )
+    return drifted
+
+
+def run_topcheck(
+    sf_dir: str, top_n: int = 10, extra_names: list[str] | None = None
+) -> dict:
+    """Two fresh-subprocess passes over the heaviest queries PLUS any
+    drift-flagged (BENCH_DRIFT_sf*.json) or explicitly requested names;
+    flag pass-vs-pass spread and disagreement with the committed bench."""
     import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -141,7 +185,13 @@ def run_topcheck(sf_dir: str, top_n: int = 10) -> dict:
     with open(bench_path) as fh:
         last = json.load(fh)
     heaviest = sorted(last["queries"], key=last["queries"].get, reverse=True)
-    names = sorted(heaviest[:top_n])  # bench order (sorted) within each pass
+    picked = set(heaviest[:top_n])
+    drift_path = os.path.join(root, f"BENCH_DRIFT_{sfname}.json")
+    if os.path.exists(drift_path):
+        with open(drift_path) as fh:
+            picked |= set(json.load(fh))
+    picked |= set(extra_names or [])
+    names = sorted(n for n in picked if n in last["queries"])
 
     passes: list[dict[str, float]] = []
     for i in range(2):
@@ -195,21 +245,34 @@ def main() -> None:
     with_oracle = "--with-oracle" in sys.argv[1:]
 
     if "--top-check" in sys.argv[1:]:
-        run_topcheck(sf_dir)
+        # optional comma-separated extra names right after the flag
+        extra: list[str] = []
+        i = sys.argv.index("--top-check")
+        if i + 1 < len(sys.argv) and not sys.argv[i + 1].startswith("--"):
+            extra = sys.argv[i + 1].split(",")
+        run_topcheck(sf_dir, extra_names=extra)
         return
     if "--top-pass" in sys.argv[1:]:
         names = sys.argv[sys.argv.index("--top-pass") + 1].split(",")
         print(json.dumps(run_engine(sf_dir, names=names, warm_target=True)))
         return
 
-    payload = run_engine(sf_dir)
+    # --names a,b,c: restrict the run to a subset (the sf1 scale-proof
+    # flow — top cost centers + the dedup/ANN family at a bigger SF).
+    # The artifacts are still written under the sf-dir basename, so use
+    # this only at an SF whose committed artifact IS the subset run.
+    names: list[str] | None = None
+    if "--names" in sys.argv[1:]:
+        names = sys.argv[sys.argv.index("--names") + 1].split(",")
+
+    payload = run_engine(sf_dir, names=names, warm_target=names is not None)
     print(json.dumps(payload))
 
     if with_oracle:
         # Spark is stopped; DuckDB now times under the same machine load.
         from bench_oracle import run_oracle
 
-        opayload = run_oracle(sf_dir)
+        opayload = run_oracle(sf_dir, names=names)
         # name artifacts by the sf-dir basename (sf0.1 -> ...sf0.1.json,
         # sf1 -> ...sf1.json — no float round-trip) and anchor them at the
         # repo root regardless of the invoking CWD
@@ -217,6 +280,11 @@ def main() -> None:
         sfname = os.path.basename(sf_dir.rstrip("/"))
         bench_path = os.path.join(root, f"BENCH_LOCAL_{sfname}.json")
         oracle_path = os.path.join(root, f"ORACLE_TIMINGS_{sfname}.json")
+        # full-set drift report vs the previously committed bench BEFORE
+        # overwriting it (feeds --top-check's candidate set)
+        if os.path.exists(bench_path):
+            with open(bench_path) as fh:
+                bench_drift(json.load(fh)["queries"], payload["queries"], sf_dir)
         with open(bench_path, "w") as fh:
             json.dump(payload, fh)
             fh.write("\n")

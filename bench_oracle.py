@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_oracle(sf_dir: str) -> dict:
+def run_oracle(sf_dir: str, names: list[str] | None = None) -> dict:
     import duckdb
 
     from flink_neo4j_spark.catalog import TABLES
@@ -32,6 +32,8 @@ def run_oracle(sf_dir: str) -> dict:
         )
 
     oracles = all_oracles()
+    if names is not None:
+        oracles = {n: oracles[n] for n in names if n in oracles}
     # warm pass at the smallest sf mirrors bench.py's steady-state discipline
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
