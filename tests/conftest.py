@@ -134,3 +134,11 @@ def assert_matches_oracle(df, con, sql):
     sn, on = _canon_rows(spdf), _canon_rows(odf)
     mismatches = [(a, b) for a, b in zip(sn, on) if a != b]
     assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "live: requires a real Neo4j server (docs/LIVE_VERIFICATION.md); "
+        "skipped unless NEO4J_LIVE_HTTP_URI is set",
+    )

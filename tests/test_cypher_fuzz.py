@@ -288,3 +288,151 @@ def test_token_mutations_never_crash_the_parser(query, pos, mode):
         _parse_only(" ".join(mutated))
     except CypherSyntaxError:
         pass
+
+
+# --- execution-level fuzz: round-6/7 grammar through the REAL translator ---
+#
+# _parse_only cannot drive CALL { } stages, label mutations, or edge
+# writes; these corpora go through cypher_read/cypher_write on a tiny
+# fixture so TRANSLATION-time states get fuzzed too. Contract: success,
+# CypherSyntaxError, or (writes only) the documented ValueError contracts
+# — never IndexError/KeyError/AttributeError.
+
+#: read surface (X218 spatial, X220 quantifiers, X223 temporal arith,
+#: X224 unanchored lookup, X230 MATCH-after-pattern, X231 ORDER BY expr,
+#: X232 computed map projections, X235 CALL-subquery top-k). Translation
+#: is LAZY for all of these (no eager BFS loops) so mutations stay cheap.
+EXEC_READ_CORPUS = [
+    "UNWIND [1] AS o WITH point({x: 1.0, y: 2.0}) AS p1, "
+    "point({longitude: 12.5, latitude: 55.7}) AS p2 "
+    "RETURN p1.x AS x, point.distance(p1, point({x: 4.0, y: 6.0})) AS d, "
+    "p2.crs AS crs",
+    "MATCH (n:User) WHERE point.withinBBox(point({x: n.born, y: 1.0}), "
+    "point({x: 1980, y: 0.0}), point({x: 1990, y: 2.0})) "
+    "RETURN n.name AS name ORDER BY name",
+    "MATCH (n:User) WHERE any(x IN split(n.name, 'e') WHERE size(x) >= 3) "
+    "RETURN single(x IN split(n.name, '_') WHERE size(x) > 1) AS si, "
+    "isEmpty(split(n.name, 'q')) AS ie ORDER BY si",
+    "UNWIND [1, 2] AS k RETURN date('2024-01-31') + duration({days: k}) "
+    "AS d, duration({weeks: 1}) + duration({days: k}) AS dd, "
+    "date('2024-03-10') - duration({months: 1}) AS back",
+    "UNWIND [1983, 1984] AS y MATCH (n:User) WHERE n.born = y "
+    "RETURN y, count(*) AS c ORDER BY y",
+    "MATCH (c:User) WITH c CALL { WITH c MATCH (c)-[e:KNOWS]->(m:User) "
+    "RETURN m.name AS fn ORDER BY m.name LIMIT 1 } "
+    "RETURN c.name AS cn, fn ORDER BY cn",
+    "MATCH (c:User) CALL { WITH c MATCH (c)-[e:KNOWS]->(m:User) "
+    "RETURN m.name AS fn, e.since AS fs ORDER BY e.since DESC LIMIT 2 } "
+    "RETURN c.name AS cn, fn, fs ORDER BY cn, fn",
+    "MATCH (n:User) RETURN properties(n) AS p ORDER BY n.name",
+    "MATCH (n:User) RETURN n {.name, yr: n.born + 1, "
+    "ini: toUpper(left(n.name, 1))} AS rec ORDER BY n.name",
+    "MATCH (n:User) SET n.x = 1" if False else
+    "MATCH (n:User) WHERE n.trust XOR n.born > 1983 "
+    "RETURN datetime.truncate('hour', datetime('2024-02-29T12:30:00')) "
+    "AS tr, n.name AS name ORDER BY name",
+]
+
+#: write surface (X184 label mutation, X176 bare SET, X237 edge writes).
+#: Bare node DELETE is excluded: its still-has-relationships check runs an
+#: eager count per attempt (a Spark job per hypothesis example).
+EXEC_WRITE_CORPUS = [
+    "MATCH (n:User) WHERE n.born = 1984 SET n:Archived:Vip, n.flag = true",
+    "MATCH (n:User {name: 'Alice'}) REMOVE n:User",
+    "MATCH (n:User) SET n += {tag: 'x', born: null}",
+    "MATCH (n:User) WHERE n.trust SET n = {name: 'anon'}",
+    "MATCH ()-[e:KNOWS]->() WHERE e.since > 2001 SET e.w = e.since + 1",
+    "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE b.name = 'Bob' REMOVE e.since",
+    "MATCH ()-[e:KNOWS {since: 2001}]->() SET e += {w: 2, note: 'dup'}",
+    "MATCH ()-[e:KNOWS]->() DELETE e",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_graph(spark):
+    from flink_neo4j_spark.cypher_frontend import cypher_create_graph
+
+    return cypher_create_graph(
+        spark,
+        "CREATE (a:User {name:'Alice', born: 1984, trust: true}), "
+        "(b:User {name:'Bob', born: 1983, trust: true}), "
+        "(e:User {name:'Eve', born: 1984, trust: false}), "
+        "(a)-[:KNOWS {since: 2001}]->(b), (b)-[:KNOWS {since: 2002}]->(a)",
+    )
+
+
+def test_exec_corpus_originals_translate_clean(fuzz_graph):
+    # every corpus entry must go through the real translator unmutated
+    # (otherwise its mutations fuzz nothing)
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    for q in EXEC_READ_CORPUS:
+        cypher_read(fuzz_graph, q)
+    for q in EXEC_WRITE_CORPUS:
+        cypher_write(fuzz_graph, q)
+    # the eager-translation round-7 forms run once here, outside hypothesis
+    # (each translation drives the BFS/expansion loop — jobs, not lazy)
+    rows = cypher_read(
+        fuzz_graph,
+        "MATCH p = (a:User)-[:KNOWS*]->(b:User) "
+        "RETURN a.name AS an, length(p) AS l ORDER BY an, l",
+    ).collect()
+    assert len(rows) == 4
+    cypher_read(
+        fuzz_graph,
+        "MATCH p = allShortestPaths((a:User)-[:KNOWS*]->(b:User)) "
+        "RETURN size(nodes(p)) AS nn ORDER BY nn",
+    ).collect()
+
+
+def _mutate(query: str, pos: int, mode: str) -> str:
+    toks = query.split(" ")
+    pos %= max(len(toks), 1)
+    if mode == "delete":
+        toks = toks[:pos] + toks[pos + 1 :]
+    elif mode == "dup":
+        toks = toks[:pos] + [toks[pos]] + toks[pos:]
+    else:
+        j = (pos + 1) % len(toks)
+        toks[pos], toks[j] = toks[j], toks[pos]
+    return " ".join(toks)
+
+
+@settings(
+    max_examples=120, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(EXEC_READ_CORPUS),
+    st.integers(min_value=0, max_value=200),
+    st.sampled_from(["delete", "dup", "swap"]),
+)
+def test_read_translation_mutations_stay_typed(fuzz_graph, query, pos, mode):
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    try:
+        cypher_read(fuzz_graph, _mutate(query, pos, mode))
+    except CypherSyntaxError:
+        pass
+
+
+@settings(
+    max_examples=120, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sampled_from(EXEC_WRITE_CORPUS),
+    st.integers(min_value=0, max_value=200),
+    st.sampled_from(["delete", "dup", "swap"]),
+)
+def test_write_translation_mutations_stay_typed(fuzz_graph, query, pos, mode):
+    from flink_neo4j_spark.cypher_frontend import cypher_write
+
+    try:
+        cypher_write(fuzz_graph, _mutate(query, pos, mode))
+    except (CypherSyntaxError, ValueError):
+        # ValueError: the documented write contracts (DELETE with
+        # incident relationships, malformed batch shapes) — loud + typed
+        pass
