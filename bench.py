@@ -264,6 +264,20 @@ def main() -> None:
     names: list[str] | None = None
     if "--names" in sys.argv[1:]:
         names = sys.argv[sys.argv.index("--names") + 1].split(",")
+    # --oracle-exclude a,b: engine still measures these, but their DuckDB
+    # twins are skipped — for the sf1 scale-proof, d5/d13's oracles ARE
+    # the quadratic all-pairs plans (228s/104s already at sf0.1); running
+    # them a decade up is hours of wall time proving only that the
+    # banded engine plan is the one that survives scale.
+    oracle_names = names
+    if "--oracle-exclude" in sys.argv[1:]:
+        excl = set(sys.argv[sys.argv.index("--oracle-exclude") + 1].split(","))
+        from flink_neo4j_spark.registry import all_oracles
+
+        oracle_names = [
+            n for n in (names if names is not None else all_oracles())
+            if n not in excl
+        ]
 
     payload = run_engine(sf_dir, names=names, warm_target=names is not None)
     print(json.dumps(payload))
@@ -272,7 +286,7 @@ def main() -> None:
         # Spark is stopped; DuckDB now times under the same machine load.
         from bench_oracle import run_oracle
 
-        opayload = run_oracle(sf_dir, names=names)
+        opayload = run_oracle(sf_dir, names=oracle_names)
         # name artifacts by the sf-dir basename (sf0.1 -> ...sf0.1.json,
         # sf1 -> ...sf1.json — no float round-trip) and anchor them at the
         # repo root regardless of the invoking CWD

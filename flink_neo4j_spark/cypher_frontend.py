@@ -619,7 +619,10 @@ class _Parser:
         return self._check_hops(lo, hi)
 
     def _check_hops(self, lo: int, hi: int | None) -> tuple[int, int | None]:
-        if lo < 1 or (hi is not None and hi < lo):
+        # lo=0 is legal Cypher: the ZERO-LENGTH path, where both pattern
+        # endpoints bind the SAME node (labels of both sides apply) and
+        # the rel type is ignored — nodes(p)=[n], relationships(p)=[]
+        if lo < 0 or (hi is not None and hi < lo):
             raise CypherSyntaxError(
                 f"invalid variable-length bounds *{lo}..{hi}"
             )
@@ -3582,6 +3585,25 @@ def _varlength_paths(
     )
     out: DataFrame | None = None
     for length in range(lo, hi + 1):
+        if length == 0:
+            # zero-length path: both endpoints are the SAME node, which
+            # must satisfy BOTH sides' labels; the rel type is ignored
+            # (openCypher). One equi-join on id — label scans broadcast.
+            chain = a.join(b, F.col("a_id") == F.col("b_id"))
+            zextra = []
+            if carry_paths:
+                zextra = [
+                    F.array(F.col("a_id")).alias("__path_nodes"),
+                    F.array().cast("array<bigint>").alias("__path_rels"),
+                ]
+            chain = chain.select(
+                *[f"a_{c}" for c in graph.vertices.columns],
+                *[f"b_{c}" for c in graph.vertices.columns],
+                F.lit(0).alias("__path_len"),
+                *zextra,
+            )
+            out = chain if out is None else out.unionByName(chain)
+            continue
         hops = [
             e.select(
                 F.col("id").alias(f"__h{k}_id"),
@@ -3698,6 +3720,18 @@ def _varlength_paths_unbounded(
         )
     if not parts:  # no a-labeled node has an outgoing edge: empty result
         parts = [first.limit(0)]
+    if lo == 0:
+        # *0..: the zero-length path binds both endpoints to the same
+        # node (dst label enforced by the final b-join, per openCypher)
+        parts.append(
+            graph.nodes(pat.src.label).select(
+                F.col("id").alias("__a"),
+                F.col("id").alias("__cur"),
+                F.array().cast("array<bigint>").alias("__rels"),
+                F.array("id").alias("__nodes"),
+                F.lit(0).alias("__len"),
+            )
+        )
     paths = parts[0]
     for part in parts[1:]:
         paths = paths.unionByName(part)
@@ -4206,7 +4240,9 @@ def _shortest_path(
                 "exceeds the ceiling); bound the pattern or raise "
                 "VAR_UNBOUNDED_MAX_ROUNDS consciously"
             )
-    paths = dist.filter(F.col("__len") >= max(lo, 1))
+    # lo=0 admits the zero-length self-pair (settled at BFS level 0);
+    # every lo>=1 keeps excluding it, as before
+    paths = dist.filter(F.col("__len") >= lo)
     a = a_nodes.select(*[F.col(c).alias(f"a_{c}") for c in vcols])
     b = graph.nodes(pat.dst.label).select(
         *[F.col(c).alias(f"b_{c}") for c in vcols]

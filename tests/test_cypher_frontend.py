@@ -4470,11 +4470,11 @@ def test_unbounded_lower_bound_and_sugar(fixture_graph):
         "MATCH (x:User)-[:KNOWS*..1]->(y) "
         "RETURN x.name AS a, y.name AS b ORDER BY a"
     ) == [("Alice", "Bob"), ("Bob", "Alice")]
-    # zero lower bound stays rejected
-    with pytest.raises(CypherSyntaxError, match="bounds"):
-        cypher_read(
-            fixture_graph, "MATCH (x:User)-[:KNOWS*0..]->(y) RETURN x.name"
-        )
+    # zero lower bound: adds one zero-length self-path per User
+    assert got(
+        "MATCH (x:User)-[:KNOWS*0..]->(y:User) "
+        "RETURN count(*) AS n"
+    ) == [(7,)]
 
 
 def test_unbounded_named_path_accessors(fixture_graph):
@@ -4667,3 +4667,44 @@ def test_allshortest_accessor_cap_raises(diamond_graph, monkeypatch):
         "WHERE x.name = 'A' AND y.name = 'D' RETURN length(p) AS l",
     ).collect()
     assert [r["l"] for r in rows] == [2, 2]
+
+
+def test_zero_length_paths(fixture_graph):
+    # *0..1: three zero-length self-paths (Eve included — no edges
+    # needed) plus the two real hops
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH p = (x:User)-[:KNOWS*0..1]->(y:User) "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a, l",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Alice", 0), ("Alice", "Bob", 1),
+        ("Bob", "Bob", 0), ("Bob", "Alice", 1),
+        ("Eve", "Eve", 0),
+    ]
+    # zero-length accessors: nodes(p)=[n], relationships(p)=[]
+    z = cypher_read(
+        fixture_graph,
+        "MATCH p = (x:User)-[:KNOWS*0..0]->(y:User) "
+        "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS nr",
+    ).collect()
+    assert sorted(tuple(r) for r in z) == [(1, 0)] * 3
+    # unbounded *0..: 3 zero + 4 enumerated = 7 rows
+    rows_u = cypher_read(
+        fixture_graph,
+        "MATCH (x:User)-[:KNOWS*0..]->(y:User) RETURN count(*) AS n",
+    ).collect()
+    assert rows_u[0][0] == 7
+    # shortestPath *0..: the self-pair settles at length 0
+    sp = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User)-[:KNOWS*0..]->(y:User)) "
+        "WHERE x.name = 'Alice' RETURN y.name AS b, length(p) AS l "
+        "ORDER BY b",
+    ).collect()
+    assert [tuple(r) for r in sp] == [("Alice", 0), ("Bob", 1)]
+    # still-invalid bounds stay rejected
+    with pytest.raises(CypherSyntaxError, match="bounds"):
+        cypher_read(
+            fixture_graph, "MATCH (x)-[:KNOWS*2..1]->(y) RETURN id(x)"
+        )
