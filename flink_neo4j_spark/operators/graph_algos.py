@@ -4102,3 +4102,32 @@ ORACLE["g72_cypher_edge_set"] = f"""
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_name = 'NATION_3'
     ORDER BY c_id"""
+
+
+# G73 — ZERO-LENGTH variable-length paths through the front end
+# (``*0..1`` — openCypher: the zero-length path binds both endpoints to
+# the SAME node, labels of both sides apply, the rel type is ignored).
+# Every Nation reaches itself at length 0 plus its region at length 1;
+# the bounded union-of-chains plan grows one broadcast equi-join for the
+# zero branch (a_id = b_id over the label scans) — nothing iterative.
+def g73_cypher_zero_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = (n:Nation)-[:IN_REGION*0..1]->(x) "
+        "RETURN id(n) AS n_id, id(x) AS x_id, length(p) AS hops "
+        "ORDER BY n_id, x_id",
+    )
+
+
+QUERIES["g73_cypher_zero_length"] = g73_cypher_zero_length
+ORACLE["g73_cypher_zero_length"] = f"""
+    SELECT n_nationkey + {NATION_BASE} AS n_id,
+           n_nationkey + {NATION_BASE} AS x_id, 0 AS hops
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + {NATION_BASE}, n_regionkey + {REGION_BASE}, 1
+    FROM nation
+    ORDER BY n_id, x_id"""

@@ -48,6 +48,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # ask #2 — its move rule is deterministic/synchronous with exact
     # integer gains, so an unrolled materialized-CTE oracle exists)
     "g65_modularity_opt",
+    "g73_cypher_zero_length",
     # round 7 code-changed queries — their previous green rows no longer
     # certify the current code:
     "g68_neighbor_sample",   # overflow-safe split-multiplier hash (advisory
