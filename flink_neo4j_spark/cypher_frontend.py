@@ -3551,8 +3551,64 @@ def _where_to_column(
     return out
 
 
+def _common_single_var_conds(
+    disj: "list[list[Cond]] | None", var: str | None
+) -> list[Cond] | None:
+    """Conjuncts referencing ONLY ``var`` that appear in EVERY OR branch
+    of a DNF WHERE — the subset that is IMPLIED by the full predicate and
+    therefore safe to push ahead of an iterative translation (frontier
+    BFS, unbounded expansion). Catalyst pushes filters through lazy
+    relational plans on its own, but it cannot see through the
+    per-round ``localCheckpoint``/count boundaries of the iterative
+    operators — without this manual pushdown, ``shortestPath((a:L {k: v})
+    -[*]->(b))`` BFSes from EVERY a-label node and filters at the end,
+    which is the difference between one source and 10^8 sources at scale.
+    The full WHERE still applies after translation (idempotent)."""
+    if disj is None or var is None:
+        return None
+    common: dict[str, Cond] = {}
+    for i, conj in enumerate(disj):
+        keys: dict[str, Cond] = {}
+        for cond in conj:
+            if not isinstance(cond, Cond):
+                continue
+            refs: set[str] = set()
+            _expr_vars(cond.left, refs)
+            _expr_vars(getattr(cond, "right", None), refs)
+            if refs == {var}:
+                keys[repr(cond)] = cond
+        if i == 0:
+            common = keys
+        else:
+            common = {k: v for k, v in common.items() if k in keys}
+        if not common:
+            return None
+    return list(common.values())
+
+
+def _src_prefilter(df: DataFrame, var: str, conds: list[Cond]) -> DataFrame:
+    """Apply pushed-down single-variable conjuncts to a vertex frame
+    (3VL: null predicates do not match, same as the post-translation
+    WHERE)."""
+
+    def colmap(ref: PropRef) -> Column:
+        if ref.var != var:  # pragma: no cover - guarded by extraction
+            raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+        return F.col("id" if ref.prop is None else ref.prop)
+
+    return df.filter(
+        F.coalesce(
+            _where_to_column([list(conds)], colmap, set(df.columns), df),
+            F.lit(False),
+        )
+    )
+
+
 def _varlength_paths(
-    graph: PropertyGraph, pat: EdgePat, carry_paths: bool = False
+    graph: PropertyGraph,
+    pat: EdgePat,
+    carry_paths: bool = False,
+    src_conds: list[Cond] | None = None,
 ) -> DataFrame:
     """``(a)-[:T*lo..hi]->(b)`` as a union of fixed-length edge-join chains.
 
@@ -3572,7 +3628,13 @@ def _varlength_paths(
     """
     lo, hi = pat.hops
     if hi is None:
-        return _varlength_paths_unbounded(graph, pat, lo, carry_paths)
+        return _varlength_paths_unbounded(
+            graph, pat, lo, carry_paths, src_conds=src_conds
+        )
+    # bounded chains are fully lazy relational plans: Catalyst pushes the
+    # post-translation WHERE into the a-side scan itself, so no manual
+    # prefilter is needed here (src_conds is consumed by the ITERATIVE
+    # forms, where per-round actions block that pushdown)
     e = graph.edges
     if pat.rel_type is not None:
         e = e.filter(rel_type_cond(pat.rel_type))
@@ -3643,7 +3705,11 @@ def _varlength_paths(
 
 
 def _varlength_paths_unbounded(
-    graph: PropertyGraph, pat: EdgePat, lo: int, carry_paths: bool
+    graph: PropertyGraph,
+    pat: EdgePat,
+    lo: int,
+    carry_paths: bool,
+    src_conds: list[Cond] | None = None,
 ) -> DataFrame:
     """``(a)-[:T*]->(b)`` / ``*lo..`` — the reachability idiom every Neo4j
     user types — as an ITERATIVE frontier expansion (the g6/g31 frontier
@@ -3673,7 +3739,12 @@ def _varlength_paths_unbounded(
         e = e.filter(rel_type_cond(pat.rel_type))
     e = e.select("id", "src", "dst")
     vcols = graph.vertices.columns
-    a_ids = graph.nodes(pat.src.label).select(F.col("id").alias("__a"))
+    a_src = graph.nodes(pat.src.label)
+    if src_conds and pat.src.var is not None:
+        # pushed-down source predicate: the expansion starts from the
+        # MATCHED sources only (see _common_single_var_conds)
+        a_src = _src_prefilter(a_src, pat.src.var, src_conds)
+    a_ids = a_src.select(F.col("id").alias("__a"))
     first = a_ids.join(e, F.col("__a") == F.col("src")).select(
         "__a",
         F.col("dst").alias("__cur"),
@@ -3724,7 +3795,7 @@ def _varlength_paths_unbounded(
         # *0..: the zero-length path binds both endpoints to the same
         # node (dst label enforced by the final b-join, per openCypher)
         parts.append(
-            graph.nodes(pat.src.label).select(
+            a_src.select(
                 F.col("id").alias("__a"),
                 F.col("id").alias("__cur"),
                 F.array().cast("array<bigint>").alias("__rels"),
@@ -4101,6 +4172,7 @@ def _shortest_path(
     pathvar: str,
     all_paths: bool = False,
     carry_paths: bool = False,
+    src_conds: "list[Cond] | None" = None,
 ):
     """``p = shortestPath((a:L1)-[:T*lo..hi]->(b:L2))`` and its
     ``allShortestPaths`` sibling — level-synchronous frontier BFS with
@@ -4147,6 +4219,12 @@ def _shortest_path(
         e = e.unionByName(e.select(*rcols))
     vcols = graph.vertices.columns
     a_nodes = graph.nodes(pat.src.label)
+    if src_conds and pat.src.var is not None:
+        # pushed-down source predicate (see _common_single_var_conds):
+        # the BFS frontier starts from the MATCHED anchors only — at
+        # scale this is the difference between one source and every
+        # a-label node; the full WHERE still applies post-translation
+        a_nodes = _src_prefilter(a_nodes, pat.src.var, src_conds)
     init_cols = [
         F.col("id").alias("__a"),
         F.col("id").alias("__v"),
@@ -5042,6 +5120,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             sp_var,
             all_paths=sp_all,
             carry_paths=_path_accessors_ahead(p, sp_var),
+            src_conds=_common_single_var_conds(disj, pat.src.var),
         )
     elif len(chain_pats) > 1:
         _assign_anon_vars(chain_pats, taken)
@@ -5108,7 +5187,12 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
 
     elif pat.hops is not None:
         carry_vl = path_var is not None and _path_accessors_ahead(p, path_var)
-        df = _varlength_paths(graph, pat, carry_paths=carry_vl)
+        df = _varlength_paths(
+            graph,
+            pat,
+            carry_paths=carry_vl,
+            src_conds=_common_single_var_conds(disj, pat.src.var),
+        )
         names = {pat.src.var: "a_", pat.dst.var: "b_"}
 
         def colmap(ref: PropRef) -> Column:

@@ -4708,3 +4708,50 @@ def test_zero_length_paths(fixture_graph):
         cypher_read(
             fixture_graph, "MATCH (x)-[:KNOWS*2..1]->(y) RETURN id(x)"
         )
+
+
+def test_shortestpath_source_predicate_pushdown(fixture_graph):
+    # round-7 scale fix: a WHERE (or inline map) pinning the anchor must
+    # prefilter the BFS source set, not run the all-sources BFS and
+    # filter at the end. Semantics are identical either way — assert the
+    # filtered forms agree with the unfiltered + post-filter baseline.
+    full = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User)-[:KNOWS*]->(y)) "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a, b",
+    ).collect()
+    baseline = [tuple(r) for r in full if r["a"] == "Alice"]
+    for q in (
+        # plain WHERE equality on the source
+        "MATCH p = shortestPath((x:User)-[:KNOWS*]->(y)) "
+        "WHERE x.name = 'Alice' "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a, b",
+        # inline property map (desugars into the same conjuncts)
+        "MATCH p = shortestPath((x:User {name: 'Alice'})-[:KNOWS*]->(y)) "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a, b",
+        # source conjunct alongside a cross-variable conjunct: only the
+        # source-only part pushes; the rest filters post-translation
+        "MATCH p = shortestPath((x:User)-[:KNOWS*]->(y)) "
+        "WHERE x.name = 'Alice' AND x.name <> y.name "
+        "RETURN x.name AS a, y.name AS b, length(p) AS l ORDER BY a, b",
+    ):
+        got = [tuple(r) for r in cypher_read(fixture_graph, q).collect()]
+        assert got == baseline, q
+    # OR-only source predicates must NOT push (not implied per-branch):
+    # answers stay correct via the post-translation WHERE
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User)-[:KNOWS*]->(y)) "
+        "WHERE x.name = 'Alice' OR y.name = 'Alice' "
+        "RETURN x.name AS a, y.name AS b ORDER BY a",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", "Bob"), ("Bob", "Alice")]
+
+
+def test_unbounded_source_predicate_pushdown(fixture_graph):
+    got = cypher_read(
+        fixture_graph,
+        "MATCH (x:User {name: 'Bob'})-[:KNOWS*]->(y) "
+        "RETURN y.name AS b ORDER BY b",
+    ).collect()
+    assert [r["b"] for r in got] == ["Alice", "Bob"]
