@@ -6377,10 +6377,6 @@ def cypher_write(
                 "a relationship write needs exactly ONE type; "
                 "[:A|B] alternation is read-only syntax"
             )
-        if pat.var is not None:
-            raise CypherSyntaxError(
-                "relationship write supports an anonymous edge (no variable)"
-            )
         # the parser normalizes (a)<-[:T]-(b) to src=b, dst=a, so the
         # stored direction always follows pat.src -> pat.dst; the two
         # endpoints just have to be the two MATCHed variables
@@ -6397,6 +6393,61 @@ def cypher_write(
                 raise CypherSyntaxError(
                     "each endpoint needs a label and exactly one key property"
                 )
+        # MERGE (a)-[e:T]->(b) ON CREATE SET e.p = … ON MATCH SET e.q = …
+        # — the conditional-upsert arms on the EDGE (the twin of the node
+        # MERGE arms, X183): ON CREATE fires only for rows that insert the
+        # edge, ON MATCH only for rows that matched an existing one. The
+        # same property may take different values per arm (each arm's
+        # values travel in their own batch column, `__oc_*` / `__om_*`).
+        arm_create: dict[str, Any] = {}
+        arm_match: dict[str, Any] = {}
+        while p.at("word") and p.peek().text.upper() == "ON":
+            if not idempotent:
+                raise CypherSyntaxError(
+                    "ON CREATE/ON MATCH arms require MERGE"
+                )
+            if pat.var is None:
+                raise CypherSyntaxError(
+                    "ON CREATE/ON MATCH SET needs an edge variable: "
+                    "MERGE (a)-[e:T]->(b) ON CREATE SET e.p = …"
+                )
+            p.next()
+            arm_tok = p.next()
+            if arm_tok.kind != "kw" or arm_tok.text not in ("CREATE", "MATCH"):
+                raise CypherSyntaxError(
+                    f"expected CREATE or MATCH after ON, got {arm_tok.text!r}"
+                )
+            p.expect("kw", "SET")
+            arm = arm_create if arm_tok.text == "CREATE" else arm_match
+            if arm:
+                raise CypherSyntaxError(
+                    f"duplicate ON {arm_tok.text} SET clause"
+                )
+            while True:
+                ref = p.parse_prop_ref()
+                if ref.var != pat.var or ref.prop is None:
+                    raise CypherSyntaxError(
+                        f"arm SET target must be {pat.var!r}.<property>"
+                    )
+                if ref.prop in ("src", "dst", "id", "rel_type"):
+                    raise CypherSyntaxError(
+                        f"reserved edge property name {ref.prop!r}"
+                    )
+                if ref.prop in pat.props:
+                    raise CypherSyntaxError(
+                        f"property {ref.prop!r} is part of the MERGE "
+                        "match map; arms cannot reassign it"
+                    )
+                if ref.prop in arm:
+                    raise CypherSyntaxError(
+                        f"property {ref.prop!r} assigned twice in one SET"
+                    )
+                p.expect("op", "=")
+                arm[ref.prop] = p.parse_value(unwind_var=uvar)
+                if p.at("punct", ","):
+                    p.next()
+                    continue
+                break
         p.expect_end()
         ((akey, aval),) = src_node.props.items()
         ((bkey, bval),) = dst_node.props.items()
@@ -6413,6 +6464,14 @@ def cypher_write(
                 # for MERGE these join the match key (Cypher semantics),
                 # for CREATE they are simply written
                 **{ep: _resolve(v, row) for ep, v in pat.props.items()},
+                **{
+                    f"__oc_{c}": _resolve(v, row)
+                    for c, v in arm_create.items()
+                },
+                **{
+                    f"__om_{c}": _resolve(v, row)
+                    for c, v in arm_match.items()
+                },
             }
             for row in rows
         ]
@@ -6425,7 +6484,12 @@ def cypher_write(
             dst_node.label, bkey, "__b",
         )
         if idempotent:
-            return graph.merge_relationships(eps, pat.rel_type)
+            return graph.merge_relationships(
+                eps,
+                pat.rel_type,
+                on_create={c: f"__oc_{c}" for c in arm_create} or None,
+                on_match={c: f"__om_{c}" for c in arm_match} or None,
+            )
         return graph.create_relationships(eps, pat.rel_type)
 
     if p.at("kw", "DETACH") or p.at("kw", "DELETE"):

@@ -465,6 +465,8 @@ class PropertyGraph:
         self,
         endpoints: DataFrame,
         rel_type: str,
+        on_create: "dict[str, str] | None" = None,
+        on_match: "dict[str, str] | None" = None,
     ) -> "PropertyGraph":
         """Relationship MERGE — ``MERGE (a)-[:T]->(b)``: insert the edge
         only if no (src, dst, rel_type) edge exists, making the write
@@ -477,9 +479,33 @@ class PropertyGraph:
         key, as in Cypher — ``MERGE (a)-[:T {w: 5}]->(b)`` matches only an
         existing edge whose ``w`` equals 5 (null-safe; an existing edge
         lacking the column reads null and only matches a null want) and
-        creates the edge with the properties otherwise."""
-        props = [c for c in endpoints.columns if c not in ("src", "dst")]
-        wanted = endpoints.select("src", "dst", *props).distinct()
+        creates the edge with the properties otherwise.
+
+        ``on_create`` / ``on_match`` (Cypher ``MERGE (a)-[e:T]->(b) ON
+        CREATE SET / ON MATCH SET`` — the edge twin of
+        :meth:`merge_nodes`'s arms) map edge property → endpoints column
+        carrying that arm's value. Arm source columns are EXCLUDED from
+        the match key. ON MATCH updates pre-existing matched edges with
+        ONE conditional projection (applied before the insert arm, so a
+        just-created edge never takes the match arm); conflicting arm
+        values for the same match key collapse deterministically to the
+        per-column MAX before the update join (a batch is a set here, not
+        a sequence — documented divergence from Neo4j's row-sequential
+        application)."""
+        oc = dict(on_create or {})
+        om = dict(on_match or {})
+        arm_srcs = set(oc.values()) | set(om.values())
+        props = [
+            c for c in endpoints.columns
+            if c not in ("src", "dst") and c not in arm_srcs
+        ]
+        for prop in (*oc, *om):
+            if prop in props or prop in ("id", "src", "dst", "rel_type"):
+                raise ValueError(
+                    f"arm property {prop!r} is part of the match key or "
+                    "reserved"
+                )
+        wanted = endpoints.distinct()
         have = set(self.edges.columns)
         existing = self.edges.filter(F.col("rel_type") == rel_type).select(
             F.col("src").alias("__es"),
@@ -492,8 +518,58 @@ class PropertyGraph:
         cond = (F.col("src") == F.col("__es")) & (F.col("dst") == F.col("__ed"))
         for c in props:
             cond = cond & F.col(c).eqNullSafe(F.col(f"__ep_{c}"))
-        missing = wanted.join(existing, cond, "left_anti")
-        return self.create_relationships(missing, rel_type)
+
+        edges_out = self.edges
+        if om:
+            marker = (
+                wanted.groupBy("src", "dst", *props)
+                .agg(
+                    *[
+                        F.max(src).alias(f"__mv_{prop}")
+                        for prop, src in om.items()
+                    ]
+                )
+                .select(
+                    F.col("src").alias("__ms"),
+                    F.col("dst").alias("__md"),
+                    *[F.col(c).alias(f"__mk_{c}") for c in props],
+                    *[F.col(f"__mv_{prop}") for prop in om],
+                )
+            )
+            jcond = (
+                (F.col("src") == F.col("__ms"))
+                & (F.col("dst") == F.col("__md"))
+                & (F.col("rel_type") == F.lit(rel_type))
+            )
+            for c in props:
+                jcond = jcond & (
+                    F.col(c) if c in have else F.lit(None)
+                ).eqNullSafe(F.col(f"__mk_{c}"))
+            joined = self.edges.join(marker, jcond, "left")
+            matched = F.col("__ms").isNotNull()
+            out = []
+            for c in self.edges.columns:
+                if c in om:
+                    out.append(
+                        F.when(matched, F.col(f"__mv_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    out.append(F.col(c))
+            for prop in om:
+                if prop not in have:
+                    out.append(F.when(matched, F.col(f"__mv_{prop}")).alias(prop))
+            edges_out = joined.select(*out)
+
+        missing = wanted.join(existing, cond, "left_anti").select(
+            "src",
+            "dst",
+            *props,
+            *[F.col(src).alias(prop) for prop, src in oc.items()],
+        )
+        base = PropertyGraph(self.vertices, edges_out)
+        return base.create_relationships(missing, rel_type)
 
     # -- connector round-trip (SURVEY §7 step 5) --------------------------
 

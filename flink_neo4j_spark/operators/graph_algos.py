@@ -4131,3 +4131,53 @@ ORACLE["g73_cypher_zero_length"] = f"""
     SELECT n_nationkey + {NATION_BASE}, n_regionkey + {REGION_BASE}, 1
     FROM nation
     ORDER BY n_id, x_id"""
+
+
+# G74 — relationship MERGE with ON CREATE / ON MATCH arms through the
+# front end (the edge twin of the node-MERGE arms, X183): batch 1 MERGEs
+# four AUDITED edges (all fire ON CREATE), batch 2 re-MERGEs two of them
+# (ON MATCH — first-audit year untouched, re-audit year lands) plus two
+# new pairs (ON CREATE). Pure literal batches over deterministic
+# supplier/nation names, so the oracle is a closed-form VALUES table —
+# no engine state crosses the comparison. Plan: the arms ride the same
+# two broadcast endpoint-resolution joins + one anti-join the plain
+# relationship MERGE costs; ON MATCH adds ONE left equi-join conditional
+# projection over the edge frame.
+def g74_cypher_rel_merge_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read, cypher_write
+
+    g = tpch_graph(spark, sf_dir)
+    stmt = (
+        "UNWIND $rows AS r MATCH (a:Supplier {name: r.s}), "
+        "(b:Nation {name: r.n}) MERGE (a)-[e:AUDITED]->(b) "
+        "ON CREATE SET e.first = r.yr ON MATCH SET e.again = r.yr"
+    )
+    batch1 = [
+        {"s": f"Supplier#{i:09d}", "n": f"NATION_{i % 5}", "yr": 2020 + i}
+        for i in (1, 2, 3, 4)
+    ]
+    batch2 = [
+        {"s": f"Supplier#{i:09d}", "n": f"NATION_{i % 5}", "yr": 2030 + i}
+        for i in (1, 2, 5, 6)
+    ]
+    g = cypher_write(g, stmt, params={"rows": batch1})
+    g = cypher_write(g, stmt, params={"rows": batch2})
+    return cypher_read(
+        g,
+        "MATCH (a:Supplier)-[e:AUDITED]->(b:Nation) "
+        "RETURN a.name AS sup, b.name AS nation, e.first AS first_audit, "
+        "e.again AS re_audit ORDER BY sup",
+    )
+
+
+QUERIES["g74_cypher_rel_merge_arms"] = g74_cypher_rel_merge_arms
+ORACLE["g74_cypher_rel_merge_arms"] = """
+    SELECT * FROM (VALUES
+      ('Supplier#000000001', 'NATION_1', 2021, 2031),
+      ('Supplier#000000002', 'NATION_2', 2022, 2032),
+      ('Supplier#000000003', 'NATION_3', 2023, NULL),
+      ('Supplier#000000004', 'NATION_4', 2024, NULL),
+      ('Supplier#000000005', 'NATION_0', 2035, NULL),
+      ('Supplier#000000006', 'NATION_1', 2036, NULL)
+    ) AS t(sup, nation, first_audit, re_audit)
+    ORDER BY sup"""

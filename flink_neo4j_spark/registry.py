@@ -49,6 +49,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # integer gains, so an unrolled materialized-CTE oracle exists)
     "g65_modularity_opt",
     "g73_cypher_zero_length",
+    "g74_cypher_rel_merge_arms",
     # round 7 code-changed queries — their previous green rows no longer
     # certify the current code:
     "g68_neighbor_sample",   # overflow-safe split-multiplier hash (advisory

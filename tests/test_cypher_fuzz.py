@@ -251,6 +251,11 @@ _TOKEN_SOUP = st.lists(
             # round-5 surface: list expressions, folds, subscripts, paths
             "range", "reduce", "|", "..", "allShortestPaths", "acc",
             "[1..3]", "[0]", "[-1]",
+            # round-7 surface: unbounded/zero-length hop specs, arms,
+            # points, durations, quantifiers
+            "*0..", "*2..", "*..3", "*0..1", "ON", "MERGE", "SET",
+            "REMOVE", "point", "duration", "isEmpty", "any", "all",
+            "none", "single", "nodes", "relationships",
         ]
     ),
     min_size=0,

@@ -138,3 +138,95 @@ def test_plain_delete_keeps_neo4j_incident_edge_contract(spark, fixture_graph):
     g2 = cypher_write(fixture_graph, DELETE_Q, {"rows": [{"name": "carol"}]})
     assert sorted(r.name for r in g2.vertices.collect()) == ["alice", "bob"]
     assert g2.edges.count() == 1
+
+
+# --- relationship MERGE ON CREATE / ON MATCH arms (round 7) ---
+
+ARM_Q = (
+    "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+    " MERGE (a)-[e:KNOWS]->(b)"
+    " ON CREATE SET e.first = r.yr, e.origin = 'created'"
+    " ON MATCH SET e.again = r.yr, e.origin = 'matched'"
+)
+
+
+def _edge_props(g):
+    return {
+        (r["src"], r["dst"]): (
+            r["first"] if "first" in r.__fields__ else None,
+            r["again"] if "again" in r.__fields__ else None,
+            r["origin"] if "origin" in r.__fields__ else None,
+        )
+        for r in g.edges.collect()
+    }
+
+
+def test_merge_arms_split_create_and_match(spark, fixture_graph):
+    # (alice->bob) exists: ON MATCH fires; (bob->carol) is new: ON CREATE
+    g2 = cypher_write(
+        fixture_graph, ARM_Q,
+        {"rows": [
+            {"src": "alice", "dst": "bob", "yr": 2020},
+            {"src": "bob", "dst": "carol", "yr": 2021},
+        ]},
+    )
+    props = _edge_props(g2)
+    assert props[(1, 2)] == (None, 2020, "matched")
+    assert props[(2, 3)] == (2021, None, "created")
+    assert g2.edges.count() == 2
+    # re-run: idempotent edge set; ON MATCH re-applies to both
+    g3 = cypher_write(
+        g2, ARM_Q,
+        {"rows": [
+            {"src": "alice", "dst": "bob", "yr": 2030},
+            {"src": "bob", "dst": "carol", "yr": 2031},
+        ]},
+    )
+    props3 = _edge_props(g3)
+    assert props3[(1, 2)] == (None, 2030, "matched")
+    assert props3[(2, 3)] == (2021, 2031, "matched")
+    assert g3.edges.count() == 2
+
+
+def test_merge_arm_only_on_create_leaves_matched_untouched(
+    spark, fixture_graph
+):
+    g2 = cypher_write(
+        fixture_graph,
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), "
+        "(b:User {name: r.dst}) MERGE (a)-[e:KNOWS]->(b) "
+        "ON CREATE SET e.first = r.yr",
+        {"rows": [{"src": "alice", "dst": "bob", "yr": 2020}]},
+    )
+    # no new rows; the matched edge reads the (schema-widened) create-arm
+    # column as null — B5 missing-property semantics
+    assert g2.edges.count() == 1
+    assert g2.edges.collect()[0]["first"] is None
+
+
+def test_merge_arm_rejections(spark, fixture_graph):
+    bad = [
+        # arms on CREATE (not MERGE)
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " CREATE (a)-[e:KNOWS]->(b) ON CREATE SET e.x = 1",
+        # arms without an edge variable
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[:KNOWS]->(b) ON MATCH SET e.x = 1",
+        # arm reassigns a match-map property
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[e:KNOWS {w: 1}]->(b) ON CREATE SET e.w = 2",
+        # reserved structure column
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[e:KNOWS]->(b) ON MATCH SET e.src = 9",
+        # duplicate arm
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[e:KNOWS]->(b) ON MATCH SET e.x = 1 ON MATCH SET e.y = 2",
+        # property assigned twice within one arm
+        "UNWIND $rows AS r MATCH (a:User {name: r.src}), (b:User {name: r.dst})"
+        " MERGE (a)-[e:KNOWS]->(b) ON CREATE SET e.x = 1, e.x = 2",
+    ]
+    for q in bad:
+        with pytest.raises(CypherSyntaxError):
+            cypher_write(
+                fixture_graph, q, {"rows": [{"src": "alice", "dst": "bob"}]}
+            )
