@@ -488,10 +488,13 @@ class PropertyGraph:
         the match key. ON MATCH updates pre-existing matched edges with
         ONE conditional projection (applied before the insert arm, so a
         just-created edge never takes the match arm); conflicting arm
-        values for the same match key collapse deterministically to the
-        per-column MAX before the update join (a batch is a set here, not
-        a sequence — documented divergence from Neo4j's row-sequential
-        application)."""
+        values for the same match key — on EITHER arm — collapse
+        deterministically to the per-column MAX before any join, so two
+        batch rows sharing (src, dst, props) but carrying different arm
+        values still MERGE exactly one edge (a batch is a set here, not a
+        sequence — documented divergence from Neo4j's row-sequential
+        apply, which creates on the first row and fires ON MATCH for the
+        second)."""
         oc = dict(on_create or {})
         om = dict(on_match or {})
         arm_srcs = set(oc.values()) | set(om.values())
@@ -505,7 +508,19 @@ class PropertyGraph:
                     f"arm property {prop!r} is part of the match key or "
                     "reserved"
                 )
-        wanted = endpoints.distinct()
+        # Collapse to ONE row per match key BEFORE any join: arm source
+        # columns are not part of the key, so a plain distinct() would let
+        # two rows with equal (src, dst, props) but different arm values
+        # both survive the anti-join and both insert — MERGE must never
+        # create duplicate edges. MAX-collapse mirrors the ON MATCH marker
+        # aggregation (set-not-sequence divergence documented above).
+        agg_srcs = [s for s in sorted(arm_srcs) if s not in ("src", "dst")]
+        if agg_srcs:
+            wanted = endpoints.groupBy("src", "dst", *props).agg(
+                *[F.max(s).alias(s) for s in agg_srcs]
+            )
+        else:
+            wanted = endpoints.distinct()
         have = set(self.edges.columns)
         existing = self.edges.filter(F.col("rel_type") == rel_type).select(
             F.col("src").alias("__es"),

@@ -230,3 +230,32 @@ def test_merge_arm_rejections(spark, fixture_graph):
             cypher_write(
                 fixture_graph, q, {"rows": [{"src": "alice", "dst": "bob"}]}
             )
+
+
+def test_merge_arm_conflicting_create_values_still_one_edge(
+    spark, fixture_graph
+):
+    """Two batch rows with the same match key but DIFFERENT arm values
+    must MERGE exactly one edge (arm sources are not part of the match
+    key). Values collapse to the per-column MAX — the documented
+    set-not-sequence divergence from Neo4j's row-sequential apply."""
+    g2 = cypher_write(
+        fixture_graph, ARM_Q,
+        {"rows": [
+            {"src": "bob", "dst": "carol", "yr": 2021},
+            {"src": "bob", "dst": "carol", "yr": 2022},
+        ]},
+    )
+    assert g2.edges.filter("src = 2 AND dst = 3").count() == 1
+    props = _edge_props(g2)
+    assert props[(2, 3)] == (2022, None, "created")
+    # same shape through the ON MATCH arm on an existing edge
+    g3 = cypher_write(
+        fixture_graph, ARM_Q,
+        {"rows": [
+            {"src": "alice", "dst": "bob", "yr": 2030},
+            {"src": "alice", "dst": "bob", "yr": 2029},
+        ]},
+    )
+    assert g3.edges.count() == 1
+    assert _edge_props(g3)[(1, 2)] == (None, 2030, "matched")
