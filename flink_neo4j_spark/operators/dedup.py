@@ -576,12 +576,16 @@ SEM_COS_THRESHOLD = 0.35
 
 
 def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_neo4j_spark.operators.similarity import _emb, _sig_expr
+    from flink_neo4j_spark.operators.similarity import (
+        _emb,
+        _sig_expr,
+        emb_n_planes,
+    )
 
     # per-vector norm precomputed once (bitwise-identical to inline; see s8)
     e = (
         _emb(spark, sf_dir)
-        .withColumn("sig", _sig_expr("emb"))
+        .withColumn("sig", _sig_expr("emb", emb_n_planes(sf_dir)))
         .withColumn("nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
     )
     a = e.select(
