@@ -958,6 +958,9 @@ def g19_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALSO_BOUGHT_DEGREE_CUTOFF = 60
 #: result cap (deterministic tie-break on the exact-integer score).
 ALSO_BOUGHT_TOP = 100
+#: target self-join pairs per task when widthing the shared projection —
+#: ~500k narrow pair rows is a few seconds of JVM hash-agg work.
+PAIR_ROWS_PER_TASK = 500_000
 
 
 # G15 — "customers also bought" link prediction (Neo4j GDS `nodeSimilarity`
@@ -1005,7 +1008,28 @@ def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF)
             )
         )
-        return cp.join(F.broadcast(deg), "part").localCheckpoint()
+        # Width the part-hash layout by the EXACT downstream pair count
+        # (sum of C(dp, 2) over the small, already-materialized degree
+        # agg — the statistic a CBO would use). The per-part self-join
+        # EXPLODES rows inside its stage, so AQE's byte-based coalescing
+        # of this exchange systematically under-widths it (measured at
+        # sf1: 90 M pairs on 35 byte-coalesced tasks = 73 s; explicit
+        # pair-proportional width 180 = ~13 s). repartition-by-num is
+        # deliberately AQE-opaque; both self-join sides inherit the
+        # layout from the checkpoint, so the join itself adds NO
+        # exchange at any width.
+        est = deg.agg(
+            F.sum(F.col("dp") * (F.col("dp") - 1) / 2).alias("p")
+        ).collect()[0]["p"]
+        width = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            min(4096, int((est or 0) // PAIR_ROWS_PER_TASK) + 1),
+        )
+        return (
+            cp.join(F.broadcast(deg), "part")
+            .repartition(width, "part")
+            .localCheckpoint()
+        )
 
     key = ("cust_part_projection", os.path.abspath(sf_dir))
     return session_memo(spark, key, build)

@@ -73,7 +73,18 @@ def ship_package(spark: SparkSession) -> None:
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply engine confs to an externally-created session (best effort)."""
+    """Apply engine confs to an externally-created session (best effort).
+
+    Deliberately NOT set: a global input-scaled
+    ``coalescePartitions.initialPartitionNum``. Measured at sf1 (round
+    8): widening every exchange start to input_bytes/1MiB made the
+    g15/g20 similarity pair (the queries the knob was meant to help)
+    SLOWER — 41.8/29.1 s vs 24.8/23.4 s — because the explosion-heavy
+    exchanges need width AQE's byte heuristics can't infer, while every
+    other reduce stage just picked up task overhead it didn't need. The
+    width problem is solved where the information lives instead: the
+    similarity projection widths its part-hash layout by the EXACT
+    downstream pair count (``graph_algos._cust_part_projection``)."""
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
