@@ -4205,3 +4205,188 @@ ORACLE["g74_cypher_rel_merge_arms"] = """
       ('Supplier#000000006', 'NATION_1', 2036, NULL)
     ) AS t(sup, nation, first_audit, re_audit)
     ORDER BY sup"""
+
+
+# G75 — general UNDIRECTED variable-length expansion (round-8 verdict ask
+# #4: before this round -[:T*lo..hi]- was legal only inside
+# shortestPath/allShortestPaths; reference contract: any Cypher string is
+# legal through the connector, Neo4jFormatBase.java:48). The pattern is
+# the same-nation co-membership idiom: one hop reaches the customer's
+# nation (forward), two hops its sibling customers AND suppliers
+# (reversed second hop) — exactly what the symmetrized edge frame must
+# produce, with the customer's own edge excluded by relationship
+# isomorphism (never a path back to yourself through the same edge).
+# Plan: the bounded union-of-chains over _sym_edges — equi-joins only;
+# the single-var id(c) % 100 source predicate reaches the customer scan
+# via Catalyst pushdown (the chains are fully lazy). Scale: the source
+# cut keeps rows ∝ |customers|/100 × nation size; no all-pairs shape.
+def g75_cypher_undirected_varlength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = (c:Customer)-[:IN_NATION*1..2]-(x) "
+        "WHERE id(c) % 100 = 0 "
+        "RETURN id(c) AS c_id, id(x) AS x_id, length(p) AS hops "
+        "ORDER BY c_id, x_id, hops",
+    )
+
+
+QUERIES["g75_cypher_undirected_varlength"] = g75_cypher_undirected_varlength
+ORACLE["g75_cypher_undirected_varlength"] = f"""
+    WITH src AS (
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE (c_custkey + {CUSTOMER_BASE}) % 100 = 0)
+    SELECT c_custkey + {CUSTOMER_BASE} AS c_id,
+           c_nationkey + {NATION_BASE} AS x_id, 1 AS hops
+    FROM src
+    UNION ALL
+    SELECT s.c_custkey + {CUSTOMER_BASE}, c2.c_custkey + {CUSTOMER_BASE}, 2
+    FROM src s JOIN customer c2
+      ON c2.c_nationkey = s.c_nationkey AND c2.c_custkey <> s.c_custkey
+    UNION ALL
+    SELECT s.c_custkey + {CUSTOMER_BASE}, su.s_suppkey + {SUPPLIER_BASE}, 2
+    FROM src s JOIN supplier su ON su.s_nationkey = s.c_nationkey
+    ORDER BY c_id, x_id, hops"""
+
+
+# G76 — aggregates + DISTINCT inside a correlated CALL subquery (round-8
+# verdict ask #7): the per-anchor aggregation idiom ``WITH n CALL { WITH
+# n MATCH (n)-[e]->(m) RETURN count(*), sum(e.w) }``. Aggregate-only
+# RETURNs keep every anchor (aggregation over zero rows yields count 0 /
+# sum null — note nations have NO outgoing IN_NATION edge, so their
+# rows read (0, null)); the engine plans ONE partial-aggregated groupBy
+# on the expansion side before a left equi-join — the COUNT { } shape
+# generalized. The second stage exercises DISTINCT inside CALL (dedup of
+# the projected inner rows per anchor, pre-join).
+def g76_cypher_call_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) WITH n "
+        "CALL { WITH n MATCH (n)<-[e:IN_NATION]-(c:Customer) "
+        "RETURN count(*) AS members, sum(e.w) AS tw } "
+        "WITH n, members, tw "
+        "CALL { WITH n MATCH (n)<-[e2:IN_NATION]-(s:Supplier) "
+        "RETURN DISTINCT e2.w AS dw ORDER BY dw } "
+        "RETURN n.name AS nation, members, tw, dw "
+        "ORDER BY nation, dw",
+    )
+
+
+QUERIES["g76_cypher_call_agg"] = g76_cypher_call_agg
+ORACLE["g76_cypher_call_agg"] = f"""
+    WITH agg AS (
+      SELECT n_nationkey,
+             CAST(COUNT(c_custkey) AS BIGINT) AS members,
+             CAST(SUM(c_custkey % 7) AS BIGINT) AS tw
+      FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_nationkey),
+    dws AS (
+      SELECT DISTINCT s_nationkey AS n_nationkey, s_suppkey % 7 AS dw
+      FROM supplier)
+    SELECT n_name AS nation, members, tw, dw
+    FROM nation
+    JOIN agg USING (n_nationkey)
+    JOIN dws USING (n_nationkey)
+    ORDER BY nation, dw"""
+
+
+# G77 — variable-length segment composed inside a MATCH chain (round-8
+# verdict ask #5): ``MATCH (r:Region)<-[:IN_REGION*1..1]-(n), (n)<-[:
+# IN_NATION]-(c:Customer)`` — reachability + property hop in ONE clause
+# (the relationship-isomorphism group spans both segments; the types
+# differ so no path is lost). The var-length frame joins the chain by
+# name-based unification like any clause; at scale it's the same
+# equi-join ladder Catalyst broadcasts (region/nation are dimensions).
+def g77_cypher_varlength_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (r:Region)<-[:IN_REGION*1..1]-(n), (n)<-[:IN_NATION]-(c:Customer) "
+        "WHERE id(c) % 50 = 0 "
+        "RETURN r.name AS region, n.name AS nation, id(c) AS c_id "
+        "ORDER BY c_id",
+    )
+
+
+QUERIES["g77_cypher_varlength_chain"] = g77_cypher_varlength_chain
+ORACLE["g77_cypher_varlength_chain"] = f"""
+    SELECT r_name AS region, n_name AS nation,
+           c_custkey + {CUSTOMER_BASE} AS c_id
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    WHERE (c_custkey + {CUSTOMER_BASE}) % 50 = 0
+    ORDER BY c_id"""
+
+
+# G78 — inline property maps in pipeline/chained MATCH positions
+# (round-8 verdict ask #6, X177's positional gap): maps desugar to WHERE
+# equality conjuncts in (a) a chained MATCH clause, (b) a pipeline MATCH
+# after WITH (bound-endpoint map filters the current rows; edge map
+# filters the expansion side pre-join), exactly as in first-stage
+# clauses. NATION_3's w=3 customers through both positions.
+def g78_cypher_inline_props_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation {name: 'NATION_3'}), (n)<-[e:IN_NATION {w: 3}]-(c:Customer) "
+        "WITH n, c MATCH (c)-[e2:IN_NATION {w: 3}]->(m:Nation {name: 'NATION_3'}) "
+        "RETURN n.name AS nation, id(c) AS c_id, e2.w AS w ORDER BY c_id",
+    )
+
+
+QUERIES["g78_cypher_inline_props_chain"] = g78_cypher_inline_props_chain
+ORACLE["g78_cypher_inline_props_chain"] = f"""
+    SELECT n_name AS nation, c_custkey + {CUSTOMER_BASE} AS c_id,
+           c_custkey % 7 AS w
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND c_custkey % 7 = 3
+    ORDER BY c_id"""
+
+
+# G79 — OPTIONAL MATCH after a multi-clause MATCH chain (round-8 verdict
+# ask #5, the null-extending form): region->nation->customer chain, then
+# an OPTIONAL hop to each customer's suppliers-in-same-nation — absent
+# for nations with no suppliers, whose rows null-extend instead of
+# dropping. One left equi-join onto the var-prefixed chain frame.
+def g79_cypher_optional_after_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (r:Region {name: 'REGION_0'})<-[:IN_REGION]-(n), "
+        "(n)<-[:IN_NATION]-(c:Customer) "
+        "OPTIONAL MATCH (n)<-[es:IN_NATION]-(s:Supplier) "
+        "WHERE es.w = 6 "
+        "RETURN n.name AS nation, id(c) AS c_id, id(s) AS s_id "
+        "ORDER BY c_id, s_id",
+    )
+
+
+QUERIES["g79_cypher_optional_after_chain"] = g79_cypher_optional_after_chain
+ORACLE["g79_cypher_optional_after_chain"] = f"""
+    WITH chain AS (
+      SELECT n_nationkey, n_name, c_custkey + {CUSTOMER_BASE} AS c_id
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      WHERE r_name = 'REGION_0'),
+    opt AS (
+      SELECT s_nationkey AS n_nationkey,
+             s_suppkey + {SUPPLIER_BASE} AS s_id
+      FROM supplier WHERE s_suppkey % 7 = 6)
+    SELECT n_name AS nation, c_id, s_id
+    FROM chain LEFT JOIN opt USING (n_nationkey)
+    ORDER BY c_id, s_id"""

@@ -41,45 +41,70 @@ from pyspark.sql import DataFrame, SparkSession
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 7 NEW conformance queries (verdict asks #3/#4): certify first.
-    "g71_cypher_unbounded_paths",
-    "g72_cypher_edge_set",
-    # round 7: g65 graduates from rows-only to oracle-checked (verdict
-    # ask #2 — its move rule is deterministic/synchronous with exact
-    # integer gains, so an unrolled materialized-CTE oracle exists)
-    "g65_modularity_opt",
-    "g73_cypher_zero_length",
-    "g74_cypher_rel_merge_arms",
-    # round 7 code-changed queries — their previous green rows no longer
-    # certify the current code:
-    "g68_neighbor_sample",   # overflow-safe split-multiplier hash (advisory
-    "g70_two_hop_sample",    # #2) in BOTH engine and oracle
-    "g54_cypher_temporal",   # duration structs now carry the __dur tag
-    "g66_cypher_temporal_arith",
-    "g63_cypher_quantifiers",  # isEmpty() type-dispatch hardened (advisory #3)
-    "g67_cypher_param_lookup",  # top-level-equality correlation check (#1)
-    "g9_cypher_varlength",   # parse_hops rewritten for unbounded specs
-    "g58_cypher_path_nodes",
-    "g31_cypher_shortest_path",  # _shortest_path: unbounded + tie-enum state
-    "g48_cypher_all_shortest",
-    # round 7 rotation re-certs (verdict ask #6): the oldest r1-green
-    # heavies — shared helpers underneath them kept moving for 5 rounds.
-    "d1_exact_dedup",
-    "d2_minhash_signature",
-    "d3_minhash_near_dup",
-    "d5_ngram_jaccard",
-    "s1_cosine_topk",
-    "s2_lsh_topk",
-    "s4_ivf_topk",
-    "q1_node_scan",
-    "q2_edge_join",
-    "q7_grouped_count",
-    "m1_multimodal_meta",
-    "m2_frame_sample",
-    "t1_token_count",
-    "t3_quality_score",
+    # round 8 code-changed queries — green r7 rows no longer certify them:
+    "g74_cypher_rel_merge_arms",  # MERGE arm-collapse fix (ADVICE high)
+    "s2_lsh_topk",        # N_PLANES now derived from corpus size in engine
+    "s8_knn_join",        # and oracle (verdict ask #2); previously a
+    "s17_hard_negatives",  # module constant
+    "d12_semantic_dedup",
+    "g15_also_bought",    # pair-count-proportional shuffle width on the
+    "g20_node_similarity",  # shared part projection (verdict ask #3)
+    # round 8 NEW conformance queries (verdict asks #4-#7):
+    "g75_cypher_undirected_varlength",
+    "g76_cypher_call_agg",
+    "g77_cypher_varlength_chain",
+    "g78_cypher_inline_props_chain",
+    "g79_cypher_optional_after_chain",
+    # round 8: their code paths were restructured (CALL subquery block,
+    # OPTIONAL MATCH desugar/symmetrize, whole-var null-gating):
+    "g8_cypher_optional",
+    "g42_cypher_optional_map",
+    "g62_cypher_call_topk",
+    # round 8 backlog drain, part 1 of 2 (verdict ask #1): every r1-green
+    # row (28) + the oldest r2 rows, so after round 9 no green row is
+    # older than 4 rounds. g4_pagerank / q28_sketch_stats (rows-only by
+    # design — a repeat row adds nothing) are excluded.
+    "q9_date_filter",
+    "q10_topk",
+    "q11_time_bucket",
+    "q12_distinct_docs",
+    "q13_order_revenue_topk",
+    "q14_local_supplier_revenue",
+    "q16_window_rank",
+    "q17_set_ops",
+    "q18_percentiles",
+    "q19_rollup",
+    "q20_exists_semi",
+    "q21_anti_scalar",
+    "q22_groupwise_threshold",
+    "q24_sample_split",
+    "q25_pivot",
+    "q26_disjunctive_join",
+    "q27_nation_volume",
+    "q29_merge_upsert",
+    "q30_distinct_exclusion",
+    "d4_simhash",
+    "d6_embedding_near_dup",
+    "d7_dedup_clusters",
+    "d8_edit_distance",
+    "m3_resize",
+    "s3_cosine_topk_pandas",
+    "t2_lang_id",
+    "t4_fingerprint",
+    "t5_top_terms",
+    # oldest r2 rows:
+    "a1_asof_join",
+    "a2_interval_join",
+    "a4_funnel",
+    "a5_retention",
+    "d9_decontaminate",
+    "d10_lsh_banded",
+    "d11_chunk_dedup",
+    "g11_detach_delete",
+    "g13_weighted_sssp",
+    "g14_triangle_count",
 )
-# Round-6 tier-A entries all earned green rows in CORRECTNESS_r06.json,
+# Round-7 tier-A entries all earned green rows in CORRECTNESS_r07.json,
 # so they drop back to tier C here.
 
 #: Round-5 pinned backlog (the judge's round-4 ask #1): the 29 q-series

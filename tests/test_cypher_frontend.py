@@ -731,19 +731,22 @@ def test_all_shortest_paths_count_aggregation(diamond_graph):
 
 
 def test_shortest_path_undirected_pattern(diamond_graph):
-    """Undirected bounded patterns are legal inside (all)shortestPath
-    (symmetrized BFS) while the general var-length expansion still
-    rejects them loudly."""
+    """Undirected bounded patterns inside (all)shortestPath (symmetrized
+    BFS) and in the general var-length expansion (symmetrized chains)
+    agree: B1 and B2 connect undirected only at distance 2."""
     rows = cypher_read(
         diamond_graph,
         "MATCH p = shortestPath((a:N)-[:E*1..2]-(b:N)) "
         "WHERE a.name = 'B1' AND b.name = 'B2' RETURN length(p) AS l",
     ).collect()
     assert [r["l"] for r in rows] == [2]  # B1-(A or D)-B2, undirected
-    with pytest.raises(CypherSyntaxError, match="undirected variable-length"):
-        cypher_read(
-            diamond_graph, "MATCH (a:N)-[:E*1..2]-(b:N) RETURN a.name"
-        )
+    # general enumeration: ONE row per distinct path — via A and via D
+    rows = cypher_read(
+        diamond_graph,
+        "MATCH p = (a:N)-[:E*1..2]-(b:N) "
+        "WHERE a.name = 'B1' AND b.name = 'B2' RETURN length(p) AS l",
+    ).collect()
+    assert [r["l"] for r in rows] == [2, 2]
 
 
 def test_path_accessors_on_shortest_path(diamond_graph):
@@ -2214,6 +2217,168 @@ def test_shortest_path_basic(fixture_graph):
     assert rows.get(("Alice", "Eve"), 2) == 2
 
 
+@pytest.fixture(scope="module")
+def chain_vl_graph(spark):
+    """A->B->C (T edges), C->D and B->D (S edges) — the var-length-in-chain
+    shapes: reachability composed with a property hop."""
+    return cypher_create_graph(
+        spark,
+        "CREATE (a:N {name: 'A'}), (b:N {name: 'B'}), (c:N {name: 'C'}),"
+        " (d:N {name: 'D'}),"
+        " (a)-[:T]->(b), (b)-[:T]->(c), (c)-[:S]->(d), (b)-[:S]->(d)",
+    )
+
+
+def test_varlength_in_chain(chain_vl_graph):
+    """Variable-length segments compose with single-hop clauses, both as a
+    comma chain (one MATCH) and across MATCH clauses (round-8)."""
+    for q in (
+        "MATCH (a:N)-[:T*1..2]->(b), (b)-[:S]->(c) WHERE a.name = 'A' "
+        "RETURN a.name AS s, b.name AS m, c.name AS t ORDER BY m",
+        "MATCH (a:N)-[:T*1..2]->(b) MATCH (b)-[:S]->(c) WHERE a.name = 'A' "
+        "RETURN a.name AS s, b.name AS m, c.name AS t ORDER BY m",
+    ):
+        assert [tuple(r) for r in cypher_read(chain_vl_graph, q).collect()] == [
+            ("A", "B", "D"),
+            ("A", "C", "D"),
+        ]
+
+
+def test_varlength_in_chain_isomorphism(chain_vl_graph):
+    """openCypher relationship isomorphism holds WITHIN one MATCH clause:
+    an undirected var-length segment may not reuse the sibling clause's
+    edge in the same comma chain — but the same shapes in SEPARATE MATCH
+    clauses may share edges."""
+    # same clause: every (x)-[:S*1..1]-(d) binding consumes the only S
+    # edge (d)-[:S]->(q) could use -> empty
+    assert (
+        cypher_read(
+            chain_vl_graph,
+            "MATCH (x:N)-[:S*1..1]-(d), (d)-[:S]->(q) "
+            "RETURN x.name AS x, d.name AS d, q.name AS q",
+        ).count()
+        == 0
+    )
+    # separate clauses: edge reuse is legal, rows come back
+    assert (
+        cypher_read(
+            chain_vl_graph,
+            "MATCH (x:N)-[:S*1..1]-(d) MATCH (d)-[:S]->(q) "
+            "RETURN x.name AS x, d.name AS d, q.name AS q",
+        ).count()
+        == 2  # (D,C,D) and (D,B,D)
+    )
+    # undirected var-length + a DIFFERENT rel type in the same clause
+    assert sorted(
+        tuple(r)
+        for r in cypher_read(
+            chain_vl_graph,
+            "MATCH (x:N)-[:T*1..1]-(d), (d)-[:S]->(q) "
+            "RETURN x.name AS x, d.name AS d, q.name AS q",
+        ).collect()
+    ) == [("A", "B", "D"), ("B", "C", "D"), ("C", "B", "D")]
+
+
+def test_optional_match_after_chain(chain_vl_graph):
+    """OPTIONAL MATCH after a multi-clause/comma MATCH chain: left join on
+    the chain frame; failed bindings read null (the whole variable too)."""
+    df = cypher_read(
+        chain_vl_graph,
+        "MATCH (a:N)-[:T]->(b), (b)-[:T]->(c) "
+        "OPTIONAL MATCH (c)-[e:S]->(d:N) "
+        "RETURN a.name AS s, c.name AS m, d.name AS t ORDER BY s",
+    )
+    assert [tuple(r) for r in df.collect()] == [("A", "C", "D")]
+    # anchor with no optional match: null-extended row, null whole-var
+    df = cypher_read(
+        chain_vl_graph,
+        "MATCH (a:N)-[:T]->(b), (b)-[:S]->(c) "
+        "OPTIONAL MATCH (c)-[e:S]->(d:N) "
+        "RETURN a.name AS s, c.name AS m, d AS whole ORDER BY s",
+    )
+    rows = df.collect()
+    assert [(r["s"], r["m"], r["whole"]) for r in rows] == [
+        ("A", "D", None),
+        ("B", "D", None),
+    ]
+    # undirected optional after a chain
+    df = cypher_read(
+        chain_vl_graph,
+        "MATCH (a:N)-[:T]->(b), (b)-[:T]->(c) "
+        "OPTIONAL MATCH (c)-[e:S]-(d:N) "
+        "RETURN a.name AS s, d.name AS t ORDER BY t",
+    )
+    assert [tuple(r) for r in df.collect()] == [("A", "D")]
+
+
+def test_undirected_varlength(fixture_graph):
+    """General undirected variable-length expansion (round-8): the two
+    KNOWS edges between Alice and Bob are DISTINCT relationships, so each
+    is its own 1-hop undirected path, and their two orderings are the two
+    2-hop paths back to the start node."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = (a:User)-[:KNOWS*1..2]-(b:User) WHERE a.name = 'Alice' "
+        "RETURN b.name AS dst, length(p) AS hops ORDER BY hops, dst",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Bob", 1),
+        ("Bob", 1),
+        ("Alice", 2),
+        ("Alice", 2),
+    ]
+    # isolated node: no paths in either orientation
+    assert (
+        cypher_read(
+            fixture_graph,
+            "MATCH p = (a:User)-[:KNOWS*1..2]-(b:User) "
+            "WHERE a.name = 'Eve' RETURN b.name AS dst",
+        ).count()
+        == 0
+    )
+    # unbounded undirected drains through the iterative form too
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH p = (a:User)-[:KNOWS*]-(b:User) WHERE a.name = 'Alice' "
+        "RETURN b.name AS dst, length(p) AS hops ORDER BY hops, dst",
+    )
+    assert [tuple(r) for r in df2.collect()] == [
+        ("Bob", 1),
+        ("Bob", 1),
+        ("Alice", 2),
+        ("Alice", 2),
+    ]
+
+
+def test_lambda_where_conjunct_not_pushed(fixture_graph):
+    """A WHERE conjunct whose variable references live INSIDE a lambda body
+    (`[x IN split(a.name, ',') WHERE x = b.name]` references both a and b)
+    must not be misclassified as single-var and pushed into the source
+    prefilter, where b is out of scope."""
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((a:User)-[:KNOWS*1..3]->(b:User)) "
+        "WHERE size([x IN split(a.name, ',') WHERE x = b.name]) = 0 "
+        "RETURN a.name AS src, b.name AS dst ORDER BY src, dst",
+    )
+    # the predicate is `b.name NOT IN [a.name]`, i.e. src != dst
+    assert [(r["src"], r["dst"]) for r in df.collect()] == [
+        ("Alice", "Bob"),
+        ("Bob", "Alice"),
+    ]
+    # reduce() lambda bodies count their outer references the same way
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((a:User)-[:KNOWS*1..3]->(b:User)) "
+        "WHERE reduce(s = '', x IN split(a.name, 'l') | s + x + b.name) "
+        "= 'ABobiceBob' "
+        "RETURN a.name AS src, b.name AS dst ORDER BY src, dst",
+    )
+    # 'Alice' splits to [A, ice]; the fold interleaves b.name — only
+    # (Alice, Bob) produces the expected string
+    assert [(r["src"], r["dst"]) for r in df2.collect()] == [("Alice", "Bob")]
+
+
 def test_shortest_path_requires_varlength(fixture_graph):
     import pytest as _pytest
 
@@ -2702,17 +2867,13 @@ def test_direction_syntax_rejections(fixture_graph):
         cypher_read(
             fixture_graph, "MATCH (a:User)<-[e:KNOWS]->(b:User) RETURN id(e)"
         )
-    with pytest.raises(CypherSyntaxError, match="undirected variable-length"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (a:User)-[:KNOWS*1..2]-(b:User) RETURN id(a)",
-        )
-    with pytest.raises(CypherSyntaxError, match="undirected OPTIONAL MATCH"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]-(m:User) "
-            "RETURN n.name",
-        )
+    # undirected OPTIONAL MATCH matches either orientation (round-8)
+    und = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]-(m:User) "
+        "RETURN n.name AS nm, count(e) AS deg ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in und] == [("Alice", 2), ("Bob", 2), ("Eve", 0)]
     with pytest.raises(CypherSyntaxError, match="CREATE requires a direction"):
         cypher_create_graph(
             fixture_graph.vertices.sparkSession,
@@ -3747,9 +3908,9 @@ def test_duration_functions(fixture_graph):
         "datetime('1995-01-01T01:30:05')).seconds AS s",
     )
     row = df.collect()[0]
-    # durations carry the compiler's __dur tag so user maps that happen to
-    # spell {days: 2} can never duck-type into duration arithmetic
-    assert row["d"].asDict() == {"months": 1, "days": 10, "__dur": True}
+    # the compiler-internal __dur type tag (duration-arithmetic dispatch)
+    # is stripped at the final RETURN — users see the value, not the tag
+    assert row["d"].asDict() == {"months": 1, "days": 10}
     assert row["cm"] == 1  # the /31-fraction undercount case, corrected
     assert (row["days"], row["s"]) == (365, 5405)
     with pytest.raises(CypherSyntaxError, match="date operands"):
@@ -3758,6 +3919,30 @@ def test_duration_functions(fixture_graph):
             "RETURN duration.between(datetime('1995-01-01T00:00:00'), "
             "datetime('1995-01-02T00:00:00')).days AS d",
         )
+
+
+def test_duration_tag_internal_only(fixture_graph):
+    # the __dur dispatch tag survives intermediate WITH horizons (the
+    # arithmetic below needs it) but never reaches the user: whole
+    # durations and collect()ed duration lists come back tag-free
+    df = cypher_read(
+        fixture_graph,
+        "WITH duration({months: 1, days: 2}) AS d "
+        "RETURN d, date('2024-01-31') + d AS moved",
+    )
+    row = df.collect()[0]
+    assert row["d"].asDict() == {"months": 1, "days": 2}
+    assert str(row["moved"]) == "2024-03-02"  # clamp to Feb 29, then +2d
+    assert "__dur" not in str(df.schema)
+    df2 = cypher_read(
+        fixture_graph,
+        "UNWIND [1, 2] AS k WITH duration({days: k}) AS d "
+        "RETURN collect(d) AS ds",
+    )
+    assert [v.asDict() for v in df2.collect()[0]["ds"]] == [
+        {"months": 0, "days": 1},
+        {"months": 0, "days": 2},
+    ]
 
 
 def test_xor_predicates(fixture_graph):
@@ -3955,8 +4140,8 @@ def test_correlated_call_validations(fixture_graph):
         ),
         (
             "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
-            "RETURN count(*) AS c }",
-            "aggregates",
+            "RETURN count(*) AS c ORDER BY c LIMIT 1 }",
+            "aggregating CALL",
         ),
         (
             "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
@@ -3971,6 +4156,129 @@ def test_correlated_call_validations(fixture_graph):
                 "MATCH (a:User) WITH a, a.name AS name " + block +
                 " RETURN name",
             )
+
+
+def test_correlated_call_aggregates(fixture_graph):
+    """Aggregates inside a correlated CALL (round-8): per-anchor groupBy
+    on the expansion side; aggregate-only RETURNs keep empty anchors
+    (count 0 / sum null / collect []) via a left join."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN count(*) AS deg, sum(e.since) AS ts, "
+        "collect(b.name) AS friends } "
+        "RETURN a.name AS nm, deg, ts, friends ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", 1, 2001, ["Bob"]),
+        ("Bob", 1, 2002, ["Alice"]),
+        ("Eve", 0, None, []),
+    ]
+    # mixed grouping keys: per anchor per key, empty anchors drop
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN b.name AS friend, count(*) AS c } "
+        "RETURN a.name AS nm, friend, c ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Bob", 1),
+        ("Bob", "Alice", 1),
+    ]
+
+
+def test_correlated_call_distinct(fixture_graph):
+    """RETURN DISTINCT inside CALL dedups the projected inner rows per
+    anchor BEFORE the join; ORDER BY aliases + SKIP/LIMIT rank after."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN DISTINCT b.born AS yr ORDER BY yr LIMIT 1 } "
+        "RETURN a.name AS nm, yr ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", 1983), ("Bob", 1984)]
+    with pytest.raises(CypherSyntaxError, match="aliases"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User) WITH a "
+            "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+            "RETURN DISTINCT b.born AS yr ORDER BY b.name } "
+            "RETURN a.name AS nm, yr",
+        )
+
+
+def test_pipeline_match_inline_props(fixture_graph):
+    """Inline property maps in pipeline MATCH positions desugar to WHERE
+    conjuncts (round-8): on the edge / free endpoint they filter the
+    expansion side; on the bound endpoint they filter the current rows
+    (plain MATCH only); on an unanchored pipeline MATCH they AND into the
+    correlating WHERE."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n "
+        "MATCH (n)-[e:KNOWS {since: 2001}]->(m:User) "
+        "RETURN n.name AS nm, m.name AS friend",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", "Bob")]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n "
+        "MATCH (n {name: 'Bob'})-[e:KNOWS]->(m:User) "
+        "RETURN n.name AS nm, m.name AS friend",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Bob", "Alice")]
+    # OPTIONAL + bound-endpoint map stays a loud rejection (left join
+    # can't express the null-extended post-join filter)
+    with pytest.raises(CypherSyntaxError, match="bound variable"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WITH n "
+            "OPTIONAL MATCH (n {name: 'Bob'})-[e:KNOWS]->(m:User) "
+            "RETURN n.name AS nm",
+        )
+    # unanchored pipeline MATCH: the map ANDs into the correlating WHERE
+    rows = cypher_read(
+        fixture_graph,
+        "UNWIND [1984] AS y MATCH (u:User {trust: true}) "
+        "WHERE u.born = y RETURN u.name AS nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice",)]
+    # pipeline undirected [OPTIONAL] MATCH over the symmetrized frame
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n "
+        "OPTIONAL MATCH (n)-[e:KNOWS]-(m:User) "
+        "RETURN n.name AS nm, count(e) AS deg ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", 2), ("Bob", 2), ("Eve", 0)]
+
+
+def test_correlated_call_inline_props_and_undirected(fixture_graph):
+    """Inline property maps in a CALL pattern desugar to the inner WHERE;
+    undirected CALL patterns run over the symmetrized frame."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS {since: 2001}]->(b:User) "
+        "RETURN b.name AS friend } "
+        "RETURN a.name AS nm, friend ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", "Bob")]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]-(b:User) "
+        "RETURN count(*) AS deg } "
+        "RETURN a.name AS nm, deg ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", 2),
+        ("Bob", 2),
+        ("Eve", 0),
+    ]
 
 
 # --- list quantifier predicates + isEmpty + math surface (X220) ---
@@ -4632,6 +4940,18 @@ def test_edge_write_rejections(edge_write_graph):
     for q, pat in cases:
         with pytest.raises(CypherSyntaxError, match=pat):
             cypher_write(edge_write_graph, q)
+
+
+def test_edge_set_fast_path_computed_where(edge_write_graph):
+    # computed WHERE operands (e.since % 2 = 0) work on the no-endpoint
+    # fast path exactly as they do once a label forces the expand path
+    g = cypher_write(
+        edge_write_graph,
+        "MATCH ()-[e:KNOWS]->() WHERE e.since % 2 = 0 SET e.even = true",
+    )
+    assert _edge_rows(
+        g, "MATCH (a)-[e:KNOWS]->(b) RETURN e.since AS s, e.even AS v"
+    ) == [(2001, None), (2002, True)]
 
 
 # --- allShortestPaths accessors: capped tie enumeration (round-7) ---

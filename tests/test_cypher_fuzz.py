@@ -182,7 +182,7 @@ def _parse_only(query: str) -> None:
         ):
             p.next(), p.next(), p.next()
             p.expect("punct", "(")
-            p.parse_pattern(undirected_hops_ok=True)
+            p.parse_pattern()
             p.expect("punct", ")")
         elif (
             p.at("word")
