@@ -3859,7 +3859,9 @@ def _varlength_paths_unbounded(
 def _optional_match(
     graph: PropertyGraph,
     base: NodePat,
-    opt_clauses: list[tuple["NodePat | EdgePat", "list[list[Cond]] | None"]],
+    opt_clauses: list[
+        tuple["NodePat | EdgePat", "list[list[Cond]] | None", "list[Cond]"]
+    ],
     base_disj: list[list[Cond]] | None,
 ):
     """``MATCH (a[:L]) [WHERE ...] (OPTIONAL MATCH (a)-[e:T]->(b[:L2])
@@ -3897,12 +3899,14 @@ def _optional_match(
     #: var -> (prefix, kind) for every optional-clause variable
     prefixes: dict[str, tuple[str, str]] = {}
     df = base_df
-    for i, (opt, opt_disj) in enumerate(opt_clauses):
+    for i, (opt, opt_disj, bound_conds) in enumerate(opt_clauses):
         if not isinstance(opt, EdgePat) or opt.hops is not None:
             raise CypherSyntaxError(
                 "OPTIONAL MATCH supports a single-hop edge pattern (a)-[e]->(b)"
             )
         if opt.props or opt.src.props or opt.dst.props:
+            # parse-level desugar clears every map (free/edge side into the
+            # clause WHERE, bound side into ``bound_conds``) — defensive
             raise CypherSyntaxError(
                 "inline property match not supported in MATCH; use WHERE"
             )
@@ -3953,9 +3957,32 @@ def _optional_match(
                 _where_to_column(opt_disj, opt_colmap, set(opt_side.columns), opt_side)
             )
 
-        df = df.join(
-            opt_side, base_df["id"] == F.col(f"{ep}{bound_end}"), "left"
-        )
+        join_cond = base_df["id"] == F.col(f"{ep}{bound_end}")
+        if bound_conds:
+            # inline map on the BOUND endpoint: part of the OPTIONAL
+            # pattern, so a base row that fails it null-extends instead of
+            # dropping — expressed by ANDing it into the LEFT-join
+            # condition (coalesced: a null comparison never matches)
+            def bjcolmap(ref: PropRef) -> Column:
+                if ref.var != base.var:
+                    raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+                if ref.prop is None:
+                    return base_df["id"]
+                if ref.prop not in base_df.columns:
+                    # missing property reads null — never matches (3VL)
+                    return F.lit(None)
+                return base_df[ref.prop]
+
+            join_cond = join_cond & F.coalesce(
+                _where_to_column(
+                    [list(bound_conds)],
+                    bjcolmap,
+                    set(base_df.columns),
+                    base_df,
+                ),
+                F.lit(False),
+            )
+        df = df.join(opt_side, join_cond, "left")
         if other.var is not None:
             prefixes[other.var] = (op, "node")
         if opt.var is not None:
@@ -4165,6 +4192,7 @@ def _optional_join_prefixed(
     opt: "NodePat | EdgePat",
     opt_disj,
     i: int,
+    bound_conds: "list[Cond] | None" = None,
 ):
     """OPTIONAL MATCH onto a var-prefixed chain frame (round-8 verdict ask
     #5): ONE left equi-join per clause, anchored on whichever chain node
@@ -4238,11 +4266,16 @@ def _optional_join_prefixed(
         opt_side = opt_side.filter(
             _where_to_column(opt_disj, ocolmap, side_known, opt_side)
         )
-    df = df.join(
-        opt_side,
-        F.col(f"{bv}_id") == F.col(f"{evar}_{bound_end}"),
-        "left",
-    )
+    join_cond = F.col(f"{bv}_id") == F.col(f"{evar}_{bound_end}")
+    if bound_conds:
+        # inline map on a chain-bound endpoint: a predicate of the OPTIONAL
+        # pattern — failing rows null-extend, so it rides the LEFT-join
+        # condition resolved through the chain colmap (never a pre-filter)
+        join_cond = join_cond & F.coalesce(
+            _where_to_column([list(bound_conds)], colmap, set(df.columns), df),
+            F.lit(False),
+        )
+    df = df.join(opt_side, join_cond, "left")
     prev = colmap
     add_known = {f"{evar}_{c}" for c in ecols} | {
         f"{other.var}_{c}" for c in vcols
@@ -4572,17 +4605,32 @@ def _shortest_path(
     return df, colmap
 
 
-def _pattern_scope_colmap(what: str, edge_var, dst_var, eprefix, nprefix):
+def _pattern_scope_colmap(
+    what: str,
+    edge_var,
+    dst_var,
+    eprefix,
+    nprefix,
+    vertex_props: "list[str] | None" = None,
+    edge_props: "list[str] | None" = None,
+):
     """Colmap for the INNER scope of a pattern subquery (EXISTS/COUNT
-    block WHERE, pattern-comprehension WHERE/projection): the pattern's
-    own edge/far-endpoint variables only — outer-scope references raise
-    loudly rather than silently correlating."""
+    block WHERE, pattern-comprehension WHERE/projection, correlated CALL):
+    the pattern's own edge/far-endpoint variables only — outer-scope
+    references raise loudly rather than silently correlating. Passing
+    ``vertex_props``/``edge_props`` additionally enables WHOLE-variable
+    projection (``RETURN m`` inside a CALL): bare references resolve to
+    the id column and ``var_props``/``var_kinds`` let the shared WholeVar
+    struct builder assemble the full node/edge value."""
+    whole_ok = vertex_props is not None or edge_props is not None
 
     def icolmap(ref) -> Column:
         v = ref.var if isinstance(ref, PropRef) else getattr(ref, "name", None)
         prop = ref.prop if isinstance(ref, PropRef) else None
         if edge_var is not None and v == edge_var:
             if prop is None:
+                if whole_ok:
+                    return F.col(f"{eprefix}id")
                 raise CypherSyntaxError(
                     f"project a property inside {what} (e.g. {v}.prop), "
                     "not the bare variable"
@@ -4590,6 +4638,8 @@ def _pattern_scope_colmap(what: str, edge_var, dst_var, eprefix, nprefix):
             return F.col(f"{eprefix}{prop}")
         if dst_var is not None and v == dst_var:
             if prop is None:
+                if whole_ok:
+                    return F.col(f"{nprefix}id")
                 raise CypherSyntaxError(
                     f"project a property inside {what} (e.g. {v}.prop), "
                     "not the bare variable"
@@ -4601,6 +4651,15 @@ def _pattern_scope_colmap(what: str, edge_var, dst_var, eprefix, nprefix):
             f"({scope or 'none bound'}); got {v!r}"
         )
 
+    if whole_ok:
+        icolmap.var_props = {}
+        icolmap.var_kinds = {}
+        if edge_var is not None:
+            icolmap.var_props[edge_var] = sorted(edge_props or [])
+            icolmap.var_kinds[edge_var] = "edge"
+        if dst_var is not None:
+            icolmap.var_props[dst_var] = sorted(vertex_props or [])
+            icolmap.var_kinds[dst_var] = "node"
     return icolmap
 
 
@@ -4769,6 +4828,16 @@ def _bind_pattern_subqueries(
         inner_colmap = _pattern_scope_colmap(
             "a pattern comprehension", pc.edge_var, pc.dst_var,
             "__pce_", "__pcn_",
+            # whole-variable projection ([(v)-[e:T]->(m:L) | m]): the full
+            # node/edge struct collects per anchor, like RETURN m in a CALL
+            vertex_props=[
+                c for c in graph.vertices.columns
+                if c not in ("id", "label", EXTRA_LABELS)
+            ],
+            edge_props=[
+                c for c in graph.edges.columns
+                if c not in ("id", "src", "dst", "rel_type")
+            ],
         )
 
         if pc.direction == "out":
@@ -4783,7 +4852,15 @@ def _bind_pattern_subqueries(
                     pc.pred, inner_colmap, set(side_df.columns), side_df
                 )
             )
-        val = _expr_column(pc.expr, inner_colmap, side_df)
+        comp_expr = pc.expr
+        if (
+            isinstance(comp_expr, BareRef)
+            and comp_expr.name in (pc.edge_var, pc.dst_var)
+        ):
+            # bare `| b` projection: the WHOLE node/edge value (the
+            # comprehension body parses bare words as refs, not WholeVar)
+            comp_expr = WholeVar(comp_expr.name)
+        val = _expr_column(comp_expr, inner_colmap, side_df)
         # collect via a struct wrapper so null projected values SURVIVE
         # (Neo4j keeps them in a pattern comprehension; bare collect_list
         # would silently drop them), then unwrap — one hash aggregate
@@ -5274,22 +5351,24 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         if p.at("kw", "WHERE"):
             p.next()
             opt_disj = p.parse_where()
+        bound_conds_i: list[Cond] = []
         if isinstance(opt_pat, EdgePat):
             # optional-side inline maps filter the optional side pre-join
             # (same contract as the optional WHERE). A map on the BOUND
-            # endpoint would need a null-extended post-join filter the
-            # left-join shape can't express — rejected, not mis-answered.
+            # endpoint is a predicate of the OPTIONAL pattern: rows that
+            # fail it null-extend rather than drop, so it is carried into
+            # the LEFT-join condition (never a pre-filter on the base).
             for nd in (opt_pat.src, opt_pat.dst):
                 if nd.var is not None and nd.var in taken and nd.props:
-                    raise CypherSyntaxError(
-                        "inline property map on the bound variable of "
-                        "OPTIONAL MATCH is not supported; filter it in "
-                        "the base WHERE"
+                    bound_conds_i.extend(
+                        Cond(PropRef(nd.var, k), "=", v)
+                        for k, v in nd.props.items()
                     )
+                    nd.props = {}
         opt_disj = _and_into(
             opt_disj, _desugar_inline_props([opt_pat], taken)
         )
-        opt_clauses.append((opt_pat, opt_disj))
+        opt_clauses.append((opt_pat, opt_disj, bound_conds_i))
     if sp_var is not None:
         if len(chain_pats) > 1 or opt_clauses:
             raise CypherSyntaxError(
@@ -5304,7 +5383,12 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             carry_paths=_path_accessors_ahead(p, sp_var),
             src_conds=_common_single_var_conds(disj, pat.src.var),
         )
-    elif len(chain_pats) > 1:
+    elif len(chain_pats) > 1 or (
+        opt_clauses and not isinstance(pat, NodePat)
+    ):
+        # a single-EDGE base with OPTIONAL MATCH clauses runs as a
+        # one-clause chain: same prefixed frame, same left-join-per-clause
+        # optional composition (MATCH (a)-[e]->(b) OPTIONAL MATCH …)
         _assign_anon_vars(chain_pats, taken)
         # relationship isomorphism (incl. var-length segments) is applied
         # inside _match_chain, per MATCH-clause group
@@ -5317,9 +5401,11 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # OPTIONAL MATCH after a multi-clause chain (round-8 verdict ask
         # #5): one left equi-join per clause onto the var-prefixed frame,
         # anchored on whichever chain node variable the pattern binds
-        for i, (opt_pat_i, opt_disj_i) in enumerate(opt_clauses):
+        for i, (opt_pat_i, opt_disj_i, bound_conds_i) in enumerate(
+            opt_clauses
+        ):
             df, colmap = _optional_join_prefixed(
-                graph, df, colmap, opt_pat_i, opt_disj_i, i
+                graph, df, colmap, opt_pat_i, opt_disj_i, i, bound_conds_i
             )
         opt_clauses = []
     elif opt_clauses:
@@ -5711,25 +5797,18 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                     "nondeterministic)"
                 )
             c_has_agg = any(isinstance(i.expr, AggCall) for i in c_items)
-            if c_has_agg and (
-                c_distinct
-                or c_order
-                or c_skip is not None
-                or c_limit is not None
-            ):
-                raise CypherSyntaxError(
-                    "an aggregating CALL subquery cannot combine with "
-                    "DISTINCT/ORDER BY/SKIP/LIMIT; post-process in the "
-                    "outer pipeline instead"
-                )
-            if c_distinct and c_order:
-                # DISTINCT re-sorts AFTER the dedup, when only the
-                # projected columns exist — so the keys must be aliases
+            # DISTINCT over an aggregating RETURN is a no-op (grouping
+            # already yields one row per distinct key tuple) — openCypher
+            # accepts it, so we do too
+            if c_has_agg and c_distinct:
+                c_distinct = False
+            if c_has_agg and c_order:
+                # post-aggregation scope: only the RETURN aliases exist
                 for key, _asc in c_order:
                     if not isinstance(key, str):
                         raise CypherSyntaxError(
-                            "ORDER BY inside CALL { RETURN DISTINCT } "
-                            "must sort by RETURN aliases"
+                            "ORDER BY inside an aggregating CALL must "
+                            "sort by RETURN aliases"
                         )
             ep, op = f"__we{wopt_n}_", f"__wo{wopt_n}_"
             wopt_n += 1
@@ -5752,7 +5831,19 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 other_df, F.col(f"{ep}{free_end}") == F.col(f"{op}id")
             )
             icolmap = _pattern_scope_colmap(
-                "a CALL subquery", cpat.var, c_other.var, ep, op
+                "a CALL subquery",
+                cpat.var,
+                c_other.var,
+                ep,
+                op,
+                vertex_props=[
+                    c for c in graph.vertices.columns
+                    if c not in ("id", "label", EXTRA_LABELS)
+                ],
+                edge_props=[
+                    c for c in graph.edges.columns
+                    if c not in ("id", "src", "dst", "rel_type")
+                ],
             )
             if c_disj is not None:
                 side = side.filter(
@@ -5789,6 +5880,52 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                     anchor.alias("__call_anchor"), *key_cols
                 ).agg(*agg_cols)
                 side = side.select("__call_anchor", *out_names)
+                if (
+                    c_skip is not None or c_limit is not None
+                ) and not key_cols:
+                    # one (possibly fabricated count-0) row per anchor: a
+                    # SKIP/LIMIT cut would have to apply to rows the left
+                    # join fabricates AFTER this point — reject loudly
+                    raise CypherSyntaxError(
+                        "SKIP/LIMIT on an aggregate-only CALL RETURN is "
+                        "not supported (each anchor yields exactly one "
+                        "row); drop the SKIP/LIMIT"
+                    )
+                if c_order and key_cols:
+                    # per-anchor ORDER BY / SKIP / LIMIT over the grouped
+                    # rows (top-k groups per anchor): one window cut; the
+                    # full projection tiebreaks deterministically
+                    sort_cols = []
+                    for key, asc in c_order:
+                        if key not in out_names:
+                            raise CypherSyntaxError(
+                                f"ORDER BY key {key!r} is not a CALL "
+                                "RETURN alias"
+                            )
+                        sort_cols.append(_order_dir(F.col(key), asc))
+                    w = Window.partitionBy("__call_anchor").orderBy(
+                        *sort_cols, *[F.col(n) for n in out_names]
+                    )
+                    side = side.withColumn(
+                        "__call_rn", F.row_number().over(w)
+                    )
+                    if c_skip is not None:
+                        side = side.filter(F.col("__call_rn") > c_skip)
+                    if c_limit is not None:
+                        side = side.filter(
+                            F.col("__call_rn") <= (c_skip or 0) + c_limit
+                        )
+                    side = side.drop("__call_rn")
+                elif c_order:
+                    # aggregate-only: exactly one row per anchor, so the
+                    # inner ORDER BY cannot change anything — validate the
+                    # keys and move on
+                    for key, _asc in c_order:
+                        if key not in out_names:
+                            raise CypherSyntaxError(
+                                f"ORDER BY key {key!r} is not a CALL "
+                                "RETURN alias"
+                            )
                 df = df.join(
                     side,
                     F.col(ivar)["id"] == F.col("__call_anchor"),
@@ -5825,10 +5962,38 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                         ],
                     ).dropDuplicates()
                     if c_order:
-                        sort_cols = [
-                            _order_dir(F.col(key), asc)
-                            for key, asc in c_order
-                        ]
+                        # post-DISTINCT scope: the projected aliases only.
+                        # Plain keys name an alias; expression keys may
+                        # compute over aliases (ORDER BY toLower(nm) after
+                        # RETURN DISTINCT x.name AS nm)
+                        def acolmap(ref) -> Column:
+                            v = (
+                                ref.var
+                                if isinstance(ref, PropRef)
+                                else getattr(ref, "name", None)
+                            )
+                            prop = (
+                                ref.prop if isinstance(ref, PropRef) else None
+                            )
+                            if v in out_names and prop is None:
+                                return F.col(v)
+                            raise CypherSyntaxError(
+                                "ORDER BY inside CALL { RETURN DISTINCT } "
+                                "may only reference the RETURN aliases"
+                            )
+
+                        sort_cols = []
+                        for key, asc in c_order:
+                            if isinstance(key, str):
+                                if key not in out_names:
+                                    raise CypherSyntaxError(
+                                        f"ORDER BY key {key!r} is not a "
+                                        "CALL RETURN alias"
+                                    )
+                                kc = F.col(key)
+                            else:
+                                kc = _expr_column(key, acolmap, side)
+                            sort_cols.append(_order_dir(kc, asc))
                         # rows are distinct, so the full projection is a
                         # deterministic tiebreak
                         w = Window.partitionBy("__call_anchor").orderBy(
@@ -6071,29 +6236,24 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             # exactly like first-stage clauses (round-8 verdict ask #6).
             # A map on the BOUND endpoint filters the CURRENT rows for a
             # plain MATCH (inner join: pre-join == post-join); on an
-            # OPTIONAL it would need a null-extended post-join filter the
-            # left-join shape can't express — rejected, not mis-answered.
+            # OPTIONAL it is a predicate of the optional pattern — failing
+            # rows null-extend, so it rides the LEFT-join condition.
             bound_nd = opt.src if bound_is_src else opt.dst
+            bound_jcol: Column | None = None
             if bound_nd.props:
-                if optional:
-                    raise CypherSyntaxError(
-                        "inline property map on the bound variable of "
-                        "OPTIONAL MATCH is not supported; filter it in an "
-                        "earlier WHERE"
-                    )
                 bconds = [
                     Cond(PropRef(bound_var, k), "=", v)
                     for k, v in bound_nd.props.items()
                 ]
                 bound_nd.props = {}
-                df = df.filter(
-                    F.coalesce(
-                        _where_to_column(
-                            [bconds], colmap, set(df.columns), df
-                        ),
-                        F.lit(False),
-                    )
+                bcol = F.coalesce(
+                    _where_to_column([bconds], colmap, set(df.columns), df),
+                    F.lit(False),
                 )
+                if optional:
+                    bound_jcol = bcol
+                else:
+                    df = df.filter(bcol)
             side_taken = set(structs) | names | {
                 v for v in (opt.var, other.var) if v is not None
             }
@@ -6128,11 +6288,10 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                         opt_disj, icolmap, set(opt_side.columns), opt_side
                     )
                 )
-            df = df.join(
-                opt_side,
-                F.col(bound_var)["id"] == F.col(f"{ep}{bound_end}"),
-                "left" if optional else "inner",
-            )
+            pipe_jc = F.col(bound_var)["id"] == F.col(f"{ep}{bound_end}")
+            if bound_jcol is not None:
+                pipe_jc = pipe_jc & bound_jcol
+            df = df.join(opt_side, pipe_jc, "left" if optional else "inner")
             # materialize each new variable as ONE null-gated struct
             # column (a failed OPTIONAL binding is a NULL variable, not a
             # struct of nulls) — the scope then IS a plain WITH-carry
@@ -7214,7 +7373,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
         if disj is not None:
             # 3VL: a null predicate does not match, as in MATCH..WHERE
             matched = matched & F.coalesce(
-                _where_to_column(disj, colmap, have), F.lit(False)
+                _where_to_column(disj, colmap, have, v), F.lit(False)
             )
         def _valcol(val) -> Column:
             # AST values compile over the SAME projection input, so an
@@ -7322,7 +7481,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
 
     df = graph.nodes(target.label)
     if disj is not None:
-        df = df.filter(_where_to_column(disj, colmap, set(df.columns)))
+        df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
     return graph.delete_nodes(df.select("id"), detach=detach)
 
 

@@ -4390,3 +4390,65 @@ ORACLE["g79_cypher_optional_after_chain"] = f"""
     SELECT n_name AS nation, c_id, s_id
     FROM chain LEFT JOIN opt USING (n_nationkey)
     ORDER BY c_id, s_id"""
+
+
+# G80 — aggregating CALL subquery WITH ORDER BY / LIMIT (round 8, tail
+# close): per-anchor top-k GROUPS — the "top 2 edge-weight classes per
+# nation by member count" shape. The engine compiles the CALL body to ONE
+# partial-aggregated groupBy on the expansion side followed by a
+# per-anchor row_number window cut BEFORE the anchor join, so the join
+# input is at most k rows per anchor — never the full expansion. DISTINCT
+# on an aggregating RETURN is accepted as the no-op openCypher defines.
+def g80_cypher_call_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) WITH n "
+        "CALL { WITH n MATCH (n)<-[e:IN_NATION]-(c:Customer) "
+        "RETURN e.w AS w, count(*) AS cnt ORDER BY cnt DESC, w LIMIT 2 } "
+        "RETURN n.name AS nation, w, cnt ORDER BY nation, cnt DESC, w",
+    )
+
+
+QUERIES["g80_cypher_call_agg_topk"] = g80_cypher_call_agg_topk
+ORACLE["g80_cypher_call_agg_topk"] = """
+    WITH g AS (
+      SELECT c_nationkey, c_custkey % 7 AS w, COUNT(*) AS cnt
+      FROM customer GROUP BY 1, 2),
+    r AS (
+      SELECT c_nationkey, w, cnt,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cnt DESC, w) AS rn
+      FROM g)
+    SELECT n_name AS nation, w, cnt
+    FROM r JOIN nation ON n_nationkey = c_nationkey
+    WHERE rn <= 2
+    ORDER BY nation, cnt DESC, w"""
+
+
+# G81 — inline property map on the BOUND endpoint of an OPTIONAL MATCH
+# (round 8, tail close): the map is a predicate of the OPTIONAL pattern,
+# so a base row that fails it NULL-EXTENDS instead of dropping — compiled
+# into the LEFT-join condition (`ON id-match AND n.name = …`), the exact
+# relational form of Neo4j's null-extended pattern predicate. Every
+# nation row survives; only NATION_3 binds suppliers.
+def g81_cypher_optional_bound_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) "
+        "OPTIONAL MATCH (n {name: 'NATION_3'})<-[es:IN_NATION]-(s:Supplier) "
+        "RETURN n.name AS nation, id(s) AS s_id ORDER BY nation, s_id",
+    )
+
+
+QUERIES["g81_cypher_optional_bound_map"] = g81_cypher_optional_bound_map
+ORACLE["g81_cypher_optional_bound_map"] = f"""
+    SELECT n_name AS nation, s_suppkey + {SUPPLIER_BASE} AS s_id
+    FROM nation LEFT JOIN supplier
+      ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY nation, s_id"""

@@ -1736,12 +1736,15 @@ def test_pattern_comprehension_validation(fixture_graph):
             fixture_graph,
             "MATCH (n:User) RETURN [(n)-[:KNOWS]->(f)] AS bad",
         )
-    # bare whole-variable projection is rejected (project a property)
-    with pytest.raises(CypherSyntaxError, match="project a property"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) RETURN [(n)-[:KNOWS]->(f) | f] AS bad",
-        )
+    # bare whole-variable projection collects full node structs (round 8)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.name AS name, "
+        "[(n)-[:KNOWS]->(f) | f] AS friends ORDER BY name",
+    ).collect()
+    assert {
+        r["name"]: [f["name"] for f in r["friends"]] for r in rows
+    } == {"Alice": ["Bob"], "Bob": ["Alice"], "Eve": []}
     # WHERE-position comprehension: list-equality filter binds and runs
     rows = cypher_read(
         fixture_graph,
@@ -4139,9 +4142,11 @@ def test_correlated_call_validations(fixture_graph):
             "ORDER BY",
         ),
         (
+            # aggregate-only: one row per anchor, a SKIP/LIMIT cut would
+            # have to apply to left-join-fabricated zero rows — loud
             "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
             "RETURN count(*) AS c ORDER BY c LIMIT 1 }",
-            "aggregating CALL",
+            "aggregate-only",
         ),
         (
             "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
@@ -4230,15 +4235,19 @@ def test_pipeline_match_inline_props(fixture_graph):
         "RETURN n.name AS nm, m.name AS friend",
     ).collect()
     assert [tuple(r) for r in rows] == [("Bob", "Alice")]
-    # OPTIONAL + bound-endpoint map stays a loud rejection (left join
-    # can't express the null-extended post-join filter)
-    with pytest.raises(CypherSyntaxError, match="bound variable"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) WITH n "
-            "OPTIONAL MATCH (n {name: 'Bob'})-[e:KNOWS]->(m:User) "
-            "RETURN n.name AS nm",
-        )
+    # OPTIONAL + bound-endpoint map: a predicate of the optional pattern —
+    # failing rows null-extend via the LEFT-join condition (round 8)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n "
+        "OPTIONAL MATCH (n {name: 'Bob'})-[e:KNOWS]->(m:User) "
+        "RETURN n.name AS nm, m.name AS friend ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", None),
+        ("Bob", "Alice"),
+        ("Eve", None),
+    ]
     # unanchored pipeline MATCH: the map ANDs into the correlating WHERE
     rows = cypher_read(
         fixture_graph,
@@ -4279,6 +4288,187 @@ def test_correlated_call_inline_props_and_undirected(fixture_graph):
         ("Bob", 2),
         ("Eve", 0),
     ]
+
+
+def test_optional_bound_endpoint_map_first_stage(fixture_graph):
+    """Inline map on the BOUND endpoint of a first-stage OPTIONAL MATCH:
+    a predicate of the optional pattern, so failing base rows null-extend
+    (Neo4j) — carried in the LEFT-join condition, never a pre-filter."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "OPTIONAL MATCH (n {name: 'Bob'})-[e:KNOWS]->(m:User) "
+        "RETURN n.name AS nm, m.name AS friend ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", None),
+        ("Bob", "Alice"),
+        ("Eve", None),
+    ]
+    # a map whose property exists nowhere never matches — every row
+    # null-extends, none drop (missing-property 3VL, not an error)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) "
+        "OPTIONAL MATCH (n {ghost: 1})-[e:KNOWS]->(m:User) "
+        "RETURN n.name AS nm, m.name AS friend ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", None),
+        ("Bob", None),
+        ("Eve", None),
+    ]
+
+
+def test_optional_bound_endpoint_map_after_chain(fixture_graph):
+    """Bound-endpoint map on an OPTIONAL MATCH after a multi-clause MATCH
+    chain rides the left-join condition through the chain colmap."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e1:KNOWS]->(b:User), (b)-[e2:KNOWS]->(a) "
+        "OPTIONAL MATCH (b {born: 1984})-[e3:KNOWS]->(c:User) "
+        "RETURN a.name AS nm, c.name AS via ORDER BY nm",
+    ).collect()
+    # chain rows: (Alice,Bob) and (Bob,Alice); only b=Alice has born 1984
+    assert [tuple(r) for r in rows] == [("Alice", None), ("Bob", "Bob")]
+
+
+def test_optional_after_single_edge_match(fixture_graph):
+    """OPTIONAL MATCH after a single-EDGE base pattern (``MATCH
+    (a)-[e]->(b) OPTIONAL MATCH (b)-[e2]->(c)``): runs as a one-clause
+    chain — one left join per optional clause, null-extended."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "OPTIONAL MATCH (b)-[e2:KNOWS]->(c:User) WHERE e2.since > 2001 "
+        "RETURN a.name AS nm, b.name AS via, c.name AS far ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Bob", "Alice"),
+        ("Bob", "Alice", None),
+    ]
+
+
+def test_correlated_call_agg_orderby_limit(fixture_graph):
+    """Aggregating CALL with grouping keys + ORDER BY/SKIP/LIMIT: a
+    per-anchor cut over the grouped rows (top-k groups per anchor)."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]-(b:User) "
+        "RETURN b.name AS friend, count(*) AS c "
+        "ORDER BY c DESC, friend LIMIT 1 } "
+        "RETURN a.name AS nm, friend, c ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Bob", 2),
+        ("Bob", "Alice", 2),
+    ]
+    # DISTINCT over an aggregating RETURN is a no-op (accepted, ignored)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN DISTINCT count(*) AS deg } "
+        "RETURN a.name AS nm, deg ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", 1),
+        ("Bob", 1),
+        ("Eve", 0),
+    ]
+    # non-alias ORDER BY key inside an aggregating CALL stays loud
+    with pytest.raises(CypherSyntaxError, match="aliases"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User) WITH a "
+            "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+            "RETURN b.name AS friend, count(*) AS c ORDER BY b.born } "
+            "RETURN a.name AS nm, friend, c",
+        )
+
+
+def test_call_distinct_expression_orderby(fixture_graph):
+    """ORDER BY inside CALL { RETURN DISTINCT } accepts expressions over
+    the RETURN aliases (post-dedup scope), not just bare alias names."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]-(b:User) "
+        "RETURN DISTINCT b.name AS friend "
+        "ORDER BY toLower(friend) DESC LIMIT 1 } "
+        "RETURN a.name AS nm, friend ORDER BY nm",
+    ).collect()
+    # Eve has no KNOWS edges: plain (non-aggregating) CALL inner-joins,
+    # so her anchor row drops — Neo4j's unit-subquery contract
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Bob"),
+        ("Bob", "Alice"),
+    ]
+
+
+def test_correlated_call_whole_variable_return(fixture_graph):
+    """Whole-variable projection inside a correlated CALL (``RETURN b``):
+    the full node/edge struct lands in the outer scope, so dot access and
+    collect() work downstream exactly like a WITH-carried variable."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN b ORDER BY b.name LIMIT 1 } "
+        "RETURN a.name AS nm, b.name AS friend, b.born AS yr ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("Alice", "Bob", 1983),
+        ("Bob", "Alice", 1984),
+    ]
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) WITH a "
+        "CALL { WITH a MATCH (a)-[e:KNOWS]->(b:User) "
+        "RETURN e ORDER BY e.since LIMIT 1 } "
+        "RETURN a.name AS nm, e.since AS since ORDER BY nm",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("Alice", 2001), ("Bob", 2002)]
+
+
+def test_pattern_comprehension_whole_variable(fixture_graph):
+    """Whole-variable projection in a pattern comprehension
+    (``[(a)-[e:KNOWS]->(b:User) | b]``): collects the full node/edge
+    structs per anchor — node identity/order is id-based (Neo4j)."""
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) RETURN a.name AS nm, "
+        "[(a)-[e:KNOWS]->(b:User) | b] AS friends ORDER BY nm",
+    ).collect()
+    got = {r["nm"]: [f["name"] for f in r["friends"]] for r in rows}
+    assert got == {"Alice": ["Bob"], "Bob": ["Alice"], "Eve": []}
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User) RETURN a.name AS nm, "
+        "[(a)-[e:KNOWS]->(b:User) | e] AS rels ORDER BY nm",
+    ).collect()
+    got = {r["nm"]: [x["since"] for x in r["rels"]] for r in rows}
+    assert got == {"Alice": [2001], "Bob": [2002], "Eve": []}
+
+
+def test_bare_write_computed_where_operands(fixture_graph):
+    """Computed WHERE operands in the bare SET / DELETE fast paths
+    (``MATCH (n:L) WHERE n.born % 2 = 0 SET …``) — previously the two
+    write paths passed no frame to the WHERE compiler and raised."""
+    g2 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.born % 2 = 0 SET n.even = true",
+    )
+    rows = {r["name"]: r["even"] for r in g2.nodes("User").collect()}
+    assert rows == {"Alice": True, "Bob": None, "Eve": True}
+    g3 = cypher_write(
+        fixture_graph,
+        "MATCH (n:User) WHERE n.born + 1 = 1984 DETACH DELETE n",
+    )
+    assert {r["name"] for r in g3.nodes("User").collect()} == {
+        "Alice", "Eve",
+    }
 
 
 # --- list quantifier predicates + isEmpty + math surface (X220) ---
