@@ -494,6 +494,11 @@ class _Parser:
         #: parse time, so a parameterized query plans exactly like its
         #: literal twin and values can never act as syntax (no injection)
         self.params = params
+        #: aggregates are illegal in predicate position (WHERE) but legal
+        #: inside CASE WHEN conditions of a PROJECTION item (``RETURN CASE
+        #: WHEN count(*) > 2 THEN …``) — the CASE parser flips this around
+        #: its condition parse; _parse_single_cond consults it
+        self._agg_ok = False
 
     def peek(self, k: int = 0) -> _Tok | None:
         return self.toks[self.i + k] if self.i + k < len(self.toks) else None
@@ -770,13 +775,10 @@ class _Parser:
         """One scalar-function argument: a full RETURN-expression (refs,
         literals, arithmetic, nested function calls — ``head(split(n.name,
         ' '))``), but never an aggregate."""
-        node = self.parse_return_expr(allow_bare)
-        if isinstance(node, AggCall):
-            raise CypherSyntaxError(
-                "aggregates inside scalar functions are not supported; "
-                "compute the aggregate in a WITH stage first"
-            )
-        return node
+        # aggregates ARE legal here in projection position (``round(avg(x),
+        # 2)`` — Neo4j's composite aggregate expressions); WHERE/SET/UNWIND
+        # positions reject them with a deep _contains_agg check instead.
+        return self.parse_return_expr(allow_bare)
 
     def _at_scalar_fn(self) -> bool:
         tok = self.peek()
@@ -989,11 +991,6 @@ class _Parser:
             # condition structure is unchanged; aggregates stay
             # rejected (filter on a WITH alias instead).
             left = self.parse_return_expr(allow_bare)
-            if isinstance(left, AggCall):
-                raise CypherSyntaxError(
-                    "aggregates are not allowed in WHERE; compute the "
-                    "aggregate in a WITH stage and filter on its alias"
-                )
         elif self._at_scalar_fn():
             left = self._parse_primary_expr(allow_bare)
         else:
@@ -1023,12 +1020,6 @@ class _Parser:
                 # expression (``x IN split(s, ',')``, ``y IN n.tags``):
                 # compiles to array_contains, 3VL-preserving
                 expr = self.parse_return_expr(allow_bare)
-                if isinstance(expr, AggCall):
-                    raise CypherSyntaxError(
-                        "aggregates are not allowed in WHERE; compute "
-                        "the aggregate in a WITH stage and filter on "
-                        "its alias"
-                    )
                 out.append(Cond(left, "IN_EXPR", expr))
             else:
                 raise CypherSyntaxError(
@@ -1067,12 +1058,6 @@ class _Parser:
             op = self.expect("op").text
             if unwind_var is None:
                 right = self.parse_return_expr(allow_bare)
-                if isinstance(right, AggCall):
-                    raise CypherSyntaxError(
-                        "aggregates are not allowed in WHERE; compute "
-                        "the aggregate in a WITH stage and filter on "
-                        "its alias"
-                    )
             else:
                 right = self.parse_operand(unwind_var)
             if op == "=~" and not isinstance(right, str):
@@ -1098,15 +1083,24 @@ class _Parser:
                 mid = right
                 op = self.next().text
                 right = self.parse_return_expr(allow_bare)
-                if isinstance(right, AggCall):
-                    raise CypherSyntaxError(
-                        "aggregates are not allowed in WHERE; compute "
-                        "the aggregate in a WITH stage and filter on "
-                        "its alias"
-                    )
                 out.append(Cond(mid, op, right))
         if negated:
             out[-1] = dc_replace(out[-1], negated=not out[-1].negated)
+        # predicate position rejects aggregates WHEREVER they nest
+        # (``WHERE sum(x) + 1 > 2``) — Neo4j's "invalid use of aggregating
+        # function"; filter on a WITH alias instead. One deep check at the
+        # single exit covers every operand branch above (the parser's
+        # expression grammar is shared with projection position, where
+        # aggregates ARE legal). CASE WHEN conditions inside a projection
+        # item set _agg_ok — there the aggregate is over the implicit
+        # group, not a per-row filter.
+        if not self._agg_ok:
+            for cond in out:
+                if _contains_agg(cond.left) or _contains_agg(cond.right):
+                    raise CypherSyntaxError(
+                        "aggregates are not allowed in WHERE; compute the "
+                        "aggregate in a WITH stage and filter on its alias"
+                    )
         return out
 
     def _parse_pattern_comp(self) -> PatternComp:
@@ -1289,20 +1283,13 @@ class _Parser:
 
     @staticmethod
     def _binop(op: str, left, right) -> BinOp:
-        if isinstance(left, AggCall) or isinstance(right, AggCall):
-            raise CypherSyntaxError(
-                "arithmetic over aggregates is not supported here; compute "
-                "the aggregate in a WITH stage and operate on its alias"
-            )
+        # aggregates may appear as operands (``sum(x) / count(*)`` —
+        # Neo4j's implicit-grouping composite projection); the projection
+        # compiler splits them out (_decompose_agg_expr)
         return BinOp(op, left, right)
 
     def _parse_arith_factor(self, allow_bare: bool):
         node = self._parse_arith_atom(allow_bare)
-        if isinstance(node, AggCall) and self.at("punct", "["):
-            raise CypherSyntaxError(
-                "subscripts over an aggregate are not supported here; "
-                "alias the aggregate in a WITH stage and index the alias"
-            )
         # postfix accessors — chainable and legal on any computed
         # expression: subscripts list[i] / list[from..to], and .field
         # (temporal components on date(x), nested struct fields)
@@ -1364,13 +1351,9 @@ class _Parser:
                         else ktok.text
                     )
                     self.expect("punct", ":")
-                    val = self.parse_return_expr(allow_bare)
-                    if isinstance(val, AggCall):
-                        raise CypherSyntaxError(
-                            "aggregates are not allowed inside a map "
-                            "literal; compute them in a WITH stage first"
-                        )
-                    entries.append((key, val))
+                    # a map value MAY aggregate ({n: count(*)}) — the
+                    # composite-projection decomposition handles it
+                    entries.append((key, self.parse_return_expr(allow_bare)))
                     if self.at("punct", ","):
                         self.next()
                         continue
@@ -1418,11 +1401,9 @@ class _Parser:
         ):
             var = self.next().text
             self.next()  # IN
+            # the source MAY aggregate ([x IN collect(y) | x * 2]) — the
+            # composite-projection decomposition splits it out
             source = self.parse_return_expr(allow_bare)
-            if isinstance(source, AggCall):
-                raise CypherSyntaxError(
-                    "comprehension over an aggregate needs a WITH stage first"
-                )
             pred = None
             if self.at("kw", "WHERE"):
                 self.next()
@@ -1450,13 +1431,9 @@ class _Parser:
             not (v is None or isinstance(v, (int, float, str, bool)))
             for v in vals
         ):
-            # an element is an EXPRESSION (ref, function, arithmetic):
-            # a list constructor, compiled to F.array — `[n.name, 'x']`
-            for v in vals:
-                if isinstance(v, AggCall):
-                    raise CypherSyntaxError(
-                        "aggregates are not allowed inside a list literal"
-                    )
+            # an element is an EXPRESSION (ref, function, arithmetic,
+            # possibly an aggregate — [min(x), max(x)] decomposes in the
+            # projection): a list constructor, compiled to F.array
             return ListExpr(tuple(vals))
         kinds = {
             "boolean" if isinstance(v, bool)
@@ -1488,28 +1465,28 @@ class _Parser:
             if simple_left is not None:
                 disj = [[Cond(simple_left, "=", self.parse_value(None))]]
             else:
-                disj = self.parse_where(allow_bare=allow_bare)
+                # a projection-position CASE may test aggregates in its
+                # conditions (``CASE WHEN count(*) > 2 THEN …``) — flip
+                # the predicate-position rejection for this parse only.
+                # If the CASE itself sits in WHERE, the enclosing
+                # condition's own deep check still rejects the aggregate.
+                saved_agg_ok = self._agg_ok
+                self._agg_ok = True
+                try:
+                    disj = self.parse_where(allow_bare=allow_bare)
+                finally:
+                    self._agg_ok = saved_agg_ok
             if not self._at_word_ci("THEN"):
                 raise CypherSyntaxError("expected THEN after WHEN condition")
             self.next()
-            result = self.parse_return_expr(allow_bare)
-            if isinstance(result, AggCall):
-                raise CypherSyntaxError(
-                    "aggregates inside CASE are not supported; compute the "
-                    "aggregate in a WITH stage and CASE over its alias"
-                )
-            whens.append((disj, result))
+            # branch results may aggregate (CASE … THEN count(*) END)
+            whens.append((disj, self.parse_return_expr(allow_bare)))
         if not whens:
             raise CypherSyntaxError("CASE requires at least one WHEN branch")
         default = None
         if self._at_word_ci("ELSE"):
             self.next()
             default = self.parse_return_expr(allow_bare)
-            if isinstance(default, AggCall):
-                raise CypherSyntaxError(
-                    "aggregates inside CASE are not supported; compute the "
-                    "aggregate in a WITH stage and CASE over its alias"
-                )
         if not self._at_word_ci("END"):
             raise CypherSyntaxError("expected END to close CASE")
         self.next()
@@ -1611,8 +1588,11 @@ class _Parser:
             self.expect("punct", "|")
             body = self.parse_return_expr(allow_bare=True)
             self.expect("punct", ")")
-            for part, what in ((init, "init"), (source, "list"), (body, "body")):
-                if isinstance(part, AggCall):
+            # the LIST may aggregate (reduce(s = 0, x IN collect(y) | s + x));
+            # init/body run inside the fold lambda, where an aggregate has
+            # no group to aggregate over
+            for part, what in ((init, "init"), (body, "body")):
+                if _contains_agg(part):
                     raise CypherSyntaxError(
                         f"aggregates are not allowed in a reduce() {what}; "
                         "compute them in a WITH stage first"
@@ -1649,10 +1629,6 @@ class _Parser:
             var = self.expect("word").text
             self.next()  # IN
             source = self.parse_return_expr(allow_bare)
-            if isinstance(source, AggCall):
-                raise CypherSyntaxError(
-                    f"{fn}() over an aggregate needs a WITH stage first"
-                )
             if not self.at("kw", "WHERE"):
                 raise CypherSyntaxError(
                     f"{fn}(x IN list WHERE pred) requires a WHERE clause"
@@ -1891,13 +1867,16 @@ class _Parser:
                 # mirroring Neo4j's collect of node maps.
                 arg = WholeVar(var) if fn == "COLLECT" else PropRef(var, None)
             else:
-                if self.at("punct", "["):
+                # the argument is a full expression — ``sum(l.price * (1 -
+                # l.disc))`` (TPC-H Q1's shape), ``sum(CASE WHEN … THEN 1
+                # ELSE 0 END)`` (conditional counting), ``collect([n.a,
+                # n.b])``. Nested aggregates are not a thing (Neo4j
+                # rejects them too).
+                arg = self.parse_return_expr(allow_bare)
+                if _contains_agg(arg):
                     raise CypherSyntaxError(
-                        f"a list expression inside {fn}() is not "
-                        "supported; compute it in a WITH stage first "
-                        "and aggregate the alias"
+                        f"aggregates cannot nest inside {fn}()"
                     )
-                arg = self.parse_prop_ref(allow_bare)
             if arg is None and fn != "COUNT":
                 raise CypherSyntaxError(f"{fn} requires a property argument")
             extra: tuple = ()
@@ -1955,13 +1934,7 @@ class _Parser:
                     # extras, evaluated in the enclosing scope
                     key = self.next().text
                     self.next()
-                    val = self.parse_return_expr(allow_bare)
-                    if isinstance(val, AggCall):
-                        raise CypherSyntaxError(
-                            "aggregates are not allowed inside a map "
-                            "projection; compute them in a WITH stage first"
-                        )
-                    extras.append((key, val))
+                    extras.append((key, self.parse_return_expr(allow_bare)))
                 else:
                     raise CypherSyntaxError(
                         "map projection entries must be .prop, .*, or "
@@ -2968,6 +2941,7 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
 
         ints = {"tinyint", "smallint", "int", "bigint"}
         widen_body = False
+        widen_body_int = False
         try:
             init_t = (
                 df.select(init.alias("__t")).schema[0].dataType.simpleString()
@@ -2984,6 +2958,12 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
                 init = init.cast("double")
             elif init_t == "double" and body_t in ints:
                 widen_body = True
+            elif init_t in ints and body_t in ints:
+                # integer-width mismatch (``reduce(s = 0, x IN <bigint
+                # list> | s + x)`` — the literal 0 types int, the body
+                # bigint): widen both sides, Cypher integers are 64-bit
+                init = init.cast("bigint")
+                widen_body_int = True
             else:
                 raise CypherSyntaxError(
                     f"reduce() body type {body_t} does not match the "
@@ -2993,7 +2973,11 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
 
         def merge2(acc, x):
             out = merge(acc, x, init=init)
-            return out.cast("double") if widen_body else out
+            if widen_body:
+                return out.cast("double")
+            if widen_body_int:
+                return out.cast("bigint")
+            return out
 
         return F.aggregate(src, init, merge2)
     if isinstance(expr, IndexExpr):
@@ -3038,16 +3022,24 @@ def _expr_column(expr, colmap, df: DataFrame) -> Column:
                 for k, v in expr.entries
             ]
         )
+    if isinstance(expr, AggCall):
+        # safety net: an aggregate that escaped both the parser's
+        # predicate-position rejection and the projection decomposition
+        # must never compile silently
+        raise CypherSyntaxError(
+            "aggregates are not valid in this clause position; compute "
+            "the aggregate in a WITH stage first"
+        )
     if isinstance(expr, CountPattern):
         raise CypherSyntaxError(
-            "COUNT { } subqueries are only supported in the RETURN/WITH "
-            "items and WHERE of a single-MATCH node query"
+            "COUNT { } subqueries are only supported in RETURN/WITH "
+            "items and WHERE over a MATCHed or WITH-carried node"
         )
     if isinstance(expr, PatternComp):
         raise CypherSyntaxError(
-            "pattern comprehensions are only supported in the RETURN/WITH "
-            "items and WHERE of a single-MATCH node query; compute the "
-            "list in a WITH stage first"
+            "pattern comprehensions are only supported in RETURN/WITH "
+            "items and WHERE over a MATCHed or WITH-carried node; "
+            "compute the list in a WITH stage first"
         )
     if isinstance(expr, FuncCall):
         return _scalar_fn_column(expr, colmap, df)
@@ -3256,6 +3248,12 @@ def _default_name(ref: PropRef | BareRef | AggCall | FuncCall) -> str:
             return f"{ref.fn.lower()}_{ref.arg.name}"
         if isinstance(ref.arg, WholeVar):
             return f"{ref.fn.lower()}_{ref.arg.var}"
+        if not isinstance(ref.arg, PropRef):
+            # sum(<computed expression>) has no derivable column name
+            raise CypherSyntaxError(
+                f"{ref.fn.lower()}() over a computed expression needs "
+                "an AS alias"
+            )
         return f"{ref.fn.lower()}_{ref.arg.var}_{ref.arg.prop or 'id'}"
     if isinstance(ref, BareRef):
         return ref.name
@@ -3343,7 +3341,7 @@ def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
                 idcol.isNotNull(), _expr_column(call.arg, colmap, df)
             )
         else:
-            value = _resolve_ref(call.arg, colmap, df)
+            value = _expr_column(call.arg, colmap, df)
         return _ordered_collect(value, row_order, colmap, df, call.distinct)
     if isinstance(call.arg, WholeVar):
         # collect(n): the whole-variable struct, null where the binding
@@ -3354,9 +3352,11 @@ def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
         col = F.when(idcol.isNotNull(), _expr_column(call.arg, colmap, df))
         fns = _AGG_FN_DISTINCT_MAP if call.distinct else _AGG_FN_MAP
         return fns[call.fn](col)
-    # _resolve_ref: aggregating a property no write ever created
-    # aggregates nulls (count 0 / sum null), not an analysis error
-    col = _resolve_ref(call.arg, colmap, df)
+    # _expr_column resolves refs with the missing-property-reads-null
+    # contract AND compiles computed arguments (``sum(l.price * (1 -
+    # l.disc))``, ``sum(CASE … END)``) — same expression grammar as a
+    # projection item, evaluated per pre-aggregation row
+    col = _expr_column(call.arg, colmap, df)
     if call.fn == "PERCENTILECONT":
         # exact linear-interpolated percentile (Neo4j percentileCont)
         return F.percentile(col, F.lit(call.extra[0]))
@@ -4001,6 +4001,7 @@ def _optional_match(
     for v, (_, kind) in prefixes.items():
         colmap.var_props[v] = vertex_props if kind == "node" else edge_props
         colmap.var_kinds[v] = kind
+    colmap.scope_graph = graph
     return df, colmap
 
 
@@ -4182,6 +4183,7 @@ def _match_chain(
     colmap.var_kinds = {
         v: "node" if f"{v}_label" in known else "edge" for v in varmap
     }
+    colmap.scope_graph = graph
     return acc, colmap
 
 
@@ -4294,6 +4296,7 @@ def _optional_join_prefixed(
     kinds[evar] = "edge"
     new_colmap.var_props = props_map
     new_colmap.var_kinds = kinds
+    new_colmap.scope_graph = graph
     return df, new_colmap
 
 
@@ -4689,10 +4692,16 @@ def _bind_pattern_subqueries(
 
     def resolve_ctx(v: str, what: str):
         """(graph, outer-id column) for the subquery's bound variable —
-        the pattern scope's plain ``id``, or a WITH-carried node struct's
-        id field (post-WITH degree/adjacency subqueries)."""
+        the pattern scope's plain ``id``, any NODE variable of a
+        multi-variable pattern scope (edge patterns, chains — round 8),
+        or a WITH-carried node struct's id field (post-WITH
+        degree/adjacency subqueries)."""
         if ctx is not None and v == ctx[1]:
             return ctx[0], F.col("id")
+        kinds = getattr(colmap, "var_kinds", None)
+        sg = getattr(colmap, "scope_graph", None) or stage_graph
+        if sg is not None and kinds and kinds.get(v) == "node":
+            return sg, colmap(PropRef(v, None))
         if (
             stage_graph is not None
             and v in scope_structs
@@ -4920,22 +4929,222 @@ def _bind_pattern_subqueries(
     return state["df"]
 
 
+def _contains_agg(x) -> bool:
+    """Deep test: does expression tree ``x`` contain an :class:`AggCall`
+    anywhere — including inside CASE branches, comprehension sources,
+    map/list constructors, and condition operands? The parser's top-level
+    ``isinstance`` checks miss nested aggregates now that composite
+    aggregate expressions parse; every clause that must REJECT aggregates
+    (WHERE, SET values, UNWIND) and every branch that must DETECT an
+    aggregating projection (implicit grouping, row-order carry) uses this
+    instead."""
+    if isinstance(x, AggCall):
+        return True
+    if isinstance(x, BinOp):
+        return _contains_agg(x.left) or _contains_agg(x.right)
+    if isinstance(x, FuncCall):
+        return _contains_agg(x.arg) or any(_contains_agg(a) for a in x.extra)
+    if isinstance(x, CaseExpr):
+        return (
+            any(
+                _disj_contains_agg(disj) or _contains_agg(res)
+                for disj, res in x.whens
+            )
+            or _contains_agg(x.default)
+        )
+    if isinstance(x, (IsNullExpr,)):
+        return _contains_agg(x.arg)
+    if isinstance(x, FieldAccess):
+        return _contains_agg(x.base)
+    if isinstance(x, IndexExpr):
+        return _contains_agg(x.base) or _contains_agg(x.index)
+    if isinstance(x, SliceExpr):
+        return _contains_agg(x.base) or _contains_agg(x.lo) or _contains_agg(x.hi)
+    if isinstance(x, ListComp):
+        return (
+            _contains_agg(x.source)
+            or (x.pred is not None and _disj_contains_agg(x.pred))
+            or _contains_agg(x.expr)
+        )
+    if isinstance(x, ReduceExpr):
+        return (
+            _contains_agg(x.init)
+            or _contains_agg(x.source)
+            or _contains_agg(x.expr)
+        )
+    if isinstance(x, MapLit):
+        return any(_contains_agg(v) for _, v in x.entries)
+    if isinstance(x, ListExpr):
+        return any(_contains_agg(v) for v in x.items)
+    if isinstance(x, MapProj):
+        return any(_contains_agg(v) for _, v in x.extras)
+    if isinstance(x, Cond):
+        return _contains_agg(x.left) or _contains_agg(x.right)
+    return False
+
+
+def _disj_contains_agg(disj) -> bool:
+    return any(
+        _contains_agg(cond)
+        for conj in disj
+        for cond in conj
+        if not isinstance(cond, PatternCond)
+    )
+
+
+def _is_literal_leaf(x) -> bool:
+    return x is None or isinstance(x, (int, float, str, bool))
+
+
+def _decompose_agg_expr(expr, agg_reg: list, key_reg: list, key_items):
+    """Split a COMPOSITE aggregate expression (``sum(x) / count(*)``,
+    ``round(avg(x), 2)``, ``CASE WHEN … THEN count(*) END``) into
+
+    - aggregate subtrees, registered in ``agg_reg`` as (AggCall, alias)
+      pairs (deduplicated by AST equality, so ``count(*)`` appearing twice
+      computes once), and
+    - maximal aggregate-free variable-referencing subtrees, which become
+      IMPLICIT GROUPING KEYS (Neo4j: in ``RETURN n.x + count(*)`` the
+      ``n.x`` part groups), registered in ``key_reg`` — unless an equal
+      expression is already projected as a key item, in which case its
+      output column is reused,
+
+    returning the residual tree over :class:`BareRef` placeholders, to be
+    evaluated as a POST-AGGREGATION projection. Literals stay in place.
+    """
+    if isinstance(expr, AggCall):
+        for call, alias in agg_reg:
+            if call == expr:
+                return BareRef(alias)
+        alias = f"__agg{len(agg_reg)}"
+        agg_reg.append((expr, alias))
+        return BareRef(alias)
+    if not _contains_agg(expr):
+        if _is_literal_leaf(expr):
+            return expr
+        # aggregate-free subtree referencing scope: an implicit grouping
+        # key. Reuse a projected key item with the same AST if one exists
+        # (``RETURN n.x AS x, n.x + count(*) AS y`` groups once on x).
+        for item in key_items:
+            if item.expr == expr:
+                return BareRef(_out_name(item))
+        for e, alias in key_reg:
+            if e == expr:
+                return BareRef(alias)
+        alias = f"__gkey{len(key_reg)}"
+        key_reg.append((expr, alias))
+        return BareRef(alias)
+    # mixed: recurse structurally
+    rec = lambda e: _decompose_agg_expr(e, agg_reg, key_reg, key_items)
+    if isinstance(expr, BinOp):
+        return BinOp(expr.op, rec(expr.left), rec(expr.right))
+    if isinstance(expr, FuncCall):
+        return FuncCall(expr.fn, rec(expr.arg), tuple(rec(a) for a in expr.extra))
+    if isinstance(expr, CaseExpr):
+        # WHEN conditions are aggregate-free (parser contract); only the
+        # branch results / default can carry aggregates. The conditions'
+        # variable references still need key placeholders, though — walk
+        # their operands through the same registration.
+        whens = []
+        for disj, res in expr.whens:
+            new_disj = [
+                [
+                    dc_replace(c, left=rec(c.left), right=rec(c.right))
+                    if isinstance(c, Cond)
+                    else c
+                    for c in conj
+                ]
+                for conj in disj
+            ]
+            whens.append((new_disj, rec(res)))
+        return CaseExpr(tuple(whens), rec(expr.default))
+    if isinstance(expr, IsNullExpr):
+        return IsNullExpr(rec(expr.arg), expr.negated)
+    if isinstance(expr, FieldAccess):
+        return FieldAccess(rec(expr.base), expr.name)
+    if isinstance(expr, IndexExpr):
+        return IndexExpr(rec(expr.base), rec(expr.index))
+    if isinstance(expr, SliceExpr):
+        return SliceExpr(rec(expr.base), rec(expr.lo), rec(expr.hi))
+    if isinstance(expr, ListComp):
+        # only the SOURCE may aggregate (``[x IN collect(y) | x * 2]``);
+        # pred/expr reference the lambda variable and stay put
+        return ListComp(expr.var, rec(expr.source), expr.pred, expr.expr)
+    if isinstance(expr, ReduceExpr):
+        return ReduceExpr(
+            expr.acc, expr.init, expr.var, rec(expr.source), expr.expr
+        )
+    if isinstance(expr, MapLit):
+        return MapLit(tuple((k, rec(v)) for k, v in expr.entries))
+    if isinstance(expr, ListExpr):
+        return ListExpr(tuple(rec(v) for v in expr.items))
+    raise CypherSyntaxError(
+        "aggregates are not supported inside this expression form; "
+        "compute the aggregate in a WITH stage first"
+    )
+
+
 def _apply_projection(
     df: DataFrame, colmap, distinct: bool, items: list[ReturnItem]
 ) -> DataFrame:
     """One RETURN/WITH projection: Cypher's implicit grouping (non-aggregated
     items become keys when any aggregate is present), column order restored
-    to clause order, optional DISTINCT."""
+    to clause order, optional DISTINCT.
+
+    COMPOSITE aggregate items (an expression tree containing aggregates —
+    ``sum(x) * 1.0 / count(*)``, ``round(avg(x), 2)``, ``CASE WHEN … THEN
+    count(*) … END``, ``collect(x)[0]``) compile as TWO stages in one
+    plan: the aggregate subtrees and implicit grouping keys feed the hash
+    aggregate under hidden aliases, and the residual expression evaluates
+    as a post-aggregation projection — Catalyst fuses both into the same
+    whole-stage-codegen span, so this costs nothing over a hand-split
+    WITH + RETURN."""
     def col_of(expr) -> Column:
         return _expr_column(expr, colmap, df)
 
     aggs = [i for i in items if isinstance(i.expr, AggCall)]
-    if aggs:
-        keys = [i for i in items if not isinstance(i.expr, AggCall)]
-        grouped = df.groupBy(
-            *[col_of(i.expr).alias(_out_name(i)) for i in keys]
-        ).agg(*[_agg_column(i.expr, colmap, df).alias(_out_name(i)) for i in aggs])
-        df = grouped.select(*[_out_name(i) for i in items])
+    composite = [
+        i
+        for i in items
+        if not isinstance(i.expr, AggCall) and _contains_agg(i.expr)
+    ]
+    if aggs or composite:
+        keys = [
+            i for i in items if i not in aggs and i not in composite
+        ]
+        agg_reg: list = []
+        key_reg: list = []
+        residuals: dict[int, Any] = {}
+        for i in composite:
+            residuals[id(i)] = _decompose_agg_expr(
+                i.expr, agg_reg, key_reg, keys
+            )
+        key_cols = [col_of(i.expr).alias(_out_name(i)) for i in keys]
+        key_cols += [col_of(e).alias(alias) for e, alias in key_reg]
+        agg_cols = [
+            _agg_column(i.expr, colmap, df).alias(_out_name(i)) for i in aggs
+        ]
+        agg_cols += [
+            _agg_column(call, colmap, df).alias(alias)
+            for call, alias in agg_reg
+        ]
+        grouped = df.groupBy(*key_cols).agg(*agg_cols)
+        if composite:
+            post = _bare_colmap(
+                set(grouped.columns), _struct_outputs(grouped), grouped
+            )
+            df = grouped.select(
+                *[
+                    _expr_column(residuals[id(i)], post, grouped).alias(
+                        _out_name(i)
+                    )
+                    if id(i) in residuals
+                    else F.col(_out_name(i))
+                    for i in items
+                ]
+            )
+        else:
+            df = grouped.select(*[_out_name(i) for i in items])
     else:
         df = df.select(*[col_of(i.expr).alias(_out_name(i)) for i in items])
     if distinct:
@@ -5516,6 +5725,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             v: vertex_props for v in (pat.src.var, pat.dst.var) if v is not None
         }
         colmap.var_kinds = {v: "node" for v in colmap.var_props}
+        colmap.scope_graph = graph
         if pat.var is not None:
             colmap.var_props[pat.var] = [
                 c
@@ -5525,21 +5735,46 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             colmap.var_kinds[pat.var] = "edge"
 
     if disj is not None:
+        # pattern predicates over any NODE variable of the scope (round 8:
+        # previously only the single-node MATCH consumed them here) — one
+        # semi/anti-join per predicate against the distinct qualifying
+        # ids, exactly the node-path plan, anchored on the variable's id
+        # column in this scope
+        if any(isinstance(c, PatternCond) for conj in disj for c in conj):
+            if len(disj) > 1:
+                raise CypherSyntaxError(
+                    "pattern predicates cannot be OR-combined"
+                )
+            kinds = getattr(colmap, "var_kinds", {})
+            pattern_conds = [c for c in disj[0] if isinstance(c, PatternCond)]
+            rest = [c for c in disj[0] if not isinstance(c, PatternCond)]
+            disj = [rest] if rest else None
+            for pc in pattern_conds:
+                if kinds.get(pc.var) != "node":
+                    raise CypherSyntaxError(
+                        f"pattern predicate on {pc.var!r} requires a "
+                        "node variable of this MATCH"
+                    )
+                df = df.join(
+                    _pattern_qualifying_ids(graph, pc),
+                    colmap(PropRef(pc.var, None)) == F.col("__pp_id"),
+                    "left_anti" if pc.negated else "left_semi",
+                )
         # WHERE-position COUNT { } / pattern-comprehension operands bind
-        # first (adds per-node helper columns via left joins); queries
+        # next (adds per-node helper columns via left joins); queries
         # outside the supported scope raise the same typed error the
         # projection path raises
-        if any(
+        if disj is not None and any(
             isinstance(c.left, (CountPattern, PatternComp))
             or isinstance(c.right, (CountPattern, PatternComp))
             or isinstance(c.left, (BinOp, FuncCall))
             or isinstance(c.right, (BinOp, FuncCall))
             for conj in disj
             for c in conj
-            if not isinstance(c, PatternCond)
         ):
             df = _bind_pattern_subqueries(df, colmap, None, disj)
-        df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
+        if disj is not None:
+            df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
 
     colmap.stage_graph = graph
     return _finish_read(df, colmap, p, bare=False)
@@ -5796,7 +6031,19 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                     "(an unordered per-anchor cut would be "
                     "nondeterministic)"
                 )
-            c_has_agg = any(isinstance(i.expr, AggCall) for i in c_items)
+            c_has_agg = any(_contains_agg(i.expr) for i in c_items)
+            if c_has_agg and any(
+                _contains_agg(i.expr) and not isinstance(i.expr, AggCall)
+                for i in c_items
+            ):
+                # the per-anchor groupBy below splits items shallowly;
+                # composite aggregate expressions would land on the key
+                # side and mis-group — reject loudly until supported
+                raise CypherSyntaxError(
+                    "composite aggregate expressions are not supported "
+                    "inside CALL { }; RETURN the plain aggregate and "
+                    "compute the expression outside"
+                )
             # DISTINCT over an aggregating RETURN is a no-op (grouping
             # already yields one row per distinct key tuple) — openCypher
             # accepts it, so we do too
@@ -6353,7 +6600,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                 )
             p.next()
             src = p.parse_return_expr(allow_bare=True)
-            if isinstance(src, AggCall):
+            if _contains_agg(src):
                 raise CypherSyntaxError(
                     "UNWIND over an aggregate needs a WITH stage first"
                 )
@@ -6402,7 +6649,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             not w_order
             and prev_specs
             and not w_distinct
-            and not any(isinstance(i.expr, AggCall) for i in w_items)
+            and not any(_contains_agg(i.expr) for i in w_items)
         ):
             # Neo4j: row order persists through a plain projection. Remap
             # each key to the new scope; keys falling out of the
@@ -6506,7 +6753,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
     if (
         pending
         and not order
-        and not any(isinstance(i.expr, AggCall) for i in items)
+        and not any(_contains_agg(i.expr) for i in items)
     ):
         # final RETURN after a WITH ... ORDER BY: the deferred sort
         # defines the result order. Sort after the projection when every
@@ -6553,8 +6800,8 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             if (
                 pre_scope is None
                 or distinct
-                or any(isinstance(i.expr, AggCall) for i in items)
-                or any(isinstance(k, AggCall) for k, _ in order)
+                or any(_contains_agg(i.expr) for i in items)
+                or any(_contains_agg(k) for k, _ in order)
             ):
                 raise
             pdf, pcolmap = pre_scope
@@ -7174,7 +7421,7 @@ def _foreach_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
             key = p.expect("word").text
             p.expect("punct", ":")
             expr = p.parse_return_expr(allow_bare=True)
-            if isinstance(expr, AggCall):
+            if _contains_agg(expr):
                 raise CypherSyntaxError("aggregates not allowed in FOREACH")
             props.append((key, expr))
             if p.at("punct", ","):
@@ -7319,7 +7566,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                         k = p.expect("word").text
                         p.expect("punct", ":")
                         val = p.parse_return_expr()
-                        if isinstance(val, AggCall):
+                        if _contains_agg(val):
                             raise CypherSyntaxError(
                                 "aggregates are not allowed in SET values"
                             )
@@ -7355,7 +7602,7 @@ def _bare_write(graph: PropertyGraph, p: _Parser) -> PropertyGraph:
                     # n.visits + 1`` and computed updates ``SET n.name =
                     # toUpper(n.name)``; literals keep the old fast path
                     val = p.parse_return_expr()
-                    if isinstance(val, AggCall):
+                    if _contains_agg(val):
                         raise CypherSyntaxError(
                             "aggregates are not allowed in SET values"
                         )
@@ -7624,7 +7871,7 @@ def _bare_edge_write(graph: PropertyGraph, p: _Parser, pat: EdgePat) -> Property
                         k = p.expect("word").text
                         p.expect("punct", ":")
                         val = p.parse_return_expr()
-                        if isinstance(val, AggCall):
+                        if _contains_agg(val):
                             raise CypherSyntaxError(
                                 "aggregates are not allowed in SET values"
                             )
@@ -7655,7 +7902,7 @@ def _bare_edge_write(graph: PropertyGraph, p: _Parser, pat: EdgePat) -> Property
                 else:
                     p.expect("op", "=")
                     val = p.parse_return_expr()
-                    if isinstance(val, AggCall):
+                    if _contains_agg(val):
                         raise CypherSyntaxError(
                             "aggregates are not allowed in SET values"
                         )

@@ -4452,3 +4452,47 @@ ORACLE["g81_cypher_optional_bound_map"] = f"""
     FROM nation LEFT JOIN supplier
       ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
     ORDER BY nation, s_id"""
+
+
+# G82 — composite aggregate expressions (round 8): Neo4j's implicit
+# grouping with MIXED aggregate/scalar projection items — ``sum(x) * 1.0
+# / count(*)``, ``round(avg(x), 2)``, ``CASE WHEN count(*) … END``,
+# ``min(x) + max(x)`` — plus an aggregate over a COMPUTED argument
+# (``sum(CASE WHEN e.w > 3 THEN 1 ELSE 0 END)``, the conditional-count
+# idiom; TPC-H Q1's ``sum(price * (1 - disc))`` is the same shape). The
+# reference ships any such Cypher string opaquely
+# (Neo4jFormatBase.java:48,60 — the connector never parses queries), so
+# parity requires compiling them natively: the engine extracts aggregate
+# subtrees and implicit keys into ONE hash aggregate (partial map-side
+# combine, as any groupBy) and evaluates the residual expression as a
+# fused post-projection — at 100 TB this is exactly the two-phase
+# aggregate Catalyst plans for the equivalent SQL, no extra shuffle.
+def g82_cypher_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation)<-[e:IN_NATION]-(c:Customer) "
+        "RETURN n.name AS nation, "
+        "round(sum(e.w) * 1.0 / count(*), 4) AS avg_w, "
+        "round(avg(e.w), 2) AS avg_w2, "
+        "sum(CASE WHEN e.w > 3 THEN 1 ELSE 0 END) AS heavy, "
+        "CASE WHEN count(*) > 60 THEN 'big' ELSE 'small' END AS size_class, "
+        "min(e.w) + max(e.w) AS spread "
+        "ORDER BY nation",
+    )
+
+
+QUERIES["g82_cypher_composite_agg"] = g82_cypher_composite_agg
+ORACLE["g82_cypher_composite_agg"] = """
+    SELECT n_name AS nation,
+           ROUND(SUM(c_custkey % 7) * 1.0 / COUNT(*), 4) AS avg_w,
+           ROUND(AVG(c_custkey % 7), 2) AS avg_w2,
+           CAST(SUM(CASE WHEN c_custkey % 7 > 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS heavy,
+           CASE WHEN COUNT(*) > 60 THEN 'big' ELSE 'small' END AS size_class,
+           CAST(MIN(c_custkey % 7) + MAX(c_custkey % 7) AS BIGINT) AS spread
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation"""

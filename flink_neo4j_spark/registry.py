@@ -49,12 +49,16 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "d12_semantic_dedup",
     "g15_also_bought",    # pair-count-proportional shuffle width on the
     "g20_node_similarity",  # shared part projection (verdict ask #3)
-    # round 8 NEW conformance queries (verdict asks #4-#7):
+    # round 8 NEW conformance queries (verdict asks #4-#7 + the
+    # composite-aggregate-expression close, X249):
     "g75_cypher_undirected_varlength",
     "g76_cypher_call_agg",
     "g77_cypher_varlength_chain",
     "g78_cypher_inline_props_chain",
     "g79_cypher_optional_after_chain",
+    "g80_cypher_call_agg_topk",
+    "g81_cypher_optional_bound_map",
+    "g82_cypher_composite_agg",
     # round 8: their code paths were restructured (CALL subquery block,
     # OPTIONAL MATCH desugar/symmetrize, whole-var null-gating):
     "g8_cypher_optional",
@@ -97,13 +101,12 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a2_interval_join",
     "a4_funnel",
     "a5_retention",
-    "d9_decontaminate",
-    "d10_lsh_banded",
-    "d11_chunk_dedup",
-    # (g11_detach_delete, g13_weighted_sssp, g14_triangle_count roll to the
-    # round-9 batch: the driver records exactly 50 rows per round — r1–r7
-    # artifacts all have precisely 50 — and the three would fall at
-    # positions 51–53, burning their slot without earning a row.)
+    # (d9_decontaminate, d10_lsh_banded, d11_chunk_dedup,
+    # g11_detach_delete, g13_weighted_sssp, g14_triangle_count roll to
+    # the round-9 batch: the driver records exactly 50 rows per round —
+    # r1–r7 artifacts all have precisely 50 — and with the three NEW
+    # round-8 queries g80/g81/g82 slotted above, these six would fall at
+    # positions 51+, burning their slot without earning a row.)
 )
 # Round-7 tier-A entries all earned green rows in CORRECTNESS_r07.json,
 # so they drop back to tier C here.

@@ -648,11 +648,13 @@ def test_reduce_folds_list(fixture_graph):
         "RETURN reduce(acc = 0, x IN names | acc + size(x)) AS chars",
     ).collect()
     assert rows[0]["chars"] == len("Alice") + len("Bob") + len("Eve")
-    with pytest.raises(CypherSyntaxError, match="aggregates are not allowed"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) RETURN reduce(acc = 0, x IN collect(n.born) | acc + x) AS s",
-        )
+    # round 8: reduce over a collect() source now compiles (composite
+    # aggregate expressions) — the collected list feeds the JVM fold
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN reduce(acc = 0, x IN collect(n.born) | acc + x) AS s",
+    ).collect()
+    assert rows[0]["s"] == 1984 + 1983 + 1984
 
 
 def test_list_indexing_semantics(fixture_graph):
@@ -977,13 +979,14 @@ def test_comprehension_size_in_where_position(fixture_graph):
         "RETURN * ORDER BY n.name",
     )
     assert df.columns == ["n"]
-    # still node/carried scope only: edge patterns raise the typed error
-    with pytest.raises(CypherSyntaxError, match="neither in this scope"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (a:User)-[e:KNOWS]->(b:User) "
-            "WHERE COUNT { (a)-[:KNOWS]->() } > 0 RETURN a.name",
-        )
+    # round 8: edge-pattern scopes bind pattern subqueries too (anchored
+    # on any node variable of the scope)
+    rows = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "WHERE COUNT { (a)-[:KNOWS]->() } > 0 RETURN a.name AS a ORDER BY a",
+    ).collect()
+    assert [r["a"] for r in rows] == ["Alice", "Bob"]
 
 
 def test_pattern_block_inner_where_scope_validation(fixture_graph):
@@ -1152,8 +1155,11 @@ def test_map_literal_validation(fixture_graph):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN {} AS m")
     with pytest.raises(CypherSyntaxError, match="duplicate key"):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN {a: 1, a: 2} AS m")
-    with pytest.raises(CypherSyntaxError, match="aggregates"):
-        cypher_read(fixture_graph, "MATCH (n:User) RETURN {a: count(*)} AS m")
+    # round 8: map values may aggregate (composite aggregate expressions)
+    rows = cypher_read(
+        fixture_graph, "MATCH (n:User) RETURN {a: count(*)} AS m"
+    ).collect()
+    assert rows[0]["m"]["a"] == 3
 
 
 def test_temporal_map_constructors(fixture_graph):
@@ -2648,11 +2654,12 @@ def test_return_arithmetic(fixture_graph):
     )
     assert df3.collect()[0]["avg_born"] == (1984 + 1983 + 1984) // 3
 
-    # aggregates inline in arithmetic are rejected with a clear error
-    with pytest.raises(CypherSyntaxError, match="WITH stage"):
-        cypher_read(
-            fixture_graph, "MATCH (n:User) RETURN sum(n.born) / 3 AS x"
-        )
+    # round 8: aggregates inline in arithmetic now compile (composite
+    # aggregate expressions — one hash aggregate + fused post-projection)
+    df4 = cypher_read(
+        fixture_graph, "MATCH (n:User) RETURN sum(n.born) / 3 AS x"
+    )
+    assert df4.collect()[0]["x"] == (1984 + 1983 + 1984) // 3
     # arithmetic items need an alias
     with pytest.raises(CypherSyntaxError, match="AS alias"):
         cypher_read(fixture_graph, "MATCH (n:User) RETURN n.born + 1")
@@ -2977,12 +2984,14 @@ def test_case_requires_alias_and_end(fixture_graph):
             fixture_graph,
             "MATCH (n:User) RETURN CASE WHEN n.born = 1984 THEN 1 AS x",
         )
-    with pytest.raises(CypherSyntaxError, match="aggregates inside CASE"):
-        cypher_read(
-            fixture_graph,
-            "MATCH (n:User) RETURN CASE WHEN n.born = 1984 "
-            "THEN count(*) END AS x",
-        )
+    # round 8: aggregates inside CASE branches now compile (composite
+    # aggregate expressions — Neo4j allows them in projection position)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born AS born, CASE WHEN n.born = 1984 "
+        "THEN count(*) ELSE 0 END AS x ORDER BY born",
+    )
+    assert [(r["born"], r["x"]) for r in df.collect()] == [(1983, 0), (1984, 2)]
 
 
 def test_regex_match_is_anchored(fixture_graph):
@@ -3440,10 +3449,12 @@ def test_scalar_function_breadth(fixture_graph):
         cypher_read(
             fixture_graph, "MATCH (n:User) RETURN round(n.height, 'x') AS x"
         )
-    with pytest.raises(CypherSyntaxError):
-        cypher_read(
-            fixture_graph, "MATCH (n:User) RETURN size(count(n)) AS x"
-        )
+    # round 8: scalar functions over aggregates now compile (composite
+    # aggregate expressions) — size over a collect, abs over a sum, etc.
+    rows = cypher_read(
+        fixture_graph, "MATCH (n:User) RETURN size(collect(n.name)) AS x"
+    ).collect()
+    assert rows[0]["x"] == 3
 
 
 def test_unwind_read_forms(fixture_graph):
@@ -4739,10 +4750,12 @@ def test_pipeline_match_requires_toplevel_equality(fixture_graph):
 
 
 def test_aggregate_subscript_raises_typed(fixture_graph):
-    with pytest.raises(CypherSyntaxError, match="WITH stage"):
-        cypher_read(
-            fixture_graph, "UNWIND [1] AS o RETURN collect(o)[0] AS bad"
-        )
+    # round 8: subscripts over an aggregate now compile (composite
+    # aggregate expressions) — collect(o)[0] is the first-element idiom
+    rows = cypher_read(
+        fixture_graph, "UNWIND [1] AS o RETURN collect(o)[0] AS first_o"
+    ).collect()
+    assert rows[0]["first_o"] == 1
 
 
 # --- unanchored pipeline MATCH: UNWIND params MATCH lookup (X224) ---
@@ -5265,3 +5278,246 @@ def test_unbounded_source_predicate_pushdown(fixture_graph):
         "RETURN y.name AS b ORDER BY b",
     ).collect()
     assert [r["b"] for r in got] == ["Alice", "Bob"]
+
+
+# ---------------------------------------------------------------------------
+# Composite aggregate expressions (round 8): Neo4j's implicit grouping with
+# mixed aggregate/scalar projections — ``sum(x) / count(*)``, ``round(avg(x),
+# 2)``, ``CASE WHEN count(*) … END`` — and aggregates over COMPUTED
+# arguments — ``sum(CASE … END)``, ``sum(a * b)`` (TPC-H Q1's shape through
+# the front end). The reference ships any such string opaquely
+# (Neo4jFormatBase.java:48,60); the engine compiles the aggregate subtrees
+# and implicit keys into ONE hash aggregate plus a fused post-projection.
+# ---------------------------------------------------------------------------
+
+
+def test_composite_agg_arithmetic(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN sum(n.born) * 1.0 / count(*) AS avg_born",
+    )
+    assert abs(df.collect()[0]["avg_born"] - (1984 + 1983 + 1984) / 3) < 1e-9
+
+
+def test_composite_agg_scalar_fn(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN round(avg(n.height), 1) AS h, "
+        "toInteger(max(n.born) - min(n.born)) AS spread",
+    )
+    r = df.collect()[0]
+    assert r["h"] == 1.7 and r["spread"] == 1
+
+
+def test_agg_over_computed_expression(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN sum(n.born - 1980) AS s, "
+        "sum(CASE WHEN n.trust THEN 1 ELSE 0 END) AS trusted",
+    )
+    r = df.collect()[0]
+    assert r["s"] == 11 and r["trusted"] == 2
+
+
+def test_composite_agg_implicit_key(fixture_graph):
+    # the non-aggregate subtree n.born becomes an implicit grouping key
+    # (Neo4j: RETURN n.born + count(*) groups by n.born)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born + count(*) AS bc ORDER BY bc",
+    )
+    assert [r["bc"] for r in df.collect()] == [1984, 1986]
+
+
+def test_composite_agg_key_reuse(fixture_graph):
+    # an explicit key item with the same AST is reused, not re-grouped
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born AS born, 100 * count(*) AS c "
+        "ORDER BY born",
+    )
+    assert [(r["born"], r["c"]) for r in df.collect()] == [
+        (1983, 100),
+        (1984, 200),
+    ]
+
+
+def test_composite_agg_case_over_count(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN CASE WHEN count(*) > 2 THEN 'many' "
+        "ELSE 'few' END AS sz",
+    )
+    assert df.collect()[0]["sz"] == "many"
+
+
+def test_composite_agg_subscript_and_list(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN collect(n.name)[0] AS first_name, "
+        "[min(n.born), max(n.born)] AS rng",
+    )
+    r = df.collect()[0]
+    assert r["first_name"] == "Alice" and list(r["rng"]) == [1983, 1984]
+
+
+def test_composite_agg_map_literal(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN {lo: min(n.born), hi: max(n.born)} AS m",
+    )
+    m = df.collect()[0]["m"]
+    assert (m["lo"], m["hi"]) == (1983, 1984)
+
+
+def test_composite_agg_dedup_same_aggregate(fixture_graph):
+    # count(*) appears twice but computes once (AST-equality dedup)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN count(*) AS c, 2 * count(*) AS c2",
+    )
+    r = df.collect()[0]
+    assert (r["c"], r["c2"]) == (3, 6)
+
+
+def test_comprehension_and_reduce_over_collect(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN [x IN collect(n.born) | x + 1] AS b1, "
+        "reduce(s = 0, x IN collect(n.born) | s + x) AS tot",
+    )
+    r = df.collect()[0]
+    assert list(r["b1"]) == [1984, 1985, 1985] and r["tot"] == 5951
+
+
+def test_composite_agg_string_concat(fixture_graph):
+    df = cypher_read(
+        fixture_graph, "MATCH (n:User) RETURN 'n=' + count(*) AS s"
+    )
+    assert df.collect()[0]["s"] == "n=3"
+
+
+def test_composite_agg_in_with_stage(fixture_graph):
+    # WITH-stage composite then HAVING-style filter on the alias
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n.born AS born, count(*) * 1.0 AS c "
+        "WHERE c > 1 RETURN born, c",
+    )
+    assert [(r["born"], r["c"]) for r in df.collect()] == [(1984, 2.0)]
+
+
+def test_aggregates_still_rejected_in_predicates(fixture_graph):
+    # WHERE rejects aggregates however deeply they nest (Neo4j's
+    # "invalid use of aggregating function") — the deep check, not the
+    # old top-level isinstance
+    for q in (
+        "MATCH (n:User) WHERE count(*) > 1 RETURN n.name",
+        "MATCH (n:User) WHERE sum(n.born) + 1 > 2 RETURN n.name",
+        "MATCH (n:User) WHERE round(avg(n.born)) > 2 RETURN n.name",
+    ):
+        with pytest.raises(CypherSyntaxError, match="not allowed in WHERE"):
+            cypher_read(fixture_graph, q)
+    with pytest.raises(CypherSyntaxError, match="needs a WITH stage"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) WITH n UNWIND collect(n.born) AS b RETURN b",
+        )
+
+
+def test_agg_over_computed_needs_alias(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="AS alias"):
+        cypher_read(
+            fixture_graph, "MATCH (n:User) RETURN sum(n.born - 1980)"
+        )
+
+
+def test_aggregates_cannot_nest(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="cannot nest"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (n:User) RETURN sum(count(*) + 1) AS x",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Pattern subqueries over multi-variable scopes (round 8): COUNT { },
+# pattern comprehensions and pattern predicates previously bound only in
+# single-node MATCH scope; they now anchor on ANY node variable of an
+# edge-pattern or chain scope — the same semi/anti-join and one-row-per-node
+# left-join plans, keyed on that variable's id column.
+# ---------------------------------------------------------------------------
+
+
+def test_count_subquery_in_edge_pattern_scope(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "RETURN a.name AS a, b.name AS b, "
+        "COUNT { (b)-[:KNOWS]->() } AS bdeg ORDER BY a",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Bob", 1),
+        ("Bob", "Alice", 1),
+    ]
+
+
+def test_count_subquery_in_edge_pattern_where(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "WHERE COUNT { (b)<-[:KNOWS]-() } >= 1 "
+        "RETURN a.name AS a ORDER BY a",
+    )
+    assert [r["a"] for r in df.collect()] == ["Alice", "Bob"]
+
+
+def test_pattern_predicate_on_far_endpoint(fixture_graph):
+    # (b)-[:KNOWS]->() holds for both Alice and Bob (they know each
+    # other); Eve has no outgoing KNOWS, so a KNOWS edge into Eve would
+    # drop — here both rows survive, and the NOT form drops both
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE (b)-[:KNOWS]->() "
+        "RETURN a.name AS a ORDER BY a",
+    )
+    assert [r["a"] for r in df.collect()] == ["Alice", "Bob"]
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE NOT (b)-[:KNOWS]->() "
+        "RETURN a.name AS a",
+    )
+    assert df2.count() == 0
+
+
+def test_pattern_comprehension_in_edge_pattern_scope(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[e:KNOWS]->(b:User) "
+        "RETURN a.name AS a, [(b)-[k:KNOWS]->(m) | m.name] AS onward "
+        "ORDER BY a",
+    )
+    rows = [(r["a"], list(r["onward"])) for r in df.collect()]
+    assert rows == [("Alice", ["Alice"]), ("Bob", ["Bob"])]
+
+
+def test_count_subquery_in_chain_scope(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS]->(b:User), (b)-[:KNOWS]->(c:User) "
+        "RETURN a.name AS a, c.name AS c, "
+        "COUNT { (b)<-[:KNOWS]-() } AS b_in ORDER BY a",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Alice", 1),
+        ("Bob", "Bob", 1),
+    ]
+
+
+def test_pattern_subquery_on_edge_var_rejected(fixture_graph):
+    with pytest.raises(CypherSyntaxError, match="node"):
+        cypher_read(
+            fixture_graph,
+            "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE (e)-[:X]->() "
+            "RETURN a.name AS a",
+        )
