@@ -3867,11 +3867,15 @@ def _optional_match(
     """``MATCH (a[:L]) [WHERE ...] (OPTIONAL MATCH (a)-[e:T]->(b[:L2])
     [WHERE ...])+`` -> base LEFT JOIN each optional side, null-extended.
 
-    The bound variable may be either endpoint of each clause. Each
-    optional WHERE filters ITS side before its join; the base WHERE
-    filters the base side before any join (all semantics-preserving
-    pre-join pushdowns in Cypher, because each references only its own
-    side's variables). Stacked clauses multiply per Neo4j: every
+    The anchor may be either endpoint of each clause, and may be the
+    base variable OR a node variable bound by an EARLIER optional clause
+    (chained optionals — a failed earlier binding has a null id, which
+    never equi-joins, so the chain null-extends transitively, per
+    Neo4j). An optional WHERE referencing only its own side's variables
+    filters that side before the join (semantics-preserving pushdown); a
+    WHERE referencing the base or earlier clauses rides the LEFT-join
+    condition, so failing rows null-extend instead of dropping (Neo4j's
+    OPTIONAL WHERE contract). Stacked clauses multiply per Neo4j: every
     OPTIONAL MATCH left-joins independently, so a base row with m and n
     matches in two clauses yields m*n rows (1 where a side is empty).
     Plan shape: one left equi-join per clause; each optional side's
@@ -3910,10 +3914,18 @@ def _optional_match(
             raise CypherSyntaxError(
                 "inline property match not supported in MATCH; use WHERE"
             )
-        if base.var == opt.src.var:
-            bound_end, other = "src", opt.dst
-        elif base.var == opt.dst.var:
-            bound_end, other = "dst", opt.src
+        # the anchor endpoint may be the base variable OR a node variable
+        # bound by an EARLIER optional clause (round 8: ``OPTIONAL MATCH
+        # (n)-[:A]->(f) OPTIONAL MATCH (f)-[:B]->(g)`` — chaining off an
+        # optional binding; a failed earlier binding has a null id, which
+        # never equi-joins, so the chained clause null-extends too)
+        bound_node_vars = {base.var} | {
+            v for v, (_, kind) in prefixes.items() if kind == "node"
+        }
+        if opt.src.var in bound_node_vars:
+            bound_end, other, anchor = "src", opt.dst, opt.src.var
+        elif opt.dst.var in bound_node_vars:
+            bound_end, other, anchor = "dst", opt.src, opt.dst.var
         else:
             raise CypherSyntaxError(
                 f"OPTIONAL MATCH pattern must reference the bound variable {base.var!r}"
@@ -3953,19 +3965,69 @@ def _optional_match(
             )
 
         if opt_disj is not None:
-            opt_side = opt_side.filter(
-                _where_to_column(opt_disj, opt_colmap, set(opt_side.columns), opt_side)
-            )
+            # side-only WHERE pre-filters (semantics-preserving pushdown);
+            # a WHERE referencing the base or an earlier optional clause
+            # (round 8: ``OPTIONAL MATCH (n)-[e]->(m) WHERE m.x > n.y``,
+            # Neo4j's cross-variable form) is part of the OPTIONAL pattern
+            # — it rides the LEFT-join condition below, so failing rows
+            # null-extend instead of dropping
+            refs: set[str] = set()
+            _disj_vars(opt_disj, refs)
+            if refs <= {v for v in (opt.var, other.var) if v is not None}:
+                opt_side = opt_side.filter(
+                    _where_to_column(
+                        opt_disj, opt_colmap, set(opt_side.columns), opt_side
+                    )
+                )
+                opt_disj = None
 
-        join_cond = base_df["id"] == F.col(f"{ep}{bound_end}")
+        anchor_id = (
+            base_df["id"]
+            if anchor == base.var
+            else F.col(f"{prefixes[anchor][0]}id")
+        )
+        join_cond = anchor_id == F.col(f"{ep}{bound_end}")
+        if opt_disj is not None:
+
+            def xcolmap(
+                ref, opt=opt, other=other, ep=ep, op=op
+            ) -> Column:
+                if ref.var == opt.var:
+                    return F.col(f"{ep}{ref.prop or 'id'}")
+                if ref.var == other.var:
+                    return F.col(f"{op}{ref.prop or 'id'}")
+                if ref.var == base.var:
+                    if ref.prop is None:
+                        return base_df["id"]
+                    if ref.prop not in base_df.columns:
+                        return F.lit(None)  # missing property reads null
+                    return base_df[ref.prop]
+                hit = prefixes.get(ref.var)
+                if hit is not None:
+                    return F.col(f"{hit[0]}{ref.prop or 'id'}")
+                raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+
+            join_cond = join_cond & F.coalesce(
+                _where_to_column(
+                    opt_disj,
+                    xcolmap,
+                    set(opt_side.columns) | set(df.columns),
+                    None,
+                ),
+                F.lit(False),
+            )
         if bound_conds:
             # inline map on the BOUND endpoint: part of the OPTIONAL
             # pattern, so a base row that fails it null-extends instead of
             # dropping — expressed by ANDing it into the LEFT-join
             # condition (coalesced: a null comparison never matches)
             def bjcolmap(ref: PropRef) -> Column:
-                if ref.var != base.var:
+                if ref.var != anchor:
                     raise CypherSyntaxError(f"unknown variable {ref.var!r}")
+                if anchor != base.var:
+                    # anchored on an earlier optional clause's endpoint:
+                    # its columns are prefixed on the accumulated frame
+                    return F.col(f"{prefixes[anchor][0]}{ref.prop or 'id'}")
                 if ref.prop is None:
                     return base_df["id"]
                 if ref.prop not in base_df.columns:
@@ -4265,10 +4327,33 @@ def _optional_join_prefixed(
                 f"pattern's own variables ({evar!r}/{other.var!r})"
             )
 
-        opt_side = opt_side.filter(
-            _where_to_column(opt_disj, ocolmap, side_known, opt_side)
-        )
+        # side-only WHERE pre-filters; cross-variable WHERE (chain/outer
+        # variables — round 8) rides the LEFT-join condition so failing
+        # rows null-extend (Neo4j's OPTIONAL WHERE contract)
+        refs: set[str] = set()
+        _disj_vars(opt_disj, refs)
+        if refs <= {v for v in (opt.var, other.var) if v is not None}:
+            opt_side = opt_side.filter(
+                _where_to_column(opt_disj, ocolmap, side_known, opt_side)
+            )
+            opt_disj = None
     join_cond = F.col(f"{bv}_id") == F.col(f"{evar}_{bound_end}")
+    if opt_disj is not None:
+        side_known = set(opt_side.columns)
+
+        def xcolmap(ref: PropRef) -> Column:
+            name = f"{ref.var}_{'id' if ref.prop is None else ref.prop}"
+            if ref.var in (evar, other.var):
+                # missing property on the optional side reads null
+                return F.col(name) if name in side_known else F.lit(None)
+            return colmap(ref)  # chain/outer scope
+
+        join_cond = join_cond & F.coalesce(
+            _where_to_column(
+                opt_disj, xcolmap, side_known | set(df.columns), None
+            ),
+            F.lit(False),
+        )
     if bound_conds:
         # inline map on a chain-bound endpoint: a predicate of the OPTIONAL
         # pattern — failing rows null-extend, so it rides the LEFT-join

@@ -4496,3 +4496,39 @@ ORACLE["g82_cypher_composite_agg"] = """
     FROM nation JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_name
     ORDER BY nation"""
+
+
+# G83 — chained OPTIONAL MATCH + cross-clause WHERE (round 8): the second
+# OPTIONAL anchors on the FIRST optional's far endpoint (``OPTIONAL MATCH
+# (c)-[e]->(n) OPTIONAL MATCH (n)<-[e2]-(s)``) and its WHERE compares
+# ACROSS clauses (``e2.w = e.w``) — Neo4j's contract makes that predicate
+# part of the second pattern, so failing rows NULL-EXTEND instead of
+# dropping. The engine compiles side-only conjuncts as pre-join filters
+# and cross-variable conjuncts into the LEFT-join condition (coalesced,
+# so null comparisons never match); a failed earlier binding has a null
+# id that never equi-joins, null-extending the chain transitively. Plan:
+# one left equi-join per clause — at 100 TB the same two joins any
+# null-preserving enrichment costs.
+def g83_cypher_optional_cross_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (c)-[e:IN_NATION]->(n) "
+        "OPTIONAL MATCH (n)<-[e2:IN_NATION]-(s:Supplier) "
+        "WHERE e2.w = e.w "
+        "RETURN id(c) AS cid, id(s) AS sid ORDER BY cid, sid",
+    )
+
+
+QUERIES["g83_cypher_optional_cross_where"] = g83_cypher_optional_cross_where
+ORACLE["g83_cypher_optional_cross_where"] = f"""
+    SELECT c_custkey + {CUSTOMER_BASE} AS cid,
+           s_suppkey + {SUPPLIER_BASE} AS sid
+    FROM customer LEFT JOIN supplier
+      ON s_nationkey = c_nationkey AND s_suppkey % 7 = c_custkey % 7
+    ORDER BY cid, sid"""

@@ -59,6 +59,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "g80_cypher_call_agg_topk",
     "g81_cypher_optional_bound_map",
     "g82_cypher_composite_agg",
+    "g83_cypher_optional_cross_where",
     # round 8: their code paths were restructured (CALL subquery block,
     # OPTIONAL MATCH desugar/symmetrize, whole-var null-gating):
     "g8_cypher_optional",
@@ -100,12 +101,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a1_asof_join",
     "a2_interval_join",
     "a4_funnel",
-    "a5_retention",
-    # (d9_decontaminate, d10_lsh_banded, d11_chunk_dedup,
+    # (a5_retention, d9_decontaminate, d10_lsh_banded, d11_chunk_dedup,
     # g11_detach_delete, g13_weighted_sssp, g14_triangle_count roll to
     # the round-9 batch: the driver records exactly 50 rows per round —
-    # r1–r7 artifacts all have precisely 50 — and with the three NEW
-    # round-8 queries g80/g81/g82 slotted above, these six would fall at
+    # r1–r7 artifacts all have precisely 50 — and with the four NEW
+    # round-8 queries g80–g83 slotted above, these seven would fall at
     # positions 51+, burning their slot without earning a row.)
 )
 # Round-7 tier-A entries all earned green rows in CORRECTNESS_r07.json,

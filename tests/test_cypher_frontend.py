@@ -5521,3 +5521,122 @@ def test_pattern_subquery_on_edge_var_rejected(fixture_graph):
             "MATCH (a:User)-[e:KNOWS]->(b:User) WHERE (e)-[:X]->() "
             "RETURN a.name AS a",
         )
+
+
+# ---------------------------------------------------------------------------
+# Cross-variable OPTIONAL MATCH WHERE (round 8): the WHERE of an OPTIONAL
+# MATCH may reference the base row's variables (Neo4j: the predicate is part
+# of the optional pattern — failing rows NULL-EXTEND, never drop). Compiled
+# into the LEFT-join condition; side-only predicates keep the pre-filter
+# pushdown.
+# ---------------------------------------------------------------------------
+
+
+def test_optional_where_references_base_variable(fixture_graph):
+    # f.born < n.born: Alice(1984)-KNOWS->Bob(1983) passes; Bob-KNOWS->
+    # Alice(1984 > 1983) fails -> Bob NULL-EXTENDS (not dropped); Eve has
+    # no KNOWS edge at all -> null too
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "WHERE f.born < n.born "
+        "RETURN n.name AS name, f.name AS friend ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Bob"),
+        ("Bob", None),
+        ("Eve", None),
+    ]
+
+
+def test_optional_where_mixed_side_and_base(fixture_graph):
+    # side-only conjunct (e.since = 2001) AND cross conjunct (n.born =
+    # 1984): only Alice's 2001 edge survives; everyone else null-extends
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "WHERE e.since = 2001 AND n.born = 1984 "
+        "RETURN n.name AS name, f.name AS friend ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Bob"),
+        ("Bob", None),
+        ("Eve", None),
+    ]
+
+
+def test_optional_where_base_only_predicate(fixture_graph):
+    # a predicate over ONLY the base variable still null-extends failing
+    # rows (it is part of the optional pattern, not a base filter)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "WHERE n.name = 'Bob' "
+        "RETURN n.name AS name, f.name AS friend ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", None),
+        ("Bob", "Alice"),
+        ("Eve", None),
+    ]
+
+
+def test_optional_where_cross_after_chain(fixture_graph):
+    # chain base (a)-[:KNOWS]->(b), optional hop off b with a WHERE
+    # referencing the chain's other variable a
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[k:KNOWS]->(b:User) "
+        "OPTIONAL MATCH (b)-[e:KNOWS]->(f) WHERE f.born < a.born "
+        "RETURN a.name AS a, f.name AS back ORDER BY a",
+    )
+    # (Alice,Bob): back-hop Bob->Alice has f.born 1984 < a.born 1984 ✗ ->
+    # null; (Bob,Alice): Alice->Bob has f.born 1983 < a.born 1983 ✗ ->
+    # null... use <=: Alice row still ✗ (1984 <= 1984 ✓) — assert the <=
+    # form where Alice matches and Bob matches too
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[k:KNOWS]->(b:User) "
+        "OPTIONAL MATCH (b)-[e:KNOWS]->(f) WHERE f.born <= a.born "
+        "RETURN a.name AS a, f.name AS back ORDER BY a",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", None),
+        ("Bob", None),
+    ]
+    assert [tuple(r) for r in df2.collect()] == [
+        ("Alice", "Alice"),
+        ("Bob", "Bob"),
+    ]
+
+
+def test_optional_match_chained_off_optional_variable(fixture_graph):
+    # second OPTIONAL anchors on the FIRST optional's far endpoint f;
+    # rows where f is null (Eve) null-extend through the chained clause
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "OPTIONAL MATCH (f)-[e2:KNOWS]->(g) "
+        "RETURN n.name AS name, f.name AS friend, g.name AS foaf "
+        "ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Bob", "Alice"),
+        ("Bob", "Alice", "Bob"),
+        ("Eve", None, None),
+    ]
+
+
+def test_optional_match_chained_with_cross_where(fixture_graph):
+    # chained optional + cross-variable WHERE over the ORIGINAL base
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "OPTIONAL MATCH (f)-[e2:KNOWS]->(g) WHERE g.born = n.born "
+        "RETURN n.name AS name, g.name AS foaf ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Alice"),
+        ("Bob", "Bob"),
+        ("Eve", None),
+    ]
