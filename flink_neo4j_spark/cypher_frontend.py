@@ -4337,7 +4337,9 @@ def _optional_join_prefixed(
                 _where_to_column(opt_disj, ocolmap, side_known, opt_side)
             )
             opt_disj = None
-    join_cond = F.col(f"{bv}_id") == F.col(f"{evar}_{bound_end}")
+    # anchor through the scope colmap (chain scopes name it ``{bv}_id``,
+    # shortest-path scopes ``a_id``/``b_id`` — the colmap knows)
+    join_cond = colmap(PropRef(bv, None)) == F.col(f"{evar}_{bound_end}")
     if opt_disj is not None:
         side_known = set(opt_side.columns)
 
@@ -4690,6 +4692,21 @@ def _shortest_path(
             raise CypherSyntaxError(f"unknown variable {ref.var!r}")
         return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
 
+    # scope metadata: the path's endpoints are ordinary node variables —
+    # OPTIONAL MATCH composition, COUNT { } / pattern-comprehension
+    # binding and pattern predicates all anchor on them through the
+    # shared var_kinds/scope_graph contract (round 8)
+    vertex_props = [
+        c for c in graph.vertices.columns
+        if c not in ("id", "label", EXTRA_LABELS)
+    ]
+    colmap.var_props = {
+        v: vertex_props
+        for v in (pat.src.var, pat.dst.var)
+        if v is not None
+    }
+    colmap.var_kinds = {v: "node" for v in colmap.var_props}
+    colmap.scope_graph = graph
     return df, colmap
 
 
@@ -5664,10 +5681,9 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         )
         opt_clauses.append((opt_pat, opt_disj, bound_conds_i))
     if sp_var is not None:
-        if len(chain_pats) > 1 or opt_clauses:
+        if len(chain_pats) > 1:
             raise CypherSyntaxError(
-                "shortestPath cannot combine with MATCH chains or "
-                "OPTIONAL MATCH"
+                "shortestPath cannot combine with MATCH chains"
             )
         df, colmap = _shortest_path(
             graph,
@@ -5677,6 +5693,23 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             carry_paths=_path_accessors_ahead(p, sp_var),
             src_conds=_common_single_var_conds(disj, pat.src.var),
         )
+        # OPTIONAL MATCH after a shortestPath base (round 8): the path's
+        # endpoints are ordinary node variables of the scope — one left
+        # equi-join per clause, exactly the chain composition
+        for i, (opt_pat_i, opt_disj_i, bound_conds_i) in enumerate(
+            opt_clauses
+        ):
+            if disj is not None:
+                # apply the base WHERE before any null-extension (the
+                # optional clauses must see only surviving path rows)
+                df = df.filter(
+                    _where_to_column(disj, colmap, set(df.columns), df)
+                )
+                disj = None
+            df, colmap = _optional_join_prefixed(
+                graph, df, colmap, opt_pat_i, opt_disj_i, i, bound_conds_i
+            )
+        opt_clauses = []
     elif len(chain_pats) > 1 or (
         opt_clauses and not isinstance(pat, NodePat)
     ):

@@ -5640,3 +5640,65 @@ def test_optional_match_chained_with_cross_where(fixture_graph):
         ("Bob", "Bob"),
         ("Eve", None),
     ]
+
+
+# ---------------------------------------------------------------------------
+# shortestPath composition (round 8): OPTIONAL MATCH clauses, COUNT { } and
+# pattern predicates now compose with a shortestPath/allShortestPaths base —
+# the path's endpoints are ordinary node variables of the scope.
+# ---------------------------------------------------------------------------
+
+
+def test_shortest_path_with_optional_match(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User {name:'Alice'})-[:KNOWS*1..2]->(y)) "
+        "OPTIONAL MATCH (y)-[k2:KNOWS]->(m) WHERE m.name <> 'Alice' "
+        "RETURN y.name AS y, length(p) AS hops, m.name AS onward ORDER BY y",
+    )
+    # Alice's only in-bound-reachable node is Bob (the self-pair settles
+    # at distance 0, below lo=1); Bob's one KNOWS edge goes back to
+    # Alice, which the optional WHERE excludes -> null-extends
+    assert [tuple(r) for r in df.collect()] == [("Bob", 1, None)]
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User {name:'Alice'})-[:KNOWS*1..2]->(y)) "
+        "OPTIONAL MATCH (y)-[k2:KNOWS]->(m) "
+        "RETURN y.name AS y, m.name AS onward ORDER BY y",
+    )
+    assert [tuple(r) for r in df2.collect()] == [("Bob", "Alice")]
+
+
+def test_shortest_path_base_where_then_optional(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User)-[:KNOWS*1..2]->(y)) "
+        "WHERE x.name = 'Alice' AND y.name <> 'Alice' "
+        "OPTIONAL MATCH (y)-[k2:KNOWS]->(m) "
+        "RETURN y.name AS y, m.name AS onward ORDER BY y",
+    )
+    assert [tuple(r) for r in df.collect()] == [("Bob", "Alice")]
+
+
+def test_shortest_path_count_subquery_on_endpoint(fixture_graph):
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User {name:'Alice'})-[:KNOWS*1..2]->(y)) "
+        "RETURN y.name AS y, COUNT { (y)-[:KNOWS]->() } AS outdeg "
+        "ORDER BY y",
+    )
+    assert [tuple(r) for r in df.collect()] == [("Bob", 1)]
+
+
+def test_shortest_path_pattern_predicate_on_endpoint(fixture_graph):
+    # both shortest-path pairs (Alice->Bob, Bob->Alice) have a y with an
+    # outgoing KNOWS edge; Eve never appears as y (no edges at all)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH p = shortestPath((x:User)-[:KNOWS*1..2]->(y)) "
+        "WHERE (y)-[:KNOWS]->() RETURN x.name AS x, y.name AS y ORDER BY x",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Bob"),
+        ("Bob", "Alice"),
+    ]
