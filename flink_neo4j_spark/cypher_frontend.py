@@ -4007,12 +4007,14 @@ def _optional_match(
                     return F.col(f"{hit[0]}{ref.prop or 'id'}")
                 raise CypherSyntaxError(f"unknown variable {ref.var!r}")
 
+            # the cross join is a SCHEMA PROBE only (never executed):
+            # _where_to_column needs a frame carrying both sides' columns
+            # to type computed operands (``WHERE f.born + 1 > n.born``);
+            # the compiled Column then rides the real left join
+            probe = df.crossJoin(opt_side)
             join_cond = join_cond & F.coalesce(
                 _where_to_column(
-                    opt_disj,
-                    xcolmap,
-                    set(opt_side.columns) | set(df.columns),
-                    None,
+                    opt_disj, xcolmap, set(probe.columns), probe
                 ),
                 F.lit(False),
             )
@@ -4350,10 +4352,11 @@ def _optional_join_prefixed(
                 return F.col(name) if name in side_known else F.lit(None)
             return colmap(ref)  # chain/outer scope
 
+        # schema-probe cross join (never executed) so computed operands
+        # type-check against both sides' columns
+        probe = df.crossJoin(opt_side)
         join_cond = join_cond & F.coalesce(
-            _where_to_column(
-                opt_disj, xcolmap, side_known | set(df.columns), None
-            ),
+            _where_to_column(opt_disj, xcolmap, set(probe.columns), probe),
             F.lit(False),
         )
     if bound_conds:
@@ -5807,6 +5810,21 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             if prefix is None:
                 raise CypherSyntaxError(f"unknown variable {ref.var!r}")
             return F.col(f"{prefix}{'id' if ref.prop is None else ref.prop}")
+
+        # scope metadata (round 8): the var-length endpoints are ordinary
+        # node variables — COUNT { } / comprehension binding and pattern
+        # predicates anchor on them like any scope
+        _vl_vprops = [
+            c for c in graph.vertices.columns
+            if c not in ("id", "label", EXTRA_LABELS)
+        ]
+        colmap.var_props = {
+            v: _vl_vprops
+            for v in (pat.src.var, pat.dst.var)
+            if v is not None
+        }
+        colmap.var_kinds = {v: "node" for v in colmap.var_props}
+        colmap.scope_graph = graph
 
     else:
         df = graph.expand(pat.src.label, pat.rel_type, pat.dst.label)

@@ -5702,3 +5702,50 @@ def test_shortest_path_pattern_predicate_on_endpoint(fixture_graph):
         ("Alice", "Bob"),
         ("Bob", "Alice"),
     ]
+
+
+def test_optional_where_computed_cross_operand(fixture_graph):
+    # computed operands in a cross-variable OPTIONAL WHERE compile against
+    # a schema-probe frame and ride the left-join condition
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) OPTIONAL MATCH (n)-[e:KNOWS]->(f) "
+        "WHERE f.born - n.born > 0 "
+        "RETURN n.name AS name, f.name AS friend ORDER BY name",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", None),
+        ("Bob", "Alice"),
+        ("Eve", None),
+    ]
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[k:KNOWS]->(b:User) "
+        "OPTIONAL MATCH (b)-[e:KNOWS]->(f) WHERE f.born + 1 > a.born "
+        "RETURN a.name AS a, f.name AS f ORDER BY a",
+    )
+    assert [tuple(r) for r in df2.collect()] == [
+        ("Alice", "Alice"),
+        ("Bob", "Bob"),
+    ]
+
+
+def test_varlength_scope_pattern_subqueries(fixture_graph):
+    # pattern predicates and COUNT { } anchor on var-length endpoints
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (a:User)-[:KNOWS*1..2]->(b) WHERE (b)-[:KNOWS]->() "
+        "RETURN a.name AS a, b.name AS b ORDER BY a, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "Alice"),
+        ("Alice", "Bob"),
+        ("Bob", "Alice"),
+        ("Bob", "Bob"),
+    ]
+    df2 = cypher_read(
+        fixture_graph,
+        "MATCH (a:User {name:'Alice'})-[:KNOWS*1..2]->(b) "
+        "RETURN b.name AS b, COUNT { (b)-[:KNOWS]->() } AS deg ORDER BY b",
+    )
+    assert [tuple(r) for r in df2.collect()] == [("Alice", 1), ("Bob", 1)]
