@@ -3928,7 +3928,8 @@ def _optional_match(
             bound_end, other, anchor = "dst", opt.src, opt.dst.var
         else:
             raise CypherSyntaxError(
-                f"OPTIONAL MATCH pattern must reference the bound variable {base.var!r}"
+                "OPTIONAL MATCH pattern must reference a bound node variable "
+                f"(one of {sorted(bound_node_vars)!r})"
             )
         if other.label is None and other.var is None:
             raise CypherSyntaxError("optional pattern's free endpoint needs a variable")
@@ -5146,15 +5147,19 @@ def _decompose_agg_expr(expr, agg_reg: list, key_reg: list, key_items):
     if isinstance(expr, FuncCall):
         return FuncCall(expr.fn, rec(expr.arg), tuple(rec(a) for a in expr.extra))
     if isinstance(expr, CaseExpr):
-        # WHEN conditions are aggregate-free (parser contract); only the
-        # branch results / default can carry aggregates. The conditions'
-        # variable references still need key placeholders, though — walk
-        # their operands through the same registration.
+        # WHEN-condition operands may carry aggregates in projection
+        # position (the parser's _agg_ok flag permits them there) and are
+        # decomposed like any other operand; their aggregate-free variable
+        # references register as implicit grouping keys. Raw non-AST
+        # operands (the IN compiler's list literals / pre-substituted
+        # $param lists) must stay verbatim: the IN compiler star-expands
+        # ``cond.right`` and a constant can never be a grouping key.
+        rec_op = lambda o: o if isinstance(o, (list, tuple)) else rec(o)
         whens = []
         for disj, res in expr.whens:
             new_disj = [
                 [
-                    dc_replace(c, left=rec(c.left), right=rec(c.right))
+                    dc_replace(c, left=rec_op(c.left), right=rec_op(c.right))
                     if isinstance(c, Cond)
                     else c
                     for c in conj

@@ -5351,6 +5351,32 @@ def test_composite_agg_case_over_count(fixture_graph):
     assert df.collect()[0]["sz"] == "many"
 
 
+def test_composite_agg_case_in_list_condition(fixture_graph):
+    # round 9 (ADVICE): an IN-list WHEN condition alongside an aggregate
+    # branch — the raw Python list operand must stay verbatim (the IN
+    # compiler star-expands it), never become a BareRef grouping key
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN n.born AS born, "
+        "CASE WHEN n.born IN [1984, 1999] THEN count(*) ELSE 0 END AS c",
+    )
+    assert sorted((r["born"], r["c"]) for r in df.collect()) == [
+        (1983, 0),
+        (1984, 2),
+    ]
+
+
+def test_composite_agg_case_in_list_no_key(fixture_graph):
+    # same shape without an explicit key item: the WHEN condition's n.born
+    # operand registers as the implicit grouping key
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) RETURN "
+        "CASE WHEN n.born IN [1984, 1999] THEN count(*) ELSE 0 END AS c",
+    )
+    assert sorted(r["c"] for r in df.collect()) == [0, 2]
+
+
 def test_composite_agg_subscript_and_list(fixture_graph):
     df = cypher_read(
         fixture_graph,
