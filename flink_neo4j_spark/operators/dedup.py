@@ -816,55 +816,81 @@ def d10_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Plan shape (100 TB posture):
 # - chunking is ONE narrow projection (`transform(sequence(...), slice(...))`)
-#   followed by ONE posexplode of chunk strings — never a per-token explode;
-# - the keep-first winner per chunk is a groupBy(md5(chunk)).min(struct(...))
-#   — partial aggregation absorbs hot chunks (boilerplate) map-side, unlike a
+#   followed by ONE posexplode — and the explode emits only (doc_id,
+#   chunk_idx, md5(chunk)): the chunk TEXT is hashed inside the projection
+#   and never reaches a shuffle;
+# - the keep-first winner per chunk is a groupBy(ckey).min(struct(...)) —
+#   partial aggregation absorbs hot chunks (boilerplate) map-side, unlike a
 #   row_number() window which would sort every occurrence of a hot chunk in
 #   one partition;
-# - re-attach winners with an equi-join on the 16-byte chunk hash (not the
-#   chunk text), then one groupBy(doc_id) rebuilds documents. Three shuffles
-#   total, each on a bounded-width key.
+# - winners re-attach with an equi-join on the 16-byte hash (both sides
+#   ids-only), kept flags collapse to ONE row per doc (n_chunks, n_kept,
+#   sorted kept chunk indices), and dedup_text is REBUILT from the
+#   document's own tokens in a single join back to the persisted token
+#   frame — the document text crosses the wire once, where the previous
+#   shape shuffled the full chunk text twice (ckey join + doc_id groupBy),
+#   and the corpus is tokenized exactly once instead of four times.
 CHUNK_TOKENS = 10
 
 
 def d11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = documents_for_compute(spark, sf_dir)
-    n_chunks_expr = f"int(ceil(size(tok) / {CHUNK_TOKENS}.0))"
-    chunks = (
-        d.filter(F.expr(f"size({TOKENS_EXPR}) >= 1"))
-        .selectExpr("doc_id", f"{TOKENS_EXPR} AS tok")
-        .selectExpr(
-            "doc_id",
-            f"posexplode(transform(sequence(0, {n_chunks_expr} - 1), "
-            f"i -> array_join(slice(tok, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' ')))"
-            " AS (chunk_idx, chunk)",
+    # The tokenized frame feeds BOTH the winner election and the rebuild
+    # join (a diamond), and one tokenization pass is the dominant CPU cost
+    # (~2.5 s/pass at sf1) — persist it once like every other dedup
+    # signature diamond. The null guard replaces the former
+    # ``size(tok) >= 1`` filter: split() always yields at least one
+    # element for non-null text (in Spark AND DuckDB), so the only rows
+    # the size test can drop are null-text rows — and testing size forced
+    # a full extra tokenization pass just for the filter.
+    docs = _materialized(
+        d.filter(F.col("text").isNotNull()).selectExpr(
+            "doc_id", f"{TOKENS_EXPR} AS tok"
         )
-        .withColumn("ckey", F.md5("chunk"))
     )
-    winners = chunks.groupBy("ckey").agg(
+    n_chunks_expr = f"int(ceil(size(tok) / {CHUNK_TOKENS}.0))"
+    chunk_flags = docs.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(0, {n_chunks_expr} - 1), "
+        f"i -> md5(array_join(slice(tok, i * {CHUNK_TOKENS} + 1, "
+        f"{CHUNK_TOKENS}), ' '))))"
+        " AS (chunk_idx, ckey)",
+    )
+    winners = chunk_flags.groupBy("ckey").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("w")
     )
-    flagged = chunks.join(winners, "ckey").withColumn(
-        "kept",
-        (F.col("doc_id") == F.col("w.doc_id"))
-        & (F.col("chunk_idx") == F.col("w.chunk_idx")),
-    )
-    kept_struct = F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
-    return (
-        flagged.groupBy("doc_id")
+    per_doc = (
+        chunk_flags.join(winners, "ckey")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (
+                (F.col("doc_id") == F.col("w.doc_id"))
+                & (F.col("chunk_idx") == F.col("w.chunk_idx"))
+            ).alias("kept"),
+        )
+        .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum(F.when(F.col("kept"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
             # collect_list drops the nulls `when` leaves for dropped chunks;
-            # array_sort on the (chunk_idx, chunk) struct restores document
-            # order before the join
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
-                ),
-                " ",
+            # sorting the indices restores document order
+            F.sort_array(
+                F.collect_list(F.when(F.col("kept"), F.col("chunk_idx")))
+            ).alias("kept_idx"),
+        )
+    )
+    return (
+        docs.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.expr(
+                f"array_join(transform(kept_idx, i -> array_join("
+                f"slice(tok, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' ')), ' ')"
             ).alias("dedup_text"),
         )
         .orderBy("doc_id")
