@@ -4142,10 +4142,22 @@ def _prefixed_clause(
     return df, varmap
 
 
+def _rel_types_overlap(t1, t2) -> bool:
+    """Could two relationship-type restrictions bind the same edge?
+    ``None`` means untyped (matches every type), a tuple is Cypher's
+    multi-type ``[:A|B]`` form."""
+    if t1 is None or t2 is None:
+        return True
+    s1 = set(t1) if isinstance(t1, tuple) else {t1}
+    s2 = set(t2) if isinstance(t2, tuple) else {t2}
+    return bool(s1 & s2)
+
+
 def _match_chain(
     graph: PropertyGraph,
     pats: list[NodePat | EdgePat],
     groups: "list[list[NodePat | EdgePat]] | None" = None,
+    seed: "tuple[DataFrame, dict[str, list[str]]] | None" = None,
 ):
     """Multi-clause ``MATCH ... MATCH ...`` translation: each clause becomes
     a var-prefixed DataFrame; consecutive clauses join on the node ids of
@@ -4162,9 +4174,49 @@ def _match_chain(
     relationship isomorphism: edges bound WITHIN one MATCH clause are
     pairwise distinct — including the edges inside a variable-length
     segment (its ``__vlr{idx}`` id array vs sibling single-hop edge ids
-    vs other segments' arrays), never across clauses."""
-    acc, varmap = _prefixed_clause(graph, pats[0], 0)
-    for idx, pat in enumerate(pats[1:], start=1):
+    vs other segments' arrays), never across clauses.
+
+    ``seed`` (round 9) starts the chain from an EXISTING var-prefixed
+    frame instead of ``pats[0]`` — the shortestPath composition path: the
+    counting-BFS result (endpoint columns renamed to the chain
+    convention) becomes the accumulated frame, and every pattern in
+    ``pats`` joins onto it by the same name-based unification."""
+    if seed is None:
+        acc, varmap = _prefixed_clause(graph, pats[0], 0)
+        indexed = [(0, pats[0]), *enumerate(pats[1:], start=1)]
+        to_join = indexed[1:]
+    else:
+        acc, varmap = seed
+        varmap = dict(varmap)
+        indexed = list(enumerate(pats, start=1))
+        to_join = indexed
+
+    # greedy connectivity ordering (round 9): join each pattern once it
+    # shares a node variable with the accumulated frame, regardless of
+    # clause ORDER — ``MATCH p = shortestPath((c)-[*..3]->(r)) MATCH
+    # (s)-[:A]->(n)-[:B]->(r)`` binds through the SECOND hop. Inner
+    # equi-joins commute, so reordering never changes row semantics; a
+    # pattern that never connects is the same cartesian-product error as
+    # before.
+    def _node_vars(pp) -> set:
+        vs = {pp.var} if isinstance(pp, NodePat) else {pp.src.var, pp.dst.var}
+        return vs - {None}
+
+    bound = set(varmap)
+    pending = list(to_join)
+    ordered: list = []
+    while pending:
+        for k, (idx_k, pp_k) in enumerate(pending):
+            if _node_vars(pp_k) & bound:
+                bound |= _node_vars(pp_k)
+                ordered.append(pending.pop(k))
+                break
+        else:
+            raise CypherSyntaxError(
+                "each MATCH clause must share a variable with an earlier clause"
+            )
+    to_join = ordered
+    for idx, pat in to_join:
         df, vm = _prefixed_clause(graph, pat, idx)
         edge_vars = (
             {pat.var}
@@ -4196,7 +4248,7 @@ def _match_chain(
             if v not in varmap:
                 varmap[v] = cols
     if groups:
-        idx_of = {id(pp): i for i, pp in enumerate(pats)}
+        idx_of = {id(pp): i for i, pp in indexed}
         for grp in groups:
             evars = [
                 cp.var
@@ -5605,6 +5657,12 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
                 "shortestPath requires a bounded variable-length pattern "
                 "(a)-[:T*lo..hi]->(b)"
             )
+        # comma siblings in the same MATCH clause (round 9): the path
+        # composes with them as a chain seeded by the BFS frame
+        seq = [pat]
+        if p.at("punct", ","):
+            p.next()
+            seq = [pat, *p.parse_pattern_seq()]
     elif (
         p.at("word")
         and p.peek(1) is not None
@@ -5632,8 +5690,6 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
     if p.at("kw", "WHERE"):
         p.next()
         disj = p.parse_where()
-    if sp_var is not None:
-        seq = [pat]
     # inline property maps desugar to WHERE conjuncts per clause (ANDed
     # into every disjunct — maps distribute over OR); synthetic variables
     # must avoid every user variable across all clauses, so collect first
@@ -5689,10 +5745,7 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         )
         opt_clauses.append((opt_pat, opt_disj, bound_conds_i))
     if sp_var is not None:
-        if len(chain_pats) > 1:
-            raise CypherSyntaxError(
-                "shortestPath cannot combine with MATCH chains"
-            )
+        extra = chain_pats[1:]
         df, colmap = _shortest_path(
             graph,
             pat,
@@ -5701,6 +5754,68 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             carry_paths=_path_accessors_ahead(p, sp_var),
             src_conds=_common_single_var_conds(disj, pat.src.var),
         )
+        if extra:
+            # chain composition (round 9): the counting-BFS frame seeds
+            # _match_chain — its endpoint columns rename to the chain's
+            # ``<var>_<col>`` convention and every remaining pattern
+            # (comma siblings + later MATCH clauses) joins on by
+            # name-based unification, exactly the X240 var-length-segment
+            # path. Same-clause relationship uniqueness between the
+            # path's internal edges and a sibling relationship is only
+            # vacuously satisfiable when their type sets cannot overlap —
+            # Neo4j re-selects among TIED shortest paths in the
+            # overlapping case, so silently filtering our one
+            # representative path would mis-answer; that case stays a
+            # loud typed error (workaround: a separate MATCH clause,
+            # where openCypher scopes uniqueness per clause).
+            for sib in groups[0][1:]:
+                if isinstance(sib, EdgePat) and _rel_types_overlap(
+                    pat.rel_type, sib.rel_type
+                ):
+                    raise CypherSyntaxError(
+                        "a relationship sharing a MATCH clause with "
+                        "shortestPath() needs a relationship type "
+                        "disjoint from the path's; move it to its own "
+                        "MATCH clause"
+                    )
+            src_v, dst_v = pat.src.var, pat.dst.var
+            if src_v is None or dst_v is None or src_v == dst_v:
+                raise CypherSyntaxError(
+                    "shortestPath endpoints need distinct variables to "
+                    "compose with additional patterns"
+                )
+            ren = {}
+            for c in df.columns:
+                if c.startswith("a_"):
+                    ren[c] = f"{src_v}_{c[2:]}"
+                elif c.startswith("b_"):
+                    ren[c] = f"{dst_v}_{c[2:]}"
+            df = df.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+            )
+            vcols = graph.vertices.columns
+            seed_vm = {
+                v: [f"{v}_{c}" for c in vcols] for v in (src_v, dst_v)
+            }
+            _assign_anon_vars(extra, taken)
+            chain_groups = [g for g in [groups[0][1:], *groups[1:]] if g]
+            df, chain_cm = _match_chain(
+                graph, extra, chain_groups, seed=(df, seed_vm)
+            )
+            sp_cm = colmap
+
+            def composed_cm(ref: PropRef) -> Column:
+                if ref.var == sp_var:
+                    return sp_cm(ref)
+                return chain_cm(ref)
+
+            composed_cm.var_props = dict(chain_cm.var_props)
+            composed_cm.var_kinds = dict(chain_cm.var_kinds)
+            composed_cm.scope_graph = graph
+            colmap = composed_cm
+            for dd in chain_disjs:
+                df = _apply_scope_where(df, colmap, graph, dd)
+            disj = None
         # OPTIONAL MATCH after a shortestPath base (round 8): the path's
         # endpoints are ordinary node variables of the scope — one left
         # equi-join per clause, exactly the chain composition
@@ -5729,9 +5844,11 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
         # inside _match_chain, per MATCH-clause group
         df, colmap = _match_chain(graph, chain_pats, groups)
         # each clause's WHERE is a conjunct over the joined pattern (all
-        # clauses are inner joins, so post-join filtering is equivalent)
+        # clauses are inner joins, so post-join filtering is equivalent);
+        # the shared helper gives chain WHEREs the full operand machinery
+        # (pattern predicates, COUNT { } / comprehension operands) too
         for d in chain_disjs:
-            df = df.filter(_where_to_column(d, colmap, set(df.columns), df))
+            df = _apply_scope_where(df, colmap, graph, d)
         disj = None
         # OPTIONAL MATCH after a multi-clause chain (round-8 verdict ask
         # #5): one left equi-join per clause onto the var-prefixed frame,
@@ -5876,49 +5993,58 @@ def _read_single(graph: PropertyGraph, p: "_Parser") -> DataFrame:
             colmap.var_kinds[pat.var] = "edge"
 
     if disj is not None:
-        # pattern predicates over any NODE variable of the scope (round 8:
-        # previously only the single-node MATCH consumed them here) — one
-        # semi/anti-join per predicate against the distinct qualifying
-        # ids, exactly the node-path plan, anchored on the variable's id
-        # column in this scope
-        if any(isinstance(c, PatternCond) for conj in disj for c in conj):
-            if len(disj) > 1:
-                raise CypherSyntaxError(
-                    "pattern predicates cannot be OR-combined"
-                )
-            kinds = getattr(colmap, "var_kinds", {})
-            pattern_conds = [c for c in disj[0] if isinstance(c, PatternCond)]
-            rest = [c for c in disj[0] if not isinstance(c, PatternCond)]
-            disj = [rest] if rest else None
-            for pc in pattern_conds:
-                if kinds.get(pc.var) != "node":
-                    raise CypherSyntaxError(
-                        f"pattern predicate on {pc.var!r} requires a "
-                        "node variable of this MATCH"
-                    )
-                df = df.join(
-                    _pattern_qualifying_ids(graph, pc),
-                    colmap(PropRef(pc.var, None)) == F.col("__pp_id"),
-                    "left_anti" if pc.negated else "left_semi",
-                )
-        # WHERE-position COUNT { } / pattern-comprehension operands bind
-        # next (adds per-node helper columns via left joins); queries
-        # outside the supported scope raise the same typed error the
-        # projection path raises
-        if disj is not None and any(
-            isinstance(c.left, (CountPattern, PatternComp))
-            or isinstance(c.right, (CountPattern, PatternComp))
-            or isinstance(c.left, (BinOp, FuncCall))
-            or isinstance(c.right, (BinOp, FuncCall))
-            for conj in disj
-            for c in conj
-        ):
-            df = _bind_pattern_subqueries(df, colmap, None, disj)
-        if disj is not None:
-            df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
+        df = _apply_scope_where(df, colmap, graph, disj)
 
     colmap.stage_graph = graph
     return _finish_read(df, colmap, p, bare=False)
+
+
+def _apply_scope_where(
+    df: DataFrame, colmap, graph: PropertyGraph, disj
+) -> DataFrame:
+    """One MATCH-scope WHERE, with the full operand machinery: pattern
+    predicates over any NODE variable of the scope compile to one
+    semi/anti-join each against the distinct qualifying ids (never the
+    per-node match multiplicity); WHERE-position COUNT { } /
+    pattern-comprehension operands bind per-node helper columns via left
+    joins; the residue filters through ``_where_to_column``. Shared by
+    the single-pattern path, MATCH chains, and shortestPath-chain
+    composition — queries outside the supported scope raise the same
+    typed errors everywhere."""
+    if disj is None:
+        return df
+    if any(isinstance(c, PatternCond) for conj in disj for c in conj):
+        if len(disj) > 1:
+            raise CypherSyntaxError(
+                "pattern predicates cannot be OR-combined"
+            )
+        kinds = getattr(colmap, "var_kinds", {})
+        pattern_conds = [c for c in disj[0] if isinstance(c, PatternCond)]
+        rest = [c for c in disj[0] if not isinstance(c, PatternCond)]
+        disj = [rest] if rest else None
+        for pc in pattern_conds:
+            if kinds.get(pc.var) != "node":
+                raise CypherSyntaxError(
+                    f"pattern predicate on {pc.var!r} requires a "
+                    "node variable of this MATCH"
+                )
+            df = df.join(
+                _pattern_qualifying_ids(graph, pc),
+                colmap(PropRef(pc.var, None)) == F.col("__pp_id"),
+                "left_anti" if pc.negated else "left_semi",
+            )
+    if disj is not None and any(
+        isinstance(c.left, (CountPattern, PatternComp))
+        or isinstance(c.right, (CountPattern, PatternComp))
+        or isinstance(c.left, (BinOp, FuncCall))
+        or isinstance(c.right, (BinOp, FuncCall))
+        for conj in disj
+        for c in conj
+    ):
+        df = _bind_pattern_subqueries(df, colmap, None, disj)
+    if disj is not None:
+        df = df.filter(_where_to_column(disj, colmap, set(df.columns), df))
+    return df
 
 
 def _pattern_qualifying_ids(graph: PropertyGraph, pc: PatternCond) -> DataFrame:
@@ -6190,14 +6316,10 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
             # accepts it, so we do too
             if c_has_agg and c_distinct:
                 c_distinct = False
-            if c_has_agg and c_order:
-                # post-aggregation scope: only the RETURN aliases exist
-                for key, _asc in c_order:
-                    if not isinstance(key, str):
-                        raise CypherSyntaxError(
-                            "ORDER BY inside an aggregating CALL must "
-                            "sort by RETURN aliases"
-                        )
+            # (aggregating ORDER BY keys validate where the sort builds:
+            # aliases, expressions equal to a projected item, or
+            # expressions computed over aliases — Neo4j's post-aggregation
+            # ORDER BY scope)
             ep, op = f"__we{wopt_n}_", f"__wo{wopt_n}_"
             wopt_n += 1
             e = graph.edges
@@ -6279,18 +6401,49 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                         "not supported (each anchor yields exactly one "
                         "row); drop the SKIP/LIMIT"
                     )
-                if c_order and key_cols:
-                    # per-anchor ORDER BY / SKIP / LIMIT over the grouped
-                    # rows (top-k groups per anchor): one window cut; the
-                    # full projection tiebreaks deterministically
-                    sort_cols = []
-                    for key, asc in c_order:
+                def agg_sort_col(key) -> Column:
+                    # post-aggregation key resolution (round 9): a RETURN
+                    # alias, an expression EQUAL to a projected item's AST
+                    # (Neo4j lets ORDER BY restate a grouping key or
+                    # aggregate — ``RETURN m.born AS born, count(*) AS c
+                    # ORDER BY m.born``), or an expression over aliases
+                    # (``ORDER BY toLower(friend)``)
+                    if isinstance(key, str):
                         if key not in out_names:
                             raise CypherSyntaxError(
                                 f"ORDER BY key {key!r} is not a CALL "
                                 "RETURN alias"
                             )
-                        sort_cols.append(_order_dir(F.col(key), asc))
+                        return F.col(key)
+                    for i, nm in zip(c_items, out_names):
+                        if i.expr == key:
+                            return F.col(nm)
+
+                    def acolmap(ref) -> Column:
+                        v = (
+                            ref.var
+                            if isinstance(ref, PropRef)
+                            else getattr(ref, "name", None)
+                        )
+                        prop = ref.prop if isinstance(ref, PropRef) else None
+                        if v in out_names and prop is None:
+                            return F.col(v)
+                        raise CypherSyntaxError(
+                            "ORDER BY inside an aggregating CALL may only "
+                            "reference RETURN items or expressions over "
+                            "them (the post-aggregation scope)"
+                        )
+
+                    return _expr_column(key, acolmap, side)
+
+                if c_order and key_cols:
+                    # per-anchor ORDER BY / SKIP / LIMIT over the grouped
+                    # rows (top-k groups per anchor): one window cut; the
+                    # full projection tiebreaks deterministically
+                    sort_cols = [
+                        _order_dir(agg_sort_col(key), asc)
+                        for key, asc in c_order
+                    ]
                     w = Window.partitionBy("__call_anchor").orderBy(
                         *sort_cols, *[F.col(n) for n in out_names]
                     )
@@ -6309,11 +6462,7 @@ def _finish_read(df: DataFrame, colmap, p: "_Parser", bare: bool) -> DataFrame:
                     # inner ORDER BY cannot change anything — validate the
                     # keys and move on
                     for key, _asc in c_order:
-                        if key not in out_names:
-                            raise CypherSyntaxError(
-                                f"ORDER BY key {key!r} is not a CALL "
-                                "RETURN alias"
-                            )
+                        agg_sort_col(key)
                 df = df.join(
                     side,
                     F.col(ivar)["id"] == F.col("__call_anchor"),

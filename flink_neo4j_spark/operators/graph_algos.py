@@ -4532,3 +4532,198 @@ ORACLE["g83_cypher_optional_cross_where"] = f"""
     FROM customer LEFT JOIN supplier
       ON s_nationkey = c_nationkey AND s_suppkey % 7 = c_custkey % 7
     ORDER BY cid, sid"""
+
+
+# G84 — shortestPath composed with a COMMA clause in the same MATCH
+# (round-8 verdict ask #4, the top user-facing rejection): ``MATCH p =
+# shortestPath((s)-[:A*..k]->(n)), (n)-[:B]->(r) WHERE …`` — the
+# counting-BFS frame seeds the chain unification, the sibling pattern
+# joins on the shared endpoint, and the path accessor (length(p)) stays
+# readable through the composition. The sibling's relationship type must
+# be disjoint from the path's (same-clause relationship uniqueness would
+# otherwise interact with tie selection — that case stays a loud typed
+# error). Reference contract: opaque Cypher pass-through
+# (Neo4jFormatBase.java:48,60). Plan: BFS state O(|pairs|·rounds), then
+# ONE equi-join per sibling pattern — dimension sides broadcast.
+def g84_cypher_shortest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = shortestPath((s:Supplier)-[:IN_NATION*1..2]->(n:Nation)), "
+        "(n)-[:IN_REGION]->(r:Region) "
+        "WHERE r.name = 'ASIA' "
+        "RETURN id(s) AS supplier, n.name AS nation, length(p) AS hops, "
+        "r.name AS region ORDER BY supplier",
+    )
+
+
+QUERIES["g84_cypher_shortest_chain"] = g84_cypher_shortest_chain
+# suppliers reach exactly their own nation in one IN_NATION hop (no
+# IN_NATION edges leave a nation), so hops is constant 1
+ORACLE["g84_cypher_shortest_chain"] = f"""
+    SELECT s_suppkey + {SUPPLIER_BASE} AS supplier, n_name AS nation,
+           1 AS hops, r_name AS region
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    ORDER BY supplier"""
+
+
+# G85 — shortestPath followed by a subsequent MATCH clause (the
+# multi-clause half of verdict ask #4), with an aggregate over the
+# composed scope: the second clause anchors on the path's far endpoint
+# ``r`` by name-based unification, and the projection mixes a path
+# accessor with count(*) (implicit grouping on (id(c), length(p))).
+# openCypher scopes relationship uniqueness per MATCH clause, so no
+# cross-clause edge-distinctness applies. Reference contract:
+# Neo4jFormatBase.java:48,60.
+def g85_cypher_shortest_multi_clause(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH p = shortestPath((c:Customer)-[*1..3]->(r:Region)) "
+        "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r) "
+        "WHERE r.name = 'EUROPE' "
+        "RETURN id(c) AS customer, length(p) AS hops, "
+        "count(*) AS n_suppliers ORDER BY customer",
+    )
+
+
+QUERIES["g85_cypher_shortest_multi_clause"] = g85_cypher_shortest_multi_clause
+# a customer's only outgoing chain is c -IN_NATION-> n -IN_REGION-> r, so
+# the shortest path to its region is constant 2 hops; the supplier count
+# per EUROPE customer is the number of (s, n) pairs inside EUROPE
+ORACLE["g85_cypher_shortest_multi_clause"] = f"""
+    WITH eu_sup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ns
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT c_custkey + {CUSTOMER_BASE} AS customer, 2 AS hops,
+           ns AS n_suppliers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    CROSS JOIN eu_sup
+    WHERE r_name = 'EUROPE'
+    ORDER BY customer"""
+
+
+# G86 — aggregating CALL subqueries with ORDER BY over a RESTATED grouping
+# key (round-8 verdict ask #5): ``CALL { … RETURN e.w AS w, count(*) AS
+# cnt ORDER BY e.w DESC LIMIT 2 }`` — Neo4j's post-aggregation ORDER BY
+# scope accepts expressions equal to a projected item (and expressions
+# over aliases), not only the bare aliases. The per-anchor top-k still
+# runs as ONE partial-aggregated groupBy on the expansion side plus one
+# row_number window BEFORE the join — the k-cap prunes the fan-out ahead
+# of the outer multiplication. Reference contract: opaque Cypher
+# pass-through (Neo4jFormatBase.java:48,60).
+def g86_cypher_call_agg_keyexpr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (n:Nation) WITH n "
+        "CALL { WITH n MATCH (n)<-[e:IN_NATION]-(c:Customer) "
+        "RETURN e.w AS w, count(*) AS cnt ORDER BY e.w DESC LIMIT 2 } "
+        "RETURN n.name AS nation, w, cnt ORDER BY nation, w",
+    )
+
+
+QUERIES["g86_cypher_call_agg_keyexpr"] = g86_cypher_call_agg_keyexpr
+ORACLE["g86_cypher_call_agg_keyexpr"] = """
+    WITH grouped AS (
+      SELECT n_name, c_custkey % 7 AS w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_custkey % 7 DESC) AS rn
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_custkey % 7)
+    SELECT n_name AS nation, w, cnt FROM grouped WHERE rn <= 2
+    ORDER BY nation, w"""
+
+
+# G87 — composite aggregate expressions OVER a chained-OPTIONAL
+# cross-WHERE scope (round-8 verdict ask #6: the X249 x X251 combo, each
+# previously driver-certified only in isolation): the second OPTIONAL's
+# WHERE compares across clauses (``e2.w = e.w`` rides the left-join
+# condition, failing rows null-extend), then the projection mixes
+# ``round(count(e2.w) * 1.0 / count(*), 4)`` and ``min + max`` composite
+# aggregates under Neo4j's implicit grouping. Plan: two left equi-joins +
+# ONE hash aggregate with a fused post-projection.
+def g87_cypher_composite_optional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (c)-[e:IN_NATION]->(n) "
+        "OPTIONAL MATCH (n)<-[e2:IN_NATION]-(s:Supplier) "
+        "WHERE e2.w = e.w "
+        "RETURN n.name AS nation, "
+        "round(count(e2.w) * 1.0 / count(*), 4) AS hit_rate, "
+        "min(e2.w) + max(e2.w) AS spread "
+        "ORDER BY nation",
+    )
+
+
+QUERIES["g87_cypher_composite_optional"] = g87_cypher_composite_optional
+ORACLE["g87_cypher_composite_optional"] = """
+    SELECT n_name AS nation,
+           ROUND(COUNT(s_suppkey) * 1.0 / COUNT(*), 4) AS hit_rate,
+           CAST(MIN(s_suppkey % 7) + MAX(s_suppkey % 7) AS BIGINT) AS spread
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN supplier
+      ON s_nationkey = c_nationkey AND s_suppkey % 7 = c_custkey % 7
+    GROUP BY n_name
+    ORDER BY nation"""
+
+
+# G88 — COUNT { } subqueries with COMPUTED operands over a VAR-LENGTH
+# scope (the X250 x X252 x X253 combo from round-8 verdict ask #6):
+# the pattern subquery anchors on the var-length far endpoint and its
+# count participates in arithmetic inside WHERE (``COUNT { … } + 1 >
+# 3``). The count binds as one pre-aggregated left-join helper column —
+# per-endpoint match multiplicity never materializes.
+def g88_cypher_varlength_count_subquery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_neo4j_spark.cypher_frontend import cypher_read
+
+    g = tpch_graph(spark, sf_dir)
+    return cypher_read(
+        g,
+        "MATCH (c:Customer)-[*1..2]->(x) "
+        "WHERE COUNT { (x)<-[e2:IN_NATION]-(s:Supplier) } + 1 > 3 "
+        "RETURN id(c) AS cid, id(x) AS xid ORDER BY cid, xid",
+    )
+
+
+QUERIES["g88_cypher_varlength_count_subquery"] = (
+    g88_cypher_varlength_count_subquery
+)
+# a customer's untyped 1..2-hop cone is {its nation, its region}; regions
+# have no incoming IN_NATION edges (count 0), so only nations with >= 3
+# suppliers qualify
+ORACLE["g88_cypher_varlength_count_subquery"] = f"""
+    WITH ns AS (
+      SELECT s_nationkey, COUNT(*) AS deg FROM supplier GROUP BY s_nationkey)
+    SELECT c_custkey + {CUSTOMER_BASE} AS cid,
+           c_nationkey + {NATION_BASE} AS xid
+    FROM customer JOIN ns ON ns.s_nationkey = c_nationkey
+    WHERE deg + 1 > 3
+    ORDER BY cid, xid"""

@@ -41,74 +41,71 @@ from pyspark.sql import DataFrame, SparkSession
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 8 code-changed queries — green r7 rows no longer certify them:
-    "g74_cypher_rel_merge_arms",  # MERGE arm-collapse fix (ADVICE high)
-    "s2_lsh_topk",        # N_PLANES now derived from corpus size in engine
-    "s8_knn_join",        # and oracle (verdict ask #2); previously a
-    "s17_hard_negatives",  # module constant
-    "d12_semantic_dedup",
-    "g15_also_bought",    # pair-count-proportional shuffle width on the
-    "g20_node_similarity",  # shared part projection (verdict ask #3)
-    # round 8 NEW conformance queries (verdict asks #4-#7 + the
-    # composite-aggregate-expression close, X249):
-    "g75_cypher_undirected_varlength",
-    "g76_cypher_call_agg",
-    "g77_cypher_varlength_chain",
-    "g78_cypher_inline_props_chain",
-    "g79_cypher_optional_after_chain",
-    "g80_cypher_call_agg_topk",
-    "g81_cypher_optional_bound_map",
-    "g82_cypher_composite_agg",
-    "g83_cypher_optional_cross_where",
-    # round 8: their code paths were restructured (CALL subquery block,
-    # OPTIONAL MATCH desugar/symmetrize, whole-var null-gating):
-    "g8_cypher_optional",
-    "g42_cypher_optional_map",
-    "g62_cypher_call_topk",
-    # round 8 backlog drain, part 1 of 2 (verdict ask #1): every r1-green
-    # row (28) + the oldest r2 rows, so after round 9 no green row is
-    # older than 4 rounds. g4_pagerank / q28_sketch_stats (rows-only by
-    # design — a repeat row adds nothing) are excluded.
-    "q9_date_filter",
-    "q10_topk",
-    "q11_time_bucket",
-    "q12_distinct_docs",
-    "q13_order_revenue_topk",
-    "q14_local_supplier_revenue",
-    "q16_window_rank",
-    "q17_set_ops",
-    "q18_percentiles",
-    "q19_rollup",
-    "q20_exists_semi",
-    "q21_anti_scalar",
-    "q22_groupwise_threshold",
-    "q24_sample_split",
-    "q25_pivot",
-    "q26_disjunctive_join",
-    "q27_nation_volume",
-    "q29_merge_upsert",
-    "q30_distinct_exclusion",
-    "d4_simhash",
-    "d6_embedding_near_dup",
-    "d7_dedup_clusters",
-    "d8_edit_distance",
-    "m3_resize",
-    "s3_cosine_topk_pandas",
-    "t2_lang_id",
-    "t4_fingerprint",
-    "t5_top_terms",
-    # oldest r2 rows:
-    "a1_asof_join",
-    "a2_interval_join",
-    "a4_funnel",
-    # (a5_retention, d9_decontaminate, d10_lsh_banded, d11_chunk_dedup,
-    # g11_detach_delete, g13_weighted_sssp, g14_triangle_count roll to
-    # the round-9 batch: the driver records exactly 50 rows per round —
-    # r1–r7 artifacts all have precisely 50 — and with the four NEW
-    # round-8 queries g80–g83 slotted above, these seven would fall at
-    # positions 51+, burning their slot without earning a row.)
+    # round 9 NEW conformance queries (round-8 verdict asks #4-#6):
+    "g84_cypher_shortest_chain",       # shortestPath + comma clause
+    "g85_cypher_shortest_multi_clause",  # shortestPath + MATCH chain
+    "g86_cypher_call_agg_keyexpr",     # agg-CALL ORDER BY restated key
+    "g87_cypher_composite_optional",   # X249 x X251 combo promotion
+    "g88_cypher_varlength_count_subquery",  # X250 x X252 x X253 combo
+    # round 9 code-changed (verdict ask #3): chunk dedup restructured to
+    # id-only shuffles + one tokenization pass — its r2 green row no
+    # longer certifies the plan:
+    "d11_chunk_dedup",
+    # round 9 backlog drain, part 2 of 2 (verdict ask #1): every
+    # remaining r2 row + the oldest r3 rows (temporal + multimodal
+    # families first — least-proven). g4_pagerank / q28_sketch_stats
+    # (rows-only by design — a repeat row adds nothing) stay excluded.
+    "a5_retention",
+    "d9_decontaminate",
+    "d10_lsh_banded",
+    "g1_two_hop",
+    "g3_connected_components",
+    "g6_bfs_hops",
+    "g11_detach_delete",
+    "g13_weighted_sssp",
+    "g14_triangle_count",
+    "m5_sample_assembly",
+    "q15_salted_agg",
+    "q23_conditional_agg",
+    "q31_stratified_sample",
+    "q32_uniform_k_per_stratum",
+    "q33_grouping_sets",
+    "q34_source_mixing",
+    "s6_quantized_topk",
+    "s7_mmr_rerank",
+    "t6_tfidf",
+    "t7_pii_redact",
+    "t9_lang_segments",
+    "t10_repetition_filter",
+    "t11_shuffle_shards",
+    # oldest r3 rows (the full a-family + m-family stragglers):
+    "a3_json_extract",
+    "a6_trailing_features",
+    "a7_ohlc",
+    "a8_gap_fill",
+    "a9_zscore_anomaly",
+    "a10_cumulative_share",
+    "a11_trailing_distinct",
+    "a12_scd2_join",
+    "a13_attribution",
+    "a14_ewma",
+    "a15_twap",
+    "a16_changepoints",
+    "a17_series_corr",
+    "a18_asof_forward",
+    "a19_businessday_lag",
+    "a20_localtime_rollup",
+    "a21_seasonal_decomp",
+    "m4_audio_windows",
+    "m6_image_tiles",
+    "m7_scene_segments",
+    "m8_av_align",
+    # (the remaining r3 rows — g2, m9, the s-family, t8/t12 and the
+    # w-family — roll to round 10: the driver records exactly 50 rows
+    # per round, and the five NEW round-9 queries above must earn their
+    # first row this round.)
 )
-# Round-7 tier-A entries all earned green rows in CORRECTNESS_r07.json,
+# Round-8 tier-A entries all earned green rows in CORRECTNESS_r08.json,
 # so they drop back to tier C here.
 
 #: Round-5 pinned backlog (the judge's round-4 ask #1): the 29 q-series
