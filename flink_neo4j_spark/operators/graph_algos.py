@@ -972,16 +972,17 @@ PAIR_ROWS_PER_TASK = 500_000
 # the ordering key is the exact integer count, so the top-k is
 # cross-engine deterministic; the float Adamic-Adar column is ROUNDed and
 # never used for ordering.
-def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cust_part_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cust, part, dp) distinct customer-part incidence restricted to
-    parts with 2..ALSO_BOUGHT_DEGREE_CUTOFF distinct buyers — the shared
-    bipartite projection under g15 (count/Adamic-Adar ranking) and g20
-    (Jaccard nodeSimilarity). localCheckpoint: BOTH sides of each query's
-    self-join read this lineage and Catalyst does not plan a ReusedExchange
-    across it (measured 16 parquet scans without, 5.0 s -> materializing
-    the small (cust, part, dp) projection once removes the duplicate
-    scan/distinct/agg work); session-memoized so the second similarity
-    query reuses it outright."""
+    parts with 2..ALSO_BOUGHT_DEGREE_CUTOFF distinct buyers, in the
+    layout the scan produced — the shared bipartite projection under g15 /
+    g20 (via the part-widthed :func:`_cust_part_projection`) and g34
+    (co-purchase PMI, which self-joins on CUST and re-keys anyway — the
+    round-8 part-repartition was a pure tax on it, adjudicated round 9:
+    sf1 solo 11.2 s on r8 code vs 7.3 s on r7 code, same data).
+    localCheckpoint: consumers read this lineage from multiple subplans
+    and Catalyst does not plan a ReusedExchange across it; session-
+    memoized so every query in the family reuses it outright."""
 
     def build() -> DataFrame:
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1008,6 +1009,22 @@ def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dp") >= 2) & (F.col("dp") <= ALSO_BOUGHT_DEGREE_CUTOFF)
             )
         )
+        return cp.join(F.broadcast(deg), "part").localCheckpoint()
+
+    key = ("cust_part_base", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
+def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base incidence re-laid-out by part for g15/g20's PER-PART
+    self-joins: hash width proportional to the exact downstream pair
+    count, so the in-stage row explosion never lands on a handful of
+    byte-coalesced tasks. Both self-join sides inherit this layout from
+    the checkpoint, so the join itself adds NO exchange at any width."""
+
+    def build() -> DataFrame:
+        base = _cust_part_base(spark, sf_dir)
+        deg = base.select("part", "dp").distinct()
         # Width the part-hash layout by the EXACT downstream pair count
         # (sum of C(dp, 2) over the small, already-materialized degree
         # agg — the statistic a CBO would use). The per-part self-join
@@ -1025,11 +1042,7 @@ def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             min(4096, int((est or 0) // PAIR_ROWS_PER_TASK) + 1),
         )
-        return (
-            cp.join(F.broadcast(deg), "part")
-            .repartition(width, "part")
-            .localCheckpoint()
-        )
+        return base.repartition(width, "part").localCheckpoint()
 
     key = ("cust_part_projection", os.path.abspath(sf_dir))
     return session_memo(spark, key, build)
@@ -2180,7 +2193,7 @@ PMI_TOP = 50
 # one presentation ROUND; ordering is on integer support then rounded pmi
 # then ids — cross-engine total.
 def g34_copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cpd = _cust_part_projection(spark, sf_dir).select("cust", "part")
+    cpd = _cust_part_base(spark, sf_dir).select("cust", "part")
     bsize = cpd.groupBy("cust").agg(F.count("*").alias("bsz"))
     # localCheckpoint: kept is consumed four times (n_cust, marginals, and
     # both sides of the pair self-join) — materialize the basket filter once

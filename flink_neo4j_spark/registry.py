@@ -51,6 +51,13 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # id-only shuffles + one tokenization pass — its r2 green row no
     # longer certifies the plan:
     "d11_chunk_dedup",
+    # round 9 code-changed (verdict ask #2 adjudication): the shared
+    # customer-part projection split into base + part-widthed variants —
+    # g34's r8 sf1 drift was REAL (the part repartition taxed its
+    # cust-keyed self-join; r7-code A/B 7.3 s vs 11.2 s, fixed to ~7.0 s):
+    "g34_copurchase_pmi",
+    "g15_also_bought",
+    "g20_node_similarity",
     # round 9 backlog drain, part 2 of 2 (verdict ask #1): every
     # remaining r2 row + the oldest r3 rows (temporal + multimodal
     # families first — least-proven). g4_pagerank / q28_sketch_stats
@@ -97,13 +104,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a20_localtime_rollup",
     "a21_seasonal_decomp",
     "m4_audio_windows",
-    "m6_image_tiles",
-    "m7_scene_segments",
-    "m8_av_align",
-    # (the remaining r3 rows — g2, m9, the s-family, t8/t12 and the
+    # (the remaining r3 rows — g2, m6-m9, the s-family, t8/t12 and the
     # w-family — roll to round 10: the driver records exactly 50 rows
-    # per round, and the five NEW round-9 queries above must earn their
-    # first row this round.)
+    # per round, and the five NEW round-9 queries plus the four
+    # code-changed ones above must earn rows this round.)
 )
 # Round-8 tier-A entries all earned green rows in CORRECTNESS_r08.json,
 # so they drop back to tier C here.
