@@ -43,6 +43,7 @@ def main() -> None:
 
     e01 = _load("BENCH_LOCAL_sf0.1.json")
     e1 = _load("BENCH_LOCAL_sf1.json")
+    e10 = _load("BENCH_LOCAL_sf10.json")  # engine-only second decade
     o01 = _load("ORACLE_TIMINGS_sf0.1.json")
     o1 = _load("ORACLE_TIMINGS_sf1.json")
 
@@ -54,27 +55,49 @@ def main() -> None:
             if n in o01 and n in o1
             else None
         )
-        rows.append((n, e01[n], e1[n], exp, o1.get(n), oexp))
+        exp2 = (
+            math.log10(max(e10[n], 1e-4) / max(e1[n], 1e-4))
+            if n in e10
+            else None
+        )
+        rows.append((n, e01[n], e1[n], exp, o1.get(n), oexp, e10.get(n), exp2))
 
-    print("| query | engine sf0.1 | engine sf1 | engine exp | oracle sf1 | oracle exp |")
-    print("|---|---|---|---|---|---|")
-    for n, t01, t1, exp, ot1, oexp in sorted(rows, key=lambda r: -r[3]):
+    print(
+        "| query | engine sf0.1 | engine sf1 | engine exp | oracle sf1 | "
+        "oracle exp | engine sf10 | exp sf1→10 |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for n, t01, t1, exp, ot1, oexp, t10, exp2 in sorted(
+        rows, key=lambda r: -r[3]
+    ):
         print(
             f"| {n} | {t01:.2f} | {t1:.2f} | {exp:.2f} | "
             f"{'-' if ot1 is None else f'{ot1:.2f}'} | "
-            f"{'-' if oexp is None else f'{oexp:.2f}'} |"
+            f"{'-' if oexp is None else f'{oexp:.2f}'} | "
+            f"{'-' if t10 is None else f'{t10:.2f}'} | "
+            f"{'-' if exp2 is None else f'{exp2:.2f}'} |"
         )
 
     flagged = [
         (n, t01, t1, exp)
-        for n, t01, t1, exp, _, _ in rows
+        for n, t01, t1, exp, _, _, _, _ in rows
         if exp > flag_at and max(t01, t1) > floor
+    ]
+    flagged2 = [
+        (n, t1, t10, exp2)
+        for n, _, t1, _, _, _, t10, exp2 in rows
+        if exp2 is not None and exp2 > flag_at and max(t1, t10) > floor
     ]
     print()
     print(
         f"flagged (exp > {flag_at}, slower side > {floor}s): "
         f"{[(n, round(e, 2)) for n, _, _, e in flagged]}"
     )
+    if e10:
+        print(
+            f"flagged decade 2 (exp sf1→10 > {flag_at}, slower side > "
+            f"{floor}s): {[(n, round(e, 2)) for n, _, _, e in flagged2]}"
+        )
     missing = sorted(set(e01) - set(e1))
     if missing:
         print(f"in sf0.1 but not sf1 ({len(missing)}): {missing}")
