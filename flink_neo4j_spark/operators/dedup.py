@@ -1545,3 +1545,255 @@ ORACLE["d19_leakage_safe_split"] = f"""
                    AS INT) AS nib
           FROM comp_base)
     ORDER BY doc_id"""
+
+
+# D20 — dedup QA report: the dataset-card view of what near-dup clustering
+# actually bought. Joins d7's cluster assignment back to the document
+# dimension and reports, per multi-doc cluster: member count, distinct
+# sources spanned, total bytes, canonical-copy bytes, and bytes saved by
+# keeping only the canonical doc — the numbers a curation run publishes
+# before anyone signs off on deleting 40% of a crawl. Plan shape: d7's
+# fixpoint output (doc_id, comp) is ids-only; ONE equi-join re-attaches the
+# (source, n_chars) attributes and ONE partial-aggregated groupBy(comp)
+# produces the report — no text ever moves, so the QA pass costs two narrow
+# shuffles on top of the clustering it audits.
+def d20_dedup_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = d7_dedup_clusters(spark, sf_dir).select("doc_id", "comp")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        cl.join(docs, "doc_id")
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("comp"), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_sources",
+            "total_chars",
+            "kept_chars",
+            (F.col("total_chars") - F.col("kept_chars")).alias("chars_saved"),
+        )
+        .orderBy(F.col("chars_saved").desc(), "cluster_id")
+    )
+
+
+# D21 — end-to-end corpus curation: the four-stage funnel every pretraining
+# pipeline runs, composed as ONE auditable query — per input doc it emits
+# the decision at every stage, not just the survivors, because "why did we
+# drop 60%?" is the first question a data audit asks.
+#   1. quality gate: token-count band + alphabetic-character ratio (the
+#      compact core of the t21 scorecard); the ratio test is the integer
+#      cross-multiplication alpha*100 >= CUR_MIN_ALPHA_PCT*len so both
+#      engines compare exact integers, never a float ratio;
+#   2. exact dedup among quality passers (d1's md5 keep-first contract —
+#      the 16-byte fingerprint shuffles, never the text);
+#   3. benchmark decontamination (d9's contract: drop any doc sharing a
+#      df-capped word-3-shingle with the held-out doc_id % 20 == 0 slice);
+#   4. temperature mixing to a token budget over the survivors (q34's
+#      alpha-weighted rates + the deterministic md5-uniform keep).
+# Plan shape at 100 TB: ONE materialized pass computes (n_tok, q_ok, fp)
+# per doc; the winner election is a partial-agg groupBy on fp; the
+# decontamination reuses the memoized shingle table and joins ids only;
+# the mixing rates reduce to a per-source broadcast. No stage shuffles
+# document text, and every stage's flag is a deterministic integer/hash
+# computation — the full funnel hash-matches DuckDB end to end.
+CUR_MIN_TOK = 5
+CUR_MAX_TOK = 2000
+CUR_MIN_ALPHA_PCT = 55
+CUR_TEMP = 0.5
+CUR_TARGET_FRAC = 0.5
+_CUR_U24 = float(1 << 24)
+
+
+def d21_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = documents_for_compute(spark, sf_dir)
+    # two-step projection so the tokenize pass runs ONCE (a sibling alias
+    # can't be referenced inside one selectExpr, and inlining TOKENS_EXPR
+    # into both n_tok and q_ok would evaluate the split twice per row)
+    base = _materialized(
+        d.filter(F.col("doc_id") % 20 != 0)
+        .selectExpr(
+            "doc_id",
+            "source",
+            "text",
+            f"CAST(size({TOKENS_EXPR}) AS BIGINT) AS n_tok",
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_tok",
+            "md5(text) AS fp",
+            f"(n_tok BETWEEN {CUR_MIN_TOK} AND {CUR_MAX_TOK})"
+            f" AND length(regexp_replace(lower(text), '[^a-z]', '')) * 100"
+            f"     >= {CUR_MIN_ALPHA_PCT} * length(text) AS q_ok",
+        )
+    )
+    winners = (
+        base.filter(F.col("q_ok"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    # decontamination ids (d9 semantics over the memoized shingle table)
+    ex = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode_outer("sh").alias("sg")
+    )
+    bench_keys = (
+        ex.filter(F.col("doc_id") % 20 == 0)
+        .groupBy("sg")
+        .agg(F.count_distinct("doc_id").alias("bdf"))
+        .filter(F.col("bdf") <= CONTAM_MAX_DF)
+        .select("sg")
+    )
+    contam = (
+        ex.filter(F.col("doc_id") % 20 != 0)
+        .join(bench_keys, "sg")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    flagged = (
+        base.join(winners, "fp", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "q_ok",
+            (F.col("q_ok") & (F.col("doc_id") == F.col("keep_id"))).alias(
+                "canon"
+            ),
+            F.col("contam").isNull().alias("clean"),
+        )
+        .withColumn("survivor", F.col("q_ok") & F.col("canon") & F.col("clean"))
+    )
+    src = (
+        flagged.filter(F.col("survivor"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    tot = src.agg(
+        F.sum(F.pow("toks", F.lit(CUR_TEMP))).alias("wsum"),
+        F.sum("toks").alias("tot_toks"),
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.pow("toks", F.lit(CUR_TEMP))
+                    / F.col("wsum")
+                    * (F.lit(CUR_TARGET_FRAC) * F.col("tot_toks"))
+                    / F.col("toks"),
+                )
+                + F.lit(5e-10),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("src_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_CUR_U24)
+    )
+    return (
+        flagged.join(F.broadcast(rates), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "q_ok",
+            "canon",
+            "clean",
+            F.when(F.col("survivor"), F.col("src_rate"))
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+            (F.col("survivor") & (u < F.col("src_rate"))).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["d20_dedup_qa"] = d20_dedup_qa
+QUERIES["d21_curation_pipeline"] = d21_curation_pipeline
+
+ORACLE["d20_dedup_qa"] = f"""
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN cl.doc_id = cl.comp THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           CAST(SUM(d.n_chars)
+                - SUM(CASE WHEN cl.doc_id = cl.comp THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_saved
+    FROM (SELECT comp AS cluster_id, doc_id, comp
+          FROM ({ORACLE['d7_dedup_clusters']})) cl
+    JOIN documents d USING (doc_id)
+    GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    ORDER BY chars_saved DESC, cluster_id"""
+
+ORACLE["d21_curation_pipeline"] = f"""
+    {_DUCK_SHINGLED},
+    base AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             md5(text) AS fp,
+             (CAST(len({DUCK_TOKENS}) AS BIGINT)
+                BETWEEN {CUR_MIN_TOK} AND {CUR_MAX_TOK})
+             AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
+                 >= {CUR_MIN_ALPHA_PCT} * length(text) AS q_ok
+      FROM documents WHERE doc_id % 20 != 0),
+    winners AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM base WHERE q_ok GROUP BY fp),
+    ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+    bench_keys AS (
+      SELECT sg FROM ex WHERE doc_id % 20 = 0
+      GROUP BY sg HAVING COUNT(DISTINCT doc_id) <= {CONTAM_MAX_DF}),
+    contam AS (
+      SELECT DISTINCT ex.doc_id FROM ex JOIN bench_keys USING (sg)
+      WHERE ex.doc_id % 20 != 0),
+    flagged AS (
+      SELECT b.doc_id, b.source, b.n_tok, b.q_ok,
+             b.q_ok AND b.doc_id = w.keep_id AS canon,
+             c.doc_id IS NULL AS clean,
+             (b.q_ok AND b.doc_id = w.keep_id AND c.doc_id IS NULL)
+               AS survivor
+      FROM base b
+      LEFT JOIN winners w USING (fp)
+      LEFT JOIN contam c ON b.doc_id = c.doc_id),
+    src AS (SELECT source, SUM(n_tok) AS toks FROM flagged
+            WHERE survivor GROUP BY source),
+    tot AS (SELECT SUM(pow(toks, {CUR_TEMP})) AS wsum,
+                   SUM(toks) AS tot_toks FROM src),
+    rates AS (
+      SELECT source,
+             round(least(1.0, pow(toks, {CUR_TEMP}) / wsum
+                              * ({CUR_TARGET_FRAC} * tot_toks) / toks)
+                   + 5e-10, 6) + 0.0 AS src_rate
+      FROM src, tot)
+    SELECT f.doc_id, f.source, f.q_ok, f.canon, f.clean,
+           CASE WHEN f.survivor THEN r.src_rate ELSE 0.0 END AS rate,
+           f.survivor AND
+             ('0x' || substring(md5('cur|' || CAST(f.doc_id AS VARCHAR)), 1, 6))
+               ::BIGINT / {_CUR_U24} < r.src_rate AS kept
+    FROM flagged f LEFT JOIN rates r USING (source)
+    ORDER BY f.doc_id"""

@@ -1544,3 +1544,194 @@ ORACLE["s19_ivfpq_topk"] = f"""
       GROUP BY enc.vec_id)
     SELECT vec_id, dist FROM adc
     ORDER BY dist, vec_id LIMIT {TOP_K}"""
+
+
+# S20 — binary (sign-bit) quantized top-k: the 1-bit twin of s6's SQ8 and
+# the modern "binary quantization" serving pattern (e.g. 32x-compressed
+# first-stage retrieval with exact re-rank). Each vector compresses to one
+# sign per dimension; candidates rank by Hamming distance to the query's
+# sign vector (integer XOR/popcount work — here an exact +-1 dot product,
+# the algebraic equivalent: ham = (DIM - dot)/2), and floats appear only
+# for the BQ_CAND-row exact cosine re-rank. At 100 TB the candidate scan
+# reads 1 bit/dim instead of 32 — the scan+shuffle saving IS the operator;
+# both stages are deterministic integer math, so the full pipeline is
+# hash-checkable against DuckDB. Reference contract: opaque query
+# pass-through (Neo4jFormatBase.java:48) — this is an X-extension.
+BQ_CAND = 30
+
+
+def s20_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).selectExpr(
+        "vec_id",
+        "emb",
+        "transform(emb, x -> IF(x >= 0D, 1, -1)) AS s",
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("s").alias("qs"), F.col("emb").alias("q_emb")
+    )
+    sdot = F.expr(
+        "aggregate(zip_with(s, qs, (a, b) -> a * b), 0, (acc, v) -> acc + v)"
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "emb",
+            "q_emb",
+            ((F.lit(DIM) - sdot) / F.lit(2)).cast("long").alias("ham"),
+        )
+        .orderBy("ham", "vec_id")
+        .limit(BQ_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id", "ham", F.round(_cosine("emb", "q_emb"), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+QUERIES["s20_binary_topk"] = s20_binary_topk
+ORACLE["s20_binary_topk"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                      list_transform(embedding::DOUBLE[],
+                                     x -> CASE WHEN x >= 0 THEN 1 ELSE -1 END) AS s
+               FROM embeddings),
+    q AS (SELECT s AS qs, emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+      SELECT e.vec_id, e.emb, q.q_emb,
+             CAST(({DIM} - list_sum(list_transform(list_zip(e.s, q.qs),
+                                                   p -> p[1] * p[2]))) / 2
+                  AS BIGINT) AS ham
+      FROM e CROSS JOIN q WHERE e.vec_id != {QUERY_VEC_ID}
+      ORDER BY ham, e.vec_id LIMIT {BQ_CAND})
+    SELECT vec_id, ham, ROUND({_duck_cos("emb", "q_emb")}, 6) AS cos
+    FROM cand ORDER BY cos DESC, vec_id LIMIT {TOP_K}"""
+
+
+# S21 — reciprocal-rank fusion of a LEXICAL ranking (t24's BM25 over the
+# document text) and a SEMANTIC ranking (cosine to the query vector over
+# the aligned embedding table) — the standard hybrid-retrieval merge
+# (RRF, Cormack et al.): score(d) = sum over rankers of 1/(K + rank_d).
+# Plan shape: each ranker is its own top-RRF_POOL pool (BM25 is the
+# broadcast-stats scan t24 documents; the dense side is one broadcast
+# query vector against the embedding scan), the pools are tiny
+# (RRF_POOL rows), and the fusion is a full-outer join of the two pools
+# — at 100 TB the corpus is scanned once per ranker and the fusion cost
+# is O(pool), not O(corpus). Ranks come from row_number over the RAW
+# BM25 double (bit-identical across engines, see bm25_raw_scored) and
+# the 6dp-rounded cosine (the proven s-family convention), both
+# tie-broken on doc_id, so the fused ordering is hash-stable.
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOP = 20
+
+
+def s21_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_neo4j_spark.operators.text import bm25_raw_scored
+
+    # top-RRF_POOL FIRST via orderBy().limit() — Spark plans a distributed
+    # TakeOrderedAndProject (per-partition top-k + driver merge of POOL-row
+    # heads), then the row_number window ranks only the POOL-row pool. A
+    # global window over the corpus would collapse it into one partition.
+    lex = (
+        bm25_raw_scored(spark, sf_dir)
+        .orderBy(F.col("bm25_raw").desc(), F.col("doc_id"))
+        .limit(RRF_POOL)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25_raw").desc(), F.col("doc_id"))
+            ).cast("long"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine("emb", "q_emb"), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(RRF_POOL)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+            ).cast("long"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    rrf = (
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("sem_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.round(rrf + F.lit(5e-10), 6) + F.lit(0.0)).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
+QUERIES["s21_rrf_fusion"] = s21_rrf_fusion
+
+
+def _rrf_oracle() -> str:
+    # leaf module, NOT operators.text: text -> dedup -> similarity already
+    # import each other's oracle fragments at module init, so importing
+    # text back from here would close an import cycle
+    from flink_neo4j_spark.operators._bm25 import (
+        BM25_ORACLE_CTES,
+        BM25_ORACLE_PARTS,
+    )
+
+    return f"""
+    WITH {BM25_ORACLE_CTES},
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY {BM25_ORACLE_PARTS} DESC,
+                                       doc_id) AS BIGINT) AS lex_rank
+        FROM per CROSS JOIN st)
+      WHERE lex_rank <= {RRF_POOL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND({_duck_cos("e.emb", "q.q_emb")}, 6) DESC,
+                          e.vec_id) AS BIGINT) AS sem_rank
+        FROM e CROSS JOIN q WHERE e.vec_id != {QUERY_VEC_ID})
+      WHERE sem_rank <= {RRF_POOL})
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           lex_rank, sem_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0) + 5e-10, 6)
+             + 0.0 AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}"""
+
+
+ORACLE["s21_rrf_fusion"] = _rrf_oracle()

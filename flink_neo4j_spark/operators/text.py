@@ -40,8 +40,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 #: non-alphanumeric non-space symbols (same semantics in Java & RE2 regex).
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+from flink_neo4j_spark.operators._bm25 import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_ORACLE_CTES,
+    BM25_ORACLE_PARTS,
+    BM25_TERMS,
+    BM25_TOP,
+    DUCK_TOKENS,
+)
+
 TOKENS = "split(trim(regexp_replace(lower(text), ' +', ' ')), ' ')"
-DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')"
 
 
 def _exploded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,13 +1494,18 @@ ORACLE["t23_dsir_weights"] = f"""
 # are exact int64 sums (avgdl materializes as dl·N/Σdl inside the score),
 # so the ranking is layout-independent; both engines evaluate the same
 # literal expression tree left-to-right → bit-identical doubles.
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TERMS = ("dup", "hash", "join", "stream")
-BM25_TOP = 25
+# Constants + oracle pieces live in operators/_bm25.py (leaf module shared
+# with the s21 RRF fusion — see the import-cycle note there).
 
 
-def t24_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_raw_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc's raw (unrounded) BM25 score vs ``BM25_TERMS``.
+
+    Shared by t24 (top-``BM25_TOP`` report) and the s21 RRF fusion
+    (rank-pool input): both engines evaluate the same literal expression
+    tree left-to-right, so the raw doubles are bit-identical and safe to
+    ORDER BY across engines (see the t24 scale note below).
+    """
     d = documents_for_compute(spark, sf_dir).selectExpr(
         "doc_id", f"{TOKENS} AS toks"
     )
@@ -1529,8 +1543,12 @@ def t24_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = idf * tf * F.lit(BM25_K1 + 1.0) / norm
         score = part if score is None else score + part
+    return scored.withColumn("bm25_raw", score).select("doc_id", "bm25_raw")
+
+
+def t24_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        scored.withColumn("bm25_raw", score)
+        bm25_raw_scored(spark, sf_dir)
         .orderBy(F.col("bm25_raw").desc(), "doc_id")
         .limit(BM25_TOP)
         .selectExpr("doc_id", "ROUND(bm25_raw, 4) + 0.0 AS bm25")
@@ -1540,40 +1558,11 @@ def t24_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["t24_bm25_scoring"] = t24_bm25_scoring
 
 
-def _bm25_oracle() -> str:
-    tf_cols = ",\n             ".join(
-        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
-        for i, t in enumerate(BM25_TERMS)
-    )
-    df_cols = ",\n             ".join(
-        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS df_{i}"
-        for i in range(len(BM25_TERMS))
-    )
-    parts = " + ".join(
-        f"(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
-        f" * tf_{i} * {BM25_K1 + 1.0}"
-        f" / (tf_{i} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}"
-        f" * dl * n_docs / sum_dl)))"
-        for i in range(len(BM25_TERMS))
-    )
-    return f"""
-    WITH per AS MATERIALIZED (
-      SELECT doc_id, len(toks) AS dl,
-             {tf_cols}
-      FROM (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents)
-    ), st AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS BIGINT) AS sum_dl,
-             {df_cols}
-      FROM per
-    )
-    SELECT doc_id, ROUND({parts}, 4) + 0.0 AS bm25
+ORACLE["t24_bm25_scoring"] = f"""
+    WITH {BM25_ORACLE_CTES}
+    SELECT doc_id, ROUND({BM25_ORACLE_PARTS}, 4) + 0.0 AS bm25
     FROM per CROSS JOIN st
-    ORDER BY {parts} DESC, doc_id LIMIT {BM25_TOP}"""
-
-
-ORACLE["t24_bm25_scoring"] = _bm25_oracle()
+    ORDER BY {BM25_ORACLE_PARTS} DESC, doc_id LIMIT {BM25_TOP}"""
 
 
 # T25 — sliding-window document chunking: the standard RAG / long-context

@@ -4,6 +4,8 @@ scale must be visible in the physical plan (SURVEY.md §4; project brief's
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from flink_neo4j_spark.catalog import load_table
@@ -1029,3 +1031,38 @@ def test_plan_budget(spark, name):
     assert exchanges <= max_exchanges, (
         f"{name}: {exchanges} exchanges (budget {max_exchanges})"
     )
+
+
+def test_rrf_pools_are_take_ordered(spark):
+    # s21's ranker pools must plan as distributed top-k
+    # (TakeOrderedAndProject), never a global row_number window over the
+    # corpus collapsing it into one partition.
+    from flink_neo4j_spark.operators.similarity import s21_rrf_fusion
+
+    plan = formatted_plan_of(s21_rrf_fusion(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_binary_topk_candidate_stage_is_integer(spark):
+    # s20's candidate ranking must be the integer Hamming top-k
+    # (TakeOrderedAndProject over the sign-dot), with the broadcast query
+    # vector — no shuffle of the corpus.
+    from flink_neo4j_spark.operators.similarity import s20_binary_topk
+
+    df = s20_binary_topk(spark, SF_DIR)
+    assert has_take_ordered(df)
+    # the 1-row query vector broadcasts (keyless cross join -> BNLJ)
+    assert "BroadcastNestedLoopJoin" in formatted_plan_of(df)
+
+
+def test_curation_pipeline_shuffles_ids_not_text(spark):
+    # d21's winner election groups on the 16-byte md5 fingerprint; the
+    # raw `text` column must never reach an exchange.
+    from flink_neo4j_spark.operators.dedup import d21_curation_pipeline
+
+    plan = formatted_plan_of(d21_curation_pipeline(spark, SF_DIR))
+    # no shuffle is keyed on the raw text (formatted explain renders
+    # exchange keys as `hashpartitioning(col#id, n)` Arguments lines)
+    assert not re.search(r"hashpartitioning\([^)]*\btext#", plan)
+    # the winner election keys on the md5 fingerprint
+    assert re.search(r"hashpartitioning\(fp#", plan)
