@@ -654,6 +654,31 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cheaper signature (simhash band or minhash bucket, d3/d4) with this same
 # verify step. Spark's levenshtein() and DuckDB's agree exactly (classic
 # unit-cost edit distance), so the operator is hash-checkable.
+#
+# Scale control on the verify step (exact — the output is identical on
+# either path): the join's hash layout keys every block's quadratic pair
+# set to the single task owning the block key, so a dup-heavy corpus
+# concentrates Levenshtein work on a few stragglers — the sf10 probe
+# measured pre-fix d8 blowing a 40-min timeout with 31/32 tasks idle.
+# The fix is ADAPTIVE, decided from the guard aggregate the plan already
+# computes (per-block doc counts — exact, a few KB):
+# - pair mass per join task (sum of C(n,2) over the blocks that
+#   murmur3-hash to it — F.hash matches HashPartitioning) stays under
+#   D8_PAIRS_PER_TASK on every task -> score pairs INLINE in the join
+#   stage (one stage, whole-stage codegen, no extra exchange);
+# - any task would exceed it -> re-hash the candidate pairs on the
+#   unique (a_id, b_id) key at pair-count-proportional width first, so
+#   the quadratic work spreads over every core. Measured at sf1 the
+#   inline path is 12.8 s where the always-repartition form pays 23.3 s
+#   for the string shuffle; at sf10 the inline path is the straggler
+#   timeout and the re-hash finishes.
+# Spark's 3-arg banded levenshtein(l, r, threshold) measured 2.4x SLOWER
+# than the plain full-matrix form on this workload (sf1: 30.7 s vs
+# 12.8 s inline — the band bookkeeping costs more than the skipped
+# cells at len<=200, threshold=40), so both paths keep the 2-arg form.
+D8_PAIRS_PER_TASK = 100_000
+
+
 def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = documents_for_compute(spark, sf_dir)
     base = _materialized(
@@ -665,26 +690,51 @@ def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # degenerate-bucket guard (same as d3/d5): a common 16-char prefix
     # (boilerplate headers) would make the self-join quadratic; drop it.
-    sizes = base.groupBy("blk").agg(F.count("*").alias("_bn"))
-    base = base.join(
-        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "blk"
-    ).drop("_bn")
+    sizes = _materialized(base.groupBy("blk").agg(F.count("*").alias("_bn")))
+    kept_sizes = sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)
+    base = base.join(F.broadcast(kept_sizes), "blk").drop("_bn")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ppairs = F.col("_bn") * (F.col("_bn") - 1) / 2
+    stats = (
+        kept_sizes.groupBy(F.pmod(F.hash("blk"), F.lit(n_part)).alias("pt"))
+        .agg(F.sum(ppairs).alias("tp"))
+        .agg(F.sum("tp").alias("total"), F.max("tp").alias("worst"))
+        .collect()[0]
+    )
+    total, worst = int(stats["total"] or 0), int(stats["worst"] or 0)
+    pairs = base.alias("a").join(
+        base.alias("b"),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    scored = pairs.select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
+    )
+    if worst > D8_PAIRS_PER_TASK:
+        width = min(4096, max(n_part, total // D8_PAIRS_PER_TASK + 1))
+        scored = (
+            pairs.select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("a.t").alias("ta"),
+                F.col("b.t").alias("tb"),
+            )
+            # hash layout on the unique pair key (no local sort, unlike
+            # round-robin under sortBeforeRepartition)
+            .repartition(width, "a_id", "b_id")
+            .select(
+                "a_id",
+                "b_id",
+                F.levenshtein(F.col("ta"), F.col("tb")).alias("dist"),
+            )
+        )
     # persist pre-sort: the ORDER BY's sampling pass would re-run every
     # levenshtein otherwise (see d5's measurement)
-    return _materialized(
-        base.alias("a")
-        .join(
-            base.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.levenshtein(F.col("a.t"), F.col("b.t")).alias("dist"),
-        )
-        .filter(F.col("dist") <= 40)
-    ).orderBy("a_id", "b_id")
+    return _materialized(scored.filter(F.col("dist") <= 40)).orderBy(
+        "a_id", "b_id"
+    )
 
 
 # D9 — benchmark decontamination: flag training documents that share any

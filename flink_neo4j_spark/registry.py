@@ -51,6 +51,13 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # id-only shuffles + one tokenization pass — its r2 green row no
     # longer certifies the plan:
     "d11_chunk_dedup",
+    # round 9 code-changed (sf10 probe finding): d8's Levenshtein verify
+    # step now adaptively re-hashes candidate pairs at pair-count-
+    # proportional width when the exact per-task pair mass exceeds its
+    # budget — the per-block single-task skew blew the sf10 probe's
+    # 40-min timeout. Same output; its r8 green row no longer certifies
+    # the new plan:
+    "d8_edit_distance",
     # round 9 code-changed (verdict ask #2 adjudication): the shared
     # customer-part projection split into base + part-widthed variants —
     # g34's r8 sf1 drift was REAL (the part repartition taxed its
@@ -103,8 +110,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a19_businessday_lag",
     "a20_localtime_rollup",
     "a21_seasonal_decomp",
-    "m4_audio_windows",
-    # (the remaining r3 rows — g2, m6-m9, the s-family, t8/t12 and the
+    # (the remaining r3 rows — g2, m4/m6-m9 [m4 swapped out for the
+    # code-changed d8 under the 50-row cap; the whole m-family then
+    # re-certifies together], the s-family, t8/t12 and the
     # w-family — roll to round 10: the driver records exactly 50 rows
     # per round, and the five NEW round-9 queries plus the four
     # code-changed ones above must earn rows this round. The four

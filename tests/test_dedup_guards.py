@@ -271,3 +271,27 @@ def test_d6_hot_label_task_bound_and_exact_pairs(spark, tmp_path, monkeypatch):
             if cos >= dedup.COSINE_THRESHOLD:
                 want.add((a, b, cos))
     assert got == want and len(want) > 0
+
+
+@pytest.mark.parametrize("hot_path", [False, True])
+def test_d8_adaptive_paths_identical(spark, tmp_path, monkeypatch, hot_path):
+    """d8's two execution paths (inline scoring vs pair re-hash when a
+    join task would exceed the pair budget) must produce the identical
+    pair set with the exact distances; far pairs that share a block are
+    excluded on both."""
+    if hot_path:  # force the re-hash path even on a 3-doc block
+        monkeypatch.setattr(dedup, "D8_PAIRS_PER_TASK", 1)
+    prefix = "shared sixteen c"  # 16 chars -> one block
+    docs = [
+        (1, prefix + "lose variant alpha text"),
+        (2, prefix + "lose variant alphX text"),  # 1 edit from doc 1
+        # same block, wildly different tail (> 40 edits from both)
+        (3, prefix + "z" * 150),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = dedup.d8_edit_distance(spark, str(tmp_path)).collect()
+    got = {(r.a_id, r.b_id): r.dist for r in rows}
+    assert set(got) == {(1, 2)}, f"far pairs leaked or near pair lost: {got}"
+    assert got[(1, 2)] == 1
