@@ -3909,8 +3909,17 @@ def fastrp_embeddings(
 ) -> DataFrame:
     """(u, v) undirected pairs → (id, d, val) exploded embeddings;
     ``weights[t]`` scales iteration t's normalized layer (t=0 is the raw
-    projection layer)."""
-    spark = edges.sparkSession
+    projection layer).
+
+    Embeddings live PACKED — one ``array<double>[dim]`` row per vertex —
+    between stages: the sf10 probe OOM'd a 16 GB heap on the original
+    exploded (id, d, val) form, whose localCheckpoints pinned V×dim rows
+    of per-row overhead (~32× the payload). Packed, a checkpoint holds V
+    rows; norms/normalization/weighted sums are native array expressions
+    (aggregate/transform/zip_with — JVM codegen, no UDF), and the only
+    exploded frame is the message-passing aggregation INSIDE one shuffle
+    stage (transient, never pinned). Same recurrence, same hash formulas
+    (d cast to long matches the original dims-column hashing)."""
     edges = edges.select(
         F.col("u").cast("long"), F.col("v").cast("long")
     ).localCheckpoint()
@@ -3918,53 +3927,65 @@ def fastrp_embeddings(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     ids = und.select(F.col("u").alias("id")).distinct()
-    dims = spark.range(dim).select(F.col("id").alias("d"))
     s = FASTRP_SPARSITY
-    grid = ids.crossJoin(F.broadcast(dims))
-    h1 = F.abs(F.hash(F.col("id"), F.col("d"), F.lit(0xA5)))
-    h2 = F.hash(F.col("id"), F.col("d"), F.lit(0x5A))
-    val = F.when(
-        h1 % s == 0,
-        F.when(h2 % 2 == 0, math.sqrt(s)).otherwise(-math.sqrt(s)),
-    ).otherwise(0.0)
-    x = grid.select("id", "d", val.alias("val")).localCheckpoint()
+
+    def proj(d: int):
+        dd = F.lit(d).cast("long")
+        h1 = F.abs(F.hash(F.col("id"), dd, F.lit(0xA5)))
+        h2 = F.hash(F.col("id"), dd, F.lit(0x5A))
+        return F.when(
+            h1 % s == 0,
+            F.when(h2 % 2 == 0, math.sqrt(s)).otherwise(-math.sqrt(s)),
+        ).otherwise(0.0)
+
+    x = ids.select(
+        "id", F.array(*[proj(d) for d in range(dim)]).alias("vals")
+    ).localCheckpoint()
 
     def normalize(frame: DataFrame) -> DataFrame:
-        norms = frame.groupBy("id").agg(
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+        nrm = F.sqrt(
+            F.aggregate("vals", F.lit(0.0), lambda a, v: a + v * v)
         )
-        return frame.join(norms, "id").select(
-            "id", "d",
+        return frame.select(
+            "id",
             F.when(
-                F.col("nrm") > 0, F.col("val") / F.col("nrm")
-            ).otherwise(0.0).alias("val"),
+                nrm > 0, F.transform("vals", lambda v: v / nrm)
+            )
+            .otherwise(F.transform("vals", lambda v: v * 0.0))
+            .alias("vals"),
         )
 
     acc = normalize(x).select(
-        "id", "d", (F.col("val") * F.lit(weights[0])).alias("val")
+        "id",
+        F.transform("vals", lambda v: v * F.lit(weights[0])).alias("vals"),
     )
     for w_t in weights[1:]:
         msgs = (
-            und.join(
-                x.select(
-                    F.col("id").alias("v"), "d", F.col("val").alias("nv")
-                ),
-                "v",
+            und.join(x.select(F.col("id").alias("v"), "vals"), "v")
+            .select(F.col("u").alias("id"), F.posexplode("vals"))
+            .groupBy("id", "pos")
+            .agg(F.avg("col").alias("val"))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda st: st.getField("val"),
+                ).alias("vals")
             )
-            .groupBy(F.col("u").alias("id"), "d")
-            .agg(F.avg("nv").alias("val"))
         )
         x = normalize(msgs).localCheckpoint()
         acc = (
-            acc.join(
-                x.select("id", "d", F.col("val").alias("xv")), ["id", "d"]
-            )
+            acc.join(x.select("id", F.col("vals").alias("xv")), "id")
             .select(
-                "id", "d",
-                (F.col("val") + F.lit(w_t) * F.col("xv")).alias("val"),
+                "id",
+                F.zip_with(
+                    "vals", "xv", lambda a, b: a + F.lit(w_t) * b
+                ).alias("vals"),
             )
         )
-    return acc
+    return acc.select(
+        "id", F.posexplode("vals").alias("d", "val")
+    ).select("id", F.col("d").cast("long").alias("d"), "val")
 
 
 def g69_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
