@@ -4761,3 +4761,183 @@ ORACLE["g88_cypher_varlength_count_subquery"] = f"""
     FROM customer JOIN ns ON ns.s_nationkey = c_nationkey
     WHERE deg + 1 > 3
     ORDER BY cid, xid"""
+
+
+# G89 — HITS hubs & authorities (Kleinberg) over the customer->part
+# purchase bipartite graph, in INTEGER fixed point (the g33 discipline:
+# every per-round quantity is an exact 64-bit sum or an integer division,
+# so the result is hash-identical on any engine and any partitioning —
+# float HITS would be accumulation-order-dependent like g4/g69).
+# Customers are hubs (they only point), parts are authorities (they are
+# only pointed at), so the classic mutual recursion alternates sides:
+# auth <- sum of pointing hubs, hub <- sum of pointed authorities, each
+# side renormalized to HITS_SCALE by its maximum after every half-step
+# (integer division; truncation is the defined semantics).
+#
+# Plan shape (scale posture): the edge list is a distinct projection of
+# orders |><| lineitem, localCheckpointed once and reused by all three
+# half-steps; each half-step is ONE equi-join on the bipartite key + ONE
+# partial-agg sum (the g4/g6/g33 shape), and each normalization is a
+# 1-row broadcast scalar (crossJoin of an aggregate — the PLAN_AUDIT
+# accepted form). Nothing quadratic, nothing driver-side; K more rounds
+# cost K more join+agg stages, unchanged at 100 TB.
+HITS_SCALE = 1_000_000
+HITS_TOP = 40
+
+
+def g89_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # half-step 1: uniform hubs (HITS_SCALE each) -> raw authority is
+    # SCALE * in-degree; normalize to the max.
+    auth = edges.groupBy("p").agg(
+        (F.count("*") * F.lit(HITS_SCALE)).cast("long").alias("raw")
+    )
+    auth = auth.crossJoin(
+        F.broadcast(auth.agg(F.max("raw").alias("mx")))
+    ).select("p", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("auth"))
+    # half-step 2: hub = sum of its parts' authorities, normalized.
+    hub = edges.join(auth, "p").groupBy("c").agg(F.sum("auth").alias("raw"))
+    hub = hub.crossJoin(
+        F.broadcast(hub.agg(F.max("raw").alias("mx")))
+    ).select("c", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("hub"))
+    # half-step 3: authority = sum of its customers' hub scores.
+    auth2 = edges.join(hub, "c").groupBy("p").agg(F.sum("hub").alias("raw"))
+    auth2 = auth2.crossJoin(
+        F.broadcast(auth2.agg(F.max("raw").alias("mx")))
+    ).select("p", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("score"))
+    top_p = (
+        auth2.select(
+            F.lit("part").alias("role"), F.col("p").alias("vid"), "score"
+        )
+        .orderBy(F.desc("score"), "vid")
+        .limit(HITS_TOP)
+    )
+    top_c = (
+        hub.select(
+            F.lit("customer").alias("role"),
+            F.col("c").alias("vid"),
+            F.col("hub").alias("score"),
+        )
+        .orderBy(F.desc("score"), "vid")
+        .limit(HITS_TOP)
+    )
+    return top_p.unionByName(top_c).orderBy("role", F.desc("score"), "vid")
+
+
+QUERIES["g89_hits"] = g89_hits
+ORACLE["g89_hits"] = f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    a1r AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) * {HITS_SCALE} AS raw
+      FROM edges GROUP BY p),
+    a1 AS (
+      SELECT p, (raw * {HITS_SCALE}) // (SELECT MAX(raw) FROM a1r) AS auth
+      FROM a1r),
+    h1r AS (
+      SELECT c, CAST(SUM(auth) AS BIGINT) AS raw
+      FROM edges JOIN a1 USING (p) GROUP BY c),
+    h1 AS (
+      SELECT c, (raw * {HITS_SCALE}) // (SELECT MAX(raw) FROM h1r) AS hub
+      FROM h1r),
+    a2r AS (
+      SELECT p, CAST(SUM(hub) AS BIGINT) AS raw
+      FROM edges JOIN h1 USING (c) GROUP BY p),
+    a2 AS (
+      SELECT p, (raw * {HITS_SCALE}) // (SELECT MAX(raw) FROM a2r) AS score
+      FROM a2r),
+    top_p AS (
+      SELECT 'part' AS role, p AS vid, score FROM a2
+      ORDER BY score DESC, vid LIMIT {HITS_TOP}),
+    top_c AS (
+      SELECT 'customer' AS role, c AS vid, hub AS score FROM h1
+      ORDER BY score DESC, vid LIMIT {HITS_TOP})
+    SELECT role, vid, score FROM (
+      SELECT * FROM top_p UNION ALL SELECT * FROM top_c)
+    ORDER BY role, score DESC, vid"""
+
+
+# G90 — degree assortativity (Newman's r) of the co-purchase graph from
+# EXACT integer moment sums: for every directed orientation of every
+# edge, x = deg(source), y = deg(target); r is the Pearson correlation of
+# (x, y). Positive r = hubs buy with hubs (assortative mixing), negative
+# r = hub-and-spoke. The moments (n, Sx, Sxy, Sxx) are exact 64-bit sums
+# — order-independent, so hash-stable — and only the final scalar
+# combination runs in floating point (the a17 discipline), rounded and
+# +0.0-normalized. Published use: one-number dataset-card diagnostic of
+# graph topology before sampling/GNN work (Newman 2002).
+#
+# Plan shape: the degree table is one partial-agg over the checkpointed
+# edge list; attaching deg to both endpoints is two equi-joins on the
+# vertex key; the moments are ONE global partial-agg (every executor
+# combines locally, 64 bytes to the driver). Linear, skew-free, and the
+# whole reduction is a single stage at any scale.
+def g90_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir, KCORE_MIN_QTY)
+    und = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    pairs = (
+        und.join(deg.select(F.col("u").alias("su"), F.col("d").alias("x")),
+                 F.col("u") == F.col("su"))
+        .join(deg.select(F.col("u").alias("sv"), F.col("d").alias("y")),
+              F.col("v") == F.col("sv"))
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # by symmetry both orientations are present, so Sy = Sx and Syy = Sxx
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("m_edges"),
+        "n",
+        "sx",
+        "sxy",
+        "sxx",
+        (
+            F.round(cov.cast("double") / varx.cast("double"), 4) + F.lit(0.0)
+        ).alias("assortativity"),
+    )
+
+
+QUERIES["g90_assortativity"] = g90_assortativity
+ORACLE["g90_assortativity"] = f"""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= {KCORE_MIN_QTY}) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= {KCORE_MIN_QTY}) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM und JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pairs)
+    SELECT CAST(n / 2 AS BIGINT) AS m_edges, n, sx, sxy, sxx,
+           ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0
+             AS assortativity
+    FROM m"""

@@ -1467,3 +1467,104 @@ ORACLE["a22_sessionize"] = f"""
            CAST(SUM(n_events) AS BIGINT) AS events,
            MAX(longest_s) AS max_session_s
     FROM per_user GROUP BY n_sessions ORDER BY n_sessions"""
+
+
+# A23 — interval union / overlap merge: per supplier, each lineitem opens a
+# transit window [ship_date, ship_date + quantity days]; overlapping or
+# touching windows merge into maximal covered islands (the interval twin of
+# a22's point-event sessionization — a22 splits on GAPS between instants,
+# a23 unions true [start, end] spans). The canonical uses are calendar
+# coverage (when was ANY shipment of this supplier in transit), SLA windows,
+# and validity-interval flattening before an SCD2 build (a12).
+#
+# Plan shape (scale posture): one window pass partitioned by supplier — the
+# running MAX(end) over preceding rows marks island starts (an interval
+# starts a new island iff it begins strictly after everything before it has
+# ended), a running SUM of those flags numbers the islands, then two hash
+# aggs (island extent -> per-supplier report). One shuffle keyed by the
+# high-cardinality supplier key, partial-agg absorbed; no self-join, no
+# range join, nothing quadratic — the same plan at 100 TB. The window's
+# ORDER BY carries (start, end, orderkey, linenumber) so row order is total
+# and both engines see identical running maxima.
+def a23_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+        F.to_date("l_shipdate").alias("start_d"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+        ).alias("end_d"),
+    )
+    w = Window.partitionBy("supp").orderBy("start_d", "end_d", "okey", "lno")
+    prev_max_end = F.max("end_d").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = li.withColumn(
+        "new_i",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_d") > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "iid",
+        F.sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("supp", "iid").agg(
+        F.count("*").alias("n_raw"),
+        F.min("start_d").alias("i_start"),
+        F.max("end_d").alias("i_end"),
+    )
+    return (
+        per_island.groupBy("supp")
+        .agg(
+            F.sum("n_raw").cast("long").alias("n_windows"),
+            F.count("*").cast("long").alias("n_merged"),
+            F.sum(F.datediff("i_end", "i_start"))
+            .cast("long")
+            .alias("covered_days"),
+            F.max(F.datediff("i_end", "i_start"))
+            .cast("long")
+            .alias("longest_days"),
+        )
+        .orderBy("supp")
+    )
+
+
+QUERIES["a23_interval_merge"] = a23_interval_merge
+ORACLE["a23_interval_merge"] = """
+    WITH iv AS (
+      SELECT l_suppkey AS supp, l_orderkey AS okey, l_linenumber AS lno,
+             CAST(l_shipdate AS DATE) AS start_d,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS end_d
+      FROM lineitem),
+    flagged AS (
+      SELECT supp, start_d, end_d,
+             CASE WHEN MAX(end_d) OVER (
+                    PARTITION BY supp ORDER BY start_d, end_d, okey, lno
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR start_d > MAX(end_d) OVER (
+                    PARTITION BY supp ORDER BY start_d, end_d, okey, lno
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_i,
+             okey, lno
+      FROM iv),
+    islands AS (
+      SELECT supp, start_d, end_d,
+             SUM(new_i) OVER (
+               PARTITION BY supp ORDER BY start_d, end_d, okey, lno
+               ROWS UNBOUNDED PRECEDING) AS iid
+      FROM flagged),
+    per_island AS (
+      SELECT supp, iid, COUNT(*) AS n_raw, MIN(start_d) AS i_start,
+             MAX(end_d) AS i_end
+      FROM islands GROUP BY supp, iid)
+    SELECT supp, CAST(SUM(n_raw) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(date_diff('day', i_start, i_end)) AS BIGINT)
+             AS covered_days,
+           CAST(MAX(date_diff('day', i_start, i_end)) AS BIGINT)
+             AS longest_days
+    FROM per_island GROUP BY supp ORDER BY supp"""

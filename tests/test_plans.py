@@ -1066,3 +1066,39 @@ def test_curation_pipeline_shuffles_ids_not_text(spark):
     assert not re.search(r"hashpartitioning\([^)]*\btext#", plan)
     # the winner election keys on the md5 fingerprint
     assert re.search(r"hashpartitioning\(fp#", plan)
+
+
+def test_hits_halfsteps_are_joins_with_broadcast_scalars(spark):
+    # g89's normalizations are 1-row broadcast scalars (BNLJ); the
+    # half-steps are equi-join + partial agg — no windows over the edge
+    # list, no global sort of the corpus (the top-k is TakeOrdered).
+    from flink_neo4j_spark.operators.graph_algos import g89_hits
+
+    df = g89_hits(spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_assortativity_single_scalar_reduction(spark):
+    # g90's moment sums reduce in one global partial agg — no window, no
+    # sort; the whole result is one row.
+    from flink_neo4j_spark.operators.graph_algos import g90_assortativity
+
+    df = g90_assortativity(spark, SF_DIR)
+    plan = formatted_plan_of(df)
+    assert "Window" not in plan
+    assert df.count() == 1
+
+
+def test_interval_merge_one_window_partition_key(spark):
+    # a23 runs its island detection in ONE window pass partitioned by the
+    # high-cardinality supplier key — the plan's only exchanges are the
+    # supp hash partitioning (window) and the final range sort.
+    from flink_neo4j_spark.operators.temporal import a23_interval_merge
+
+    plan = formatted_plan_of(a23_interval_merge(spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(supp#", plan)
+    # never re-shuffled by anything text-like or quadratic: no joins at all
+    assert "Join" not in plan
