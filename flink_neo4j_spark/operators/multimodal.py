@@ -412,25 +412,33 @@ def m8_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wlag.rowsBetween(Window.unboundedPreceding, 0))
         .alias("scene"),
     )
-    wins = d.filter(F.col("bl") >= AUDIO_WIN).select(
+    # Window energies: decode the text into ONE char-code array per doc
+    # (split + transform, a single linear pass), then every overlapping
+    # window is a slice-sum over that array. The previous form summed
+    # ascii(substring(text, p, 1)) per position: each substring is an
+    # O(p) UTF8String scan, so a window cost O(win x len) and a doc
+    # O(len^2 / hop) — measured 4.5x the DuckDB oracle at sf1 (15.0 s vs
+    # 3.3 s; DuckDB's ASCII fast path makes its substring O(1)). All the
+    # per-doc array state stays INSIDE the row projection — only the
+    # (len/hop)-element energy array survives to the explode, so nothing
+    # wide is shuffled.
+    vals_f = d.filter(F.col("bl") >= AUDIO_WIN).select(
         "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor((F.col("bl") - AUDIO_WIN) / AUDIO_HOP).cast("int"),
-            )
-        ).alias("win_idx"),
-        "text",
+        "bl",
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("vals"),
     )
-    energy = F.expr(
-        f"aggregate(transform(sequence(win_idx * {AUDIO_HOP} + 1, "
-        f"win_idx * {AUDIO_HOP} + {AUDIO_WIN}), "
-        "p -> ascii(substring(text, p, 1))), 0L, (acc, x) -> acc + x)"
+    energy_arr = F.expr(
+        f"transform(sequence(0, cast(floor((bl - {AUDIO_WIN}) / "
+        f"{AUDIO_HOP}) as int)), "
+        f"w -> aggregate(slice(vals, w * {AUDIO_HOP} + 1, {AUDIO_WIN}), "
+        "0L, (acc, x) -> acc + x))"
     )
-    win_feat = wins.select(
+    win_feat = vals_f.select(
+        "doc_id", F.posexplode(energy_arr).alias("win_idx", "energy")
+    ).select(
         "doc_id",
         "win_idx",
-        energy.alias("energy"),
+        "energy",
         (
             (F.col("win_idx") * AUDIO_HOP + AUDIO_WIN // 2) / SCENE_STRIDE
         )

@@ -112,7 +112,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a21_seasonal_decomp",
     # (the remaining r3 rows — g2, m4/m6-m9 [m4 swapped out for the
     # code-changed d8 under the 50-row cap; the whole m-family then
-    # re-certifies together], the s-family, t8/t12 and the
+    # re-certifies together — m8's window-energy plan was reworked late
+    # in round 9 (split-once char array) so its r3 row is stale and its
+    # r10 pin is MANDATORY], the s-family, t8/t12 and the
     # w-family — roll to round 10: the driver records exactly 50 rows
     # per round, and the five NEW round-9 queries plus the four
     # code-changed ones above must earn rows this round. The four
