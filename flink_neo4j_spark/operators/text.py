@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import math
 import os
 
 from flink_neo4j_spark.catalog import (
@@ -1640,3 +1641,117 @@ ORACLE["t25_chunking"] = f"""
            array_to_string(ctoks, ' ') AS chunk_text
     FROM chunks
     ORDER BY doc_id, chunk_id"""
+
+
+# T26 — per-source distribution drift: Jensen-Shannon divergence (in bits)
+# of each source's unigram distribution against the corpus-wide
+# distribution over the top-JS_VOCAB vocabulary. The dataset-card drift
+# monitor every multi-source pretraining mix runs: a source whose JS jumps
+# between crawls changed its content mix. Counts are exact integers
+# end-to-end; floats appear only in the per-token contribution and the
+# final reduction, and BOTH engines (a) compute the contribution from the
+# IDENTICAL SQL expression text and (b) sum the contributions in the
+# IDENTICAL token-ascending order (array_sort + left-fold aggregate on
+# Spark, list(... ORDER BY tok) + list_sum in DuckDB), so the IEEE
+# addition sequence — not just the value set — matches and the rounded
+# result is hash-stable (the t24/t17 ln() precedent).
+#
+# Plan shape: one explode pass -> one (source, tok) partial agg; the
+# vocabulary is a 200-row broadcast (top-k by global count, tie-broken by
+# token); the source x vocab grid is |sources| x 200 rows — constant-size
+# downstream state no matter the corpus size, so the only data-
+# proportional work is the token count agg. 100 TB-sane by construction.
+JS_VOCAB = 200
+
+_JS_CONTRIB_SQL = (
+    "CASE WHEN c0 > 0 THEN 0.5 * (CAST(c0 AS DOUBLE) / t_s) * "
+    "ln((CAST(c0 AS DOUBLE) / t_s) / "
+    "((CAST(c0 AS DOUBLE) / t_s + CAST(g AS DOUBLE) / gt) / 2)) "
+    "ELSE 0.0 END + "
+    "0.5 * (CAST(g AS DOUBLE) / gt) * "
+    "ln((CAST(g AS DOUBLE) / gt) / "
+    "((CAST(c0 AS DOUBLE) / t_s + CAST(g AS DOUBLE) / gt) / 2))"
+)
+
+
+def t26_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = documents_for_compute(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(F.expr(TOKENS)).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.desc("g"), "tok")
+        .limit(JS_VOCAB)
+    )
+    gtot = vocab.agg(F.sum("g").cast("long").alias("gt"))
+    srcs = counts.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+        )
+        .withColumn(
+            "t_s",
+            F.sum("c0").over(Window.partitionBy("source")).cast("long"),
+        )
+        .crossJoin(F.broadcast(gtot))
+        .withColumn("contrib", F.expr(_JS_CONTRIB_SQL))
+    )
+    per = grid.groupBy("source").agg(
+        F.first("t_s").alias("vocab_tokens"),
+        F.array_sort(F.collect_list(F.struct("tok", "contrib"))).alias(
+            "arr"
+        ),
+    )
+    js_nats = F.aggregate(
+        "arr", F.lit(0.0), lambda acc, s: acc + s.getField("contrib")
+    )
+    return per.select(
+        "source",
+        "vocab_tokens",
+        (F.round(js_nats / float(math.log(2.0)) + F.lit(5e-10), 6) + F.lit(0.0)).alias(
+            "js_bits"
+        ),
+    ).orderBy("source")
+
+
+QUERIES["t26_source_divergence"] = t26_source_divergence
+ORACLE["t26_source_divergence"] = f"""
+    WITH tokd AS (
+      SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents),
+    tok AS (SELECT source, tok FROM tokd WHERE tok <> ''),
+    counts AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    vocab AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM counts
+      GROUP BY tok ORDER BY g DESC, tok LIMIT {JS_VOCAB}),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM vocab),
+    srcs AS (SELECT DISTINCT source FROM counts),
+    grid AS (
+      SELECT s.source, v.tok, v.g, COALESCE(c.c, 0) AS c0
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok),
+    gridt AS (
+      SELECT source, tok, g, c0,
+             CAST(SUM(c0) OVER (PARTITION BY source) AS BIGINT) AS t_s,
+             (SELECT gt FROM gtot) AS gt
+      FROM grid),
+    contribs AS (
+      SELECT source, tok, t_s,
+             {_JS_CONTRIB_SQL} AS contrib
+      FROM gridt),
+    per AS (
+      SELECT source, MIN(t_s) AS vocab_tokens,
+             list_sum(list(contrib ORDER BY tok)) AS js_nats
+      FROM contribs GROUP BY source)
+    SELECT source, CAST(vocab_tokens AS BIGINT) AS vocab_tokens,
+           ROUND(js_nats / ln(2) + 5e-10, 6) + 0.0 AS js_bits
+    FROM per ORDER BY source"""
