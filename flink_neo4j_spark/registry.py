@@ -117,12 +117,14 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r10 pin is MANDATORY], the s-family, t8/t12 and the
     # w-family — roll to round 10: the driver records exactly 50 rows
     # per round, and the five NEW round-9 queries plus the four
-    # code-changed ones above must earn rows this round. The four
+    # code-changed ones above must earn rows this round. The EIGHT
     # operators ADDED late in round 9 — s20_binary_topk, s21_rrf_fusion,
-    # d20_dedup_qa, d21_curation_pipeline — are deliberately NOT listed
-    # here: they sit in never-green tier B behind this full tier A, and
-    # round 10 must pin them in _CHANGED_THIS_ROUND alongside the r3
-    # backlog remainder.)
+    # d20_dedup_qa, d21_curation_pipeline, a23_interval_merge, g89_hits,
+    # g90_assortativity, t26_source_divergence — are deliberately NOT
+    # listed here: they sit in never-green tier B behind this full
+    # tier A, and round 10 must pin them in _CHANGED_THIS_ROUND
+    # alongside the r3 backlog remainder (plus code-changed m8, see
+    # above).)
 )
 # Round-8 tier-A entries all earned green rows in CORRECTNESS_r08.json,
 # so they drop back to tier C here.
