@@ -528,35 +528,45 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = docs.select(F.col("doc_id").alias("vid"), F.col("doc_id").alias("comp"))
-    # Convergence is checked every 2nd round only: the check is a full
-    # comparison join + count() job, and dedup graphs converge in 2-4
-    # rounds, so halving the check cadence saves a job per round at the
-    # cost of at most one redundant propagation. MAX_CC_ROUNDS bounds a
-    # pathological chain (the fixpoint is monotone, so stopping early
-    # yields a coarser-but-valid partition rather than garbage).
-    for rnd in range(1, MAX_CC_ROUNDS + 1):
-        msgs = und.join(
-            comp.withColumnRenamed("vid", "a_id"), "a_id"
-        ).select(F.col("b_id").alias("vid"), "comp")
-        new_comp = (
-            comp.unionByName(msgs)
-            .groupBy("vid")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+
+    n_docs = memoized_count(
+        spark, ("documents", os.path.abspath(sf_dir)), docs
+    )
+    with iter_kernel(spark, n_docs) as k:
+        comp = docs.select(
+            F.col("doc_id").alias("vid"), F.col("doc_id").alias("comp")
         )
-        if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "vid")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
+        # Convergence is checked every 2nd round only: the check is a full
+        # comparison join + count() job, and dedup graphs converge in 2-4
+        # rounds, so halving the check cadence saves a job per round at the
+        # cost of at most one redundant propagation. MAX_CC_ROUNDS bounds a
+        # pathological chain (the fixpoint is monotone, so stopping early
+        # yields a coarser-but-valid partition rather than garbage).
+        # Checkpoints are lazy: the convergence count (or the next round's
+        # check) is the materializing action.
+        for rnd in range(1, MAX_CC_ROUNDS + 1):
+            msgs = und.join(
+                k.bc(comp.withColumnRenamed("vid", "a_id")), "a_id"
+            ).select(F.col("b_id").alias("vid"), "comp")
+            new_comp = (
+                comp.unionByName(msgs)
+                .groupBy("vid")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=False)
             )
-            comp = new_comp
-            if changed == 0:
-                break
-        else:
-            comp = new_comp
+            if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
+                changed = (
+                    new_comp.alias("n")
+                    .join(k.bc(comp.alias("o")), "vid")
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .count()
+                )
+                comp = new_comp
+                if changed == 0:
+                    break
+            else:
+                comp = new_comp
     return comp.select(
         F.col("vid").alias("doc_id"),
         "comp",
@@ -616,29 +626,37 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vids = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    comp = vids.select(F.col("vec_id").alias("vid"), F.col("vec_id").alias("comp"))
-    for rnd in range(1, MAX_CC_ROUNDS + 1):
-        msgs = und.join(
-            comp.withColumnRenamed("vid", "a_id"), "a_id"
-        ).select(F.col("b_id").alias("vid"), "comp")
-        new_comp = (
-            comp.unionByName(msgs)
-            .groupBy("vid")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+
+    n_vecs = memoized_count(
+        spark, ("embeddings", os.path.abspath(sf_dir)), vids
+    )
+    with iter_kernel(spark, n_vecs) as k:
+        comp = vids.select(
+            F.col("vec_id").alias("vid"), F.col("vec_id").alias("comp")
         )
-        if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "vid")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
+        for rnd in range(1, MAX_CC_ROUNDS + 1):
+            msgs = und.join(
+                k.bc(comp.withColumnRenamed("vid", "a_id")), "a_id"
+            ).select(F.col("b_id").alias("vid"), "comp")
+            new_comp = (
+                comp.unionByName(msgs)
+                .groupBy("vid")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=False)
             )
-            comp = new_comp
-            if changed == 0:
-                break
-        else:
-            comp = new_comp
+            if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
+                changed = (
+                    new_comp.alias("n")
+                    .join(k.bc(comp.alias("o")), "vid")
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .count()
+                )
+                comp = new_comp
+                if changed == 0:
+                    break
+            else:
+                comp = new_comp
     return comp.select(
         F.col("vid").alias("vec_id"),
         "comp",

@@ -219,23 +219,40 @@ CHECKPOINT_EVERY = 3
 # closed-form because the fixture topology is known (components == regions),
 # while the implementation is the general algorithm.
 def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count, right_size
+
     g = tpch_graph(spark, sf_dir)
-    undirected = g.edges.select("src", "dst").unionAll(
-        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_e = 2 * memoized_count(
+        spark, ("tpch_edges", os.path.abspath(sf_dir)), g.edges
     )
-    undirected = undirected.persist()  # reused every round
-    comp = g.vertices.select(F.col("id").alias("vid"), F.col("id").alias("comp"))
-    for i in range(CC_ITERATIONS):
-        msgs = (
-            undirected.join(comp.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"), "comp")
+    with iter_kernel(spark, n_e) as k:
+        undirected = right_size(
+            g.edges.select("src", "dst").unionAll(
+                g.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            ),
+            n_e,
+        ).persist()  # reused every round
+        comp = g.vertices.select(
+            F.col("id").alias("vid"), F.col("id").alias("comp")
         )
-        comp = comp.unionByName(msgs).groupBy("vid").agg(F.min("comp").alias("comp"))
-        # truncate lineage every CHECKPOINT_EVERY rounds so the plan stays
-        # bounded without paying one materialization job per round; on a
-        # real cluster use setCheckpointDir + reliable .checkpoint()
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == CC_ITERATIONS - 1:
-            comp = comp.localCheckpoint()
+        for i in range(CC_ITERATIONS):
+            msgs = (
+                undirected.join(k.bc(comp.withColumnRenamed("vid", "src")), "src")
+                .select(F.col("dst").alias("vid"), "comp")
+            )
+            comp = comp.unionByName(msgs).groupBy("vid").agg(
+                F.min("comp").alias("comp")
+            )
+            # truncate lineage every CHECKPOINT_EVERY rounds so the plan
+            # stays bounded; lazy for intermediates (the next round's plan
+            # materializes them), eager for the last so the whole loop
+            # executes at the kernel width, not the caller's
+            if i == CC_ITERATIONS - 1:
+                comp = comp.localCheckpoint()
+            elif (i + 1) % CHECKPOINT_EVERY == 0:
+                comp = comp.localCheckpoint(eager=False)
     return comp.orderBy("vid")
 
 
@@ -255,51 +272,74 @@ PR_TOLERANCE = 1e-6
 # brittle (driver records the rows-only check; SURVEY §2.3 ROUND discipline
 # covers aggregates, not 12-round fp recurrences).
 def g4_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count, right_size
+
     g = tpch_graph(spark, sf_dir)
-    # the (vid) universe is re-probed every round for dangling-vertex
-    # re-attachment — persist it once instead of re-scanning the 4-table
-    # vertex union per iteration
-    vids = g.vertices.select(F.col("id").alias("vid")).persist()
-    n_vertices = vids.count()
-    out_deg = g.edges.groupBy(F.col("src").alias("vid")).agg(
-        F.count("*").alias("deg")
+    n_e = memoized_count(
+        spark, ("tpch_edges", os.path.abspath(sf_dir)), g.edges
     )
-    links = (
-        g.edges.select("src", "dst")
-        .join(out_deg.withColumnRenamed("vid", "src"), "src")
-        .persist()  # reused every round
-    )
-    ranks = vids.select("vid", F.lit(1.0 / n_vertices).alias("rank"))
-    base = (1.0 - PR_DAMPING) / n_vertices
-    prev = ranks.localCheckpoint()
-    ranks = prev
-    for i in range(PR_ITERATIONS):
-        contribs = (
-            links.join(ranks.withColumnRenamed("vid", "src"), "src")
-            .select(
-                F.col("dst").alias("vid"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
-            )
+    with iter_kernel(spark, n_e) as k:
+        # the (vid) universe is re-probed every round for dangling-vertex
+        # re-attachment — persist it once instead of re-scanning the
+        # 4-table vertex union per iteration
+        vids = g.vertices.select(F.col("id").alias("vid")).persist()
+        n_vertices = vids.count()
+        out_deg = g.edges.groupBy(F.col("src").alias("vid")).agg(
+            F.count("*").alias("deg")
         )
-        ranks = (
-            vids.join(contribs.groupBy("vid").agg(F.sum("contrib").alias("s")), "vid", "left")
-            .select(
-                "vid",
-                (F.lit(base) + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
-            )
+        links = (
+            right_size(g.edges.select("src", "dst"), n_e)
+            .join(k.bc(out_deg.withColumnRenamed("vid", "src")), "src")
+            .persist()  # reused every round
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == PR_ITERATIONS - 1:
-            ranks = ranks.localCheckpoint()  # lineage truncation, as in CC
-            # convergence test on the checkpoint cadence: the residual is a
-            # single scalar aggregated distributed-side (no row collect)
-            residual = (
-                ranks.join(prev.withColumnRenamed("rank", "prev_rank"), "vid")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("r"))
-                .first()["r"]
+        ranks = vids.select("vid", F.lit(1.0 / n_vertices).alias("rank"))
+        base = (1.0 - PR_DAMPING) / n_vertices
+        prev = ranks.localCheckpoint()
+        ranks = prev
+        for i in range(PR_ITERATIONS):
+            contribs = (
+                links.join(k.bc(ranks.withColumnRenamed("vid", "src")), "src")
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"),
+                )
             )
-            if residual is not None and residual < PR_TOLERANCE:
-                break
-            prev = ranks
+            ranks = (
+                vids.join(
+                    k.bc(
+                        contribs.groupBy("vid").agg(F.sum("contrib").alias("s"))
+                    ),
+                    "vid",
+                    "left",
+                )
+                .select(
+                    "vid",
+                    (
+                        F.lit(base)
+                        + F.lit(PR_DAMPING)
+                        * F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0 or i == PR_ITERATIONS - 1:
+                # the residual's first() is the materializing action, so
+                # the checkpoint stays lazy — one job per cadence window
+                ranks = ranks.localCheckpoint(eager=False)
+                residual = (
+                    ranks.join(
+                        k.bc(prev.withColumnRenamed("rank", "prev_rank")),
+                        "vid",
+                    )
+                    .agg(
+                        F.sum(
+                            F.abs(F.col("rank") - F.col("prev_rank"))
+                        ).alias("r")
+                    )
+                    .first()["r"]
+                )
+                if residual is not None and residual < PR_TOLERANCE:
+                    break
+                prev = ranks
     return ranks.select("vid", F.round("rank", 6).alias("rank")).orderBy("vid")
 
 
@@ -332,26 +372,41 @@ BFS_SOURCE = REGION_BASE + 0
 # RECURSIVE CTE — a genuinely different evaluation strategy (tuple-at-a-time
 # semi-naive recursion) that must produce identical hop counts.
 def g6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count, right_size
+
     g = tpch_graph(spark, sf_dir)
-    undirected = (
-        g.edges.select("src", "dst")
-        .unionAll(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .persist()
+    n_e = 2 * memoized_count(
+        spark, ("tpch_edges", os.path.abspath(sf_dir)), g.edges
     )
-    dist = (
-        g.vertices.filter(F.col("id") == BFS_SOURCE)
-        .select(F.col("id").alias("vid"), F.lit(0).alias("hops"))
-    )
-    for i in range(BFS_MAX_HOPS):
-        reached = (
-            undirected.join(dist.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"), (F.col("hops") + 1).alias("hops"))
-        )
+    with iter_kernel(spark, n_e) as k:
+        undirected = right_size(
+            g.edges.select("src", "dst").unionAll(
+                g.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            ),
+            n_e,
+        ).persist()
         dist = (
-            dist.unionByName(reached).groupBy("vid").agg(F.min("hops").alias("hops"))
+            g.vertices.filter(F.col("id") == BFS_SOURCE)
+            .select(F.col("id").alias("vid"), F.lit(0).alias("hops"))
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == BFS_MAX_HOPS - 1:
-            dist = dist.localCheckpoint()
+        for i in range(BFS_MAX_HOPS):
+            reached = (
+                undirected.join(k.bc(dist.withColumnRenamed("vid", "src")), "src")
+                .select(
+                    F.col("dst").alias("vid"), (F.col("hops") + 1).alias("hops")
+                )
+            )
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("vid")
+                .agg(F.min("hops").alias("hops"))
+            )
+            if i == BFS_MAX_HOPS - 1:
+                dist = dist.localCheckpoint()
+            elif (i + 1) % CHECKPOINT_EVERY == 0:
+                dist = dist.localCheckpoint(eager=False)
     return dist.orderBy("vid")
 
 
@@ -745,30 +800,44 @@ def g51_cypher_rel_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tuple-at-a-time semi-naive recursion vs bulk-synchronous relaxation must
 # produce identical costs.
 def g13_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count, right_size
+
     g = tpch_graph(spark, sf_dir)
-    undirected = (
-        g.edges.select("src", "dst", "w")
-        .unionAll(
-            g.edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    n_e = 2 * memoized_count(
+        spark, ("tpch_edges", os.path.abspath(sf_dir)), g.edges
+    )
+    with iter_kernel(spark, n_e) as k:
+        undirected = right_size(
+            g.edges.select("src", "dst", "w").unionAll(
+                g.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            ),
+            n_e,
+        ).persist()
+        dist = (
+            g.vertices.filter(F.col("id") == BFS_SOURCE)
+            .select(
+                F.col("id").alias("vid"), F.lit(0).cast("long").alias("dist")
             )
         )
-        .persist()
-    )
-    dist = (
-        g.vertices.filter(F.col("id") == BFS_SOURCE)
-        .select(F.col("id").alias("vid"), F.lit(0).cast("long").alias("dist"))
-    )
-    for i in range(BFS_MAX_HOPS):
-        relaxed = (
-            undirected.join(dist.withColumnRenamed("vid", "src"), "src")
-            .select(F.col("dst").alias("vid"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        dist = (
-            dist.unionByName(relaxed).groupBy("vid").agg(F.min("dist").alias("dist"))
-        )
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == BFS_MAX_HOPS - 1:
-            dist = dist.localCheckpoint()
+        for i in range(BFS_MAX_HOPS):
+            relaxed = (
+                undirected.join(k.bc(dist.withColumnRenamed("vid", "src")), "src")
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("vid")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if i == BFS_MAX_HOPS - 1:
+                dist = dist.localCheckpoint()
+            elif (i + 1) % CHECKPOINT_EVERY == 0:
+                dist = dist.localCheckpoint(eager=False)
     return dist.orderBy("vid")
 
 
@@ -1141,32 +1210,42 @@ def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g22_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    live = _kcore_adjacency(spark, sf_dir).localCheckpoint()
-    prev_n = -1
-    for _ in range(KCORE_MAX_ROUNDS):
-        keep = (
-            live.groupBy("x")
-            .agg(F.count("*").alias("dx"))
-            .filter(F.col("dx") >= KCORE_K)
-            .select("x")
-            .localCheckpoint()
-        )
-        n = keep.count()
-        if n == prev_n:
-            break
-        prev_n = n
-        live = (
-            live.join(keep, "x")
-            .join(keep.withColumnRenamed("x", "y"), "y")
-            .select("x", "y")
-            .localCheckpoint()
-        )
-    return (
-        live.groupBy(F.col("x").alias("part"))
-        .agg(F.count("*").alias("core_degree"))
-        .filter(F.col("core_degree") >= KCORE_K)
-        .orderBy("part")
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count, right_size
+
+    adj = _kcore_adjacency(spark, sf_dir)
+    n_e = memoized_count(
+        spark, ("kcore_adjacency", os.path.abspath(sf_dir)), adj
     )
+    with iter_kernel(spark, n_e) as k:
+        live = right_size(adj, n_e).localCheckpoint()
+        prev_n = -1
+        for _ in range(KCORE_MAX_ROUNDS):
+            # lazy checkpoint + count: one job per peel test, and the
+            # same job materializes the previous round's live set
+            keep = (
+                live.groupBy("x")
+                .agg(F.count("*").alias("dx"))
+                .filter(F.col("dx") >= KCORE_K)
+                .select("x")
+                .localCheckpoint(eager=False)
+            )
+            n = keep.count()
+            if n == prev_n:
+                break
+            prev_n = n
+            live = (
+                live.join(k.bc(keep), "x")
+                .join(k.bc(keep.withColumnRenamed("x", "y")), "y")
+                .select("x", "y")
+                .localCheckpoint(eager=False)
+            )
+        out = (
+            live.groupBy(F.col("x").alias("part"))
+            .agg(F.count("*").alias("core_degree"))
+            .filter(F.col("core_degree") >= KCORE_K)
+            .localCheckpoint()
+        )
+    return out.orderBy("part")
 
 
 def _duck_kcore_sql() -> str:
@@ -1271,24 +1350,38 @@ LPA_ROUNDS = 2
 # enough to skip checkpointing; the to-fixpoint variant would localCheckpoint
 # every k rounds like g3/g4.
 def g24_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count, right_size
+
     edges = _copurchase_edges(spark, sf_dir, TRI_MIN_QTY)
-    und = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()  # consumed once per round — stop re-running the
-    # quadratic co-purchase projection each iteration
-    labels = und.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
+    n_e = 2 * memoized_count(
+        spark,
+        ("copurchase_edges", os.path.abspath(sf_dir), TRI_MIN_QTY),
+        edges,
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "label")
-    for _ in range(LPA_ROUNDS):
-        labels = (
-            und.join(labels.withColumnRenamed("id", "v"), "v")
-            .groupBy(F.col("u").alias("id"), "label")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "label")
+    with iter_kernel(spark, n_e) as k:
+        und = right_size(
+            edges.unionAll(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            n_e,
+        ).localCheckpoint()  # consumed once per round — stop re-running
+        # the quadratic co-purchase projection each iteration
+        labels = und.select(F.col("u").alias("id")).distinct().select(
+            "id", F.col("id").alias("label")
         )
+        w = Window.partitionBy("id").orderBy(F.desc("cnt"), "label")
+        for _ in range(LPA_ROUNDS):
+            labels = (
+                und.join(k.bc(labels.withColumnRenamed("id", "v")), "v")
+                .groupBy(F.col("u").alias("id"), "label")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", "label")
+            )
+        # materialize inside the kernel scope (the fixed-round chain has
+        # no action of its own)
+        labels = labels.localCheckpoint()
     return labels.select(F.col("id").alias("part"), "label").orderBy("part")
 
 
@@ -1337,34 +1430,40 @@ def g33_ppr_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport ``(SEED_MASS · (100 − DAMP)) div 100``. Each round is one
     equi-join + one partial-agg sum, the g4/g6 plan shape; K rounds
     unroll in the oracle as materialized CTEs."""
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+
     adj = _walk_adjacency(spark, sf_dir)
-    und = adj.select("u", "v", "deg")
-    seeds = und.select("u").distinct().orderBy("u").limit(PPR_SEEDS)
-    teleport = seeds.select(
-        F.col("u").alias("vid"),
-        F.lit(PPR_SEED_MASS * (100 - PPR_DAMP_PCT) // 100).alias("t_mass"),
-    ).localCheckpoint()
-    mass = teleport.select(
-        "vid", F.lit(PPR_SEED_MASS).cast("long").alias("mass")
+    n_e = memoized_count(
+        spark, ("walk_adjacency", os.path.abspath(sf_dir)), adj
     )
-    for _ in range(PPR_ROUNDS):
-        fwd = (
-            mass.join(und, mass.vid == und.u)
-            .select(
-                F.col("v").alias("vid"),
-                F.expr(f"(mass * {PPR_DAMP_PCT}) div (100 * deg)").alias(
-                    "m"
-                ),
-            )
+    with iter_kernel(spark, n_e) as k:
+        und = adj.select("u", "v", "deg")
+        seeds = und.select("u").distinct().orderBy("u").limit(PPR_SEEDS)
+        teleport = seeds.select(
+            F.col("u").alias("vid"),
+            F.lit(PPR_SEED_MASS * (100 - PPR_DAMP_PCT) // 100).alias("t_mass"),
+        ).localCheckpoint()
+        mass = teleport.select(
+            "vid", F.lit(PPR_SEED_MASS).cast("long").alias("mass")
         )
-        mass = (
-            fwd.unionByName(
-                teleport.select("vid", F.col("t_mass").alias("m"))
+        for i in range(PPR_ROUNDS):
+            fwd = (
+                k.bc(mass).join(und, mass.vid == und.u)
+                .select(
+                    F.col("v").alias("vid"),
+                    F.expr(f"(mass * {PPR_DAMP_PCT}) div (100 * deg)").alias(
+                        "m"
+                    ),
+                )
             )
-            .groupBy("vid")
-            .agg(F.sum("m").alias("mass"))
-            .localCheckpoint()
-        )
+            mass = (
+                fwd.unionByName(
+                    teleport.select("vid", F.col("t_mass").alias("m"))
+                )
+                .groupBy("vid")
+                .agg(F.sum("m").alias("mass"))
+                .localCheckpoint(eager=i == PPR_ROUNDS - 1)
+            )
     return (
         mass.filter(F.col("mass") > 0)
         .select("vid", "mass")
@@ -1550,29 +1649,42 @@ def _walk_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # choice makes the corpus bit-reproducible across retries, engines, and
 # partition layouts (a per-task seeded RNG is none of those).
 def g28_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+
     adj = _walk_adjacency(spark, sf_dir)
-    cur = (
-        adj.select("u")
-        .distinct()
-        .select(
-            F.col("u").cast("long").alias("walk_id"),
-            F.col("u").cast("long").alias("node"),
-            F.lit(0).alias("step"),
-        )
+    n_e = memoized_count(
+        spark, ("walk_adjacency", os.path.abspath(sf_dir)), adj
     )
-    out = cur
-    for t in range(1, WALK_STEPS + 1):
-        idx = (F.col("walk_id") * WALK_MULT + t * WALK_INC) % F.col("deg")
+    with iter_kernel(spark, n_e) as k:
         cur = (
-            cur.join(adj, cur.node == adj.u)
-            .filter(F.col("rk") == idx)
+            adj.select("u")
+            .distinct()
             .select(
-                "walk_id",
-                F.col("v").cast("long").alias("node"),
-                F.lit(t).alias("step"),
+                F.col("u").cast("long").alias("walk_id"),
+                F.col("u").cast("long").alias("node"),
+                F.lit(0).alias("step"),
             )
         )
-        out = out.unionByName(cur)
+        out = cur
+        # the step number rides the frame (``step + 1``), never a per-step
+        # literal — a varying literal makes each step's generated code
+        # unique and costs a fresh Janino compile per step
+        for _t in range(1, WALK_STEPS + 1):
+            idx = (
+                F.col("walk_id") * WALK_MULT
+                + (F.col("step") + 1) * WALK_INC
+            ) % F.col("deg")
+            cur = (
+                k.bc(cur).join(adj, cur.node == adj.u)
+                .filter(F.col("rk") == idx)
+                .select(
+                    "walk_id",
+                    F.col("v").cast("long").alias("node"),
+                    (F.col("step") + 1).alias("step"),
+                )
+            )
+            out = out.unionByName(cur)
+        out = out.localCheckpoint()
     return out.orderBy("walk_id", "step")
 
 
@@ -1584,25 +1696,33 @@ def g28_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accumulate as exact integers scaled by LCM(1..HOPS), so the sum is
 # layout-independent and the single division at the end is deterministic.
 def g29_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+
     adj = _walk_adjacency(spark, sf_dir)
-    und = adj.select("u", "v")
-    sources = (
-        und.select("u").distinct().orderBy("u").limit(HARMONIC_SOURCES)
+    n_e = memoized_count(
+        spark, ("walk_adjacency", os.path.abspath(sf_dir)), adj
     )
-    dist = sources.select(
-        F.col("u").alias("s"), F.col("u").alias("vid"), F.lit(0).alias("d")
-    )
-    for i in range(HARMONIC_HOPS):
-        reached = dist.join(und, dist.vid == und.u).select(
-            "s", F.col("v").alias("vid"), (F.col("d") + 1).alias("d")
+    with iter_kernel(spark, n_e) as k:
+        und = adj.select("u", "v")
+        sources = (
+            und.select("u").distinct().orderBy("u").limit(HARMONIC_SOURCES)
         )
-        dist = (
-            dist.unionByName(reached)
-            .groupBy("s", "vid")
-            .agg(F.min("d").alias("d"))
+        dist = sources.select(
+            F.col("u").alias("s"), F.col("u").alias("vid"), F.lit(0).alias("d")
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == HARMONIC_HOPS - 1:
-            dist = dist.localCheckpoint()
+        for i in range(HARMONIC_HOPS):
+            reached = k.bc(dist).join(und, dist.vid == und.u).select(
+                "s", F.col("v").alias("vid"), (F.col("d") + 1).alias("d")
+            )
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("s", "vid")
+                .agg(F.min("d").alias("d"))
+            )
+            if i == HARMONIC_HOPS - 1:
+                dist = dist.localCheckpoint()
+            elif (i + 1) % CHECKPOINT_EVERY == 0:
+                dist = dist.localCheckpoint(eager=False)
     return (
         dist.filter(F.col("d") > 0)
         .groupBy("vid")
@@ -2849,34 +2969,60 @@ def strongly_connected_components(
     iteration counts keep the loop action-free between localCheckpoint
     lineage barriers (one driver-side emptiness scalar per PEEL round,
     not per propagation step)."""
-    edges = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
+    from flink_neo4j_spark.tuning import iter_kernel
+
+    n_e = edges.count()
+    spark = edges.sparkSession
+    kernel = iter_kernel(spark, n_e)
+    k = kernel.__enter__()
+    try:
+        return _scc_kernel(edges, n_e, max_iters, max_rounds, back_iters, k)
+    finally:
+        kernel.__exit__(None, None, None)
+
+
+def _scc_kernel(
+    edges: DataFrame,
+    n_e: int,
+    max_iters: int,
+    max_rounds: int,
+    back_iters: int | None,
+    k,
+) -> DataFrame:
+    from flink_neo4j_spark.tuning import right_size
+
+    edges = right_size(
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long")),
+        n_e,
     ).localCheckpoint()
+    # lazy checkpoint + count folds the round-0 emptiness check into the
+    # materializing job (one job, not checkpoint + isEmpty)
     active = (
         edges.select(F.col("src").alias("vid"))
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    n_active = active.count()
     marks: list[DataFrame] = []
     fixpoint_checks: list[DataFrame] = []
     e = edges
     for rnd in range(max_rounds):
-        if active.isEmpty():
+        if n_active == 0:
             break
         # forward min-label: color(v) = min{u : u →* v} within the active
         # subgraph (fixed-iteration loop — no per-step action). Round 1
         # reuses the full edge set as-is (nothing assigned yet).
         if rnd > 0:
             e = (
-                e.join(active.withColumnRenamed("vid", "src"), "src")
-                .join(active.withColumnRenamed("vid", "dst"), "dst")
+                e.join(k.bc(active.withColumnRenamed("vid", "src")), "src")
+                .join(k.bc(active.withColumnRenamed("vid", "dst")), "dst")
                 .localCheckpoint()
             )
         color = active.withColumn("color", F.col("vid"))
         for i in range(max_iters):
             msgs = (
-                e.join(color, e.src == color.vid)
+                e.join(k.bc(color), e.src == color.vid)
                 .select(F.col("dst").alias("vid"), "color")
             )
             color = (
@@ -2894,9 +3040,9 @@ def strongly_connected_components(
         )
         for i in range(back_iters if back_iters is not None else max_iters):
             msgs = (
-                e.join(mark, e.dst == mark.vid)
+                e.join(k.bc(mark), e.dst == mark.vid)
                 .select(F.col("src").alias("vid"), "scc")
-                .join(color, "vid")
+                .join(k.bc(color), "vid")
                 .filter(F.col("color") == F.col("scc"))
                 .select("vid", "scc")
             )
@@ -2917,10 +3063,10 @@ def strongly_connected_components(
         # per round over checkpointed inputs, evaluated with the others in
         # a single end-of-call action — far cheaper than re-running a
         # propagation step per phase.
-        state = color.join(mark, "vid", "left")
+        state = color.join(k.bc(mark), "vid", "left")
         fixpoint_checks.append(
             e.join(
-                state.select(
+                k.bc(state).select(
                     F.col("vid").alias("src"),
                     F.col("color").alias("c_src"),
                     F.col("scc").alias("m_src"),
@@ -2928,7 +3074,7 @@ def strongly_connected_components(
                 "src",
             )
             .join(
-                state.select(
+                k.bc(state).select(
                     F.col("vid").alias("dst"),
                     F.col("color").alias("c_dst"),
                     F.col("scc").alias("m_dst"),
@@ -2954,8 +3100,11 @@ def strongly_connected_components(
             .limit(1)
         )
         marks.append(mark)
-        active = active.join(mark, "vid", "left_anti").localCheckpoint()
-    if not active.isEmpty():
+        active = active.join(k.bc(mark), "vid", "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_active = active.count()
+    if n_active != 0:
         raise ValueError(
             "strongly_connected_components did not converge within "
             f"max_rounds={max_rounds}; raise the bound for this graph"
@@ -3105,7 +3254,6 @@ ORACLE["g57_cypher_pattern_comp"] = """
 # sources in the same job). State is O(|sources|·|V|) — the inherent
 # cost of exact betweenness; at scale pass a deterministic source sample
 # (the standard Brandes–Pich estimator) and the plan is unchanged.
-BC_CHECKPOINT_EVERY = 3
 
 
 def betweenness_centrality(
@@ -3121,6 +3269,9 @@ def betweenness_centrality(
     Undirected graphs symmetrize and halve (each unordered pair counted
     once). Raises if the forward BFS has not drained within
     ``max_iters`` levels — the conscious-ceiling contract."""
+    from flink_neo4j_spark.tuning import iter_kernel, right_size
+
+    n_in = edges.count()
     e = edges.select(
         F.col("src").cast("long").alias("__s"),
         F.col("dst").cast("long").alias("__d"),
@@ -3129,46 +3280,73 @@ def betweenness_centrality(
         e = e.unionByName(
             e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
         )
-    e = e.localCheckpoint()
-    verts = (
-        e.select(F.col("__s").alias("vid"))
-        .unionByName(e.select(F.col("__d").alias("vid")))
-        .distinct()
-    )
-    src = verts if sources is None else sources.select(
-        F.col("vid").cast("long")
-    )
-    dist = src.select(
-        F.col("vid").alias("s"),
-        F.col("vid").alias("v"),
-        F.lit(0).alias("d"),
-        F.lit(1).cast("double").alias("sigma"),
-    ).localCheckpoint()
-    frontier = dist
-    levels: list[DataFrame] = [frontier]  # level 0 = the sources
-    maxlev = 0
-    for i in range(max_iters):
-        nxt = (
-            frontier.join(e, F.col("v") == F.col("__s"))
-            .groupBy("s", F.col("__d").alias("v"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .withColumn("d", F.lit(i + 1))
+    n_e = n_in * (2 if undirected else 1)
+    spark = edges.sparkSession
+    kernel = iter_kernel(spark, n_e)
+    k = kernel.__enter__()
+    try:
+        e = right_size(e, n_e).localCheckpoint()
+        verts = (
+            e.select(F.col("__s").alias("vid"))
+            .unionByName(e.select(F.col("__d").alias("vid")))
+            .distinct()
         )
-        frontier = nxt.join(
-            dist.select("s", "v"), ["s", "v"], "left_anti"
+        src = verts if sources is None else sources.select(
+            F.col("vid").cast("long")
+        )
+        dist = src.select(
+            F.col("vid").alias("s"),
+            F.col("vid").alias("v"),
+            F.lit(1).cast("double").alias("sigma"),
         ).localCheckpoint()
-        if frontier.isEmpty():
-            break
-        maxlev = i + 1
-        levels.append(frontier)
-        dist = dist.unionByName(frontier.select(*dist.columns))
-        if (i + 1) % BC_CHECKPOINT_EVERY == 0:
-            dist = dist.localCheckpoint()
-    else:
-        raise ValueError(
-            f"betweenness forward BFS did not drain in max_iters="
-            f"{max_iters} levels; raise the bound for this graph"
-        )
+        frontier = dist
+        levels: list[DataFrame] = [frontier]  # level 0 = the sources
+        maxlev = 0
+        for i in range(max_iters):
+            # NOTE: no per-level literal in this plan (the old
+            # ``withColumn("d", lit(i+1))`` made every level's generated
+            # code unique, costing a fresh Janino compile per level; the
+            # level index lives in the Python-side ``levels`` list)
+            nxt = (
+                frontier.join(k.bc(e), F.col("v") == F.col("__s"))
+                .groupBy("s", F.col("__d").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            # lazy checkpoint + count: ONE job materializes the level AND
+            # answers the drain check (the eager-checkpoint + isEmpty pair
+            # was two jobs per level)
+            frontier = nxt.join(
+                k.bc(dist.select("s", "v")), ["s", "v"], "left_anti"
+            ).localCheckpoint(eager=False)
+            if frontier.count() == 0:
+                break
+            maxlev = i + 1
+            levels.append(frontier)
+            # lazy 2-way union checkpoint: the NEXT level's job
+            # materializes it for free, and the anti-join's input is
+            # always a 2-way union of checkpointed scans — a constant
+            # plan shape, so every level reuses the same generated code
+            # (a growing k-way union recompiled per level)
+            dist = dist.unionByName(
+                frontier.select(*dist.columns)
+            ).localCheckpoint(eager=False)
+        else:
+            raise ValueError(
+                f"betweenness forward BFS did not drain in max_iters="
+                f"{max_iters} levels; raise the bound for this graph"
+            )
+        return _bc_backward(e, levels, maxlev, undirected, k)
+    finally:
+        kernel.__exit__(None, None, None)
+
+
+def _bc_backward(
+    e: DataFrame, levels: list[DataFrame], maxlev: int, undirected: bool, k
+) -> DataFrame:
+    """Backward dependency accumulation of :func:`betweenness_centrality`
+    (runs inside the caller's iter_kernel scope; the result is
+    materialized before the scope closes so every backward stage executes
+    at the kernel width)."""
     scale = 0.5 if undirected else 1.0
     if maxlev == 0:
         # edgeless sources: every betweenness is 0 and the original
@@ -3203,10 +3381,10 @@ def betweenness_centrality(
         )
         cur = levels[lev - 1].select("s", "v", "sigma")
         upd = (
-            e.join(wrows, F.col("__d") == F.col("__w"))
+            e.join(k.bc(wrows), F.col("__d") == F.col("__w"))
             .select("s", F.col("__s").alias("v"), "__sig_w", "__del_w")
             .join(
-                cur.select("s", "v", F.col("sigma").alias("__sig_v")),
+                k.bc(cur.select("s", "v", F.col("sigma").alias("__sig_v"))),
                 ["s", "v"],
             )
             .groupBy("s", "v")
@@ -3219,7 +3397,7 @@ def betweenness_centrality(
             )
         )
         delta_next = (
-            cur.join(upd, ["s", "v"], "left")
+            cur.join(k.bc(upd), ["s", "v"], "left")
             .withColumn(
                 "delta", F.coalesce(F.col("__add"), F.lit(0.0))
             )
@@ -3230,9 +3408,13 @@ def betweenness_centrality(
     out = acc[0]
     for f in acc[1:]:
         out = out.unionByName(f)
+    # materialize INSIDE the kernel scope: the lazy backward chain would
+    # otherwise execute at the caller's action, after the scope restores
+    # the session width
     return (
         out.groupBy(F.col("v").alias("vid"))
         .agg((F.sum("delta") * scale).alias("betweenness"))
+        .localCheckpoint()
     )
 
 
@@ -3498,6 +3680,8 @@ def modularity_optimization(
     """(u, v) undirected distinct pairs (u < v) → ((id, comm), q_num,
     4m²): the best-modularity assignment over ``rounds`` synchronous
     gain rounds; modularity Q = q_num / (4m²) exactly."""
+    from flink_neo4j_spark.tuning import iter_kernel, right_size
+
     edges = edges.select(
         F.col("u").cast("long"), F.col("v").cast("long")
     ).localCheckpoint()
@@ -3509,6 +3693,20 @@ def modularity_optimization(
             "modularity_optimization: 4m^2 exceeds int64 headroom; "
             "partition the graph or rescale first"
         )
+    kernel = iter_kernel(edges.sparkSession, 2 * m)
+    k_ = kernel.__enter__()
+    try:
+        return _modopt_kernel(edges, m, rounds, k_)
+    finally:
+        kernel.__exit__(None, None, None)
+
+
+def _modopt_kernel(
+    edges: DataFrame, m: int, rounds: int, k_
+) -> tuple[DataFrame, int, int]:
+    from flink_neo4j_spark.tuning import right_size
+
+    edges = right_size(edges, 2 * m)
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -3525,14 +3723,18 @@ def modularity_optimization(
     )
     for _ in range(rounds):
         tot = (
-            deg.join(comm, "id")
+            deg.join(k_.bc(comm), "id")
             .groupBy("comm")
             .agg(F.sum("k").cast("long").alias("tot"))
         )
         # candidate targets: each neighbor's community, plus staying put
         nbr = (
             und.join(
-                comm.select(F.col("id").alias("v"), F.col("comm").alias("c")),
+                k_.bc(
+                    comm.select(
+                        F.col("id").alias("v"), F.col("comm").alias("c")
+                    )
+                ),
                 "v",
             )
             .groupBy(F.col("u").alias("id"), "c")
@@ -3546,10 +3748,10 @@ def modularity_optimization(
             nbr.unionByName(stay)
             .groupBy("id", "c")
             .agg(F.max("k_uc").alias("k_uc"))
-            .join(cur, "id")
+            .join(k_.bc(cur), "id")
             .filter(F.col("c") <= F.col("cur"))  # monotone move rule
-            .join(tot.withColumnRenamed("comm", "c"), "c", "left")
-            .join(deg, "id")
+            .join(k_.bc(tot.withColumnRenamed("comm", "c")), "c", "left")
+            .join(k_.bc(deg), "id")
         )
         # tot'_c excludes u itself when c is u's current community
         tot_adj = F.coalesce(F.col("tot"), F.lit(0)) - F.when(
@@ -3581,8 +3783,8 @@ def modularity_optimization(
         cu = comm.select(F.col("id").alias("u"), F.col("comm").alias("cu"))
         cv = comm.select(F.col("id").alias("v"), F.col("comm").alias("cv"))
         inside = (
-            edges.join(cu, "u")
-            .join(cv, "v")
+            edges.join(k_.bc(cu), "u")
+            .join(k_.bc(cv), "v")
             .agg(
                 F.sum(
                     F.when(F.col("cu") == F.col("cv"), 1).otherwise(0)
@@ -3590,13 +3792,13 @@ def modularity_optimization(
             )
         )
         sq = (
-            deg.join(comm, "id")
+            deg.join(k_.bc(comm), "id")
             .groupBy("comm")
             .agg(F.sum("k").cast("long").alias("tot"))
             .agg(F.sum(F.col("tot") * F.col("tot")).alias("sq"))
         )
         moves = (
-            comm.join(prev.withColumnRenamed("comm", "pc"), "id")
+            comm.join(k_.bc(prev.withColumnRenamed("comm", "pc")), "id")
             .agg(
                 F.sum(
                     F.when(F.col("comm") != F.col("pc"), 1).otherwise(0)
@@ -3920,6 +4122,11 @@ def fastrp_embeddings(
     exploded frame is the message-passing aggregation INSIDE one shuffle
     stage (transient, never pinned). Same recurrence, same hash formulas
     (d cast to long matches the original dims-column hashing)."""
+    # NOT kernel-narrowed: fastrp's per-layer aggregation runs over the
+    # EXPLODED (id, pos) state — V x dim rows of compute-bound array math —
+    # so the edge-count-derived narrow width would serialize real work
+    # (measured: width 2 made g69 ~25% slower, not faster). The session
+    # width + AQE is the right sizing here.
     edges = edges.select(
         F.col("u").cast("long"), F.col("v").cast("long")
     ).localCheckpoint()
@@ -4796,24 +5003,41 @@ def g89_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # Each half-step's raw aggregate feeds BOTH its own max-normalizer
+    # branch and the next half-step; without a materialization barrier
+    # Catalyst re-expands the whole upstream chain under every reference
+    # (measured: the final plan held 96 Exchanges / 120 HashAggregates for
+    # three half-steps). Lazy localCheckpoints make each level compute
+    # exactly once — the first downstream action (the broadcast build of
+    # the max) materializes it.
     # half-step 1: uniform hubs (HITS_SCALE each) -> raw authority is
     # SCALE * in-degree; normalize to the max.
     auth = edges.groupBy("p").agg(
         (F.count("*") * F.lit(HITS_SCALE)).cast("long").alias("raw")
-    )
+    ).localCheckpoint(eager=False)
     auth = auth.crossJoin(
         F.broadcast(auth.agg(F.max("raw").alias("mx")))
-    ).select("p", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("auth"))
+    ).select(
+        "p", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("auth")
+    ).localCheckpoint(eager=False)
     # half-step 2: hub = sum of its parts' authorities, normalized.
-    hub = edges.join(auth, "p").groupBy("c").agg(F.sum("auth").alias("raw"))
+    hub = edges.join(auth, "p").groupBy("c").agg(
+        F.sum("auth").alias("raw")
+    ).localCheckpoint(eager=False)
     hub = hub.crossJoin(
         F.broadcast(hub.agg(F.max("raw").alias("mx")))
-    ).select("c", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("hub"))
+    ).select(
+        "c", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("hub")
+    ).localCheckpoint(eager=False)
     # half-step 3: authority = sum of its customers' hub scores.
-    auth2 = edges.join(hub, "c").groupBy("p").agg(F.sum("hub").alias("raw"))
+    auth2 = edges.join(hub, "c").groupBy("p").agg(
+        F.sum("hub").alias("raw")
+    ).localCheckpoint(eager=False)
     auth2 = auth2.crossJoin(
         F.broadcast(auth2.agg(F.max("raw").alias("mx")))
-    ).select("p", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("score"))
+    ).select(
+        "p", F.expr(f"(raw * {HITS_SCALE}) div mx").alias("score")
+    ).localCheckpoint(eager=False)
     top_p = (
         auth2.select(
             F.lit("part").alias("role"), F.col("p").alias("vid"), "score"

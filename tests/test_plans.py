@@ -1069,16 +1069,20 @@ def test_curation_pipeline_shuffles_ids_not_text(spark):
 
 
 def test_hits_halfsteps_are_joins_with_broadcast_scalars(spark):
-    # g89's normalizations are 1-row broadcast scalars (BNLJ); the
-    # half-steps are equi-join + partial agg — no windows over the edge
-    # list, no global sort of the corpus (the top-k is TakeOrdered).
+    # g89's half-steps materialize once each behind lazy localCheckpoints
+    # (round 9: without the barrier every max-normalizer reference
+    # re-expanded the upstream chain — 96 Exchanges / 120 HashAggregates
+    # in one plan), so the FINAL plan must be nothing but the two
+    # TakeOrdered top-ks over checkpointed level scans: no Window, no
+    # Exchange, no re-expanded aggregation chain.
     from flink_neo4j_spark.operators.graph_algos import g89_hits
 
     df = g89_hits(spark, SF_DIR)
     plan = formatted_plan_of(df)
-    assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # plan-bloat regression guard
+    assert "Scan ExistingRDD" in plan  # materialized half-step levels
 
 
 def test_assortativity_single_scalar_reduction(spark):
