@@ -164,39 +164,71 @@ def d2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # D3 — MinHash-LSH near-dup pairs: band on h0 (1-band LSH), verify exact
 # Jaccard within buckets. The join is on the band key, NOT all-pairs.
-def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    banded = _materialized(
-        sh.select(
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded (a_id, b_id, jac) near-dup pairs — the shared core of
+    d3 (pair listing) and d7 (cluster collapse, which starts from exactly
+    these pairs). Session-memoized + localCheckpoint like the signature
+    tables: the banded self-join + exact-Jaccard verify is paid once per
+    session, and the memo holds only the MATCHES (output-sized — the
+    pre-threshold candidate set never persists)."""
+
+    def build() -> DataFrame:
+        sig = _minhash_sig4(spark, sf_dir)
+        banded = sig.select("doc_id", "sh", "h0")
+        # degenerate-bucket guard: a band key shared by >MAX docs would go
+        # quadratic; drop it (boilerplate shingles, not near-dups).
+        sizes = banded.groupBy("h0").agg(F.count("*").alias("_bn"))
+        banded = banded.join(
+            F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)),
+            "h0",
+        ).drop("_bn")
+        a = banded.select(
+            F.col("h0"), F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+        )
+        b = banded.select(
+            F.col("h0"), F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+        )
+        pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
+        inter = F.size(F.array_intersect("a_sh", "b_sh"))
+        union = F.size("a_sh") + F.size("b_sh") - inter
+        return (
+            pairs.select(
+                "a_id",
+                "b_id",
+                F.round(
+                    inter.cast("double") / union.cast("double"), 4
+                ).alias("jac"),
+            )
+            .filter(F.col("jac") >= JACCARD_THRESHOLD)
+            .localCheckpoint()
+        )
+
+    key = ("minhash_pairs", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
+def _minhash_sig4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, h0..h3) minhash signature table shared by d3 (band on
+    h0) and d10 (2-row bands over all four seeds): one tokenize+shingle+
+    4-hash pass per session instead of one per query."""
+
+    def build() -> DataFrame:
+        sh = _shingled(spark, sf_dir)
+        return sh.select(
             "doc_id",
             "sh",
-            F.expr(minhash_expr("sh", "0")).alias("h0"),
-        )
-    )
-    # degenerate-bucket guard: a band key shared by >MAX docs would go
-    # quadratic; drop it (these are boilerplate shingles, not near-dups).
-    sizes = banded.groupBy("h0").agg(F.count("*").alias("_bn"))
-    banded = banded.join(
-        F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)), "h0"
-    ).drop("_bn")
-    a = banded.select(
-        F.col("h0"), F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
-    )
-    b = banded.select(
-        F.col("h0"), F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
-    )
-    pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
-    # persist pre-sort: the ORDER BY's sampling pass would re-execute the
-    # bucket join + intersect scoring (see d5's measurement)
-    return _materialized(
-        pairs.select(
-            "a_id",
-            "b_id",
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
-        ).filter(F.col("jac") >= JACCARD_THRESHOLD)
-    ).orderBy("a_id", "b_id")
+            *[
+                F.expr(minhash_expr("sh", str(s))).alias(f"h{s}")
+                for s in MINHASH_SEEDS
+            ],
+        ).localCheckpoint()
+
+    key = ("minhash_sig4", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
+def d3_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir).orderBy("a_id", "b_id")
 
 
 # D4 — SimHash: 16-bit signature from per-token 16-bit md5 prefixes.
@@ -521,7 +553,9 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row data; clusters are shallow so this converges in ~2-4 rounds). The
 # oracle computes the same fixpoint with a recursive CTE.
 def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d3_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    # the memoized pair table directly — d7 needs the edge SET, not d3's
+    # sorted presentation, so the ORDER BY would be a wasted range shuffle
+    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
     und = _materialized(
         pairs.unionAll(
             pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
@@ -809,17 +843,7 @@ LSH_BANDS = len(MINHASH_SEEDS) // LSH_ROWS
 
 
 def d10_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    sig = _materialized(
-        sh.select(
-            "doc_id",
-            "sh",
-            *[
-                F.expr(minhash_expr("sh", str(s))).alias(f"h{s}")
-                for s in MINHASH_SEEDS
-            ],
-        )
-    )
+    sig = _minhash_sig4(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
