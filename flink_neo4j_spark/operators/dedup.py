@@ -331,24 +331,69 @@ def _chargram_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(spark, key, build)
 
 
+def _chargram_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, inter, na, nb) — the quadratic within-bucket
+    intersection counts d5 (symmetric Jaccard) and d13 (asymmetric
+    containment) both derive their score from. The ``array_intersect``
+    pass over the candidate pairs is the dominant cost of both queries
+    and is byte-identical between them, so it is session-memoized like
+    the signature tables (one pass per session, first consumer pays).
+
+    Retention predicate: containment = inter/min(na, nb) bounds Jaccard
+    from above (union >= min), so keeping exactly the pairs with
+    inter * 100000 >= 19995 * min(na, nb) — i.e. unrounded containment
+    >= 0.19995, integer-exact arithmetic — preserves every pair either
+    consumer can emit: d5 keeps round(jac, 4) >= 0.2 ⇒ jac >= 0.19995 ⇒
+    cont >= 0.19995, and d13 keeps round(cont, 4) >= 0.5 ⇒ cont >=
+    0.49995. The memo holds integer triples (never the gram arrays), so
+    both consumers recompute their ROUNDED score from the same integers
+    the inline form used — bitwise-identical results."""
+
+    def build() -> DataFrame:
+        g = _chargram_signatures(spark, sf_dir)
+        a = g.select(
+            "h0", F.col("doc_id").alias("a_id"), F.col("gc").alias("a_gc")
+        )
+        b = g.select(
+            "h0", F.col("doc_id").alias("b_id"), F.col("gc").alias("b_gc")
+        )
+        pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
+        inter = F.size(F.array_intersect("a_gc", "b_gc"))
+        return (
+            pairs.select(
+                "a_id",
+                "b_id",
+                inter.alias("inter"),
+                F.size("a_gc").alias("na"),
+                F.size("b_gc").alias("nb"),
+            )
+            .filter(
+                F.col("inter").cast("long") * 100000
+                >= F.lit(19995) * F.least("na", "nb").cast("long")
+            )
+            .localCheckpoint()
+        )
+
+    key = ("chargram_scored_pairs", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
 def d5_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _chargram_signatures(spark, sf_dir)
-    a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gc").alias("a_gc"))
-    b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gc").alias("b_gc"))
-    pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect("a_gc", "b_gc"))
-    union = F.size("a_gc") + F.size("b_gc") - inter
-    # persist the (tiny) scored-pair result before the ORDER BY: the range
-    # partitioner's sampling pass otherwise re-executes the ENTIRE quadratic
-    # intersect-scoring subtree a second time (measured 2x wall on d5 at
-    # sf0.1 — the source of its run-to-run variance).
-    return _materialized(
-        pairs.select(
+    sp = _chargram_scored_pairs(spark, sf_dir)
+    inter = F.col("inter")
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    # the memoized pair table is already materialized, so the ORDER BY's
+    # range-sampling pass re-runs only the cheap integer arithmetic (the
+    # quadratic intersect pass is behind the checkpoint)
+    return (
+        sp.select(
             "a_id",
             "b_id",
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jac"),
-        ).filter(F.col("jac") >= JACCARD_THRESHOLD)
-    ).orderBy("a_id", "b_id")
+        )
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
 
 
 # D14 — SimHash near-dup pair DETECTION via banded hamming probing — the
@@ -422,21 +467,19 @@ CONTAINMENT_THRESHOLD = 0.5
 
 
 def d13_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _chargram_signatures(spark, sf_dir)
-    a = g.select("h0", F.col("doc_id").alias("a_id"), F.col("gc").alias("a_gc"))
-    b = g.select("h0", F.col("doc_id").alias("b_id"), F.col("gc").alias("b_gc"))
-    pairs = a.join(b, "h0").filter(F.col("a_id") < F.col("b_id"))
-    inter = F.size(F.array_intersect("a_gc", "b_gc"))
-    denom = F.least(F.size("a_gc"), F.size("b_gc"))
-    return _materialized(
-        pairs.select(
+    sp = _chargram_scored_pairs(spark, sf_dir)
+    denom = F.least("na", "nb")
+    return (
+        sp.select(
             "a_id",
             "b_id",
-            F.round(inter.cast("double") / denom.cast("double"), 4).alias(
-                "cont"
-            ),
-        ).filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
-    ).orderBy("a_id", "b_id")
+            F.round(
+                F.col("inter").cast("double") / denom.cast("double"), 4
+            ).alias("cont"),
+        )
+        .filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
 
 
 # D6 — embedding-cosine near-dup, blocked on `label` (the coarse partition a
@@ -552,56 +595,73 @@ def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-side convergence check (a scalar count per round — metadata, not
 # row data; clusters are shallow so this converges in ~2-4 rounds). The
 # oracle computes the same fixpoint with a recursive CTE.
-def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the memoized pair table directly — d7 needs the edge SET, not d3's
-    # sorted presentation, so the ORDER BY would be a wasted range shuffle
-    pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
-    und = _materialized(
-        pairs.unionAll(
-            pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-        )
-    )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+def _minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vid, comp) — the min-label connected-component fixpoint over the
+    memoized near-dup pair table. Session-memoized like the pair table
+    itself: d7 (cluster listing), d19 (leakage-safe split by cluster) and
+    d20 (dedup QA report) all start from exactly this assignment, and the
+    iterative loop is the dominant cost of all three — one fixpoint per
+    session, the first consumer pays it (GDS analogue: one ``gds.wcc``
+    materialization read by several downstream queries)."""
 
-    n_docs = memoized_count(
-        spark, ("documents", os.path.abspath(sf_dir)), docs
-    )
-    with iter_kernel(spark, n_docs) as k:
-        comp = docs.select(
-            F.col("doc_id").alias("vid"), F.col("doc_id").alias("comp")
-        )
-        # Convergence is checked every 2nd round only: the check is a full
-        # comparison join + count() job, and dedup graphs converge in 2-4
-        # rounds, so halving the check cadence saves a job per round at the
-        # cost of at most one redundant propagation. MAX_CC_ROUNDS bounds a
-        # pathological chain (the fixpoint is monotone, so stopping early
-        # yields a coarser-but-valid partition rather than garbage).
-        # Checkpoints are lazy: the convergence count (or the next round's
-        # check) is the materializing action.
-        for rnd in range(1, MAX_CC_ROUNDS + 1):
-            msgs = und.join(
-                k.bc(comp.withColumnRenamed("vid", "a_id")), "a_id"
-            ).select(F.col("b_id").alias("vid"), "comp")
-            new_comp = (
-                comp.unionByName(msgs)
-                .groupBy("vid")
-                .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=False)
-            )
-            if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
-                changed = (
-                    new_comp.alias("n")
-                    .join(k.bc(comp.alias("o")), "vid")
-                    .filter(F.col("n.comp") != F.col("o.comp"))
-                    .count()
+    def build() -> DataFrame:
+        pairs = _minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+        und = _materialized(
+            pairs.unionAll(
+                pairs.select(
+                    F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
                 )
-                comp = new_comp
-                if changed == 0:
-                    break
-            else:
-                comp = new_comp
-    return comp.select(
+            )
+        )
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        from flink_neo4j_spark.tuning import iter_kernel, memoized_count
+
+        n_docs = memoized_count(
+            spark, ("documents", os.path.abspath(sf_dir)), docs
+        )
+        with iter_kernel(spark, n_docs) as k:
+            comp = docs.select(
+                F.col("doc_id").alias("vid"), F.col("doc_id").alias("comp")
+            )
+            # Convergence is checked every 2nd round only: the check is a
+            # full comparison join + count() job, and dedup graphs converge
+            # in 2-4 rounds, so halving the check cadence saves a job per
+            # round at the cost of at most one redundant propagation.
+            # MAX_CC_ROUNDS bounds a pathological chain (the fixpoint is
+            # monotone, so stopping early yields a coarser-but-valid
+            # partition rather than garbage). Checkpoints are lazy: the
+            # convergence count (or the next round's check) is the
+            # materializing action.
+            for rnd in range(1, MAX_CC_ROUNDS + 1):
+                msgs = und.join(
+                    k.bc(comp.withColumnRenamed("vid", "a_id")), "a_id"
+                ).select(F.col("b_id").alias("vid"), "comp")
+                new_comp = (
+                    comp.unionByName(msgs)
+                    .groupBy("vid")
+                    .agg(F.min("comp").alias("comp"))
+                    .localCheckpoint(eager=False)
+                )
+                if rnd % 2 == 0 or rnd == MAX_CC_ROUNDS:
+                    changed = (
+                        new_comp.alias("n")
+                        .join(k.bc(comp.alias("o")), "vid")
+                        .filter(F.col("n.comp") != F.col("o.comp"))
+                        .count()
+                    )
+                    comp = new_comp
+                    if changed == 0:
+                        break
+                else:
+                    comp = new_comp
+        return comp
+
+    key = ("minhash_cc", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_cc(spark, sf_dir).select(
         F.col("vid").alias("doc_id"),
         "comp",
         (F.col("vid") == F.col("comp")).alias("is_kept"),
@@ -620,18 +680,12 @@ SEM_COS_THRESHOLD = 0.35
 
 
 def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_neo4j_spark.operators.similarity import (
-        _emb,
-        _sig_expr,
-        emb_n_planes,
-    )
+    from flink_neo4j_spark.operators.similarity import _emb_sig
 
-    # per-vector norm precomputed once (bitwise-identical to inline; see s8)
-    e = (
-        _emb(spark, sf_dir)
-        .withColumn("sig", _sig_expr("emb", emb_n_planes(sf_dir)))
-        .withColumn("nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
-    )
+    # per-vector norm precomputed once (bitwise-identical to inline; see
+    # s8); the sig/nrm table itself is the session-shared _emb_sig
+    # projection (paid once across s2/s8/s17/d12)
+    e = _emb_sig(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"), "sig",
@@ -804,26 +858,43 @@ def d8_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAM_MAX_DF = 100
 
 
-def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = _materialized(
-        _shingled(spark, sf_dir).select(
-            "doc_id", F.explode_outer("sh").alias("sg")
+def _decontam_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared) — per-train-doc count of df-capped shingles
+    shared with the benchmark slice. Session-memoized: d9 (the report,
+    sorted) and d21 (the curation funnel, which only needs the
+    contaminated id SET — exactly this table's keys) both derive from it,
+    and the explode+distinct+join is the dominant cost of both. The memo
+    holds only the matched counts (output-sized)."""
+
+    def build() -> DataFrame:
+        ex = _materialized(
+            _shingled(spark, sf_dir).select(
+                "doc_id", F.explode_outer("sh").alias("sg")
+            )
         )
-    )
-    bench_keys = (
-        ex.filter(F.col("doc_id") % 20 == 0)
-        .groupBy("sg")
-        .agg(F.count_distinct("doc_id").alias("bdf"))
-        .filter(F.col("bdf") <= CONTAM_MAX_DF)
-        .select("sg")
-    )
-    train = ex.filter(F.col("doc_id") % 20 != 0).select("doc_id", "sg").distinct()
-    return (
-        train.join(bench_keys, "sg")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-        .orderBy("doc_id")
-    )
+        bench_keys = (
+            ex.filter(F.col("doc_id") % 20 == 0)
+            .groupBy("sg")
+            .agg(F.count_distinct("doc_id").alias("bdf"))
+            .filter(F.col("bdf") <= CONTAM_MAX_DF)
+            .select("sg")
+        )
+        train = (
+            ex.filter(F.col("doc_id") % 20 != 0).select("doc_id", "sg").distinct()
+        )
+        return (
+            train.join(bench_keys, "sg")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+            .localCheckpoint()
+        )
+
+    key = ("decontam_counts", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
+def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decontam_counts(spark, sf_dir).orderBy("doc_id")
 
 
 # D10 — multi-band MinHash-LSH: the production-recall form of d3. d3's one
@@ -1609,7 +1680,11 @@ SPLIT_VAL_MAX = 13
 # d7's per-doc cluster frame — the CC is the expensive part and it is
 # shared/memoized; the split adds no shuffle beyond d7's own.
 def d19_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comp = d7_dedup_clusters(spark, sf_dir).select("doc_id", "comp")
+    # the memoized fixpoint directly — d7's presentation ORDER BY would be
+    # a wasted range shuffle under this query's own final sort
+    comp = _minhash_cc(spark, sf_dir).select(
+        F.col("vid").alias("doc_id"), "comp"
+    )
     nib = F.expr(
         f"CAST(conv(substring(md5(concat('{SPLIT_SEED}|', "
         "CAST(comp AS STRING))), 1, 1), 16, 10) AS INT)"
@@ -1650,7 +1725,11 @@ ORACLE["d19_leakage_safe_split"] = f"""
 # produces the report — no text ever moves, so the QA pass costs two narrow
 # shuffles on top of the clustering it audits.
 def d20_dedup_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cl = d7_dedup_clusters(spark, sf_dir).select("doc_id", "comp")
+    # the memoized fixpoint directly (d7's ORDER BY is destroyed by the
+    # groupBy below anyway)
+    cl = _minhash_cc(spark, sf_dir).select(
+        F.col("vid").alias("doc_id"), "comp"
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
@@ -1735,22 +1814,12 @@ def d21_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    # decontamination ids (d9 semantics over the memoized shingle table)
-    ex = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode_outer("sh").alias("sg")
-    )
-    bench_keys = (
-        ex.filter(F.col("doc_id") % 20 == 0)
-        .groupBy("sg")
-        .agg(F.count_distinct("doc_id").alias("bdf"))
-        .filter(F.col("bdf") <= CONTAM_MAX_DF)
-        .select("sg")
-    )
+    # decontamination ids (d9 semantics): the memoized per-doc match-count
+    # table's key set IS the contaminated id set — a doc appears there iff
+    # it shares at least one df-capped shingle with the benchmark slice
     contam = (
-        ex.filter(F.col("doc_id") % 20 != 0)
-        .join(bench_keys, "sg")
+        _decontam_counts(spark, sf_dir)
         .select("doc_id")
-        .distinct()
         .withColumn("contam", F.lit(True))
     )
     flagged = (

@@ -115,6 +115,36 @@ def _sig_expr(col: str, n_planes: int) -> F.Column:
     return total
 
 
+def _emb_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, emb, sig, nrm) — the sign-LSH-bucketed embedding
+    table every bucketed pair operator starts from (s2's ANN probe, s8's
+    KNN self-join, s17's contrastive mining, d12's semantic dedup).
+    Session-memoized + localCheckpoint like dedup's signature tables: the
+    n_planes interpreted ``aggregate(zip_with(...))`` folds per row are
+    the dominant per-query cost of the family and are byte-identical
+    across the four consumers, so they are paid once per session (GDS
+    analogue: one graph/index projection, many algorithms). ``sig`` and
+    ``nrm`` are the exact expressions the consumers previously computed
+    inline — same sequential fold over the same array — so every
+    downstream rounded cosine is bitwise-unchanged."""
+
+    def build() -> DataFrame:
+        return (
+            _emb(spark, sf_dir)
+            .withColumn("sig", _sig_expr("emb", emb_n_planes(sf_dir)))
+            .withColumn(
+                "nrm",
+                F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"),
+            )
+            .localCheckpoint()
+        )
+
+    from flink_neo4j_spark.catalog import session_memo
+
+    key = ("emb_sig", os.path.abspath(sf_dir))
+    return session_memo(spark, key, build)
+
+
 # S1 — brute-force cosine top-k (baseline; exact).
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
@@ -130,7 +160,7 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # S2 — LSH-bucketed ANN: candidates share the query's sign-signature bucket.
 def s2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).withColumn("sig", _sig_expr("emb", emb_n_planes(sf_dir)))
+    e = _emb_sig(spark, sf_dir)
     q = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("sig").alias("q_sig"), F.col("emb").alias("q_emb"))
@@ -355,11 +385,7 @@ def s8_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears in ~bucket_size pairs); bitwise-identical to inline norms —
     # same sequential fold over the same array — so the oracle hash is
     # unaffected, but the pair-scan drops two O(d) folds per row
-    e = (
-        _emb(spark, sf_dir)
-        .withColumn("sig", _sig_expr("emb", emb_n_planes(sf_dir)))
-        .withColumn("nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
-    )
+    e = _emb_sig(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"), "sig",
@@ -928,13 +954,7 @@ def s16_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-breaks. At 100 TB the bucket count self-scales (derived_n_planes) as
 # d12 documents.
 def s17_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        _emb(spark, sf_dir)
-        .withColumn("sig", _sig_expr("emb", emb_n_planes(sf_dir)))
-        .withColumn(
-            "nrm", F.expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))")
-        )
-    )
+    e = _emb_sig(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
