@@ -881,14 +881,21 @@ def a19_businessday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("l_shipdate", "o_orderdate").alias("n"),
         F.expr("weekday(o_orderdate)").alias("w0"),
     ).filter(F.col("n") >= 0)
-# NOTE: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
-    # empty (DuckDB's generate_series(1, 0) is empty) — the zero-remainder
-    # case must be guarded explicitly on the Spark side.
+    # The tail count (weekdays among the n % 7 days after weekday w0) has
+    # only 7 x 7 possible values, so it is a literal lookup table instead
+    # of the earlier per-row interpreted aggregate(sequence(1, n % 7))
+    # lambda (guide §4.1: built-in expressions over lambda folds — this
+    # fold ran interpreted for every joined row). Integer-exact: the table
+    # IS the fold's value for every (w0, r), including r = 0 -> 0, which
+    # also retires the sequence(1, 0)-descends guard the lambda needed.
+    tail = [
+        sum(1 for k in range(1, r + 1) if (w0 + k) % 7 <= 4)
+        for w0 in range(7)
+        for r in range(7)
+    ]
     bdays = F.expr(
-        "(n div 7) * 5 + (CASE WHEN n % 7 = 0 THEN 0 ELSE "
-        "aggregate(sequence(1, n % 7), 0, "
-        "(acc, k) -> acc + (CASE WHEN (w0 + k) % 7 <= 4 THEN 1 ELSE 0 END))"
-        " END)"
+        f"(n div 7) * 5 + element_at(array({', '.join(map(str, tail))}),"
+        " CAST(w0 * 7 + n % 7 + 1 AS INT))"
     )
     return (
         j.select("o_orderpriority", bdays.alias("bd"))
