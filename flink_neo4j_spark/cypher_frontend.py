@@ -472,6 +472,12 @@ MAX_VAR_HOPS = 6
 VAR_UNBOUNDED_MAX_ROUNDS = 32
 VAR_UNBOUNDED_MAX_FRONTIER = 50_000_000
 
+#: iter_kernel row target for path-expansion states (guide §2.2's ~100 MB
+#: per partition): path rows carry node/edge-id ARRAYS (≤ rounds longs
+#: each), ~10× the bytes of the narrow per-vertex states the default
+#: ITER_ROWS_PER_PARTITION assumes.
+PATH_STATE_ROWS_PER_PARTITION = 200_000
+
 #: ``nodes(p)``/``relationships(p)`` over allShortestPaths enumerate the
 #: tied paths per pair — bounded state (≤ cap+1 paths per settled pair,
 #: the σ-count already proves the multiplicity); a pair whose tie count
@@ -3779,34 +3785,58 @@ def _varlength_paths_unbounded(
     frontier = first
     parts: list[DataFrame] = []
     drained = False
-    for rnd in range(VAR_UNBOUNDED_MAX_ROUNDS + 1):
-        frontier = frontier.localCheckpoint()
-        n = frontier.count()
-        if n == 0:
-            drained = True
-            break
-        if n > VAR_UNBOUNDED_MAX_FRONTIER:
-            raise RuntimeError(
-                f"unbounded variable-length expansion frontier hit {n} "
-                f"partial paths (cap {VAR_UNBOUNDED_MAX_FRONTIER}) at hop "
-                f"{rnd + 1} — the pattern enumerates exponentially many "
-                "paths on this graph; bound it (*lo..hi) or use "
-                "shortestPath()"
+    # iter_kernel sizing (guide §2.2), the betweenness discipline: the
+    # edge list is checkpointed ONCE (each round previously re-derived
+    # the filter+union lineage from the graph checkpoint), the kernel is
+    # sized by max(|e|, frontier) so a tiny frontier on a huge graph can
+    # never force the edge shuffle narrow, and each round's own frontier
+    # count feeds k.resize — a frontier that explodes gets its width
+    # (and AQE) back before the next round. Rows carry node/edge-id
+    # arrays, so the per-partition row target is
+    # PATH_STATE_ROWS_PER_PARTITION (wider rows than the narrow-state
+    # default). Lazy checkpoint + count: ONE job per round materializes
+    # the level AND answers the guard (the eager-checkpoint + count pair
+    # was two).
+    from flink_neo4j_spark.tuning import iter_kernel
+
+    e = e.localCheckpoint()
+    n_e = e.count()
+    kernel = iter_kernel(
+        e.sparkSession, n_e, rows_per_partition=PATH_STATE_ROWS_PER_PARTITION
+    )
+    k = kernel.__enter__()
+    try:
+        for rnd in range(VAR_UNBOUNDED_MAX_ROUNDS + 1):
+            frontier = frontier.localCheckpoint(eager=False)
+            n = frontier.count()
+            if n == 0:
+                drained = True
+                break
+            if n > VAR_UNBOUNDED_MAX_FRONTIER:
+                raise RuntimeError(
+                    f"unbounded variable-length expansion frontier hit {n} "
+                    f"partial paths (cap {VAR_UNBOUNDED_MAX_FRONTIER}) at hop "
+                    f"{rnd + 1} — the pattern enumerates exponentially many "
+                    "paths on this graph; bound it (*lo..hi) or use "
+                    "shortestPath()"
+                )
+            k.resize(max(n, n_e))
+            parts.append(frontier)
+            if rnd == VAR_UNBOUNDED_MAX_ROUNDS:
+                break
+            frontier = (
+                frontier.join(k.bc(e), F.col("__cur") == F.col("src"))
+                .filter(~F.array_contains("__rels", F.col("id")))
+                .select(
+                    "__a",
+                    F.col("dst").alias("__cur"),
+                    F.concat("__rels", F.array("id")).alias("__rels"),
+                    F.concat("__nodes", F.array("dst")).alias("__nodes"),
+                    (F.col("__len") + 1).alias("__len"),
+                )
             )
-        parts.append(frontier)
-        if rnd == VAR_UNBOUNDED_MAX_ROUNDS:
-            break
-        frontier = (
-            frontier.join(e, F.col("__cur") == F.col("src"))
-            .filter(~F.array_contains("__rels", F.col("id")))
-            .select(
-                "__a",
-                F.col("dst").alias("__cur"),
-                F.concat("__rels", F.array("id")).alias("__rels"),
-                F.concat("__nodes", F.array("dst")).alias("__nodes"),
-                (F.col("__len") + 1).alias("__len"),
-            )
-        )
+    finally:
+        kernel.__exit__(None, None, None)
     if not drained:
         raise RuntimeError(
             "unbounded variable-length expansion did not drain within "
@@ -4618,8 +4648,35 @@ def _shortest_path(
                 )
             ).alias("__paths")
         )
-    dist = a_nodes.select(*init_cols).localCheckpoint()
-    frontier = dist
+    # iter_kernel sizing (guide §2.2), the betweenness discipline: edges
+    # checkpointed once (each level previously re-derived the
+    # filter+union lineage), kernel sized by max(|e|, |settled pairs|)
+    # with the path-state row target, per-level width re-derived from the
+    # frontier count (k.resize). Lazy checkpoint + count folds the
+    # materialize + isEmpty job pair into one job per level.
+    from flink_neo4j_spark.tuning import iter_kernel
+
+    e = e.localCheckpoint()
+    n_e = e.count()
+    kernel = iter_kernel(
+        e.sparkSession, n_e, rows_per_partition=PATH_STATE_ROWS_PER_PARTITION
+    )
+    k = kernel.__enter__()
+    try:
+        dist = a_nodes.select(*init_cols).localCheckpoint()
+        frontier = dist
+        return _shortest_path_bfs(
+            e, n_e, k, dist, frontier, graph, pat, pathvar, vcols, a_nodes,
+            lo, hi, unbounded, carry_rep, carry_all, carry_paths, all_paths,
+        )
+    finally:
+        kernel.__exit__(None, None, None)
+
+
+def _shortest_path_bfs(
+    e, n_e, k, dist, frontier, graph, pat, pathvar, vcols, a_nodes,
+    lo, hi, unbounded, carry_rep, carry_all, carry_paths, all_paths,
+):
     for i in range(hi):
         aggs = [F.sum("__cnt").alias("__cnt")]
         if carry_rep:
@@ -4639,7 +4696,7 @@ def _shortest_path(
                     ALL_PATHS_TIE_CAP + 1,
                 ).alias("__paths")
             )
-        joined = frontier.join(e, F.col("__v") == F.col("__s"))
+        joined = frontier.join(k.bc(e), F.col("__v") == F.col("__s"))
         if carry_all:
             joined = joined.withColumn(
                 "__ext",
@@ -4667,16 +4724,21 @@ def _shortest_path(
             )
         if carry_all:
             nxt = nxt.select("__a", "__v", "__len", "__cnt", "__paths")
+        # lazy checkpoint + count: ONE job materializes the level AND
+        # answers the drain check (the eager-checkpoint + isEmpty pair
+        # was two jobs per level)
         frontier = nxt.join(
             dist.select("__a", "__v"), ["__a", "__v"], "left_anti"
-        ).localCheckpoint()
-        if frontier.isEmpty():
+        ).localCheckpoint(eager=False)
+        n_front = frontier.count()
+        if n_front == 0:
             break
+        k.resize(max(n_front, n_e))
         dist = dist.unionByName(frontier.select(*dist.columns))
         if (i + 1) % 3 == 0 or i == hi - 1:
-            dist = dist.localCheckpoint()
+            dist = dist.localCheckpoint(eager=False)
     else:
-        if unbounded and not frontier.isEmpty():
+        if unbounded and frontier.count() != 0:
             raise RuntimeError(
                 "unbounded shortestPath BFS did not drain within "
                 f"{VAR_UNBOUNDED_MAX_ROUNDS} levels (graph diameter "

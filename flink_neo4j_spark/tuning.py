@@ -47,19 +47,36 @@ ITER_ROWS_PER_PARTITION = 2_000_000
 AQE_OFF_MAX_WIDTH = 4
 
 
-def iter_width(n_rows: int, cap: int) -> int:
+def iter_width(
+    n_rows: int, cap: int, rows_per_partition: int = ITER_ROWS_PER_PARTITION
+) -> int:
     """Data-derived shuffle width for an ``n_rows``-row iterative state,
-    never wider than the session's configured width ``cap``."""
-    return max(1, min(cap, math.ceil(n_rows / ITER_ROWS_PER_PARTITION)))
+    never wider than the session's configured width ``cap``.
+    ``rows_per_partition`` defaults to the narrow-row target; loops whose
+    state rows are wide (path enumeration carrying id arrays) pass a
+    smaller value so the ~100 MB/partition target still holds."""
+    return max(1, min(cap, math.ceil(n_rows / rows_per_partition)))
 
 
 class IterKernel:
     """Handle yielded by :func:`iter_kernel`: the derived width plus a
     broadcast-hint helper for the loop's joins."""
 
-    def __init__(self, width: int, narrow: bool):
+    def __init__(
+        self,
+        width: int,
+        narrow: bool,
+        spark: SparkSession | None = None,
+        cap: int = 0,
+        rows_per_partition: int = ITER_ROWS_PER_PARTITION,
+        prev: tuple[str, str] | None = None,
+    ):
         self.width = width
         self.narrow = narrow
+        self._spark = spark
+        self._cap = cap
+        self._rpp = rows_per_partition
+        self._prev = prev
 
     def bc(self, df: DataFrame) -> DataFrame:
         """Broadcast-hint ``df`` when the kernel is narrow — with AQE off
@@ -72,9 +89,36 @@ class IterKernel:
 
         return F.broadcast(df) if self.narrow else df
 
+    def resize(self, n_rows: int) -> None:
+        """Re-derive the kernel sizing from a NEW state row count — for
+        loops whose state can grow round over round (path enumeration):
+        the caller feeds each round's frontier count back in, so a state
+        that outgrows the narrow regime gets its width (and AQE) back
+        before the next round's actions. Confs are read at action time,
+        so the change applies to everything after the call."""
+        if self._spark is None:
+            return
+        width = iter_width(n_rows, self._cap, self._rpp)
+        narrow = width <= AQE_OFF_MAX_WIDTH and width < self._cap
+        if narrow == self.narrow and width == self.width:
+            return
+        self.width, self.narrow = width, narrow
+        if narrow:
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", str(max(width, 2))
+            )
+            self._spark.conf.set("spark.sql.adaptive.enabled", "false")
+        elif self._prev is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev[0])
+            self._spark.conf.set("spark.sql.adaptive.enabled", self._prev[1])
+
 
 @contextmanager
-def iter_kernel(spark: SparkSession, n_rows: int):
+def iter_kernel(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = ITER_ROWS_PER_PARTITION,
+):
     """Scoped kernel sizing for an iterative loop whose per-round state is
     ``~n_rows`` rows. Yields an :class:`IterKernel` with the width the
     loop should use for explicit ``coalesce``/``repartition`` calls on
@@ -85,7 +129,7 @@ def iter_kernel(spark: SparkSession, n_rows: int):
         cap = int(prev_shuf)
     except (TypeError, ValueError):
         cap = 200
-    width = iter_width(n_rows, cap)
+    width = iter_width(n_rows, cap, rows_per_partition)
     narrow = width <= AQE_OFF_MAX_WIDTH and width < cap
     try:
         if narrow:
@@ -93,7 +137,14 @@ def iter_kernel(spark: SparkSession, n_rows: int):
             # floor of 2 keeps a retried/second core usable for ~free.
             spark.conf.set("spark.sql.shuffle.partitions", str(max(width, 2)))
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-        yield IterKernel(width, narrow)
+        yield IterKernel(
+            width,
+            narrow,
+            spark=spark,
+            cap=cap,
+            rows_per_partition=rows_per_partition,
+            prev=(prev_shuf, prev_aqe),
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
