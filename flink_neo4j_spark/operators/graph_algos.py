@@ -4156,11 +4156,13 @@ def fastrp_embeddings(
     between stages: the sf10 probe OOM'd a 16 GB heap on the original
     exploded (id, d, val) form, whose localCheckpoints pinned V×dim rows
     of per-row overhead (~32× the payload). Packed, a checkpoint holds V
-    rows; norms/normalization/weighted sums are native array expressions
-    (aggregate/transform/zip_with — JVM codegen, no UDF), and the only
-    exploded frame is the message-passing aggregation INSIDE one shuffle
-    stage (transient, never pinned). Same recurrence, same hash formulas
-    (d cast to long matches the original dims-column hashing)."""
+    rows; norms/normalization/weighted sums are unrolled per-index
+    expression chains (whole-stage codegen — higher-order array lambdas
+    are interpreted per row), and the neighbor mean is dim avg()
+    aggregates packed back into one array — one exchange per layer with
+    map-side partial aggregation, nothing exploded. Same recurrence,
+    same hash formulas (d cast to long matches the original dims-column
+    hashing)."""
     # NOT kernel-narrowed: fastrp's per-layer aggregation runs over the
     # EXPLODED (id, pos) state — V x dim rows of compute-bound array math —
     # so the edge-count-derived narrow width would serialize real work
@@ -4189,33 +4191,48 @@ def fastrp_embeddings(
     ).localCheckpoint()
 
     def normalize(frame: DataFrame) -> DataFrame:
-        nrm = F.sqrt(
-            F.aggregate("vals", F.lit(0.0), lambda a, v: a + v * v)
-        )
-        return frame.select(
+        # Same left-to-right fold the former aggregate() lambda computed
+        # (0.0 + v0*v0 + v1*v1 + ...), unrolled into a codegen-friendly
+        # expression chain: higher-order array lambdas are interpreted
+        # per row (the a19 lesson), and this runs on every vertex twice
+        # per layer.
+        sq = F.lit(0.0)
+        for i in range(dim):
+            v = F.col("vals")[i]
+            sq = sq + v * v
+        # nrm must be its own projected column: inlining it would embed
+        # the 32-term sum inside each of the 32 divisions below (a
+        # 1,000-node expression tree that breaks Janino codegen).
+        nrm = F.col("__nrm")
+        return frame.select("id", "vals", F.sqrt(sq).alias("__nrm")).select(
             "id",
             F.when(
-                nrm > 0, F.transform("vals", lambda v: v / nrm)
+                nrm > 0,
+                F.array(*[F.col("vals")[i] / nrm for i in range(dim)]),
             )
-            .otherwise(F.transform("vals", lambda v: v * 0.0))
+            .otherwise(F.array(*[F.lit(0.0)] * dim))
             .alias("vals"),
         )
 
     acc = normalize(x).select(
         "id",
-        F.transform("vals", lambda v: v * F.lit(weights[0])).alias("vals"),
+        F.array(
+            *[F.col("vals")[i] * F.lit(weights[0]) for i in range(dim)]
+        ).alias("vals"),
     )
     for w_t in weights[1:]:
+        # Neighbor mean as dim independent avg() aggregates packed back
+        # into one array: a single exchange with full map-side partial
+        # aggregation. The former posexplode -> groupBy(id, pos) ->
+        # groupBy(id)+array_sort(collect_list) form shuffled |E| x dim
+        # exploded rows through TWO exchanges and re-sorted every
+        # vertex's dimensions just to rebuild the array.
         msgs = (
             und.join(x.select(F.col("id").alias("v"), "vals"), "v")
-            .select(F.col("u").alias("id"), F.posexplode("vals"))
-            .groupBy("id", "pos")
-            .agg(F.avg("col").alias("val"))
-            .groupBy("id")
+            .groupBy(F.col("u").alias("id"))
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda st: st.getField("val"),
+                F.array(
+                    *[F.avg(F.col("vals")[i]) for i in range(dim)]
                 ).alias("vals")
             )
         )
@@ -4224,8 +4241,11 @@ def fastrp_embeddings(
             acc.join(x.select("id", F.col("vals").alias("xv")), "id")
             .select(
                 "id",
-                F.zip_with(
-                    "vals", "xv", lambda a, b: a + F.lit(w_t) * b
+                F.array(
+                    *[
+                        F.col("vals")[i] + F.lit(w_t) * F.col("xv")[i]
+                        for i in range(dim)
+                    ]
                 ).alias("vals"),
             )
         )
