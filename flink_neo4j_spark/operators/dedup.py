@@ -410,9 +410,19 @@ SIMHASH_BAND_BITS = 4
 
 def d14_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_signatures(spark, sf_dir)  # (doc_id, simhash), materialized
-    bands = sig.select(
-        "doc_id",
+    # The quadratic candidate stage runs over DISTINCT signatures weighted
+    # by group size, never over documents: a 16-bit simhash has at most
+    # 65,536 distinct values, so the within-bucket self-join is BOUNDED at
+    # any corpus size, while the doc-level expansion at the end is
+    # output-bound (every expanded row is a result row). Equivalence to
+    # the doc-level form is exact because both bucket membership and
+    # bucket survival (doc count <= NEAR_DUP_MAX_BUCKET per (band, key))
+    # are functions of the signature alone: sizes here SUM group counts,
+    # which is the same per-bucket doc count the doc-level form computed.
+    grp = sig.groupBy("simhash").agg(F.count("*").alias("n"))
+    bands = grp.select(
         "simhash",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -428,30 +438,53 @@ def d14_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"),
+        "simhash", "n", F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
-    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+    sizes = bands.groupBy("band", "key").agg(F.sum("n").alias("_bn"))
     kept = bands.join(
         F.broadcast(sizes.filter(F.col("_bn") <= NEAR_DUP_MAX_BUCKET)),
         ["band", "key"],
-    ).drop("_bn")
-    a = kept.select(
-        "band", "key", F.col("doc_id").alias("a_id"), F.col("simhash").alias("sa")
-    )
-    b = kept.select(
-        "band", "key", F.col("doc_id").alias("b_id"), F.col("simhash").alias("sb")
-    )
-    cand = (
+    ).select("band", "key", "simhash")
+    a = kept.select("band", "key", F.col("simhash").alias("sa"))
+    b = kept.select("band", "key", F.col("simhash").alias("sb"))
+    # hamming filter BEFORE the distinct: the former doc-level form
+    # shuffled every within-bucket candidate pair through a distinct and
+    # only then dropped the >HAM_K tail; filter-then-distinct is
+    # row-deterministic, so the surviving set is identical and the
+    # distinct's input collapses to the near-dup signature pairs.
+    # localCheckpoint: spairs is output-bound tiny and consumed twice
+    # (broadcast into the expansion join + the db semi prefilter below);
+    # without it each reference re-expands the whole candidate subtree
+    spairs = (
         a.join(b, ["band", "key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sa", "sb")
+        .filter(F.col("sa") <= F.col("sb"))
+        .filter(F.expr("bit_count(sa ^ sb)") <= HAM_K)
+        .select("sa", "sb")
         .distinct()
+        .localCheckpoint()
     )
-    ham = F.expr("bit_count(sa ^ sb)")
+    da = sig.select(F.col("simhash").alias("sa"), F.col("doc_id").alias("ia"))
+    db = sig.select(F.col("simhash").alias("sb"), F.col("doc_id").alias("ib"))
+    # broadcast-semi prefilter: only docs whose signature occurs in some
+    # near-dup pair reach the expansion join, so its shuffle is bounded
+    # by the OUTPUT size, not the corpus size
+    db = db.join(
+        F.broadcast(spairs.select("sb").distinct()), "sb", "leftsemi"
+    )
+    # sa < sb: every cross pair of the two groups is one result row
+    # (ordered by id via least/greatest); sa = sb: the within-group
+    # ordered pairs. Each unordered doc pair appears exactly once because
+    # spairs holds each unordered signature pair once (sa <= sb).
     return (
-        cand.select("a_id", "b_id", ham.alias("hamming"))
-        .filter(F.col("hamming") <= HAM_K)
+        da.join(F.broadcast(spairs), "sa")
+        .join(db, "sb")
+        .filter((F.col("sa") < F.col("sb")) | (F.col("ia") < F.col("ib")))
+        .select(
+            F.least("ia", "ib").alias("a_id"),
+            F.greatest("ia", "ib").alias("b_id"),
+            F.expr("bit_count(sa ^ sb)").alias("hamming"),
+        )
         .orderBy("a_id", "b_id")
     )
 

@@ -1000,7 +1000,11 @@ PLAN_BUDGETS = {
     # optimized SCC peel loop reads localCheckpointed subgraphs) and 0/8
     # (d14 — six of the eight are broadcasts of the band tables).
     "g55_scc_components": (1, 4),
-    "d14_simhash_hamming": (1, 10),
+    # round 9: d14's quadratic stage moved to distinct signatures (the
+    # candidate build hides behind the spairs localCheckpoint) with an
+    # output-bound doc expansion — measured 0 scans / 4 exchanges in the
+    # final plan, all carrying signature- or output-bounded rows.
+    "d14_simhash_hamming": (1, 8),
     # round 6: the new iterative graph heavies. All read memoized
     # localCheckpointed projections (0 parquet scans); measured 0/1
     # (g65 — the final rollup over the checkpointed best assignment),
