@@ -58,6 +58,14 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # 40-min timeout. Same output; its r8 green row no longer certifies
     # the new plan:
     "d8_edit_distance",
+    # round 9 optimization-phase code change: d14's banded candidate
+    # stage now pairs distinct signatures (group-weighted bucket guard,
+    # hamming filter before the distinct, output-bound doc expansion) —
+    # provably the same pair set, but its r8 green row certified the
+    # doc-level plan. g69_fastrp also changed (per-dimension avg
+    # aggregation) but is rows-only by design, so a repeat row adds
+    # nothing (the g4/q28 rule below):
+    "d14_simhash_hamming",
     # round 9 code-changed (verdict ask #2 adjudication): the shared
     # customer-part projection split into base + part-widthed variants —
     # g34's r8 sf1 drift was REAL (the part repartition taxed its
