@@ -2603,20 +2603,20 @@ ORACLE["q67_returnflag_priority"] = f"""
 # table, so the part-supplier association is the DISTINCT
 # (l_partkey, l_suppkey) pairs observed in lineitem; the "customer
 # complaints" supplier exclusion becomes the negative-balance suppliers
-# (same anti-join shape). Plan: dedup the association once (partial-agg
-# distinct), anti-join the tiny excluded-supplier set (broadcast), join
-# the filtered part dim (broadcast), then ONE count-distinct aggregate
-# per (brand, size) — supplier multiplicity never re-explodes.
+# (same anti-join shape). Plan: broadcast-SEMI-filter the lineitem scan
+# by the qualifying part keys FIRST (the selective brand/size predicate
+# keeps ~16% of parts — filtering before the distinct's exchange cuts
+# its shuffle by the same factor, the q69 discipline; distinct∘filter ≡
+# filter∘distinct when the filter is on the key columns), dedup the
+# surviving association once (partial-agg distinct), anti-join the tiny
+# excluded-supplier set (broadcast), join the filtered part dim
+# (broadcast), then ONE count-distinct aggregate per (brand, size) —
+# supplier multiplicity never re-explodes.
 Q16_EXCLUDED_BRAND = "Brand#45"
 Q16_SIZES = (1, 3, 9, 14, 19, 23, 36, 45)
 
 
 def q68_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assoc = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select(F.col("s_suppkey").alias("l_suppkey"))
@@ -2624,6 +2624,16 @@ def q68_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != Q16_EXCLUDED_BRAND)
         & F.col("p_size").isin(*Q16_SIZES)
     ).select("p_partkey", "p_brand", "p_size")
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
+    )
     return (
         assoc.join(F.broadcast(bad), "l_suppkey", "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)

@@ -1679,7 +1679,18 @@ def t26_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "source", F.explode(F.expr(TOKENS)).alias("tok")
     ).filter(F.col("tok") != "")
-    counts = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    # localCheckpoint: `counts` feeds FOUR subplans (the grid join, the
+    # vocab top-k, the source list and — via vocab — the global total) and
+    # Catalyst plans no ReusedExchange across them, so without
+    # materialization the tokenize+explode scan executes four times
+    # (plans/r09/t26_source_divergence_probe.txt: 4 Generate subtrees).
+    # The frame is |sources|×|distinct tokens| — aggregate-sized, far
+    # smaller than the token stream it replaces.
+    counts = (
+        tok.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
     vocab = (
         counts.groupBy("tok")
         .agg(F.sum("c").alias("g"))

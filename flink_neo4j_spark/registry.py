@@ -66,6 +66,12 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # aggregation) but is rows-only by design, so a repeat row adds
     # nothing (the g4/q28 rule below):
     "d14_simhash_hamming",
+    # round 9 optimization-phase code change: q68's association dedup is
+    # now broadcast-semi-prefiltered by the qualifying part keys before
+    # the distinct's exchange (filter∘distinct ≡ distinct∘filter on key
+    # columns) — same result set, new plan, so its r6 green row no longer
+    # certifies it:
+    "q68_parts_supplier",
     # round 9 code-changed (verdict ask #2 adjudication): the shared
     # customer-part projection split into base + part-widthed variants —
     # g34's r8 sf1 drift was REAL (the part repartition taxed its
@@ -124,8 +130,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # in round 9 (split-once char array) so its r3 row is stale and its
     # r10 pin is MANDATORY], the s-family, t8/t12 and the
     # w-family — roll to round 10: the driver records exactly 50 rows
-    # per round, and the five NEW round-9 queries plus the four
-    # code-changed ones above must earn rows this round. The EIGHT
+    # per round, and the five NEW round-9 queries plus the five
+    # code-changed ones above must earn rows this round. This list is
+    # now 52 deep, so its LAST two backlog entries (a20/a21 — green at
+    # r3, merely stale) may miss the cap and roll to round 10 with the
+    # rest; the code-changed entries sit ahead of the drain on purpose. The EIGHT
     # operators ADDED late in round 9 — s20_binary_topk, s21_rrf_fusion,
     # d20_dedup_qa, d21_curation_pipeline, a23_interval_merge, g89_hits,
     # g90_assortativity, t26_source_divergence — are deliberately NOT

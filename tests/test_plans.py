@@ -1110,3 +1110,28 @@ def test_interval_merge_one_window_partition_key(spark):
     assert re.search(r"hashpartitioning\(supp#", plan)
     # never re-shuffled by anything text-like or quadratic: no joins at all
     assert "Join" not in plan
+
+
+def test_parts_supplier_semi_filter_below_distinct(spark):
+    # q68 semi-filters the association by the qualifying part keys BEFORE
+    # the distinct's exchange (the q69 discipline): the LeftSemi broadcast
+    # join must sit on the scan side, so the dedup shuffle carries only
+    # qualifying parts' rows.
+    from flink_neo4j_spark.operators.relational import q68_parts_supplier
+
+    plan = formatted_plan_of(q68_parts_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin LeftSemi" in plan
+    semi = plan.index("BroadcastHashJoin LeftSemi")
+    # the distinct's HashAggregate appears ABOVE (before, in tree order)
+    # the semi join in the formatted tree — i.e. the semi join feeds it
+    assert "HashAggregate" in plan[:semi]
+
+
+def test_source_divergence_single_tokenize_pass(spark):
+    # t26's (source, tok) count frame is materialized once; the final plan
+    # must not re-run the explode/tokenize Generate for the vocab / source
+    # / grid consumers (it held FOUR Generate subtrees before round 9).
+    from flink_neo4j_spark.operators.text import t26_source_divergence
+
+    plan = formatted_plan_of(t26_source_divergence(spark, SF_DIR))
+    assert "Generate" not in plan
