@@ -364,8 +364,18 @@ class PropertyGraph:
         for c in match_map:
             if c not in self.vertices.columns:
                 out_cols.append(F.col(f"_u_{c}").alias(c))
-        updated = PropertyGraph(joined.select(*out_cols), self.edges)
-        return updated.create_nodes(inserts, label)
+        # Same id-allocation path as :meth:`create_nodes`, except the
+        # max-id base reads the PRE-projection vertex table: the matched
+        # arm's conditional projection never touches ``id``, so the
+        # maximum is identical — and the scalar agg no longer re-executes
+        # the update join on every later allocation in a composed
+        # write→write lineage.
+        base = self.vertices.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
+        new = _allocate_ids(inserts.withColumn("label", F.lit(label)), base)
+        merged = joined.select(*out_cols).unionByName(
+            new, allowMissingColumns=True
+        )
+        return PropertyGraph(merged, self.edges)
 
     def delete_nodes(
         self, keys: DataFrame, key: str = "id", detach: bool = False
@@ -521,6 +531,15 @@ class PropertyGraph:
             )
         else:
             wanted = endpoints.distinct()
+        # ``wanted`` is micro-batch-sized by the UNWIND write contract
+        # (`Neo4jOutputFormat.java:142-160`) and feeds THREE lazy consumers
+        # — the ON MATCH marker, the insert anti-join, and (through the
+        # composed write→read lineage) every later action on the returned
+        # graph. Without the checkpoint each consumer re-executed the
+        # endpoint-resolution joins + collapse aggregate; freezing it here
+        # (lazily — the insert arm's id-allocation checkpoint is the
+        # materializing action) makes that subtree compute exactly once.
+        wanted = wanted.localCheckpoint(eager=False)
         have = set(self.edges.columns)
         existing = self.edges.filter(F.col("rel_type") == rel_type).select(
             F.col("src").alias("__es"),
@@ -583,8 +602,18 @@ class PropertyGraph:
             *props,
             *[F.col(src).alias(prop) for prop, src in oc.items()],
         )
-        base = PropertyGraph(self.vertices, edges_out)
-        return base.create_relationships(missing, rel_type)
+        # Same id-allocation path as :meth:`create_relationships`, except
+        # the max-id base reads the PRE-projection edge table: ON MATCH
+        # arms never touch ``id``, so the maximum is identical — and the
+        # scalar agg no longer re-executes the marker join that the
+        # composed write→write lineage would otherwise recompute on every
+        # later allocation.
+        base = self.edges.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m"))
+        new = _allocate_ids(
+            missing.withColumn("rel_type", F.lit(rel_type)), base
+        )
+        merged = edges_out.unionByName(new, allowMissingColumns=True)
+        return PropertyGraph(self.vertices, merged)
 
     # -- connector round-trip (SURVEY §7 step 5) --------------------------
 
