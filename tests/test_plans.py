@@ -1135,3 +1135,17 @@ def test_source_divergence_single_tokenize_pass(spark):
 
     plan = formatted_plan_of(t26_source_divergence(spark, SF_DIR))
     assert "Generate" not in plan
+
+
+def test_fk_discovery_single_melt(spark):
+    # q56 melts all FK candidates into ONE tagged union aggregated twice
+    # (per-(candidate, key) flags, then per-candidate counts). The
+    # per-candidate form planned two distincts + a semi-join + two scalar
+    # aggs EACH (70 Exchange nodes at sf0.1); the melt must keep the
+    # exchange count at the two-aggregation floor (+ the presentation
+    # sort), with no join in the plan at all.
+    from flink_neo4j_spark.operators.relational import q56_fk_discovery
+
+    plan = formatted_plan_of(q56_fk_discovery(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 8
