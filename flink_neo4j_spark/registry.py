@@ -72,6 +72,22 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # columns) — same result set, new plan, so its r6 green row no longer
     # certifies it:
     "q68_parts_supplier",
+    # round 9 optimization-phase code change (session 6): q56's five
+    # per-candidate distinct/semi-join blocks melted into one tagged
+    # union aggregated twice — same integers, new plan (70 → 6
+    # Exchanges), so its r7 green row no longer certifies it:
+    "q56_fk_discovery",
+    # round 9 optimization-phase code change (session 6): the MERGE
+    # write paths checkpoint the resolved match batch and allocate ids
+    # off the pre-arm-projection table (graph.py merge_nodes /
+    # merge_relationships) — provably identical results, but every
+    # MERGE-riding conformance query's green row certified the old
+    # lineage:
+    "g74_cypher_rel_merge_arms",
+    "g18_cypher_merge",
+    "g43_cypher_merge_arms",
+    "g35_cypher_rel_merge",
+    "g51_cypher_rel_props",
     # round 9 code-changed (verdict ask #2 adjudication): the shared
     # customer-part projection split into base + part-widthed variants —
     # g34's r8 sf1 drift was REAL (the part repartition taxed its
@@ -130,11 +146,13 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # in round 9 (split-once char array) so its r3 row is stale and its
     # r10 pin is MANDATORY], the s-family, t8/t12 and the
     # w-family — roll to round 10: the driver records exactly 50 rows
-    # per round, and the five NEW round-9 queries plus the five
+    # per round, and the five NEW round-9 queries plus the
     # code-changed ones above must earn rows this round. This list is
-    # now 52 deep, so its LAST two backlog entries (a20/a21 — green at
-    # r3, merely stale) may miss the cap and roll to round 10 with the
-    # rest; the code-changed entries sit ahead of the drain on purpose. The EIGHT
+    # now 58 deep (session 6 added q56 + the five MERGE-riding queries
+    # whose write-path lineage changed), so its LAST eight backlog
+    # entries (a14-a21 — green at r3, merely stale) may miss the cap
+    # and roll to round 10 with the rest; the code-changed entries sit
+    # ahead of the drain on purpose. The EIGHT
     # operators ADDED late in round 9 — s20_binary_topk, s21_rrf_fusion,
     # d20_dedup_qa, d21_curation_pipeline, a23_interval_merge, g89_hits,
     # g90_assortativity, t26_source_divergence — are deliberately NOT
