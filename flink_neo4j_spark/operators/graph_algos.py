@@ -1139,35 +1139,37 @@ def _cust_part_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cust_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c1, c2, common, aa_sum) — per customer pair: the number of shared
-    parts and the raw Adamic-Adar sum over those parts. g15 (count /
-    Adamic-Adar ranking) and g20 (Jaccard nodeSimilarity) both run exactly
-    this quadratic self-join + groupBy over the shared part-hash
-    projection — the dominant cost of both queries (sf1: ~29 s + ~16 s) —
-    so the pair aggregation is session-memoized like the projection
-    itself: one pair pass per session, first consumer pays. ``aa_sum`` is
-    stored UNROUNDED (the same double the inline agg produced); g15
-    applies its round(…, 4) in the projection — rounding an agg result
-    in-agg vs after is the same scalar operation on the same double."""
-
-    def build() -> DataFrame:
-        cpd = _cust_part_projection(spark, sf_dir)
-        return (
-            cpd.alias("a")
-            .join(
-                cpd.alias("b"),
-                (F.col("a.part") == F.col("b.part"))
-                & (F.col("a.cust") < F.col("b.cust")),
-            )
-            .groupBy(F.col("a.cust").alias("c1"), F.col("b.cust").alias("c2"))
-            .agg(
-                F.count("*").alias("common"),
-                F.sum(F.lit(1.0) / F.log(F.col("a.dp"))).alias("aa_sum"),
-            )
-            .localCheckpoint()
+    parts and the raw Adamic-Adar sum over those parts, as a LAZY plan
+    over the shared part-hash projection. g15 (count / Adamic-Adar
+    ranking) and g20 (Jaccard nodeSimilarity) both run this quadratic
+    self-join + groupBy; the PROJECTION underneath is session-memoized,
+    but the pair aggregate itself is deliberately NOT: its output is
+    pair-sized, not result-sized (measured at derived sf1: 85.6 M rows
+    ≈ 2.4 GB — the groupBy barely reduces the C(dp, 2) explosion), so a
+    localCheckpoint memo costs a full materialize-and-rescan that grows
+    with the pair count (sf1: 41 s build vs ~13-15 s per consumer pass;
+    the round-9 memo turned g15+g20 from ~44 s into ~72 s there while
+    winning a few seconds at sf0.1 where the pair table is only ~1 M
+    rows). Each consumer instead streams the pair pass straight into its
+    own top-k — no pair-sized intermediate ever lands, at any scale.
+    ``aa_sum`` is produced UNROUNDED (the same double the inline agg
+    produced); g15 applies its round(…, 4) in the projection — rounding
+    an agg result in-agg vs after is the same scalar operation on the
+    same double."""
+    cpd = _cust_part_projection(spark, sf_dir)
+    return (
+        cpd.alias("a")
+        .join(
+            cpd.alias("b"),
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
         )
-
-    key = ("cust_pair_counts", os.path.abspath(sf_dir))
-    return session_memo(spark, key, build)
+        .groupBy(F.col("a.cust").alias("c1"), F.col("b.cust").alias("c2"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("a.dp"))).alias("aa_sum"),
+        )
+    )
 
 
 def g15_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,10 +59,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(os.path.join(sf_dir, "events.parque[t]"))
     )
-    # stash the data-derived state width for _start_with_state_partitions
-    # (the runners hold no sf_dir by the time the query starts)
+    # stash the data-derived state widths for _start_with_state_partitions
+    # (the runners hold no sf_dir by the time the query starts); the
+    # pykernel width serves the applyInPandasWithState topologies
     spark.__dict__["_fns_stream_state_width"] = _stream_state_partitions(
         spark, sf_dir
+    )
+    spark.__dict__["_fns_pykernel_state_width"] = _stream_state_partitions(
+        spark, sf_dir, PYKERNEL_ROWS_PER_STATE_PARTITION
     )
     return normalize_event_ts(raw)
 
@@ -99,8 +103,25 @@ def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
 STREAM_ROWS_PER_STATE_PARTITION = 2_000_000
 STREAM_MIN_STATE_PARTITIONS = 2
 
+#: ``applyInPandasWithState`` topologies size differently: there the
+#: shuffle width is ALSO the PYTHON-KERNEL parallelism — each partition's
+#: groups cross the Arrow boundary and run the vectorized kernel
+#: serially, so a state-commit-optimal width starves the kernel of cores
+#: the moment the replay grows. Measured at derived sf1 (1M events): the
+#: rows/2M rule gave width 2 and w14/w15 read 31/27 s solo vs 11/9 s at
+#: the pre-round fixed width 8 — a pure parallelism loss, not state-store
+#: cost. 125k rows per partition reproduces the width-8 operating point
+#: at sf1, leaves the sf0.1 width at the floor of 2 (100k rows — same as
+#: the rows/2M rule, so local numbers are unchanged), and keeps growing
+#: with the replay up to the session width.
+PYKERNEL_ROWS_PER_STATE_PARTITION = 125_000
 
-def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+
+def _stream_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_partition: int = STREAM_ROWS_PER_STATE_PARTITION,
+) -> int:
     from flink_neo4j_spark.catalog import load_table
     from flink_neo4j_spark.tuning import memoized_count
 
@@ -115,7 +136,7 @@ def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
         cap = 200
     return max(
         STREAM_MIN_STATE_PARTITIONS,
-        min(cap, -(-n // STREAM_ROWS_PER_STATE_PARTITION)),
+        min(cap, -(-n // rows_per_partition)),
     )
 
 
@@ -137,14 +158,18 @@ def _capture_progress(name: str, q) -> None:
         LAST_RUN_PROGRESS[name] = []
 
 
-def _start_with_state_partitions(spark: SparkSession, start_fn):
+def _start_with_state_partitions(
+    spark: SparkSession, start_fn, pykernel: bool = False
+):
     """Start a streaming query with the state-sized shuffle-partition conf,
     restoring the batch setting afterwards (the value is captured at query
-    start, so restoring immediately after is safe)."""
+    start, so restoring immediately after is safe). ``pykernel=True``
+    selects the applyInPandasWithState width (the shuffle width is the
+    Python-kernel parallelism there — see
+    ``PYKERNEL_ROWS_PER_STATE_PARTITION``)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    width = spark.__dict__.get(
-        "_fns_stream_state_width", STREAM_MIN_STATE_PARTITIONS
-    )
+    key = "_fns_pykernel_state_width" if pykernel else "_fns_stream_state_width"
+    width = spark.__dict__.get(key, STREAM_MIN_STATE_PARTITIONS)
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         return start_fn()
@@ -234,7 +259,10 @@ def run_sliding_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_append_to_parquet(
-    stream_df: DataFrame, spark: SparkSession, name: str
+    stream_df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    pykernel: bool = False,
 ) -> DataFrame:
     """Append-mode twin of :func:`_run_complete_to_parquet`: each micro-batch
     appends its newly-final rows to the parquet directory (the natural sink
@@ -256,6 +284,7 @@ def _run_append_to_parquet(
             .trigger(availableNow=True)
             .start()
         ),
+        pykernel=pykernel,
     )
     try:
         q.awaitTermination()
@@ -939,6 +968,7 @@ def run_rate_limit_available_now(
         rate_limit_stream(read_events_stream(spark, sf_dir)),
         spark,
         "rate_limit",
+        pykernel=True,
     )
     return out.orderBy("user_id", "day", "admit_rank")
 
@@ -1008,6 +1038,7 @@ def run_anomaly_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         anomaly_stream(read_events_stream(spark, sf_dir)),
         spark,
         "anomaly",
+        pykernel=True,
     )
     return out.orderBy("user_id", "event_id")
 

@@ -40,7 +40,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 #: ~100 MB of 16-48 byte state rows per reduce partition (guide §2.2).
-ITER_ROWS_PER_PARTITION = 2_000_000
+ITER_ROWS_PER_PARTITION = 250_000
 
 #: Below this derived width the loop runs with AQE off (nothing to
 #: re-plan; the per-exchange query-stage jobs are pure overhead).
