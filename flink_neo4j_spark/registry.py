@@ -88,6 +88,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "g43_cypher_merge_arms",
     "g35_cypher_rel_merge",
     "g51_cypher_rel_props",
+    # round 9 optimization-phase code change (session 7): ordered collect
+    # with key ≡ value compiles to natural sort_array instead of the
+    # interpreted lambda comparator — provably the same list, but g53's
+    # r6 green row certified the comparator plan:
+    "g53_cypher_ordered_collect",
     # round 9 code-changed (verdict ask #2 adjudication): the shared
     # customer-part projection split into base + part-widthed variants —
     # g34's r8 sf1 drift was REAL (the part repartition taxed its
@@ -148,11 +153,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # w-family — roll to round 10: the driver records exactly 50 rows
     # per round, and the five NEW round-9 queries plus the
     # code-changed ones above must earn rows this round. This list is
-    # now 58 deep (session 6 added q56 + the five MERGE-riding queries
-    # whose write-path lineage changed), so its LAST eight backlog
-    # entries (a14-a21 — green at r3, merely stale) may miss the cap
-    # and roll to round 10 with the rest; the code-changed entries sit
-    # ahead of the drain on purpose. The EIGHT
+    # now 59 deep (session 6 added q56 + the five MERGE-riding queries
+    # whose write-path lineage changed; session 7 added g53), so its
+    # LAST nine backlog entries (a13-a21 — green at r3, merely stale)
+    # may miss the cap and roll to round 10 with the rest; the
+    # code-changed entries sit ahead of the drain on purpose. The EIGHT
     # operators ADDED late in round 9 — s20_binary_topk, s21_rrf_fusion,
     # d20_dedup_qa, d21_curation_pipeline, a23_interval_merge, g89_hits,
     # g90_assortativity, t26_source_divergence — are deliberately NOT

@@ -3794,6 +3794,38 @@ def test_ordered_collect_survives_projection(fixture_graph):
     assert df.collect()[0]["borns"] == [1984, 1983]
 
 
+def test_ordered_collect_key_is_value_fast_path(fixture_graph):
+    # collect(k) under WITH ... ORDER BY k (single key == collected value)
+    # compiles to a natural sort_array instead of the interpreted lambda
+    # comparator — results must be identical, including null skipping
+    # (null values never enter a Cypher collect) and DISTINCT adjacency.
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n ORDER BY n.name DESC "
+        "RETURN collect(n.name) AS names",
+    )
+    assert df.collect()[0]["names"] == ["Eve", "Bob", "Alice"]
+    # the fast path must not plan the interpreted comparator
+    assert "lambdafunction" not in df._jdf.queryExecution().analyzed().toString()
+    # null values are skipped exactly like the general path (Eve's
+    # trust=false makes her CASE value null)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH CASE WHEN n.trust THEN n.name END AS t "
+        "ORDER BY t RETURN collect(t) AS names",
+    )
+    assert df.collect()[0]["names"] == ["Alice", "Bob"]
+    # two keys keep the general comparator path (order: born DESC breaks
+    # the name tie universe, then name ASC within born groups)
+    df = cypher_read(
+        fixture_graph,
+        "MATCH (n:User) WITH n ORDER BY n.born DESC, n.name "
+        "RETURN collect(n.name) AS names",
+    )
+    assert "lambdafunction" in df._jdf.queryExecution().analyzed().toString()
+    assert df.collect()[0]["names"] == ["Alice", "Eve", "Bob"]
+
+
 def test_plain_collect_still_value_sorted(fixture_graph):
     # without an ORDER BY horizon the determinism contract holds: the
     # list is sorted by value, independent of partition layout
