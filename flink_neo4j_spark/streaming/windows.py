@@ -110,11 +110,16 @@ STREAM_MIN_STATE_PARTITIONS = 2
 #: the moment the replay grows. Measured at derived sf1 (1M events): the
 #: rows/2M rule gave width 2 and w14/w15 read 31/27 s solo vs 11/9 s at
 #: the pre-round fixed width 8 — a pure parallelism loss, not state-store
-#: cost. 125k rows per partition reproduces the width-8 operating point
-#: at sf1, leaves the sf0.1 width at the floor of 2 (100k rows — same as
-#: the rows/2M rule, so local numbers are unchanged), and keeps growing
-#: with the replay up to the session width.
-PYKERNEL_ROWS_PER_STATE_PARTITION = 125_000
+#: cost. The width curve is monotone down to ~16k rows/partition at BOTH
+#: measured decades (sf1 warm solo: w14 9.96 s at 125k/partition → 7.49 s
+#: at 62.5k → 5.26 s at 31.25k [the 32-core cap] — w15 7.81 → 6.39 →
+#: 4.07 s; sf0.1: w14 4.51 s at the width-2 floor → 2.83 s at width 4 →
+#: 2.50 s at width 7, w15 3.94 → 2.43 → 2.11 s, flattening below ~31k),
+#: so the constant targets kernel-core saturation, not shuffle bytes:
+#: 15,625 rows/partition reaches a 32-core session's cap by a 500k-row
+#: replay, leaves the sf0.001/0.01 conformance replays at the width-2
+#: floor, and the session-width cap keeps the top end scale-adaptive.
+PYKERNEL_ROWS_PER_STATE_PARTITION = 15_625
 
 
 def _stream_state_partitions(
