@@ -1228,25 +1228,39 @@ def q52_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    aggs = [F.count("*").alias("n_rows")]
+    # One groupBy pass PER COLUMN instead of four count_distincts in one
+    # aggregate: the multi-distinct form plans an Expand that replicates
+    # every row 5x before the hash aggregate, while each per-column pass
+    # scans only its own parquet column (pruned) and partial-aggregates
+    # map-side to its distinct values. All stats are exact functions of
+    # the grouped (value, cnt) frame: ndv = count of non-null keys,
+    # n_nulls = the null group's cnt, n_rows = sum(cnt), min/max over keys
+    # equal min/max over rows. The union executes as one job.
+    branches = []
     for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(c).alias(f"{c}__ndv"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
-    )
-    return wide.selectExpr(
-        "n_rows",
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(column_name, n_nulls, ndv, min_val, max_val)",
-    ).select(
-        "column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val"
-    ).orderBy("column_name")
+        g = o.select(c).groupBy(c).agg(F.count("*").alias("cnt"))
+        branches.append(
+            g.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.sum(
+                    F.when(F.col(c).isNull(), F.col("cnt")).otherwise(F.lit(0))
+                ).alias("n_nulls"),
+                F.count(c).alias("ndv"),
+                F.min(F.col(c).cast("string")).alias("min_val"),
+                F.max(F.col(c).cast("string")).alias("max_val"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "ndv",
+                "min_val",
+                "max_val",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("column_name")
 
 
 #: q54: the erasure cohort — customers whose key hashes into this residue

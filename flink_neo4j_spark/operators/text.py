@@ -549,42 +549,119 @@ def t14_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("sh").alias("sg"))
         .localCheckpoint()
     )
-    ss = (
+    sg_src = (
         ex.filter(F.col("sg").isNotNull())
         .join(docs, "doc_id")
+        .filter(F.col("source").isNotNull())
         .select("source", "sg")
-        .distinct()
+    )
+    # `source` is a small categorical (20 values in this corpus), so every
+    # per-source-pair statistic is a function of each shingle's SOURCE SET,
+    # representable as one 64-bit mask: ONE shuffle keyed on the shingle
+    # with map-side-partial bit_or replaces the distinct (source, sg)
+    # shuffle + the sg-keyed SortMergeJoin self-join (two more full
+    # exchanges of the shingle strings) + four rescans of that set. The
+    # bit_or dedups (source, sg) inherently; totals and shared counts are
+    # exact integer sums over the tiny mask histogram, identical to the
+    # old pair-join counts. Falls back to the pair self-join if the source
+    # dimension ever outgrows a long's bits.
+    srcs = sorted(
+        r[0] for r in docs.select("source").distinct().collect() if r[0] is not None
+    )
+    if len(srcs) > 62:
+        ss = sg_src.distinct().localCheckpoint()
+        totals = ss.groupBy("source").agg(F.count("*").alias("tot"))
+        pairs = (
+            ss.alias("a")
+            .join(
+                ss.alias("b"),
+                (F.col("a.sg") == F.col("b.sg"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("src_a"),
+                F.col("b.source").alias("src_b"),
+            )
+            .agg(F.count("*").alias("shared"))
+        )
+        return (
+            pairs.join(
+                F.broadcast(
+                    totals.selectExpr("source AS src_a", "tot AS tot_a")
+                ),
+                "src_a",
+            )
+            .join(
+                F.broadcast(
+                    totals.selectExpr("source AS src_b", "tot AS tot_b")
+                ),
+                "src_b",
+            )
+            .select(
+                "src_a",
+                "src_b",
+                "shared",
+                (
+                    F.round(
+                        F.col("shared") / F.least("tot_a", "tot_b")
+                        + F.lit(5e-10),
+                        4,
+                    )
+                    + F.lit(0.0)
+                ).alias("containment"),
+            )
+            .orderBy("src_a", "src_b")
+        )
+    n = len(srcs)
+    bit_of = F.create_map(
+        *[x for i, s in enumerate(srcs) for x in (F.lit(s), F.lit(i))]
+    )
+    name_of = F.array(*[F.lit(s) for s in srcs])
+    hist = (
+        sg_src.select(
+            "sg", F.element_at(bit_of, F.col("source")).alias("bit")
+        )
+        .select("sg", F.expr("shiftleft(1L, bit)").alias("m"))
+        .groupBy("sg")
+        .agg(F.bit_or("m").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("cnt"))
+        # the histogram is bounded by min(2^n_sources, distinct shingles)
+        # and feeds both totals and the pair expansion
+        .withColumn(
+            "bits",
+            F.expr(f"filter(sequence(0, {n - 1}), b -> ((mask >> b) & 1) = 1)"),
+        )
         .localCheckpoint()
     )
-    totals = ss.groupBy("source").agg(F.count("*").alias("tot"))
-    pairs = (
-        ss.alias("a")
-        .join(
-            ss.alias("b"),
-            (F.col("a.sg") == F.col("b.sg"))
-            & (F.col("a.source") < F.col("b.source")),
+    totals = (
+        hist.select(F.explode("bits").alias("b"), "cnt")
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("tot"))
+    )
+    shared = (
+        hist.select("cnt", "bits", F.posexplode("bits").alias("i", "ba"))
+        .select(
+            "cnt",
+            "ba",
+            F.explode(F.expr("slice(bits, i + 2, size(bits))")).alias("bb"),
         )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
-        .agg(F.count("*").alias("shared"))
+        .groupBy("ba", "bb")
+        .agg(F.sum("cnt").alias("shared"))
     )
     return (
-        pairs.join(
-            F.broadcast(totals.selectExpr("source AS src_a", "tot AS tot_a")),
-            "src_a",
+        shared.join(
+            F.broadcast(totals.selectExpr("b AS ba", "tot AS tot_a")), "ba"
         )
-        .join(
-            F.broadcast(totals.selectExpr("source AS src_b", "tot AS tot_b")),
-            "src_b",
-        )
+        .join(F.broadcast(totals.selectExpr("b AS bb", "tot AS tot_b")), "bb")
         .select(
-            "src_a",
-            "src_b",
+            F.element_at(name_of, F.col("ba") + 1).alias("src_a"),
+            F.element_at(name_of, F.col("bb") + 1).alias("src_b"),
             "shared",
             (
                 F.round(
-                    F.col("shared") / F.least("tot_a", "tot_b") + F.lit(5e-10), 4
+                    F.col("shared") / F.least("tot_a", "tot_b") + F.lit(5e-10),
+                    4,
                 )
                 + F.lit(0.0)
             ).alias("containment"),

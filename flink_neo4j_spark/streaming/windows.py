@@ -172,14 +172,19 @@ def _start_with_state_partitions(
     selects the applyInPandasWithState width (the shuffle width is the
     Python-kernel parallelism there — see
     ``PYKERNEL_ROWS_PER_STATE_PARTITION``)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    key = "_fns_pykernel_state_width" if pykernel else "_fns_stream_state_width"
-    width = spark.__dict__.get(key, STREAM_MIN_STATE_PARTITIONS)
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        return start_fn()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from flink_neo4j_spark.tuning import _CONF_SWAP_LOCK
+
+    with _CONF_SWAP_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        key = (
+            "_fns_pykernel_state_width" if pykernel else "_fns_stream_state_width"
+        )
+        width = spark.__dict__.get(key, STREAM_MIN_STATE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            return start_fn()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _run_complete_to_parquet(

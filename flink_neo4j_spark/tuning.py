@@ -35,9 +35,18 @@ caller aggregates integers, mins, or exactly-representable dyadic sums).
 from __future__ import annotations
 
 import math
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Serializes every scoped session-conf swap (``iter_kernel`` here, the
+#: streaming ``_start_with_state_partitions``) across driver threads: the
+#: swapped confs are session-global, so two concurrent queries on one
+#: session could otherwise run one query's loop at the other's width.
+#: Re-entrant so nested kernel scopes on one thread remain legal (each
+#: scope saves and restores its own previous values, LIFO).
+_CONF_SWAP_LOCK = threading.RLock()
 
 #: ~100 MB of 16-48 byte state rows per reduce partition (guide §2.2).
 ITER_ROWS_PER_PARTITION = 250_000
@@ -123,31 +132,34 @@ def iter_kernel(
     ``~n_rows`` rows. Yields an :class:`IterKernel` with the width the
     loop should use for explicit ``coalesce``/``repartition`` calls on
     its checkpointed frames."""
-    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try:
-        cap = int(prev_shuf)
-    except (TypeError, ValueError):
-        cap = 200
-    width = iter_width(n_rows, cap, rows_per_partition)
-    narrow = width <= AQE_OFF_MAX_WIDTH and width < cap
-    try:
-        if narrow:
-            # narrow state: explicit width, no per-exchange AQE jobs. The
-            # floor of 2 keeps a retried/second core usable for ~free.
-            spark.conf.set("spark.sql.shuffle.partitions", str(max(width, 2)))
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        yield IterKernel(
-            width,
-            narrow,
-            spark=spark,
-            cap=cap,
-            rows_per_partition=rows_per_partition,
-            prev=(prev_shuf, prev_aqe),
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    with _CONF_SWAP_LOCK:
+        prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            cap = int(prev_shuf)
+        except (TypeError, ValueError):
+            cap = 200
+        width = iter_width(n_rows, cap, rows_per_partition)
+        narrow = width <= AQE_OFF_MAX_WIDTH and width < cap
+        try:
+            if narrow:
+                # narrow state: explicit width, no per-exchange AQE jobs. The
+                # floor of 2 keeps a retried/second core usable for ~free.
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(max(width, 2))
+                )
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+            yield IterKernel(
+                width,
+                narrow,
+                spark=spark,
+                cap=cap,
+                rows_per_partition=rows_per_partition,
+                prev=(prev_shuf, prev_aqe),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def memoized_count(spark: SparkSession, key: tuple, df: DataFrame) -> int:

@@ -4,7 +4,8 @@ Usage::
 
     python tools/capture_plan.py <suffix> name [name ...]
 
-Writes ``plans/r09/<name>_<suffix>.txt`` for each query (suffix is
+Writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt`` (default
+``plans/r10``) for each query (suffix is
 ``before`` / ``after``). Plans are captured against $SPARK_GRAFT_SF_DIR
 (default sf0.1) with the same session the bench uses, so Exchange counts,
 join strategies and PushedFilters match what the bench executes.
@@ -25,7 +26,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
