@@ -41,101 +41,50 @@ from pyspark.sql import DataFrame, SparkSession
 #: Queries whose engine code or oracle changed this round: their previous
 #: green rows no longer certify the current code. Update per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round 9 NEW conformance queries (round-8 verdict asks #4-#6):
-    "g84_cypher_shortest_chain",       # shortestPath + comma clause
-    "g85_cypher_shortest_multi_clause",  # shortestPath + MATCH chain
-    "g86_cypher_call_agg_keyexpr",     # agg-CALL ORDER BY restated key
-    "g87_cypher_composite_optional",   # X249 x X251 combo promotion
-    "g88_cypher_varlength_count_subquery",  # X250 x X252 x X253 combo
-    # round 9 code-changed (verdict ask #3): chunk dedup restructured to
-    # id-only shuffles + one tokenization pass — its r2 green row no
-    # longer certifies the plan:
-    "d11_chunk_dedup",
-    # round 9 code-changed (sf10 probe finding): d8's Levenshtein verify
-    # step now adaptively re-hashes candidate pairs at pair-count-
-    # proportional width when the exact per-task pair mass exceeds its
-    # budget — the per-block single-task skew blew the sf10 probe's
-    # 40-min timeout. Same output; its r8 green row no longer certifies
-    # the new plan:
-    "d8_edit_distance",
-    # round 9 optimization-phase code change: d14's banded candidate
-    # stage now pairs distinct signatures (group-weighted bucket guard,
-    # hamming filter before the distinct, output-bound doc expansion) —
-    # provably the same pair set, but its r8 green row certified the
-    # doc-level plan. g69_fastrp also changed (per-dimension avg
-    # aggregation) but is rows-only by design, so a repeat row adds
-    # nothing (the g4/q28 rule below):
-    "d14_simhash_hamming",
-    # round 9 optimization-phase code change: q68's association dedup is
-    # now broadcast-semi-prefiltered by the qualifying part keys before
-    # the distinct's exchange (filter∘distinct ≡ distinct∘filter on key
-    # columns) — same result set, new plan, so its r6 green row no longer
-    # certifies it:
-    "q68_parts_supplier",
-    # round 9 optimization-phase code change (session 6): q56's five
-    # per-candidate distinct/semi-join blocks melted into one tagged
-    # union aggregated twice — same integers, new plan (70 → 6
-    # Exchanges), so its r7 green row no longer certifies it:
-    "q56_fk_discovery",
-    # round 9 optimization-phase code change (session 6): the MERGE
-    # write paths checkpoint the resolved match batch and allocate ids
-    # off the pre-arm-projection table (graph.py merge_nodes /
-    # merge_relationships) — provably identical results, but every
-    # MERGE-riding conformance query's green row certified the old
-    # lineage:
-    "g74_cypher_rel_merge_arms",
-    "g18_cypher_merge",
-    "g43_cypher_merge_arms",
-    "g35_cypher_rel_merge",
-    "g51_cypher_rel_props",
-    # round 9 optimization-phase code change (session 7): ordered collect
-    # with key ≡ value compiles to natural sort_array instead of the
-    # interpreted lambda comparator — provably the same list, but g53's
-    # r6 green row certified the comparator plan:
-    "g53_cypher_ordered_collect",
-    # round 9 code-changed (verdict ask #2 adjudication): the shared
-    # customer-part projection split into base + part-widthed variants —
-    # g34's r8 sf1 drift was REAL (the part repartition taxed its
-    # cust-keyed self-join; r7-code A/B 7.3 s vs 11.2 s, fixed to ~7.0 s):
-    "g34_copurchase_pmi",
-    "g15_also_bought",
-    "g20_node_similarity",
-    # round 9 backlog drain, part 2 of 2 (verdict ask #1): every
-    # remaining r2 row + the oldest r3 rows (temporal + multimodal
-    # families first — least-proven). g4_pagerank / q28_sketch_stats
-    # (rows-only by design — a repeat row adds nothing) stay excluded.
-    "a5_retention",
-    "d9_decontaminate",
-    "d10_lsh_banded",
-    "g1_two_hop",
-    "g3_connected_components",
-    "g6_bfs_hops",
-    "g11_detach_delete",
-    "g13_weighted_sssp",
-    "g14_triangle_count",
-    "m5_sample_assembly",
-    "q15_salted_agg",
-    "q23_conditional_agg",
-    "q31_stratified_sample",
-    "q32_uniform_k_per_stratum",
-    "q33_grouping_sets",
-    "q34_source_mixing",
-    "s6_quantized_topk",
-    "s7_mmr_rerank",
-    "t6_tfidf",
-    "t7_pii_redact",
-    "t9_lang_segments",
-    "t10_repetition_filter",
-    "t11_shuffle_shards",
-    # oldest r3 rows (the full a-family + m-family stragglers):
-    "a3_json_extract",
-    "a6_trailing_features",
-    "a7_ohlc",
-    "a8_gap_fill",
-    "a9_zscore_anomaly",
-    "a10_cumulative_share",
-    "a11_trailing_distinct",
-    "a12_scd2_join",
+    # round 10 plan-changed (this optimization round): t14's source-pair
+    # statistics now come from a bitmask aggregation (the sg-keyed
+    # SortMergeJoin self-join is gone) and q53's per-column stats from
+    # four column-pruned groupBy passes (the multi-distinct Expand is
+    # gone) — same integers, new plans, so their old green rows no
+    # longer certify them:
+    "t14_source_overlap",
+    "q53_table_stats",
+    # round-9 late code change (MANDATORY pin per the round-9 note):
+    # m8's window-energy plan was reworked (split-once char array) after
+    # its r3 row, so that row is stale:
+    "m8_av_align",
+    # the EIGHT operators added late in round 9 that have never had a
+    # driver row (deliberately deferred to this round's cap):
+    "s20_binary_topk",
+    "s21_rrf_fusion",
+    "d20_dedup_qa",
+    "d21_curation_pipeline",
+    "a23_interval_merge",
+    "g89_hits",
+    "g90_assortativity",
+    "t26_source_divergence",
+    # backlog drain, final tranche: every remaining row older than r4 —
+    # the full w-family (r3 rows predate the replay-derived state widths
+    # and the pykernel sizing; w14 re-certified in a later round already),
+    # the a13-a21 tail that rolled past round 9's cap, the m/s/t/g
+    # stragglers. g4_pagerank / q28_sketch_stats (rows-only by design —
+    # a repeat row adds nothing) stay excluded. 49 names total, inside
+    # the driver's 50-row cap with the plan-changed entries first.
+    "w1_stream_daily",
+    "w2_sessionize",
+    "w3_stream_sliding",
+    "w4_stream_dedup",
+    "w5_stream_interval_join",
+    "w6_stream_trending",
+    "w7_stream_static_enrich",
+    "w8_stream_left_outer",
+    "w9_stream_session_window",
+    "w10_stream_chained_agg",
+    "w11_stream_cdc_upsert",
+    "w12_stream_wm_dedup",
+    "w13_stream_daily_distinct",
+    "w15_stream_anomaly",
+    "w16_stream_batch_reconcile",
     "a13_attribution",
     "a14_ewma",
     "a15_twap",
@@ -145,26 +94,20 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a19_businessday_lag",
     "a20_localtime_rollup",
     "a21_seasonal_decomp",
-    # (the remaining r3 rows — g2, m4/m6-m9 [m4 swapped out for the
-    # code-changed d8 under the 50-row cap; the whole m-family then
-    # re-certifies together — m8's window-energy plan was reworked late
-    # in round 9 (split-once char array) so its r3 row is stale and its
-    # r10 pin is MANDATORY], the s-family, t8/t12 and the
-    # w-family — roll to round 10: the driver records exactly 50 rows
-    # per round, and the five NEW round-9 queries plus the
-    # code-changed ones above must earn rows this round. This list is
-    # now 59 deep (session 6 added q56 + the five MERGE-riding queries
-    # whose write-path lineage changed; session 7 added g53), so its
-    # LAST nine backlog entries (a13-a21 — green at r3, merely stale)
-    # may miss the cap and roll to round 10 with the rest; the
-    # code-changed entries sit ahead of the drain on purpose. The EIGHT
-    # operators ADDED late in round 9 — s20_binary_topk, s21_rrf_fusion,
-    # d20_dedup_qa, d21_curation_pipeline, a23_interval_merge, g89_hits,
-    # g90_assortativity, t26_source_divergence — are deliberately NOT
-    # listed here: they sit in never-green tier B behind this full
-    # tier A, and round 10 must pin them in _CHANGED_THIS_ROUND
-    # alongside the r3 backlog remainder (plus code-changed m8, see
-    # above).)
+    "m4_audio_windows",
+    "m6_image_tiles",
+    "m7_scene_segments",
+    "m9_modality_coverage",
+    "g2_degree",
+    "s5_label_centroids",
+    "s11_kmeans_step",
+    "s13_pq_topk",
+    "s14_kmeans_lloyd",
+    "s15_pca_power",
+    "s16_truncated_rerank",
+    "s18_ann_recall",
+    "t8_pack_sequences",
+    "t12_bigram_lm",
 )
 # Round-8 tier-A entries all earned green rows in CORRECTNESS_r08.json,
 # so they drop back to tier C here.

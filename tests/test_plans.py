@@ -1017,6 +1017,13 @@ PLAN_BUDGETS = {
     # honest shape of the exploded (id, d, val) representation
     "g69_fastrp": (1, 18),
     "g61_betweenness": (1, 6),
+    # round 10: pin d8's bounded-bucket + adaptive pair re-hash shape
+    # (round-9 sf10 fix). Measured 0 scans / 12 exchanges at sf0.001 AND
+    # sf0.1 (the signature base and scored pairs hide behind persisted
+    # materializations; the 12 include the bucket-size broadcasts and the
+    # final range sort). A re-derivation of the signature base or a
+    # per-block single-task skew regression shows up here first.
+    "d8_edit_distance": (1, 14),
 }
 
 
