@@ -589,20 +589,24 @@ def test_q52_topk_after_rollup(spark):
     assert has_broadcast_join(df)
 
 
-def test_q53_single_scan_profile(spark):
-    """ANALYZE-shape profiler: all per-column metrics from ONE scan of the
-    table (Spark's Expand handles the multi-count_distinct), reading only
-    the profiled columns."""
+def test_q53_per_column_profile_no_expand(spark):
+    """ANALYZE-shape profiler: one column-pruned groupBy pass per profiled
+    column, NEVER the multi-count_distinct Expand (which replicates every
+    row 5x before the aggregate — measured 4.27 -> 0.96 s at derived sf1
+    in round 10). Four scans, each reading exactly one column."""
     from flink_neo4j_spark.operators.relational import q53_table_stats
 
     df = q53_table_stats(spark, SF_DIR)
     plan = formatted_plan_of(df)
-    assert sum(
-        1
+    assert "Expand" not in plan
+    scan_schemas = [
+        line.split("ReadSchema:")[1]
         for line in plan.splitlines()
-        if "orders.parquet" in line and "Location" in line
-    ) == 1
-    assert "Expand" in plan
+        if "ReadSchema:" in line and "o_" in line
+    ]
+    assert len(scan_schemas) == 4
+    # each branch's scan is pruned to its single profiled column
+    assert all(schema.count("o_") == 1 for schema in scan_schemas)
     cols = read_schema_columns(df)
     assert "o_totalprice" not in cols  # unprofiled columns pruned
 
